@@ -1,0 +1,25 @@
+"""spark-ngsild-ingest: a from-scratch PySpark-native CDC/incremental-ingest
+engine with the data-processing capabilities of the NiFi
+``NgsiLdToPostgreSQL`` processor (easy-global-market/nifi-ngsild-postgresql).
+
+Architecture (idiomatic Spark, NOT a port of the NiFi execution model):
+
+- ``sources``    : change-event log readers + deterministic synthetic generator
+- ``operators``  : parse (P1-P9), schema inference (C1), row pivot (R1-R10),
+                   last-writer-wins dedup — vectorized via Arrow/mapInPandas
+- ``functions``  : pure deterministic helpers (identifier encoding C2-C4,
+                   ISO-8601 type probes C5, canonicalization)
+- ``plans``      : wide projection (whole-stage-codegen cell extraction),
+                   batch schema aggregation + existing-type-wins reconciliation
+                   (C6-C8), snapshot "lake" catalog with bucketed copy-on-write
+                   MERGE and exactly-once epoch commits (S3-S6)
+- ``streaming``  : Structured Streaming wiring (foreachBatch, checkpoint,
+                   lineage + metrics per micro-batch)
+- ``analytics``  : large-scale training-data pipeline ops (dedup families,
+                   similarity search, text quality, multimodal plumbing)
+
+Reference semantics are cited per function as ``file:line`` into
+/root/reference (read-only).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,55 @@
+"""Job configuration — mirrors the reference processor's NiFi properties
+(NgsiLdToPostgreSQL.java:62-152) plus the Spark-native knobs the NiFi
+engine did not need (buckets, salting, write mode).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+EXPANDED = "EXPANDED"
+FLATTEN = "FLATTEN"
+SEMI_FLATTEN = "SEMI_FLATTEN"
+EXPORT_MODES = (EXPANDED, FLATTEN, SEMI_FLATTEN)  # ExportMode.java:5-9
+
+
+@dataclass(frozen=True)
+class IngestConfig:
+    # --- reference properties (NgsiLdToPostgreSQL.java:62-152) ---
+    db_schema: str = "public"  # tenant -> namespace (PROC:72-80)
+    table_name_suffix: str = ""  # PROC:81-88
+    export_mode: str = EXPANDED  # PROC:90-100
+    ignore_empty_observed_at: bool = True  # PROC:101-109
+    replace_mode: bool = False  # delete-before-insert (PROC:110-119)
+    dataset_id_prefix_to_truncate: str = "urn:ngsi-ld:Dataset:"  # PROC:120-127
+    export_sysattrs: bool = False  # PROC:128-136
+    ignored_attributes: frozenset[str] = field(default_factory=frozenset)  # PROC:137-144
+
+    # --- Spark-native scale knobs (no reference analog) ---
+    # hash buckets of the target table on entity_id: a MERGE rewrites only
+    # touched buckets; sized so one bucket's files fit an executor
+    n_buckets: int = 16
+    # salt granularity for hot-key pre-aggregation before the global
+    # last-writer-wins window (SURVEY §4.3)
+    n_salts: int = 8
+    # append  : reference parity (the NiFi processor always INSERTs)
+    # upsert  : last-writer-wins MERGE keyed (entityid, observedat)
+    # replace : REPLACE_MODE parity — delete all rows of incoming entity ids
+    write_mode: str = "append"
+
+    def __post_init__(self) -> None:
+        if self.export_mode not in EXPORT_MODES:
+            raise ValueError(f"unknown export mode {self.export_mode!r}")
+        if self.write_mode not in ("append", "upsert", "replace"):
+            raise ValueError(f"unknown write mode {self.write_mode!r}")
+        if self.replace_mode:
+            object.__setattr__(self, "write_mode", "replace")
+        # NiFi config is a comma-split, case-preserving set (PROC:224-230)
+        if isinstance(self.ignored_attributes, str):
+            object.__setattr__(
+                self,
+                "ignored_attributes",
+                frozenset(
+                    a.strip() for a in self.ignored_attributes.split(",") if a.strip()
+                ),
+            )

@@ -1,0 +1,86 @@
+"""Canonicalization spec — ONE definition used everywhere.
+
+The reference materializes every cell as SQL literal text
+(PostgreSQLTransformer.formatFieldForValueInsert, :335-355); our engine
+stores native Spark types. The per-row sha256 invariant therefore needs a
+single canonical text rendering applied identically when producing golden
+manifests and when hashing engine output:
+
+- strings            : as-is
+- JSON numbers       : Python ``repr`` (int without '.0', float with) —
+                       matches Java Integer/Double.toString for the value
+                       ranges in the reference fixtures (no exponent range)
+- booleans           : ``true`` / ``false`` (JSON spelling)
+- JSON objects/arrays: ``json.dumps`` compact separators, sorted keys
+                       (org.json key order is nondeterministic — we pin it)
+- timestamps         : ISO-8601 UTC instant, seconds + fractional part only
+                       when non-zero, trailing 'Z'
+                       (DateTimeFormatter.ISO_INSTANT semantics)
+- scopes             : sorted, '{a,b}' literal (Java Set order is
+                       nondeterministic, XFORM:272 — we sort)
+- NULL cells         : the literal string ``\\N``
+- row text           : ``col=value`` joined by '|' in lexicographic column
+                       order (TreeMap semantics, XFORM:44)
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+
+CELL_NUM = "n"  # value was a JSON number (Java `instanceof Number`)
+CELL_STR = "s"  # everything rendered as text
+CELL_ARR = "a"  # scopes array (JSON array of strings)
+NULL_TEXT = "\\N"
+
+
+def canon_number(value: int | float) -> str:
+    if isinstance(value, int):
+        return str(value)
+    return repr(value)
+
+
+def canon_json(value: object) -> str:
+    return json.dumps(value, separators=(",", ":"), sort_keys=True, ensure_ascii=False)
+
+
+def canon_scalar(value: object) -> str:
+    """Default TEXT rendering of an attribute value (Java ``toString``)."""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, (int, float)):
+        return canon_number(value)
+    if isinstance(value, (dict, list)):
+        return canon_json(value)
+    return str(value)
+
+
+def iso_instant_from_epoch_ms(epoch_ms: int) -> str:
+    """``DateTimeFormatter.ISO_INSTANT.format(Instant.ofEpochMilli(t))`` —
+    fractional seconds emitted only when non-zero (XFORM:180, 266-268)."""
+    dt = datetime.fromtimestamp(epoch_ms / 1000.0, tz=timezone.utc)
+    base = dt.strftime("%Y-%m-%dT%H:%M:%S")
+    ms = epoch_ms % 1000
+    return f"{base}.{ms:03d}Z" if ms else base + "Z"
+
+
+def encode_cell(tag: str, text: str) -> str:
+    """Cell wire format inside the narrow flatten output: '<tag>:<text>'.
+
+    The tag preserves the JSON type so the wide projection can enforce the
+    reference's NUMERIC type-mismatch→NULL rule (XFORM:338-341) with pure
+    JVM expressions after existing-type-wins reconciliation.
+    """
+    return tag + ":" + text
+
+
+def parse_epoch_seconds(iso: str) -> float:
+    """``ZonedDateTime.parse(s).toEpochSecond()`` equivalent (whole seconds,
+    fraction dropped) used for the createdAt clamp (XFORM:307-315)."""
+    s = iso.strip()
+    if s.endswith("Z"):
+        s = s[:-1] + "+00:00"
+    dt = datetime.fromisoformat(s)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp())

@@ -1,0 +1,160 @@
+"""Identifier encoding — byte-for-byte parity with the reference.
+
+The reference routes every table/column name through a deterministic
+encoder; the final column sets are part of the data contract, so these
+pure functions are shared by the executor-side flatten stage and the
+driver-side DDL planner, and are unit-tested against the reference's
+own test expectations.
+
+Reference: PostgreSQLUtils.java:9-31, PostgreSQLTransformer.java:35-36,
+123-149, 378-412, PostgreSQLConstants.java:6-12, NgsiLdConstants.java:5-10.
+"""
+
+from __future__ import annotations
+
+import re
+
+# PostgreSQLConstants.java:6 — max identifier length (PostgreSQL lexer limit)
+MAX_NAME_LEN = 63
+# PostgreSQLConstants.java:9-12 — fixed system column names (lowercased at
+# CREATE time by PostgreSQL; our tables are lowercase from the start)
+RECV_TIME = "recvtime"
+ENTITY_ID = "entityid"
+ENTITY_TYPE = "entitytype"
+ENTITY_SCOPES = "scopes"
+SYSTEM_COLUMNS = (RECV_TIME, ENTITY_ID, ENTITY_TYPE, ENTITY_SCOPES)
+
+# NgsiLdConstants.java:5-10
+OBSERVED_AT = "observedAt"
+CREATED_AT = "createdAt"
+MODIFIED_AT = "modifiedAt"
+GENERIC_MEASURE = "measure"
+DEFAULT_CORE_CONTEXT_PREFIX = "ngsi-ld:default-context/"
+
+_NON_ALNUM = re.compile(r"[^a-zA-Z0-9]")
+# PostgreSQLTransformer.java:35-36 — UUID detection for datasetId shortening
+_UUID_RE = re.compile(
+    r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+)
+
+
+def encode_pg(name: str) -> str:
+    """Replace every non-alphanumeric char with '_' and lowercase.
+
+    Reference: PostgreSQLUtils.encodePostgreSQL, PostgreSQLUtils.java:15-17.
+    """
+    return _NON_ALNUM.sub("_", name).lower()
+
+
+def truncate_to_size(name: str, size: int) -> str:
+    """Truncate to ``size`` — preserving the reference's off-by-one: a
+    string of length exactly size+1 is NOT truncated.
+
+    Reference: PostgreSQLUtils.truncateToSize, PostgreSQLUtils.java:26-31.
+    """
+    if len(name) > size + 1:
+        return name[:size]
+    return name
+
+
+def truncate_to_max_pg_size(name: str) -> str:
+    """Reference: PostgreSQLUtils.truncateToMaxPgSize, PostgreSQLUtils.java:19-24."""
+    return truncate_to_size(name, MAX_NAME_LEN)
+
+
+def encode_attribute_column(
+    attr_name: str, dataset_id: str, dataset_id_prefix_to_truncate: str
+) -> str:
+    """Attribute column = encode(attrName) [+ "_" + encode(truncate32(datasetId-without-prefix))].
+
+    A pure-UUID datasetId is shortened to its first 8 hex chars.
+    Reference: PostgreSQLTransformer.encodeAttributeToColumnName, :123-136.
+    """
+    dataset_id = dataset_id or ""
+    # Java String.replaceFirst treats the prefix as a regex; the default
+    # prefix "urn:ngsi-ld:Dataset:" contains no regex metachars beyond ':'
+    # which is literal, so a plain prefix strip is equivalent. We replicate
+    # the first-occurrence-anywhere semantics of replaceFirst.
+    without_prefix = dataset_id
+    if dataset_id_prefix_to_truncate:
+        try:
+            without_prefix = re.sub(
+                dataset_id_prefix_to_truncate, "", dataset_id, count=1
+            )
+        except re.error:
+            without_prefix = dataset_id.replace(dataset_id_prefix_to_truncate, "", 1)
+    if _UUID_RE.match(without_prefix):
+        without_prefix = without_prefix[:8]
+    suffix = (
+        "_" + encode_pg(truncate_to_size(without_prefix, 32)) if dataset_id else ""
+    )
+    return truncate_to_max_pg_size(encode_pg(attr_name) + suffix).lower()
+
+
+def encode_time_property_column(encoded_attr_name: str, time_property: str) -> str:
+    """Shared single ``observedat`` column, except the FLATTEN generic
+    ``measure`` attribute which gets ``measure_observedat``; sysattrs get
+    ``<col>_createdat`` / ``<col>_modifiedat``.
+
+    Reference: PostgreSQLTransformer.encodeTimePropertyToColumnName, :138-143.
+    """
+    if time_property == OBSERVED_AT and encoded_attr_name != GENERIC_MEASURE:
+        encoded = encode_pg(time_property)
+    else:
+        encoded = encoded_attr_name + "_" + encode_pg(time_property)
+    return truncate_to_max_pg_size(encoded).lower()
+
+
+def encode_sub_attribute_column(
+    attr_name: str,
+    dataset_id: str,
+    sub_attr_name: str,
+    dataset_id_prefix_to_truncate: str,
+) -> str:
+    """``<encoded-attr-column>_<encode(subAttrName)>``.
+
+    Reference: PostgreSQLTransformer.encodeSubAttributeToColumnName, :145-149.
+    """
+    base = encode_attribute_column(attr_name, dataset_id, dataset_id_prefix_to_truncate)
+    return truncate_to_max_pg_size(base + "_" + encode_pg(sub_attr_name)).lower()
+
+
+class NameTooLongError(ValueError):
+    """Schema/table names above 63 chars are an error (not truncated).
+
+    Reference: PostgreSQLTransformer.java:380-385, 406-410.
+    """
+
+
+def build_schema_name(tenant_name: str) -> str:
+    """Reference: PostgreSQLTransformer.buildSchemaName, :378-386."""
+    schema_name = encode_pg(tenant_name)
+    if len(schema_name) > MAX_NAME_LEN:
+        raise NameTooLongError(
+            f"Building schema name '{schema_name}' and its length is greater than {MAX_NAME_LEN}"
+        )
+    return schema_name
+
+
+def build_table_name(entity_type: str, table_name_suffix: str | None = None) -> str:
+    """Table per entity type, optional ``_suffix``; >63 chars errors.
+
+    Reference: PostgreSQLTransformer.buildTableName, :396-412.
+    """
+    if table_name_suffix:
+        table_name = encode_pg(entity_type) + "_" + encode_pg(table_name_suffix)
+    else:
+        table_name = encode_pg(entity_type)
+    if len(table_name) > MAX_NAME_LEN:
+        raise NameTooLongError(
+            f"Building table name '{table_name}' and its length is greater than {MAX_NAME_LEN}"
+        )
+    return table_name
+
+
+def normalize_attribute_name(attribute_name: str) -> str:
+    """Strip the JSON-LD default-vocab prefix and lowercase.
+
+    Reference: NgsiLdUtils.normalizeAttributeName, NgsiLdUtils.java:233-236.
+    """
+    return attribute_name.replace(DEFAULT_CORE_CONTEXT_PREFIX, "").lower()

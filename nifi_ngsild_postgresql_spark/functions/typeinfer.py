@@ -1,0 +1,111 @@
+"""Column type system + ISO-8601 parse probes.
+
+The complete set of supported column types is the reference enum
+``POSTGRESQL_COLUMN_TYPES`` (PostgreSQLTransformer.java:536-552); the
+probes deciding DATE/TIMETZ/TIMESTAMPTZ replicate
+``DateTimeFormatter.ISO_DATE / ISO_TIME / ISO_DATE_TIME`` full-match
+semantics (PostgreSQLTransformer.java:509-534).
+
+Spark mapping of each type (used by plans/project.py):
+  TEXT / GEOMETRY / JSONB / TIMETZ -> StringType
+  TIMESTAMPTZ -> TimestampType (UTC session)
+  DATE -> DateType
+  NUMERIC -> DoubleType
+  ARRAY -> ArrayType(StringType)
+"""
+
+from __future__ import annotations
+
+import re
+
+# Reference enum PostgreSQLTransformer.java:536-552. Values double as the
+# lattice priority used for the per-batch type aggregation: when the same
+# column is inferred with different types by different entities in one
+# batch, the reference's per-entity TreeMap simply takes the *last* write;
+# across entities the reference reconciles against the live table where
+# the FIRST creator wins (existing-type-wins, :447-472). Our distributed
+# batch aggregation needs a deterministic merge: we take the max priority,
+# ordered so that the "most specific" interpretation survives and TEXT is
+# the fallback floor. NUMERIC > temporal types because the reference
+# upgrades to NUMERIC within an entity (:70-72); TEXT is lowest.
+TEXT = "TEXT"
+TIMESTAMPTZ = "TIMESTAMPTZ"
+TIMETZ = "TIMETZ"
+DATE = "DATE"
+NUMERIC = "NUMERIC"
+GEOMETRY = "GEOMETRY"
+JSONB = "JSONB"
+ARRAY = "ARRAY"
+
+PG_TYPES = (TEXT, TIMESTAMPTZ, TIMETZ, DATE, NUMERIC, GEOMETRY, JSONB, ARRAY)
+
+# batch-merge priority (higher wins when two entities disagree in one batch)
+TYPE_PRIORITY = {
+    TEXT: 0,
+    DATE: 1,
+    TIMETZ: 2,
+    TIMESTAMPTZ: 3,
+    NUMERIC: 4,
+    JSONB: 5,
+    GEOMETRY: 6,
+    ARRAY: 7,
+}
+PRIORITY_TO_TYPE = {v: k for k, v in TYPE_PRIORITY.items()}
+
+# --- ISO-8601 probes -------------------------------------------------------
+# Java's DateTimeFormatter.parse(CharSequence) requires the WHOLE string to
+# be consumed, so these are full-match regexes with range validation.
+
+_OFFSET = r"(?:Z|[+-]\d{2}(?::?\d{2}(?::?\d{2})?)?)"
+_DATE_RE = re.compile(r"^([+-]?\d{4,9})-(\d{2})-(\d{2})(" + _OFFSET + r")?$")
+_TIME_RE = re.compile(
+    r"^(\d{2}):(\d{2})(?::(\d{2})(?:\.(\d{1,9}))?)?(" + _OFFSET + r")?$"
+)
+_DATETIME_RE = re.compile(
+    r"^([+-]?\d{4,9})-(\d{2})-(\d{2})T(\d{2}):(\d{2})(?::(\d{2})(?:\.(\d{1,9}))?)?"
+    r"(" + _OFFSET + r")?(?:\[[A-Za-z0-9_/+\-:]+\])?$"
+)
+
+_DAYS_IN_MONTH = (31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+
+
+def _valid_ymd(y: str, m: str, d: str) -> bool:
+    mi, di = int(m), int(d)
+    return 1 <= mi <= 12 and 1 <= di <= _DAYS_IN_MONTH[mi - 1]
+
+
+def _valid_hms(h: str, mi: str, s: str | None) -> bool:
+    # ISO allows 24:00? Java rejects hour 24 except strict 24:00 cases; keep simple
+    return int(h) <= 23 and int(mi) <= 59 and (s is None or int(s) <= 59)
+
+
+def is_valid_date(value: str) -> bool:
+    """DateTimeFormatter.ISO_DATE full-parse probe (PostgreSQLTransformer.java:509-516)."""
+    m = _DATE_RE.match(value)
+    return bool(m) and _valid_ymd(m.group(1), m.group(2), m.group(3))
+
+
+def is_valid_time(value: str) -> bool:
+    """DateTimeFormatter.ISO_TIME full-parse probe (PostgreSQLTransformer.java:518-525)."""
+    m = _TIME_RE.match(value)
+    return bool(m) and _valid_hms(m.group(1), m.group(2), m.group(3))
+
+
+def is_valid_datetime(value: str) -> bool:
+    """DateTimeFormatter.ISO_DATE_TIME full-parse probe (PostgreSQLTransformer.java:527-534)."""
+    m = _DATETIME_RE.match(value)
+    return (
+        bool(m)
+        and _valid_ymd(m.group(1), m.group(2), m.group(3))
+        and _valid_hms(m.group(4), m.group(5), m.group(6))
+    )
+
+
+def is_number(value: object) -> bool:
+    """Java ``instanceof Number`` — bool is NOT a Number in Java."""
+    return isinstance(value, (int, float)) and not isinstance(value, bool)
+
+
+def merge_types(a: str, b: str) -> str:
+    """Deterministic batch-level type merge (see module docstring)."""
+    return a if TYPE_PRIORITY[a] >= TYPE_PRIORITY[b] else b

@@ -1,0 +1,126 @@
+"""Per-entity schema inference — operator C1 (``listOfFields``).
+
+Returns a sorted ``{column_name: pg_type}`` map for one parsed entity,
+replicating the reference's type-inference ladder and column fan-outs.
+
+Reference: PostgreSQLTransformer.listOfFields, PostgreSQLTransformer.java:38-121.
+"""
+
+from __future__ import annotations
+
+from ..functions import typeinfer as ti
+from ..functions.names import (
+    CREATED_AT,
+    ENTITY_ID,
+    ENTITY_SCOPES,
+    ENTITY_TYPE,
+    MODIFIED_AT,
+    OBSERVED_AT,
+    RECV_TIME,
+    encode_attribute_column,
+    encode_sub_attribute_column,
+    encode_time_property_column,
+)
+from .parse import Entity
+
+
+def list_of_fields(
+    entity: Entity,
+    dataset_id_prefix_to_truncate: str,
+    export_sysattrs: bool,
+    ignored_attributes: frozenset[str],
+) -> dict[str, str]:
+    """Entity → sorted {column: type}. System columns first (XFORM:49-54),
+    then per attribute the type ladder date → time → datetime → number →
+    geo → json → text (XFORM:62-89), observedAt/sysattr columns
+    (XFORM:93-102), and sub-attribute columns (XFORM:104-117).
+    """
+    agg: dict[str, str] = {
+        RECV_TIME: ti.TIMESTAMPTZ,
+        ENTITY_ID: ti.TEXT,
+        ENTITY_TYPE: ti.TEXT,
+    }
+    if entity.scopes is not None:
+        agg[ENTITY_SCOPES] = ti.ARRAY
+
+    attributes = [a for a in entity.attrs if a.name not in ignored_attributes]
+
+    for attribute in attributes:
+        attr_col = encode_attribute_column(
+            attribute.name, attribute.dataset_id, dataset_id_prefix_to_truncate
+        )
+        value_text = _to_probe_string(attribute.value)
+        if ti.is_valid_date(value_text):
+            agg[attr_col] = ti.DATE
+        elif ti.is_valid_time(value_text):
+            agg[attr_col] = ti.TIMETZ
+        elif ti.is_valid_datetime(value_text):
+            agg[attr_col] = ti.TIMESTAMPTZ
+        elif ti.is_number(attribute.value):
+            # number upgrades an earlier same-batch inference (XFORM:70-72)
+            agg[attr_col] = ti.NUMERIC
+        elif attribute.attr_type == "GeoProperty":
+            geo = attribute.value
+            geo_value = geo.get("value") if isinstance(geo, dict) else None
+            if isinstance(geo_value, dict) and geo_value.get("type") == "Point":
+                agg[
+                    encode_attribute_column(
+                        attribute.name, "lon", dataset_id_prefix_to_truncate
+                    )
+                ] = ti.NUMERIC
+                agg[
+                    encode_attribute_column(
+                        attribute.name, "lat", dataset_id_prefix_to_truncate
+                    )
+                ] = ti.NUMERIC
+            agg[
+                encode_attribute_column(
+                    attribute.name, "geometry", dataset_id_prefix_to_truncate
+                )
+            ] = ti.GEOMETRY
+            agg[
+                encode_attribute_column(
+                    attribute.name, "geojson", dataset_id_prefix_to_truncate
+                )
+            ] = ti.TEXT
+            agg[attr_col] = ti.TEXT
+        elif attribute.attr_type == "JsonProperty":
+            agg[attr_col] = ti.JSONB
+        else:
+            agg[attr_col] = ti.TEXT
+
+        if attribute.observed_at:
+            agg[encode_time_property_column(attr_col, OBSERVED_AT)] = ti.TIMESTAMPTZ
+        elif export_sysattrs:
+            agg[encode_time_property_column(attr_col, MODIFIED_AT)] = ti.TIMESTAMPTZ
+            agg[encode_time_property_column(attr_col, CREATED_AT)] = ti.TIMESTAMPTZ
+
+        if attribute.has_sub_attrs:
+            for sub in attribute.sub_attrs:
+                if sub.name in ignored_attributes:
+                    continue
+                sub_col = encode_sub_attribute_column(
+                    attribute.name,
+                    attribute.dataset_id,
+                    sub.name,
+                    dataset_id_prefix_to_truncate,
+                )
+                if ti.is_number(sub.value):
+                    agg[sub_col] = ti.NUMERIC  # unconditional put (XFORM:111)
+                else:
+                    agg.setdefault(sub_col, ti.TEXT)  # putIfAbsent (XFORM:113)
+
+    return dict(sorted(agg.items()))
+
+
+def _to_probe_string(value: object) -> str:
+    """Java ``attrValue.toString()`` as fed to the ISO probes — only needs
+    to be faithful for probe-relevant scalars; composite values can never
+    match the probes."""
+    if isinstance(value, str):
+        return value
+    if value is None:
+        return "null"
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)

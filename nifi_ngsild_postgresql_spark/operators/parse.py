@@ -1,0 +1,297 @@
+"""NGSI-LD entity parsing — operators P1-P9 of SURVEY.md §2.2.
+
+Pure-Python core invoked per Arrow batch inside the flatten
+``mapInPandas`` stage (operators/flatten.py) — one ``json.loads`` +
+structural walk per change-event payload, never per-cell Spark rows.
+
+Reference: NgsiLdUtils.java (parse semantics cited per function).
+Deliberate, documented divergences from the reference:
+- scopes are emitted sorted (Java ``Set`` iteration order is
+  nondeterministic, NgsiLdUtils.java:80-91);
+- malformed sub-structures that would throw ``JSONException`` and fail the
+  whole FlowFile instead raise ``EntityParseError`` which the pipeline
+  routes to the per-event error channel (reference relationship
+  REL_FAILURE, NgsiLdToPostgreSQL.java:154-166).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..config import FLATTEN, SEMI_FLATTEN
+from ..functions.names import GENERIC_MEASURE, normalize_attribute_name
+
+# NgsiLdUtils.java:26-28
+IGNORED_KEYS_ON_ATTRIBUTES = frozenset(
+    {
+        "type",
+        "value",
+        "object",
+        "json",
+        "datasetId",
+        "createdAt",
+        "modifiedAt",
+        "instanceId",
+        "observedAt",
+    }
+)
+IGNORED_KEYS_ON_ENTITIES = frozenset(
+    {"id", "type", "scope", "@context", "createdAt", "modifiedAt"}
+)
+
+
+class EntityParseError(ValueError):
+    """Structural error in an entity payload (reference: JSONException →
+    FlowFile routed to failure)."""
+
+
+@dataclass
+class Attribute:
+    """One attribute instance (Attribute.java:5-36). Sub-attribute
+    recursion is exactly one level deep (sub_attrs of subs is empty)."""
+
+    name: str
+    attr_type: str | None
+    dataset_id: str
+    observed_at: str
+    created_at: str
+    modified_at: str
+    value: object
+    has_sub_attrs: bool
+    sub_attrs: list["Attribute"] = field(default_factory=list)
+
+
+@dataclass
+class Entity:
+    """Entity.java:6-17."""
+
+    entity_id: str
+    entity_type: str
+    scopes: list[str] | None
+    attrs: list[Attribute]
+
+
+def _opt_string(obj: dict, key: str) -> str:
+    """org.json ``optString`` — "" for missing or JSON null."""
+    v = obj.get(key)
+    return v if isinstance(v, str) else ("" if v is None else str(v))
+
+
+def parse_entity_types(entity: dict) -> str:
+    """Multi-type entity → sorted types joined by '_' (NgsiLdUtils.java:93-103)."""
+    t = entity.get("type")
+    if isinstance(t, list):
+        return "_".join(sorted(str(x) for x in t))
+    if t is None:
+        raise EntityParseError("entity has no type")
+    return str(t)
+
+
+def parse_entity_scopes(entity: dict) -> list[str] | None:
+    """scope string-or-array → sorted list or None (NgsiLdUtils.java:80-91)."""
+    if "scope" not in entity:
+        return None
+    s = entity["scope"]
+    if isinstance(s, list):
+        return sorted({str(x) for x in s})
+    return [str(s)]
+
+
+def _add_attribute_if_valid(attributes: list, attribute: Attribute | None) -> None:
+    """Drop attributes whose value is null or "null" — JoinEnrichment /
+    temporal-gap artifacts (NgsiLdUtils.java:226-231)."""
+    if (
+        attribute is not None
+        and attribute.value is not None
+        and str(attribute.value) != "null"
+    ):
+        attributes.append(attribute)
+
+
+def _parse_sub_attribute(key: str, value: dict) -> Attribute | None:
+    """One-level sub-attribute value extraction (NgsiLdUtils.java:205-219)."""
+    if not isinstance(value, dict) or "type" not in value:
+        raise EntityParseError(f"sub-attribute {key!r} has no type")
+    sub_type = str(value["type"])
+    sub_value: object = ""
+    if sub_type == "Relationship":
+        sub_value = _canon_tostring(value.get("object"))
+    elif sub_type == "Property":
+        sub_value = value.get("value")
+    elif sub_type == "GeoProperty":
+        sub_value = _canon_tostring(value.get("value"))
+    elif sub_type == "JsonProperty":
+        sub_value = _canon_tostring(value.get("json"))
+    return Attribute(
+        normalize_attribute_name(key), sub_type, "", "", "", "", sub_value, False, []
+    )
+
+
+def _canon_tostring(v: object) -> object:
+    """Java ``Object.toString()`` applied to org.json values — dict/list
+    render as canonical JSON text (our canonicalization spec), scalars via
+    canon_scalar, None propagates (caller null-filters)."""
+    from ..functions.canon import canon_scalar
+
+    if v is None:
+        return None
+    return canon_scalar(v)
+
+
+def parse_attribute(key: str, value: dict, export_mode: str) -> Attribute | None:
+    """Per attribute instance: typed value extraction, unitCode promotion,
+    linked-entity denormalization, sub-attributes, FLATTEN/SEMI_FLATTEN
+    rewrite (NgsiLdUtils.java:105-203)."""
+    attr_type: str | None = _opt_string(value, "type")
+    dataset_id = _opt_string(value, "datasetId")
+    observed_at = _opt_string(value, "observedAt")
+    created_at = _opt_string(value, "createdAt")
+    modified_at = _opt_string(value, "modifiedAt")
+    sub_attributes: list[Attribute] = []
+
+    is_flatten = export_mode == FLATTEN
+    is_semi_flatten = export_mode == SEMI_FLATTEN
+
+    # typed value dispatch (NgsiLdUtils.java:120-134)
+    attr_value: object
+    if attr_type == "Relationship":
+        attr_value = _canon_tostring(value.get("object"))
+    elif attr_type == "Property":
+        attr_value = value.get("value")
+    elif attr_type == "GeoProperty":
+        attr_value = value  # whole GeoJSON attribute object
+    elif attr_type == "JsonProperty":
+        attr_value = value.get("json")
+    elif attr_type == "":
+        attr_type = None
+        attr_value = None
+    else:
+        # unrecognized attribute type -> skipped (NgsiLdUtils.java:131-133)
+        return None
+
+    for key_one, sub_val in value.items():
+        if attr_type == "Property" and key_one == "unitCode":
+            # unitCode promoted to sub-attribute iff a string (:139-141)
+            if isinstance(sub_val, str):
+                sub_attributes.append(
+                    Attribute(
+                        key_one.lower(), "Property", "", "", "", "", sub_val, False, []
+                    )
+                )
+        elif key_one in "entity" or key_one in "RelationshipDetails":
+            # NOTE: replicates the reference's substring check
+            # (`"entity".contains(keyOne)`, NgsiLdUtils.java:142) — any key
+            # that is a substring of "entity"/"RelationshipDetails" takes
+            # the linked-entity path. Embedded entity attrs become
+            # sub-attributes with id/type/scope removed (:142-164).
+            if not isinstance(sub_val, dict):
+                raise EntityParseError(f"linked entity {key_one!r} is not an object")
+            relation = {
+                k: v
+                for k, v in sub_val.items()
+                if k not in ("id", "type", "scope")
+            }
+            for rel_key, rel_val in relation.items():
+                if isinstance(rel_val, list):
+                    for item in rel_val:
+                        _add_attribute_if_valid(
+                            sub_attributes, _parse_sub_attribute(rel_key, item)
+                        )
+                elif isinstance(rel_val, dict):
+                    _add_attribute_if_valid(
+                        sub_attributes, _parse_sub_attribute(rel_key, rel_val)
+                    )
+        elif key_one not in IGNORED_KEYS_ON_ATTRIBUTES:
+            # any other object/array-valued key → sub-attribute (:165-180)
+            if isinstance(sub_val, list):
+                for item in sub_val:
+                    _add_attribute_if_valid(
+                        sub_attributes, _parse_sub_attribute(key_one, item)
+                    )
+            elif isinstance(sub_val, dict):
+                _add_attribute_if_valid(
+                    sub_attributes, _parse_sub_attribute(key_one, sub_val)
+                )
+            # scalar unexpected values are skipped with a warn in the
+            # reference (:177-179)
+
+    # FLATTEN / SEMI_FLATTEN rewrite of observed attributes (:183-202)
+    if (is_flatten or is_semi_flatten) and observed_at != "":
+        if dataset_id == "":
+            dataset_id = "default"
+        sub_attributes.append(
+            Attribute(
+                "datasetid", "Property", "", "", "", "", dataset_id.lower(), False, []
+            )
+        )
+        if is_flatten:
+            sub_attributes.append(
+                Attribute(
+                    "parametername", "Property", "", "", "", "", key.lower(), False, []
+                )
+            )
+            return Attribute(
+                GENERIC_MEASURE,
+                attr_type,
+                "",
+                observed_at,
+                created_at,
+                modified_at,
+                attr_value,
+                True,
+                sub_attributes,
+            )
+        return Attribute(
+            normalize_attribute_name(key),
+            attr_type,
+            "",
+            observed_at,
+            created_at,
+            modified_at,
+            attr_value,
+            True,
+            sub_attributes,
+        )
+
+    return Attribute(
+        normalize_attribute_name(key),
+        attr_type,
+        dataset_id,
+        observed_at,
+        created_at,
+        modified_at,
+        attr_value,
+        bool(sub_attributes),
+        sub_attributes,
+    )
+
+
+def parse_entities(content: list, export_mode: str) -> list[Entity]:
+    """JSON array of entities → list[Entity] (NgsiLdUtils.java:42-78)."""
+    entities: list[Entity] = []
+    for temporal_entity in content:
+        if not isinstance(temporal_entity, dict) or "id" not in temporal_entity:
+            raise EntityParseError("entity is not an object with an id")
+        entity_id = str(temporal_entity["id"])
+        entity_type = parse_entity_types(temporal_entity)
+        scopes = parse_entity_scopes(temporal_entity)
+
+        attributes: list[Attribute] = []
+        for key, obj in temporal_entity.items():
+            if key in IGNORED_KEYS_ON_ENTITIES:
+                continue
+            if isinstance(obj, list):
+                # multi-attribute / temporal evolution (NGSI-LD §4.5.5)
+                for item in obj:
+                    if isinstance(item, dict):
+                        _add_attribute_if_valid(
+                            attributes, parse_attribute(key, item, export_mode)
+                        )
+            elif isinstance(obj, dict):
+                _add_attribute_if_valid(
+                    attributes, parse_attribute(key, obj, export_mode)
+                )
+            # scalar / null entity keys are skipped with a warn (:69-71)
+
+        entities.append(Entity(entity_id, entity_type, scopes, attributes))
+    return entities

@@ -1,0 +1,256 @@
+"""Row generation — the pivot/flatten core, operators R1-R10.
+
+One parsed entity → list of denormalized wide rows, each a
+``{column: cell-or-None}`` dict over exactly the columns of the entity's
+inferred field map. Cells carry the tagged canonical text encoding
+(functions/canon.py) so the Spark wide projection can apply the final
+reconciled column types with pure JVM expressions.
+
+Reference: PostgreSQLTransformer.getValuesForInsert / insertAttributesValues /
+finalizeAndAddRow / formatFieldForValueInsert (PostgreSQLTransformer.java:151-355).
+"""
+
+from __future__ import annotations
+
+from ..config import EXPANDED, FLATTEN, IngestConfig
+from ..functions import typeinfer as ti
+from ..functions.canon import (
+    CELL_ARR,
+    CELL_NUM,
+    CELL_STR,
+    canon_json,
+    canon_scalar,
+    encode_cell,
+    iso_instant_from_epoch_ms,
+    parse_epoch_seconds,
+)
+from ..functions.names import (
+    CREATED_AT,
+    ENTITY_ID,
+    ENTITY_SCOPES,
+    ENTITY_TYPE,
+    GENERIC_MEASURE,
+    MODIFIED_AT,
+    OBSERVED_AT,
+    RECV_TIME,
+    encode_attribute_column,
+    encode_sub_attribute_column,
+    encode_time_property_column,
+)
+from .parse import Attribute, Entity
+
+
+def format_cell(value: object, column_type: str | None) -> str | None:
+    """Cell formatting + the NUMERIC type-mismatch→NULL rule.
+
+    Reference: formatFieldForValueInsert (XFORM:335-355) — a non-Number
+    value destined for a NUMERIC column becomes NULL; temporal/JSONB
+    columns quote the text; GEOMETRY wraps in ST_GeomFromGeoJSON (we store
+    the canonical GeoJSON text); TEXT dollar-quotes (we store raw text).
+    """
+    if column_type == ti.NUMERIC:
+        if ti.is_number(value):
+            return encode_cell(CELL_NUM, canon_scalar(value))
+        return None
+    return encode_cell(CELL_STR, canon_scalar(value))
+
+
+def rows_for_entity(
+    entity: Entity,
+    fields: dict[str, str],
+    creation_time_ms: int,
+    cfg: IngestConfig,
+) -> list[dict[str, str | None]]:
+    """R1-R8: group attribute instances by observedAt (R1), iterate
+    timestamps in sorted order (R2), broadcast static attributes onto each
+    temporal row (R3), resolve the oldest timestamp (R4), pivot EXPANDED
+    one-row-per-timestamp (R5) or FLATTEN/SEMI row-per-instance (R6), emit
+    the non-temporal current-state row when allowed (R7), null-fill and
+    apply the observedat row gate (R8).
+
+    Reference: getValuesForInsert (XFORM:151-231).
+    """
+    if not entity.attrs:
+        # the reference would throw IndexOutOfBounds on
+        # observedTimestamps.get(0) (XFORM:176) — attribute-less entities
+        # must produce no rows (SURVEY §7.3)
+        return []
+
+    by_observed_at: dict[str, list[Attribute]] = {}
+    for a in entity.attrs:
+        by_observed_at.setdefault(a.observed_at, []).append(a)
+    observed_timestamps = sorted(by_observed_at)
+    static_attrs = [a for a in entity.attrs if not a.observed_at]
+
+    # R4 — oldest-timestamp resolution (XFORM:175-182)
+    if observed_timestamps[0] == "":
+        if len(observed_timestamps) > 1:
+            oldest_timestamp = observed_timestamps[1]
+        else:
+            oldest_timestamp = iso_instant_from_epoch_ms(creation_time_ms)
+    else:
+        oldest_timestamp = observed_timestamps[0]
+
+    out: list[dict[str, str | None]] = []
+    for observed_timestamp in observed_timestamps:
+        values: dict[str, str | None] = {}
+
+        # R7 — non-temporal current-state row (XFORM:188-199)
+        if observed_timestamp == "":
+            if cfg.ignore_empty_observed_at or cfg.export_mode == FLATTEN:
+                continue
+            for attribute in static_attrs:
+                _apply_attribute(
+                    values, attribute, entity, oldest_timestamp, fields,
+                    creation_time_ms, cfg,
+                )
+            _finalize_row(values, fields, out, ignore_if_no_observed_at=False)
+            continue
+
+        # R3 — static attributes denormalized onto every temporal row
+        for attribute in static_attrs:
+            _apply_attribute(
+                values, attribute, entity, oldest_timestamp, fields,
+                creation_time_ms, cfg,
+            )
+
+        observed_attrs = by_observed_at[observed_timestamp]
+        if cfg.export_mode == EXPANDED:
+            # R5 — merge all same-timestamp attributes into one row
+            for attribute in observed_attrs:
+                _apply_attribute(
+                    values, attribute, entity, oldest_timestamp, fields,
+                    creation_time_ms, cfg,
+                )
+            _finalize_row(values, fields, out, ignore_if_no_observed_at=True)
+        else:
+            # R6 — FLATTEN/SEMI_FLATTEN: one row per attribute instance
+            for attribute in observed_attrs:
+                if attribute.has_sub_attrs or attribute.name == GENERIC_MEASURE:
+                    row_values = dict(values)
+                    _apply_attribute(
+                        row_values, attribute, entity, oldest_timestamp, fields,
+                        creation_time_ms, cfg,
+                    )
+                    _finalize_row(
+                        row_values, fields, out, ignore_if_no_observed_at=True
+                    )
+
+    return out
+
+
+def _finalize_row(
+    row: dict[str, str | None],
+    fields: dict[str, str],
+    out: list,
+    ignore_if_no_observed_at: bool,
+) -> None:
+    """R8 — null-fill all schema columns, drop temporal rows with no
+    non-null ``*observedat`` column (XFORM:233-249)."""
+    for field_name in fields:
+        row.setdefault(field_name, None)
+    has_observations = any(
+        k.endswith("observedat") and v is not None for k, v in row.items()
+    )
+    if has_observations or not ignore_if_no_observed_at:
+        out.append(row)
+
+
+def _apply_attribute(
+    values: dict[str, str | None],
+    attribute: Attribute,
+    entity: Entity,
+    oldest_timestamp: str,
+    fields: dict[str, str],
+    creation_time_ms: int,
+    cfg: IngestConfig,
+) -> None:
+    """R9 — write one attribute instance's cells into the row
+    (insertAttributesValues, XFORM:251-333)."""
+    attr_col = encode_attribute_column(
+        attribute.name, attribute.dataset_id, cfg.dataset_id_prefix_to_truncate
+    )
+    # ignored attributes contribute no values (XFORM:262-264)
+    if attr_col not in fields:
+        return
+
+    values[RECV_TIME] = encode_cell(
+        CELL_STR, iso_instant_from_epoch_ms(creation_time_ms)
+    )
+    values[ENTITY_ID] = encode_cell(CELL_STR, entity.entity_id)
+    values[ENTITY_TYPE] = encode_cell(CELL_STR, entity.entity_type)
+    if entity.scopes is not None:
+        values[ENTITY_SCOPES] = encode_cell(CELL_ARR, canon_json(entity.scopes))
+
+    if attribute.attr_type == "GeoProperty":
+        # GeoProperty decomposition (XFORM:274-299)
+        geo_value = attribute.value.get("value") if isinstance(attribute.value, dict) else {}
+        coordinates = geo_value.get("coordinates", []) if isinstance(geo_value, dict) else []
+        if isinstance(geo_value, dict) and geo_value.get("type") == "Point":
+            lon_col = encode_attribute_column(
+                attribute.name, "lon", cfg.dataset_id_prefix_to_truncate
+            )
+            lat_col = encode_attribute_column(
+                attribute.name, "lat", cfg.dataset_id_prefix_to_truncate
+            )
+            values[lon_col] = format_cell(float(coordinates[0]), fields.get(lon_col))
+            values[lat_col] = format_cell(float(coordinates[1]), fields.get(lat_col))
+        # GeoJSON Feature wrapper with {entityid} properties (XFORM:285-292)
+        feature = {
+            "type": "Feature",
+            "properties": {ENTITY_ID: entity.entity_id},
+            "geometry": geo_value,
+        }
+        geom_col = encode_attribute_column(
+            attribute.name, "geometry", cfg.dataset_id_prefix_to_truncate
+        )
+        geojson_col = encode_attribute_column(
+            attribute.name, "geojson", cfg.dataset_id_prefix_to_truncate
+        )
+        values[geom_col] = format_cell(geo_value, fields.get(geom_col, ti.GEOMETRY))
+        values[geojson_col] = format_cell(feature, fields.get(geojson_col, ti.TEXT))
+        values[attr_col] = format_cell(coordinates, fields[attr_col])
+    else:
+        values[attr_col] = format_cell(attribute.value, fields[attr_col])
+
+    if attribute.observed_at:
+        obs_col = encode_time_property_column(attr_col, OBSERVED_AT)
+        values[obs_col] = format_cell(attribute.observed_at, fields.get(obs_col))
+    elif cfg.export_sysattrs:
+        # createdAt clamped to the oldest timestamp when missing or newer
+        # (XFORM:307-315)
+        created_col = encode_time_property_column(attr_col, CREATED_AT)
+        if (
+            not attribute.created_at
+            or parse_epoch_seconds(attribute.created_at)
+            > parse_epoch_seconds(oldest_timestamp)
+        ):
+            values[created_col] = format_cell(oldest_timestamp, fields.get(created_col))
+        else:
+            values[created_col] = format_cell(
+                attribute.created_at, fields.get(created_col)
+            )
+        if attribute.modified_at:
+            modified_col = encode_time_property_column(attr_col, MODIFIED_AT)
+            values[modified_col] = format_cell(
+                attribute.modified_at, fields.get(modified_col)
+            )
+
+    if attribute.has_sub_attrs:
+        for sub in attribute.sub_attrs:
+            sub_col = encode_sub_attribute_column(
+                attribute.name,
+                attribute.dataset_id,
+                sub.name,
+                cfg.dataset_id_prefix_to_truncate,
+            )
+            # only columns present in the (ignored-filtered) schema (XFORM:327)
+            if sub_col in fields:
+                values[sub_col] = format_cell(sub.value, fields[sub_col])
+
+
+def row_key(row: dict[str, str | None]) -> tuple:
+    """Upsert key (entityid, observedat-ish) — the shared ``observedat``
+    column when present, else the row is a current-state row keyed by
+    entity alone (documented in FIXTURES.md §3)."""
+    return (row.get(ENTITY_ID), row.get("observedat"))

@@ -1,0 +1,42 @@
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FIXTURES_DIR = (
+    "/root/reference/nifi-ngsild-postgresql-processors/src/test/resources"
+)
+
+
+def load_fixture(name: str):
+    """Load a reference test fixture (read-only, never copied into this
+    repo). Skips if the reference corpus is absent."""
+    path = os.path.join(FIXTURES_DIR, name)
+    if not os.path.exists(path):
+        pytest.skip(f"reference fixture corpus not available: {path}")
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "4")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("spark-ngsild-ingest-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .getOrCreate()
+    )
+    yield spark

@@ -1,0 +1,245 @@
+"""Schema inference + row generation tests — ports of
+TestPostgreSQLTransformer (T-XFORM:53-182) and the type-ladder /
+sysattr / geo semantics they pin down.
+"""
+
+from __future__ import annotations
+
+from conftest import load_fixture
+
+from nifi_ngsild_postgresql_spark.config import (
+    EXPANDED,
+    FLATTEN,
+    SEMI_FLATTEN,
+    IngestConfig,
+)
+from nifi_ngsild_postgresql_spark.functions import typeinfer as ti
+from nifi_ngsild_postgresql_spark.functions.names import GENERIC_MEASURE
+from nifi_ngsild_postgresql_spark.operators.infer import list_of_fields
+from nifi_ngsild_postgresql_spark.operators.parse import Attribute, Entity, parse_entities
+from nifi_ngsild_postgresql_spark.operators.rows import rows_for_entity
+
+CREATION_TIME = 1562561734983  # 2019-07-08T04:55:34.983Z (T-XFORM:85)
+
+
+def _simple_entity(scopes=None):
+    # T-XFORM:54-56
+    attr = Attribute(
+        "someAttr", "Property", "urn:ngsi-ld:Dataset:01",
+        "2023-02-16T00:00:00Z", "", "", 12.0, False, [],
+    )
+    return Entity("someId", "someType", scopes, [attr])
+
+
+def test_list_of_fields_finds_all_fields():
+    # T-XFORM:53-64 (system columns lowercased in our engine, see canon.py)
+    fields = list_of_fields(_simple_entity(), "", False, frozenset())
+    assert set(fields) == {
+        "entityid",
+        "entitytype",
+        "recvtime",
+        "someattr_urn_ngsi_ld_dataset_01",
+        "observedat",
+    }
+    assert fields["someattr_urn_ngsi_ld_dataset_01"] == ti.NUMERIC
+    assert fields["observedat"] == ti.TIMESTAMPTZ
+
+
+def test_scopes_column_and_value():
+    # T-XFORM:67-78
+    entity = _simple_entity(scopes=["S_UseCase/S_Instance"])
+    fields = list_of_fields(entity, "", False, frozenset())
+    assert "scopes" in fields and fields["scopes"] == ti.ARRAY
+
+    cfg = IngestConfig(ignore_empty_observed_at=False, dataset_id_prefix_to_truncate="")
+    rows = rows_for_entity(entity, fields, CREATION_TIME, cfg)
+    assert rows[0]["scopes"] == 'a:["S_UseCase/S_Instance"]'
+
+
+def test_values_for_insert_canonical_row():
+    # T-XFORM:81-91 — golden:
+    # ('someId','someType','2023-02-16T00:00:00Z','2019-07-08T04:55:34.983Z',12.0)
+    entity = _simple_entity()
+    fields = list_of_fields(entity, "", False, frozenset())
+    rows = rows_for_entity(
+        entity, fields, CREATION_TIME, IngestConfig(dataset_id_prefix_to_truncate="")
+    )
+    assert len(rows) == 1
+    row = rows[0]
+    assert row["entityid"] == "s:someId"
+    assert row["entitytype"] == "s:someType"
+    assert row["observedat"] == "s:2023-02-16T00:00:00Z"
+    assert row["recvtime"] == "s:2019-07-08T04:55:34.983Z"
+    assert row["someattr_urn_ngsi_ld_dataset_01"] == "n:12.0"
+
+
+def test_ignored_top_level_attribute():
+    # T-XFORM:94-110
+    entity = _simple_entity()
+    entity.attrs.append(
+        Attribute(
+            "ignoredAttr", "Property", "urn:ngsi-ld:Dataset:01",
+            "2023-02-16T00:00:00Z", "", "", 12.0, False, [],
+        )
+    )
+    ignored = frozenset({"ignoredAttr", "anotherIgnoredAttr"})
+    fields = list_of_fields(entity, "", False, ignored)
+    assert not any("ignoredattr" in k for k in fields)
+    rows = rows_for_entity(
+        entity, fields, CREATION_TIME, IngestConfig(ignored_attributes=ignored, dataset_id_prefix_to_truncate="")
+    )
+    assert len(rows[0]) == 5  # 5 columns only
+
+
+def test_ignored_sub_attribute():
+    # T-XFORM:113-131
+    sub = Attribute("ignoredSubAttr", "Property", "", "", "", "", 12.0, False, [])
+    entity = _simple_entity()
+    entity.attrs.append(
+        Attribute(
+            "anotherAttr", "Property", "urn:ngsi-ld:Dataset:01",
+            "2023-02-16T00:00:00Z", "", "", 12.0, True, [sub],
+        )
+    )
+    ignored = frozenset({"ignoredAttr", "ignoredSubAttr"})
+    fields = list_of_fields(entity, "", False, ignored)
+    assert not any("ignoredsubattr" in k for k in fields)
+    rows = rows_for_entity(
+        entity, fields, CREATION_TIME, IngestConfig(ignored_attributes=ignored, dataset_id_prefix_to_truncate="")
+    )
+    assert len(rows[0]) == 6
+
+
+def test_flatten_fields_27_columns():
+    # T-XFORM:149-163 — entity-temporal.jsonld FLATTEN: 27 typed fields
+    data = load_fixture("entity-temporal.jsonld")
+    entity = parse_entities(data, FLATTEN)[0]
+    fields = list_of_fields(entity, "urn:ngsi-ld:Dataset:", False, frozenset())
+    assert len(fields) == 27
+    for col in (
+        GENERIC_MEASURE,
+        "measure_observedat",
+        "measure_unitcode",
+        "measure_parametername",
+        "measure_datasetid",
+    ):
+        assert col in fields
+
+
+def test_flatten_row_counts():
+    # T-XFORM:165-182 — temporal: 4 rows, notification: 2 rows
+    cfg = IngestConfig(export_mode=FLATTEN, ignore_empty_observed_at=False)
+    for fixture, expected in (
+        ("entity-temporal.jsonld", 4),
+        ("entity-notification.jsonld", 2),
+    ):
+        data = load_fixture(fixture)
+        entity = parse_entities(data, FLATTEN)[0]
+        fields = list_of_fields(entity, "urn:ngsi-ld:Dataset:", False, frozenset())
+        rows = rows_for_entity(entity, fields, CREATION_TIME, cfg)
+        assert len(rows) == expected, fixture
+
+
+def test_type_ladder_date_time_datetime():
+    # temporalEntities.json first entity: date/time/dateTime properties
+    # (PostgreSQLTransformer.java:64-69)
+    data = load_fixture("temporalEntities.json")
+    entity = parse_entities(data, EXPANDED)[0]
+    fields = list_of_fields(entity, "urn:ngsi-ld:Dataset:", False, frozenset())
+    assert fields["date"] == ti.DATE
+    assert fields["time"] == ti.TIMETZ
+    assert fields["datetime"] == ti.TIMESTAMPTZ
+    # temperature: 16 (NUMERIC, XFORM:70-72) then "<14>" (TEXT put,
+    # XFORM:88-89) — last instance wins in the reference's processing
+    # order (verified against Java HashMap group iteration: "" -> bucket 0,
+    # 2020-10-29 -> 6, 2020-09-29 -> 15), so the inferred type is TEXT
+    assert fields["temperature"] == ti.TEXT
+    # Point geo fans out lon/lat + geometry + geojson + text coords
+    for col in (
+        "location",
+        "location_geometry",
+        "location_geojson",
+        "location_lon",
+        "location_lat",
+    ):
+        assert col in fields
+    assert fields["location_lon"] == ti.NUMERIC
+    assert fields["location_geometry"] == ti.GEOMETRY
+
+
+def test_numeric_mismatch_becomes_null():
+    # XFORM:338-341 — a non-Number value destined for a NUMERIC column
+    # becomes NULL (e.g. after existing-type-wins reconciliation keeps the
+    # live table's NUMERIC when a later batch sends a string)
+    from nifi_ngsild_postgresql_spark.operators.rows import format_cell
+
+    assert format_cell("<14>", ti.NUMERIC) is None
+    assert format_cell("1309", ti.NUMERIC) is None  # JSON *string* "1309"
+    assert format_cell(16, ti.NUMERIC) == "n:16"
+    assert format_cell(55.0, ti.NUMERIC) == "n:55.0"
+    assert format_cell(True, ti.NUMERIC) is None  # Boolean is not a Number
+
+
+def test_mixed_type_values_as_text():
+    # with temperature inferred TEXT (see test_type_ladder), both the
+    # numeric and string instances render as text cells
+    data = load_fixture("temporalEntities.json")
+    entity = parse_entities(data, EXPANDED)[0]
+    fields = list_of_fields(entity, "urn:ngsi-ld:Dataset:", False, frozenset())
+    rows = rows_for_entity(entity, fields, CREATION_TIME, IngestConfig())
+    by_obs = {r["observedat"]: r for r in rows}
+    assert by_obs["s:2020-10-29T09:00:00Z"]["temperature"] == "s:16"
+    assert by_obs["s:2020-09-29T09:00:00Z"]["temperature"] == "s:<14>"
+
+
+def test_geo_point_cells():
+    data = load_fixture("temporalEntities.json")
+    entity = parse_entities(data, EXPANDED)[0]
+    fields = list_of_fields(entity, "urn:ngsi-ld:Dataset:", False, frozenset())
+    rows = rows_for_entity(entity, fields, CREATION_TIME, IngestConfig())
+    row = rows[0]
+    assert row["location_lon"] == "n:3.63969"
+    assert row["location_lat"] == "n:43.43358"
+    assert row["location"] == "s:[3.63969,43.43358]"
+    assert row["location_geometry"] == (
+        's:{"coordinates":[3.63969,43.43358],"type":"Point"}'
+    )
+    assert (
+        '"properties":{"entityid":"urn:ngsi-ld:NifiTest:Test01"}'
+        in row["location_geojson"]
+    )
+
+
+def test_current_state_row_gating():
+    # T-E2E:124-163 (EXPANDED 1 row), :273-310 (FLATTEN 0 rows),
+    # :312-350 (SEMI_FLATTEN 1 row) — entity-current has no observedAt
+    data = load_fixture("entity-current.jsonld")
+    for mode, expected in ((EXPANDED, 1), (FLATTEN, 0), (SEMI_FLATTEN, 1)):
+        entity = parse_entities(data, mode)[0]
+        fields = list_of_fields(entity, "urn:ngsi-ld:Dataset:", False, frozenset())
+        cfg = IngestConfig(export_mode=mode, ignore_empty_observed_at=False)
+        rows = rows_for_entity(entity, fields, CREATION_TIME, cfg)
+        assert len(rows) == expected, mode
+        # default ignore_empty_observed_at=True suppresses the static row
+        cfg_default = IngestConfig(export_mode=mode)
+        assert rows_for_entity(entity, fields, CREATION_TIME, cfg_default) == []
+
+
+def test_sysattrs_created_clamped():
+    # XFORM:307-315 — createdAt newer than oldest observed ts is clamped
+    data = load_fixture("entity-temporal.jsonld")
+    entity = parse_entities(data, EXPANDED)[0]
+    fields = list_of_fields(entity, "urn:ngsi-ld:Dataset:", True, frozenset())
+    assert "title_createdat" in fields and "title_modifiedat" in fields
+    cfg = IngestConfig(export_sysattrs=True)
+    rows = rows_for_entity(entity, fields, CREATION_TIME, cfg)
+    assert len(rows) == 2
+    # oldest observed timestamp is 2022-10-03; title has no createdAt in
+    # this fixture -> clamped to oldest
+    assert rows[0]["title_createdat"] == "s:2022-10-03T00:00:00Z"
+
+
+def test_empty_entity_produces_no_rows():
+    # SURVEY §7.3 — reference would throw on zero attributes (XFORM:176)
+    entity = Entity("u", "T", None, [])
+    assert rows_for_entity(entity, {}, CREATION_TIME, IngestConfig()) == []

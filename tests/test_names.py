@@ -1,0 +1,128 @@
+"""Identifier encoding tests — ports of TestPostgreSQLTransformer name
+tests (T-XFORM:32-50) plus the truncation off-by-one and UUID-shortening
+edge cases (PostgreSQLUtils.java:19-31, PostgreSQLTransformer.java:123-136).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nifi_ngsild_postgresql_spark.functions.names import (
+    NameTooLongError,
+    build_schema_name,
+    build_table_name,
+    encode_attribute_column,
+    encode_pg,
+    encode_sub_attribute_column,
+    encode_time_property_column,
+    truncate_to_size,
+)
+
+
+def test_build_schema_name():
+    assert build_schema_name("someService") == "someservice"
+
+
+def test_build_schema_name_fails_above_63():
+    with pytest.raises(NameTooLongError):
+        build_schema_name(
+            "tooLoooooooooooooooooooooooooooooooooooooooooooooooooooooooooooooooooooooongService"
+        )
+
+
+def test_build_table_name_fails_above_63():
+    with pytest.raises(NameTooLongError):
+        build_table_name(
+            "tooLoooooooooooooooooooooooooooooooooooooooooooooooooooooooooooooooooooooongType"
+        )
+
+
+def test_build_table_name_with_suffix():
+    # T-E2E:209-249 — private.shellfishtable_suffix
+    assert build_table_name("ShellfishTable", "suffix") == "shellfishtable_suffix"
+    assert build_table_name("ShellfishTable", "") == "shellfishtable"
+    assert build_table_name("ShellfishTable", None) == "shellfishtable"
+
+
+def test_encode_pg():
+    assert encode_pg("urn:ngsi-ld:Dataset:01") == "urn_ngsi_ld_dataset_01"
+    assert encode_pg("Distribution") == "distribution"
+
+
+def test_attribute_column_with_dataset_id():
+    # T-XFORM:59 — someAttr + urn:ngsi-ld:Dataset:01, empty prefix config
+    assert (
+        encode_attribute_column("someAttr", "urn:ngsi-ld:Dataset:01", "")
+        == "someattr_urn_ngsi_ld_dataset_01"
+    )
+
+
+def test_attribute_column_prefix_strip():
+    # T-E2E:364 — default prefix stripped: faecalcoliform_k63_0to1meter
+    assert (
+        encode_attribute_column(
+            "faecalcoliform", "urn:ngsi-ld:Dataset:K63:0To1Meter", "urn:ngsi-ld:Dataset:"
+        )
+        == "faecalcoliform_k63_0to1meter"
+    )
+    # T-E2E:421 — truncating only "urn:ngsi-ld:" keeps "Dataset:"
+    assert (
+        encode_attribute_column(
+            "faecalcoliform", "urn:ngsi-ld:Dataset:K63:0To1Meter", "urn:ngsi-ld:"
+        )
+        == "faecalcoliform_dataset_k63_0to1meter"
+    )
+
+
+def test_attribute_column_uuid_shortened():
+    # PostgreSQLTransformer.java:125-126
+    assert (
+        encode_attribute_column(
+            "attr", "123e4567-e89b-12d3-a456-426614174000", ""
+        )
+        == "attr_123e4567"
+    )
+
+
+def test_truncate_off_by_one():
+    # PostgreSQLUtils.java:26-31 — len == size+1 is NOT truncated
+    assert truncate_to_size("a" * 33, 32) == "a" * 33
+    assert truncate_to_size("a" * 34, 32) == "a" * 32
+    assert truncate_to_size("a" * 32, 32) == "a" * 32
+
+
+def test_dataset_id_truncated_to_32():
+    # PostgreSQLTransformer.java:128-133
+    long_dataset = "x" * 40
+    assert (
+        encode_attribute_column("a", long_dataset, "")
+        == "a_" + "x" * 32
+    )
+
+
+def test_time_property_column():
+    # PostgreSQLTransformer.java:138-143 — shared observedat except measure
+    assert encode_time_property_column("faecalcoliform", "observedAt") == "observedat"
+    assert (
+        encode_time_property_column("measure", "observedAt") == "measure_observedat"
+    )
+    assert (
+        encode_time_property_column("title", "createdAt") == "title_createdat"
+    )
+    assert (
+        encode_time_property_column("title", "modifiedAt") == "title_modifiedat"
+    )
+
+
+def test_sub_attribute_column():
+    assert (
+        encode_sub_attribute_column("servesDataset", "", "title", "urn:ngsi-ld:Dataset:")
+        == "servesdataset_title"
+    )
+    assert (
+        encode_sub_attribute_column(
+            "faecalColiform", "urn:ngsi-ld:Dataset:K63:HalfBottom", "citation",
+            "urn:ngsi-ld:Dataset:",
+        )
+        == "faecalcoliform_k63_halfbottom_citation"
+    )

@@ -1,0 +1,161 @@
+"""Parser unit tests — ports of TestNgsiLdUtils.java (T-PARSE) plus edge
+cases for the null filter, export-mode rewrite, and linked-entity
+denormalization. Fixtures are read from the reference corpus, never copied.
+"""
+
+from __future__ import annotations
+
+from conftest import load_fixture
+
+from nifi_ngsild_postgresql_spark.config import EXPANDED, FLATTEN, SEMI_FLATTEN
+from nifi_ngsild_postgresql_spark.functions.names import GENERIC_MEASURE
+from nifi_ngsild_postgresql_spark.operators.parse import parse_entities
+
+
+def test_temporal_entities_grouping():
+    # T-PARSE:26-35 — 2 entities; first entity's attributes group into 3
+    # distinct observedAt keys
+    data = load_fixture("temporalEntities.json")
+    entities = parse_entities(data, EXPANDED)
+    assert len(entities) == 2
+
+    groups = {a.observed_at for a in entities[0].attrs}
+    assert len(groups) == 3
+
+
+def test_null_attributes_filtered():
+    # T-PARSE:38-48 — nullValue / nullAttribute dropped
+    data = load_fixture("temporalEntities.json")
+    entities = parse_entities(data, EXPANDED)
+    for entity in entities:
+        names = {a.name for a in entity.attrs}
+        assert "nullvalue" not in names
+        assert "nullattribute" not in names
+
+
+def test_flatten_generic_measure_rewrite():
+    # T-PARSE:51-77 — entity-temporal.jsonld in FLATTEN: 13 attributes,
+    # observations renamed to the generic measure with 3 sub-attrs
+    data = load_fixture("entity-temporal.jsonld")
+    entities = parse_entities(data, FLATTEN)
+    assert len(entities) == 1
+    attrs = entities[0].attrs
+    assert len(attrs) == 13
+
+    names = [a.name for a in attrs]
+    assert "faecalcoliform" not in names
+    assert "faecalenterococcus" not in names
+    assert GENERIC_MEASURE in names
+
+    measures = [a for a in attrs if a.name == GENERIC_MEASURE]
+    assert len(measures) == 4
+    first = measures[0]
+    assert len(first.sub_attrs) == 3
+    assert all(
+        s.name in ("parametername", "unitcode", "datasetid") for s in first.sub_attrs
+    )
+
+
+def test_semi_flatten_multi_instances():
+    # T-PARSE:80-121 — entity-temporal-multi-attributes.jsonld SEMI_FLATTEN:
+    # 18 attributes, 12 wateringprogram + 2 simpleattribute instances
+    data = load_fixture("entity-temporal-multi-attributes.jsonld")
+    entities = parse_entities(data, SEMI_FLATTEN)
+    assert len(entities) == 1
+    attrs = entities[0].attrs
+    assert len(attrs) == 18
+
+    names = [a.name for a in attrs]
+    assert "wateringprogram" in names
+    assert "simpleattribute" in names
+    assert "wateringprogram_algorithm:recommendation" not in names
+    assert GENERIC_MEASURE not in names
+
+    watering = [a for a in attrs if a.name == "wateringprogram"]
+    assert len(watering) == 12
+    assert len(watering[0].sub_attrs) == 2
+    assert all(
+        s.name in ("unitcode", "datasetid") for s in watering[0].sub_attrs
+    )
+
+    simple = [a for a in attrs if a.name == "simpleattribute"]
+    assert len(simple) == 2
+    assert len(simple[0].sub_attrs) == 1
+    assert simple[0].sub_attrs[0].name == "datasetid"
+
+
+def test_linked_entity_denormalization():
+    # NgsiLdUtils.java:142-164 — embedded entity attrs become sub-attrs,
+    # id/type/scope removed; array-valued linked attrs explode
+    data = load_fixture("temporalEntities.json")
+    entities = parse_entities(data, EXPANDED)
+    has_rel = [a for a in entities[0].attrs if a.name == "hasrel"]
+    assert len(has_rel) == 1
+    sub_names = [s.name for s in has_rel[0].sub_attrs]
+    # country is a 2-instance array inside the linked entity
+    assert sub_names.count("country") == 2
+    assert has_rel[0].value == "urn:ngsi-ld:RelationTest:Test03"
+
+
+def test_unit_code_promoted_only_for_string():
+    # NgsiLdUtils.java:139-141 — unitCode: null is not promoted
+    data = load_fixture("temporalEntities.json")
+    entities = parse_entities(data, EXPANDED)
+    temps = [a for a in entities[0].attrs if a.name == "temperature"]
+    assert len(temps) == 2
+    numeric = next(a for a in temps if a.value == 16)
+    assert [s.name for s in numeric.sub_attrs] == ["unitcode"]
+    string_valued = next(a for a in temps if a.value == "<14>")
+    assert string_valued.sub_attrs == []
+
+
+def test_multi_type_entity_sorted_join():
+    # NgsiLdUtils.java:93-103
+    payload = [
+        {
+            "id": "urn:x",
+            "type": ["Zebra", "Apple"],
+            "p": {"type": "Property", "value": 1},
+        }
+    ]
+    entities = parse_entities(payload, EXPANDED)
+    assert entities[0].entity_type == "Apple_Zebra"
+
+
+def test_scopes_string_or_array():
+    # NgsiLdUtils.java:80-91 (we sort for determinism)
+    one = parse_entities(
+        [{"id": "u", "type": "T", "scope": "A/B", "p": {"type": "Property", "value": 1}}],
+        EXPANDED,
+    )[0]
+    assert one.scopes == ["A/B"]
+    many = parse_entities(
+        [{"id": "u", "type": "T", "scope": ["Z", "A"], "p": {"type": "Property", "value": 1}}],
+        EXPANDED,
+    )[0]
+    assert many.scopes == ["A", "Z"]
+    none = parse_entities(
+        [{"id": "u", "type": "T", "p": {"type": "Property", "value": 1}}], EXPANDED
+    )[0]
+    assert none.scopes is None
+
+
+def test_unrecognized_attribute_type_skipped():
+    # NgsiLdUtils.java:131-133
+    payload = [
+        {
+            "id": "u",
+            "type": "T",
+            "weird": {"type": "LanguageProperty", "languageMap": {"en": "x"}},
+            "ok": {"type": "Property", "value": 2},
+        }
+    ]
+    entity = parse_entities(payload, EXPANDED)[0]
+    assert [a.name for a in entity.attrs] == ["ok"]
+
+
+def test_null_typed_attribute_dropped():
+    # NgsiLdUtils.java:128-130 + 226-231: type "" -> null value -> dropped
+    payload = [{"id": "u", "type": "T", "empty": {"value": 3}}]
+    entity = parse_entities(payload, EXPANDED)[0]
+    assert entity.attrs == []
