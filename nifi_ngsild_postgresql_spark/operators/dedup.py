@@ -1,0 +1,37 @@
+"""Last-writer-wins dedup — the north rule's pre-merge reduction.
+
+Reference analogs: REPLACE_MODE delete-then-insert (S6,
+PostgreSQLTransformer.java:443-445) and flow-level DetectDuplicate (S4,
+samples). The reference appends duplicates; our upsert path reduces each
+(entityid, row_key) to the single newest row before MERGE.
+
+Scale design: implemented as ``groupBy(key).agg(max_by(row, order))``
+rather than a ``row_number()`` window. Hash aggregation gets *partial
+(map-side) combine for free* — a hot entity with millions of duplicate
+rows in one batch is reduced to one row per map task before the shuffle,
+so skewed keys never concentrate on a single reducer. A window function
+would shuffle every duplicate row to one task per key (the classic skew
+trap). This is the "salted pre-aggregation" of SURVEY §4.3 realized by
+Spark's own partial-agg machinery; AQE (adaptive coalescing) balances the
+post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KEY_COLS = ("_entity_id", "_row_key")
+ORDER_COLS = ("_recv_time", "_seq")
+
+
+def last_writer_wins(df: DataFrame) -> DataFrame:
+    """One row per (_entity_id, _row_key): the max by (_recv_time, _seq)."""
+    payload = F.struct(*[c for c in df.columns if c not in KEY_COLS])
+    order = F.struct(*[F.col(c) for c in ORDER_COLS])
+    reduced = (
+        df.groupBy(*KEY_COLS)
+        .agg(F.max_by(payload, order).alias("_r"))
+        .select(*KEY_COLS, "_r.*")
+    )
+    return reduced

@@ -1,0 +1,196 @@
+"""Distributed flatten stage — change-event log → narrow cell rows.
+
+The dynamic-output-schema problem (Spark requires a declared schema per
+stage, but each entity type yields a different column set) is solved with
+the two-phase design from SURVEY.md §7.3: this stage emits a *narrow*
+normalized frame with the per-row cells as a JSON map; the wide pivot to
+the final table happens later with pure JVM expressions
+(plans/project.py), bounded by the batch's inferred column list.
+
+Executed via ``DataFrame.mapInPandas`` — one Python invocation per Arrow
+batch, one ``json.loads`` + structural walk per change-event payload.
+No per-row Spark-level Python.
+
+Scale notes (100 TB): the stage is embarrassingly parallel (no shuffle),
+preserves input partitioning, and its output is ~1 narrow row per final
+wide row. The per-entity ``types`` map is emitted only on the first row
+of each entity to keep shuffle-free bytes down.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from ..config import EXPANDED, FLATTEN, IngestConfig
+from ..functions.names import (
+    ENTITY_ID,
+    NameTooLongError,
+    build_schema_name,
+    build_table_name,
+)
+from .infer import list_of_fields
+from .parse import EntityParseError, parse_entities
+from .rows import rows_for_entity
+
+# narrow frame schema (keep in sync with FLAT_SCHEMA below)
+FLAT_COLUMNS = [
+    "tenant",
+    "table_name",
+    "entity_id",
+    "entity_type",
+    "row_key",
+    "observedat",
+    "recv_time",
+    "seq",
+    "cells",
+    "types",
+    "error",
+]
+
+FLAT_SCHEMA = (
+    "tenant string, table_name string, entity_id string, entity_type string,"
+    " row_key string, observedat string, recv_time timestamp, seq string,"
+    " cells string, types string, error string"
+)
+
+
+def _row_key(row: dict[str, str | None], export_mode: str) -> str:
+    """Deterministic row identity for last-writer-wins upsert.
+
+    - EXPANDED      : the shared ``observedat`` cell ('' = current-state row)
+    - SEMI_FLATTEN  : observedat + per-instance discriminators (datasetid
+                      sub-attr cells) — one row per attribute instance
+    - FLATTEN       : measure_observedat + parametername + datasetid
+
+    The reference has no upsert key (it appends); this key implements the
+    north rule's (entity_id, observedAt)-keyed MERGE extended to the
+    row-per-instance export modes so distinct instances never collapse.
+    """
+
+    def cell(name: str) -> str:
+        v = row.get(name)
+        return v[2:] if isinstance(v, str) else ""
+
+    if export_mode == EXPANDED:
+        return cell("observedat")
+    if export_mode == FLATTEN:
+        return "|".join(
+            (cell("measure_observedat"), cell("measure_parametername"), cell("measure_datasetid"))
+        )
+    # SEMI_FLATTEN: the observed attribute of this row is the one whose
+    # *_datasetid cell is set; fold all instance discriminators in
+    discriminators = sorted(
+        f"{k}={v[2:]}" for k, v in row.items()
+        if v is not None and k.endswith("_datasetid")
+    )
+    return cell("observedat") + "|" + ";".join(discriminators)
+
+
+def flatten_partition(
+    pdf_iter: Iterator[pd.DataFrame], cfg: IngestConfig
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (repo, path, commit, lang, content, recv_time)
+    change events → narrow cell rows. Parse errors are routed as rows
+    with ``error`` set (reference REL_FAILURE, NgsiLdToPostgreSQL.java:154-166).
+    """
+    for pdf in pdf_iter:
+        out: dict[str, list[Any]] = {c: [] for c in FLAT_COLUMNS}
+
+        def emit(
+            tenant=None, table=None, entity_id=None, entity_type=None,
+            row_key=None, observedat=None, recv_time=None, seq=None,
+            cells=None, types=None, error=None,
+        ):
+            out["tenant"].append(tenant)
+            out["table_name"].append(table)
+            out["entity_id"].append(entity_id)
+            out["entity_type"].append(entity_type)
+            out["row_key"].append(row_key)
+            out["observedat"].append(observedat)
+            out["recv_time"].append(recv_time)
+            out["seq"].append(seq)
+            out["cells"].append(cells)
+            out["types"].append(types)
+            out["error"].append(error)
+
+        recv_times = pdf["recv_time"]
+        for content, repo, commit, recv_time in zip(
+            pdf["content"].values,
+            pdf["repo"].values,
+            pdf["commit"].values,
+            recv_times.values,
+        ):
+            recv_ts = pd.Timestamp(recv_time)
+            creation_ms = recv_ts.value // 1_000_000
+            try:
+                payload = json.loads(content)
+                if isinstance(payload, dict):
+                    payload = [payload]
+                tenant = build_schema_name(repo)
+                entities = parse_entities(payload, cfg.export_mode)
+            except (EntityParseError, NameTooLongError, ValueError) as exc:
+                emit(seq=commit, recv_time=recv_ts, error=str(exc))
+                continue
+
+            for entity in entities:
+                try:
+                    table = build_table_name(entity.entity_type, cfg.table_name_suffix)
+                except NameTooLongError as exc:
+                    emit(
+                        tenant=tenant, entity_id=entity.entity_id,
+                        entity_type=entity.entity_type, seq=commit,
+                        recv_time=recv_ts, error=str(exc),
+                    )
+                    continue
+                fields = list_of_fields(
+                    entity,
+                    cfg.dataset_id_prefix_to_truncate,
+                    cfg.export_sysattrs,
+                    cfg.ignored_attributes,
+                )
+                rows = rows_for_entity(entity, fields, creation_ms, cfg)
+                types_json: str | None = json.dumps(
+                    fields, separators=(",", ":"), sort_keys=True
+                )
+                # the types map is needed even for row-less entities: the
+                # reference still creates the table/columns (T-E2E:273-310
+                # FLATTEN: 0 rows but 18 columns)
+                if not rows:
+                    emit(
+                        tenant=tenant, table=table, entity_id=entity.entity_id,
+                        entity_type=entity.entity_type, seq=commit,
+                        recv_time=recv_ts, types=types_json,
+                    )
+                    continue
+                for row in rows:
+                    cells = {k: v for k, v in row.items() if v is not None}
+                    obs = row.get("observedat")
+                    emit(
+                        tenant=tenant,
+                        table=table,
+                        entity_id=entity.entity_id,
+                        entity_type=entity.entity_type,
+                        row_key=_row_key(row, cfg.export_mode),
+                        observedat=obs[2:] if obs else None,
+                        recv_time=recv_ts,
+                        seq=commit,
+                        cells=json.dumps(
+                            cells, separators=(",", ":"), ensure_ascii=False,
+                            sort_keys=True,
+                        ),
+                        types=types_json,
+                    )
+                    types_json = None  # once per entity
+        yield pd.DataFrame(out)
+
+
+def flatten(changelog_df, cfg: IngestConfig):
+    """changelog DataFrame (repo, path, commit, lang, content, recv_time)
+    → narrow cell-row DataFrame. No shuffle; partitioning preserved."""
+    return changelog_df.mapInPandas(
+        lambda it: flatten_partition(it, cfg), schema=FLAT_SCHEMA
+    )

@@ -1,0 +1,82 @@
+"""Wide projection — narrow cell rows → typed wide DataFrame per table.
+
+Pure JVM expressions (whole-stage codegen): one ``from_json`` of the cells
+map + one ``element_at``/``CASE`` chain per reconciled column. No Python,
+no shuffle — the flatten stage's partitioning is preserved. This replaces
+the reference's per-row SQL-literal string building
+(PostgreSQLTransformer.insertQuery / formatFieldForValueInsert, :335-433).
+
+The tagged-cell encoding ('n:'/'s:'/'a:' prefixes, functions/canon.py)
+lets the NUMERIC type-mismatch→NULL rule (XFORM:338-341) apply *after*
+existing-type-wins reconciliation: a cell whose JSON value wasn't a
+number projects to NULL in a NUMERIC column, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import typeinfer as ti
+
+# Spark type per PG type (SURVEY §1.4)
+SPARK_TYPE = {
+    ti.TEXT: "string",
+    ti.TIMESTAMPTZ: "timestamp",
+    ti.TIMETZ: "string",
+    ti.DATE: "date",
+    ti.NUMERIC: "double",
+    ti.GEOMETRY: "string",
+    ti.JSONB: "string",
+    ti.ARRAY: "array<string>",
+}
+
+
+def _typed(raw: Column, pg_type: str) -> Column:
+    """Typed extraction of one tagged cell."""
+    tag = F.substring(raw, 1, 1)
+    payload = F.substring(raw, 3, 2_000_000)
+    if pg_type == ti.NUMERIC:
+        return F.when(tag == "n", payload.cast("double"))
+    if pg_type == ti.TIMESTAMPTZ:
+        return payload.cast("timestamp")
+    if pg_type == ti.DATE:
+        return payload.cast("date")
+    if pg_type == ti.ARRAY:
+        return F.when(tag == "a", F.from_json(payload, "array<string>"))
+    # TEXT / TIMETZ / GEOMETRY / JSONB stay canonical text
+    return payload
+
+
+def project_wide(
+    flat_df: DataFrame,
+    tenant: str,
+    table_name: str,
+    schema: dict[str, str],
+) -> DataFrame:
+    """Rows of one target table, projected to its reconciled wide schema.
+
+    Carries the routing/lineage columns (_row_key, _recv_time, _seq) used
+    by dedup and MERGE; they are dropped before the final table write.
+    """
+    rows = flat_df.filter(
+        (F.col("tenant") == tenant)
+        & (F.col("table_name") == table_name)
+        & F.col("error").isNull()
+        & F.col("cells").isNotNull()
+    )
+    cells = F.from_json("cells", "map<string,string>").alias("_cells")
+    base = rows.select(
+        cells,
+        F.col("entity_id").alias("_entity_id"),
+        F.col("row_key").alias("_row_key"),
+        F.col("recv_time").alias("_recv_time"),
+        F.col("seq").alias("_seq"),
+    )
+    typed_cols = [
+        _typed(F.element_at(F.col("_cells"), column), pg_type).alias(column)
+        for column, pg_type in schema.items()
+    ]
+    return base.select(
+        "_entity_id", "_row_key", "_recv_time", "_seq", *typed_cols
+    )

@@ -1,0 +1,84 @@
+"""Batch schema aggregation + existing-type-wins reconciliation (C6-C7).
+
+The reference reads ``information_schema.columns`` per entity and lets the
+live DB type win over the inferred one (PostgreSQLTransformer.java:447-472),
+then diffs column names to emit ``ALTER TABLE ADD COLUMN``
+(:474-507). Our per-micro-batch equivalent:
+
+1. aggregate the per-entity ``types`` maps into one {column: type} per
+   target table — a tiny shuffle: (table, column, priority) pairs are
+   partially aggregated map-side, the distinct column count per table is
+   O(hundreds), not O(rows);
+2. reconcile against the live table schema — the existing type wins
+   (type conflicts at write time become NULL via the tagged-cell
+   projection, matching XFORM:338-341);
+3. the new-column diff becomes a metadata-only schema evolution in the
+   lake snapshot (plans/lake.py) — no data rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import typeinfer as ti
+
+_PRIORITY_SQL = "map(" + ",".join(
+    f"'{t}',{p}" for t, p in ti.TYPE_PRIORITY.items()
+) + ")"
+
+
+def infer_batch_schemas(flat_df: DataFrame) -> dict[tuple[str, str], dict[str, str]]:
+    """Narrow cell frame → {(tenant, table): {column: pg_type}} for every
+    table touched by the batch.
+
+    The type merge across entities uses the deterministic priority
+    lattice (functions/typeinfer.py) — the reference's outcome here is
+    batch-order-dependent (first entity creates the column, existing
+    wins); ours is order-free so distributed execution stays deterministic.
+    """
+    agg = (
+        flat_df.filter(F.col("types").isNotNull())
+        .select(
+            "tenant",
+            "table_name",
+            F.explode(F.from_json("types", "map<string,string>")).alias(
+                "column", "pg_type"
+            ),
+        )
+        .groupBy("tenant", "table_name", "column")
+        .agg(
+            F.max(F.element_at(F.expr(_PRIORITY_SQL), F.col("pg_type"))).alias(
+                "priority"
+            )
+        )
+        .collect()
+    )
+    schemas: dict[tuple[str, str], dict[str, str]] = {}
+    for row in agg:
+        schemas.setdefault((row["tenant"], row["table_name"]), {})[row["column"]] = (
+            ti.PRIORITY_TO_TYPE[row["priority"]]
+        )
+    return {k: dict(sorted(v.items())) for k, v in schemas.items()}
+
+
+def reconcile(
+    inferred: dict[str, str], existing: dict[str, str] | None
+) -> tuple[dict[str, str], dict[str, str]]:
+    """Existing-type-wins reconciliation (XFORM:447-472).
+
+    Returns (final_schema, new_columns): ``final_schema`` covers the union
+    of live and inferred columns — live columns keep their type, inferred
+    columns not yet live are appended (the ADD COLUMNS diff, XFORM:474-507).
+    Live columns absent from this batch stay in the schema (lake tables
+    never drop columns).
+    """
+    if not existing:
+        return dict(inferred), dict(inferred)
+    final = dict(existing)
+    new_columns: dict[str, str] = {}
+    for column, pg_type in inferred.items():
+        if column not in final:
+            final[column] = pg_type
+            new_columns[column] = pg_type
+    return dict(sorted(final.items())), new_columns

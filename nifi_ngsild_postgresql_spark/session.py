@@ -1,0 +1,72 @@
+"""SparkSession helpers: engine-tuned session factory + self-shipping.
+
+In production the package is distributed with ``spark-submit --py-files``
+(north rule). For ad-hoc drivers (tests, notebooks, bench) that import the
+package from a plain directory, ``ship_package`` zips it and registers it
+with ``SparkContext.addPyFile`` so mapInPandas closures resolve on
+executor Python workers.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_PACKAGE_DIR = os.path.dirname(os.path.abspath(__file__))
+_PACKAGE_NAME = os.path.basename(_PACKAGE_DIR)
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors (idempotent per session)."""
+    if getattr(spark, "_ngsild_pkg_shipped", False):
+        return
+    zip_path = os.path.join(
+        tempfile.mkdtemp(prefix="ngsild_pkg_"), f"{_PACKAGE_NAME}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(_PACKAGE_DIR):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.join(
+                    _PACKAGE_NAME, os.path.relpath(full, _PACKAGE_DIR)
+                )
+                zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    spark._ngsild_pkg_shipped = True  # type: ignore[attr-defined]
+
+
+def get_spark(
+    app_name: str = "spark-ngsild-ingest",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Engine defaults: UTC session (timestamp parity with the reference's
+    GMT default, PostgreSQLTransformer.java:160), Arrow enabled, AQE with
+    skew handling on."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(cpus) * 2 if str(cpus).isdigit() else 64),
+        )
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark

@@ -1,0 +1,90 @@
+"""Change-event log sources.
+
+The engine's input is a table with exactly the BASELINE.json input_hint
+shape: ``(repo string, path string, commit string, lang string,
+content string)`` — each row one change event whose ``content`` is an
+NGSI-LD entity payload; ``repo`` maps to tenant/schema, ``commit`` is the
+monotonically ordered change identity (LWW tiebreak), ``lang`` the entity
+type, ``path`` the entity identity seed (FIXTURES.md §1).
+
+Two sources:
+- ``read_changelog``      : a parquet/lake directory already in that shape
+- ``changelog_from_events``: adapter building the shape from the driver's
+  ``events`` test table with *pure JVM expressions* (to_json over nested
+  structs — no Python in the generation hot path)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CHANGELOG_COLUMNS = ("repo", "path", "commit", "lang", "content", "recv_time")
+
+
+def with_recv_time(df: DataFrame) -> DataFrame:
+    """Ensure the recv_time column (event ingest stamp, reference:
+    FlowFile entry date, NgsiLdUtils.java:39). Derived deterministically
+    from the commit identity when absent so replays are reproducible."""
+    if "recv_time" in df.columns:
+        return df
+    return df.withColumn(
+        "recv_time",
+        F.timestamp_millis(
+            F.lit(1700000000000) + F.pmod(F.xxhash64("commit"), F.lit(86_400_000))
+        ),
+    )
+
+
+def read_changelog(spark: SparkSession, path: str) -> DataFrame:
+    return with_recv_time(spark.read.parquet(path))
+
+
+def changelog_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's synthetic ``events`` table into the changelog
+    shape: one NGSI-LD entity per event. user_id -> entity identity,
+    event_type -> a Property with observedAt=ts, value -> numeric
+    Property, props -> JsonProperty. Entirely whole-stage-codegen
+    (struct + to_json); no UDF."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    entity_id = F.concat(F.lit("urn:ngsi-ld:UserActivity:"), F.col("user_id"))
+    observed_at = F.date_format(
+        F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+    )
+    payload = F.to_json(
+        F.struct(
+            entity_id.alias("id"),
+            F.lit("UserActivity").alias("type"),
+            F.struct(
+                F.lit("Property").alias("type"),
+                F.col("event_type").alias("value"),
+                observed_at.alias("observedAt"),
+                F.concat(F.lit("urn:ngsi-ld:Dataset:"), F.col("event_type")).alias(
+                    "datasetId"
+                ),
+            ).alias("action"),
+            F.struct(
+                F.lit("Property").alias("type"),
+                F.col("value").alias("value"),
+                observed_at.alias("observedAt"),
+                F.concat(F.lit("urn:ngsi-ld:Dataset:"), F.col("event_type")).alias(
+                    "datasetId"
+                ),
+            ).alias("score"),
+            F.struct(
+                F.lit("JsonProperty").alias("type"),
+                F.from_json(F.col("props"), "map<string,string>").alias("json"),
+            ).alias("props"),
+        ),
+        {"ignoreNullFields": "true"},
+    )
+    return (
+        events.select(
+            F.lit("analytics").alias("repo"),
+            F.concat(F.lit("users/"), F.col("user_id")).alias("path"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0").alias("commit"),
+            F.lit("UserActivity").alias("lang"),
+            payload.alias("content"),
+            F.col("ts").alias("recv_time"),
+        )
+    )

@@ -1,0 +1,235 @@
+"""Deterministic synthetic NGSI-LD changelog generator (seed-stable).
+
+Instantiates change events from five payload template families mirroring
+the *shapes* of the reference fixture corpus (FIXTURES.md §2 — current
+state, multi-attribute notification, temporal history, dense
+multi-instance, type-edge-cases) with varied ids, timestamps and values,
+and a zipf-skewed entity frequency so hot keys are real (the reference's
+own fixtures show 12-instance hot entities,
+entity-temporal-multi-attributes.jsonld).
+
+Fully distributed and reproducible: ``spark.range(n)`` → ``mapInPandas``;
+every value is a pure function of (seed, event id). No external data,
+no wall-clock, no RNG state shared across partitions.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+
+_BASE_TS = 1672531200  # 2023-01-01T00:00:00Z
+
+
+def _h(seed: int, i: int, salt: int) -> int:
+    """Deterministic 63-bit mix (splitmix-style)."""
+    x = (seed * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9 + salt * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 31
+    x = (x * 0xD6E8FEB86659FD93) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 29
+    return x & 0x7FFFFFFFFFFFFFFF
+
+
+def _iso(ts: int) -> str:
+    return pd.Timestamp(ts, unit="s", tz="UTC").strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _entity_index(seed: int, i: int, n_entities: int) -> int:
+    """Zipf-ish skew: ~25% of events hit the 1+n/1000 hottest entities."""
+    h = _h(seed, i, 1)
+    if h % 4 == 0:
+        return h % (1 + n_entities // 1000)
+    return h % n_entities
+
+
+def _payload(seed: int, i: int, n_entities: int) -> tuple[str, str, str]:
+    """Returns (entity_type, entity_key, payload_json) for event i."""
+    ent = _entity_index(seed, i, n_entities)
+    family = ent % 5
+    key = f"E{ent:09d}"
+    ts1 = _BASE_TS + (_h(seed, i, 2) % 730) * 86400
+    ts2 = ts1 + 86400 * (1 + _h(seed, i, 3) % 28)
+    v1 = (_h(seed, i, 4) % 100000) / 10.0
+    v2 = (_h(seed, i, 5) % 9000) + 100
+    unit = ("CEL", "K63", "MIN", "MTK")[_h(seed, i, 6) % 4]
+    station = f"ST-{_h(seed, i, 7) % 500:03d}"
+    lon = round(-5.0 + (_h(seed, i, 8) % 15000) / 1000.0, 6)
+    lat = round(41.0 + (_h(seed, i, 9) % 9000) / 1000.0, 6)
+
+    if family == 0:
+        # current state: static properties, unitCode, relationship, polygon geo
+        etype = "StorageTank"
+        payload = {
+            "id": f"urn:ngsi-ld:StorageTank:{key}",
+            "type": etype,
+            "label": {"type": "Property", "value": f"tank {key}"},
+            "zoneCode": {"type": "Property", "value": station},
+            "capacity": {"type": "Property", "value": str(v2), "unitCode": unit},
+            "inspectionDue": {"type": "Property", "value": "31/12/2030"},
+            "managedBy": {
+                "type": "Relationship",
+                "object": f"urn:ngsi-ld:Operator:{_h(seed, i, 10) % 20}",
+            },
+            "footprint": {
+                "type": "GeoProperty",
+                "value": {
+                    "type": "MultiPolygon",
+                    "coordinates": [[[[lon, lat], [lon + 0.001, lat], [lon, lat + 0.001], [lon, lat]]]],
+                },
+            },
+        }
+    elif family == 1:
+        # notification: 2-instance multi-attribute + linked entity
+        etype = "WaterReading"
+        payload = {
+            "id": f"urn:ngsi-ld:WaterReading:{key}",
+            "type": etype,
+            "stationLabel": {"type": "Property", "value": station},
+            "sensorCount": {"type": "Property", "value": _h(seed, i, 11) % 64},
+            "feed": {
+                "type": "Relationship",
+                "object": f"urn:ngsi-ld:Feed:{key}",
+                "entity": {
+                    "id": f"urn:ngsi-ld:Feed:{key}",
+                    "type": "Feed",
+                    "title": {"type": "Property", "value": f"feed {station}"},
+                    "operator": {
+                        "type": "Relationship",
+                        "object": "urn:ngsi-ld:Agent:ops",
+                    },
+                },
+            },
+            "turbidity": [
+                {
+                    "type": "Property",
+                    "value": v1,
+                    "unitCode": unit,
+                    "datasetId": "urn:ngsi-ld:Dataset:Probe:Shallow",
+                    "observedAt": _iso(ts1),
+                    "quality": {"type": "Property", "value": "validated"},
+                },
+                {
+                    "type": "Property",
+                    "value": v1 / 2,
+                    "unitCode": unit,
+                    "datasetId": "urn:ngsi-ld:Dataset:Probe:Deep",
+                    "observedAt": _iso(ts2),
+                    "quality": {"type": "Property", "value": "raw"},
+                },
+            ],
+        }
+    elif family == 2:
+        # temporal history: 2 attributes × 2 timestamps + Point geo
+        etype = "AirQuality"
+        payload = {
+            "id": f"urn:ngsi-ld:AirQuality:{key}",
+            "type": etype,
+            "siteName": {"type": "Property", "value": station},
+            "no2": [
+                {"type": "Property", "value": v1, "unitCode": "GQ",
+                 "observedAt": _iso(ts1), "createdAt": _iso(ts2 + 3600)},
+                {"type": "Property", "value": v1 + 1, "unitCode": "GQ",
+                 "observedAt": _iso(ts2)},
+            ],
+            "pm10": [
+                {"type": "Property", "value": v2, "unitCode": "GQ",
+                 "observedAt": _iso(ts1)},
+                {"type": "Property", "value": v2 - 7, "unitCode": "GQ",
+                 "observedAt": _iso(ts2)},
+            ],
+            "location": {
+                "type": "GeoProperty",
+                "value": {"type": "Point", "coordinates": [lon, lat]},
+            },
+        }
+    elif family == 3:
+        # dense multi-instance (hot-key shape): k instances × datasets
+        etype = "IrrigationValve"
+        n_inst = 6 + _h(seed, i, 12) % 7
+        insts = []
+        for j in range(n_inst):
+            insts.append(
+                {
+                    "type": "Property",
+                    "value": _h(seed, i, 13 + j) % 30,
+                    "unitCode": "MIN",
+                    "datasetId": f"urn:ngsi-ld:Dataset:Plan:{j % 3}",
+                    "observedAt": _iso(ts1 + j * 3600),
+                }
+            )
+        payload = {
+            "id": f"urn:ngsi-ld:IrrigationValve:{key}",
+            "type": etype,
+            "valveNumber": {"type": "Property", "value": ent % 32},
+            "schedule": insts,
+        }
+    else:
+        # type edge cases: date/time/datetime/number/string/null
+        etype = "ProbeLog"
+        payload = {
+            "id": f"urn:ngsi-ld:ProbeLog:{key}",
+            "type": etype,
+            "calibrationDate": {"type": "Property", "value": _iso(ts1)[:10]},
+            "windowStart": {"type": "Property", "value": "06:30:00Z"},
+            "lastSeen": {"type": "Property", "value": _iso(ts2)},
+            "reading": [
+                {"type": "Property", "value": v1, "unitCode": unit,
+                 "observedAt": _iso(ts1)},
+                {"type": "Property", "value": f"<{int(v1)}>",
+                 "observedAt": _iso(ts2)},
+            ],
+            "ghost": {"type": "Property", "value": None},
+            "link": {
+                "type": "Relationship",
+                "object": f"urn:ngsi-ld:Probe:{key}",
+                "entity": {
+                    "id": f"urn:ngsi-ld:Probe:{key}",
+                    "type": "Probe",
+                    "country": [
+                        {"type": "Property", "value": "FR"},
+                        {"type": "Property", "value": "ES"},
+                    ],
+                },
+            },
+        }
+    return etype, key, json.dumps(payload, separators=(",", ":"))
+
+
+def _generate_partition(
+    pdf_iter: Iterator[pd.DataFrame], seed: int, n_entities: int, repo: str
+) -> Iterator[pd.DataFrame]:
+    for pdf in pdf_iter:
+        ids = pdf["id"].values
+        out = {c: [] for c in ("repo", "path", "commit", "lang", "content", "recv_time")}
+        for i in ids:
+            i = int(i)
+            etype, key, content = _payload(seed, i, n_entities)
+            out["repo"].append(repo)
+            out["path"].append(f"{etype}/{key}")
+            out["commit"].append(f"{i:012d}")
+            out["lang"].append(etype)
+            out["content"].append(content)
+            out["recv_time"].append(
+                pd.Timestamp(_BASE_TS + i % 86400, unit="s")
+            )
+        yield pd.DataFrame(out)
+
+
+def synthesize_changelog(
+    spark,
+    n_events: int,
+    n_entities: int | None = None,
+    seed: int = 42,
+    repo: str = "sandbox",
+    partitions: int | None = None,
+):
+    """Distributed deterministic changelog of ``n_events`` change events."""
+    n_entities = n_entities or max(1, n_events // 20)
+    rng = spark.range(n_events, numPartitions=partitions)
+    return rng.mapInPandas(
+        lambda it: _generate_partition(it, seed, n_entities, repo),
+        schema="repo string, path string, commit string, lang string,"
+        " content string, recv_time timestamp",
+    )

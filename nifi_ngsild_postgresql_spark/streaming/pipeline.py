@@ -1,0 +1,136 @@
+"""Micro-batch ingest — the engine's query lifecycle (SURVEY §3.1, Spark-first).
+
+Per micro-batch (called from foreachBatch or as a batch job):
+
+    changelog rows --mapInPandas flatten--> narrow cells        (no shuffle)
+      ├── error rows -> <warehouse>/_errors                     (REL_FAILURE parity)
+      ├── types maps -> tiny (table,column,priority) agg        (map-side combined)
+      │      -> reconcile vs live snapshot schema (existing-type-wins)
+      └── per target table:
+            wide projection (pure JVM cell extraction)          (no shuffle)
+            [upsert] last-writer-wins reduce                    (1 shuffle, skew-safe)
+            bucketed copy-on-write commit + epoch id            (1 shuffle on _bucket)
+
+Every micro-batch appends a lineage record (per-table row counts, bucket
+fan-out, new columns, timings) to <warehouse>/_lineage as JSONL.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..config import IngestConfig
+from ..operators.dedup import last_writer_wins
+from ..operators.flatten import flatten
+from ..plans.lake import LakeCatalog
+from ..plans.project import project_wide
+from ..plans.schema import infer_batch_schemas, reconcile
+
+
+def ingest_batch(
+    changelog_df: DataFrame,
+    cfg: IngestConfig,
+    warehouse: str,
+    epoch_id: str,
+) -> dict[str, Any]:
+    """Process one micro-batch of change events into the lake warehouse.
+
+    Idempotent per (table, epoch_id): re-running a committed epoch is a
+    no-op (exactly-once under at-least-once delivery / stream restart).
+    """
+    t0 = time.time()
+    spark = changelog_df.sparkSession
+    catalog = LakeCatalog(warehouse, n_buckets=cfg.n_buckets)
+
+    flat = flatten(changelog_df, cfg)
+    # reused by: error split, schema agg, one projection per table
+    flat.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # --- error channel (reference REL_FAILURE with error.message attr) ---
+    errors = flat.filter(F.col("error").isNotNull())
+    n_errors = errors.count()
+    if n_errors:
+        errors.select("tenant", "entity_id", "seq", "recv_time", "error").write.mode(
+            "append"
+        ).parquet(os.path.join(warehouse, "_errors"))
+
+    # --- per-batch schema inference + reconciliation ---
+    schemas = infer_batch_schemas(flat)
+
+    lineage: dict[str, Any] = {
+        "epoch_id": epoch_id,
+        "errors": n_errors,
+        "tables": {},
+    }
+    for (tenant, table_name), inferred in sorted(schemas.items()):
+        table = catalog.table(tenant, table_name)
+        final_schema, new_columns = reconcile(inferred, table.schema())
+
+        wide = project_wide(flat, tenant, table_name, final_schema)
+
+        if cfg.write_mode == "upsert":
+            stats = table.upsert(last_writer_wins(wide), final_schema, epoch_id)
+        elif cfg.write_mode == "replace":
+            stats = table.replace_entities(
+                last_writer_wins(wide), final_schema, epoch_id
+            )
+        else:
+            stats = table.append(wide, final_schema, epoch_id)
+
+        if stats.get("skipped_epoch"):
+            lineage["tables"][f"{tenant}.{table_name}"] = {"skipped_epoch": True}
+            continue
+        stats["new_columns"] = sorted(new_columns)
+        lineage["tables"][f"{tenant}.{table_name}"] = stats
+
+    flat.unpersist()
+    lineage["wall_s"] = round(time.time() - t0, 3)
+    _append_lineage(warehouse, lineage)
+    return lineage
+
+
+def _append_lineage(warehouse: str, record: dict[str, Any]) -> None:
+    os.makedirs(os.path.join(warehouse, "_lineage"), exist_ok=True)
+    path = os.path.join(warehouse, "_lineage", "lineage.jsonl")
+    with open(path, "a") as f:
+        f.write(json.dumps(record, default=str) + "\n")
+
+
+def run_stream(
+    spark: SparkSession,
+    changelog_path: str,
+    cfg: IngestConfig,
+    warehouse: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Structured Streaming wrapper: tail the changelog directory (parquet),
+    foreachBatch into ingest_batch. Resumable from checkpoint; epoch ids
+    are (stream) batch ids, so replayed batches after a crash are skipped
+    by the lake's epoch bookkeeping (exactly-once, S4)."""
+    static = spark.read.parquet(changelog_path)
+    reader = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 16)
+        .parquet(changelog_path)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch(batch_df, cfg, warehouse, epoch_id=f"stream-{batch_id}")
+
+    writer = reader.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+    else:
+        query = writer.trigger(processingTime="10 seconds").start()
+    return query

@@ -1,0 +1,408 @@
+"""End-to-end golden tests — ports of TestNgsiLdToPostgreSQL.java (T-E2E),
+run through the full Spark pipeline: changelog row → mapInPandas flatten →
+schema aggregation/reconciliation → wide projection → lake commit → read
+back. Expected column sets / row counts / cell values are the reference's
+own assertions (cited per test).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from conftest import FIXTURES_DIR, load_fixture
+
+from nifi_ngsild_postgresql_spark.config import (
+    EXPANDED,
+    FLATTEN,
+    SEMI_FLATTEN,
+    IngestConfig,
+)
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch
+
+CREATION_TIME = 1562561734983
+
+CURRENT_COLUMNS = {
+    # T-E2E:134-153
+    "addresslocality", "containedin", "concessionnumber", "entityid",
+    "entitytype", "expirydate", "familyofuse", "location",
+    "location_geometry", "location_geojson", "managementstructure",
+    "natureofuselabel", "parcel", "rank", "structure", "surface",
+    "surface_unitcode", "recvtime",
+}
+
+
+def _changelog(spark, fixture_name: str, repo="public", n_copies=1, seq0=0):
+    import json
+
+    with open(f"{FIXTURES_DIR}/{fixture_name}", encoding="utf-8") as f:
+        content = f.read()
+    json.loads(content)  # sanity
+    rows = [
+        (repo, "p", f"{seq0 + i:06d}", "x", content)
+        for i in range(n_copies)
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "recv_time", F.timestamp_millis(F.lit(CREATION_TIME))
+    )
+
+
+@pytest.fixture
+def warehouse(tmp_path):
+    return str(tmp_path / "wh")
+
+
+def _fixture_or_skip():
+    load_fixture("entity-current.jsonld")  # skips when corpus missing
+
+
+def _read(spark, warehouse, tenant, table):
+    return LakeCatalog(warehouse).table(tenant, table).read(spark)
+
+
+def test_current_state_default_export(spark, warehouse):
+    # T-E2E:124-163 — EXPANDED, ignoreEmpty=false: 1 row, 18 columns
+    _fixture_or_skip()
+    cfg = IngestConfig(export_mode=EXPANDED, ignore_empty_observed_at=False)
+    lineage = ingest_batch(
+        _changelog(spark, "entity-current.jsonld"), cfg, warehouse, "e1"
+    )
+    assert lineage["errors"] == 0
+    df = _read(spark, warehouse, "public", "shellfishtable")
+    assert set(df.columns) == CURRENT_COLUMNS
+    assert df.count() == 1
+    row = df.collect()[0]
+    assert row["entityid"] == "urn:ngsi-ld:ShellfishTable:0101010101"
+    assert row["surface"] == "1309"  # JSON string stays TEXT
+    assert row["surface_unitcode"] == "MTK"
+    assert row["containedin"] == "urn:ngsi-ld:Place:TA"
+    assert str(row["recvtime"]) == "2019-07-08 04:55:34.983000"
+
+
+def test_current_state_batch_appends(spark, warehouse):
+    # T-E2E:166-206 — 3 identical events, append mode: 3 rows (no dedup)
+    _fixture_or_skip()
+    cfg = IngestConfig(export_mode=EXPANDED, ignore_empty_observed_at=False)
+    ingest_batch(
+        _changelog(spark, "entity-current.jsonld", n_copies=3), cfg, warehouse, "e1"
+    )
+    assert _read(spark, warehouse, "public", "shellfishtable").count() == 3
+
+
+def test_schema_and_table_suffix(spark, warehouse):
+    # T-E2E:209-249 — schema=private, suffix -> private.shellfishtable_suffix
+    _fixture_or_skip()
+    cfg = IngestConfig(
+        export_mode=EXPANDED,
+        ignore_empty_observed_at=False,
+        db_schema="private",
+        table_name_suffix="suffix",
+    )
+    ingest_batch(
+        _changelog(spark, "entity-current.jsonld", repo="private"),
+        cfg, warehouse, "e1",
+    )
+    df = _read(spark, warehouse, "private", "shellfishtable_suffix")
+    assert df.count() == 1
+    assert set(df.columns) == CURRENT_COLUMNS
+
+
+def test_replace_mode_delete_before_insert(spark, warehouse):
+    # T-E2E:252-270 — same entity twice in replace mode: still 1 row
+    _fixture_or_skip()
+    cfg = IngestConfig(
+        export_mode=EXPANDED, ignore_empty_observed_at=False, replace_mode=True
+    )
+    ingest_batch(_changelog(spark, "entity-current.jsonld"), cfg, warehouse, "e1")
+    ingest_batch(
+        _changelog(spark, "entity-current.jsonld", seq0=10), cfg, warehouse, "e2"
+    )
+    assert _read(spark, warehouse, "public", "shellfishtable").count() == 1
+
+
+def test_current_state_flatten_zero_rows_schema_created(spark, warehouse):
+    # T-E2E:273-310 — FLATTEN: 0 rows but columns still created
+    _fixture_or_skip()
+    cfg = IngestConfig(export_mode=FLATTEN, ignore_empty_observed_at=False)
+    ingest_batch(_changelog(spark, "entity-current.jsonld"), cfg, warehouse, "e1")
+    df = _read(spark, warehouse, "public", "shellfishtable")
+    assert df.count() == 0
+    assert set(df.columns) == CURRENT_COLUMNS
+
+
+def test_current_state_semi_flatten(spark, warehouse):
+    # T-E2E:312-350 — SEMI_FLATTEN: 1 row
+    _fixture_or_skip()
+    cfg = IngestConfig(export_mode=SEMI_FLATTEN, ignore_empty_observed_at=False)
+    ingest_batch(_changelog(spark, "entity-current.jsonld"), cfg, warehouse, "e1")
+    df = _read(spark, warehouse, "public", "shellfishtable")
+    assert df.count() == 1
+    assert set(df.columns) == CURRENT_COLUMNS
+
+
+NOTIFICATION_COLUMNS = {
+    # T-E2E:361-396 (34 columns)
+    "entityid", "entitytype",
+    "faecalcoliform_k63_0to1meter",
+    "faecalcoliform_k63_0to1meter_citation",
+    "faecalcoliform_k63_0to1meter_depthsampling",
+    "faecalcoliform_k63_0to1meter_ispartofprogram",
+    "faecalcoliform_k63_0to1meter_qualitydescription",
+    "faecalcoliform_k63_0to1meter_qualitylevel",
+    "faecalcoliform_k63_0to1meter_sampledescription",
+    "faecalcoliform_k63_0to1meter_unitcode",
+    "faecalcoliform_k63_halfbottom",
+    "faecalcoliform_k63_halfbottom_citation",
+    "faecalcoliform_k63_halfbottom_depthsampling",
+    "faecalcoliform_k63_halfbottom_ispartofprogram",
+    "faecalcoliform_k63_halfbottom_qualitydescription",
+    "faecalcoliform_k63_halfbottom_qualitylevel",
+    "faecalcoliform_k63_halfbottom_sampledescription",
+    "faecalcoliform_k63_halfbottom_unitcode",
+    "observedat", "recvtime", "sextantcode", "servesdataset",
+    "servesdataset_catalog", "servesdataset_description",
+    "servesdataset_group", "servesdataset_includedparameters",
+    "servesdataset_ispublishedby", "servesdataset_landingpage",
+    "servesdataset_specificaccesspolicy", "servesdataset_subtheme",
+    "servesdataset_title", "stationcode", "specificaccesspolicy", "title",
+}
+
+
+def test_notification_default_export(spark, warehouse):
+    # T-E2E:352-405 — EXPANDED: 2 rows, 34 columns
+    _fixture_or_skip()
+    cfg = IngestConfig(export_mode=EXPANDED)
+    ingest_batch(
+        _changelog(spark, "entity-notification.jsonld"), cfg, warehouse, "e1"
+    )
+    df = _read(spark, warehouse, "public", "distribution")
+    assert set(df.columns) == NOTIFICATION_COLUMNS
+    rows = {str(r["observedat"]): r for r in df.collect()}
+    assert len(rows) == 2
+    r1989 = rows["1989-04-10 07:45:00"]
+    assert r1989["faecalcoliform_k63_0to1meter"] == 24.0
+    assert r1989["faecalcoliform_k63_0to1meter_unitcode"] == "K63"
+    assert r1989["faecalcoliform_k63_halfbottom"] is None
+    assert r1989["sextantcode"] == 37087007.0
+    assert r1989["stationcode"] == "104-P-006"
+    r1990 = rows["1990-12-03 09:50:00"]
+    assert r1990["faecalcoliform_k63_halfbottom"] == 55.0
+    assert (
+        r1990["servesdataset_title"]
+        == "Surveillance littorale (Microbiologie - Microbiologie/Bactéries tests)"
+    )
+
+
+def test_notification_ignored_attrs_and_prefix(spark, warehouse):
+    # T-E2E:407-449 — ignored attrs + prefix urn:ngsi-ld: -> dataset_ cols
+    _fixture_or_skip()
+    cfg = IngestConfig(
+        export_mode=EXPANDED,
+        ignored_attributes="servesdataset,unitcode,citation",
+        dataset_id_prefix_to_truncate="urn:ngsi-ld:",
+    )
+    ingest_batch(
+        _changelog(spark, "entity-notification.jsonld"), cfg, warehouse, "e1"
+    )
+    df = _read(spark, warehouse, "public", "distribution")
+    expected = {
+        "entityid", "entitytype",
+        "faecalcoliform_dataset_k63_0to1meter",
+        "faecalcoliform_dataset_k63_0to1meter_depthsampling",
+        "faecalcoliform_dataset_k63_0to1meter_ispartofprogram",
+        "faecalcoliform_dataset_k63_0to1meter_qualitydescription",
+        "faecalcoliform_dataset_k63_0to1meter_qualitylevel",
+        "faecalcoliform_dataset_k63_0to1meter_sampledescription",
+        "faecalcoliform_dataset_k63_halfbottom",
+        "faecalcoliform_dataset_k63_halfbottom_depthsampling",
+        "faecalcoliform_dataset_k63_halfbottom_ispartofprogram",
+        "faecalcoliform_dataset_k63_halfbottom_qualitydescription",
+        "faecalcoliform_dataset_k63_halfbottom_qualitylevel",
+        "faecalcoliform_dataset_k63_halfbottom_sampledescription",
+        "observedat", "recvtime", "sextantcode", "specificaccesspolicy",
+        "stationcode", "title",
+    }
+    assert set(df.columns) == expected
+    assert df.count() == 2
+
+
+def test_notification_flatten(spark, warehouse):
+    # T-E2E:451-519 — FLATTEN: 2 rows; measure* columns; cell values
+    _fixture_or_skip()
+    cfg = IngestConfig(export_mode=FLATTEN)
+    ingest_batch(
+        _changelog(spark, "entity-notification.jsonld"), cfg, warehouse, "e1"
+    )
+    df = _read(spark, warehouse, "public", "distribution")
+    expected = {
+        "entityid", "entitytype", "measure", "measure_citation",
+        "measure_datasetid", "measure_depthsampling",
+        "measure_ispartofprogram", "measure_observedat",
+        "measure_parametername", "measure_qualitydescription",
+        "measure_qualitylevel", "measure_sampledescription",
+        "measure_unitcode", "recvtime", "sextantcode", "servesdataset",
+        "servesdataset_catalog", "servesdataset_description",
+        "servesdataset_group", "servesdataset_includedparameters",
+        "servesdataset_landingpage", "servesdataset_specificaccesspolicy",
+        "servesdataset_subtheme", "servesdataset_title",
+        "servesdataset_ispublishedby", "stationcode",
+        "specificaccesspolicy", "title",
+    }
+    assert set(df.columns) == expected
+    rows = df.collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["stationcode"] == "104-P-006"
+        assert (
+            r["servesdataset_title"]
+            == "Surveillance littorale (Microbiologie - Microbiologie/Bactéries tests)"
+        )
+        assert r["measure_parametername"] == "faecalcoliform"
+    assert {r["measure"] for r in rows} == {24.0, 55.0}
+    assert {r["measure_datasetid"] for r in rows} == {
+        "urn:ngsi-ld:dataset:k63:halfbottom",
+        "urn:ngsi-ld:dataset:k63:0to1meter",
+    }
+
+
+def test_notification_semi_flatten(spark, warehouse):
+    # T-E2E:521-588 — SEMI_FLATTEN: 2 rows, faecalcoliform_datasetid col
+    _fixture_or_skip()
+    cfg = IngestConfig(export_mode=SEMI_FLATTEN)
+    ingest_batch(
+        _changelog(spark, "entity-notification.jsonld"), cfg, warehouse, "e1"
+    )
+    df = _read(spark, warehouse, "public", "distribution")
+    expected = {
+        "entityid", "entitytype", "faecalcoliform", "faecalcoliform_citation",
+        "faecalcoliform_datasetid", "faecalcoliform_depthsampling",
+        "faecalcoliform_ispartofprogram", "faecalcoliform_qualitydescription",
+        "faecalcoliform_qualitylevel", "faecalcoliform_sampledescription",
+        "faecalcoliform_unitcode", "observedat", "recvtime", "sextantcode",
+        "servesdataset", "servesdataset_catalog", "servesdataset_description",
+        "servesdataset_group", "servesdataset_includedparameters",
+        "servesdataset_ispublishedby", "servesdataset_landingpage",
+        "servesdataset_specificaccesspolicy", "servesdataset_subtheme",
+        "servesdataset_title", "stationcode", "specificaccesspolicy", "title",
+    }
+    assert set(df.columns) == expected
+    rows = df.collect()
+    assert len(rows) == 2
+    assert all(r["stationcode"] == "104-P-006" for r in rows)
+
+
+TEMPORAL_COLUMNS = {
+    # T-E2E:599-627 (27 columns)
+    "accessurl", "entityid", "entitytype", "faecalcoliform",
+    "faecalcoliform_unitcode", "faecalenterococcus",
+    "faecalenterococcus_unitcode", "lastmodifiedat", "location",
+    "location_geojson", "location_geometry", "location_lat", "location_lon",
+    "observedat", "recvtime", "servesdataset", "servesdataset_catalog",
+    "servesdataset_description", "servesdataset_includedparameters",
+    "servesdataset_landingpage", "servesdataset_theme", "servesdataset_title",
+    "specificaccesspolicy", "stationcode", "status", "temporalresolution",
+    "title",
+}
+
+
+def test_temporal_default_export(spark, warehouse):
+    # T-E2E:590-636 — EXPANDED: 2 rows (2 distinct observedAt), 27 columns
+    _fixture_or_skip()
+    cfg = IngestConfig(export_mode=EXPANDED)
+    ingest_batch(_changelog(spark, "entity-temporal.jsonld"), cfg, warehouse, "e1")
+    df = _read(spark, warehouse, "public", "distribution")
+    assert set(df.columns) == TEMPORAL_COLUMNS
+    rows = {str(r["observedat"]): r for r in df.collect()}
+    assert len(rows) == 2
+    nov = rows["2022-11-07 00:00:00"]
+    assert nov["faecalcoliform"] == 9800.0
+    assert nov["faecalenterococcus"] == 7500.0
+    assert nov["location_lon"] == 3.536632
+    assert nov["location_lat"] == 43.363106
+    oct_ = rows["2022-10-03 00:00:00"]
+    assert oct_["faecalcoliform"] == 140.0
+    assert oct_["faecalenterococcus"] == 210.0
+
+
+def test_temporal_sysattrs_45_columns(spark, warehouse):
+    # T-E2E:638-705 — EXPORT_SYSATTRS: 45 columns
+    _fixture_or_skip()
+    cfg = IngestConfig(export_mode=EXPANDED, export_sysattrs=True)
+    ingest_batch(_changelog(spark, "entity-temporal.jsonld"), cfg, warehouse, "e1")
+    df = _read(spark, warehouse, "public", "distribution")
+    assert len(df.columns) == 45
+    for col in (
+        "accessurl_createdat", "accessurl_modifiedat", "location_createdat",
+        "servesdataset_createdat", "title_createdat", "title_modifiedat",
+    ):
+        assert col in df.columns
+    assert df.count() == 2
+
+
+def test_temporal_ignored_attributes(spark, warehouse):
+    # T-E2E:707-745 — ignored servesdataset,unitcode: 18 columns, 2 rows
+    _fixture_or_skip()
+    cfg = IngestConfig(
+        export_mode=EXPANDED, ignored_attributes="servesdataset,unitcode"
+    )
+    ingest_batch(_changelog(spark, "entity-temporal.jsonld"), cfg, warehouse, "e1")
+    df = _read(spark, warehouse, "public", "distribution")
+    assert len(df.columns) == 18
+    assert not any("servesdataset" in c or "unitcode" in c for c in df.columns)
+    assert df.count() == 2
+
+
+def test_temporal_flatten_4_rows(spark, warehouse):
+    # T-E2E:748-814 — FLATTEN: 4 rows; measure_* columns; cell values
+    _fixture_or_skip()
+    cfg = IngestConfig(export_mode=FLATTEN)
+    ingest_batch(_changelog(spark, "entity-temporal.jsonld"), cfg, warehouse, "e1")
+    df = _read(spark, warehouse, "public", "distribution")
+    rows = df.collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["stationcode"] == "P6"
+        assert r["servesdataset_title"] == "Microbiologie DREAL - SMBT"
+    assert {r["measure_parametername"] for r in rows} == {
+        "faecalcoliform", "faecalenterococcus",
+    }
+
+
+def test_temporal_semi_flatten_14_rows(spark, warehouse):
+    # T-E2E:816-850 — SEMI_FLATTEN multi-attributes: 14 rows, 14 columns
+    _fixture_or_skip()
+    cfg = IngestConfig(export_mode=SEMI_FLATTEN)
+    ingest_batch(
+        _changelog(spark, "entity-temporal-multi-attributes.jsonld"),
+        cfg, warehouse, "e1",
+    )
+    df = _read(spark, warehouse, "public", "distribution")
+    expected = {
+        "belongsto", "entityid", "entitytype", "name", "observedat",
+        "recvtime", "simpleattribute", "simpleattribute_datasetid",
+        "surface", "surface_unitcode", "valvenumber", "wateringprogram",
+        "wateringprogram_datasetid", "wateringprogram_unitcode",
+    }
+    assert set(df.columns) == expected
+    assert df.count() == 14
+
+
+def test_schema_name_too_long_routes_to_error(spark, warehouse):
+    # T-E2E:853-869 — schema name >63 chars routes to failure channel
+    _fixture_or_skip()
+    cfg = IngestConfig(export_mode=EXPANDED, ignore_empty_observed_at=False)
+    repo = "tooLoooooooooooooooooooooooooooooooooooooooooooooooooooooooooooooooooooooongSchema"
+    lineage = ingest_batch(
+        _changelog(spark, "entity-current.jsonld", repo=repo),
+        cfg, warehouse, "e1",
+    )
+    assert lineage["errors"] == 1
+    assert lineage["tables"] == {}
+    errs = spark.read.parquet(f"{warehouse}/_errors").collect()
+    assert "greater than 63" in errs[0]["error"]
