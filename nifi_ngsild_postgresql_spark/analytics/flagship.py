@@ -1,0 +1,75 @@
+"""Flagship oracle-checked query: the FULL CDC engine end-to-end.
+
+``q_cdc_ingest_upsert`` maps the driver's ``events`` table into an NGSI-LD
+change-event log (sources/changelog.py — pure JVM payload construction),
+runs the complete pipeline (mapInPandas flatten → schema inference/
+reconciliation → wide projection → last-writer-wins dedup → bucketed lake
+MERGE with epoch commit) and returns the final ``useractivity`` table.
+
+The DuckDB oracle reproduces the expected final state directly from the
+events table: one row per (user, millisecond-truncated ts) where the
+newest (ts, event_id) event wins, EXPANDED-pivoted into
+``action_<event_type>`` / ``score_<event_type>`` columns with the shared
+``observedat`` column, JsonProperty props canonicalized — i.e. the exact
+semantics the reference's flattening + our north-rule MERGE must produce.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import IngestConfig
+from ..session import ship_package
+from ..sources.changelog import changelog_from_events
+from ..plans.lake import LakeCatalog
+from ..streaming.pipeline import ingest_batch
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_cdc_ingest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ship_package(spark)
+    warehouse = tempfile.mkdtemp(prefix="ngsild_flagship_wh_")
+    changelog = changelog_from_events(spark, sf_dir)
+    cfg = IngestConfig(write_mode="upsert")
+    ingest_batch(changelog, cfg, warehouse, epoch_id="flagship-0")
+    table = LakeCatalog(warehouse).table("analytics", "useractivity")
+    df = table.read(spark)
+    # stable column order for the comparator (it sorts by name anyway)
+    return df.select(*sorted(df.columns))
+
+
+def _oracle_cdc() -> str:
+    action_cols = ",\n       ".join(
+        f"CASE WHEN event_type = '{t}' THEN event_type END AS action_{t}"
+        for t in EVENT_TYPES
+    )
+    score_cols = ",\n       ".join(
+        f"CASE WHEN event_type = '{t}' THEN value END AS score_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+WITH ranked AS (
+  SELECT *,
+         date_trunc('milliseconds', ts) AS mts,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, date_trunc('milliseconds', ts)
+           ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT {action_cols},
+       'urn:ngsi-ld:UserActivity:' || CAST(user_id AS VARCHAR) AS entityid,
+       'UserActivity' AS entitytype,
+       mts AS observedat,
+       '{{"k":"' || json_extract_string(props, '$.k') || '"}}' AS props,
+       mts AS recvtime,
+       {score_cols}
+FROM ranked
+WHERE rn = 1
+"""
+
+
+SQL_CDC_INGEST_UPSERT = _oracle_cdc()

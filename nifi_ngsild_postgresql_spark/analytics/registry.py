@@ -1,0 +1,54 @@
+"""Registry binding query names → (spark_fn, oracle_sql | None).
+
+Names map 1:1 onto the operator inventory in SURVEY.md §2; queries with
+``oracle=None`` are genuinely non-SQL-expressible (custom stateful /
+Spark-specific plumbing) and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from . import suite
+from .flagship import SQL_CDC_INGEST_UPSERT, q_cdc_ingest_upsert
+
+
+REGISTRY: dict[str, tuple] = {
+    # --- CDC / relational operator analogs (SURVEY §2.1-2.5) ---
+    "scan_filter_project": (suite.q_scan_filter_project, suite.SQL_SCAN_FILTER_PROJECT),
+    "null_filter": (suite.q_null_filter, suite.SQL_NULL_FILTER),
+    "type_ladder": (suite.q_type_ladder, suite.SQL_TYPE_LADDER),
+    "group_agg": (suite.q_group_agg, suite.SQL_GROUP_AGG),
+    "sort_topk": (suite.q_sort_topk, suite.SQL_SORT_TOPK),
+    "min_per_key": (suite.q_min_per_key, suite.SQL_MIN_PER_KEY),
+    "static_broadcast_join": (
+        suite.q_static_broadcast_join,
+        suite.SQL_STATIC_BROADCAST_JOIN,
+    ),
+    "pivot_expanded": (suite.q_pivot_expanded, suite.SQL_PIVOT_EXPANDED),
+    "explode_instances": (suite.q_explode_instances, suite.SQL_EXPLODE_INSTANCES),
+    "lww_dedup": (suite.q_lww_dedup, suite.SQL_LWW_DEDUP),
+    "anti_join_diff": (suite.q_anti_join_diff, suite.SQL_ANTI_JOIN_DIFF),
+    "encode_identifiers": (suite.q_encode_identifiers, suite.SQL_ENCODE_IDENTIFIERS),
+    "windowed_microbatch": (
+        suite.q_windowed_microbatch,
+        suite.SQL_WINDOWED_MICROBATCH,
+    ),
+    # --- the engine itself, oracle-checked end-to-end ---
+    "cdc_ingest_upsert": (q_cdc_ingest_upsert, SQL_CDC_INGEST_UPSERT),
+    # --- training-data pipeline ops ---
+    "dedup_exact": (suite.q_dedup_exact, suite.SQL_DEDUP_EXACT),
+    "fingerprint": (suite.q_fingerprint, suite.SQL_FINGERPRINT),
+    "minhash_bands": (suite.q_minhash_bands, suite.SQL_MINHASH_BANDS),
+    "ngram_jaccard": (suite.q_ngram_jaccard, suite.SQL_NGRAM_JACCARD),
+    "langid": (suite.q_langid, suite.SQL_LANGID),
+    "quality_score": (suite.q_quality_score, suite.SQL_QUALITY_SCORE),
+    "token_count": (suite.q_token_count, suite.SQL_TOKEN_COUNT),
+    "ann_cosine_topk": (suite.q_ann_cosine_topk, suite.SQL_ANN_COSINE_TOPK),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

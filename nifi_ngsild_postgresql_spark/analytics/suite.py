@@ -1,0 +1,712 @@
+"""Driver-contract query suite: one entry per operator family of
+SURVEY.md §2 (plus the large-scale training-data ops), each as a
+(spark_fn, oracle_sql) pair. The oracle SQL is ANSI DuckDB-compatible and
+runs over the same parquet tables; the driver compares row count, schema
+and an order-insensitive value hash, so every computed column is aliased
+identically on both sides.
+
+Determinism rules used throughout (so value hashes match bit-for-bit):
+- money/quantity aggregates: cast to DECIMAL *before* SUM (exact, order-free)
+- per-row float math: identical IEEE scalar expressions on both sides
+- no AVG over doubles in oracle-checked queries (summation-order-dependent)
+- every result column aliased the same in Spark and SQL
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+# tiny embedded stopword list shared by the Spark and SQL sides
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "value"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# relational / CDC-analog operators
+# --------------------------------------------------------------------------
+
+def q_scan_filter_project(spark, sf_dir):
+    """S1/P8 — scan with predicate pushdown + column pruning.
+    Reference: FlowFile source NgsiLdUtils.java:30-40 + ignored-attributes
+    filter NgsiLdToPostgreSQL.java:137-144."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1998-01-01")
+            & (F.col("l_shipdate") < "1998-04-01")
+            & (F.col("l_discount") > 0.05)
+        )
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+
+
+SQL_SCAN_FILTER_PROJECT = """
+SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1998-04-01'
+  AND l_discount > 0.05
+"""
+
+
+def q_null_filter(spark, sf_dir):
+    """P6 — null-attribute filter (NgsiLdUtils.java:226-231)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value").isNotNull() & F.col("props").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_NULL_FILTER = """
+SELECT event_type, count(*) AS n
+FROM events
+WHERE value IS NOT NULL AND props IS NOT NULL
+GROUP BY event_type
+"""
+
+_TYPE_CASES_SQL = """
+CASE
+  WHEN regexp_matches(s, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') THEN 'DATE'
+  WHEN regexp_matches(s, '^[0-9]{2}:[0-9]{2}(:[0-9]{2})?Z?$') THEN 'TIMETZ'
+  WHEN regexp_matches(s, '^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}Z?$') THEN 'TIMESTAMPTZ'
+  WHEN regexp_matches(s, '^-?[0-9]+(\\.[0-9]+)?$') THEN 'NUMERIC'
+  ELSE 'TEXT'
+END
+"""
+
+
+def q_type_ladder(spark, sf_dir):
+    """C5 — the DATE/TIMETZ/TIMESTAMPTZ/NUMERIC/TEXT inference ladder
+    (PostgreSQLTransformer.java:64-89, 509-534) applied to derived strings."""
+    ev = _t(spark, sf_dir, "events")
+    probes = ev.select(
+        F.explode(
+            F.array(
+                F.date_format("ts", "yyyy-MM-dd"),
+                F.col("value").cast("string"),
+                F.col("event_type"),
+                F.date_format("ts", "HH:mm:ss"),
+            )
+        ).alias("s")
+    )
+    cls = F.expr(
+        """
+        CASE
+          WHEN s rlike '^[0-9]{4}-[0-9]{2}-[0-9]{2}$' THEN 'DATE'
+          WHEN s rlike '^[0-9]{2}:[0-9]{2}(:[0-9]{2})?Z?$' THEN 'TIMETZ'
+          WHEN s rlike '^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}Z?$' THEN 'TIMESTAMPTZ'
+          WHEN s rlike '^-?[0-9]+(\\\\.[0-9]+)?$' THEN 'NUMERIC'
+          ELSE 'TEXT'
+        END
+        """
+    )
+    return probes.select(cls.alias("cls")).groupBy("cls").agg(
+        F.count("*").alias("n")
+    )
+
+
+SQL_TYPE_LADDER = f"""
+SELECT {_TYPE_CASES_SQL} AS cls, count(*) AS n
+FROM (
+  SELECT unnest([
+    strftime(ts, '%Y-%m-%d'),
+    CAST(value AS VARCHAR),
+    event_type,
+    strftime(ts, '%H:%M:%S')
+  ]) AS s
+  FROM events
+)
+GROUP BY 1
+"""
+
+
+def q_group_agg(spark, sf_dir):
+    """R1 + aggregation — hash group-by with map-side partial aggregation
+    (reference groupingBy observedAt, PostgreSQLTransformer.java:162-164).
+    TPC-H Q1 shape; DECIMAL casts before SUM keep it order-free exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_GROUP_AGG = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
+       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_sort_topk(spark, sf_dir):
+    """R2 — timestamp sort / top-k with deterministic tiebreak
+    (reference sorts observed timestamps, XFORM:165-168)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+SQL_SORT_TOPK = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_min_per_key(spark, sf_dir):
+    """R4 — oldest-timestamp resolution per entity (XFORM:175-182)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("oldest_ts"), F.count("*").alias("n_events")
+    )
+
+
+SQL_MIN_PER_KEY = """
+SELECT user_id, MIN(ts) AS oldest_ts, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_static_broadcast_join(spark, sf_dir):
+    """R3 — static-attribute denormalization as a broadcast join: small
+    dims (customer, nation) broadcast onto the fact side — no shuffle of
+    orders (reference injects static attrs into every row, XFORM:170-206)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+            "c_name",
+            "n_name",
+        )
+    )
+
+
+SQL_STATIC_BROADCAST_JOIN = """
+SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total, c_name, n_name
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def q_pivot_expanded(spark, sf_dir):
+    """R5 — EXPANDED pivot: one row per key, one column per attribute
+    (XFORM:210-216). Explicit pivot values keep the plan single-pass."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+SQL_PIVOT_EXPANDED = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_explode_instances(spark, sf_dir):
+    """R6/P1 — multi-instance explode (row per attribute instance,
+    XFORM:217-227; array-valued attributes NgsiLdUtils.java:57-65)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+SQL_EXPLODE_INSTANCES = """
+SELECT token, COUNT(*) AS n
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
+def q_lww_dedup(spark, sf_dir):
+    """North rule — last-writer-wins dedup keyed (entity, attribute):
+    newest (ts, event_id) wins. Spark side uses groupBy+max_by so partial
+    aggregation absorbs hot keys map-side (operators/dedup.py); the oracle
+    uses the equivalent ANSI window."""
+    ev = _t(spark, sf_dir, "events")
+    payload = F.struct("ts", "value")
+    order = F.struct("ts", "event_id")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.max_by(payload, order).alias("r"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("r.ts").alias("last_ts"),
+            F.col("r.value").alias("last_value"),
+        )
+    )
+
+
+SQL_LWW_DEDUP = """
+SELECT user_id, event_type, ts AS last_ts, value AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+def q_anti_join_diff(spark, sf_dir):
+    """C7 — new-column diff as a set difference (anti-join): keys present
+    on one side only (getNewColumns, XFORM:474-488)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers_without_orders"))
+    )
+
+
+SQL_ANTI_JOIN_DIFF = """
+SELECT c_nationkey, COUNT(*) AS n_customers_without_orders
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_nationkey
+"""
+
+
+def q_encode_identifiers(spark, sf_dir):
+    """C2 — PostgreSQL identifier encoding (PostgreSQLUtils.java:15-17):
+    non-alphanumerics to '_', lowercase, 63-char truncation."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring(
+            F.lower(F.regexp_replace("p_name", "[^a-zA-Z0-9]", "_")), 1, 63
+        ).alias("encoded_name"),
+    )
+
+
+SQL_ENCODE_IDENTIFIERS = """
+SELECT p_partkey,
+       substr(lower(regexp_replace(p_name, '[^a-zA-Z0-9]', '_', 'g')), 1, 63)
+         AS encoded_name
+FROM part
+"""
+
+
+def q_windowed_microbatch(spark, sf_dir):
+    """S2 — micro-batch/tumbling-window grouping (event-time hourly
+    windows; the streaming path uses the same expression)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+    )
+
+
+SQL_WINDOWED_MICROBATCH = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline operators (SURVEY-mandated additions)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via content hash: cluster-size distribution."""
+    d = _t(spark, sf_dir, "documents")
+    clusters = d.groupBy(F.md5("text").alias("fp")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT cluster_size, COUNT(*) AS n_clusters
+FROM (
+  SELECT md5(text) AS fp, COUNT(*) AS cluster_size
+  FROM documents GROUP BY md5(text)
+)
+GROUP BY cluster_size
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 over whitespace-normalized lowercase
+    text (rolling-hash analog, deterministic on both engines)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", "\\s+", " "))).alias("fingerprint"),
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def _spark_tokens(d):
+    return d.select(
+        "doc_id", "lang",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("toks"),
+    )
+
+
+def q_minhash_bands(spark, sf_dir):
+    """MinHash+LSH banding: per-doc signature = min(md5(salt||token-3-shingle))
+    for 4 salted hash families; docs sharing a full band are near-dup
+    candidates (shingle→minhash→band→bucket-join). Returns candidate pairs."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "i", "tok"
+        ),
+    )
+    t1, t2, t3 = [toks.alias(a) for a in ("t1", "t2", "t3")]
+    sh = (
+        t1.join(t2, (F.col("t1.doc_id") == F.col("t2.doc_id")) & (F.col("t2.i") == F.col("t1.i") + 1))
+        .join(t3, (F.col("t1.doc_id") == F.col("t3.doc_id")) & (F.col("t3.i") == F.col("t1.i") + 2))
+        .select(
+            F.col("t1.doc_id").alias("doc_id"),
+            F.concat_ws(" ", "t1.tok", "t2.tok", "t3.tok").alias("shingle"),
+        )
+        .distinct()
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"s{k}|"), F.col("shingle")))).alias(f"h{k}")
+            for k in range(4)
+        ]
+    )
+    band = sig.select(
+        "doc_id", F.md5(F.concat_ws("|", "h0", "h1", "h2", "h3")).alias("band")
+    )
+    a, b = band.alias("a"), band.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+
+
+SQL_MINHASH_BANDS = """
+WITH toks AS (
+  SELECT doc_id, tok, i
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok,
+           generate_subscripts(list_filter(string_split(text, ' '), t -> t <> ''), 1) AS i
+    FROM documents
+  )
+), sh AS (
+  SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+  FROM toks t1
+  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+  JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2
+), sig AS (
+  SELECT doc_id,
+         MIN(md5('s0|' || shingle)) AS h0, MIN(md5('s1|' || shingle)) AS h1,
+         MIN(md5('s2|' || shingle)) AS h2, MIN(md5('s3|' || shingle)) AS h3
+  FROM sh GROUP BY doc_id
+), band AS (
+  SELECT doc_id, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band FROM sig
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM band a JOIN band b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+# Spark's posexplode is 0-based, DuckDB generate_subscripts is 1-based —
+# irrelevant here because only i-to-i+1 adjacency is used.
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """N-gram Jaccard near-dup: pairwise Jaccard over distinct 3-shingle
+    sets for candidate pairs sharing at least one shingle; pairs >= 0.8."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "i", "tok"
+        ),
+    )
+    t1, t2, t3 = [toks.alias(a) for a in ("t1", "t2", "t3")]
+    sh = (
+        t1.join(t2, (F.col("t1.doc_id") == F.col("t2.doc_id")) & (F.col("t2.i") == F.col("t1.i") + 1))
+        .join(t3, (F.col("t1.doc_id") == F.col("t3.doc_id")) & (F.col("t3.i") == F.col("t1.i") + 2))
+        .select(
+            F.col("t1.doc_id").alias("doc_id"),
+            F.concat_ws(" ", "t1.tok", "t2.tok", "t3.tok").alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    jac = (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            (
+                F.col("inter")
+                / (F.col("sza") + F.col("szb") - F.col("inter"))
+            ).cast("decimal(9,6)"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return jac
+
+
+SQL_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, tok, i
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok,
+           generate_subscripts(list_filter(string_split(text, ' '), t -> t <> ''), 1) AS i
+    FROM documents
+  )
+), sh AS (
+  SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+  FROM toks t1
+  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+  JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(inter / (sa.sz + sb.sz - inter) AS DECIMAL(9,6)) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+"""
+
+
+def q_langid(spark, sf_dir):
+    """Language-ID heuristic (stopword-ratio) vs labeled lang — confusion
+    counts per (lang, guess)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("toks"),
+    )
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    scored = toks.select(
+        "lang",
+        (
+            F.size(F.array_intersect(F.array_distinct("toks"), sw))
+            / F.greatest(F.size(F.array_distinct("toks")), F.lit(1))
+        ).alias("ratio"),
+    )
+    return (
+        scored.select(
+            "lang",
+            F.when(F.col("ratio") >= 0.08, F.lit("en")).otherwise("other").alias(
+                "guess"
+            ),
+        )
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_SW_SQL = "[" + ",".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+SQL_LANGID = f"""
+WITH scored AS (
+  SELECT lang,
+         len(list_intersect(
+             list_distinct(list_filter(string_split(text,' '), t -> t <> '')),
+             {_SW_SQL}))
+         / greatest(len(list_distinct(list_filter(string_split(text,' '), t -> t <> ''))), 1)
+           AS ratio
+  FROM documents
+)
+SELECT lang, CASE WHEN ratio >= 0.08 THEN 'en' ELSE 'other' END AS guess,
+       COUNT(*) AS n
+FROM scored GROUP BY 1, 2
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Text quality features: token count, char count, mean token length
+    (exact decimal), punctuation count."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        (
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast(
+                "decimal(18,6)"
+            )
+            / F.greatest(F.size(toks), F.lit(1))
+        ).cast("decimal(18,6)").alias("mean_token_len"),
+        F.length(F.regexp_replace("text", "[^.!?,;:]", "")).alias("n_punct"),
+    )
+
+
+SQL_QUALITY_SCORE = """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+       length(text) AS n_chars_actual,
+       CAST(CAST(list_sum(list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                t -> length(t))) AS DECIMAL(18,6))
+            / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1)
+            AS DECIMAL(18,6)) AS mean_token_len,
+       length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
+FROM documents
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting with a BPE-ish regex (letter runs / digit runs /
+    single punctuation), aggregated per source."""
+    d = _t(spark, sf_dir, "documents")
+    pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+    return (
+        d.select(
+            "source",
+            # pattern passed as a Column literal so Spark SQL string
+            # escaping can't eat the \s
+            F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("toks"),
+        )
+        .groupBy("source")
+        .agg(F.sum("toks").alias("total_tokens"), F.count("*").alias("n_docs"))
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT source,
+       SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS total_tokens,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY source
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k over the embedding column vs the query
+    vector (vec_id 0) — the ANN correctness baseline. Dot/norm in doubles
+    with fixed left-to-right fold on both engines."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qvec", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            "qvec", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return (
+        joined.select(
+            "vec_id", (dot / (na * nb)).cast("decimal(12,8)").alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(
+         list_sum(list_transform(list_zip(embedding, qvec),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         AS DECIMAL(12,8)) AS cosine
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
