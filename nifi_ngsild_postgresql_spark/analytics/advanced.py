@@ -1,0 +1,277 @@
+"""Non-SQL-expressible training-data operators (rows-only driver check;
+correctness pinned by pytest against in-Spark brute-force baselines).
+
+- SimHash near-dup     : 64-bit simhash over token md5s, Hamming buckets
+- LSH ANN              : random-hyperplane signature bucketing, cosine
+                         re-rank inside buckets (the scale path; the
+                         brute-force baseline is analytics/suite.py's
+                         q_ann_cosine_topk)
+- Embedding near-dup   : cosine >= threshold pairs via LSH candidate
+                         generation (embedding-cosine near-dup family)
+- Multimodal plumbing  : opaque binary column + typed metadata +
+                         mapInPandas decode/feature-extract stage (decode
+                         itself STUBBED deterministically — media codecs
+                         are not in this container; the Spark-side
+                         schema/partitioning/batching is real)
+
+Design notes (100 TB): every operator is a composition of narrow maps +
+key-bucketed joins. Candidate generation always goes through a bucket
+key (simhash band / hyperplane signature) so the pairwise stage never
+sees a cross join; bucket skew is bounded by band width.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def _simhash64(tokens: list[str]) -> int:
+    acc = [0] * 64
+    for tok in tokens:
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        for b in range(64):
+            acc[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if acc[b] > 0:
+            out |= 1 << b
+    return out - (1 << 63)  # two's-complement into signed int64
+
+
+def _simhash_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        sigs = [
+            _simhash64([t for t in text.split(" ") if t])
+            for text in pdf["text"].values
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "simhash": sigs})
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: docs whose 64-bit simhash agrees on
+    all four 16-bit bands after per-band bucketing, re-ranked by Hamming
+    distance <= 8. Banding makes the join key-partitioned (no cross join)."""
+    d = _t(spark, sf_dir, "documents")
+    sig = d.mapInPandas(_simhash_partition, "doc_id long, simhash long")
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(i)),
+                        (F.shiftrightunsigned("simhash", 16 * i) % (1 << 16)).cast(
+                            "string"
+                        ),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("ha ^ hb"))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 8)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH ANN over embeddings
+# --------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 13) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 (no RNG state)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            v = int.from_bytes(h[:8], "big") / float(1 << 63) - 1.0
+            row.append(v)
+        planes.append(row)
+    return planes
+
+
+def _lsh_signature_expr(dim: int, n_planes: int):
+    planes = _hyperplanes(dim, n_planes)
+    bits = []
+    for row in planes:
+        weights = F.array(*[F.lit(w) for w in row])
+        dot = F.aggregate(
+            F.zip_with("embedding", weights, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _cosine(col_a: str, col_b: str):
+    dot = F.aggregate(
+        F.zip_with(col_a, col_b, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(col_a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(col_b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str, k: int = 10, n_planes: int = 8) -> DataFrame:
+    """ANN top-k for the query vector (vec_id 0) via random-hyperplane LSH.
+
+    Scale path: candidate set ≈ n·(1-θ/π)^b — near-duplicates (small angle
+    θ) collide with high probability, unrelated vectors are pruned. NOTE:
+    on *uniform random* embeddings (near-orthogonal to any query) recall
+    vs exact top-k is intentionally low — LSH answers "find near
+    duplicates", not "rank weak similarities"; the brute-force baseline
+    (suite.q_ann_cosine_topk) is the exact-ranking path."""
+    return ann_lsh_topk_df(_t(spark, sf_dir, "embeddings"), k, n_planes)
+
+
+def ann_lsh_topk_df(e: DataFrame, k: int = 10, n_planes: int = 8) -> DataFrame:
+    dim = len(e.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    sig = e.withColumn("sig", _lsh_signature_expr(dim, n_planes))
+    q = sig.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), F.col("sig").alias("qsig")
+    )
+    joined = sig.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    # multi-probe: accept signatures within Hamming distance 1
+    ham = F.aggregate(
+        F.zip_with(
+            F.split("sig", ""), F.split("qsig", ""),
+            lambda a, b: F.when(a != b, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    cand = joined.withColumn("ham", ham).filter(F.col("ham") <= 1)
+    return (
+        cand.select(
+            "vec_id", _cosine("embedding", "qvec").cast("decimal(12,8)").alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH signature as the bucket key,
+    exact cosine >= threshold inside buckets."""
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    sig = e.withColumn("sig", _lsh_signature_expr(dim, 6))
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = a.join(
+        b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.embedding").alias("ea"),
+        F.col("b.embedding").alias("eb"),
+    )
+    return (
+        cand.withColumn("cosine", _cosine("ea", "eb").cast("decimal(12,8)"))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+MEDIA_SCHEMA = (
+    "media_id long, payload binary, mime string, width int, height int,"
+    " n_frames int, source string"
+)
+FEATURE_SCHEMA = (
+    "media_id long, mime string, n_bytes int, sha256 string,"
+    " feature array<float>, decode_status string"
+)
+
+
+def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary column + typed metadata (the multimodal table shape):
+    documents' text bytes stand in for encoded media payloads."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime"),
+        (F.col("doc_id") % 640 + 32).cast("int").alias("width"),
+        (F.col("doc_id") % 480 + 32).cast("int").alias("height"),
+        (F.col("doc_id") % 120 + 1).cast("int").alias("n_frames"),
+        "source",
+    )
+
+
+def _decode_stub(payload: bytes, mime: str) -> list[float]:
+    """STUB decode/feature-extract: media codecs are not available in this
+    container. Deterministic fake features derived from the payload hash —
+    the Arrow batch shape, schema, and partitioning are the real thing;
+    swap this function for a real decoder (PIL/ffmpeg) in production."""
+    digest = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in digest[:8]]
+
+
+def _media_features_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out = {
+            "media_id": pdf["media_id"].values,
+            "mime": pdf["mime"].values,
+            "n_bytes": [len(p) for p in pdf["payload"].values],
+            "sha256": [
+                hashlib.sha256(p).hexdigest() for p in pdf["payload"].values
+            ],
+            "feature": [
+                _decode_stub(p, m)
+                for p, m in zip(pdf["payload"].values, pdf["mime"].values)
+            ],
+            "decode_status": ["stubbed"] * len(pdf),
+        }
+        yield pd.DataFrame(out)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode / feature-extract over binary media via mapInPandas (Arrow
+    batches; decode stubbed — see _decode_stub)."""
+    media = build_media_table(spark, sf_dir)
+    return media.select("media_id", "payload", "mime").mapInPandas(
+        _media_features_partition, FEATURE_SCHEMA
+    )

@@ -7,7 +7,7 @@ Spark-specific plumbing) and get the driver's rows-only check.
 
 from __future__ import annotations
 
-from . import suite
+from . import advanced, suite
 from .flagship import SQL_CDC_INGEST_UPSERT, q_cdc_ingest_upsert
 
 
@@ -43,6 +43,12 @@ REGISTRY: dict[str, tuple] = {
     "quality_score": (suite.q_quality_score, suite.SQL_QUALITY_SCORE),
     "token_count": (suite.q_token_count, suite.SQL_TOKEN_COUNT),
     "ann_cosine_topk": (suite.q_ann_cosine_topk, suite.SQL_ANN_COSINE_TOPK),
+    # --- non-SQL-expressible ops: rows-only driver check; correctness is
+    # pinned by pytest against in-Spark brute-force baselines ---
+    "simhash_neardup": (advanced.q_simhash_neardup, None),
+    "ann_lsh_topk": (advanced.q_ann_lsh_topk, None),
+    "embedding_neardup": (advanced.q_embedding_neardup, None),
+    "multimodal_features": (advanced.q_multimodal_features, None),
 }
 
 

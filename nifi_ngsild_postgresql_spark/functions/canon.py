@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 from datetime import datetime, timezone
+from functools import lru_cache
 
 CELL_NUM = "n"  # value was a JSON number (Java `instanceof Number`)
 CELL_STR = "s"  # everything rendered as text
@@ -55,6 +56,7 @@ def canon_scalar(value: object) -> str:
     return str(value)
 
 
+@lru_cache(maxsize=1 << 12)
 def iso_instant_from_epoch_ms(epoch_ms: int) -> str:
     """``DateTimeFormatter.ISO_INSTANT.format(Instant.ofEpochMilli(t))`` —
     fractional seconds emitted only when non-zero (XFORM:180, 266-268)."""
@@ -74,6 +76,7 @@ def encode_cell(tag: str, text: str) -> str:
     return tag + ":" + text
 
 
+@lru_cache(maxsize=1 << 12)
 def parse_epoch_seconds(iso: str) -> float:
     """``ZonedDateTime.parse(s).toEpochSecond()`` equivalent (whole seconds,
     fraction dropped) used for the createdAt clamp (XFORM:307-315)."""

@@ -13,6 +13,7 @@ Reference: PostgreSQLUtils.java:9-31, PostgreSQLTransformer.java:35-36,
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 # PostgreSQLConstants.java:6 — max identifier length (PostgreSQL lexer limit)
 MAX_NAME_LEN = 63
@@ -38,10 +39,12 @@ _UUID_RE = re.compile(
 )
 
 
+@lru_cache(maxsize=1 << 16)
 def encode_pg(name: str) -> str:
     """Replace every non-alphanumeric char with '_' and lowercase.
 
     Reference: PostgreSQLUtils.encodePostgreSQL, PostgreSQLUtils.java:15-17.
+    (Memoized: attribute/dataset names repeat across events; pure function.)
     """
     return _NON_ALNUM.sub("_", name).lower()
 
@@ -62,6 +65,7 @@ def truncate_to_max_pg_size(name: str) -> str:
     return truncate_to_size(name, MAX_NAME_LEN)
 
 
+@lru_cache(maxsize=1 << 16)
 def encode_attribute_column(
     attr_name: str, dataset_id: str, dataset_id_prefix_to_truncate: str
 ) -> str:
@@ -91,6 +95,7 @@ def encode_attribute_column(
     return truncate_to_max_pg_size(encode_pg(attr_name) + suffix).lower()
 
 
+@lru_cache(maxsize=1 << 16)
 def encode_time_property_column(encoded_attr_name: str, time_property: str) -> str:
     """Shared single ``observedat`` column, except the FLATTEN generic
     ``measure`` attribute which gets ``measure_observedat``; sysattrs get
@@ -105,6 +110,7 @@ def encode_time_property_column(encoded_attr_name: str, time_property: str) -> s
     return truncate_to_max_pg_size(encoded).lower()
 
 
+@lru_cache(maxsize=1 << 16)
 def encode_sub_attribute_column(
     attr_name: str,
     dataset_id: str,

@@ -1,0 +1,113 @@
+"""spark-submit entry point.
+
+Usage (cluster):
+    spark-submit --py-files ngsild_pkg.zip -m nifi_ngsild_postgresql_spark.job \
+        ingest --changelog s3://…/changelog --warehouse s3://…/wh \
+        --checkpoint s3://…/ckpt --mode upsert [--stream]
+
+    python -m nifi_ngsild_postgresql_spark.job generate --out /tmp/log \
+        --events 1000000 --seed 42
+
+Subcommands:
+    generate  — deterministic synthetic NGSI-LD changelog (sources/generator.py)
+    ingest    — batch or streaming ingest of a changelog into the lake
+    show      — print a lake table's schema + a sample
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="ngsild-ingest")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate")
+    g.add_argument("--out", required=True)
+    g.add_argument("--events", type=int, default=100_000)
+    g.add_argument("--entities", type=int, default=None)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--partitions", type=int, default=None)
+
+    i = sub.add_parser("ingest")
+    i.add_argument("--changelog", required=True)
+    i.add_argument("--warehouse", required=True)
+    i.add_argument("--checkpoint", default=None)
+    i.add_argument("--mode", default="upsert", choices=["append", "upsert", "replace"])
+    i.add_argument("--export-mode", default="EXPANDED",
+                   choices=["EXPANDED", "FLATTEN", "SEMI_FLATTEN"])
+    i.add_argument("--stream", action="store_true")
+    i.add_argument("--include-empty-observed-at", action="store_true")
+    i.add_argument("--buckets", type=int, default=64)
+    i.add_argument("--ignored-attributes", default="")
+    i.add_argument("--sysattrs", action="store_true")
+
+    s = sub.add_parser("show")
+    s.add_argument("--warehouse", required=True)
+    s.add_argument("--table", required=True, help="tenant.table")
+
+    args = parser.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"ngsild-{args.cmd}")
+
+    if args.cmd == "generate":
+        from .sources.generator import synthesize_changelog
+
+        t0 = time.time()
+        synthesize_changelog(
+            spark, args.events, args.entities, args.seed,
+            partitions=args.partitions,
+        ).write.parquet(args.out)
+        print(json.dumps({"events": args.events, "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "ingest":
+        from .config import IngestConfig
+        from .sources.changelog import read_changelog
+        from .streaming.pipeline import ingest_batch, run_stream
+
+        cfg = IngestConfig(
+            export_mode=args.export_mode,
+            write_mode=args.mode,
+            ignore_empty_observed_at=not args.include_empty_observed_at,
+            n_buckets=args.buckets,
+            ignored_attributes=args.ignored_attributes,
+            export_sysattrs=args.sysattrs,
+        )
+        if args.stream:
+            if not args.checkpoint:
+                parser.error("--stream requires --checkpoint")
+            query = run_stream(
+                spark, args.changelog, cfg, args.warehouse, args.checkpoint
+            )
+            query.awaitTermination()
+            print(json.dumps({"stream": "finished"}))
+        else:
+            changelog = read_changelog(spark, args.changelog)
+            t0 = time.time()
+            lineage = ingest_batch(changelog, cfg, args.warehouse, epoch_id="cli-0")
+            lineage["sec"] = round(time.time() - t0, 2)
+            print(json.dumps(lineage, default=str))
+        return 0
+
+    if args.cmd == "show":
+        from .plans.lake import LakeCatalog
+
+        tenant, name = args.table.split(".", 1)
+        table = LakeCatalog(args.warehouse).table(tenant, name)
+        snap = table.latest_snapshot()
+        print(json.dumps({"version": snap["version"], "schema": snap["schema"]}))
+        table.read(spark).show(20, truncate=40)
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

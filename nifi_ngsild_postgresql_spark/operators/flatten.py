@@ -51,10 +51,12 @@ FLAT_COLUMNS = [
     "error",
 ]
 
+# cells/types are genuine Arrow MAP columns: no json.dumps on the Python
+# side, no from_json on the JVM side — element_at() reads them directly
 FLAT_SCHEMA = (
     "tenant string, table_name string, entity_id string, entity_type string,"
     " row_key string, observedat string, recv_time timestamp, seq string,"
-    " cells string, types string, error string"
+    " cells map<string,string>, types map<string,string>, error string"
 )
 
 
@@ -153,9 +155,7 @@ def flatten_partition(
                     cfg.ignored_attributes,
                 )
                 rows = rows_for_entity(entity, fields, creation_ms, cfg)
-                types_json: str | None = json.dumps(
-                    fields, separators=(",", ":"), sort_keys=True
-                )
+                types_map: dict | None = fields
                 # the types map is needed even for row-less entities: the
                 # reference still creates the table/columns (T-E2E:273-310
                 # FLATTEN: 0 rows but 18 columns)
@@ -163,7 +163,7 @@ def flatten_partition(
                     emit(
                         tenant=tenant, table=table, entity_id=entity.entity_id,
                         entity_type=entity.entity_type, seq=commit,
-                        recv_time=recv_ts, types=types_json,
+                        recv_time=recv_ts, types=types_map,
                     )
                     continue
                 for row in rows:
@@ -178,19 +178,28 @@ def flatten_partition(
                         observedat=obs[2:] if obs else None,
                         recv_time=recv_ts,
                         seq=commit,
-                        cells=json.dumps(
-                            cells, separators=(",", ":"), ensure_ascii=False,
-                            sort_keys=True,
-                        ),
-                        types=types_json,
+                        cells=cells,
+                        types=types_map,
                     )
-                    types_json = None  # once per entity
+                    types_map = None  # once per entity
         yield pd.DataFrame(out)
 
 
 def flatten(changelog_df, cfg: IngestConfig):
     """changelog DataFrame (repo, path, commit, lang, content, recv_time)
-    → narrow cell-row DataFrame. No shuffle; partitioning preserved."""
+    → narrow cell-row DataFrame.
+
+    Partitioning: parsing costs ~200 µs/event of Python CPU while the
+    compressed payload is tiny, so Spark's byte-based file packing
+    (maxPartitionBytes/openCostInBytes) can under-partition small batches
+    and strand cores. If the source arrives with fewer partitions than
+    the cluster's parallelism, round-robin repartition first (row-level
+    independent; LWW ordering uses recv_time/seq, not arrival order). At
+    production scale inputs carry many splits and this is a no-op."""
+    spark = changelog_df.sparkSession
+    target = spark.sparkContext.defaultParallelism * 2
+    if changelog_df.rdd.getNumPartitions() < target:
+        changelog_df = changelog_df.repartition(target)
     return changelog_df.mapInPandas(
         lambda it: flatten_partition(it, cfg), schema=FLAT_SCHEMA
     )

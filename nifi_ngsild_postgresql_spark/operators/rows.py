@@ -174,6 +174,8 @@ def _apply_attribute(
     if attr_col not in fields:
         return
 
+    # system cells are constant per entity+event; set on every applied
+    # attribute like the reference (XFORM:268-272) but computed once
     values[RECV_TIME] = encode_cell(
         CELL_STR, iso_instant_from_epoch_ms(creation_time_ms)
     )

@@ -145,36 +145,31 @@ class LakeTable:
     def _write_data(
         self, df: DataFrame, version: int, schema: dict[str, str], n_buckets: int
     ) -> tuple[dict[str, list[str]], int]:
-        """Write df (wide + meta cols) bucketed by entityid; returns
-        {bucket: [relative path]} for the buckets present and the row count."""
+        """Write df (wide + meta cols, already carrying _bucket); returns
+        {bucket: [relative path]} for the buckets present and the row count
+        (captured via Observation — no extra read-back job)."""
+        from pyspark.sql import Observation
+
         commit_rel = f"data/c{version:08d}"
         out_dir = os.path.join(self.path, commit_rel)
-        with_bucket = df.withColumn(
-            "_bucket", F.pmod(F.xxhash64(F.col("entityid")), F.lit(n_buckets))
-        )
+        obs = Observation()
         # one shuffle keyed by bucket: output file count == touched buckets,
         # avoids the tasks×buckets small-file explosion
         (
-            with_bucket.repartition("_bucket")
+            df.repartition("_bucket")
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
             .write.mode("error")
             .partitionBy("_bucket")
             .parquet(out_dir)
         )
+        rows_written = int(obs.get["rows"])
         buckets = [
             d.split("=", 1)[1]
             for d in os.listdir(out_dir)
             if d.startswith("_bucket=")
         ]
-        if not buckets:
-            return {}, 0
-        spark = df.sparkSession
-        written = spark.read.parquet(out_dir)
-        counts = {
-            str(r["_bucket"]): int(r["n"])
-            for r in written.groupBy("_bucket").agg(F.count("*").alias("n")).collect()
-        }
         files = {b: [f"{commit_rel}/_bucket={b}"] for b in buckets}
-        return files, sum(counts.values())
+        return files, rows_written
 
     def _align(self, df: DataFrame, schema: dict[str, str]) -> DataFrame:
         """Project df to exactly (schema columns + meta cols), adding NULL
@@ -201,7 +196,8 @@ class LakeTable:
         self, df: DataFrame, schema: dict[str, str], epoch_id: str
     ) -> dict[str, Any]:
         """MERGE keyed (entityid, _row_key): copy-on-write of touched
-        buckets, last-writer-wins against stored rows."""
+        buckets, last-writer-wins within the batch AND against stored rows
+        in one reduce (the batch need not be pre-deduped)."""
         return self._apply(df, schema, epoch_id, mode="upsert")
 
     def replace_entities(
@@ -245,41 +241,47 @@ class LakeTable:
         old_files: dict[str, list[str]] = dict(snap["files"]) if snap else {}
         spark = df.sparkSession
 
-        incoming = self._align(df, schema).withColumn(
-            "_bucket", F.pmod(F.xxhash64(F.col("entityid")), F.lit(n_buckets))
+        bucket_expr = F.pmod(F.xxhash64(F.col("entityid")), F.lit(n_buckets)).alias(
+            "_bucket"
         )
+        incoming = self._align(df, schema).withColumn("_bucket", bucket_expr)
 
-        if mode == "append" or not old_files:
-            to_write = incoming.drop("_bucket")
-            touched_old: list[str] = []
+        if mode == "append":
+            to_write = incoming
         else:
-            touched_buckets = [
-                str(r["_bucket"])
-                for r in incoming.select("_bucket").distinct().collect()
-            ]
-            touched_old = [
-                p for b in touched_buckets for p in old_files.get(b, [])
-            ]
-            old = self._read_files(spark, schema, touched_old, with_meta=True)
+            if old_files:
+                touched_buckets = [
+                    str(r["_bucket"])
+                    for r in incoming.select("_bucket").distinct().collect()
+                ]
+                touched_old = [
+                    p for b in touched_buckets for p in old_files.get(b, [])
+                ]
+                old = self._read_files(
+                    spark, schema, touched_old, with_meta=True
+                ).withColumn("_bucket", bucket_expr)
+                combined = old.unionByName(incoming)
+                if mode == "replace":
+                    incoming_ids = incoming.select("entityid").distinct()
+                    combined = old.join(
+                        F.broadcast(incoming_ids), "entityid", "left_anti"
+                    ).unionByName(incoming)
+            else:
+                combined = incoming
             if mode == "upsert":
-                # union old+new, keep newest per key — partial agg absorbs
-                # hot keys map-side (see operators/dedup.py)
-                unioned = old.unionByName(incoming.drop("_bucket"))
+                # single LWW reduce covering in-batch duplicates and stored
+                # rows — partial agg absorbs hot keys map-side (SURVEY §4.3)
                 payload = F.struct(
-                    *[c for c in unioned.columns if c not in ("entityid", "_row_key")]
+                    *[c for c in combined.columns if c not in ("entityid", "_row_key")]
                 )
                 order = F.struct(F.col("_recv_time"), F.col("_seq"))
                 to_write = (
-                    unioned.groupBy("entityid", "_row_key")
+                    combined.groupBy("entityid", "_row_key")
                     .agg(F.max_by(payload, order).alias("_r"))
                     .select("entityid", "_row_key", "_r.*")
                 )
-            else:  # replace
-                incoming_ids = incoming.select("entityid").distinct()
-                survivors = old.join(
-                    F.broadcast(incoming_ids), "entityid", "left_anti"
-                )
-                to_write = survivors.unionByName(incoming.drop("_bucket"))
+            else:
+                to_write = combined
 
         new_files, rows_written = self._write_data(to_write, version, schema, n_buckets)
 

@@ -1,0 +1,54 @@
+"""Per-row content sha256 manifest — the replay-to-final-state invariant.
+
+The north rule verifies replay correctness by per-row content sha256
+equality. The canonical row text is computed with pure JVM expressions
+from the typed wide table using the ONE canonicalization spec
+(functions/canon.py):
+
+    col=value '|' col=value ...   in lexicographic column order
+    NULL cells    -> \\N
+    timestamps    -> ISO-8601 UTC, microsecond precision, trailing Z
+    dates         -> yyyy-MM-dd
+    doubles       -> Spark double->string cast (= Java Double.toString)
+    arrays        -> JSON array text
+
+The same function hashes engine output and test-built expected frames,
+so golden comparison reduces to typed-value equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _canon_col(field: T.StructField):
+    c = F.col(field.name)
+    if isinstance(field.dataType, T.TimestampType):
+        rendered = F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    elif isinstance(field.dataType, T.DateType):
+        rendered = F.date_format(c, "yyyy-MM-dd")
+    elif isinstance(field.dataType, T.ArrayType):
+        rendered = F.to_json(c)
+    else:
+        rendered = c.cast("string")
+    return F.concat(F.lit(field.name + "="), F.coalesce(rendered, F.lit("\\N")))
+
+
+def with_row_sha(df: DataFrame, exclude: tuple[str, ...] = ()) -> DataFrame:
+    """Append a ``_row_sha256`` column over the canonical row text."""
+    fields = sorted(
+        (f for f in df.schema.fields if f.name not in exclude),
+        key=lambda f: f.name,
+    )
+    canon = F.concat_ws("|", *[_canon_col(f) for f in fields])
+    return df.withColumn("_row_sha256", F.sha2(canon, 256))
+
+
+def table_manifest(df: DataFrame) -> list[str]:
+    """Sorted per-row sha256 list (order-insensitive table fingerprint)."""
+    return [
+        r["_row_sha256"]
+        for r in with_row_sha(df).select("_row_sha256").orderBy("_row_sha256").collect()
+    ]

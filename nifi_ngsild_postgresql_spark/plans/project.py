@@ -1,9 +1,10 @@
 """Wide projection — narrow cell rows → typed wide DataFrame per table.
 
-Pure JVM expressions (whole-stage codegen): one ``from_json`` of the cells
-map + one ``element_at``/``CASE`` chain per reconciled column. No Python,
-no shuffle — the flatten stage's partitioning is preserved. This replaces
-the reference's per-row SQL-literal string building
+Pure JVM expressions (whole-stage codegen): the cells column is a native
+Arrow/Catalyst MAP, so projection is one ``element_at`` + ``CASE``/cast
+chain per reconciled column. No Python, no JSON parsing, no shuffle — the
+flatten stage's partitioning is preserved. This replaces the reference's
+per-row SQL-literal string building
 (PostgreSQLTransformer.insertQuery / formatFieldForValueInsert, :335-433).
 
 The tagged-cell encoding ('n:'/'s:'/'a:' prefixes, functions/canon.py)
@@ -65,9 +66,8 @@ def project_wide(
         & F.col("error").isNull()
         & F.col("cells").isNotNull()
     )
-    cells = F.from_json("cells", "map<string,string>").alias("_cells")
     base = rows.select(
-        cells,
+        F.col("cells").alias("_cells"),
         F.col("entity_id").alias("_entity_id"),
         F.col("row_key").alias("_row_key"),
         F.col("recv_time").alias("_recv_time"),

@@ -42,9 +42,7 @@ def infer_batch_schemas(flat_df: DataFrame) -> dict[tuple[str, str], dict[str, s
         .select(
             "tenant",
             "table_name",
-            F.explode(F.from_json("types", "map<string,string>")).alias(
-                "column", "pg_type"
-            ),
+            F.explode("types").alias("column", "pg_type"),
         )
         .groupBy("tenant", "table_name", "column")
         .agg(

@@ -61,9 +61,20 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or int(cpus) * 2 if str(cpus).isdigit() else 64),
+            str(
+                shuffle_partitions
+                or (int(cpus) * 2 if str(cpus).isdigit() else 64)
+            ),
         )
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # shuffle/spill to tmpfs when available — the sandbox stand-in for
+        # per-executor local SSDs (single shared /tmp disk otherwise)
+        .config(
+            "spark.local.dir",
+            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+        )
+        # staging partition columns (tenant/table_name) must stay strings
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

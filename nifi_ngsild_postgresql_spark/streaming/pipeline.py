@@ -19,15 +19,14 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..config import IngestConfig
-from ..operators.dedup import last_writer_wins
 from ..operators.flatten import flatten
 from ..plans.lake import LakeCatalog
 from ..plans.project import project_wide
@@ -49,14 +48,38 @@ def ingest_batch(
     spark = changelog_df.sparkSession
     catalog = LakeCatalog(warehouse, n_buckets=cfg.n_buckets)
 
-    flat = flatten(changelog_df, cfg)
-    # reused by: error split, schema agg, one projection per table
-    flat.persist(StorageLevel.MEMORY_AND_DISK)
+    # Stage the narrow frame as parquet partitioned by target table rather
+    # than .persist(): the frame is consumed by the error split, the schema
+    # aggregation (reads only the `types` column — column pruning) and one
+    # projection per table (reads only its partition directory — partition
+    # pruning). A columnar cache of map-typed rows scans the full set per
+    # consumer and GC-thrashes at high thread counts; selective parquet
+    # re-reads scale with executors and spill to disk for free.
+    staging_root = os.environ.get(
+        "NGSILD_STAGING_DIR",
+        "/dev/shm/ngsild-staging" if os.path.isdir("/dev/shm") else None,
+    ) or os.path.join(warehouse, "_staging")
+    staging = os.path.join(staging_root, epoch_id)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (
+        flatten(changelog_df, cfg)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.count("error").alias("errors"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("tenant", "table_name")
+        .parquet(staging)
+    )
+    flat = spark.read.option("basePath", staging).parquet(staging)
 
     # --- error channel (reference REL_FAILURE with error.message attr) ---
-    errors = flat.filter(F.col("error").isNotNull())
-    n_errors = errors.count()
+    n_errors = int(obs.get["errors"])
     if n_errors:
+        errors = flat.filter(F.col("error").isNotNull())
         errors.select("tenant", "entity_id", "seq", "recv_time", "error").write.mode(
             "append"
         ).parquet(os.path.join(warehouse, "_errors"))
@@ -69,28 +92,39 @@ def ingest_batch(
         "errors": n_errors,
         "tables": {},
     }
-    for (tenant, table_name), inferred in sorted(schemas.items()):
+
+    def process_table(item) -> tuple[str, dict[str, Any]]:
+        (tenant, table_name), inferred = item
         table = catalog.table(tenant, table_name)
         final_schema, new_columns = reconcile(inferred, table.schema())
-
         wide = project_wide(flat, tenant, table_name, final_schema)
-
         if cfg.write_mode == "upsert":
-            stats = table.upsert(last_writer_wins(wide), final_schema, epoch_id)
+            # in-batch LWW happens inside the MERGE reduce (plans/lake.py)
+            stats = table.upsert(wide, final_schema, epoch_id)
         elif cfg.write_mode == "replace":
-            stats = table.replace_entities(
-                last_writer_wins(wide), final_schema, epoch_id
-            )
+            stats = table.replace_entities(wide, final_schema, epoch_id)
         else:
             stats = table.append(wide, final_schema, epoch_id)
+        if not stats.get("skipped_epoch"):
+            stats["new_columns"] = sorted(new_columns)
+        return f"{tenant}.{table_name}", stats
 
-        if stats.get("skipped_epoch"):
-            lineage["tables"][f"{tenant}.{table_name}"] = {"skipped_epoch": True}
-            continue
-        stats["new_columns"] = sorted(new_columns)
-        lineage["tables"][f"{tenant}.{table_name}"] = stats
+    # per-entity-type tables are independent — submit their jobs
+    # concurrently so Spark's scheduler overlaps them (FIFO within a
+    # shared core pool); wall time ≈ max per-table, not the sum
+    items = sorted(schemas.items())
+    if len(items) > 1:
+        from concurrent.futures import ThreadPoolExecutor
 
-    flat.unpersist()
+        with ThreadPoolExecutor(max_workers=min(8, len(items))) as pool:
+            for key, stats in pool.map(process_table, items):
+                lineage["tables"][key] = stats
+    else:
+        for item in items:
+            key, stats = process_table(item)
+            lineage["tables"][key] = stats
+
+    shutil.rmtree(staging, ignore_errors=True)
     lineage["wall_s"] = round(time.time() - t0, 3)
     _append_lineage(warehouse, lineage)
     return lineage

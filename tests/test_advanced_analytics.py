@@ -1,0 +1,88 @@
+"""Correctness of the non-SQL analytics ops (rows-only in the driver):
+each validated against an in-Spark brute-force baseline or an invariant.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.analytics import advanced, suite
+from nifi_ngsild_postgresql_spark.session import ship_package
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_simhash_symmetric_and_bounded(spark):
+    ship_package(spark)
+    pairs = advanced.q_simhash_neardup(spark, SF_DIR).collect()
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["hamming"] <= 8
+    # identical docs must be found: inject a known duplicate
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(1)
+    dup = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang",
+        "source", "n_chars",
+    )
+    both = d.unionByName(dup)
+    sig = both.mapInPandas(advanced._simhash_partition, "doc_id long, simhash long")
+    sigs = [r["simhash"] for r in sig.collect()]
+    assert sigs[0] == sigs[1]  # identical text -> identical simhash
+
+
+def test_lsh_finds_planted_near_duplicates(spark):
+    # LSH answers "find near duplicates": plant exact copies of the query
+    # vector under new ids — they MUST collide with the query's signature
+    # bucket and rank at the top with cosine ~1. (On uniform random
+    # embeddings recall vs the exact top-k is intentionally low — vectors
+    # near-orthogonal to the query rarely share sign buckets.)
+    ship_package(spark)
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0)
+    planted = [
+        q.select(
+            F.lit(900000 + i).cast("long").alias("vec_id"),
+            "embedding",
+            F.lit(99).cast("int").alias("label"),
+        )
+        for i in range(3)
+    ]
+    df = e
+    for p in planted:
+        df = df.unionByName(p)
+    top = advanced.ann_lsh_topk_df(df, k=5).collect()
+    top_ids = [r["vec_id"] for r in top]
+    for i in range(3):
+        assert 900000 + i in top_ids, f"planted dup missing: {top_ids}"
+    by_id = {r["vec_id"]: float(r["cosine"]) for r in top}
+    assert all(abs(by_id[900000 + i] - 1.0) < 1e-6 for i in range(3))
+
+
+def test_embedding_neardup_exact_pairs(spark):
+    ship_package(spark)
+    pairs = advanced.q_embedding_neardup(spark, SF_DIR, threshold=0.99).collect()
+    for r in pairs:
+        assert r["vec_a"] < r["vec_b"]
+        assert float(r["cosine"]) >= 0.99
+
+
+def test_multimodal_features_schema_and_determinism(spark):
+    ship_package(spark)
+    feats = advanced.q_multimodal_features(spark, SF_DIR)
+    rows = feats.collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    n_chars = {r["doc_id"]: r["n_chars"] for r in docs}
+    texts = {r["doc_id"]: r["text"] for r in docs}
+    assert len(rows) == len(docs)
+    for r in rows[:20]:
+        assert r["decode_status"] == "stubbed"
+        assert len(r["feature"]) == 8
+        # binary payload round-trips the utf-8 text
+        expected = hashlib.sha256(texts[r["media_id"]].encode()).hexdigest()
+        assert r["sha256"] == expected
+        assert r["n_bytes"] == len(texts[r["media_id"]].encode())
+    # deterministic across runs
+    again = {r["media_id"]: r["sha256"] for r in feats.collect()}
+    assert all(again[r["media_id"]] == r["sha256"] for r in rows)

@@ -1,0 +1,176 @@
+"""Cross-batch semantics: online schema evolution (ADD COLUMNS +
+existing-type-wins + mismatch->NULL), exactly-once epoch idempotence,
+upsert LWW across batches, and replay-to-final-state determinism.
+Ports of the reference's reconciliation semantics (T-XFORM:134-147,
+PostgreSQLTransformer.java:447-507) at the full-pipeline level.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.config import IngestConfig
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch
+
+
+@pytest.fixture
+def warehouse(tmp_path):
+    return str(tmp_path / "wh")
+
+
+def _changelog(spark, payloads, seq0=0, recv_ms=1700000000000):
+    rows = [
+        ("t", "p", f"{seq0 + i:06d}", "x", json.dumps(p))
+        for i, p in enumerate(payloads)
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).withColumn("recv_time", F.timestamp_millis(F.lit(recv_ms)))
+
+
+def _prop(value, observed_at="2024-01-01T00:00:00Z"):
+    return {"type": "Property", "value": value, "observedAt": observed_at}
+
+
+def test_add_columns_across_batches(spark, warehouse):
+    # batch 2 introduces a new attribute -> metadata-only ADD COLUMN; old
+    # rows read back NULL for it (XFORM:474-507)
+    cfg = IngestConfig(write_mode="upsert")
+    ingest_batch(
+        _changelog(spark, [{"id": "u:1", "type": "T", "a": _prop(1.5)}]),
+        cfg, warehouse, "e1",
+    )
+    ingest_batch(
+        _changelog(
+            spark,
+            [{"id": "u:2", "type": "T", "a": _prop(2.5), "b": _prop("x", "2024-01-02T00:00:00Z")}],
+            seq0=10,
+        ),
+        cfg, warehouse, "e2",
+    )
+    df = LakeCatalog(warehouse).table("t", "t").read(spark)
+    assert "b" in df.columns
+    rows = {r["entityid"]: r for r in df.collect()}
+    assert rows["u:1"]["b"] is None  # old file, evolved schema
+    assert rows["u:2"]["b"] == "x"
+    assert rows["u:1"]["a"] == 1.5
+
+
+def test_existing_type_wins_and_mismatch_null(spark, warehouse):
+    # batch 1 infers NUMERIC for 'temp'; batch 2 sends a string for the
+    # same column -> existing NUMERIC wins, the string value becomes NULL
+    # (XFORM:447-472 + 338-341)
+    cfg = IngestConfig(write_mode="upsert")
+    ingest_batch(
+        _changelog(spark, [{"id": "u:1", "type": "T", "temp": _prop(16)}]),
+        cfg, warehouse, "e1",
+    )
+    schema1 = LakeCatalog(warehouse).table("t", "t").schema()
+    assert schema1["temp"] == "NUMERIC"
+    ingest_batch(
+        _changelog(
+            spark,
+            [{"id": "u:2", "type": "T", "temp": _prop("<14>", "2024-01-02T00:00:00Z")}],
+            seq0=10,
+        ),
+        cfg, warehouse, "e2",
+    )
+    table = LakeCatalog(warehouse).table("t", "t")
+    assert table.schema()["temp"] == "NUMERIC"  # existing type kept
+    rows = {r["entityid"]: r for r in table.read(spark).collect()}
+    assert rows["u:1"]["temp"] == 16.0
+    assert rows["u:2"]["temp"] is None  # mismatch -> NULL
+
+
+def test_reverse_conflict_numeric_into_text(spark, warehouse):
+    # batch 1 creates TEXT; batch 2 sends a number -> stays TEXT, the
+    # number renders as text (formatFieldForValueInsert default branch)
+    cfg = IngestConfig(write_mode="upsert")
+    ingest_batch(
+        _changelog(spark, [{"id": "u:1", "type": "T", "v": _prop("hello")}]),
+        cfg, warehouse, "e1",
+    )
+    ingest_batch(
+        _changelog(
+            spark,
+            [{"id": "u:2", "type": "T", "v": _prop(12.5, "2024-01-02T00:00:00Z")}],
+            seq0=10,
+        ),
+        cfg, warehouse, "e2",
+    )
+    table = LakeCatalog(warehouse).table("t", "t")
+    assert table.schema()["v"] == "TEXT"
+    rows = {r["entityid"]: r for r in table.read(spark).collect()}
+    assert rows["u:2"]["v"] == "12.5"
+
+
+def test_epoch_replay_is_noop(spark, warehouse):
+    cfg = IngestConfig(write_mode="upsert")
+    batch = _changelog(spark, [{"id": "u:1", "type": "T", "a": _prop(1)}])
+    ingest_batch(batch, cfg, warehouse, "e1")
+    v1 = LakeCatalog(warehouse).table("t", "t").latest_snapshot()["version"]
+    lineage = ingest_batch(batch, cfg, warehouse, "e1")  # same epoch id
+    assert lineage["tables"]["t.t"] == {"skipped_epoch": True}
+    assert LakeCatalog(warehouse).table("t", "t").latest_snapshot()["version"] == v1
+
+
+def test_upsert_lww_across_batches_and_late_data(spark, warehouse):
+    cfg = IngestConfig(write_mode="upsert")
+    # batch 1: value 1 at recv_time T1
+    ingest_batch(
+        _changelog(spark, [{"id": "u:1", "type": "T", "a": _prop(1)}], recv_ms=2000000000000),
+        cfg, warehouse, "e1",
+    )
+    # batch 2: same key, OLDER recv_time (late/replayed data) -> must lose
+    ingest_batch(
+        _changelog(spark, [{"id": "u:1", "type": "T", "a": _prop(99)}], seq0=10, recv_ms=1000000000000),
+        cfg, warehouse, "e2",
+    )
+    rows = LakeCatalog(warehouse).table("t", "t").read(spark).collect()
+    assert len(rows) == 1
+    assert rows[0]["a"] == 1.0  # stored newer row survived the late write
+    # batch 3: same key, NEWER recv_time -> wins
+    ingest_batch(
+        _changelog(spark, [{"id": "u:1", "type": "T", "a": _prop(7)}], seq0=20, recv_ms=3000000000000),
+        cfg, warehouse, "e3",
+    )
+    rows = LakeCatalog(warehouse).table("t", "t").read(spark).collect()
+    assert len(rows) == 1 and rows[0]["a"] == 7.0
+
+
+def test_replay_reproduces_final_state(spark, warehouse, tmp_path):
+    # replaying the full changelog into a fresh warehouse reproduces the
+    # same final table state (north rule replay-to-final-state)
+    from nifi_ngsild_postgresql_spark.sources.generator import synthesize_changelog
+    from nifi_ngsild_postgresql_spark.session import ship_package
+
+    ship_package(spark)
+    cfg = IngestConfig(write_mode="upsert", ignore_empty_observed_at=False)
+    log = synthesize_changelog(spark, 300, seed=7, partitions=4)
+    log.cache()
+
+    # run A: two epochs (split stream)
+    wh_a = str(tmp_path / "a")
+    ingest_batch(log.filter(F.col("commit") < "000000000150"), cfg, wh_a, "e1")
+    ingest_batch(log.filter(F.col("commit") >= "000000000150"), cfg, wh_a, "e2")
+    # run B: single epoch replay
+    wh_b = str(tmp_path / "b")
+    ingest_batch(log, cfg, wh_b, "e-all")
+
+    from nifi_ngsild_postgresql_spark.plans.manifest import table_manifest
+
+    cat_a, cat_b = LakeCatalog(wh_a), LakeCatalog(wh_b)
+    assert cat_a.list_tables() == cat_b.list_tables()
+    for tenant, name in cat_a.list_tables():
+        da = cat_a.table(tenant, name).read(spark)
+        db = cat_b.table(tenant, name).read(spark)
+        assert set(da.columns) == set(db.columns), name
+        # north-rule invariant: per-row content sha256 equality
+        assert table_manifest(da) == table_manifest(db), (
+            f"{name}: replay sha manifest diverged"
+        )
+    log.unpersist()
