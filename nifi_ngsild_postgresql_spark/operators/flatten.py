@@ -132,7 +132,11 @@ def flatten_partition(
                 payload = json.loads(content)
                 if isinstance(payload, dict):
                     payload = [payload]
-                tenant = build_schema_name(repo)
+                # repo column -> tenant/schema (FIXTURES.md §1); the
+                # configured db_schema (reference `DB Schema` property,
+                # NgsiLdToPostgreSQL.java:72-80) is the fallback when the
+                # event carries no repo
+                tenant = build_schema_name(repo if repo else cfg.db_schema)
                 entities = parse_entities(payload, cfg.export_mode)
             except (EntityParseError, NameTooLongError, ValueError) as exc:
                 emit(seq=commit, recv_time=recv_ts, error=str(exc))
