@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) for the pure deterministic layer:
+identifier encoding invariants and ISO probe consistency with Python's
+own datetime parsing on the probe-accepted subset.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import date, time, datetime
+
+from hypothesis import given, settings, strategies as st
+
+from nifi_ngsild_postgresql_spark.functions import typeinfer as ti
+from nifi_ngsild_postgresql_spark.functions.names import (
+    MAX_NAME_LEN,
+    encode_attribute_column,
+    encode_pg,
+    encode_sub_attribute_column,
+    truncate_to_size,
+)
+
+text_st = st.text(min_size=0, max_size=120)
+name_st = st.text(min_size=1, max_size=80)
+
+
+@given(name_st)
+def test_encode_pg_charset_and_idempotence(s):
+    out = encode_pg(s)
+    assert re.fullmatch(r"[a-z0-9_]*", out)
+    assert encode_pg(out) == out  # idempotent
+    assert len(out) == len(s)  # 1:1 char mapping
+
+
+@given(name_st, text_st)
+def test_attribute_column_bounded_and_stable(attr, dataset):
+    col = encode_attribute_column(attr, dataset, "urn:ngsi-ld:Dataset:")
+    assert len(col) <= MAX_NAME_LEN + 1  # reference off-by-one kept
+    assert col == col.lower()
+    assert col == encode_attribute_column(attr, dataset, "urn:ngsi-ld:Dataset:")
+
+
+@given(name_st, text_st, name_st)
+def test_sub_attribute_extends_parent(attr, dataset, sub):
+    parent = encode_attribute_column(attr, dataset, "")
+    child = encode_sub_attribute_column(attr, dataset, sub, "")
+    assert child.startswith(
+        truncate_to_size(parent + "_" + encode_pg(sub), MAX_NAME_LEN)[: len(child)]
+    )
+    assert len(child) <= MAX_NAME_LEN + 1
+
+
+@given(st.integers(0, 200), st.integers(1, 100))
+def test_truncate_off_by_one_property(n, size):
+    s = "x" * n
+    out = truncate_to_size(s, size)
+    # reference semantics: strings up to size+1 pass through untouched
+    if n <= size + 1:
+        assert out == s
+    else:
+        assert out == s[:size]
+
+
+@given(st.dates())
+def test_date_probe_accepts_all_real_dates(d: date):
+    assert ti.is_valid_date(d.isoformat())
+    assert not ti.is_valid_time(d.isoformat())
+
+
+@given(st.times())
+def test_time_probe_accepts_all_real_times(t: time):
+    assert ti.is_valid_time(t.isoformat())
+    assert not ti.is_valid_date(t.isoformat())
+
+
+@given(st.datetimes())
+def test_datetime_probe_accepts_all_real_datetimes(dt: datetime):
+    iso = dt.isoformat()
+    assert ti.is_valid_datetime(iso)
+    assert not ti.is_valid_date(iso)
+
+
+@given(text_st)
+@settings(max_examples=300)
+def test_probes_never_crash_and_are_exclusive_enough(s):
+    d, t, dt = ti.is_valid_date(s), ti.is_valid_time(s), ti.is_valid_datetime(s)
+    # a string can match at most one of date/time (datetime overlaps date
+    # only for date-with-offset forms which the regexes keep disjoint)
+    assert not (d and t)
+
+
+@given(st.one_of(st.integers(-10**12, 10**12), st.floats(allow_nan=False, allow_infinity=False)))
+def test_is_number_matches_java_semantics(x):
+    assert ti.is_number(x)
+
+
+def test_bool_is_not_number():
+    assert not ti.is_number(True)
+    assert not ti.is_number(False)
