@@ -119,13 +119,27 @@ def flatten_partition(
             out["types"].append(types)
             out["error"].append(error)
 
-        recv_times = pdf["recv_time"]
-        for content, repo, commit, recv_time in zip(
+        # per-event table-suffix override — the reference's per-FlowFile
+        # NiFi-expression property (TABLE_NAME_SUFFIX = ${tableNameSuffix},
+        # TestNgsiLdToPostgreSQL.java:903-927): an optional changelog
+        # column overrides the configured suffix row by row
+        suffixes = (
+            pdf["table_suffix"].values
+            if "table_suffix" in pdf.columns
+            else [None] * len(pdf)
+        )
+        for content, repo, commit, recv_time, suffix_override in zip(
             pdf["content"].values,
             pdf["repo"].values,
             pdf["commit"].values,
-            recv_times.values,
+            pdf["recv_time"].values,
+            suffixes,
         ):
+            table_suffix = (
+                suffix_override
+                if isinstance(suffix_override, str)
+                else cfg.table_name_suffix
+            )
             recv_ts = pd.Timestamp(recv_time)
             creation_ms = recv_ts.value // 1_000_000
             try:
@@ -144,7 +158,7 @@ def flatten_partition(
 
             for entity in entities:
                 try:
-                    table = build_table_name(entity.entity_type, cfg.table_name_suffix)
+                    table = build_table_name(entity.entity_type, table_suffix)
                 except NameTooLongError as exc:
                     emit(
                         tenant=tenant, entity_id=entity.entity_id,

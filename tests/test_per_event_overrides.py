@@ -1,0 +1,86 @@
+"""Per-event config overrides + sink atomicity.
+
+- per-event table_suffix column (reference: per-FlowFile NiFi expression
+  for TABLE_NAME_SUFFIX; the mixed success/failure case is
+  TestNgsiLdToPostgreSQL.java:903-927)
+- crash atomicity: data files without a committed manifest are invisible
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.config import IngestConfig
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch
+
+
+def _payload(v=1.0):
+    return json.dumps(
+        {"id": "urn:x:1", "type": "Gauge",
+         "level": {"type": "Property", "value": v, "observedAt": "2024-01-01T00:00:00Z"}}
+    )
+
+
+def test_per_event_suffix_mixed_success_failure(spark, tmp_path):
+    # T-E2E:903-927 port: one event with an oversized suffix fails, the
+    # other (empty suffix) succeeds — in the same batch
+    wh = str(tmp_path / "wh")
+    too_long = "tooloooooooooooooooooooooooooooooooooooooooooooooooooooooooooooooooooooooongsuffix"
+    df = spark.createDataFrame(
+        [
+            ("t", "p", "000001", "Gauge", _payload(1.0), too_long),
+            ("t", "p", "000002", "Gauge", _payload(2.0), ""),
+        ],
+        "repo string, path string, commit string, lang string, content string,"
+        " table_suffix string",
+    ).withColumn("recv_time", F.timestamp_millis(F.lit(1700000000000)))
+
+    lineage = ingest_batch(df, IngestConfig(write_mode="upsert"), wh, "e1")
+    assert lineage["errors"] == 1
+    cat = LakeCatalog(wh)
+    assert cat.list_tables() == [("t", "gauge")]
+    rows = cat.table("t", "gauge").read(spark).collect()
+    assert len(rows) == 1 and rows[0]["level"] == 2.0
+    errs = spark.read.parquet(f"{wh}/_errors").collect()
+    assert "greater than 63" in errs[0]["error"]
+
+
+def test_per_event_suffix_routes_to_distinct_tables(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    df = spark.createDataFrame(
+        [
+            ("t", "p", "000001", "Gauge", _payload(1.0), "a"),
+            ("t", "p", "000002", "Gauge", _payload(2.0), "b"),
+        ],
+        "repo string, path string, commit string, lang string, content string,"
+        " table_suffix string",
+    ).withColumn("recv_time", F.timestamp_millis(F.lit(1700000000000)))
+    ingest_batch(df, IngestConfig(write_mode="upsert"), wh, "e1")
+    assert LakeCatalog(wh).list_tables() == [("t", "gauge_a"), ("t", "gauge_b")]
+
+
+def test_uncommitted_data_files_are_invisible(spark, tmp_path):
+    # crash between data write and manifest commit: readers keep seeing
+    # the previous snapshot (atomicity of the O_EXCL manifest create)
+    wh = str(tmp_path / "wh")
+    df = spark.createDataFrame(
+        [("t", "p", "000001", "Gauge", _payload(1.0))],
+        "repo string, path string, commit string, lang string, content string",
+    ).withColumn("recv_time", F.timestamp_millis(F.lit(1700000000000)))
+    ingest_batch(df, IngestConfig(write_mode="upsert"), wh, "e1")
+    table = LakeCatalog(wh).table("t", "gauge")
+    assert table.read(spark).count() == 1
+
+    # simulate a crashed writer: orphan data directory, no manifest
+    orphan = os.path.join(table.path, "data", "c00000099", "_bucket=0")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-zzz.parquet"), "wb") as f:
+        f.write(b"garbage not parquet")
+
+    snap = table.latest_snapshot()
+    assert snap["version"] == 1  # manifest unchanged
+    assert table.read(spark).count() == 1  # orphan never read
