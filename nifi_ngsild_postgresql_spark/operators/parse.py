@@ -45,7 +45,7 @@ class EntityParseError(ValueError):
     FlowFile routed to failure)."""
 
 
-@dataclass
+@dataclass(slots=True)
 class Attribute:
     """One attribute instance (Attribute.java:5-36). Sub-attribute
     recursion is exactly one level deep (sub_attrs of subs is empty)."""
@@ -61,7 +61,7 @@ class Attribute:
     sub_attrs: list["Attribute"] = field(default_factory=list)
 
 
-@dataclass
+@dataclass(slots=True)
 class Entity:
     """Entity.java:6-17."""
 

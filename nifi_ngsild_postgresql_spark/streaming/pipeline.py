@@ -46,6 +46,11 @@ def ingest_batch(
     """
     t0 = time.time()
     spark = changelog_df.sparkSession
+    # defensive: required regardless of how the caller built the session
+    # (UTC timestamps = reference GMT default, XFORM:160; staging partition
+    # columns must stay strings even for numeric-looking tenants)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     catalog = LakeCatalog(warehouse, n_buckets=cfg.n_buckets)
 
     # Stage the narrow frame as parquet partitioned by target table rather
