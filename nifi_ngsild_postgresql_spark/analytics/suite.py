@@ -415,27 +415,31 @@ def _spark_tokens(d):
     )
 
 
+def _shingles(d):
+    """Distinct word-3-shingles per doc, built IN-ROW with
+    transform(sequence(...)) — no positional self-join, no shuffle until
+    the aggregation that consumes them. The DuckDB oracles keep the
+    equivalent join formulation; results are identical."""
+    with_toks = d.select(
+        "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("toks")
+    )
+    shingle_arr = F.when(
+        F.size("toks") >= 3,
+        F.expr(
+            "transform(sequence(0, size(toks) - 3),"
+            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return with_toks.select(
+        "doc_id", F.explode(F.array_distinct(shingle_arr)).alias("shingle")
+    )
+
+
 def q_minhash_bands(spark, sf_dir):
     """MinHash+LSH banding: per-doc signature = min(md5(salt||token-3-shingle))
     for 4 salted hash families; docs sharing a full band are near-dup
     candidates (shingle→minhash→band→bucket-join). Returns candidate pairs."""
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
-            "i", "tok"
-        ),
-    )
-    t1, t2, t3 = [toks.alias(a) for a in ("t1", "t2", "t3")]
-    sh = (
-        t1.join(t2, (F.col("t1.doc_id") == F.col("t2.doc_id")) & (F.col("t2.i") == F.col("t1.i") + 1))
-        .join(t3, (F.col("t1.doc_id") == F.col("t3.doc_id")) & (F.col("t3.i") == F.col("t1.i") + 2))
-        .select(
-            F.col("t1.doc_id").alias("doc_id"),
-            F.concat_ws(" ", "t1.tok", "t2.tok", "t3.tok").alias("shingle"),
-        )
-        .distinct()
-    )
+    sh = _shingles(_t(spark, sf_dir, "documents"))
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"s{k}|"), F.col("shingle")))).alias(f"h{k}")
@@ -486,24 +490,11 @@ FROM band a JOIN band b ON a.band = b.band AND a.doc_id < b.doc_id
 
 def q_ngram_jaccard(spark, sf_dir):
     """N-gram Jaccard near-dup: pairwise Jaccard over distinct 3-shingle
-    sets for candidate pairs sharing at least one shingle; pairs >= 0.8."""
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
-            "i", "tok"
-        ),
-    )
-    t1, t2, t3 = [toks.alias(a) for a in ("t1", "t2", "t3")]
-    sh = (
-        t1.join(t2, (F.col("t1.doc_id") == F.col("t2.doc_id")) & (F.col("t2.i") == F.col("t1.i") + 1))
-        .join(t3, (F.col("t1.doc_id") == F.col("t3.doc_id")) & (F.col("t3.i") == F.col("t1.i") + 2))
-        .select(
-            F.col("t1.doc_id").alias("doc_id"),
-            F.concat_ws(" ", "t1.tok", "t2.tok", "t3.tok").alias("shingle"),
-        )
-        .distinct()
-    )
+    sets for candidate pairs sharing at least one shingle; pairs >= 0.8.
+    Candidate generation is keyed by shingle (a bucketed join, never a
+    cross join); at scale, cap candidates per shingle or pre-filter via
+    minhash bands (q_minhash_bands) first."""
+    sh = _shingles(_t(spark, sf_dir, "documents"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
