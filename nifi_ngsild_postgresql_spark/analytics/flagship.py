@@ -19,6 +19,7 @@ from __future__ import annotations
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
 
 from ..config import IngestConfig
 from ..session import ship_package
@@ -73,3 +74,43 @@ WHERE rn = 1
 
 
 SQL_CDC_INGEST_UPSERT = _oracle_cdc()
+
+
+def q_replay_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule invariant as a first-class query: the per-row content
+    sha256 manifest of the replayed flagship table (plans/manifest.py).
+    The DuckDB oracle computes the same canonical text + sha256 from the
+    expected final state — replay correctness is hash-checked end to end."""
+    from ..plans.manifest import with_row_sha
+
+    df = q_cdc_ingest_upsert(spark, sf_dir)
+    return with_row_sha(df).select(F_col("_row_sha256").alias("row_sha"))
+
+
+def _oracle_manifest() -> str:
+    # canonical row text must match plans/manifest.py exactly:
+    # lexicographic column order, 'col=value' joined by '|', NULL -> \N,
+    # timestamps as ISO-8601 UTC micros + 'Z', doubles via VARCHAR cast
+    cols = (
+        [f"action_{t}" for t in EVENT_TYPES]
+        + ["entityid", "entitytype", "observedat", "props", "recvtime"]
+        + [f"score_{t}" for t in EVENT_TYPES]
+    )
+
+    def render(c: str) -> str:
+        if c in ("observedat", "recvtime"):
+            v = f"strftime({c}, '%Y-%m-%dT%H:%M:%S.%f') || 'Z'"
+        elif c.startswith("score_"):
+            v = f"CAST({c} AS VARCHAR)"
+        else:
+            v = c
+        return f"'{c}=' || COALESCE({v}, '\\N')"
+
+    canon = " || '|' || ".join(render(c) for c in sorted(cols))
+    return f"""
+WITH final_state AS ({_oracle_cdc()})
+SELECT sha256({canon}) AS row_sha FROM final_state
+"""
+
+
+SQL_REPLAY_MANIFEST = _oracle_manifest()

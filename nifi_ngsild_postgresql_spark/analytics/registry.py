@@ -8,7 +8,12 @@ Spark-specific plumbing) and get the driver's rows-only check.
 from __future__ import annotations
 
 from . import advanced, suite
-from .flagship import SQL_CDC_INGEST_UPSERT, q_cdc_ingest_upsert
+from .flagship import (
+    SQL_CDC_INGEST_UPSERT,
+    SQL_REPLAY_MANIFEST,
+    q_cdc_ingest_upsert,
+    q_replay_manifest,
+)
 
 
 REGISTRY: dict[str, tuple] = {
@@ -34,6 +39,7 @@ REGISTRY: dict[str, tuple] = {
     ),
     # --- the engine itself, oracle-checked end-to-end ---
     "cdc_ingest_upsert": (q_cdc_ingest_upsert, SQL_CDC_INGEST_UPSERT),
+    "replay_manifest": (q_replay_manifest, SQL_REPLAY_MANIFEST),
     # --- training-data pipeline ops ---
     "dedup_exact": (suite.q_dedup_exact, suite.SQL_DEDUP_EXACT),
     "fingerprint": (suite.q_fingerprint, suite.SQL_FINGERPRINT),

@@ -1,0 +1,60 @@
+"""Hot-key robustness: a single entity with tens of thousands of
+duplicate change events in one batch must dedup to exactly one row per
+(entity, observedat) without a skewed reducer (the partial map-side
+max_by absorbs duplicates before the exchange — operators/dedup.py)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.config import IngestConfig
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch
+
+
+def test_hot_key_dedup_50k_duplicates(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    n = 50_000
+    payload_tpl = (
+        '{{"id":"urn:hot:1","type":"Hot",'
+        '"v":{{"type":"Property","value":{v},"observedAt":"2024-01-01T00:00:00Z"}}}}'
+    )
+    # 50k duplicate events for ONE key + 100 normal entities, one batch
+    hot = spark.range(n).select(
+        F.lit("t").alias("repo"),
+        F.lit("p").alias("path"),
+        F.lpad(F.col("id").cast("string"), 12, "0").alias("commit"),
+        F.lit("Hot").alias("lang"),
+        F.format_string(
+            '{"id":"urn:hot:1","type":"Hot","v":{"type":"Property","value":%d,'
+            '"observedAt":"2024-01-01T00:00:00Z"}}',
+            F.col("id"),
+        ).alias("content"),
+        F.timestamp_millis(F.lit(1700000000000) + F.col("id")).alias("recv_time"),
+    )
+    cold = spark.range(100).select(
+        F.lit("t").alias("repo"),
+        F.lit("p").alias("path"),
+        F.concat(F.lit("z"), F.lpad(F.col("id").cast("string"), 11, "0")).alias(
+            "commit"
+        ),
+        F.lit("Hot").alias("lang"),
+        F.format_string(
+            '{"id":"urn:cold:%d","type":"Hot","v":{"type":"Property","value":1,'
+            '"observedAt":"2024-01-01T00:00:00Z"}}',
+            F.col("id"),
+        ).alias("content"),
+        F.timestamp_millis(F.lit(1700000000000)).alias("recv_time"),
+    )
+    batch = hot.unionByName(cold).repartition(16)
+    lineage = ingest_batch(batch, IngestConfig(write_mode="upsert"), wh, "e1")
+    assert lineage["errors"] == 0
+
+    table = LakeCatalog(wh).table("t", "hot")
+    rows = table.read(spark).collect()
+    assert len(rows) == 101  # 1 hot survivor + 100 cold entities
+    hot_row = next(r for r in rows if r["entityid"] == "urn:hot:1")
+    # last writer wins: the max recv_time/commit carries value n-1
+    assert hot_row["v"] == float(n - 1)
