@@ -76,6 +76,64 @@ WHERE rn = 1
 SQL_CDC_INGEST_UPSERT = _oracle_cdc()
 
 
+def q_cdc_ingest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine in FLATTEN export mode: observed attributes rewritten to
+    the generic ``measure`` with parametername/datasetid sub-attributes
+    (NgsiLdUtils.java:183-202), one row per attribute instance
+    (XFORM:217-227). The ``measure`` column's batch type is NUMERIC (the
+    score instances) so the string-valued action instances become NULL —
+    the mismatch rule (XFORM:338-341) exercised through the driver gate."""
+    ship_package(spark)
+    warehouse = tempfile.mkdtemp(prefix="ngsild_flatten_wh_")
+    changelog = changelog_from_events(spark, sf_dir)
+    cfg = IngestConfig(write_mode="upsert", export_mode="FLATTEN")
+    ingest_batch(changelog, cfg, warehouse, epoch_id="flagship-flatten-0")
+    df = LakeCatalog(warehouse).table("analytics", "useractivity").read(spark)
+    return df.select(*sorted(df.columns))
+
+
+def _oracle_flatten() -> str:
+    return """
+WITH ranked AS (
+  SELECT *,
+         date_trunc('milliseconds', ts) AS mts,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, date_trunc('milliseconds', ts), event_type
+           ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+), survivors AS (
+  SELECT * FROM ranked WHERE rn = 1
+), base AS (
+  SELECT 'urn:ngsi-ld:UserActivity:' || CAST(user_id AS VARCHAR) AS entityid,
+         'UserActivity' AS entitytype,
+         mts,
+         'urn:ngsi-ld:dataset:' || event_type AS measure_datasetid,
+         '{"k":"' || json_extract_string(props, '$.k') || '"}' AS props,
+         value
+  FROM survivors
+)
+SELECT entityid, entitytype,
+       CAST(NULL AS DOUBLE) AS measure,
+       measure_datasetid,
+       mts AS measure_observedat,
+       'action' AS measure_parametername,
+       props, mts AS recvtime
+FROM base
+UNION ALL
+SELECT entityid, entitytype,
+       value AS measure,
+       measure_datasetid,
+       mts AS measure_observedat,
+       'score' AS measure_parametername,
+       props, mts AS recvtime
+FROM base
+"""
+
+
+SQL_CDC_INGEST_FLATTEN = _oracle_flatten()
+
+
 def q_replay_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule invariant as a first-class query: the per-row content
     sha256 manifest of the replayed flagship table (plans/manifest.py).

@@ -9,8 +9,10 @@ from __future__ import annotations
 
 from . import advanced, suite
 from .flagship import (
+    SQL_CDC_INGEST_FLATTEN,
     SQL_CDC_INGEST_UPSERT,
     SQL_REPLAY_MANIFEST,
+    q_cdc_ingest_flatten,
     q_cdc_ingest_upsert,
     q_replay_manifest,
 )
@@ -39,6 +41,7 @@ REGISTRY: dict[str, tuple] = {
     ),
     # --- the engine itself, oracle-checked end-to-end ---
     "cdc_ingest_upsert": (q_cdc_ingest_upsert, SQL_CDC_INGEST_UPSERT),
+    "cdc_ingest_flatten": (q_cdc_ingest_flatten, SQL_CDC_INGEST_FLATTEN),
     "replay_manifest": (q_replay_manifest, SQL_REPLAY_MANIFEST),
     # --- training-data pipeline ops ---
     "dedup_exact": (suite.q_dedup_exact, suite.SQL_DEDUP_EXACT),
