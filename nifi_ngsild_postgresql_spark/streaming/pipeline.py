@@ -74,12 +74,25 @@ def ingest_batch(
             obs,
             F.count(F.lit(1)).alias("rows"),
             F.count("error").alias("errors"),
+            F.min("seq").alias("min_commit"),
+            F.max("seq").alias("max_commit"),
         )
         .write.mode("overwrite")
         .partitionBy("tenant", "table_name")
         .parquet(staging)
     )
     flat = spark.read.option("basePath", staging).parquet(staging)
+
+    # per-partition skew stats over the staged narrow frame (north rule:
+    # per-partition lineage + metrics every micro-batch) — a metadata-light
+    # count per partition id, no data columns read
+    part_counts = [
+        int(r["n"])
+        for r in flat.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    part_counts.sort()
 
     # --- error channel (reference REL_FAILURE with error.message attr) ---
     n_errors = int(obs.get["errors"])
@@ -92,9 +105,19 @@ def ingest_batch(
     # --- per-batch schema inference + reconciliation ---
     schemas = infer_batch_schemas(flat)
 
+    metrics = obs.get
     lineage: dict[str, Any] = {
         "epoch_id": epoch_id,
+        "rows_flattened": int(metrics["rows"]),
         "errors": n_errors,
+        "min_commit": metrics["min_commit"],
+        "max_commit": metrics["max_commit"],
+        "partitions": {
+            "n": len(part_counts),
+            "min_rows": part_counts[0] if part_counts else 0,
+            "median_rows": part_counts[len(part_counts) // 2] if part_counts else 0,
+            "max_rows": part_counts[-1] if part_counts else 0,
+        },
         "tables": {},
     }
 

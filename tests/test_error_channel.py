@@ -1,0 +1,46 @@
+"""Error-channel parity: corrupt JSON, non-entity payloads, and mixed
+good/bad batches route only the bad events to <warehouse>/_errors while
+the rest commit (reference REL_FAILURE routing with error attributes,
+NgsiLdToPostgreSQL.java:154-166, 584-592)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.config import IngestConfig
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).withColumn("recv_time", F.timestamp_millis(F.lit(1700000000000)))
+
+
+def test_corrupt_and_valid_payloads_split(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    good = json.dumps(
+        {"id": "urn:x:1", "type": "T",
+         "a": {"type": "Property", "value": 1, "observedAt": "2024-01-01T00:00:00Z"}}
+    )
+    rows = [
+        ("t", "p", "000001", "T", good),
+        ("t", "p", "000002", "T", "this is not json {"),
+        ("t", "p", "000003", "T", json.dumps([{"type": "NoId"}])),
+        ("t", "p", "000004", "T", json.dumps(["scalar-not-entity"])),
+    ]
+    lineage = ingest_batch(_batch(spark, rows), IngestConfig(write_mode="upsert"), wh, "e1")
+    assert lineage["errors"] == 3
+    assert lineage["rows_flattened"] >= 4
+    assert lineage["min_commit"] == "000001"
+    assert lineage["max_commit"] == "000004"
+    assert lineage["partitions"]["n"] >= 1
+
+    assert LakeCatalog(wh).table("t", "t").read(spark).count() == 1
+    errs = spark.read.parquet(f"{wh}/_errors")
+    assert errs.count() == 3
+    seqs = {r["seq"] for r in errs.collect()}
+    assert seqs == {"000002", "000003", "000004"}
