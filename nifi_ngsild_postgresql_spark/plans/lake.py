@@ -208,28 +208,6 @@ class LakeTable:
         :443-445; T-E2E:252-270)."""
         return self._apply(df, schema, epoch_id, mode="replace")
 
-    def evolve_only(self, schema: dict[str, str], epoch_id: str) -> dict[str, Any]:
-        """Metadata-only commit: create the table / add columns without
-        data (the reference creates tables even for row-less events,
-        T-E2E:273-310)."""
-        snap = self.latest_snapshot()
-        if snap and epoch_id in snap["epochs"]:
-            return {"skipped_epoch": True}
-        version = (snap["version"] + 1) if snap else 1
-        epochs = dict(snap["epochs"]) if snap else {}
-        epochs[epoch_id] = version
-        self._commit(
-            {
-                "version": version,
-                "n_buckets": snap["n_buckets"] if snap else self.default_n_buckets,
-                "schema": schema,
-                "files": dict(snap["files"]) if snap else {},
-                "epochs": epochs,
-                "stats": snap.get("stats", {}) if snap else {},
-            }
-        )
-        return {"rows_written": 0, "buckets_touched": 0, "version": version}
-
     def _apply(
         self, df: DataFrame, schema: dict[str, str], epoch_id: str, mode: str
     ) -> dict[str, Any]:
