@@ -134,6 +134,54 @@ FROM base
 SQL_CDC_INGEST_FLATTEN = _oracle_flatten()
 
 
+def q_cdc_ingest_semi_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine in SEMI_FLATTEN export mode: observed attributes keep
+    their names, gain a ``<attr>_datasetid`` sub-attribute column, and the
+    shared ``observedat`` column is used (NgsiLdUtils.java:183-202
+    SEMI branch; one row per attribute instance, XFORM:217-227)."""
+    ship_package(spark)
+    warehouse = tempfile.mkdtemp(prefix="ngsild_semi_wh_")
+    changelog = changelog_from_events(spark, sf_dir)
+    cfg = IngestConfig(write_mode="upsert", export_mode="SEMI_FLATTEN")
+    ingest_batch(changelog, cfg, warehouse, epoch_id="flagship-semi-0")
+    df = LakeCatalog(warehouse).table("analytics", "useractivity").read(spark)
+    return df.select(*sorted(df.columns))
+
+
+def _oracle_semi_flatten() -> str:
+    return """
+WITH ranked AS (
+  SELECT *,
+         date_trunc('milliseconds', ts) AS mts,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, date_trunc('milliseconds', ts), event_type
+           ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+), base AS (
+  SELECT 'urn:ngsi-ld:UserActivity:' || CAST(user_id AS VARCHAR) AS entityid,
+         'UserActivity' AS entitytype,
+         mts,
+         'urn:ngsi-ld:dataset:' || event_type AS did,
+         '{"k":"' || json_extract_string(props, '$.k') || '"}' AS props,
+         event_type, value
+  FROM ranked WHERE rn = 1
+)
+SELECT event_type AS action, did AS action_datasetid,
+       entityid, entitytype, mts AS observedat, props, mts AS recvtime,
+       CAST(NULL AS DOUBLE) AS score, CAST(NULL AS VARCHAR) AS score_datasetid
+FROM base
+UNION ALL
+SELECT CAST(NULL AS VARCHAR) AS action, CAST(NULL AS VARCHAR) AS action_datasetid,
+       entityid, entitytype, mts AS observedat, props, mts AS recvtime,
+       value AS score, did AS score_datasetid
+FROM base
+"""
+
+
+SQL_CDC_INGEST_SEMI_FLATTEN = _oracle_semi_flatten()
+
+
 def q_replay_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule invariant as a first-class query: the per-row content
     sha256 manifest of the replayed flagship table (plans/manifest.py).

@@ -8,11 +8,14 @@ Spark-specific plumbing) and get the driver's rows-only check.
 from __future__ import annotations
 
 from . import advanced, suite
+from ..streaming.sessionize import SQL_SESSIONIZE, q_sessionize
 from .flagship import (
     SQL_CDC_INGEST_FLATTEN,
+    SQL_CDC_INGEST_SEMI_FLATTEN,
     SQL_CDC_INGEST_UPSERT,
     SQL_REPLAY_MANIFEST,
     q_cdc_ingest_flatten,
+    q_cdc_ingest_semi_flatten,
     q_cdc_ingest_upsert,
     q_replay_manifest,
 )
@@ -39,9 +42,14 @@ REGISTRY: dict[str, tuple] = {
         suite.q_windowed_microbatch,
         suite.SQL_WINDOWED_MICROBATCH,
     ),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
     # --- the engine itself, oracle-checked end-to-end ---
     "cdc_ingest_upsert": (q_cdc_ingest_upsert, SQL_CDC_INGEST_UPSERT),
     "cdc_ingest_flatten": (q_cdc_ingest_flatten, SQL_CDC_INGEST_FLATTEN),
+    "cdc_ingest_semi_flatten": (
+        q_cdc_ingest_semi_flatten,
+        SQL_CDC_INGEST_SEMI_FLATTEN,
+    ),
     "replay_manifest": (q_replay_manifest, SQL_REPLAY_MANIFEST),
     # --- training-data pipeline ops ---
     "dedup_exact": (suite.q_dedup_exact, suite.SQL_DEDUP_EXACT),

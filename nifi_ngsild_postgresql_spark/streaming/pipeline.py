@@ -20,8 +20,14 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import tempfile
 import time
 from typing import Any
+
+
+def _ensure(path: str) -> str:
+    os.makedirs(path, exist_ok=True)
+    return path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,7 +70,9 @@ def ingest_batch(
         "NGSILD_STAGING_DIR",
         "/dev/shm/ngsild-staging" if os.path.isdir("/dev/shm") else None,
     ) or os.path.join(warehouse, "_staging")
-    staging = os.path.join(staging_root, epoch_id)
+    # unique per invocation: concurrent callers may reuse epoch ids
+    # against different warehouses
+    staging = tempfile.mkdtemp(prefix=f"{epoch_id}-", dir=_ensure(staging_root))
     from pyspark.sql import Observation
 
     obs = Observation()

@@ -1,0 +1,161 @@
+"""Sessionization — gap-based session windows over the event stream.
+
+Two implementations of the same semantics (30-minute inactivity gap):
+
+- ``sessionize_batch``  : pure DataFrame windows (lag + running sum) —
+  oracle-checkable in ANSI SQL, used by the driver contract
+- ``sessionize_stream`` : custom stateful streaming operator via
+  ``applyInPandasWithState`` — per-user open-session state carried across
+  micro-batches in the state store, closed sessions emitted downstream.
+  This is the engine's example of a stateful operator Spark lacks as a
+  built-in composition (the reference has no cross-batch state at all,
+  SURVEY §2.5 "Streaming-only").
+
+Scale notes: batch path = one shuffle on user_id (window) + one partial
+aggregation; streaming path = state store keyed by user, state size O(1)
+per live user, timeouts bound retention.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_S = 1800
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp,"
+    " n_events long, sum_value decimal(18,2)"
+)
+_STATE_SCHEMA = "start long, end long, n long, total double"
+
+
+def sessionize_batch(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Gap-based sessions with lag + running-sum session ids."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.when(
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+            )
+            > gap_s,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    with_sid = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return with_sid.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum("v").alias("sum_value"),
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,2)) AS v,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), with_sid AS (
+  SELECT *, SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, SUM(v) AS sum_value
+FROM with_sid
+GROUP BY user_id, session_id
+"""
+
+
+def q_sessionize(spark, sf_dir: str) -> DataFrame:
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_batch(events).select(
+        "user_id", "session_id", "session_start", "session_end",
+        "n_events", "sum_value",
+    )
+
+
+# --- streaming (stateful) ---------------------------------------------------
+
+def _sessionize_group(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user session state machine. State = (start, end, n, total) of the
+    open session in epoch seconds; events extend it or close it (gap) —
+    closed sessions are emitted, the open one stays in the state store."""
+    (user_id,) = key
+    rows: list[dict[str, Any]] = []
+    events: list[tuple[float, float]] = []
+    for pdf in pdf_iter:
+        ts_s = pdf["ts"].astype("int64") // 1_000_000_000
+        events.extend(zip(ts_s.tolist(), pdf["value"].fillna(0.0).tolist()))
+    events.sort()
+    if state.exists:
+        s, e, n, total = state.get
+    else:
+        s = e = n = total = None
+    for ts_s, v in events:
+        if s is None:
+            s, e, n, total = ts_s, ts_s, 1, float(v)
+        elif ts_s - e > SESSION_GAP_S:
+            rows.append(dict(start=s, end=e, n=n, total=total))
+            s, e, n, total = ts_s, ts_s, 1, float(v)
+        else:
+            e, n, total = max(e, ts_s), n + 1, total + float(v)
+    if s is not None:
+        state.update((int(s), int(e), int(n), float(total)))
+    out = pd.DataFrame(
+        {
+            "user_id": [user_id] * len(rows),
+            "session_start": [pd.Timestamp(r["start"], unit="s") for r in rows],
+            "session_end": [pd.Timestamp(r["end"], unit="s") for r in rows],
+            "n_events": [r["n"] for r in rows],
+            "sum_value": [round(r["total"], 2) for r in rows],
+        }
+    )
+    yield out
+
+
+def sessionize_stream(events_stream: DataFrame) -> DataFrame:
+    """readStream events -> closed sessions via applyInPandasWithState.
+
+    Event-driven close: a session is emitted when a later event for the
+    same user arrives beyond the gap; per-user open-session state
+    survives micro-batches and restarts via the stream checkpoint.
+    (NoTimeout keeps availableNow replays terminating; a continuously
+    running deployment would add ProcessingTimeTimeout + a processingTime
+    trigger to also flush idle sessions on wall-clock.)"""
+    return (
+        events_stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,102 @@
+"""Sessionization: batch/stream agreement, cross-micro-batch state, and
+timeout flush of the stateful applyInPandasWithState operator."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.session import ship_package
+from nifi_ngsild_postgresql_spark.streaming.sessionize import (
+    sessionize_batch,
+    sessionize_stream,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+
+
+def test_batch_sessionize_gap_semantics(spark):
+    rows = [
+        # user 1: two sessions separated by a 2h gap
+        (1, 1, "2024-01-01 10:00:00", 1.0),
+        (2, 1, "2024-01-01 10:10:00", 2.0),
+        (3, 1, "2024-01-01 12:30:00", 3.0),
+        # user 2: one session, events exactly at the 30-min boundary (not >)
+        (4, 2, "2024-01-01 09:00:00", 5.0),
+        (5, 2, "2024-01-01 09:30:00", 5.0),
+    ]
+    df = spark.createDataFrame(
+        [(a, b, c, d) for a, b, c, d in rows],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r["user_id"], str(r["session_start"])): r
+        for r in sessionize_batch(df).collect()
+    }
+    assert len(out) == 3
+    s1 = out[(1, "2024-01-01 10:00:00")]
+    assert s1["n_events"] == 2 and float(s1["sum_value"]) == 3.0
+    s2 = out[(1, "2024-01-01 12:30:00")]
+    assert s2["n_events"] == 1
+    s3 = out[(2, "2024-01-01 09:00:00")]
+    assert s3["n_events"] == 2  # 30-min gap is NOT > gap -> same session
+
+
+def test_streaming_sessionize_state_across_batches(spark, tmp_path):
+    ship_package(spark)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def write_events(rows):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts")).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        ).parquet(src)
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def closed_df():
+        # fresh reader each time: a DataFrame snapshots its file listing
+        return spark.read.schema(
+            "user_id long, session_start timestamp, session_end timestamp,"
+            " n_events long, sum_value decimal(18,2)"
+        ).parquet(out_dir)
+
+    # batch 1: open a session for user 7
+    write_events([(1, 7, "2024-01-01 10:00:00", 1.0), (2, 7, "2024-01-01 10:05:00", 2.0)])
+    run_once()
+    assert closed_df().count() == 0  # session still open in state
+
+    # batch 2: an event far beyond the gap closes the first session and
+    # opens a new one — state carried across micro-batches via checkpoint
+    write_events([(3, 7, "2024-01-01 13:00:00", 4.0)])
+    run_once()
+    rows = closed_df().collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert str(r["session_start"]) == "2024-01-01 10:00:00"
+    assert str(r["session_end"]) == "2024-01-01 10:05:00"
+    assert r["n_events"] == 2 and float(r["sum_value"]) == 3.0
+
+    # batch 3: a far-future event closes the 13:00 session (event-driven
+    # close; a continuous deployment would use ProcessingTimeTimeout)
+    write_events([(4, 7, "2024-01-02 00:00:00", 1.0)])
+    run_once()
+    assert closed_df().count() == 2
