@@ -80,18 +80,22 @@ class LakeTable:
 
     # --- snapshot bookkeeping -------------------------------------------
 
-    def latest_snapshot(self) -> dict[str, Any] | None:
+    def versions(self) -> list[int]:
         if not os.path.isdir(self.meta_dir):
-            return None
-        versions = sorted(
+            return []
+        return sorted(
             int(m.group(1))
             for f in os.listdir(self.meta_dir)
             if (m := _SNAPSHOT_RE.match(f))
         )
-        if not versions:
-            return None
-        with open(os.path.join(self.meta_dir, f"v{versions[-1]:08d}.json")) as f:
+
+    def snapshot(self, version: int) -> dict[str, Any]:
+        with open(os.path.join(self.meta_dir, f"v{version:08d}.json")) as f:
             return json.load(f)
+
+    def latest_snapshot(self) -> dict[str, Any] | None:
+        versions = self.versions()
+        return self.snapshot(versions[-1]) if versions else None
 
     def schema(self) -> dict[str, str] | None:
         snap = self.latest_snapshot()
@@ -110,8 +114,16 @@ class LakeTable:
 
     # --- read -------------------------------------------------------------
 
-    def read(self, spark: SparkSession, with_meta: bool = False) -> DataFrame:
-        snap = self.latest_snapshot()
+    def read(
+        self,
+        spark: SparkSession,
+        with_meta: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read the table; ``version`` time-travels to a past snapshot
+        (every snapshot manifest is immutable, so any committed version
+        stays readable until its files are garbage-collected)."""
+        snap = self.snapshot(version) if version else self.latest_snapshot()
         if snap is None:
             raise FileNotFoundError(f"lake table {self.tenant}.{self.name} not found")
         return self._read_files(
@@ -207,6 +219,51 @@ class LakeTable:
         entity ids, then insert (PostgreSQLTransformer.deleteEntityQuery,
         :443-445; T-E2E:252-270)."""
         return self._apply(df, schema, epoch_id, mode="replace")
+
+    def compact(
+        self, spark: SparkSession, max_files_per_bucket: int = 4
+    ) -> dict[str, Any]:
+        """Small-file compaction: rewrite every bucket whose manifest lists
+        more than ``max_files_per_bucket`` entries into a single commit
+        directory (append-mode ingest accumulates one entry per batch).
+        Metadata-only for healthy buckets; a snapshot commit like any
+        other, so readers never see a partial compaction and time-travel
+        to pre-compaction versions keeps working."""
+        snap = self.latest_snapshot()
+        if snap is None:
+            return {"compacted_buckets": 0}
+        to_compact = {
+            b: paths
+            for b, paths in snap["files"].items()
+            if len(paths) > max_files_per_bucket
+        }
+        if not to_compact:
+            return {"compacted_buckets": 0}
+        version = snap["version"] + 1
+        rel_paths = [p for paths in to_compact.values() for p in paths]
+        df = self._read_files(spark, snap["schema"], rel_paths, with_meta=True)
+        df = df.withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64(F.col("entityid")), F.lit(snap["n_buckets"])),
+        )
+        new_files, rows = self._write_data(df, version, snap["schema"], snap["n_buckets"])
+        files = dict(snap["files"])
+        for b in to_compact:
+            files.pop(b, None)
+        for b, paths in new_files.items():
+            files[b] = paths
+        epochs = dict(snap["epochs"])
+        self._commit(
+            {
+                "version": version,
+                "n_buckets": snap["n_buckets"],
+                "schema": snap["schema"],
+                "files": files,
+                "epochs": epochs,
+                "stats": {"compacted_rows": rows},
+            }
+        )
+        return {"compacted_buckets": len(to_compact), "rows": rows, "version": version}
 
     def _apply(
         self, df: DataFrame, schema: dict[str, str], epoch_id: str, mode: str
