@@ -187,6 +187,59 @@ def ann_lsh_topk_df(e: DataFrame, k: int = 10, n_planes: int = 8) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4
+) -> DataFrame:
+    """IVF-style ANN: deterministic coarse quantizer (the first ``n_cells``
+    vectors act as centroids), every vector assigned to its nearest
+    centroid cell; the query probes its ``n_probe`` nearest cells and
+    re-ranks by exact cosine. Scale path: candidate set ~ n * n_probe /
+    n_cells; the centroid table broadcasts (tiny)."""
+    return ann_ivf_topk_df(_t(spark, sf_dir, "embeddings"), k, n_cells, n_probe)
+
+
+def ann_ivf_topk_df(
+    e: DataFrame, k: int = 10, n_cells: int = 16, n_probe: int = 4
+) -> DataFrame:
+    cents = e.orderBy("vec_id").limit(n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    # assign every vector to its nearest centroid (broadcast NL join +
+    # per-row argmax — the centroid side is tiny by construction)
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "cell", _cosine("embedding", "cvec").alias("sim")
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by("cell", "sim").alias("cell"),
+            F.first("embedding").alias("embedding"),
+        )
+    )
+    q = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    # the query's n_probe nearest cells
+    probe_cells = [
+        r["cell"]
+        for r in cents.crossJoin(F.broadcast(q))
+        .select("cell", _cosine("cvec", "qvec").alias("sim"))
+        .orderBy(F.desc("sim"))
+        .limit(n_probe)
+        .collect()
+    ]
+    cand = assigned.filter(
+        F.col("cell").isin(probe_cells) & (F.col("vec_id") != 0)
+    ).crossJoin(F.broadcast(q))
+    return (
+        cand.select(
+            "vec_id", _cosine("embedding", "qvec").cast("decimal(12,8)").alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH signature as the bucket key,
     exact cosine >= threshold inside buckets."""

@@ -64,6 +64,7 @@ REGISTRY: dict[str, tuple] = {
     # pinned by pytest against in-Spark brute-force baselines ---
     "simhash_neardup": (advanced.q_simhash_neardup, None),
     "ann_lsh_topk": (advanced.q_ann_lsh_topk, None),
+    "ann_ivf_topk": (advanced.q_ann_ivf_topk, None),
     "embedding_neardup": (advanced.q_embedding_neardup, None),
     "multimodal_features": (advanced.q_multimodal_features, None),
 }

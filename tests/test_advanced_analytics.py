@@ -60,6 +60,28 @@ def test_lsh_finds_planted_near_duplicates(spark):
     assert all(abs(by_id[900000 + i] - 1.0) < 1e-6 for i in range(3))
 
 
+def test_ivf_finds_planted_near_duplicates(spark):
+    # same contract as LSH: planted exact copies of the query vector land
+    # in the query's own cell and must dominate the IVF top-k
+    ship_package(spark)
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0)
+    df = e
+    for i in range(3):
+        df = df.unionByName(
+            q.select(
+                F.lit(900000 + i).cast("long").alias("vec_id"),
+                "embedding",
+                F.lit(99).cast("int").alias("label"),
+            )
+        )
+    top = advanced.ann_ivf_topk_df(df, k=5).collect()
+    top_ids = [r["vec_id"] for r in top]
+    for i in range(3):
+        assert 900000 + i in top_ids, f"planted dup missing: {top_ids}"
+    assert all(abs(float(r["cosine"]) - 1.0) < 1e-6 for r in top[:3])
+
+
 def test_embedding_neardup_exact_pairs(spark):
     ship_package(spark)
     pairs = advanced.q_embedding_neardup(spark, SF_DIR, threshold=0.99).collect()
