@@ -1,0 +1,44 @@
+"""Event-time windowed aggregation with watermark-based late-data policy.
+
+The reference has no event-time semantics at all — every row is appended
+whenever it arrives (SURVEY §2.5 "Streaming-only"). This operator is the
+engine's Structured-Streaming-native windowing path for metrics over the
+change stream: tumbling event-time windows with a watermark bounding both
+state retention and how late an event may arrive and still count.
+
+Scale: the aggregation state is (window x event_type) — bounded by the
+watermark horizon, independent of stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts_stream(
+    events_stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """readStream events -> append-mode finalized windows.
+
+    Append output mode emits a window only once the watermark passes its
+    end — i.e. results are final; events later than the watermark are
+    dropped (the documented late-data policy; the CDC ingest path instead
+    NEVER drops late data, handling it via last-writer-wins MERGE)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

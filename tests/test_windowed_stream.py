@@ -1,0 +1,66 @@
+"""Watermark + event-time windows: finalized windows emitted once the
+watermark passes; events later than the watermark are dropped."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.streaming.windows import windowed_counts_stream
+
+
+def test_watermark_finalizes_windows_and_drops_late(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts")).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string, value double"
+        ).parquet(src)
+        q = (
+            windowed_counts_stream(stream, "1 hour", "2 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def read_out():
+        return spark.read.schema(
+            "window_start timestamp, window_end timestamp, event_type string,"
+            " n long, sum_value decimal(28,2)"  # SUM(decimal(18,2)) widens
+        ).parquet(out)
+
+    # batch 1: two events in the 10:00 window; watermark still at 10:30-2h
+    write([
+        (1, 1, "2024-01-01 10:00:00", "click", 1.0),
+        (2, 1, "2024-01-01 10:30:00", "click", 2.0),
+    ])
+    run_once()
+    assert read_out().count() == 0  # window not finalized yet
+
+    # batch 2: an event far ahead advances the watermark past 10:00-11:00
+    write([(3, 1, "2024-01-01 15:00:00", "view", 1.0)])
+    run_once()
+    rows = {str(r["window_start"]): r for r in read_out().collect()}
+    assert "2024-01-01 10:00:00" in rows
+    assert rows["2024-01-01 10:00:00"]["n"] == 2
+
+    # batch 3: a LATE click for the already-finalized 10:00 window (behind
+    # the watermark) must be dropped; a fresh far-ahead event finalizes
+    # the 15:00 window
+    write([
+        (4, 1, "2024-01-01 10:45:00", "click", 9.0),  # late, dropped
+        (5, 1, "2024-01-01 20:00:00", "view", 1.0),
+    ])
+    run_once()
+    rows = {str(r["window_start"]): r for r in read_out().collect()}
+    assert rows["2024-01-01 10:00:00"]["n"] == 2  # unchanged: late dropped
+    assert "2024-01-01 15:00:00" in rows
