@@ -3,35 +3,41 @@
 Reference analogs: REPLACE_MODE delete-then-insert (S6,
 PostgreSQLTransformer.java:443-445) and flow-level DetectDuplicate (S4,
 samples). The reference appends duplicates; our upsert path reduces each
-(entityid, row_key) to the single newest row before MERGE.
+(entityid, row_key) to the single newest row — this helper is invoked by
+the lake MERGE (plans/lake.py) over the union of stored + incoming rows.
 
 Scale design: implemented as ``groupBy(key).agg(max_by(row, order))``
-rather than a ``row_number()`` window. Hash aggregation gets *partial
-(map-side) combine for free* — a hot entity with millions of duplicate
-rows in one batch is reduced to one row per map task before the shuffle,
-so skewed keys never concentrate on a single reducer. A window function
-would shuffle every duplicate row to one task per key (the classic skew
-trap). This is the "salted pre-aggregation" of SURVEY §4.3 realized by
-Spark's own partial-agg machinery; AQE (adaptive coalescing) balances the
+rather than a ``row_number()`` window. Hash/sort aggregation gets
+*partial (map-side) combine for free* — a hot entity with millions of
+duplicate rows in one batch is reduced to one row per map task before
+the shuffle, so skewed keys never concentrate on a single reducer. A
+window function would shuffle every duplicate row to one task per key
+(the classic skew trap). This is the "salted pre-aggregation" of SURVEY
+§4.3 realized by Spark's own partial-agg machinery; AQE balances the
 post-shuffle partitions.
 """
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-KEY_COLS = ("_entity_id", "_row_key")
+KEY_COLS = ("entityid", "_row_key")
 ORDER_COLS = ("_recv_time", "_seq")
 
 
-def last_writer_wins(df: DataFrame) -> DataFrame:
-    """One row per (_entity_id, _row_key): the max by (_recv_time, _seq)."""
-    payload = F.struct(*[c for c in df.columns if c not in KEY_COLS])
-    order = F.struct(*[F.col(c) for c in ORDER_COLS])
-    reduced = (
-        df.groupBy(*KEY_COLS)
+def last_writer_wins(
+    df: DataFrame,
+    key_cols: Sequence[str] = KEY_COLS,
+    order_cols: Sequence[str] = ORDER_COLS,
+) -> DataFrame:
+    """One row per key: the max by (order_cols), all other columns carried."""
+    payload = F.struct(*[c for c in df.columns if c not in key_cols])
+    order = F.struct(*[F.col(c) for c in order_cols])
+    return (
+        df.groupBy(*key_cols)
         .agg(F.max_by(payload, order).alias("_r"))
-        .select(*KEY_COLS, "_r.*")
+        .select(*key_cols, "_r.*")
     )
-    return reduced

@@ -60,6 +60,26 @@ FLAT_SCHEMA = (
 )
 
 
+def _canon_instant(text: str) -> str:
+    """Canonical upsert-key form of an ISO instant: epoch seconds plus the
+    normalized fractional part, so textual variants of the same instant
+    ('Z' vs '+00:00', trailing zero fractions) collide. Non-parseable or
+    empty strings fall back to the raw text (memoized via the underlying
+    parse cache)."""
+    if not text:
+        return ""
+    try:
+        from ..functions.canon import parse_epoch_seconds
+
+        base = parse_epoch_seconds(text)
+        frac = ""
+        if "." in text:
+            frac = text.split(".", 1)[1].rstrip("Z").split("+")[0].rstrip("0")
+        return f"{base}.{frac}"
+    except (ValueError, TypeError):
+        return text
+
+
 def _row_key(row: dict[str, str | None], export_mode: str) -> str:
     """Deterministic row identity for last-writer-wins upsert.
 
@@ -77,11 +97,20 @@ def _row_key(row: dict[str, str | None], export_mode: str) -> str:
         v = row.get(name)
         return v[2:] if isinstance(v, str) else ""
 
+    def ts_key(name: str) -> str:
+        # canonical instant, not raw text: "…T00:00:00Z" and
+        # "…T00:00:00.000Z" are the same upsert key (memoized parse)
+        return _canon_instant(cell(name))
+
     if export_mode == EXPANDED:
-        return cell("observedat")
+        return ts_key("observedat")
     if export_mode == FLATTEN:
         return "|".join(
-            (cell("measure_observedat"), cell("measure_parametername"), cell("measure_datasetid"))
+            (
+                ts_key("measure_observedat"),
+                cell("measure_parametername"),
+                cell("measure_datasetid"),
+            )
         )
     # SEMI_FLATTEN: the observed attribute of this row is the one whose
     # *_datasetid cell is set; fold all instance discriminators in
@@ -89,7 +118,7 @@ def _row_key(row: dict[str, str | None], export_mode: str) -> str:
         f"{k}={v[2:]}" for k, v in row.items()
         if v is not None and k.endswith("_datasetid")
     )
-    return cell("observedat") + "|" + ";".join(discriminators)
+    return ts_key("observedat") + "|" + ";".join(discriminators)
 
 
 def flatten_partition(
@@ -159,20 +188,24 @@ def flatten_partition(
             for entity in entities:
                 try:
                     table = build_table_name(entity.entity_type, table_suffix)
-                except NameTooLongError as exc:
+                    fields = list_of_fields(
+                        entity,
+                        cfg.dataset_id_prefix_to_truncate,
+                        cfg.export_sysattrs,
+                        cfg.ignored_attributes,
+                    )
+                    rows = rows_for_entity(entity, fields, creation_ms, cfg)
+                except Exception as exc:  # noqa: BLE001 — poison-event guard:
+                    # one malformed entity (e.g. a GeoProperty Point with
+                    # empty coordinates) must route to the error channel,
+                    # not fail the task on every retry (REL_FAILURE parity)
                     emit(
                         tenant=tenant, entity_id=entity.entity_id,
                         entity_type=entity.entity_type, seq=commit,
-                        recv_time=recv_ts, error=str(exc),
+                        recv_time=recv_ts,
+                        error=f"{type(exc).__name__}: {exc}",
                     )
                     continue
-                fields = list_of_fields(
-                    entity,
-                    cfg.dataset_id_prefix_to_truncate,
-                    cfg.export_sysattrs,
-                    cfg.ignored_attributes,
-                )
-                rows = rows_for_entity(entity, fields, creation_ms, cfg)
                 types_map: dict | None = fields
                 # the types map is needed even for row-less entities: the
                 # reference still creates the table/columns (T-E2E:273-310

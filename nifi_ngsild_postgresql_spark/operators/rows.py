@@ -251,8 +251,3 @@ def _apply_attribute(
                 values[sub_col] = format_cell(sub.value, fields[sub_col])
 
 
-def row_key(row: dict[str, str | None]) -> tuple:
-    """Upsert key (entityid, observedat-ish) — the shared ``observedat``
-    column when present, else the row is a current-state row keyed by
-    entity alone (documented in FIXTURES.md §3)."""
-    return (row.get(ENTITY_ID), row.get("observedat"))

@@ -295,26 +295,22 @@ class LakeTable:
                 old = self._read_files(
                     spark, schema, touched_old, with_meta=True
                 ).withColumn("_bucket", bucket_expr)
-                combined = old.unionByName(incoming)
                 if mode == "replace":
                     incoming_ids = incoming.select("entityid").distinct()
                     combined = old.join(
                         F.broadcast(incoming_ids), "entityid", "left_anti"
                     ).unionByName(incoming)
+                else:
+                    combined = old.unionByName(incoming)
             else:
                 combined = incoming
             if mode == "upsert":
                 # single LWW reduce covering in-batch duplicates and stored
-                # rows — partial agg absorbs hot keys map-side (SURVEY §4.3)
-                payload = F.struct(
-                    *[c for c in combined.columns if c not in ("entityid", "_row_key")]
-                )
-                order = F.struct(F.col("_recv_time"), F.col("_seq"))
-                to_write = (
-                    combined.groupBy("entityid", "_row_key")
-                    .agg(F.max_by(payload, order).alias("_r"))
-                    .select("entityid", "_row_key", "_r.*")
-                )
+                # rows — partial agg absorbs hot keys map-side
+                # (operators/dedup.py, SURVEY §4.3)
+                from ..operators.dedup import last_writer_wins
+
+                to_write = last_writer_wins(combined)
             else:
                 to_write = combined
 

@@ -24,16 +24,17 @@ CHANGELOG_COLUMNS = ("repo", "path", "commit", "lang", "content", "recv_time")
 
 def with_recv_time(df: DataFrame) -> DataFrame:
     """Ensure the recv_time column (event ingest stamp, reference:
-    FlowFile entry date, NgsiLdUtils.java:39). Derived deterministically
-    from the commit identity when absent so replays are reproducible."""
+    FlowFile entry date, NgsiLdUtils.java:39).
+
+    When the changelog carries no recv_time, a CONSTANT stamp is used —
+    last-writer-wins then falls through to the tiebreak on the commit id
+    (ORDER_COLS = (_recv_time, _seq)), i.e. pure commit order, which is
+    exactly the monotonic change identity the input contract promises.
+    (A value *derived* from the commit text, e.g. a hash, would make the
+    'last writer' a random writer.)"""
     if "recv_time" in df.columns:
         return df
-    return df.withColumn(
-        "recv_time",
-        F.timestamp_millis(
-            F.lit(1700000000000) + F.pmod(F.xxhash64("commit"), F.lit(86_400_000))
-        ),
-    )
+    return df.withColumn("recv_time", F.timestamp_millis(F.lit(1700000000000)))
 
 
 def read_changelog(spark: SparkSession, path: str) -> DataFrame:

@@ -211,9 +211,9 @@ def _generate_partition(
             out["commit"].append(f"{i:012d}")
             out["lang"].append(etype)
             out["content"].append(content)
-            out["recv_time"].append(
-                pd.Timestamp(_BASE_TS + i % 86400, unit="s")
-            )
+            # monotonic with the commit id: recv_time is the primary LWW
+            # key, so it must never invert commit order
+            out["recv_time"].append(pd.Timestamp(_BASE_TS + i, unit="s"))
         yield pd.DataFrame(out)
 
 

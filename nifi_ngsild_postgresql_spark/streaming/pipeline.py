@@ -73,6 +73,18 @@ def ingest_batch(
     # unique per invocation: concurrent callers may reuse epoch ids
     # against different warehouses
     staging = tempfile.mkdtemp(prefix=f"{epoch_id}-", dir=_ensure(staging_root))
+    try:
+        return _ingest_staged(
+            changelog_df, cfg, warehouse, epoch_id, spark, catalog, staging, t0
+        )
+    finally:
+        # never leak RAM-backed staging, even when a table commit throws
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def _ingest_staged(
+    changelog_df, cfg, warehouse, epoch_id, spark, catalog, staging, t0
+) -> dict[str, Any]:
     from pyspark.sql import Observation
 
     obs = Observation()
@@ -89,6 +101,17 @@ def ingest_batch(
         .partitionBy("tenant", "table_name")
         .parquet(staging)
     )
+    if int(obs.get["rows"]) == 0:
+        # empty micro-batch: no partition dirs were written, so the staged
+        # read below would fail schema inference — no-op commit instead
+        lineage = {
+            "epoch_id": epoch_id, "rows_flattened": 0, "errors": 0,
+            "min_commit": None, "max_commit": None,
+            "partitions": {"n": 0, "min_rows": 0, "median_rows": 0, "max_rows": 0},
+            "tables": {}, "wall_s": round(time.time() - t0, 3),
+        }
+        _append_lineage(warehouse, lineage)
+        return lineage
     flat = spark.read.option("basePath", staging).parquet(staging)
 
     # per-partition skew stats over the staged narrow frame (north rule:
@@ -160,7 +183,6 @@ def ingest_batch(
             key, stats = process_table(item)
             lineage["tables"][key] = stats
 
-    shutil.rmtree(staging, ignore_errors=True)
     lineage["wall_s"] = round(time.time() - t0, 3)
     _append_lineage(warehouse, lineage)
     return lineage

@@ -1,0 +1,95 @@
+"""Regression tests for code-review findings: poison events route to the
+error channel, empty micro-batches no-op, textual observedAt variants of
+the same instant share an upsert key, and commit order wins LWW when the
+changelog has no recv_time."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.config import IngestConfig
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+from nifi_ngsild_postgresql_spark.sources.changelog import with_recv_time
+from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch
+
+
+def _batch(spark, contents, recv_ms=1700000000000, with_ts=True):
+    rows = [("t", "p", f"{i:06d}", "T", c) for i, c in enumerate(contents)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    if with_ts:
+        df = df.withColumn("recv_time", F.timestamp_millis(F.lit(recv_ms)))
+    return df
+
+
+def test_poison_geo_event_routes_to_errors(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    poison = json.dumps(
+        {"id": "urn:x:bad", "type": "T",
+         "loc": {"type": "GeoProperty",
+                 "value": {"type": "Point", "coordinates": []},
+                 "observedAt": "2024-01-01T00:00:00Z"}}
+    )
+    good = json.dumps(
+        {"id": "urn:x:ok", "type": "T",
+         "a": {"type": "Property", "value": 1, "observedAt": "2024-01-01T00:00:00Z"}}
+    )
+    lineage = ingest_batch(
+        _batch(spark, [poison, good]), IngestConfig(write_mode="upsert"), wh, "e1"
+    )
+    assert lineage["errors"] == 1
+    rows = LakeCatalog(wh).table("t", "t").read(spark).collect()
+    assert [r["entityid"] for r in rows] == ["urn:x:ok"]
+    errs = spark.read.parquet(f"{wh}/_errors").collect()
+    assert "IndexError" in errs[0]["error"]
+
+
+def test_empty_batch_is_noop(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    empty = _batch(spark, []).limit(0)
+    lineage = ingest_batch(empty, IngestConfig(write_mode="upsert"), wh, "e1")
+    assert lineage["rows_flattened"] == 0 and lineage["tables"] == {}
+    # staging cleaned
+    if os.path.isdir("/dev/shm/ngsild-staging"):
+        assert not any(
+            d.startswith("e1-") for d in os.listdir("/dev/shm/ngsild-staging")
+        )
+
+
+def test_observedat_spelling_variants_share_upsert_key(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+
+    def p(v, obs):
+        return json.dumps(
+            {"id": "urn:x:1", "type": "T",
+             "a": {"type": "Property", "value": v, "observedAt": obs}}
+        )
+
+    contents = [
+        p(1, "2024-01-01T00:00:00Z"),
+        p(2, "2024-01-01T00:00:00.000Z"),
+        p(3, "2024-01-01T01:00:00+01:00"),  # same instant, offset form
+    ]
+    ingest_batch(_batch(spark, contents), IngestConfig(write_mode="upsert"), wh, "e1")
+    rows = LakeCatalog(wh).table("t", "t").read(spark).collect()
+    assert len(rows) == 1  # one (entity, instant) key
+    assert rows[0]["a"] == 3.0  # highest commit wins
+
+
+def test_commit_order_wins_without_recv_time(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+
+    def p(v):
+        return json.dumps(
+            {"id": "urn:x:1", "type": "T",
+             "a": {"type": "Property", "value": v, "observedAt": "2024-01-01T00:00:00Z"}}
+        )
+
+    df = with_recv_time(_batch(spark, [p(10), p(20), p(30)], with_ts=False))
+    ingest_batch(df, IngestConfig(write_mode="upsert"), wh, "e1")
+    rows = LakeCatalog(wh).table("t", "t").read(spark).collect()
+    assert len(rows) == 1 and rows[0]["a"] == 30.0  # pure commit order
