@@ -1,0 +1,74 @@
+"""Full-pipeline e2e for temporalEntities.json (T5 — type-inference and
+null edge cases): DATE/TIMETZ/TIMESTAMPTZ/GEOMETRY column types land in
+the lake schema, values round-trip as native Spark types, and two
+entities of the same type share one evolving table.
+(The reference only covers this fixture at parse level, T-PARSE:26-48;
+this pins the end-to-end behavior.)"""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+from conftest import load_fixture
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.config import IngestConfig
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch
+
+CREATION_TIME = 1562561734983
+
+
+def test_types_fixture_end_to_end(spark, tmp_path):
+    data = load_fixture("temporalEntities.json")
+    wh = str(tmp_path / "wh")
+    df = spark.createDataFrame(
+        [("t", "p", "000001", "NifiTest", json.dumps(data))],
+        "repo string, path string, commit string, lang string, content string",
+    ).withColumn("recv_time", F.timestamp_millis(F.lit(CREATION_TIME)))
+    cfg = IngestConfig(write_mode="upsert", ignore_empty_observed_at=False)
+    lineage = ingest_batch(df, cfg, wh, "e1")
+    assert lineage["errors"] == 0
+
+    table = LakeCatalog(wh).table("t", "nifitest")
+    schema = table.schema()
+    # the type ladder (XFORM:64-89) through the whole pipeline
+    assert schema["date"] == "DATE"
+    assert schema["time"] == "TIMETZ"
+    assert schema["datetime"] == "TIMESTAMPTZ"
+    assert schema["temperature"] == "TEXT"  # last-wins mixed-type (see FIXTURES.md)
+    assert schema["location_geometry"] == "GEOMETRY"
+    assert schema["location_lat"] == "NUMERIC"
+    assert schema["observedat"] == "TIMESTAMPTZ"
+
+    rows = table.read(spark).collect()
+    # entity 1: 3 observedAt groups (incl. "" current-state row with
+    # ignore_empty=False) ; entity 2: 1 shared observedAt + current-state
+    ids = {r["entityid"] for r in rows}
+    assert ids == {"urn:ngsi-ld:NifiTest:Test01", "urn:ngsi-ld:NifiTest:Test02"}
+
+    e1_static = next(
+        r for r in rows
+        if r["entityid"].endswith("Test01") and r["observedat"] is None
+    )
+    # native typed values
+    assert e1_static["date"] == datetime.date(2020, 10, 29)
+    assert e1_static["time"] == "09:00:00Z"  # TIMETZ normalized text
+    assert str(e1_static["datetime"]) == "2020-10-29 09:00:00"
+    assert e1_static["location_lat"] == 43.43358
+    # linked entity denormalization: two country instances collapse to the
+    # last one written (same sub-attr column)
+    assert e1_static["hasrel_country"] == "ES"
+    assert e1_static["hasrelation_country"] == "USA"
+    # null-valued attributes never became columns
+    assert "nullvalue" not in schema and "nullattribute" not in schema
+
+    # temperature TEXT column keeps both spellings as text
+    temps = {
+        str(r["observedat"]): r["temperature"]
+        for r in rows
+        if r["entityid"].endswith("Test01") and r["observedat"] is not None
+    }
+    assert temps["2020-10-29 09:00:00"] == "16"
+    assert temps["2020-09-29 09:00:00"] == "<14>"
