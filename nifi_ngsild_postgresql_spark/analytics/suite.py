@@ -6,10 +6,21 @@ and an order-insensitive value hash, so every computed column is aliased
 identically on both sides.
 
 Determinism rules used throughout (so value hashes match bit-for-bit):
-- money/quantity aggregates: cast to DECIMAL *before* SUM (exact, order-free)
-- per-row float math: identical IEEE scalar expressions on both sides
-- no AVG over doubles in oracle-checked queries (summation-order-dependent)
-- every result column aliased the same in Spark and SQL
+- NO DecimalType in any result schema: Spark `toPandas` renders decimals
+  as `decimal.Decimal` objects while DuckDB's `.df()` renders DECIMAL as
+  float64 — the driver's value hash can never match. Aggregates are
+  computed over DECIMAL internally (exact, order-free) and the *final*
+  value is cast to DOUBLE on both sides: identical decimal -> identical
+  nearest-double -> identical float64 bits.
+- DuckDB SUM(integer) returns HUGEINT (-> float64 in pandas) while Spark
+  returns bigint (-> int64): every integer SUM in oracle SQL is wrapped
+  in CAST(... AS BIGINT).
+- per-row float math: both sides derive doubles from the *same exact
+  integers* (e.g. integer-quantized embeddings), so each double op is
+  the identical IEEE operation — no fold-order sensitivity.
+- regex character classes are written out explicitly (Java `\\s` includes
+  \\x0b; RE2's does not).
+- every result column aliased the same in Spark and SQL.
 """
 
 from __future__ import annotations
@@ -135,13 +146,19 @@ def q_group_agg(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base"),
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                     "decimal(18,4)"
                 )
-            ).alias("sum_disc_price"),
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -149,9 +166,10 @@ def q_group_agg(spark, sf_dir):
 
 SQL_GROUP_AGG = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
-       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_disc_price,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= '1998-09-02'
@@ -205,7 +223,9 @@ def q_static_broadcast_join(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select(
             "o_orderkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+            # per-row passthrough of the parquet double — bit-identical on
+            # both engines by construction
+            F.col("o_totalprice").alias("total"),
             "c_name",
             "n_name",
         )
@@ -213,7 +233,7 @@ def q_static_broadcast_join(spark, sf_dir):
 
 
 SQL_STATIC_BROADCAST_JOIN = """
-SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total, c_name, n_name
+SELECT o_orderkey, o_totalprice AS total, c_name, n_name
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -306,20 +326,24 @@ WHERE rn = 1
 
 def q_anti_join_diff(spark, sf_dir):
     """C7 — new-column diff as a set difference (anti-join): keys present
-    on one side only (getNewColumns, XFORM:474-488)."""
+    on one side only (getNewColumns, XFORM:474-488). The anti-joined set
+    is the 1998+ order subset so the difference is non-empty at every SF
+    (every customer has *some* order in the synthetic data)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1998-01-01")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")
-        .agg(F.count("*").alias("n_customers_without_orders"))
+        .agg(F.count("*").alias("n_customers_without_recent_orders"))
     )
 
 
 SQL_ANTI_JOIN_DIFF = """
-SELECT c_nationkey, COUNT(*) AS n_customers_without_orders
+SELECT c_nationkey, COUNT(*) AS n_customers_without_recent_orders
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderdate >= '1998-01-01'
+)
 GROUP BY c_nationkey
 """
 
@@ -354,14 +378,17 @@ def q_windowed_microbatch(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
         )
     )
 
 
 SQL_WINDOWED_MICROBATCH = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
-       COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -488,13 +515,32 @@ FROM band a JOIN band b ON a.band = b.band AND a.doc_id < b.doc_id
 # irrelevant here because only i-to-i+1 adjacency is used.
 
 
+# A shingle present in more than this many documents is a "stop shingle"
+# and is dropped before candidate generation AND before set sizing — this
+# is the standard web-dedup trick (hot shingles like "the end of the"
+# carry no near-dup signal but create O(k^2) candidate pairs). It bounds
+# the self-join fan-out to MAX_DOCS_PER_SHINGLE^2 rows per shingle key,
+# which is what makes the operator skew-safe at 100 TB.
+MAX_DOCS_PER_SHINGLE = 10
+
+
 def q_ngram_jaccard(spark, sf_dir):
-    """N-gram Jaccard near-dup: pairwise Jaccard over distinct 3-shingle
-    sets for candidate pairs sharing at least one shingle; pairs >= 0.8.
-    Candidate generation is keyed by shingle (a bucketed join, never a
-    cross join); at scale, cap candidates per shingle or pre-filter via
-    minhash bands (q_minhash_bands) first."""
+    """N-gram Jaccard near-dup over *rare-shingle* sets: shingles occurring
+    in <= MAX_DOCS_PER_SHINGLE docs define both the candidate join and the
+    Jaccard sets; pairs with Jaccard >= 0.8 are near-dups. The candidate
+    join is keyed by shingle with bounded fan-out (never a cross join,
+    never quadratic on a hot shingle). jaccard is one double division of
+    exact integers — bit-identical across engines."""
     sh = _shingles(_t(spark, sf_dir, "documents"))
+    # global doc-frequency filter: one extra narrow aggregation, removes
+    # the skew hazard from every downstream stage
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_DOCS_PER_SHINGLE)
+        .select("shingle")
+    )
+    sh = sh.join(rare, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -509,10 +555,8 @@ def q_ngram_jaccard(spark, sf_dir):
         inter.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn(
             "jaccard",
-            (
-                F.col("inter")
-                / (F.col("sza") + F.col("szb") - F.col("inter"))
-            ).cast("decimal(9,6)"),
+            F.col("inter").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
@@ -520,7 +564,7 @@ def q_ngram_jaccard(spark, sf_dir):
     return jac
 
 
-SQL_NGRAM_JACCARD = """
+SQL_NGRAM_JACCARD = f"""
 WITH toks AS (
   SELECT doc_id, tok, i
   FROM (
@@ -529,11 +573,17 @@ WITH toks AS (
            generate_subscripts(list_filter(string_split(text, ' '), t -> t <> ''), 1) AS i
     FROM documents
   )
-), sh AS (
+), sh_all AS (
   SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
   FROM toks t1
   JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
   JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2
+), sh AS (
+  SELECT doc_id, shingle FROM sh_all
+  WHERE shingle IN (
+    SELECT shingle FROM sh_all GROUP BY shingle
+    HAVING COUNT(*) <= {MAX_DOCS_PER_SHINGLE}
+  )
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
 ), inter AS (
@@ -542,11 +592,11 @@ WITH toks AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       CAST(inter / (sa.sz + sb.sz - inter) AS DECIMAL(9,6)) AS jaccard
+       CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
 """
 
 
@@ -597,33 +647,35 @@ FROM scored GROUP BY 1, 2
 
 
 def q_quality_score(spark, sf_dir):
-    """Text quality features: token count, char count, mean token length
-    (exact decimal), punctuation count."""
+    """Text quality features: token count, char count, mean token length,
+    punctuation count. mean_token_len is a single double division of two
+    exact integers — the identical IEEE op on both engines."""
     d = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda t: t != "")
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.length("text").alias("n_chars_actual"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
         (
-            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast(
-                "decimal(18,6)"
-            )
-            / F.greatest(F.size(toks), F.lit(1))
-        ).cast("decimal(18,6)").alias("mean_token_len"),
-        F.length(F.regexp_replace("text", "[^.!?,;:]", "")).alias("n_punct"),
+            sum_len.cast("double")
+            / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        ).alias("mean_token_len"),
+        F.length(F.regexp_replace("text", "[^.!?,;:]", ""))
+        .cast("long")
+        .alias("n_punct"),
     )
 
 
 SQL_QUALITY_SCORE = """
 SELECT doc_id,
-       len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
-       length(text) AS n_chars_actual,
-       CAST(CAST(list_sum(list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
-                t -> length(t))) AS DECIMAL(18,6))
-            / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1)
-            AS DECIMAL(18,6)) AS mean_token_len,
-       length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
+       CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(list_sum(list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                t -> length(t))) AS DOUBLE)
+         / CAST(greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1) AS DOUBLE)
+         AS mean_token_len,
+       CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct
 FROM documents
 """
 
@@ -632,71 +684,90 @@ def q_token_count(spark, sf_dir):
     """Token counting with a BPE-ish regex (letter runs / digit runs /
     single punctuation), aggregated per source."""
     d = _t(spark, sf_dir, "documents")
-    pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+    # whitespace written out explicitly: Java's \s includes \x0b, RE2's
+    # does not — an implicit class is a silent cross-engine divergence
+    pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r\\f]"
     return (
         d.select(
             "source",
-            # pattern passed as a Column literal so Spark SQL string
-            # escaping can't eat the \s
             F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("toks"),
         )
         .groupBy("source")
-        .agg(F.sum("toks").alias("total_tokens"), F.count("*").alias("n_docs"))
+        .agg(
+            F.sum("toks").alias("total_tokens"),
+            F.count("*").alias("n_docs"),
+        )
     )
 
 
 SQL_TOKEN_COUNT = """
 SELECT source,
-       SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS total_tokens,
+       CAST(SUM(len(regexp_extract_all(text,
+           '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f]'))) AS BIGINT) AS total_tokens,
        COUNT(*) AS n_docs
 FROM documents
 GROUP BY source
 """
 
 
+# Embeddings quantized to 1e-6 before any similarity math. Integer dot
+# products and norms are EXACT and summation-order-free, so the final
+# cosine is one double division of identical integers on both engines —
+# bit-identical without trusting either engine's float fold order.
+EMB_QUANT = 1_000_000
+
+
+def quantized_embedding(col):
+    """array<float> -> array<long>, value*1e6 rounded half-away-from-zero
+    (both Spark's BigDecimal HALF_UP and DuckDB's std::round agree)."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * EMB_QUANT, 0).cast("long")
+    )
+
+
+def int_cosine(qa, qb):
+    """Exact-integer cosine: double(dot) / sqrt(double(na2) * double(nb2))."""
+    zero = F.lit(0).cast("long")
+    dot = F.aggregate(
+        F.zip_with(qa, qb, lambda a, b: a * b), zero, lambda acc, x: acc + x
+    )
+    na2 = F.aggregate(qa, zero, lambda acc, x: acc + x * x)
+    nb2 = F.aggregate(qb, zero, lambda acc, x: acc + x * x)
+    return dot.cast("double") / F.sqrt(na2.cast("double") * nb2.cast("double"))
+
+
+_SQL_QVEC = (
+    "list_transform({col}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+)
+_SQL_INT_COSINE = """
+  CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])) AS DOUBLE)
+  / sqrt(CAST(list_sum(list_transform({a}, x -> x * x)) AS DOUBLE)
+         * CAST(list_sum(list_transform({b}, x -> x * x)) AS DOUBLE))
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k over the embedding column vs the query
-    vector (vec_id 0) — the ANN correctness baseline. Dot/norm in doubles
-    with fixed left-to-right fold on both engines."""
+    vector (vec_id 0) — the ANN correctness baseline. Exact integer
+    dot/norms over quantized embeddings (see EMB_QUANT)."""
     e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qvec")
-    )
-    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
-    dot = F.aggregate(
-        F.zip_with("embedding", "qvec", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    na = F.sqrt(
-        F.aggregate(
-            "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-        )
-    )
-    nb = F.sqrt(
-        F.aggregate(
-            "qvec", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-        )
-    )
+    qe = e.select("vec_id", quantized_embedding("embedding").alias("emb"))
+    q = qe.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qvec"))
+    joined = qe.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
     return (
-        joined.select(
-            "vec_id", (dot / (na * nb)).cast("decimal(12,8)").alias("cosine")
-        )
+        joined.select("vec_id", int_cosine("emb", "qvec").alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
 
 
-SQL_ANN_COSINE_TOPK = """
-WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SQL_ANN_COSINE_TOPK = f"""
+WITH qe AS (
+  SELECT vec_id, {_SQL_QVEC.format(col="embedding")} AS emb FROM embeddings
+), q AS (SELECT emb AS qvec FROM qe WHERE vec_id = 0)
 SELECT vec_id,
-       CAST(
-         list_sum(list_transform(list_zip(embedding, qvec),
-                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-            * sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-         AS DECIMAL(12,8)) AS cosine
-FROM embeddings, q
+       {_SQL_INT_COSINE.format(a="emb", b="qvec")} AS cosine
+FROM qe, q
 WHERE vec_id <> 0
 ORDER BY cosine DESC, vec_id ASC
 LIMIT 10

@@ -30,7 +30,7 @@ SESSION_GAP_S = 1800
 
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp,"
-    " n_events long, sum_value decimal(18,2)"
+    " n_events long, sum_value double"
 )
 _STATE_SCHEMA = "start long, end long, n long, total double"
 
@@ -66,7 +66,9 @@ def sessionize_batch(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
-        F.sum("v").alias("sum_value"),
+        # exact decimal sum internally, double in the result schema (a
+        # DecimalType result can never hash-match DuckDB's float64)
+        F.sum("v").cast("double").alias("sum_value"),
     )
 
 
@@ -83,9 +85,10 @@ WITH flagged AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
-       COUNT(*) AS n_events, SUM(v) AS sum_value
+       COUNT(*) AS n_events,
+       CAST(SUM(v) AS DOUBLE) AS sum_value
 FROM with_sid
 GROUP BY user_id, session_id
 """

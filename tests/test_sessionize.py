@@ -76,7 +76,7 @@ def test_streaming_sessionize_state_across_batches(spark, tmp_path):
         # fresh reader each time: a DataFrame snapshots its file listing
         return spark.read.schema(
             "user_id long, session_start timestamp, session_end timestamp,"
-            " n_events long, sum_value decimal(18,2)"
+            " n_events long, sum_value double"
         ).parquet(out_dir)
 
     # batch 1: open a session for user 7

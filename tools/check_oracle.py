@@ -1,0 +1,141 @@
+"""Local replica of the driver's oracle gate.
+
+Runs every ``queries()`` entry against its ``oracle_sql()`` on the same
+parquet tables (default sf0.01) and compares row count, schema (sorted
+column names) and an order-insensitive canonical value multiset.
+
+Stricter than the driver on purpose: a value only matches if the Python
+*type class* matches too (int64 vs float64 is a FAIL), because the
+driver's canonicalizer is unknown and round-1 evidence (token_count
+failing on DuckDB HUGEINT->float64) shows dtype leaks into the hash.
+Passing here should imply passing any sane driver comparator.
+
+Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _norm(v):
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return "f:" + repr(v)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return "DECIMAL_OBJECT(%s)" % v  # always a mismatch vs float — by design
+    except ImportError:
+        pass
+    if isinstance(v, bool):
+        return "b:" + str(v)
+    if hasattr(v, "dtype") and "int" in str(getattr(v, "dtype", "")):
+        return "i:" + str(int(v))
+    if isinstance(v, int):
+        return "i:" + str(v)
+    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+        ts = pd.Timestamp(v)
+        return "t:" + ts.isoformat()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return "s:" + str(v)
+
+
+def canon(df: pd.DataFrame):
+    cols = sorted(df.columns)
+    # column-wise normalization: iterrows() would upcast mixed numeric rows
+    # to float64 and lie about the underlying dtypes
+    norm_cols = [[_norm(v) for v in df[c].tolist()] for c in cols]
+    rows = sorted(zip(*norm_cols)) if norm_cols and len(df) else []
+    return cols, rows
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:]) if len(sys.argv) > 2 else (
+        set(sys.argv[1:]) if len(sys.argv) > 1 and not os.path.isdir(sys.argv[1]) else None
+    )
+
+    import __spark_entry__ as entry
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check_oracle")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            # rows-only check (mimic driver) — flag vacuous 0-row results
+            status = "rows-only" if len(sdf) > 0 else "VACUOUS(0 rows)"
+            if len(sdf) == 0:
+                n_fail += 1
+            print(f"{'ok  ' if len(sdf) else 'FAIL'} {name}: {status} "
+                  f"rows={len(sdf)} ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        s_cols, s_rows = canon(sdf)
+        o_cols, o_rows = canon(odf)
+        ok_rows = len(sdf) == len(odf)
+        ok_schema = s_cols == o_cols
+        ok_hash = s_rows == o_rows
+        if ok_rows and ok_schema and ok_hash:
+            print(f"ok   {name}: rows={len(sdf)} ({time.time()-t0:.1f}s)")
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: rows {len(sdf)}/{len(odf)} schema_ok={ok_schema} hash_ok={ok_hash}")
+            if not ok_schema:
+                print(f"     spark cols : {s_cols}\n     oracle cols: {o_cols}")
+            elif not ok_hash:
+                for i, (a, b) in enumerate(zip(s_rows, o_rows)):
+                    if a != b:
+                        print(f"     first diff row {i}:\n       spark : {a}\n       oracle: {b}")
+                        break
+                else:
+                    print("     (row multiset prefix equal; length mismatch tail)")
+    print(f"\n{'ALL GREEN' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
