@@ -1,33 +1,55 @@
-"""Non-SQL-expressible training-data operators (rows-only driver check;
-correctness pinned by pytest against in-Spark brute-force baselines).
+"""Advanced training-data operators — ALL oracle-checked (round 2).
 
-- SimHash near-dup     : 64-bit simhash over token md5s, Hamming buckets
-- LSH ANN              : random-hyperplane signature bucketing, cosine
-                         re-rank inside buckets (the scale path; the
-                         brute-force baseline is analytics/suite.py's
-                         q_ann_cosine_topk)
-- Embedding near-dup   : cosine >= threshold pairs via LSH candidate
-                         generation (embedding-cosine near-dup family)
+Round 1 shipped these as rows-only checks; round 2 restructures every one
+so a DuckDB oracle can verify it bit-for-bit:
+
+- SimHash near-dup     : 60-bit simhash derived from md5 hex — computed
+                         entirely in JVM expressions (conv/shift/bit ops,
+                         no Python in the signature path), banded join
+- LSH ANN top-k        : integer hyperplane signatures over quantized
+                         embeddings — sign bits are exact, so the oracle
+                         reproduces the same candidate set
+- IVF ANN top-k        : deterministic coarse quantizer (cells = vec_id <
+                         n_cells) + exact integer cosine re-rank
+- Embedding near-dup   : exact integer-quantized cosine over all pairs
+                         (the correctness semantics); the LSH-bucketed
+                         candidate path is the documented 100 TB scale
+                         variant (lsh_neardup_candidates, pytest-pinned)
 - Multimodal plumbing  : opaque binary column + typed metadata +
                          mapInPandas decode/feature-extract stage (decode
                          itself STUBBED deterministically — media codecs
-                         are not in this container; the Spark-side
-                         schema/partitioning/batching is real)
+                         are not in this container; the Arrow batch shape,
+                         schema and partitioning are real). The feature is
+                         emitted as a canonical comma-joined byte string
+                         so the driver comparator can hash it.
+
+Determinism contract (shared with analytics/suite.py): similarity math
+runs over integer-quantized vectors / integer hashes, so every double the
+operators emit is one IEEE op over identical integers on both engines.
 
 Design notes (100 TB): every operator is a composition of narrow maps +
 key-bucketed joins. Candidate generation always goes through a bucket
 key (simhash band / hyperplane signature) so the pairwise stage never
-sees a cross join; bucket skew is bounded by band width.
+sees a cross join; bucket skew is bounded by band width. The exact
+embedding_neardup is the small-SF semantics oracle; at 10^9+ vectors use
+lsh_neardup_candidates + exact re-rank (recall pinned by pytest on
+planted duplicates).
 """
 
 from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from functools import reduce
+from operator import add
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .suite import _SQL_INT_COSINE, _SQL_QVEC, int_cosine, quantized_embedding
+
+EMBEDDING_DIM = 64  # testdata embeddings.parquet dimension (all SFs)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -35,37 +57,51 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# SimHash
+# SimHash — 60-bit signature from md5 hex, fully JVM-vectorized
 # --------------------------------------------------------------------------
 
-def _simhash64(tokens: list[str]) -> int:
-    acc = [0] * 64
-    for tok in tokens:
-        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-        for b in range(64):
-            acc[b] += 1 if (h >> b) & 1 else -1
-    out = 0
-    for b in range(64):
-        if acc[b] > 0:
-            out |= 1 << b
-    return out - (1 << 63)  # two's-complement into signed int64
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits a signed int64 positively
+BAND_BITS = 15
+N_BANDS = 4
+HAMMING_MAX = 8
 
 
-def _simhash_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in it:
-        sigs = [
-            _simhash64([t for t in text.split(" ") if t])
-            for text in pdf["text"].values
+def simhash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — per-token 60-bit hash = first 15 md5 hex chars;
+    per-bit majority vote over the token multiset. No Python stage: md5 /
+    conv / shifts / CASE sums are all whole-stage-codegen expressions."""
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    hashed = toks.select("doc_id", h.alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
         ]
-        yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "simhash": sigs})
+    )
+    sig = reduce(
+        add,
+        [
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(SIMHASH_BITS)
+        ],
+    )
+    return votes.select("doc_id", sig.alias("simhash"))
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: docs whose 64-bit simhash agrees on
-    all four 16-bit bands after per-band bucketing, re-ranked by Hamming
-    distance <= 8. Banding makes the join key-partitioned (no cross join)."""
-    d = _t(spark, sf_dir, "documents")
-    sig = d.mapInPandas(_simhash_partition, "doc_id long, simhash long")
+    """SimHash near-dup candidates: docs sharing any 15-bit band of the
+    60-bit simhash, re-ranked by Hamming distance <= 8. Banding keeps the
+    join key-partitioned (never a cross join); fan-out per band value is
+    bounded by the band collision rate."""
+    sig = simhash_signatures(_t(spark, sf_dir, "documents"))
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -75,97 +111,122 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat_ws(
                         ":",
                         F.lit(str(i)),
-                        (F.shiftrightunsigned("simhash", 16 * i) % (1 << 16)).cast(
-                            "string"
-                        ),
+                        F.shiftright("simhash", BAND_BITS * i)
+                        .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
+                        .cast("string"),
                     )
-                    for i in range(4)
+                    for i in range(N_BANDS)
                 ]
             )
         ).alias("band"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            F.bit_count(F.expr("a.simhash ^ b.simhash")).cast("long").alias("hamming"),
         )
+        .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
     )
-    hamming = F.bit_count(F.expr("ha ^ hb"))
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 8)
-        .select("doc_a", "doc_b", "hamming")
-    )
+
+
+_V_COLS = ",\n         ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SIG_EXPR = "\n       + ".join(
+    f"CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END"
+    for b in range(SIMHASH_BITS)
+)
+_BAND_LIST = ", ".join(
+    f"'{i}:' || CAST((simhash >> {BAND_BITS * i}) & {(1 << BAND_BITS) - 1} AS VARCHAR)"
+    for i in range(N_BANDS)
+)
+
+SQL_SIMHASH_NEARDUP = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, 16),
+              i -> (CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) AS BIGINT) - 1)
+                   << (4 * (15 - i))
+         )) AS BIGINT) AS h
+  FROM toks
+), votes AS (
+  SELECT doc_id,
+         {_V_COLS}
+  FROM hashed GROUP BY doc_id
+), sig AS (
+  SELECT doc_id,
+         {_SIG_EXPR} AS simhash
+  FROM votes
+), bands AS (
+  SELECT doc_id, simhash, unnest([{_BAND_LIST}]) AS band FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""
 
 
 # --------------------------------------------------------------------------
-# LSH ANN over embeddings
+# LSH ANN over embeddings — integer hyperplanes, exact sign bits
 # --------------------------------------------------------------------------
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 13) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes from md5 (no RNG state)."""
-    planes = []
-    for p in range(n_planes):
-        row = []
-        for d in range(dim):
-            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
-            v = int.from_bytes(h[:8], "big") / float(1 << 63) - 1.0
-            row.append(v)
-        planes.append(row)
-    return planes
+N_PLANES = 8
 
 
-def _lsh_signature_expr(dim: int, n_planes: int):
-    planes = _hyperplanes(dim, n_planes)
+def _int_hyperplanes(dim: int, n_planes: int, seed: int = 13) -> list[list[int]]:
+    """Deterministic integer hyperplane weights from md5 (no RNG state);
+    range +-2^31 so a 64-dim dot against 1e-6-quantized embeddings stays
+    far below int64 overflow (|w*e| <= 2^51, x64 dims <= 2^57)."""
+    return [
+        [
+            int.from_bytes(hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[:4], "big")
+            - (1 << 31)
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _lsh_sig_expr(qcol: str, planes: list[list[int]]):
     bits = []
     for row in planes:
-        weights = F.array(*[F.lit(w) for w in row])
+        w = F.array(*[F.lit(x).cast("long") for x in row])
         dot = F.aggregate(
-            F.zip_with("embedding", weights, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
+            F.zip_with(qcol, w, lambda a, b: a * b),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
 
-def _cosine(col_a: str, col_b: str):
-    dot = F.aggregate(
-        F.zip_with(col_a, col_b, lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    na = F.sqrt(
-        F.aggregate(col_a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
-    nb = F.sqrt(
-        F.aggregate(col_b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
-    return dot / (na * nb)
+def _sql_lsh_sig(col: str, planes: list[list[int]]) -> str:
+    parts = []
+    for row in planes:
+        lst = "[" + ",".join(str(x) for x in row) + "]"
+        parts.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip({col}, {lst}),"
+            f" p -> p[1] * p[2])) >= 0 THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(parts)
 
 
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str, k: int = 10, n_planes: int = 8) -> DataFrame:
-    """ANN top-k for the query vector (vec_id 0) via random-hyperplane LSH.
-
-    Scale path: candidate set ≈ n·(1-θ/π)^b — near-duplicates (small angle
-    θ) collide with high probability, unrelated vectors are pruned. NOTE:
-    on *uniform random* embeddings (near-orthogonal to any query) recall
-    vs exact top-k is intentionally low — LSH answers "find near
-    duplicates", not "rank weak similarities"; the brute-force baseline
-    (suite.q_ann_cosine_topk) is the exact-ranking path."""
-    return ann_lsh_topk_df(_t(spark, sf_dir, "embeddings"), k, n_planes)
-
-
-def ann_lsh_topk_df(e: DataFrame, k: int = 10, n_planes: int = 8) -> DataFrame:
+def ann_lsh_topk_df(e: DataFrame, k: int = 10, n_planes: int = N_PLANES) -> DataFrame:
     dim = len(e.filter(F.col("vec_id") == 0).select("embedding").first()[0])
-    sig = e.withColumn("sig", _lsh_signature_expr(dim, n_planes))
+    planes = _int_hyperplanes(dim, n_planes)
+    qe = e.select("vec_id", quantized_embedding("embedding").alias("emb"))
+    sig = qe.withColumn("sig", _lsh_sig_expr("emb", planes))
     q = sig.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qvec"), F.col("sig").alias("qsig")
+        F.col("emb").alias("qvec"), F.col("sig").alias("qsig")
     )
     joined = sig.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
     # multi-probe: accept signatures within Hamming distance 1
@@ -179,52 +240,79 @@ def ann_lsh_topk_df(e: DataFrame, k: int = 10, n_planes: int = 8) -> DataFrame:
     )
     cand = joined.withColumn("ham", ham).filter(F.col("ham") <= 1)
     return (
-        cand.select(
-            "vec_id", _cosine("embedding", "qvec").cast("decimal(12,8)").alias("cosine")
-        )
+        cand.select("vec_id", int_cosine("emb", "qvec").alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
 
 
-def q_ann_ivf_topk(
-    spark: SparkSession, sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4
-) -> DataFrame:
-    """IVF-style ANN: deterministic coarse quantizer (the first ``n_cells``
-    vectors act as centroids), every vector assigned to its nearest
-    centroid cell; the query probes its ``n_probe`` nearest cells and
-    re-ranks by exact cosine. Scale path: candidate set ~ n * n_probe /
-    n_cells; the centroid table broadcasts (tiny)."""
-    return ann_ivf_topk_df(_t(spark, sf_dir, "embeddings"), k, n_cells, n_probe)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """ANN top-k for the query vector (vec_id 0) via integer-hyperplane
+    LSH with Hamming<=1 multi-probe. Scale path: candidate set shrinks as
+    (1 - theta/pi)^planes; the brute-force baseline (q_ann_cosine_topk) is
+    the exact-ranking semantics. Signature bits and cosines are exact
+    integer math — the DuckDB oracle reproduces the identical result."""
+    return ann_lsh_topk_df(_t(spark, sf_dir, "embeddings"), k)
+
+
+_PLANES_64 = _int_hyperplanes(EMBEDDING_DIM, N_PLANES)
+_SQL_HAM = (
+    "list_sum(list_transform(range(1, 9),"
+    " i -> CASE WHEN substr(sig, i, 1) <> substr(qsig, i, 1) THEN 1 ELSE 0 END))"
+)
+
+SQL_ANN_LSH_TOPK = f"""
+WITH qe AS (
+  SELECT vec_id, {_SQL_QVEC.format(col="embedding")} AS emb FROM embeddings
+), sigs AS (
+  SELECT vec_id, emb, {_sql_lsh_sig("emb", _PLANES_64)} AS sig FROM qe
+), q AS (
+  SELECT emb AS qvec, sig AS qsig FROM sigs WHERE vec_id = 0
+), cand AS (
+  SELECT vec_id, emb, qvec
+  FROM sigs, q
+  WHERE vec_id <> 0 AND {_SQL_HAM} <= 1
+)
+SELECT vec_id, {_SQL_INT_COSINE.format(a="emb", b="qvec")} AS cosine
+FROM cand
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# IVF ANN — deterministic coarse quantizer + exact integer cosine re-rank
+# --------------------------------------------------------------------------
+
+N_CELLS = 16
+N_PROBE = 4
 
 
 def ann_ivf_topk_df(
-    e: DataFrame, k: int = 10, n_cells: int = 16, n_probe: int = 4
+    e: DataFrame, k: int = 10, n_cells: int = N_CELLS, n_probe: int = N_PROBE
 ) -> DataFrame:
-    cents = e.orderBy("vec_id").limit(n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    qe = e.select("vec_id", quantized_embedding("embedding").alias("emb"))
+    cents = qe.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("cvec")
     )
     # assign every vector to its nearest centroid (broadcast NL join +
-    # per-row argmax — the centroid side is tiny by construction)
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "embedding", "cell", _cosine("embedding", "cvec").alias("sim")
+    # per-row argmax — the centroid side is tiny by construction);
+    # tie-break toward the smallest cell id so ranking is total
+    scored = qe.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "emb", "cell", int_cosine("emb", "cvec").alias("sim")
     )
-    assigned = (
-        scored.groupBy("vec_id")
-        .agg(
-            F.max_by("cell", "sim").alias("cell"),
-            F.first("embedding").alias("embedding"),
-        )
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by("cell", F.struct(F.col("sim"), (-F.col("cell")).alias("nc"))).alias(
+            "cell"
+        ),
+        F.first("emb").alias("emb"),
     )
-    q = assigned.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qvec")
-    )
-    # the query's n_probe nearest cells
+    q = qe.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qvec"))
     probe_cells = [
         r["cell"]
         for r in cents.crossJoin(F.broadcast(q))
-        .select("cell", _cosine("cvec", "qvec").alias("sim"))
-        .orderBy(F.desc("sim"))
+        .select("cell", int_cosine("cvec", "qvec").alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("cell"))
         .limit(n_probe)
         .collect()
     ]
@@ -232,33 +320,110 @@ def ann_ivf_topk_df(
         F.col("cell").isin(probe_cells) & (F.col("vec_id") != 0)
     ).crossJoin(F.broadcast(q))
     return (
-        cand.select(
-            "vec_id", _cosine("embedding", "qvec").cast("decimal(12,8)").alias("cosine")
-        )
+        cand.select("vec_id", int_cosine("emb", "qvec").alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
 
 
-def q_embedding_neardup(spark: SparkSession, sf_dir: str, threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-dup pairs: LSH signature as the bucket key,
-    exact cosine >= threshold inside buckets."""
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """IVF-style ANN: deterministic coarse quantizer (cells = the first
+    N_CELLS vec_ids), nearest-cell assignment by exact integer cosine
+    (ties to the smaller cell), query probes its N_PROBE nearest cells,
+    exact re-rank. Scale path: candidate set ~ n * n_probe / n_cells; the
+    centroid table broadcasts. Fully oracle-checked."""
+    return ann_ivf_topk_df(_t(spark, sf_dir, "embeddings"), k)
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH qe AS (
+  SELECT vec_id, {_SQL_QVEC.format(col="embedding")} AS emb FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell, emb AS cvec FROM qe WHERE vec_id < {N_CELLS}
+), scored AS (
+  SELECT v.vec_id, v.emb, c.cell,
+         {_SQL_INT_COSINE.format(a="v.emb", b="c.cvec")} AS sim
+  FROM qe v, cents c
+), assigned AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), q AS (
+  SELECT emb AS qvec FROM qe WHERE vec_id = 0
+), probe AS (
+  SELECT cell FROM (
+    SELECT c.cell,
+           ROW_NUMBER() OVER (
+             ORDER BY {_SQL_INT_COSINE.format(a="c.cvec", b="qvec")} DESC,
+                      c.cell ASC) AS rn
+    FROM cents c, q
+  ) WHERE rn <= {N_PROBE}
+)
+SELECT vec_id, {_SQL_INT_COSINE.format(a="a.emb", b="qvec")} AS cosine
+FROM assigned a, q
+WHERE a.cell IN (SELECT cell FROM probe) AND vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup
+# --------------------------------------------------------------------------
+
+NEARDUP_THRESHOLD = 0.42  # synthetic embeddings are near-uniform (max
+# pairwise cosine ~0.51): 0.42 yields a non-vacuous, bounded pair set at
+# every SF (27 pairs at sf0.001, 34 at sf0.01, 441 at sf0.1)
+
+
+def q_embedding_neardup(
+    spark: SparkSession, sf_dir: str, threshold: float = NEARDUP_THRESHOLD
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact semantics: all pairs with
+    integer-quantized cosine >= threshold. This is the oracle-checked
+    correctness definition; at 10^9+ vectors use lsh_neardup_candidates
+    (bucketed candidate generation) + this exact re-rank on candidates."""
     e = _t(spark, sf_dir, "embeddings")
+    qe = e.select("vec_id", quantized_embedding("embedding").alias("emb"))
+    a, b = qe.alias("a"), qe.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        int_cosine("a.emb", "b.emb").alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH qe AS (
+  SELECT vec_id, {_SQL_QVEC.format(col="embedding")} AS emb FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_SQL_INT_COSINE.format(a="a.emb", b="b.emb")} AS cosine
+FROM qe a JOIN qe b ON a.vec_id < b.vec_id
+WHERE {_SQL_INT_COSINE.format(a="a.emb", b="b.emb")} >= {NEARDUP_THRESHOLD}
+"""
+
+
+def lsh_neardup_candidates(e: DataFrame, n_planes: int = 6) -> DataFrame:
+    """The 100 TB candidate-generation path: signature-bucketed self-join
+    (pairs sharing the full hyperplane signature). Probabilistic recall —
+    exact duplicates always collide (identical vectors -> identical sign
+    bits); near-dups collide with prob (1 - theta/pi)^n_planes. Pinned by
+    pytest on planted duplicates; NOT the oracle semantics."""
     dim = len(e.select("embedding").first()[0])
-    sig = e.withColumn("sig", _lsh_signature_expr(dim, 6))
+    planes = _int_hyperplanes(dim, n_planes)
+    qe = e.select("vec_id", quantized_embedding("embedding").alias("emb"))
+    sig = qe.withColumn("sig", _lsh_sig_expr("emb", planes))
     a, b = sig.alias("a"), sig.alias("b")
-    cand = a.join(
+    return a.join(
         b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vec_id") < F.col("b.vec_id"))
     ).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        F.col("a.embedding").alias("ea"),
-        F.col("b.embedding").alias("eb"),
-    )
-    return (
-        cand.withColumn("cosine", _cosine("ea", "eb").cast("decimal(12,8)"))
-        .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", "cosine")
+        int_cosine("a.emb", "b.emb").alias("cosine"),
     )
 
 
@@ -270,9 +435,12 @@ MEDIA_SCHEMA = (
     "media_id long, payload binary, mime string, width int, height int,"
     " n_frames int, source string"
 )
+# feature is a canonical comma-joined byte string (first 8 sha256 bytes as
+# decimal ints): hashable by the driver comparator (an array<float> column
+# crashes its pandas canonicalizer) and exactly reproducible in SQL
 FEATURE_SCHEMA = (
-    "media_id long, mime string, n_bytes int, sha256 string,"
-    " feature array<float>, decode_status string"
+    "media_id long, mime string, n_bytes long, sha256 string,"
+    " feature string, decode_status string"
 )
 
 
@@ -294,37 +462,62 @@ def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decode_stub(payload: bytes, mime: str) -> list[float]:
+def _decode_stub(payload: bytes, mime: str) -> list[int]:
     """STUB decode/feature-extract: media codecs are not available in this
     container. Deterministic fake features derived from the payload hash —
     the Arrow batch shape, schema, and partitioning are the real thing;
     swap this function for a real decoder (PIL/ffmpeg) in production."""
     digest = hashlib.sha256(payload).digest()
-    return [b / 255.0 for b in digest[:8]]
+    return list(digest[:8])
 
 
 def _media_features_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
-        out = {
-            "media_id": pdf["media_id"].values,
-            "mime": pdf["mime"].values,
-            "n_bytes": [len(p) for p in pdf["payload"].values],
-            "sha256": [
-                hashlib.sha256(p).hexdigest() for p in pdf["payload"].values
-            ],
-            "feature": [
-                _decode_stub(p, m)
-                for p, m in zip(pdf["payload"].values, pdf["mime"].values)
-            ],
-            "decode_status": ["stubbed"] * len(pdf),
-        }
-        yield pd.DataFrame(out)
+        payloads = pdf["payload"].values
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"].values,
+                "mime": pdf["mime"].values,
+                "n_bytes": [len(p) for p in payloads],
+                "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+                "feature": [
+                    ",".join(str(v) for v in _decode_stub(p, m))
+                    for p, m in zip(payloads, pdf["mime"].values)
+                ],
+                "decode_status": ["stubbed"] * len(pdf),
+            }
+        )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode / feature-extract over binary media via mapInPandas (Arrow
-    batches; decode stubbed — see _decode_stub)."""
+    batches; decode stubbed — see _decode_stub). Oracle-checked: sha256 /
+    n_bytes / feature bytes are engine-independent functions of the
+    payload."""
     media = build_media_table(spark, sf_dir)
     return media.select("media_id", "payload", "mime").mapInPandas(
         _media_features_partition, FEATURE_SCHEMA
     )
+
+
+_SQL_HEXVAL = "(CAST(strpos('0123456789abcdef', substr({h}, {i}, 1)) AS BIGINT) - 1)"
+
+_SQL_FEATURE = (
+    "array_to_string(list_transform(range(0, 8), k -> CAST("
+    + _SQL_HEXVAL.format(h="sha256(text)", i="2 * k + 1")
+    + " * 16 + "
+    + _SQL_HEXVAL.format(h="sha256(text)", i="2 * k + 2")
+    + " AS VARCHAR)), ',')"
+)
+
+SQL_MULTIMODAL_FEATURES = f"""
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       {_SQL_FEATURE} AS feature,
+       'stubbed' AS decode_status
+FROM documents
+"""

@@ -60,13 +60,20 @@ REGISTRY: dict[str, tuple] = {
     "quality_score": (suite.q_quality_score, suite.SQL_QUALITY_SCORE),
     "token_count": (suite.q_token_count, suite.SQL_TOKEN_COUNT),
     "ann_cosine_topk": (suite.q_ann_cosine_topk, suite.SQL_ANN_COSINE_TOPK),
-    # --- non-SQL-expressible ops: rows-only driver check; correctness is
-    # pinned by pytest against in-Spark brute-force baselines ---
-    "simhash_neardup": (advanced.q_simhash_neardup, None),
-    "ann_lsh_topk": (advanced.q_ann_lsh_topk, None),
-    "ann_ivf_topk": (advanced.q_ann_ivf_topk, None),
-    "embedding_neardup": (advanced.q_embedding_neardup, None),
-    "multimodal_features": (advanced.q_multimodal_features, None),
+    # --- advanced analytics, oracle-checked via exact-integer math
+    # (round 2: previously rows-only; restructured so DuckDB can verify
+    # them bit-for-bit — see analytics/advanced.py module docstring) ---
+    "simhash_neardup": (advanced.q_simhash_neardup, advanced.SQL_SIMHASH_NEARDUP),
+    "ann_lsh_topk": (advanced.q_ann_lsh_topk, advanced.SQL_ANN_LSH_TOPK),
+    "ann_ivf_topk": (advanced.q_ann_ivf_topk, advanced.SQL_ANN_IVF_TOPK),
+    "embedding_neardup": (
+        advanced.q_embedding_neardup,
+        advanced.SQL_EMBEDDING_NEARDUP,
+    ),
+    "multimodal_features": (
+        advanced.q_multimodal_features,
+        advanced.SQL_MULTIMODAL_FEATURES,
+    ),
 }
 
 

@@ -1,5 +1,7 @@
-"""Correctness of the non-SQL analytics ops (rows-only in the driver):
-each validated against an in-Spark brute-force baseline or an invariant.
+"""Correctness of the advanced analytics ops. All five are oracle-checked
+by the driver as of round 2; these tests pin the *semantic* invariants the
+oracle can't express (planted-duplicate recall, determinism, scale-path
+candidate generation).
 """
 
 from __future__ import annotations
@@ -8,7 +10,7 @@ import hashlib
 
 from pyspark.sql import functions as F
 
-from nifi_ngsild_postgresql_spark.analytics import advanced, suite
+from nifi_ngsild_postgresql_spark.analytics import advanced
 from nifi_ngsild_postgresql_spark.session import ship_package
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -19,40 +21,51 @@ def test_simhash_symmetric_and_bounded(spark):
     pairs = advanced.q_simhash_neardup(spark, SF_DIR).collect()
     for r in pairs:
         assert r["doc_a"] < r["doc_b"]
-        assert 0 <= r["hamming"] <= 8
-    # identical docs must be found: inject a known duplicate
+        assert 0 <= r["hamming"] <= advanced.HAMMING_MAX
+    # identical docs must produce identical signatures (and hence appear
+    # as a hamming-0 candidate pair through every band)
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(1)
     dup = d.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang",
         "source", "n_chars",
     )
     both = d.unionByName(dup)
-    sig = both.mapInPandas(advanced._simhash_partition, "doc_id long, simhash long")
-    sigs = [r["simhash"] for r in sig.collect()]
-    assert sigs[0] == sigs[1]  # identical text -> identical simhash
+    sigs = [r["simhash"] for r in advanced.simhash_signatures(both).collect()]
+    assert len(sigs) == 2 and sigs[0] == sigs[1]
+
+
+def test_simhash_signature_plan_has_no_python_stage(spark):
+    """Round-1 verdict item 9: the signature path must stay in JVM
+    expressions (no mapInPandas / Python UDF in the plan)."""
+    ship_package(spark)
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = advanced.simhash_signatures(d)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def _plant_query_copies(e, n=3):
+    q = e.filter(F.col("vec_id") == 0)
+    df = e
+    for i in range(n):
+        df = df.unionByName(
+            q.select(
+                F.lit(900000 + i).cast("long").alias("vec_id"),
+                "embedding",
+                F.lit(99).cast("int").alias("label"),
+            )
+        )
+    return df
 
 
 def test_lsh_finds_planted_near_duplicates(spark):
     # LSH answers "find near duplicates": plant exact copies of the query
-    # vector under new ids — they MUST collide with the query's signature
-    # bucket and rank at the top with cosine ~1. (On uniform random
-    # embeddings recall vs the exact top-k is intentionally low — vectors
-    # near-orthogonal to the query rarely share sign buckets.)
+    # vector under new ids — identical vectors have identical sign bits,
+    # so they MUST collide with the query's signature and rank at the top
     ship_package(spark)
     e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    q = e.filter(F.col("vec_id") == 0)
-    planted = [
-        q.select(
-            F.lit(900000 + i).cast("long").alias("vec_id"),
-            "embedding",
-            F.lit(99).cast("int").alias("label"),
-        )
-        for i in range(3)
-    ]
-    df = e
-    for p in planted:
-        df = df.unionByName(p)
-    top = advanced.ann_lsh_topk_df(df, k=5).collect()
+    top = advanced.ann_lsh_topk_df(_plant_query_copies(e), k=5).collect()
     top_ids = [r["vec_id"] for r in top]
     for i in range(3):
         assert 900000 + i in top_ids, f"planted dup missing: {top_ids}"
@@ -65,29 +78,36 @@ def test_ivf_finds_planted_near_duplicates(spark):
     # in the query's own cell and must dominate the IVF top-k
     ship_package(spark)
     e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    q = e.filter(F.col("vec_id") == 0)
-    df = e
-    for i in range(3):
-        df = df.unionByName(
-            q.select(
-                F.lit(900000 + i).cast("long").alias("vec_id"),
-                "embedding",
-                F.lit(99).cast("int").alias("label"),
-            )
-        )
-    top = advanced.ann_ivf_topk_df(df, k=5).collect()
+    top = advanced.ann_ivf_topk_df(_plant_query_copies(e), k=5).collect()
     top_ids = [r["vec_id"] for r in top]
     for i in range(3):
         assert 900000 + i in top_ids, f"planted dup missing: {top_ids}"
     assert all(abs(float(r["cosine"]) - 1.0) < 1e-6 for r in top[:3])
 
 
-def test_embedding_neardup_exact_pairs(spark):
+def test_embedding_neardup_nonvacuous_and_thresholded(spark):
     ship_package(spark)
-    pairs = advanced.q_embedding_neardup(spark, SF_DIR, threshold=0.99).collect()
+    pairs = advanced.q_embedding_neardup(spark, SF_DIR).collect()
+    assert len(pairs) > 0  # round-1 verdict: a 0-row pass proves nothing
     for r in pairs:
         assert r["vec_a"] < r["vec_b"]
-        assert float(r["cosine"]) >= 0.99
+        assert float(r["cosine"]) >= advanced.NEARDUP_THRESHOLD
+
+
+def test_lsh_neardup_scale_path_finds_planted_duplicates(spark):
+    """The 100 TB candidate path (signature-bucketed join, no all-pairs):
+    exact duplicates always share the full signature, so planted copies
+    must surface as cosine~1 candidate pairs."""
+    ship_package(spark)
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cands = advanced.lsh_neardup_candidates(_plant_query_copies(e)).collect()
+    found = {
+        (r["vec_a"], r["vec_b"]) for r in cands if float(r["cosine"]) > 0.999999
+    }
+    # 3 copies + the original = C(4,2)=6 identical pairs, all must collide
+    ids = [0, 900000, 900001, 900002]
+    expected = {(a, b) for a in ids for b in ids if a < b}
+    assert expected <= found
 
 
 def test_multimodal_features_schema_and_determinism(spark):
@@ -95,16 +115,16 @@ def test_multimodal_features_schema_and_determinism(spark):
     feats = advanced.q_multimodal_features(spark, SF_DIR)
     rows = feats.collect()
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
-    n_chars = {r["doc_id"]: r["n_chars"] for r in docs}
     texts = {r["doc_id"]: r["text"] for r in docs}
     assert len(rows) == len(docs)
     for r in rows[:20]:
         assert r["decode_status"] == "stubbed"
-        assert len(r["feature"]) == 8
-        # binary payload round-trips the utf-8 text
-        expected = hashlib.sha256(texts[r["media_id"]].encode()).hexdigest()
-        assert r["sha256"] == expected
-        assert r["n_bytes"] == len(texts[r["media_id"]].encode())
+        payload = texts[r["media_id"]].encode()
+        digest = hashlib.sha256(payload)
+        assert r["sha256"] == digest.hexdigest()
+        assert r["n_bytes"] == len(payload)
+        # feature = first 8 digest bytes as a canonical comma-joined string
+        assert r["feature"] == ",".join(str(b) for b in digest.digest()[:8])
     # deterministic across runs
     again = {r["media_id"]: r["sha256"] for r in feats.collect()}
     assert all(again[r["media_id"]] == r["sha256"] for r in rows)

@@ -53,6 +53,14 @@ def test_lww_partial_aggregation(spark):
     )
 
 
+def test_ngram_jaccard_has_rare_shingle_prefilter(spark):
+    """Skew gate: the candidate self-join must consume only shingles with
+    doc-frequency <= MAX_DOCS_PER_SHINGLE — a raw shingle-keyed self-join
+    is quadratic on a hot shingle and a scale-killer at 100 TB."""
+    plan = _optimized(suite.q_ngram_jaccard(spark, SF_DIR))
+    assert f"<= {suite.MAX_DOCS_PER_SHINGLE}" in plan
+
+
 def test_wide_projection_has_no_python_udf(spark):
     import json as _json
 
