@@ -20,6 +20,7 @@ of each entity to keep shuffle-free bytes down.
 from __future__ import annotations
 
 import json
+import re
 from collections.abc import Iterator
 from typing import Any
 
@@ -60,6 +61,9 @@ FLAT_SCHEMA = (
 )
 
 
+_FRACTION_RE = re.compile(r"\.(\d+)")
+
+
 def _canon_instant(text: str) -> str:
     """Canonical upsert-key form of an ISO instant: epoch seconds plus the
     normalized fractional part, so textual variants of the same instant
@@ -72,9 +76,11 @@ def _canon_instant(text: str) -> str:
         from ..functions.canon import parse_epoch_seconds
 
         base = parse_epoch_seconds(text)
-        frac = ""
-        if "." in text:
-            frac = text.split(".", 1)[1].rstrip("Z").split("+")[0].rstrip("0")
+        # digit-bounded extraction: splitting on '+' would leave the offset
+        # text in the key for NEGATIVE offsets ('...12:30:00.5-05:00'),
+        # giving equivalent instants different row_keys
+        m = _FRACTION_RE.search(text)
+        frac = m.group(1).rstrip("0") if m else ""
         return f"{base}.{frac}"
     except (ValueError, TypeError):
         return text

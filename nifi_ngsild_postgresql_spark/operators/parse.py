@@ -152,15 +152,28 @@ def parse_attribute(key: str, value: dict, export_mode: str) -> Attribute | None
     is_flatten = export_mode == FLATTEN
     is_semi_flatten = export_mode == SEMI_FLATTEN
 
-    # typed value dispatch (NgsiLdUtils.java:120-134)
+    # typed value dispatch (NgsiLdUtils.java:120-134). A Relationship
+    # without 'object' or a JsonProperty without an OBJECT 'json' member is
+    # a structural error: the reference's getJSONObject/getString THROWS
+    # there (NgsiLdUtils.java:127) and the event routes to failure — a
+    # silent drop would make malformed events vanish without an
+    # error-channel record.
     attr_value: object
     if attr_type == "Relationship":
+        if value.get("object") is None:
+            raise EntityParseError(
+                f"Relationship attribute {key!r} has no 'object' member"
+            )
         attr_value = _canon_tostring(value.get("object"))
     elif attr_type == "Property":
         attr_value = value.get("value")
     elif attr_type == "GeoProperty":
         attr_value = value  # whole GeoJSON attribute object
     elif attr_type == "JsonProperty":
+        if not isinstance(value.get("json"), dict):
+            raise EntityParseError(
+                f"JsonProperty attribute {key!r} has no object 'json' member"
+            )
         attr_value = value.get("json")
     elif attr_type == "":
         attr_type = None

@@ -185,11 +185,13 @@ class LakeTable:
 
     def _align(self, df: DataFrame, schema: dict[str, str]) -> DataFrame:
         """Project df to exactly (schema columns + meta cols), adding NULL
-        for schema columns the batch didn't produce."""
+        for schema columns the batch didn't produce. ``try_cast`` keeps the
+        mismatch→NULL rule under ANSI mode (a throwing cast here would
+        abort the batch on every retry — see plans/project.py _typed)."""
         cols = []
         for c, t in schema.items():
             if c in df.columns:
-                cols.append(F.col(c).cast(SPARK_TYPE[t]).alias(c))
+                cols.append(F.col(c).try_cast(SPARK_TYPE[t]).alias(c))
             else:
                 cols.append(F.lit(None).cast(SPARK_TYPE[t]).alias(c))
         for m, ddl in META_COLS.items():

@@ -34,15 +34,22 @@ SPARK_TYPE = {
 
 
 def _typed(raw: Column, pg_type: str) -> Column:
-    """Typed extraction of one tagged cell."""
+    """Typed extraction of one tagged cell.
+
+    TIMESTAMPTZ/DATE use ``try_cast``: under Spark 4's default ANSI mode a
+    plain cast THROWS when a TEXT cell lands in a column reconciled as
+    TIMESTAMPTZ/DATE (one entity sends an ISO datetime, another sends
+    'offline' for the same attribute) — aborting the whole micro-batch on
+    every retry. The documented rule is mismatch→NULL (XFORM:338-341,
+    extended beyond NUMERIC per plans/schema.py step 2)."""
     tag = F.substring(raw, 1, 1)
     payload = F.substring(raw, 3, 2_000_000)
     if pg_type == ti.NUMERIC:
         return F.when(tag == "n", payload.cast("double"))
     if pg_type == ti.TIMESTAMPTZ:
-        return payload.cast("timestamp")
+        return payload.try_cast("timestamp")
     if pg_type == ti.DATE:
-        return payload.cast("date")
+        return payload.try_cast("date")
     if pg_type == ti.ARRAY:
         return F.when(tag == "a", F.from_json(payload, "array<string>"))
     # TEXT / TIMETZ / GEOMETRY / JSONB stay canonical text

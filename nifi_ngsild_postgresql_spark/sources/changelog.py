@@ -37,8 +37,27 @@ def with_recv_time(df: DataFrame) -> DataFrame:
     return df.withColumn("recv_time", F.timestamp_millis(F.lit(1700000000000)))
 
 
+def normalize_commit(df: DataFrame) -> DataFrame:
+    """Make the commit id safe as a *lexicographic* LWW tiebreak.
+
+    The dedup order (operators/dedup.py ORDER_COLS) compares ``_seq`` as a
+    string, so the input contract requires commit ids whose lexicographic
+    order equals their logical order. Purely numeric commit ids from
+    external changelogs (binlog positions, epoch counters) violate that
+    when unpadded ('9' > '10') — they are left-padded to 20 digits here at
+    the ingest boundary. Non-numeric ids (git-style hashes, ULIDs) pass
+    through and must already be order-encoded, which ULIDs/KSUIDs are and
+    random hashes are not — for those, recv_time must carry the order."""
+    return df.withColumn(
+        "commit",
+        F.when(
+            F.col("commit").rlike("^[0-9]+$"), F.lpad("commit", 20, "0")
+        ).otherwise(F.col("commit")),
+    )
+
+
 def read_changelog(spark: SparkSession, path: str) -> DataFrame:
-    return with_recv_time(spark.read.parquet(path))
+    return normalize_commit(with_recv_time(spark.read.parquet(path)))
 
 
 def changelog_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:

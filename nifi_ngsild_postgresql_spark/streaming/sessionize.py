@@ -128,7 +128,10 @@ def _sessionize_group(
             rows.append(dict(start=s, end=e, n=n, total=total))
             s, e, n, total = ts_s, ts_s, 1, float(v)
         else:
-            e, n, total = max(e, ts_s), n + 1, total + float(v)
+            # also lower the start for cross-batch out-of-order events that
+            # precede the open session's first event — otherwise emitted
+            # sessions report a start later than their earliest event
+            s, e, n, total = min(s, ts_s), max(e, ts_s), n + 1, total + float(v)
     if s is not None:
         state.update((int(s), int(e), int(n), float(total)))
     out = pd.DataFrame(

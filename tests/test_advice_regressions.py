@@ -1,0 +1,196 @@
+"""Regression tests for the round-1 advisor findings (ADVICE.md):
+
+1. high   — TEXT cell into a TIMESTAMPTZ/DATE-reconciled column must become
+            NULL (mismatch→NULL rule), not abort the batch under ANSI mode
+2. medium — negative-UTC-offset instants canonicalize to the same upsert
+            key as their Z-normalized equivalents
+3. low    — purely numeric commit ids are zero-padded at the changelog
+            boundary so lexicographic LWW order equals numeric order
+4. low    — JsonProperty without an object 'json' member / Relationship
+            without 'object' route to the error channel (reference throws,
+            NgsiLdUtils.java:127) instead of silently vanishing
+5. low    — streaming sessionize lowers session_start when a cross-batch
+            out-of-order event precedes the open session
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.config import IngestConfig
+from nifi_ngsild_postgresql_spark.operators.flatten import _canon_instant
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+from nifi_ngsild_postgresql_spark.sources.changelog import normalize_commit
+from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch
+
+
+def _batch(spark, rows):
+    """rows = [(path, commit, content)]"""
+    df = spark.createDataFrame(
+        [("t", p, c, "T", body) for p, c, body in rows],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    return df.withColumn("recv_time", F.timestamp_millis(F.lit(1700000000000)))
+
+
+def _prop(value, observed="2024-01-01T00:00:00Z"):
+    return {"type": "Property", "value": value, "observedAt": observed}
+
+
+def test_text_into_timestamp_column_nulls_not_crashes(spark, tmp_path):
+    """ADVICE high: one entity sends an ISO datetime, another sends
+    'offline' for the same attribute. The column reconciles TIMESTAMPTZ
+    (first writer wins across batches); the text value must project to
+    NULL — a plain cast under Spark 4 ANSI mode aborts the whole batch."""
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert")
+    e1 = json.dumps(
+        {"id": "urn:x:1", "type": "T", "status": _prop("2024-03-01T10:00:00Z")}
+    )
+    ingest_batch(_batch(spark, [("p1", "000001", e1)]), cfg, wh, "e1")
+    # batch 2: a TEXT value for the same attribute (now TIMESTAMPTZ-typed)
+    e2 = json.dumps({"id": "urn:x:2", "type": "T", "status": _prop("offline")})
+    lineage = ingest_batch(_batch(spark, [("p2", "000002", e2)]), cfg, wh, "e2")
+    assert lineage["errors"] == 0
+    rows = {r["entityid"]: r for r in LakeCatalog(wh).table("t", "t").read(spark).collect()}
+    assert str(rows["urn:x:1"]["status"]).startswith("2024-03-01 10:00:00")
+    assert rows["urn:x:2"]["status"] is None  # mismatch -> NULL, row kept
+
+
+def test_date_text_conflict_also_nulls(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert")
+    e1 = json.dumps({"id": "urn:x:1", "type": "T", "d": _prop("2024-03-01")})
+    ingest_batch(_batch(spark, [("p1", "000001", e1)]), cfg, wh, "e1")
+    e2 = json.dumps({"id": "urn:x:2", "type": "T", "d": _prop("not-a-date")})
+    lineage = ingest_batch(_batch(spark, [("p2", "000002", e2)]), cfg, wh, "e2")
+    assert lineage["errors"] == 0
+    rows = {r["entityid"]: r for r in LakeCatalog(wh).table("t", "t").read(spark).collect()}
+    assert str(rows["urn:x:1"]["d"]) == "2024-03-01"
+    assert rows["urn:x:2"]["d"] is None
+
+
+def test_canon_instant_negative_offset():
+    """ADVICE medium: '...12:30:00.5-05:00' and '...17:30:00.5Z' are the
+    same instant and must share an upsert key (the old split('+') parser
+    left '-05:' inside the fractional part)."""
+    assert _canon_instant("2023-05-05T12:30:00.5-05:00") == _canon_instant(
+        "2023-05-05T17:30:00.5Z"
+    )
+    assert _canon_instant("2023-05-05T12:30:00.500-05:00") == _canon_instant(
+        "2023-05-05T17:30:00.5Z"
+    )
+    # positive offsets and no-fraction forms still collide correctly
+    assert _canon_instant("2023-05-05T18:30:00+01:00") == _canon_instant(
+        "2023-05-05T17:30:00Z"
+    )
+
+
+def test_numeric_commit_ids_normalized_for_lexicographic_lww(spark):
+    """ADVICE low: '9' vs '10' — unpadded numeric commits order wrongly as
+    strings; normalize_commit pads them so LWW picks the true last writer."""
+    df = spark.createDataFrame(
+        [("r", "p", "9", "T", "x"), ("r", "p", "10", "T", "x")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    out = {r["commit"] for r in normalize_commit(df).collect()}
+    assert out == {"0" * 19 + "9", "0" * 18 + "10"}
+    assert max(out) == "0" * 18 + "10"  # lexicographic == numeric order now
+    # non-numeric ids pass through untouched
+    df2 = spark.createDataFrame(
+        [("r", "p", "abc123", "T", "x")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    assert normalize_commit(df2).first()["commit"] == "abc123"
+
+
+def test_malformed_jsonproperty_and_relationship_route_to_errors(spark, tmp_path):
+    """ADVICE low: JsonProperty with missing/non-object 'json' and
+    Relationship with missing 'object' are structural errors (reference
+    getJSONObject throws, NgsiLdUtils.java:127) — error channel, not a
+    silent drop."""
+    wh = str(tmp_path / "wh")
+    bad_json = json.dumps(
+        {"id": "urn:x:bad1", "type": "T", "j": {"type": "JsonProperty"}}
+    )
+    bad_json2 = json.dumps(
+        {"id": "urn:x:bad2", "type": "T",
+         "j": {"type": "JsonProperty", "json": "not-an-object"}}
+    )
+    bad_rel = json.dumps(
+        {"id": "urn:x:bad3", "type": "T", "r": {"type": "Relationship"}}
+    )
+    good = json.dumps({"id": "urn:x:ok", "type": "T", "a": _prop(1)})
+    lineage = ingest_batch(
+        _batch(
+            spark,
+            [("p1", "1", bad_json), ("p2", "2", bad_json2),
+             ("p3", "3", bad_rel), ("p4", "4", good)],
+        ),
+        IngestConfig(write_mode="upsert"),
+        wh,
+        "e1",
+    )
+    assert lineage["errors"] == 3
+    rows = LakeCatalog(wh).table("t", "t").read(spark).collect()
+    assert [r["entityid"] for r in rows] == ["urn:x:ok"]
+    errs = sorted(r["error"] for r in spark.read.parquet(f"{wh}/_errors").collect())
+    assert sum("json" in e for e in errs) == 2
+    assert sum("object" in e for e in errs) >= 1
+
+
+def test_streaming_sessionize_lowers_start_on_out_of_order(spark, tmp_path):
+    """ADVICE low: a cross-batch event EARLIER than the open session's
+    start must lower session_start, not just extend counts."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from nifi_ngsild_postgresql_spark.session import ship_package
+    from nifi_ngsild_postgresql_spark.streaming.sessionize import sessionize_stream
+
+    ship_package(spark)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def write_events(rows):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts")).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        ).parquet(src)
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1 opens a session at 10:10
+    write_events([(1, 7, "2024-01-01 10:10:00", 1.0)])
+    run_once()
+    # batch 2: out-of-order event at 10:00 (within gap) must become the start
+    write_events([(2, 7, "2024-01-01 10:00:00", 1.0)])
+    run_once()
+    # batch 3: far-future event closes the session
+    write_events([(3, 7, "2024-01-02 10:00:00", 1.0)])
+    run_once()
+    rows = (
+        spark.read.schema(
+            "user_id long, session_start timestamp, session_end timestamp,"
+            " n_events long, sum_value double"
+        )
+        .parquet(out_dir)
+        .collect()
+    )
+    assert len(rows) == 1
+    assert str(rows[0]["session_start"]) == "2024-01-01 10:00:00"
+    assert str(rows[0]["session_end"]) == "2024-01-01 10:10:00"
+    assert rows[0]["n_events"] == 2
