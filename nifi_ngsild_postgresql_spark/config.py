@@ -36,6 +36,14 @@ class IngestConfig:
     # upsert  : last-writer-wins MERGE keyed (entityid, observedat)
     # replace : REPLACE_MODE parity — delete all rows of incoming entity ids
     write_mode: str = "append"
+    # a bucket whose manifest file list exceeds this triggers an automatic
+    # compaction right after the commit (bounds manifest growth under
+    # append-mode ingest); None disables
+    auto_compact_files: int | None = 32
+    # snapshot manifests keep at most this many epoch ids (the idempotence
+    # window); older epochs fold into the epoch horizon — see
+    # plans/lake.py LakeTable docstring
+    max_tracked_epochs: int = 64
 
     def __post_init__(self) -> None:
         if self.export_mode not in EXPORT_MODES:

@@ -154,21 +154,28 @@ def flatten_partition(
             out["types"].append(types)
             out["error"].append(error)
 
-        # per-event table-suffix override — the reference's per-FlowFile
-        # NiFi-expression property (TABLE_NAME_SUFFIX = ${tableNameSuffix},
-        # TestNgsiLdToPostgreSQL.java:903-927): an optional changelog
-        # column overrides the configured suffix row by row
+        # per-event overrides — the reference evaluates any property with
+        # NiFi expression language per FlowFile (NgsiLdToPostgreSQL.java:
+        # 252-258; TABLE_NAME_SUFFIX/DB_SCHEMA tested at
+        # TestNgsiLdToPostgreSQL.java:903-927): optional changelog columns
+        # override the configured suffix / schema row by row
         suffixes = (
             pdf["table_suffix"].values
             if "table_suffix" in pdf.columns
             else [None] * len(pdf)
         )
-        for content, repo, commit, recv_time, suffix_override in zip(
+        schemas_ovr = (
+            pdf["db_schema"].values
+            if "db_schema" in pdf.columns
+            else [None] * len(pdf)
+        )
+        for content, repo, commit, recv_time, suffix_override, schema_override in zip(
             pdf["content"].values,
             pdf["repo"].values,
             pdf["commit"].values,
             pdf["recv_time"].values,
             suffixes,
+            schemas_ovr,
         ):
             table_suffix = (
                 suffix_override
@@ -181,11 +188,15 @@ def flatten_partition(
                 payload = json.loads(content)
                 if isinstance(payload, dict):
                     payload = [payload]
-                # repo column -> tenant/schema (FIXTURES.md §1); the
-                # configured db_schema (reference `DB Schema` property,
-                # NgsiLdToPostgreSQL.java:72-80) is the fallback when the
-                # event carries no repo
-                tenant = build_schema_name(repo if repo else cfg.db_schema)
+                # schema resolution order mirrors the reference's
+                # expression-language evaluation (most specific wins):
+                # per-event db_schema override > repo column (FIXTURES.md
+                # §1) > configured `DB Schema` property
+                # (NgsiLdToPostgreSQL.java:72-80, 252-258)
+                if isinstance(schema_override, str) and schema_override:
+                    tenant = build_schema_name(schema_override)
+                else:
+                    tenant = build_schema_name(repo if repo else cfg.db_schema)
                 entities = parse_entities(payload, cfg.export_mode)
             except (EntityParseError, NameTooLongError, ValueError) as exc:
                 emit(seq=commit, recv_time=recv_ts, error=str(exc))

@@ -31,7 +31,24 @@ Snapshot manifest::
 
     {"version": 1, "n_buckets": 16, "schema": {col: PG_TYPE, ...},
      "files": {"<bucket>": ["data/c00000001/_bucket=3", ...]},
-     "epochs": {"<epoch_id>": 1}, "stats": {...}}
+     "epochs": {"<epoch_id>": 1}, "epoch_horizon": 0, "n_epochs_total": 1,
+     "stats": {...}}
+
+Manifest growth is BOUNDED (round-2 fix — a 10^10-event ingest runs
+millions of micro-batches):
+
+- ``epochs`` keeps only the ``max_tracked_epochs`` most recent epoch ids
+  (the idempotence window); older ones fold into ``epoch_horizon`` (the
+  highest pruned snapshot version) + ``n_epochs_total``. Replays always
+  target recent epochs (a stream restart re-runs the last uncommitted
+  batch), so the window loses nothing in practice; a replay older than
+  the window is no longer detected — the same trade Iceberg makes when
+  snapshots are expired.
+- per-bucket file lists are bounded by the auto-compaction trigger
+  (``auto_compact_files``): any bucket exceeding it is rewritten into a
+  single commit directory immediately after the commit.
+- old snapshot manifests + unreferenced data directories are garbage-
+  collected by ``expire_snapshots(keep_last=K)``.
 """
 
 from __future__ import annotations
@@ -70,11 +87,21 @@ def table_spark_schema(schema: dict[str, str], with_meta: bool = True) -> T.Stru
 
 
 class LakeTable:
-    def __init__(self, warehouse: str, tenant: str, name: str, n_buckets: int = 16):
+    def __init__(
+        self,
+        warehouse: str,
+        tenant: str,
+        name: str,
+        n_buckets: int = 16,
+        auto_compact_files: int | None = 32,
+        max_tracked_epochs: int = 64,
+    ):
         self.warehouse = warehouse
         self.tenant = tenant
         self.name = name
         self.default_n_buckets = n_buckets
+        self.auto_compact_files = auto_compact_files
+        self.max_tracked_epochs = max_tracked_epochs
         self.path = os.path.join(warehouse, tenant, name)
         self.meta_dir = os.path.join(self.path, "_meta")
 
@@ -102,6 +129,9 @@ class LakeTable:
         return snap["schema"] if snap else None
 
     def has_epoch(self, epoch_id: str) -> bool:
+        """Idempotence check over the tracked-epoch window (the last
+        ``max_tracked_epochs`` committed epochs — see module docstring for
+        the horizon semantics)."""
         snap = self.latest_snapshot()
         return bool(snap) and epoch_id in snap["epochs"]
 
@@ -223,22 +253,36 @@ class LakeTable:
         return self._apply(df, schema, epoch_id, mode="replace")
 
     def compact(
-        self, spark: SparkSession, max_files_per_bucket: int = 4
+        self,
+        spark: SparkSession,
+        max_files_per_bucket: int = 4,
+        rebucket_to: int | None = None,
     ) -> dict[str, Any]:
         """Small-file compaction: rewrite every bucket whose manifest lists
         more than ``max_files_per_bucket`` entries into a single commit
         directory (append-mode ingest accumulates one entry per batch).
         Metadata-only for healthy buckets; a snapshot commit like any
         other, so readers never see a partial compaction and time-travel
-        to pre-compaction versions keeps working."""
+        to pre-compaction versions keeps working.
+
+        ``rebucket_to`` rewrites the WHOLE table with a new bucket count —
+        the bucket-scaling path for a table that outgrew its layout (a
+        100 TB table wants O(10^3-10^4) buckets, not the create-time 16).
+        Content is invariant under rebucketing (pinned by test via the
+        sha256 row manifest); only the entityid→bucket mapping changes."""
         snap = self.latest_snapshot()
         if snap is None:
             return {"compacted_buckets": 0}
-        to_compact = {
-            b: paths
-            for b, paths in snap["files"].items()
-            if len(paths) > max_files_per_bucket
-        }
+        n_buckets = snap["n_buckets"]
+        if rebucket_to is not None and rebucket_to != n_buckets:
+            n_buckets = rebucket_to
+            to_compact = dict(snap["files"])  # full rewrite
+        else:
+            to_compact = {
+                b: paths
+                for b, paths in snap["files"].items()
+                if len(paths) > max_files_per_bucket
+            }
         if not to_compact:
             return {"compacted_buckets": 0}
         version = snap["version"] + 1
@@ -246,26 +290,55 @@ class LakeTable:
         df = self._read_files(spark, snap["schema"], rel_paths, with_meta=True)
         df = df.withColumn(
             "_bucket",
-            F.pmod(F.xxhash64(F.col("entityid")), F.lit(snap["n_buckets"])),
+            F.pmod(F.xxhash64(F.col("entityid")), F.lit(n_buckets)),
         )
-        new_files, rows = self._write_data(df, version, snap["schema"], snap["n_buckets"])
+        new_files, rows = self._write_data(df, version, snap["schema"], n_buckets)
         files = dict(snap["files"])
         for b in to_compact:
             files.pop(b, None)
         for b, paths in new_files.items():
             files[b] = paths
-        epochs = dict(snap["epochs"])
         self._commit(
             {
                 "version": version,
-                "n_buckets": snap["n_buckets"],
+                "n_buckets": n_buckets,
                 "schema": snap["schema"],
                 "files": files,
-                "epochs": epochs,
+                "epochs": dict(snap["epochs"]),
+                "epoch_horizon": snap.get("epoch_horizon", 0),
+                "n_epochs_total": snap.get("n_epochs_total", len(snap["epochs"])),
                 "stats": {"compacted_rows": rows},
             }
         )
         return {"compacted_buckets": len(to_compact), "rows": rows, "version": version}
+
+    def expire_snapshots(self, keep_last: int = 8) -> dict[str, Any]:
+        """Garbage-collect snapshot manifests older than the newest
+        ``keep_last`` and every data commit directory no kept snapshot
+        references. Time travel remains available within the kept window;
+        the manifest directory stays O(keep_last) forever."""
+        import shutil
+
+        versions = self.versions()
+        if len(versions) <= keep_last:
+            return {"expired_snapshots": 0, "removed_dirs": 0}
+        keep = versions[-keep_last:]
+        kept_refs: set[str] = set()
+        for v in keep:
+            for paths in self.snapshot(v)["files"].values():
+                kept_refs.update(p.split("/_bucket=")[0] for p in paths)
+        expired = 0
+        for v in versions[:-keep_last]:
+            os.remove(os.path.join(self.meta_dir, f"v{v:08d}.json"))
+            expired += 1
+        removed = 0
+        data_dir = os.path.join(self.path, "data")
+        if os.path.isdir(data_dir):
+            for d in sorted(os.listdir(data_dir)):
+                if f"data/{d}" not in kept_refs:
+                    shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
+                    removed += 1
+        return {"expired_snapshots": expired, "removed_dirs": removed}
 
     def _apply(
         self, df: DataFrame, schema: dict[str, str], epoch_id: str, mode: str
@@ -335,6 +408,15 @@ class LakeTable:
 
         epochs = dict(snap["epochs"]) if snap else {}
         epochs[epoch_id] = version
+        horizon = snap.get("epoch_horizon", 0) if snap else 0
+        if len(epochs) > self.max_tracked_epochs:
+            # bounded idempotence window: fold the oldest epochs into the
+            # horizon (module docstring — same trade as Iceberg snapshot
+            # expiry; replays always target recent epochs)
+            by_version = sorted(epochs.items(), key=lambda kv: kv[1])
+            pruned = by_version[: len(epochs) - self.max_tracked_epochs]
+            horizon = max(horizon, max(v for _k, v in pruned))
+            epochs = dict(by_version[len(pruned):])
         self._commit(
             {
                 "version": version,
@@ -342,26 +424,52 @@ class LakeTable:
                 "schema": schema,
                 "files": files,
                 "epochs": epochs,
+                "epoch_horizon": horizon,
+                "n_epochs_total": (snap.get("n_epochs_total", len(snap["epochs"])) if snap else 0) + 1,
                 "stats": {"last_rows_written": rows_written},
             }
         )
-        return {
+        stats = {
             "rows_written": rows_written,
             "buckets_touched": len(new_files),
             "version": version,
         }
+        if self.auto_compact_files is not None and any(
+            len(paths) > self.auto_compact_files for paths in files.values()
+        ):
+            # bound per-bucket file lists (and so manifest size) under
+            # append-mode ingest: one rewrite commit right after
+            stats["auto_compact"] = self.compact(
+                spark, max_files_per_bucket=self.auto_compact_files
+            )
+        return stats
 
 
 class LakeCatalog:
     """Namespace (= tenant/schema, reference CREATE SCHEMA XFORM:388-390)
     over LakeTables in one warehouse directory."""
 
-    def __init__(self, warehouse: str, n_buckets: int = 16):
+    def __init__(
+        self,
+        warehouse: str,
+        n_buckets: int = 16,
+        auto_compact_files: int | None = 32,
+        max_tracked_epochs: int = 64,
+    ):
         self.warehouse = warehouse
         self.n_buckets = n_buckets
+        self.auto_compact_files = auto_compact_files
+        self.max_tracked_epochs = max_tracked_epochs
 
     def table(self, tenant: str, name: str) -> LakeTable:
-        return LakeTable(self.warehouse, tenant, name, self.n_buckets)
+        return LakeTable(
+            self.warehouse,
+            tenant,
+            name,
+            self.n_buckets,
+            auto_compact_files=self.auto_compact_files,
+            max_tracked_epochs=self.max_tracked_epochs,
+        )
 
     def list_tables(self) -> list[tuple[str, str]]:
         out = []

@@ -57,7 +57,12 @@ def ingest_batch(
     # columns must stay strings even for numeric-looking tenants)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    catalog = LakeCatalog(warehouse, n_buckets=cfg.n_buckets)
+    catalog = LakeCatalog(
+        warehouse,
+        n_buckets=cfg.n_buckets,
+        auto_compact_files=cfg.auto_compact_files,
+        max_tracked_epochs=cfg.max_tracked_epochs,
+    )
 
     # Stage the narrow frame as parquet partitioned by target table rather
     # than .persist(): the frame is consumed by the error split, the schema
@@ -66,10 +71,16 @@ def ingest_batch(
     # pruning). A columnar cache of map-typed rows scans the full set per
     # consumer and GC-thrashes at high thread counts; selective parquet
     # re-reads scale with executors and spill to disk for free.
-    staging_root = os.environ.get(
-        "NGSILD_STAGING_DIR",
-        "/dev/shm/ngsild-staging" if os.path.isdir("/dev/shm") else None,
-    ) or os.path.join(warehouse, "_staging")
+    # Default: under the warehouse — on a real cluster the staged parquet
+    # must live on SHARED storage (every executor re-reads it per table);
+    # a node-local default like /dev/shm silently breaks multi-node runs.
+    # Single-node deployments can opt into RAM-backed staging explicitly:
+    #   NGSILD_STAGING_DIR=/dev/shm/ngsild-staging
+    # (worth ~10-15% on the CDC path locally, at the cost of cluster
+    # portability — measured in BENCH/BASELINE.md).
+    staging_root = os.environ.get("NGSILD_STAGING_DIR") or os.path.join(
+        warehouse, "_staging"
+    )
     # unique per invocation: concurrent callers may reuse epoch ids
     # against different warehouses
     staging = tempfile.mkdtemp(prefix=f"{epoch_id}-", dir=_ensure(staging_root))

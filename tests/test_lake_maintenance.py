@@ -42,6 +42,102 @@ def test_time_travel_reads_past_snapshots(spark, tmp_path):
     assert table.read(spark, version=1).collect()[0]["level"] == 1.0
 
 
+def test_manifest_growth_is_bounded(spark, tmp_path):
+    """Round-1 verdict item 6: a 10^10-event ingest runs millions of
+    micro-batches — the manifest must stay O(window), not O(batches).
+    With max_tracked_epochs=4 and auto_compact_files=2, ten append batches
+    leave a manifest whose epoch map and per-bucket file lists are bounded
+    by the knobs, not the batch count."""
+    import os
+
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(
+        write_mode="append", n_buckets=2, auto_compact_files=2, max_tracked_epochs=4
+    )
+    sizes = []
+    for i in range(10):
+        ingest_batch(
+            _batch(spark, [(j, float(i), f"2024-01-{i+1:02d}T00:00:00Z") for j in range(3)], seq0=i * 10),
+            cfg, wh, f"e{i}",
+        )
+        table = LakeCatalog(wh).table("t", "gauge")
+        snap = table.latest_snapshot()
+        sizes.append(os.path.getsize(
+            os.path.join(table.meta_dir, f"v{snap['version']:08d}.json")
+        ))
+    snap = LakeCatalog(wh).table("t", "gauge").latest_snapshot()
+    assert len(snap["epochs"]) <= 4            # bounded idempotence window
+    assert snap["n_epochs_total"] == 10        # lineage count preserved
+    assert snap["epoch_horizon"] > 0           # older epochs folded away
+    assert all(len(p) <= 3 for p in snap["files"].values())  # auto-compacted
+    # manifest byte size plateaus: the last manifest is no bigger than the
+    # max seen once the window filled (batch 5 onward)
+    assert sizes[-1] <= max(sizes[4:]) + 64
+    # idempotence still holds within the window
+    table = LakeCatalog(
+        wh, n_buckets=2, auto_compact_files=2, max_tracked_epochs=4
+    ).table("t", "gauge")
+    assert table.has_epoch("e9") and not table.has_epoch("e0")
+    # full content survived: 10 batches x 3 entities appended
+    assert table.read(spark).count() == 30
+
+
+def test_expire_snapshots_garbage_collects(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    import os
+
+    cfg = IngestConfig(write_mode="upsert", n_buckets=2)
+    for i in range(5):
+        ingest_batch(
+            _batch(spark, [(1, float(i), "2024-01-01T00:00:00Z")], seq0=i * 10),
+            cfg, wh, f"e{i}",
+        )
+    table = LakeCatalog(wh).table("t", "gauge")
+    assert len(table.versions()) == 5
+    manifest_before = table_manifest(table.read(spark))
+    stats = table.expire_snapshots(keep_last=2)
+    assert stats["expired_snapshots"] == 3 and stats["removed_dirs"] >= 1
+    assert table.versions() == [4, 5]
+    # latest content intact; kept time-travel window still readable
+    assert table_manifest(table.read(spark)) == manifest_before
+    assert table.read(spark, version=4).count() == 1
+    # only referenced data dirs remain on disk
+    live = {
+        p.split("/_bucket=")[0]
+        for v in (4, 5)
+        for paths in table.snapshot(v)["files"].values()
+        for p in paths
+    }
+    on_disk = {f"data/{d}" for d in os.listdir(os.path.join(table.path, "data"))}
+    assert on_disk == live
+
+
+def test_rebucket_roundtrips_content(spark, tmp_path):
+    """Round-1 verdict item 8: bucket-count scaling — rebucketing rewrites
+    the entityid->bucket mapping without changing content (sha manifest
+    equal), so a table can outgrow its create-time bucket count."""
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert", n_buckets=2)
+    ingest_batch(
+        _batch(spark, [(j, float(j), "2024-01-01T00:00:00Z") for j in range(20)]),
+        cfg, wh, "e1",
+    )
+    table = LakeCatalog(wh).table("t", "gauge")
+    manifest_before = table_manifest(table.read(spark))
+    stats = table.compact(spark, rebucket_to=8)
+    assert stats["compacted_buckets"] == 2  # full rewrite of both buckets
+    snap = table.latest_snapshot()
+    assert snap["n_buckets"] == 8
+    assert len(snap["files"]) > 2  # rows actually spread over new buckets
+    assert table_manifest(table.read(spark)) == manifest_before
+    # subsequent upserts use the new bucket count end-to-end
+    ingest_batch(
+        _batch(spark, [(5, 99.0, "2024-01-01T00:00:00Z")], seq0=50), cfg, wh, "e2"
+    )
+    rows = {r["entityid"]: r["level"] for r in table.read(spark).collect()}
+    assert rows["urn:x:5"] == 99.0 and len(rows) == 20
+
+
 def test_compaction_preserves_content_and_reduces_files(spark, tmp_path):
     wh = str(tmp_path / "wh")
     cfg = IngestConfig(write_mode="append", n_buckets=2)

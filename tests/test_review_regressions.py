@@ -53,11 +53,11 @@ def test_empty_batch_is_noop(spark, tmp_path):
     empty = _batch(spark, []).limit(0)
     lineage = ingest_batch(empty, IngestConfig(write_mode="upsert"), wh, "e1")
     assert lineage["rows_flattened"] == 0 and lineage["tables"] == {}
-    # staging cleaned
-    if os.path.isdir("/dev/shm/ngsild-staging"):
-        assert not any(
-            d.startswith("e1-") for d in os.listdir("/dev/shm/ngsild-staging")
-        )
+    # staging cleaned (default staging root lives under the warehouse —
+    # shared storage on a real cluster)
+    staging_root = os.path.join(wh, "_staging")
+    if os.path.isdir(staging_root):
+        assert not any(d.startswith("e1-") for d in os.listdir(staging_root))
 
 
 def test_observedat_spelling_variants_share_upsert_key(spark, tmp_path):
