@@ -174,3 +174,41 @@ def test_replay_reproduces_final_state(spark, warehouse, tmp_path):
             f"{name}: replay sha manifest diverged"
         )
     log.unpersist()
+
+
+def test_commit_conflict_aborts_cleanly_and_retry_succeeds(spark, warehouse):
+    """All-or-nothing retry parity (the engine's answer to the reference's
+    BatchUpdateException partial-batch recovery, PROC:420-509): a writer
+    that loses the O_EXCL manifest race fails WITHOUT mutating visible
+    state (its orphaned data files are never referenced — see
+    test_uncommitted_data_files_are_invisible), and retrying the same
+    epoch afterwards applies it exactly once on top of the winner."""
+    cfg = IngestConfig(write_mode="upsert")
+    e = {"id": "urn:x:1", "type": "T", "a": _prop(1.0)}
+    ingest_batch(_changelog(spark, [e]), cfg, warehouse, "e1")
+    table = LakeCatalog(warehouse).table("t", "t")
+    snap1 = table.latest_snapshot()
+    assert snap1["version"] == 1
+
+    # two writers race for version 2 from the same stale snapshot: the
+    # winner's O_EXCL create succeeds, the loser's raises and aborts
+    winner = {**snap1, "version": 2,
+              "epochs": {**snap1["epochs"], "winner-epoch": 2}}
+    table._commit(winner)
+    with pytest.raises(FileExistsError):
+        table._commit({**snap1, "version": 2,
+                       "epochs": {**snap1["epochs"], "loser-epoch": 2}})
+    # visible state is exactly the winner's commit
+    assert table.latest_snapshot()["epochs"] == winner["epochs"]
+    assert table.read(spark).collect()[0]["a"] == 1.0
+
+    # the loser retries its batch + epoch through the full pipeline: it
+    # re-reads the winner's snapshot and applies exactly once as v3
+    e2 = {"id": "urn:x:1", "type": "T", "a": _prop(2.0)}
+    lineage = ingest_batch(_changelog(spark, [e2], seq0=10), cfg, warehouse, "e2")
+    assert lineage["tables"]["t.t"]["rows_written"] == 1
+    assert lineage["tables"]["t.t"]["version"] == 3
+    assert table.read(spark).collect()[0]["a"] == 2.0
+    # replaying the committed epoch is now a no-op
+    lineage = ingest_batch(_changelog(spark, [e2], seq0=10), cfg, warehouse, "e2")
+    assert lineage["tables"]["t.t"] == {"skipped_epoch": True}
