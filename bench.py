@@ -53,7 +53,17 @@ def _sf_of(path: str) -> float:
         return -1.0
 
 
+# This bench machine is single-node by definition, so it uses the engine's
+# DOCUMENTED single-node staging opt-in (streaming/pipeline.py): RAM-backed
+# staging is worth ~40% on the CDC path at local[32] (measured 20.4k vs
+# 14.2k events/s). The engine DEFAULT stays cluster-safe shared storage.
+def _staging_optin() -> None:
+    if os.path.isdir("/dev/shm") and "NGSILD_STAGING_DIR" not in os.environ:
+        os.environ["NGSILD_STAGING_DIR"] = "/dev/shm/ngsild-staging"
+
+
 def run_bench(sf_dir: str = SF_DIR, cpus: str = CPUS) -> dict:
+    _staging_optin()
     from nifi_ngsild_postgresql_spark.session import get_spark
     import __spark_entry__ as entry_mod
 
@@ -100,6 +110,9 @@ def _ingest_throughput_subprocess(cpus: int, n_events: int, log_dir: str) -> dic
 import json, os, sys, time, tempfile
 sys.path.insert(0, {REPO!r})
 os.environ["SPARK_DRIVER_MEM"] = "24g"  # avoid GC-bound 32-thread runs
+# single-node bench: documented RAM staging opt-in (see _staging_optin)
+if os.path.isdir("/dev/shm"):
+    os.environ.setdefault("NGSILD_STAGING_DIR", "/dev/shm/ngsild-staging")
 from nifi_ngsild_postgresql_spark.session import get_spark
 from nifi_ngsild_postgresql_spark.config import IngestConfig
 from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch
@@ -192,7 +205,12 @@ def run_scaling(n_events: int = 500_000) -> None:
             "from JIT/page-cache luck), and low core counts benefit from\n"
             "turbo frequency boost, which deflates apparent efficiency —\n"
             "a 1-2-core run executes on a faster clock than a 32-core run,\n"
-            "so (T_N/T_4N)/4 under-states true core-count scaling.\n\n"
+            "so (T_N/T_4N)/4 under-states true core-count scaling.\n"
+            "Staging uses the documented single-node RAM opt-in\n"
+            "(NGSILD_STAGING_DIR=/dev/shm/...); the engine default is\n"
+            "cluster-safe shared storage under the warehouse — on a real\n"
+            "cluster the staging re-reads scale with executor-local\n"
+            "parallelism instead of one shared local disk.\n\n"
             f"local[8]->local[32] = {eff_8_32}: NOT a 4x resource step on\n"
             "this box — a local[N] run consumes ~2N cores (N JVM task\n"
             "threads + N Python parse workers) and the VM has ~16 physical\n"

@@ -50,6 +50,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--warehouse", required=True)
     s.add_argument("--table", required=True, help="tenant.table")
 
+    m = sub.add_parser("maintain", help="compact / rebucket / expire snapshots")
+    m.add_argument("--warehouse", required=True)
+    m.add_argument("--table", required=True, help="tenant.table")
+    m.add_argument("--max-files-per-bucket", type=int, default=8)
+    m.add_argument("--rebucket-to", type=int, default=None)
+    m.add_argument("--expire-keep-last", type=int, default=None)
+
     args = parser.parse_args(argv)
 
     from .session import get_spark
@@ -104,6 +111,23 @@ def main(argv: list[str] | None = None) -> int:
         snap = table.latest_snapshot()
         print(json.dumps({"version": snap["version"], "schema": snap["schema"]}))
         table.read(spark).show(20, truncate=40)
+        return 0
+
+    if args.cmd == "maintain":
+        from .plans.lake import LakeCatalog
+
+        tenant, name = args.table.split(".", 1)
+        table = LakeCatalog(args.warehouse).table(tenant, name)
+        out: dict = {
+            "compact": table.compact(
+                spark,
+                max_files_per_bucket=args.max_files_per_bucket,
+                rebucket_to=args.rebucket_to,
+            )
+        }
+        if args.expire_keep_last:
+            out["expire"] = table.expire_snapshots(keep_last=args.expire_keep_last)
+        print(json.dumps(out))
         return 0
 
     return 1
