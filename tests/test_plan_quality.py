@@ -61,6 +61,36 @@ def test_ngram_jaccard_has_rare_shingle_prefilter(spark):
     assert f"<= {suite.MAX_DOCS_PER_SHINGLE}" in plan
 
 
+def test_analytics_plans_stay_jvm_and_keyed(spark):
+    """The dedup/ANN family must (a) never run a Python stage — all
+    signature/similarity math is JVM expressions over integer-quantized
+    data — and (b) never degrade to a CartesianProduct: candidate
+    generation is keyed (band/shingle equi-join) or an intentional
+    1-row-broadcast nested loop (the ANN query vector)."""
+    from nifi_ngsild_postgresql_spark.analytics import advanced
+
+    keyed = {
+        "simhash": advanced.q_simhash_neardup,
+        "ngram": suite.q_ngram_jaccard,
+        "minhash": suite.q_minhash_bands,
+    }
+    broadcast_nl_ok = {
+        "ann_lsh": advanced.q_ann_lsh_topk,
+        "ann_ivf": advanced.q_ann_ivf_topk,
+        "ann_cosine": suite.q_ann_cosine_topk,
+        "neardup_exact": advanced.q_embedding_neardup,
+    }
+    for name, fn in {**keyed, **broadcast_nl_ok}.items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+            assert marker not in plan, f"{name}: Python stage {marker}"
+    for name, fn in keyed.items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        # candidate joins are equi-joins on the bucket key, never nested-loop
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_wide_projection_has_no_python_udf(spark):
     import json as _json
 
