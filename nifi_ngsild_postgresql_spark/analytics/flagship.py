@@ -76,6 +76,27 @@ WHERE rn = 1
 SQL_CDC_INGEST_UPSERT = _oracle_cdc()
 
 
+def q_cdc_ingest_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship ingest in MERGE-ON-READ mode, split across TWO epochs
+    (odd/even commit ids): each micro-batch only appends its LWW-reduced
+    rows (O(batch) write cost — plans/lake.py upsert_mor), duplicates are
+    resolved at scan time. The oracle is the SAME final-state SQL as the
+    copy-on-write flagship — both modes must expose identical state."""
+    ship_package(spark)
+    warehouse = tempfile.mkdtemp(prefix="ngsild_mor_wh_")
+    changelog = changelog_from_events(spark, sf_dir)
+    cfg = IngestConfig(write_mode="upsert_mor")
+    odd = changelog.filter(F_col("commit").cast("long") % 2 == 1)
+    even = changelog.filter(F_col("commit").cast("long") % 2 == 0)
+    ingest_batch(odd, cfg, warehouse, epoch_id="mor-0")
+    ingest_batch(even, cfg, warehouse, epoch_id="mor-1")
+    df = LakeCatalog(warehouse).table("analytics", "useractivity").read(spark)
+    return df.select(*sorted(df.columns))
+
+
+SQL_CDC_INGEST_UPSERT_MOR = _oracle_cdc()
+
+
 def q_cdc_ingest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine in FLATTEN export mode: observed attributes rewritten to
     the generic ``measure`` with parametername/datasetid sub-attributes

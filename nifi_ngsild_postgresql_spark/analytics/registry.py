@@ -13,10 +13,12 @@ from .flagship import (
     SQL_CDC_INGEST_FLATTEN,
     SQL_CDC_INGEST_SEMI_FLATTEN,
     SQL_CDC_INGEST_UPSERT,
+    SQL_CDC_INGEST_UPSERT_MOR,
     SQL_REPLAY_MANIFEST,
     q_cdc_ingest_flatten,
     q_cdc_ingest_semi_flatten,
     q_cdc_ingest_upsert,
+    q_cdc_ingest_upsert_mor,
     q_replay_manifest,
 )
 
@@ -45,6 +47,7 @@ REGISTRY: dict[str, tuple] = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     # --- the engine itself, oracle-checked end-to-end ---
     "cdc_ingest_upsert": (q_cdc_ingest_upsert, SQL_CDC_INGEST_UPSERT),
+    "cdc_ingest_upsert_mor": (q_cdc_ingest_upsert_mor, SQL_CDC_INGEST_UPSERT_MOR),
     "cdc_ingest_flatten": (q_cdc_ingest_flatten, SQL_CDC_INGEST_FLATTEN),
     "cdc_ingest_semi_flatten": (
         q_cdc_ingest_semi_flatten,

@@ -32,9 +32,13 @@ class IngestConfig:
     # salt granularity for hot-key pre-aggregation before the global
     # last-writer-wins window (SURVEY §4.3)
     n_salts: int = 8
-    # append  : reference parity (the NiFi processor always INSERTs)
-    # upsert  : last-writer-wins MERGE keyed (entityid, observedat)
-    # replace : REPLACE_MODE parity — delete all rows of incoming entity ids
+    # append     : reference parity (the NiFi processor always INSERTs)
+    # upsert     : last-writer-wins MERGE keyed (entityid, observedat),
+    #              copy-on-write (read-optimized)
+    # upsert_mor : same final state, merge-on-read (write-optimized:
+    #              O(batch) per micro-batch; readers LWW-reduce until
+    #              compaction — plans/lake.py upsert_mor docstring)
+    # replace    : REPLACE_MODE parity — delete all rows of incoming ids
     write_mode: str = "append"
     # a bucket whose manifest file list exceeds this triggers an automatic
     # compaction right after the commit (bounds manifest growth under
@@ -48,7 +52,7 @@ class IngestConfig:
     def __post_init__(self) -> None:
         if self.export_mode not in EXPORT_MODES:
             raise ValueError(f"unknown export mode {self.export_mode!r}")
-        if self.write_mode not in ("append", "upsert", "replace"):
+        if self.write_mode not in ("append", "upsert", "upsert_mor", "replace"):
             raise ValueError(f"unknown write mode {self.write_mode!r}")
         if self.replace_mode:
             object.__setattr__(self, "write_mode", "replace")

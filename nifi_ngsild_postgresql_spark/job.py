@@ -37,7 +37,11 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--changelog", required=True)
     i.add_argument("--warehouse", required=True)
     i.add_argument("--checkpoint", default=None)
-    i.add_argument("--mode", default="upsert", choices=["append", "upsert", "replace"])
+    i.add_argument(
+        "--mode",
+        default="upsert",
+        choices=["append", "upsert", "upsert_mor", "replace"],
+    )
     i.add_argument("--export-mode", default="EXPANDED",
                    choices=["EXPANDED", "FLATTEN", "SEMI_FLATTEN"])
     i.add_argument("--stream", action="store_true")

@@ -156,12 +156,21 @@ class LakeTable:
         snap = self.snapshot(version) if version else self.latest_snapshot()
         if snap is None:
             raise FileNotFoundError(f"lake table {self.tenant}.{self.name} not found")
-        return self._read_files(
+        df = self._read_files(
             spark,
             snap["schema"],
             [p for paths in snap["files"].values() for p in paths],
-            with_meta,
+            with_meta=True,
         )
+        if snap.get("merge_on_read"):
+            # MoR scan: resolve duplicate keys newest-wins (same reduce as
+            # the CoW write path, so both modes expose identical state)
+            from ..operators.dedup import last_writer_wins
+
+            df = last_writer_wins(df)
+        if not with_meta:
+            df = df.drop(*META_COLS)
+        return df
 
     def _read_files(
         self,
@@ -244,6 +253,24 @@ class LakeTable:
         in one reduce (the batch need not be pre-deduped)."""
         return self._apply(df, schema, epoch_id, mode="upsert")
 
+    def upsert_mor(
+        self, df: DataFrame, schema: dict[str, str], epoch_id: str
+    ) -> dict[str, Any]:
+        """Merge-on-read upsert: the write path only LWW-reduces the BATCH
+        and appends it — per-batch cost is O(batch) regardless of table
+        size, vs copy-on-write's O(touched stored data). Readers apply the
+        LWW reduce over (entityid, _row_key) at scan time; ``compact()``
+        materializes it back into unique rows bucket by bucket.
+
+        This is the write-optimized mode for high-churn CDC at 10^10
+        events (Iceberg's MERGE-on-read analog): a micro-batch that
+        updates 1% of a 100 TB table writes ~1 GB instead of rewriting
+        every touched bucket. The trade is a read-time shuffle until the
+        next compaction. Final state is IDENTICAL to copy-on-write
+        (pinned by the sha256 row-manifest equality test and the shared
+        DuckDB oracle)."""
+        return self._apply(df, schema, epoch_id, mode="upsert_mor")
+
     def replace_entities(
         self, df: DataFrame, schema: dict[str, str], epoch_id: str
     ) -> dict[str, Any]:
@@ -288,6 +315,12 @@ class LakeTable:
         version = snap["version"] + 1
         rel_paths = [p for paths in to_compact.values() for p in paths]
         df = self._read_files(spark, snap["schema"], rel_paths, with_meta=True)
+        if snap.get("merge_on_read"):
+            # materialize the read-time LWW for the compacted buckets
+            # (keys never cross buckets, so per-bucket resolution is total)
+            from ..operators.dedup import last_writer_wins
+
+            df = last_writer_wins(df)
         df = df.withColumn(
             "_bucket",
             F.pmod(F.xxhash64(F.col("entityid")), F.lit(n_buckets)),
@@ -298,6 +331,9 @@ class LakeTable:
             files.pop(b, None)
         for b, paths in new_files.items():
             files[b] = paths
+        # a compaction covering every bucket leaves only unique rows:
+        # the table is read-optimized again
+        full = set(to_compact) == set(snap["files"])
         self._commit(
             {
                 "version": version,
@@ -307,6 +343,7 @@ class LakeTable:
                 "epochs": dict(snap["epochs"]),
                 "epoch_horizon": snap.get("epoch_horizon", 0),
                 "n_epochs_total": snap.get("n_epochs_total", len(snap["epochs"])),
+                "merge_on_read": bool(snap.get("merge_on_read")) and not full,
                 "stats": {"compacted_rows": rows},
             }
         )
@@ -358,6 +395,12 @@ class LakeTable:
 
         if mode == "append":
             to_write = incoming
+        elif mode == "upsert_mor":
+            # merge-on-read: LWW-reduce the batch only, append it; stored
+            # duplicates are resolved at read time / next compaction
+            from ..operators.dedup import last_writer_wins
+
+            to_write = last_writer_wins(incoming)
         else:
             if old_files:
                 touched_buckets = [
@@ -392,7 +435,7 @@ class LakeTable:
         new_files, rows_written = self._write_data(to_write, version, schema, n_buckets)
 
         files = dict(old_files)
-        if mode == "append":
+        if mode in ("append", "upsert_mor"):
             for b, paths in new_files.items():
                 files[b] = files.get(b, []) + paths
         else:
@@ -426,6 +469,13 @@ class LakeTable:
                 "epochs": epochs,
                 "epoch_horizon": horizon,
                 "n_epochs_total": (snap.get("n_epochs_total", len(snap["epochs"])) if snap else 0) + 1,
+                # MoR commits may leave duplicate keys across a bucket's
+                # files: readers must LWW-reduce until a compaction
+                # materializes unique rows (cleared there)
+                "merge_on_read": (
+                    mode == "upsert_mor"
+                    or bool(snap and snap.get("merge_on_read"))
+                ),
                 "stats": {"last_rows_written": rows_written},
             }
         )

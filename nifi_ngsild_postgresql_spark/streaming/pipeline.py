@@ -171,6 +171,8 @@ def _ingest_staged(
         if cfg.write_mode == "upsert":
             # in-batch LWW happens inside the MERGE reduce (plans/lake.py)
             stats = table.upsert(wide, final_schema, epoch_id)
+        elif cfg.write_mode == "upsert_mor":
+            stats = table.upsert_mor(wide, final_schema, epoch_id)
         elif cfg.write_mode == "replace":
             stats = table.replace_entities(wide, final_schema, epoch_id)
         else:

@@ -1,0 +1,116 @@
+"""Merge-on-read upsert mode (plans/lake.py upsert_mor): write-optimized
+CDC for tables whose CoW rewrite would dominate (a micro-batch touching
+every bucket of a huge table). Invariants:
+
+- final state IDENTICAL to copy-on-write (per-row sha256 manifest)
+- write path appends O(batch) files — it never reads stored data
+- readers LWW-resolve duplicates; time travel keeps working
+- compaction materializes the LWW and clears the MoR flag on full rewrite
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.config import IngestConfig
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+from nifi_ngsild_postgresql_spark.plans.manifest import table_manifest
+from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch
+
+
+def _payload(eid, v, ts="2024-01-01T00:00:00Z"):
+    return json.dumps(
+        {"id": f"urn:x:{eid}", "type": "Gauge",
+         "level": {"type": "Property", "value": v, "observedAt": ts}}
+    )
+
+
+def _batch(spark, items, seq0=0):
+    rows = [
+        ("t", "p", f"{seq0 + i:06d}", "Gauge", _payload(eid, v, ts))
+        for i, (eid, v, ts) in enumerate(items)
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).withColumn("recv_time", F.timestamp_millis(F.lit(1700000000000 + seq0)))
+
+
+BATCHES = [
+    # batch 1: 10 entities
+    [(j, 1.0, "2024-01-01T00:00:00Z") for j in range(10)],
+    # batch 2: update half of them (same observedAt -> same upsert key),
+    # plus one new entity
+    [(j, 2.0, "2024-01-01T00:00:00Z") for j in range(5)] + [(99, 9.0, "2024-01-02T00:00:00Z")],
+    # batch 3: in-batch duplicates for one hot key (later commit wins)
+    [(3, 30.0, "2024-01-01T00:00:00Z"), (3, 31.0, "2024-01-01T00:00:00Z")],
+]
+
+
+def _run(spark, wh, mode):
+    cfg = IngestConfig(write_mode=mode, n_buckets=4)
+    for i, items in enumerate(BATCHES):
+        ingest_batch(_batch(spark, items, seq0=i * 100), cfg, wh, f"e{i}")
+    return LakeCatalog(wh).table("t", "gauge")
+
+
+def test_mor_final_state_equals_cow(spark, tmp_path):
+    cow = _run(spark, str(tmp_path / "cow"), "upsert")
+    mor = _run(spark, str(tmp_path / "mor"), "upsert_mor")
+    assert table_manifest(mor.read(spark)) == table_manifest(cow.read(spark))
+    rows = {r["entityid"]: r["level"] for r in mor.read(spark).collect()}
+    assert rows["urn:x:3"] == 31.0  # in-batch LWW still applied per batch
+    assert rows["urn:x:4"] == 2.0 and rows["urn:x:9"] == 1.0
+
+
+def test_mor_write_path_appends_without_reading_stored_data(spark, tmp_path):
+    mor = _run(spark, str(tmp_path / "mor"), "upsert_mor")
+    snap = mor.latest_snapshot()
+    assert snap["merge_on_read"] is True
+    # every commit appended its own files: bucket lists accumulate (the
+    # CoW path would have replaced them) — write amplification is O(batch)
+    assert any(len(paths) > 1 for paths in snap["files"].values())
+    commits = {p.split("/")[1] for paths in snap["files"].values() for p in paths}
+    assert len(commits) == 3  # one data dir per batch, all still live
+
+
+def test_mor_time_travel_resolves_lww_per_snapshot(spark, tmp_path):
+    mor = _run(spark, str(tmp_path / "mor"), "upsert_mor")
+    v1 = {r["entityid"]: r["level"] for r in mor.read(spark, version=1).collect()}
+    v2 = {r["entityid"]: r["level"] for r in mor.read(spark, version=2).collect()}
+    assert v1["urn:x:3"] == 1.0 and len(v1) == 10
+    # batch 2 updated entities 0-4 (incl. 3) and added entity 99
+    assert v2["urn:x:3"] == 2.0 and v2["urn:x:9"] == 1.0 and len(v2) == 11
+
+
+def test_mor_compaction_materializes_and_clears_flag(spark, tmp_path):
+    mor = _run(spark, str(tmp_path / "mor"), "upsert_mor")
+    before = table_manifest(mor.read(spark))
+    stats = mor.compact(spark, max_files_per_bucket=0)  # force full rewrite
+    assert stats["compacted_buckets"] >= 1
+    snap = mor.latest_snapshot()
+    assert snap["merge_on_read"] is False  # full compaction -> read-optimized
+    assert all(len(p) == 1 for p in snap["files"].values())
+    assert table_manifest(mor.read(spark)) == before
+    # physical row count now equals logical (duplicates materialized away)
+    n_physical = sum(
+        mor._read_files(spark, snap["schema"], paths, with_meta=False).count()
+        for paths in snap["files"].values()
+    )
+    assert n_physical == mor.read(spark).count() == 11
+
+
+def test_mor_then_cow_upsert_interoperates(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    mor_cfg = IngestConfig(write_mode="upsert_mor", n_buckets=4)
+    cow_cfg = IngestConfig(write_mode="upsert", n_buckets=4)
+    ingest_batch(_batch(spark, BATCHES[0]), mor_cfg, wh, "e0")
+    ingest_batch(_batch(spark, BATCHES[1], seq0=100), mor_cfg, wh, "e1")
+    # a CoW upsert lands on a MoR table: it must resolve duplicates in the
+    # buckets it touches and keep global state correct
+    ingest_batch(_batch(spark, BATCHES[2], seq0=200), cow_cfg, wh, "e2")
+    table = LakeCatalog(wh).table("t", "gauge")
+    rows = {r["entityid"]: r["level"] for r in table.read(spark).collect()}
+    assert rows["urn:x:3"] == 31.0 and rows["urn:x:4"] == 2.0 and len(rows) == 11
