@@ -48,6 +48,13 @@ class IngestConfig:
     # window); older epochs fold into the epoch horizon — see
     # plans/lake.py LakeTable docstring
     max_tracked_epochs: int = 64
+    # partial-batch failure recovery (reference BatchUpdateException
+    # routing, NgsiLdToPostgreSQL.java:420-509): when one target table's
+    # commit fails, route ONLY that table's flattened rows to
+    # <warehouse>/_retry and keep committing the other tables; False
+    # restores all-or-nothing (the whole micro-batch raises and the stream
+    # retries it)
+    isolate_table_failures: bool = True
 
     def __post_init__(self) -> None:
         if self.export_mode not in EXPORT_MODES:

@@ -161,21 +161,26 @@ def _ingest_staged(
 
     def process_table(item) -> tuple[str, dict[str, Any]]:
         (tenant, table_name), inferred = item
-        table = catalog.table(tenant, table_name)
-        final_schema, new_columns = reconcile(inferred, table.schema())
-        wide = project_wide(flat, tenant, table_name, final_schema)
-        if cfg.write_mode == "upsert":
-            # in-batch LWW happens inside the MERGE reduce (plans/lake.py)
-            stats = table.upsert(wide, final_schema, epoch_id)
-        elif cfg.write_mode == "upsert_mor":
-            stats = table.upsert_mor(wide, final_schema, epoch_id)
-        elif cfg.write_mode == "replace":
-            stats = table.replace_entities(wide, final_schema, epoch_id)
-        else:
-            stats = table.append(wide, final_schema, epoch_id)
-        if not stats.get("skipped_epoch"):
-            stats["new_columns"] = sorted(new_columns)
-        return f"{tenant}.{table_name}", stats
+        try:
+            table = catalog.table(tenant, table_name)
+            final_schema, new_columns = reconcile(inferred, table.schema())
+            wide = project_wide(flat, tenant, table_name, final_schema)
+            stats = _write_table(table, wide, final_schema, epoch_id, cfg)
+            if not stats.get("skipped_epoch"):
+                stats["new_columns"] = sorted(new_columns)
+            return f"{tenant}.{table_name}", stats
+        except Exception as exc:  # noqa: BLE001 — per-table failure isolation
+            if not cfg.isolate_table_failures:
+                raise
+            # partial-batch recovery (reference BatchUpdateException routing
+            # PROC:420-509, FlowFile granularity -> our table granularity):
+            # park this table's flattened rows in the retry channel so the
+            # OTHER tables of the micro-batch still commit; an operator (or
+            # reprocess_retries) replays them once the cause is fixed.
+            stats = _route_to_retry(
+                flat, warehouse, epoch_id, tenant, table_name, exc
+            )
+            return f"{tenant}.{table_name}", stats
 
     # per-entity-type tables are independent — submit their jobs
     # concurrently so Spark's scheduler overlaps them (FIFO within a
@@ -195,6 +200,95 @@ def _ingest_staged(
     lineage["wall_s"] = round(time.time() - t0, 3)
     _append_lineage(warehouse, lineage)
     return lineage
+
+
+def _write_table(table, wide, final_schema, epoch_id: str, cfg: IngestConfig):
+    """Dispatch one table's wide frame to the configured write mode."""
+    if cfg.write_mode == "upsert":
+        # in-batch LWW happens inside the MERGE reduce (plans/lake.py)
+        return table.upsert(wide, final_schema, epoch_id)
+    if cfg.write_mode == "upsert_mor":
+        return table.upsert_mor(wide, final_schema, epoch_id)
+    if cfg.write_mode == "replace":
+        return table.replace_entities(wide, final_schema, epoch_id)
+    return table.append(wide, final_schema, epoch_id)
+
+
+def _route_to_retry(
+    flat, warehouse: str, epoch_id: str, tenant: str, table_name: str, exc: Exception
+) -> dict[str, Any]:
+    """Park one failed table's slice of the staged narrow frame under
+    <warehouse>/_retry/<epoch>-<tenant>.<table>/ with the error recorded.
+
+    The NARROW (post-flatten) rows are parked, not the raw change events:
+    flatten is deterministic, the slice is exactly the failed table's rows
+    (an event whose other entities committed elsewhere is not re-applied),
+    and replay skips the Python parse entirely."""
+    from pyspark.sql import Observation
+
+    retry_dir = os.path.join(
+        warehouse, "_retry", f"{epoch_id}-{tenant}.{table_name}"
+    )
+    obs = Observation()
+    (
+        flat.filter(
+            (F.col("tenant") == tenant) & (F.col("table_name") == table_name)
+        )
+        .withColumn("_error", F.lit(f"{type(exc).__name__}: {exc}"))
+        .withColumn("_failed_epoch", F.lit(epoch_id))
+        .observe(obs, F.count(F.lit(1)).alias("rows"))
+        .write.mode("overwrite")
+        .parquet(retry_dir)
+    )
+    return {
+        "error": f"{type(exc).__name__}: {exc}",
+        "routed_to_retry": int(obs.get["rows"]),
+        "retry_path": retry_dir,
+    }
+
+
+def reprocess_retries(
+    spark: SparkSession, cfg: IngestConfig, warehouse: str
+) -> dict[str, Any]:
+    """Replay every parked retry slice through inference → reconcile →
+    projection → write (the failure's cause — e.g. corrupt table metadata —
+    is assumed fixed). Each retry directory commits under the
+    deterministic epoch ``retry-<dirname>`` and is deleted only after its
+    commit succeeds, so a crash between commit and cleanup replays as a
+    skipped epoch (exactly-once preserved); a slice that fails again stays
+    parked for the next attempt."""
+    retry_root = os.path.join(warehouse, "_retry")
+    if not os.path.isdir(retry_root):
+        return {"reprocessed": 0, "failed": 0, "tables": {}}
+    catalog = LakeCatalog(
+        warehouse,
+        n_buckets=cfg.n_buckets,
+        auto_compact_files=cfg.auto_compact_files,
+        max_tracked_epochs=cfg.max_tracked_epochs,
+    )
+    out: dict[str, Any] = {"reprocessed": 0, "failed": 0, "tables": {}}
+    for d in sorted(os.listdir(retry_root)):
+        path = os.path.join(retry_root, d)
+        if not os.path.isdir(path):
+            continue
+        flat = spark.read.parquet(path)
+        epoch = f"retry-{d}"
+        try:
+            for (tenant, table_name), inferred in sorted(
+                infer_batch_schemas(flat).items()
+            ):
+                table = catalog.table(tenant, table_name)
+                final_schema, _new = reconcile(inferred, table.schema())
+                wide = project_wide(flat, tenant, table_name, final_schema)
+                stats = _write_table(table, wide, final_schema, epoch, cfg)
+                out["tables"][f"{tenant}.{table_name}"] = stats
+            shutil.rmtree(path, ignore_errors=True)
+            out["reprocessed"] += 1
+        except Exception as exc:  # noqa: BLE001 — keep the slice parked
+            out["failed"] += 1
+            out["tables"][d] = {"error": f"{type(exc).__name__}: {exc}"}
+    _append_lineage(warehouse, {"retry_replay": out})
+    return out
 
 
 def _staged_partition_counts(staging: str) -> list[int]:

@@ -1,0 +1,130 @@
+"""Partial-batch failure recovery — per-table retry channel.
+
+Reference parity: the NiFi processor splits a failed JDBC batch by
+``BatchUpdateException`` update counts and routes executed rows to
+success, the failing row to failure, and unexecuted rows to retry
+(NgsiLdToPostgreSQL.java:420-509). The engine's granularity is the target
+TABLE: when one table's commit fails mid-micro-batch, the other tables
+still commit, the failed table's flattened rows park under
+<warehouse>/_retry, and ``reprocess_retries`` replays them exactly once
+after the cause is fixed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.config import IngestConfig
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+from nifi_ngsild_postgresql_spark.streaming.pipeline import (
+    ingest_batch,
+    reprocess_retries,
+)
+
+
+def _batch(spark, entities, seq0=1):
+    rows = [
+        ("t", "p", f"{seq0 + i:06d}", "x", json.dumps(e))
+        for i, e in enumerate(entities)
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).withColumn("recv_time", F.timestamp_millis(F.lit(1700000000000 + seq0)))
+
+
+def _prop(v, ts="2024-01-01T00:00:00Z"):
+    return {"type": "Property", "value": v, "observedAt": ts}
+
+
+def _entities(a_val, b_val):
+    return [
+        {"id": "urn:x:a", "type": "Ta", "m": _prop(a_val)},
+        {"id": "urn:x:b", "type": "Tb", "m": _prop(b_val)},
+    ]
+
+
+def _corrupt_manifest(warehouse, table):
+    meta = os.path.join(warehouse, "t", table, "_meta")
+    versions = sorted(os.listdir(meta))
+    nxt = int(versions[-1][1:9]) + 1
+    bad = os.path.join(meta, f"v{nxt:08d}.json")
+    with open(bad, "w") as f:
+        f.write("{ not valid json")
+    return bad
+
+
+def test_one_table_failure_routes_to_retry_and_others_commit(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert")
+    ingest_batch(_batch(spark, _entities(1.0, 1.0)), cfg, wh, "e1")
+
+    # break table `ta` only: its next snapshot read raises JSONDecodeError
+    bad = _corrupt_manifest(wh, "ta")
+    lineage = ingest_batch(_batch(spark, _entities(2.0, 2.0), seq0=10), cfg, wh, "e2")
+
+    assert "error" in lineage["tables"]["t.ta"]
+    assert lineage["tables"]["t.ta"]["routed_to_retry"] == 1
+    assert lineage["tables"]["t.tb"]["rows_written"] == 1
+    cat = LakeCatalog(wh)
+    assert cat.table("t", "tb").read(spark).collect()[0]["m"] == 2.0
+    retry_dirs = os.listdir(os.path.join(wh, "_retry"))
+    assert retry_dirs == ["e2-t.ta"]
+    parked = spark.read.parquet(os.path.join(wh, "_retry", "e2-t.ta"))
+    assert parked.count() == 1
+    row = parked.collect()[0]
+    assert row["_failed_epoch"] == "e2"
+    assert "JSONDecodeError" in row["_error"]
+
+    # cause fixed -> replay applies the parked slice exactly once
+    os.remove(bad)
+    out = reprocess_retries(spark, cfg, wh)
+    assert out == {
+        "reprocessed": 1,
+        "failed": 0,
+        "tables": {"t.ta": out["tables"]["t.ta"]},
+    }
+    assert out["tables"]["t.ta"]["rows_written"] == 1
+    assert cat.table("t", "ta").read(spark).collect()[0]["m"] == 2.0
+    assert not os.listdir(os.path.join(wh, "_retry"))
+
+    # replaying again is a no-op (nothing parked)
+    assert reprocess_retries(spark, cfg, wh)["reprocessed"] == 0
+
+
+def test_retry_replay_is_idempotent_across_crash(spark, tmp_path):
+    """A crash between the retry commit and the cleanup replays the same
+    directory under the same deterministic epoch -> skipped, then cleaned."""
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert")
+    ingest_batch(_batch(spark, _entities(1.0, 1.0)), cfg, wh, "e1")
+    bad = _corrupt_manifest(wh, "ta")
+    ingest_batch(_batch(spark, _entities(3.0, 3.0), seq0=20), cfg, wh, "e2")
+    os.remove(bad)
+
+    # simulate the crash: replay once, then restore the parked dir and
+    # replay again — the second commit is skipped by epoch bookkeeping
+    import shutil
+
+    src = os.path.join(wh, "_retry", "e2-t.ta")
+    saved = str(tmp_path / "saved_slice")
+    shutil.copytree(src, saved)
+    out1 = reprocess_retries(spark, cfg, wh)
+    assert out1["tables"]["t.ta"]["rows_written"] == 1
+    shutil.copytree(saved, src)
+    out2 = reprocess_retries(spark, cfg, wh)
+    assert out2["tables"]["t.ta"] == {"skipped_epoch": True}
+    assert LakeCatalog(wh).table("t", "ta").read(spark).collect()[0]["m"] == 3.0
+    assert not os.listdir(os.path.join(wh, "_retry"))
+
+
+def test_isolation_off_restores_all_or_nothing(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert", isolate_table_failures=False)
+    ingest_batch(_batch(spark, _entities(1.0, 1.0)), cfg, wh, "e1")
+    _corrupt_manifest(wh, "ta")
+    with pytest.raises(Exception, match="Expecting property name|JSON"):
+        ingest_batch(_batch(spark, _entities(2.0, 2.0), seq0=10), cfg, wh, "e2")
