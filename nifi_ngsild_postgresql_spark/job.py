@@ -12,6 +12,8 @@ Subcommands:
     generate  — deterministic synthetic NGSI-LD changelog (sources/generator.py)
     ingest    — batch or streaming ingest of a changelog into the lake
     show      — print a lake table's schema + a sample
+    retry     — replay table slices parked in <warehouse>/_retry
+    maintain  — compact / rebucket / expire snapshots
 """
 
 from __future__ import annotations
@@ -53,6 +55,16 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("show")
     s.add_argument("--warehouse", required=True)
     s.add_argument("--table", required=True, help="tenant.table")
+
+    r = sub.add_parser(
+        "retry", help="replay slices parked in <warehouse>/_retry"
+    )
+    r.add_argument("--warehouse", required=True)
+    r.add_argument(
+        "--mode",
+        default="upsert",
+        choices=["append", "upsert", "upsert_mor", "replace"],
+    )
 
     m = sub.add_parser("maintain", help="compact / rebucket / expire snapshots")
     m.add_argument("--warehouse", required=True)
@@ -115,6 +127,14 @@ def main(argv: list[str] | None = None) -> int:
         snap = table.latest_snapshot()
         print(json.dumps({"version": snap["version"], "schema": snap["schema"]}))
         table.read(spark).show(20, truncate=40)
+        return 0
+
+    if args.cmd == "retry":
+        from .config import IngestConfig
+        from .streaming.pipeline import reprocess_retries
+
+        cfg = IngestConfig(write_mode=args.mode)
+        print(json.dumps(reprocess_retries(spark, cfg, args.warehouse), default=str))
         return 0
 
     if args.cmd == "maintain":
