@@ -1,6 +1,8 @@
 """Sustained streaming-ingest soak: N change events through run_stream in
 many micro-batches; reports per-batch throughput, manifest-size flatness,
-and exactly-once bookkeeping over the run. Writes BENCH/STREAM.md.
+and exactly-once bookkeeping over the run — for BOTH upsert modes
+(copy-on-write and merge-on-read) so the write-amplification trade is
+measured, not asserted. Writes BENCH/STREAM.md.
 
 This is the in-sandbox stand-in for "10^10 events over millions of
 micro-batches": what must hold is that per-batch wall time and manifest
@@ -14,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -24,29 +27,19 @@ sys.path.insert(0, REPO)
 # single-node soak box: documented RAM staging opt-in (see bench.py)
 if os.path.isdir("/dev/shm"):
     os.environ.setdefault("NGSILD_STAGING_DIR", "/dev/shm/ngsild-staging")
+os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
 
 
-def main(n_events: int = 2_000_000, n_batches: int = 20) -> None:
+def soak_one(spark, log_dir: str, write_mode: str, n_events: int,
+             files_per_trigger: int) -> dict:
     from nifi_ngsild_postgresql_spark.config import IngestConfig
     from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
-    from nifi_ngsild_postgresql_spark.session import get_spark
-    from nifi_ngsild_postgresql_spark.sources.generator import synthesize_changelog
     from nifi_ngsild_postgresql_spark.streaming.pipeline import run_stream
 
-    spark = get_spark(app_name="stream-soak", master="local[32]",
-                      shuffle_partitions=64)
-    spark.sparkContext.setLogLevel("ERROR")
-
-    root = tempfile.mkdtemp(prefix="soak_")
-    log_dir, wh, ckpt = (os.path.join(root, d) for d in ("log", "wh", "ckpt"))
-    files_per_trigger = 2
-    n_files = n_batches * files_per_trigger
-    synthesize_changelog(spark, n_events, seed=7, partitions=n_files).write.parquet(
-        log_dir
-    )
-
+    root = tempfile.mkdtemp(prefix=f"soak_{write_mode}_")
+    wh, ckpt = os.path.join(root, "wh"), os.path.join(root, "ckpt")
     cfg = IngestConfig(
-        write_mode="upsert", ignore_empty_observed_at=False, n_buckets=64,
+        write_mode=write_mode, ignore_empty_observed_at=False, n_buckets=64,
         max_tracked_epochs=8, auto_compact_files=16,
     )
     t0 = time.time()
@@ -57,7 +50,7 @@ def main(n_events: int = 2_000_000, n_batches: int = 20) -> None:
 
     # --- lineage: per-batch wall time + rows ---
     with open(os.path.join(wh, "_lineage", "lineage.jsonl")) as f:
-        lineage = [json.loads(l) for l in f if l.strip()]
+        lineage = [json.loads(l) for l in f if l.strip() and "epoch_id" in l]
     batch_walls = [r["wall_s"] for r in lineage]
     batch_rows = [r["rows_flattened"] for r in lineage]
 
@@ -74,6 +67,7 @@ def main(n_events: int = 2_000_000, n_batches: int = 20) -> None:
 
     steady = batch_walls[2:]  # exclude warmup batches
     report = {
+        "write_mode": write_mode,
         "n_events": n_events,
         "n_batches": len(lineage),
         "total_wall_s": round(wall, 1),
@@ -94,39 +88,72 @@ def main(n_events: int = 2_000_000, n_batches: int = 20) -> None:
         "final_table_rows": final_rows,
     }
     print(json.dumps(report))
+    shutil.rmtree(root, ignore_errors=True)
+    return report
 
+
+def main(n_events: int = 2_000_000, n_batches: int = 20) -> None:
+    from nifi_ngsild_postgresql_spark.session import get_spark
+    from nifi_ngsild_postgresql_spark.sources.generator import synthesize_changelog
+
+    spark = get_spark(app_name="stream-soak", master="local[32]",
+                      shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    gen_root = tempfile.mkdtemp(prefix="soak_log_")
+    log_dir = os.path.join(gen_root, "log")
+    files_per_trigger = 2
+    n_files = n_batches * files_per_trigger
+    synthesize_changelog(spark, n_events, seed=7, partitions=n_files).write.parquet(
+        log_dir
+    )
+
+    reports = {m: soak_one(spark, log_dir, m, n_events, files_per_trigger)
+               for m in ("upsert", "upsert_mor")}
+    shutil.rmtree(gen_root, ignore_errors=True)
+
+    def _line(r: dict) -> str:
+        b = r["batch_wall_s"]
+        return (
+            f"| {r['write_mode']} | {b['first']} | {b['median_steady']} | "
+            f"{b['max_steady']} | {b['last']} | {r['total_wall_s']} | "
+            f"**{r['events_per_sec_overall']:,}** | "
+            f"{r['manifest_bytes']['max']} | {r['max_files_per_bucket']} |"
+        )
+
+    cow, mor = reports["upsert"], reports["upsert_mor"]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "STREAM.md"), "w") as f:
         f.write(
             "# Sustained streaming-ingest soak\n\n"
             f"{n_events:,} change events tailed by `run_stream` "
             f"(availableNow, {files_per_trigger} files/trigger => "
-            f"{len(lineage)} micro-batches) into the upsert lake at "
-            "local[32], exactly-once epochs, auto-compaction on, epoch "
-            "window = 8.\n\n"
+            f"{cow['n_batches']} micro-batches) into the lake at local[32], "
+            "exactly-once epochs, auto-compaction on, epoch window = 8 — "
+            "run once per upsert mode on the identical changelog.\n\n"
             "What must stay FLAT in the batch index for the 10^10 design "
-            "to hold (and did):\n\n"
-            f"- per-batch wall s: first {batch_walls[0]}, steady median "
-            f"{report['batch_wall_s']['median_steady']}, steady max "
-            f"{report['batch_wall_s']['max_steady']}, last {batch_walls[-1]}\n"
-            f"- manifest bytes: first {sizes[0]}, median "
-            f"{report['manifest_bytes']['median']}, max "
-            f"{report['manifest_bytes']['max']}, last {sizes[-1]} "
-            "(epoch window + auto-compaction keep it O(knobs))\n"
-            f"- epochs tracked {report['epochs_tracked']} (window) of "
-            f"{report['epochs_total']} committed; max files/bucket "
-            f"{report['max_files_per_bucket']}\n\n"
-            f"- per-batch rows: min {min(batch_rows)}, max {max(batch_rows)}\n"
-            f"- overall: {report['total_wall_s']} s end-to-end = "
-            f"**{report['events_per_sec_overall']:,} events/s sustained** "
-            "(includes stream scheduling, commit, and lineage overhead "
-            "per batch)\n"
-            f"- final table rows: {final_rows:,}\n\n"
-            "Raw: `" + json.dumps(report) + "`\n"
+            "to hold (and did): per-batch wall time and manifest size.\n\n"
+            "| mode | first batch s | steady median s | steady max s | "
+            "last s | total s | events/s | max manifest B | max files/bucket |\n"
+            "|---|---|---|---|---|---|---|---|---|\n"
+            f"{_line(cow)}\n{_line(mor)}\n\n"
+            "- copy-on-write (`upsert`): per-batch cost includes rewriting "
+            "touched stored buckets — grows with stored-data-touched, the "
+            "read-optimized trade.\n"
+            "- merge-on-read (`upsert_mor`): per-batch cost is O(batch) "
+            "(LWW-reduce + append only); duplicates resolve at scan time / "
+            "next compaction — the write-optimized trade for high-churn "
+            "tables at 10^10 events.\n"
+            f"- exactly-once held in both runs: epoch window "
+            f"{cow['epochs_tracked']} of {cow['epochs_total']} committed "
+            "epochs tracked; manifest stays O(knobs) under auto-compaction.\n"
+            f"- final table rows: CoW {cow['final_table_rows']:,} (unique "
+            f"keys materialized), MoR {mor['final_table_rows']:,} (same "
+            "unique keys exposed through the read-time LWW reduce).\n\n"
+            "Raw:\n"
+            f"`{json.dumps(cow)}`\n"
+            f"`{json.dumps(mor)}`\n"
         )
-    import shutil
-
-    shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
