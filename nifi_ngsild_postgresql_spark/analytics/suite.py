@@ -435,6 +435,49 @@ FROM documents
 """
 
 
+SAMPLE_RATES = {"en": 25}  # percent kept per language; others keep 75%
+SAMPLE_DEFAULT_RATE = 75
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-stratified sampling — the training-data
+    rebalancing op (downsample the over-represented language). Selection
+    is by md5(doc_id) bucket, NOT rand(): reproducible across engines,
+    runs and cluster sizes, embarrassingly parallel (a narrow filter —
+    no shuffle, no sampling state), and stable under data repartitioning.
+    At 100 TB this is the only sampling shape that re-runs identically."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for lang, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", "source", "bucket")
+    )
+
+
+_SQL_HEX8_TO_INT = (
+    "CAST(list_sum(list_transform(range(1, 9),"
+    " i -> (CAST(strpos('0123456789abcdef',"
+    " substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) AS BIGINT) - 1)"
+    " * CAST(16 AS BIGINT) ** (8 - i))) AS BIGINT)"
+)
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source, bucket
+FROM (
+  SELECT doc_id, lang, source, {_SQL_HEX8_TO_INT} % 100 AS bucket
+  FROM documents
+)
+WHERE bucket < (CASE WHEN lang = 'en' THEN 25 ELSE 75 END)
+"""
+
+
 def _spark_tokens(d):
     return d.select(
         "doc_id", "lang",

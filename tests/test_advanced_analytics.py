@@ -128,3 +128,26 @@ def test_multimodal_features_schema_and_determinism(spark):
     # deterministic across runs
     again = {r["media_id"]: r["sha256"] for r in feats.collect()}
     assert all(again[r["media_id"]] == r["sha256"] for r in rows)
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark):
+    """Hash-stratified sampling: identical output across runs (no rand()),
+    per-stratum keep-rate tracks the target within binomial tolerance, and
+    every kept row respects its stratum's bucket threshold."""
+    from nifi_ngsild_postgresql_spark.analytics import suite
+
+    a = suite.q_stratified_sample(spark, SF_DIR).collect()
+    b = suite.q_stratified_sample(spark, SF_DIR).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    assert a, "sample must be non-empty"
+    for r in a:
+        limit = suite.SAMPLE_RATES.get(r["lang"], suite.SAMPLE_DEFAULT_RATE)
+        assert 0 <= r["bucket"] < limit
+    # rate sanity on the biggest stratum: en keeps ~25% of its documents
+    total_en = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .count()
+    )
+    kept_en = sum(1 for r in a if r["lang"] == "en")
+    assert 0.05 <= kept_en / total_en <= 0.50  # 25% target, binomial slack
