@@ -174,23 +174,43 @@ print("RESULT " + json.dumps({{"tag": {tag!r},
 
 def _run_workers(codes: list[str], timeout: int = 1800) -> list[dict]:
     """Launch worker scripts CONCURRENTLY (separate JVMs = separate
-    simulated executors) and collect their RESULT lines."""
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", c],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    simulated executors) and collect their RESULT lines.
+
+    stderr goes to an unbuffered temp FILE, not a pipe: Spark's startup
+    chatter can exceed the ~64KB pipe buffer and an undrained pipe would
+    BLOCK that worker mid-benchmark (inflating the fleet wall time we are
+    measuring). Any failure/timeout kills the remaining JVMs."""
+    procs, errfiles = [], []
+    for c in codes:
+        ef = tempfile.TemporaryFile(mode="w+")
+        errfiles.append(ef)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", c],
+                stdout=subprocess.PIPE, stderr=ef, text=True,
+            )
         )
-        for c in codes
-    ]
     out = []
-    for p in procs:
-        stdout, stderr = p.communicate(timeout=timeout)
-        for line in stdout.splitlines():
-            if line.startswith("RESULT "):
-                out.append(json.loads(line[len("RESULT "):]))
-                break
-        else:
-            raise RuntimeError(f"worker failed:\n{stdout[-1500:]}\n{stderr[-1500:]}")
+    try:
+        for p, ef in zip(procs, errfiles):
+            stdout, _ = p.communicate(timeout=timeout)
+            for line in stdout.splitlines():
+                if line.startswith("RESULT "):
+                    out.append(json.loads(line[len("RESULT "):]))
+                    break
+            else:
+                ef.seek(0)
+                raise RuntimeError(
+                    f"worker failed:\n{stdout[-1500:]}\n{ef.read()[-1500:]}"
+                )
+    except BaseException:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        raise
+    finally:
+        for ef in errfiles:
+            ef.close()
     return out
 
 

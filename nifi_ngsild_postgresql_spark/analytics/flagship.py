@@ -34,7 +34,7 @@ def q_cdc_ingest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     warehouse = tempfile.mkdtemp(prefix="ngsild_flagship_wh_")
     changelog = changelog_from_events(spark, sf_dir)
-    cfg = IngestConfig(write_mode="upsert")
+    cfg = IngestConfig(write_mode="upsert", isolate_table_failures=False)
     ingest_batch(changelog, cfg, warehouse, epoch_id="flagship-0")
     table = LakeCatalog(warehouse).table("analytics", "useractivity")
     df = table.read(spark)
@@ -85,7 +85,7 @@ def q_cdc_ingest_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     warehouse = tempfile.mkdtemp(prefix="ngsild_mor_wh_")
     changelog = changelog_from_events(spark, sf_dir)
-    cfg = IngestConfig(write_mode="upsert_mor")
+    cfg = IngestConfig(write_mode="upsert_mor", isolate_table_failures=False)
     odd = changelog.filter(F_col("commit").cast("long") % 2 == 1)
     even = changelog.filter(F_col("commit").cast("long") % 2 == 0)
     ingest_batch(odd, cfg, warehouse, epoch_id="mor-0")
@@ -107,7 +107,7 @@ def q_cdc_ingest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     warehouse = tempfile.mkdtemp(prefix="ngsild_flatten_wh_")
     changelog = changelog_from_events(spark, sf_dir)
-    cfg = IngestConfig(write_mode="upsert", export_mode="FLATTEN")
+    cfg = IngestConfig(write_mode="upsert", export_mode="FLATTEN", isolate_table_failures=False)
     ingest_batch(changelog, cfg, warehouse, epoch_id="flagship-flatten-0")
     df = LakeCatalog(warehouse).table("analytics", "useractivity").read(spark)
     return df.select(*sorted(df.columns))
@@ -163,7 +163,7 @@ def q_cdc_ingest_semi_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     warehouse = tempfile.mkdtemp(prefix="ngsild_semi_wh_")
     changelog = changelog_from_events(spark, sf_dir)
-    cfg = IngestConfig(write_mode="upsert", export_mode="SEMI_FLATTEN")
+    cfg = IngestConfig(write_mode="upsert", export_mode="SEMI_FLATTEN", isolate_table_failures=False)
     ingest_batch(changelog, cfg, warehouse, epoch_id="flagship-semi-0")
     df = LakeCatalog(warehouse).table("analytics", "useractivity").read(spark)
     return df.select(*sorted(df.columns))

@@ -468,13 +468,21 @@ _SQL_HEX8_TO_INT = (
     " * CAST(16 AS BIGINT) ** (8 - i))) AS BIGINT)"
 )
 
+# CASE generated from the SAME constants as the Spark side, so editing a
+# rate can never silently break cross-engine parity
+_SQL_RATE_CASE = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{lang}' THEN {r}" for lang, r in SAMPLE_RATES.items())
+    + f" ELSE {SAMPLE_DEFAULT_RATE} END"
+)
+
 SQL_STRATIFIED_SAMPLE = f"""
 SELECT doc_id, lang, source, bucket
 FROM (
   SELECT doc_id, lang, source, {_SQL_HEX8_TO_INT} % 100 AS bucket
   FROM documents
 )
-WHERE bucket < (CASE WHEN lang = 'en' THEN 25 ELSE 75 END)
+WHERE bucket < ({_SQL_RATE_CASE})
 """
 
 

@@ -178,7 +178,7 @@ def _ingest_staged(
             # OTHER tables of the micro-batch still commit; an operator (or
             # reprocess_retries) replays them once the cause is fixed.
             stats = _route_to_retry(
-                flat, warehouse, epoch_id, tenant, table_name, exc
+                flat, warehouse, epoch_id, tenant, table_name, exc, cfg
             )
             return f"{tenant}.{table_name}", stats
 
@@ -215,7 +215,13 @@ def _write_table(table, wide, final_schema, epoch_id: str, cfg: IngestConfig):
 
 
 def _route_to_retry(
-    flat, warehouse: str, epoch_id: str, tenant: str, table_name: str, exc: Exception
+    flat,
+    warehouse: str,
+    epoch_id: str,
+    tenant: str,
+    table_name: str,
+    exc: Exception,
+    cfg: IngestConfig,
 ) -> dict[str, Any]:
     """Park one failed table's slice of the staged narrow frame under
     <warehouse>/_retry/<epoch>-<tenant>.<table>/ with the error recorded.
@@ -223,7 +229,12 @@ def _route_to_retry(
     The NARROW (post-flatten) rows are parked, not the raw change events:
     flatten is deterministic, the slice is exactly the failed table's rows
     (an event whose other entities committed elsewhere is not re-applied),
-    and replay skips the Python parse entirely."""
+    and replay skips the Python parse entirely. A ``_meta.json`` sidecar
+    records the failed epoch and the ORIGINAL write mode/bucket count so
+    replay preserves the stream's semantics regardless of the replayer's
+    flags."""
+    import logging
+
     from pyspark.sql import Observation
 
     retry_dir = os.path.join(
@@ -240,9 +251,28 @@ def _route_to_retry(
         .write.mode("overwrite")
         .parquet(retry_dir)
     )
+    with open(os.path.join(retry_dir, "_meta.json"), "w") as f:
+        json.dump(
+            {
+                "failed_epoch": epoch_id,
+                "tenant": tenant,
+                "table": table_name,
+                "write_mode": cfg.write_mode,
+                "n_buckets": cfg.n_buckets,
+                "error": f"{type(exc).__name__}: {exc}",
+            },
+            f,
+        )
+    n = int(obs.get["rows"])
+    # loud by design: containment must not become silence — the error is in
+    # the lineage record too, but an operator watching logs sees it here
+    logging.getLogger(__name__).warning(
+        "table %s.%s failed in epoch %s (%s: %s); %d rows parked at %s",
+        tenant, table_name, epoch_id, type(exc).__name__, exc, n, retry_dir,
+    )
     return {
         "error": f"{type(exc).__name__}: {exc}",
-        "routed_to_retry": int(obs.get["rows"]),
+        "routed_to_retry": n,
         "retry_path": retry_dir,
     }
 
@@ -252,38 +282,98 @@ def reprocess_retries(
 ) -> dict[str, Any]:
     """Replay every parked retry slice through inference → reconcile →
     projection → write (the failure's cause — e.g. corrupt table metadata —
-    is assumed fixed). Each retry directory commits under the
-    deterministic epoch ``retry-<dirname>`` and is deleted only after its
-    commit succeeds, so a crash between commit and cleanup replays as a
-    skipped epoch (exactly-once preserved); a slice that fails again stays
-    parked for the next attempt."""
+    is assumed fixed).
+
+    Exactly-once safeguards:
+
+    - a slice whose ORIGINAL epoch is already committed in the target
+      table is dropped, not replayed — this covers a failure AFTER the
+      commit succeeded (e.g. auto-compaction threw) and a crash between
+      parking and the stream checkpoint, where the re-delivered batch
+      committed the same epoch normally;
+    - each retry directory otherwise commits under the deterministic
+      epoch ``retry-<dirname>`` and is deleted only after its commit
+      succeeds, so a crash between commit and cleanup replays as a
+      skipped epoch; a slice that fails again stays parked;
+    - the slice replays under its RECORDED write mode and bucket count
+      (``_meta.json``), not the replayer's flags.
+
+    Ordering: slices replay in parking order (directory mtime). Like the
+    reference — where a FlowFile routed to retry re-executes after later
+    FlowFiles already committed (NgsiLdToPostgreSQL.java:420-509) — replay
+    is reorder-safe only under last-writer-wins semantics: the upsert
+    modes resolve by (recv_time, seq) regardless of arrival order, while
+    append gains duplicates-by-design and replace may resurrect stale
+    values if a NEWER epoch for the same entities committed in between.
+    """
+    import dataclasses
+
     retry_root = os.path.join(warehouse, "_retry")
     if not os.path.isdir(retry_root):
-        return {"reprocessed": 0, "failed": 0, "tables": {}}
+        return {"reprocessed": 0, "failed": 0, "skipped": 0, "tables": {}}
     catalog = LakeCatalog(
         warehouse,
         n_buckets=cfg.n_buckets,
         auto_compact_files=cfg.auto_compact_files,
         max_tracked_epochs=cfg.max_tracked_epochs,
     )
-    out: dict[str, Any] = {"reprocessed": 0, "failed": 0, "tables": {}}
-    for d in sorted(os.listdir(retry_root)):
+    # same defensive confs as ingest_batch: replayed TIMESTAMPTZ cells
+    # must parse in UTC no matter how the caller built the session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    out: dict[str, Any] = {"reprocessed": 0, "failed": 0, "skipped": 0, "tables": {}}
+    dirs = [
+        d for d in os.listdir(retry_root)
+        if os.path.isdir(os.path.join(retry_root, d))
+    ]
+    # parking order, not lexicographic: 'stream-10' sorts before 'stream-2'
+    dirs.sort(key=lambda d: os.path.getmtime(os.path.join(retry_root, d)))
+    for d in dirs:
         path = os.path.join(retry_root, d)
-        if not os.path.isdir(path):
-            continue
-        flat = spark.read.parquet(path)
+        meta_path = os.path.join(path, "_meta.json")
+        meta: dict[str, Any] = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        slice_cfg = (
+            dataclasses.replace(
+                cfg,
+                write_mode=meta["write_mode"],
+                n_buckets=meta.get("n_buckets", cfg.n_buckets),
+            )
+            if meta.get("write_mode")
+            else cfg
+        )
         epoch = f"retry-{d}"
         try:
+            flat = spark.read.parquet(path)
+            dir_stats: dict[str, dict[str, Any]] = {}
             for (tenant, table_name), inferred in sorted(
                 infer_batch_schemas(flat).items()
             ):
                 table = catalog.table(tenant, table_name)
+                orig_epoch = meta.get("failed_epoch")
+                if orig_epoch and table.has_epoch(orig_epoch):
+                    # the "failed" commit actually landed (failure was
+                    # post-commit, or the stream re-delivered and
+                    # succeeded): replaying would double-apply
+                    dir_stats[f"{tenant}.{table_name}"] = {
+                        "skipped_already_committed": orig_epoch
+                    }
+                    continue
                 final_schema, _new = reconcile(inferred, table.schema())
                 wide = project_wide(flat, tenant, table_name, final_schema)
-                stats = _write_table(table, wide, final_schema, epoch, cfg)
-                out["tables"][f"{tenant}.{table_name}"] = stats
+                dir_stats[f"{tenant}.{table_name}"] = _write_table(
+                    table, wide, final_schema, epoch, slice_cfg
+                )
             shutil.rmtree(path, ignore_errors=True)
-            out["reprocessed"] += 1
+            out["tables"].update(dir_stats)
+            if dir_stats and all(
+                "skipped_already_committed" in v for v in dir_stats.values()
+            ):
+                out["skipped"] += 1
+            else:
+                out["reprocessed"] += 1
         except Exception as exc:  # noqa: BLE001 — keep the slice parked
             out["failed"] += 1
             out["tables"][d] = {"error": f"{type(exc).__name__}: {exc}"}
@@ -295,16 +385,27 @@ def _staged_partition_counts(staging: str) -> list[int]:
     """Row count per staged parquet file (one per flatten task × table
     partition) from the footers, sorted ascending — the physical unit a
     downstream projection task actually reads, so skew here is the skew
-    that matters. Driver-side metadata reads only, no executor job. On a
-    real cluster the staging dir is shared storage, so footer reads work
-    identically (and at 10^4+ files would batch through the FS listing)."""
+    that matters. Driver-side metadata reads only, no executor job; footer
+    opens are thread-pooled so shared-storage latency (~ms per open on
+    NFS/object stores) overlaps instead of serializing — 10^4 files at
+    5 ms each cost ~3 s of overlapped I/O, not 50 s of serial driver
+    stall."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
-    counts: list[int] = []
-    for root, _dirs, files in os.walk(staging):
-        for fn in files:
-            if fn.endswith(".parquet"):
-                counts.append(pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows)
+    paths = [
+        os.path.join(root, fn)
+        for root, _dirs, files in os.walk(staging)
+        for fn in files
+        if fn.endswith(".parquet")
+    ]
+    if not paths:
+        return []
+    with ThreadPoolExecutor(max_workers=min(16, len(paths))) as pool:
+        counts = list(
+            pool.map(lambda p: pq.ParquetFile(p).metadata.num_rows, paths)
+        )
     counts.sort()
     return counts
 

@@ -85,6 +85,7 @@ def test_one_table_failure_routes_to_retry_and_others_commit(spark, tmp_path):
     assert out == {
         "reprocessed": 1,
         "failed": 0,
+        "skipped": 0,
         "tables": {"t.ta": out["tables"]["t.ta"]},
     }
     assert out["tables"]["t.ta"]["rows_written"] == 1
@@ -119,6 +120,48 @@ def test_retry_replay_is_idempotent_across_crash(spark, tmp_path):
     assert out2["tables"]["t.ta"] == {"skipped_epoch": True}
     assert LakeCatalog(wh).table("t", "ta").read(spark).collect()[0]["m"] == 3.0
     assert not os.listdir(os.path.join(wh, "_retry"))
+
+
+def test_replay_skips_slice_whose_epoch_already_committed(spark, tmp_path):
+    """A failure AFTER the commit landed (e.g. post-commit maintenance
+    threw), or a crash before the stream checkpoint followed by successful
+    re-delivery, leaves a parked slice whose original epoch IS committed.
+    Replaying it would double-apply; the replay must drop it instead."""
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="append")  # append would show duplicates
+    ingest_batch(_batch(spark, _entities(1.0, 1.0)), cfg, wh, "e1")
+    bad = _corrupt_manifest(wh, "ta")
+    ingest_batch(_batch(spark, _entities(2.0, 2.0), seq0=10), cfg, wh, "e2")
+    os.remove(bad)
+    # the stream re-delivers the batch after the crash and it commits
+    # normally under the SAME epoch id...
+    ingest_batch(_batch(spark, _entities(2.0, 2.0), seq0=10), cfg, wh, "e2")
+    cat = LakeCatalog(wh)
+    assert cat.table("t", "ta").read(spark).count() == 2  # e1 + e2
+    # ...so the stale parked slice must be dropped, not re-applied
+    out = reprocess_retries(spark, cfg, wh)
+    assert out["skipped"] == 1 and out["reprocessed"] == 0
+    assert out["tables"]["t.ta"] == {"skipped_already_committed": "e2"}
+    assert cat.table("t", "ta").read(spark).count() == 2  # unchanged
+    assert not os.listdir(os.path.join(wh, "_retry"))
+
+
+def test_replay_uses_recorded_write_mode(spark, tmp_path):
+    """The parked slice replays under the write mode of the stream that
+    parked it (_meta.json), not the replayer's flags: an append-mode slice
+    replayed by an operator holding upsert defaults must NOT be LWW-deduped."""
+    wh = str(tmp_path / "wh")
+    append_cfg = IngestConfig(write_mode="append")
+    # two identical-key events in one batch: append preserves both rows
+    e = {"id": "urn:x:a", "type": "Ta", "m": _prop(1.0)}
+    ingest_batch(_batch(spark, [e]), append_cfg, wh, "e1")
+    bad = _corrupt_manifest(wh, "ta")
+    ingest_batch(_batch(spark, [e, e], seq0=10), append_cfg, wh, "e2")
+    os.remove(bad)
+    out = reprocess_retries(spark, IngestConfig(write_mode="upsert"), wh)
+    assert out["reprocessed"] == 1
+    # 1 (e1) + 2 (replayed e2 under its recorded append mode) = 3 rows
+    assert LakeCatalog(wh).table("t", "ta").read(spark).count() == 3
 
 
 def test_isolation_off_restores_all_or_nothing(spark, tmp_path):
