@@ -294,6 +294,74 @@ def run_scaling_exec(n_events: int = 400_000) -> None:
     shutil.rmtree(root, ignore_errors=True)
 
 
+def run_capacity(n_events: int = 10_000_000) -> None:
+    """Largest-single-micro-batch probe: one ingest_batch over n_events at
+    local[32] — does the pipeline hold when a micro-batch is 100x the
+    bench batch (backlog catch-up after downtime, the worst case the
+    north rule's availableNow trigger can deliver)? Appends wall time,
+    events/s and manifest/lineage evidence to BENCH/BASELINE.md."""
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    _staging_optin()
+    from nifi_ngsild_postgresql_spark.config import IngestConfig
+    from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+    from nifi_ngsild_postgresql_spark.session import get_spark
+    from nifi_ngsild_postgresql_spark.sources.generator import synthesize_changelog
+    from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch
+
+    spark = get_spark(app_name="ngsild-capacity", master="local[32]",
+                      shuffle_partitions=128)
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="bench_cap_")
+    log_dir = os.path.join(root, "log")
+    synthesize_changelog(spark, n_events, seed=11, partitions=256).write.parquet(
+        log_dir
+    )
+    changelog = spark.read.parquet(log_dir)
+    cfg = IngestConfig(write_mode="upsert", ignore_empty_observed_at=False,
+                       n_buckets=128)
+    wh = os.path.join(root, "wh")
+    # small warmup (excluded) to spawn workers/JIT
+    ingest_batch(changelog.sample(0.002, seed=1), cfg,
+                 tempfile.mkdtemp(prefix="cap_warm_"), epoch_id="warm-0")
+    t0 = time.time()
+    lineage = ingest_batch(changelog, cfg, wh, epoch_id="cap-0")
+    wall = round(time.time() - t0, 1)
+    cat = LakeCatalog(wh)
+    total_rows = sum(
+        cat.table(t, n).read(spark).count() for t, n in cat.list_tables()
+    )
+    result = {
+        "n_events": n_events,
+        "wall_s": wall,
+        "events_per_sec": round(n_events / wall, 1),
+        "rows_flattened": lineage["rows_flattened"],
+        "final_rows": total_rows,
+        "n_tables": len(lineage["tables"]),
+        "partitions": lineage["partitions"],
+    }
+    _update_section(
+        os.path.join(REPO, "BENCH", "BASELINE.md"),
+        "## Capacity probe: one 100x micro-batch",
+        "Backlog catch-up worst case (availableNow after downtime): a\n"
+        f"single micro-batch of {n_events:,} change events through the\n"
+        "full upsert pipeline at local[32], 128 buckets:\n\n"
+        f"- wall: {wall} s = **{result['events_per_sec']:,} events/s**\n"
+        f"- rows flattened {result['rows_flattened']:,} -> final table rows "
+        f"{total_rows:,} across {result['n_tables']} tables\n"
+        f"- staged-partition rows min/median/max: "
+        f"{lineage['partitions']['min_rows']}/"
+        f"{lineage['partitions']['median_rows']}/"
+        f"{lineage['partitions']['max_rows']} "
+        "(flatten skew stays bounded at 100x batch size)\n\n"
+        "No operator in the pipeline holds a batch in memory (stage ->\n"
+        "parquet -> selective re-reads), so micro-batch size is bounded by\n"
+        "staging disk, not RAM — the property that lets availableNow chew\n"
+        "an arbitrary backlog.",
+    )
+    print(json.dumps({"capacity": result}))
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def _ingest_throughput_subprocess(cpus: int, n_events: int, log_dir: str) -> dict:
     """Run the identical ingest job at a given parallelism in a fresh JVM."""
     code = f"""
@@ -424,7 +492,9 @@ def run_scaling(n_events: int = 500_000) -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling-exec" in sys.argv:
+    if "--capacity" in sys.argv:
+        run_capacity(int(os.environ.get("BENCH_CAPACITY_EVENTS", "10000000")))
+    elif "--scaling-exec" in sys.argv:
         run_scaling_exec(int(os.environ.get("BENCH_SCALING_EVENTS", "400000")))
     elif "--scaling" in sys.argv:
         run_scaling(int(os.environ.get("BENCH_SCALING_EVENTS", "400000")))
