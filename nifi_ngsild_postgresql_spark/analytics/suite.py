@@ -812,6 +812,78 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+KNN_K = 5
+
+
+def q_knn_join(spark, sf_dir, k: int = KNN_K):
+    """k-NN JOIN: top-k cosine neighbors for EVERY vector (the all-queries
+    generalization of ann_cosine_topk — what a dedup/retrieval pipeline
+    actually runs). Exact integer math over quantized embeddings; norms
+    computed once per side; per-source top-k via row_number (each source's
+    candidate set is small and uniform, so the window partition is not a
+    skew hazard).
+
+    This brute-force O(n^2) form is the small-SF correctness oracle; the
+    100 TB path reuses the LSH machinery (advanced.py hyperplane
+    signatures) to generate candidates and this exact re-rank on the
+    bounded candidate set — recall of that path is pinned by
+    test_lsh_finds_planted_near_duplicates."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    qe = e.select("vec_id", quantized_embedding("embedding").alias("emb"))
+    zero = F.lit(0).cast("long")
+    qe = qe.withColumn(
+        "n2", F.aggregate("emb", zero, lambda acc, x: acc + x * x)
+    )
+    a = qe.select(
+        F.col("vec_id").alias("src"), F.col("emb").alias("ea"), F.col("n2").alias("na")
+    )
+    b = qe.select(
+        F.col("vec_id").alias("dst"), F.col("emb").alias("eb"), F.col("n2").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), zero, lambda acc, x: acc + x
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            (dot.cast("double") / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "cosine", "rank")
+    )
+
+
+SQL_KNN_JOIN = f"""
+WITH qe AS (
+  SELECT vec_id, {{_qv}} AS emb FROM embeddings
+), normed AS (
+  SELECT vec_id, emb,
+         CAST(list_sum(list_transform(emb, x -> x * x)) AS DOUBLE) AS n2
+  FROM qe
+), pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         CAST(list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2])) AS DOUBLE)
+           / sqrt(a.n2 * b.n2) AS cosine
+  FROM normed a JOIN normed b ON a.vec_id <> b.vec_id
+)
+SELECT src, dst, cosine, rank FROM (
+  SELECT src, dst, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS INT) AS rank
+  FROM pairs
+)
+WHERE rank <= {KNN_K}
+""".replace("{_qv}", _SQL_QVEC.format(col="embedding"))
+
+
 SQL_ANN_COSINE_TOPK = f"""
 WITH qe AS (
   SELECT vec_id, {_SQL_QVEC.format(col="embedding")} AS emb FROM embeddings
