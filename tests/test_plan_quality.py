@@ -119,3 +119,26 @@ def test_wide_projection_has_no_python_udf(spark):
     # exactly one Python stage: the mapInPandas flatten itself
     assert post_plan.count("MapInPandas") == 1
     assert n_python_nodes == 0
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    """The hash-stratified sample must stay a narrow scan+filter: no
+    Exchange anywhere in the plan (rand()-free, state-free — the only
+    sampling shape that re-runs identically at 100 TB)."""
+    plan = _plan(suite.q_stratified_sample(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "PushedFilters:" in plan  # still a plain parquet scan
+
+
+def test_knn_join_broadcast_side_is_bounded(spark):
+    """knn_join's Python stage must be fed by a single narrow scan of the
+    embeddings (broadcast-knn: candidates ride a numpy broadcast, not a
+    join), and the exact top-k output is deterministic."""
+    df = suite.q_knn_join(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan  # candidates broadcast via sc.broadcast
+    rows = df.collect()
+    assert len(rows) == 500 * suite.KNN_K
+    again = {(r["src"], r["rank"]): r["dst"] for r in suite.q_knn_join(spark, SF_DIR).collect()}
+    for r in rows:
+        assert again[(r["src"], r["rank"])] == r["dst"]
