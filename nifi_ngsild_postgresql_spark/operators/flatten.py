@@ -19,6 +19,7 @@ of each entity to keep shuffle-free bytes down.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import re
 from collections.abc import Iterator
@@ -26,7 +27,7 @@ from typing import Any
 
 import pandas as pd
 
-from ..config import EXPANDED, FLATTEN, IngestConfig
+from ..config import EXPANDED, EXPORT_MODES, FLATTEN, IngestConfig
 from ..functions.names import (
     ENTITY_ID,
     NameTooLongError,
@@ -158,7 +159,7 @@ def flatten_partition(
         # NiFi expression language per FlowFile (NgsiLdToPostgreSQL.java:
         # 252-258; TABLE_NAME_SUFFIX/DB_SCHEMA tested at
         # TestNgsiLdToPostgreSQL.java:903-927): optional changelog columns
-        # override the configured suffix / schema row by row
+        # override the configured suffix / schema / export mode row by row
         suffixes = (
             pdf["table_suffix"].values
             if "table_suffix" in pdf.columns
@@ -169,20 +170,46 @@ def flatten_partition(
             if "db_schema" in pdf.columns
             else [None] * len(pdf)
         )
-        for content, repo, commit, recv_time, suffix_override, schema_override in zip(
+        modes_ovr = (
+            pdf["export_mode"].values
+            if "export_mode" in pdf.columns
+            else [None] * len(pdf)
+        )
+        # per-mode config cache: export mode flows into parse/row-gen/row-key,
+        # so an override swaps the whole (frozen) config for this event
+        cfg_by_mode = {cfg.export_mode: cfg}
+        for content, repo, commit, recv_time, suffix_override, schema_override, mode_override in zip(
             pdf["content"].values,
             pdf["repo"].values,
             pdf["commit"].values,
             pdf["recv_time"].values,
             suffixes,
             schemas_ovr,
+            modes_ovr,
         ):
             table_suffix = (
                 suffix_override
                 if isinstance(suffix_override, str)
                 else cfg.table_name_suffix
             )
-            recv_ts = pd.Timestamp(recv_time)
+            recv_ts0 = pd.Timestamp(recv_time)
+            if isinstance(mode_override, str) and mode_override:
+                if mode_override not in EXPORT_MODES:
+                    # invalid property value routes to failure, mirroring the
+                    # reference's per-FlowFile property validation
+                    emit(
+                        seq=commit, recv_time=recv_ts0,
+                        error=f"unknown export mode {mode_override!r}",
+                    )
+                    continue
+                if mode_override not in cfg_by_mode:
+                    cfg_by_mode[mode_override] = dataclasses.replace(
+                        cfg, export_mode=mode_override
+                    )
+                ecfg = cfg_by_mode[mode_override]
+            else:
+                ecfg = cfg
+            recv_ts = recv_ts0
             creation_ms = recv_ts.value // 1_000_000
             try:
                 payload = json.loads(content)
@@ -197,7 +224,7 @@ def flatten_partition(
                     tenant = build_schema_name(schema_override)
                 else:
                     tenant = build_schema_name(repo if repo else cfg.db_schema)
-                entities = parse_entities(payload, cfg.export_mode)
+                entities = parse_entities(payload, ecfg.export_mode)
             except (EntityParseError, NameTooLongError, ValueError) as exc:
                 emit(seq=commit, recv_time=recv_ts, error=str(exc))
                 continue
@@ -207,11 +234,11 @@ def flatten_partition(
                     table = build_table_name(entity.entity_type, table_suffix)
                     fields = list_of_fields(
                         entity,
-                        cfg.dataset_id_prefix_to_truncate,
-                        cfg.export_sysattrs,
-                        cfg.ignored_attributes,
+                        ecfg.dataset_id_prefix_to_truncate,
+                        ecfg.export_sysattrs,
+                        ecfg.ignored_attributes,
                     )
-                    rows = rows_for_entity(entity, fields, creation_ms, cfg)
+                    rows = rows_for_entity(entity, fields, creation_ms, ecfg)
                 except Exception as exc:  # noqa: BLE001 — poison-event guard:
                     # one malformed entity (e.g. a GeoProperty Point with
                     # empty coordinates) must route to the error channel,
@@ -242,7 +269,7 @@ def flatten_partition(
                         table=table,
                         entity_id=entity.entity_id,
                         entity_type=entity.entity_type,
-                        row_key=_row_key(row, cfg.export_mode),
+                        row_key=_row_key(row, ecfg.export_mode),
                         observedat=obs[2:] if obs else None,
                         recv_time=recv_ts,
                         seq=commit,

@@ -106,6 +106,49 @@ def test_per_event_db_schema_too_long_routes_to_error(spark, tmp_path):
     assert "greater than 63" in errs[0]["error"]
 
 
+def test_per_event_export_mode_override(spark, tmp_path):
+    """Reference parity: EXPORT_MODE is a per-FlowFile expression-language
+    property like the others (NgsiLdToPostgreSQL.java:90-100, 252-258).
+    A per-event export_mode column overrides the configured mode — one
+    batch can carry EXPANDED and FLATTEN events side by side."""
+    wh = str(tmp_path / "wh")
+    df = spark.createDataFrame(
+        [
+            ("t", "p", "000001", "Gauge", _payload(1.0), "FLATTEN", "f"),
+            ("t", "p", "000002", "Gauge", _payload(2.0), None, "e"),  # cfg default
+        ],
+        "repo string, path string, commit string, lang string, content string,"
+        " export_mode string, table_suffix string",
+    ).withColumn("recv_time", F.timestamp_millis(F.lit(1700000000000)))
+    ingest_batch(df, IngestConfig(write_mode="upsert"), wh, "e1")
+    cat = LakeCatalog(wh)
+    assert cat.list_tables() == [("t", "gauge_e"), ("t", "gauge_f")]
+    flat = cat.table("t", "gauge_f").read(spark).collect()
+    assert len(flat) == 1
+    assert flat[0]["measure_parametername"] == "level"
+    assert flat[0]["measure"] == 1.0
+    exp = cat.table("t", "gauge_e").read(spark).collect()
+    assert len(exp) == 1 and exp[0]["level"] == 2.0
+
+
+def test_per_event_export_mode_invalid_routes_to_error(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    df = spark.createDataFrame(
+        [
+            ("t", "p", "000001", "Gauge", _payload(1.0), "SIDEWAYS"),
+            ("t", "p", "000002", "Gauge", _payload(2.0), "EXPANDED"),
+        ],
+        "repo string, path string, commit string, lang string, content string,"
+        " export_mode string",
+    ).withColumn("recv_time", F.timestamp_millis(F.lit(1700000000000)))
+    lineage = ingest_batch(df, IngestConfig(write_mode="upsert"), wh, "e1")
+    assert lineage["errors"] == 1
+    rows = LakeCatalog(wh).table("t", "gauge").read(spark).collect()
+    assert len(rows) == 1 and rows[0]["level"] == 2.0
+    errs = spark.read.parquet(f"{wh}/_errors").collect()
+    assert "unknown export mode" in errs[0]["error"]
+
+
 def test_uncommitted_data_files_are_invisible(spark, tmp_path):
     # crash between data write and manifest commit: readers keep seeing
     # the previous snapshot (atomicity of the O_EXCL manifest create)
