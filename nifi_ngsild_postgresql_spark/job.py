@@ -1,12 +1,15 @@
 """spark-submit entry point.
 
-Usage (cluster):
-    spark-submit --py-files ngsild_pkg.zip -m nifi_ngsild_postgresql_spark.job \
-        ingest --changelog s3://…/changelog --warehouse s3://…/wh \
-        --checkpoint s3://…/ckpt --mode upsert [--stream]
+Usage (cluster — spark-submit takes a script, so tools/submit.py shims
+this module; the engine ships as the --py-files zip, tools/build_pkg.py):
+    spark-submit --master <cluster> --py-files ngsild_pkg.zip tools/submit.py \
+        ingest --changelog <shared>/changelog --warehouse <shared>/wh \
+        --checkpoint <shared>/ckpt --mode upsert [--stream]
 
     python -m nifi_ngsild_postgresql_spark.job generate --out /tmp/log \
         --events 1000000 --seed 42
+
+Drive end-to-end with tools/submit_smoke.sh (evidence: BENCH/SUBMIT.md).
 
 Subcommands:
     generate  — deterministic synthetic NGSI-LD changelog (sources/generator.py)

@@ -23,6 +23,11 @@ def ship_package(spark: SparkSession) -> None:
     """Make this package importable on executors (idempotent per session)."""
     if getattr(spark, "_ngsild_pkg_shipped", False):
         return
+    if not os.path.isdir(_PACKAGE_DIR):
+        # imported from a zip (spark-submit --py-files): the archive is
+        # already on every executor's PYTHONPATH — nothing to ship
+        spark._ngsild_pkg_shipped = True  # type: ignore[attr-defined]
+        return
     zip_path = os.path.join(
         tempfile.mkdtemp(prefix="ngsild_pkg_"), f"{_PACKAGE_NAME}.zip"
     )
@@ -51,9 +56,16 @@ def get_spark(
     GMT default, PostgreSQLTransformer.java:160), Arrow enabled, AQE with
     skew handling on."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    # under spark-submit the JVM gateway already exists and --master/--conf
+    # came from the CLI (north-rule deployment: spark-submit --py-files);
+    # forcing a master here would silently stomp the cluster manager choice.
+    # PythonRunner marks that mode with PYSPARK_GATEWAY_PORT in the env.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is not None or not under_submit:
+        builder = builder.master(master or f"local[{cpus}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
+        builder
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,27 @@
+#!/usr/bin/env python
+"""Build the --py-files distribution zip of the engine package."""
+
+import os
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "nifi_ngsild_postgresql_spark"
+
+
+def build(out_path: str) -> str:
+    src = os.path.join(REPO, PKG)
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(src):
+            if "__pycache__" in root:
+                continue
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.join(PKG, os.path.relpath(full, src)))
+    return out_path
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ngsild_pkg.zip"
+    print(build(out))

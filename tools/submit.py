@@ -1,0 +1,22 @@
+#!/usr/bin/env python
+"""spark-submit launcher — the north-rule deployment path.
+
+``spark-submit`` takes a script file (not ``-m module``), so this shim is
+the primary resource; the engine itself ships as a zip via ``--py-files``:
+
+    cd /root/repo && python tools/build_pkg.py /tmp/ngsild_pkg.zip
+    spark-submit --master <cluster> --py-files /tmp/ngsild_pkg.zip \
+        tools/submit.py ingest --changelog <path> --warehouse <path> \
+        --mode upsert [--stream --checkpoint <path>]
+
+All subcommands of nifi_ngsild_postgresql_spark.job (generate / ingest /
+show / retry / maintain) pass through unchanged. Exercised end-to-end by
+tools/submit_smoke.sh (evidence in BENCH/SUBMIT.md).
+"""
+
+import sys
+
+from nifi_ngsild_postgresql_spark.job import main
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

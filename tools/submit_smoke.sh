@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# End-to-end drive of the north-rule deployment path: the engine packaged
+# as a zip and run via `spark-submit --py-files` (no repo on PYTHONPATH —
+# cwd is a scratch dir, so every import resolves from the zip).
+#
+#   bash tools/submit_smoke.sh [master]    # default local[8]
+#
+# Steps: build zip -> generate changelog -> batch ingest -> streaming
+# ingest with checkpoint -> RE-RUN the stream (must no-op via checkpoint:
+# lineage stays at 1 record) -> show the table. Results recorded in
+# BENCH/SUBMIT.md.
+set -euo pipefail
+MASTER="${1:-local[8]}"
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+SUBMIT="${SPARK_HOME:-/opt/spark}/bin/spark-submit"
+WORK="$(mktemp -d /tmp/submit_smoke.XXXXXX)"
+ZIP="$WORK/ngsild_pkg.zip"
+trap 'rm -rf "$WORK"' EXIT
+
+python "$REPO/tools/build_pkg.py" "$ZIP"
+run() { (cd "$WORK" && "$SUBMIT" --master "$MASTER" --conf spark.ui.enabled=false \
+        --py-files "$ZIP" "$REPO/tools/submit.py" "$@" 2>"$WORK/stderr.log"); }
+
+echo "== generate =="
+run generate --out "$WORK/log" --events 50000
+
+echo "== batch ingest =="
+run ingest --changelog "$WORK/log" --warehouse "$WORK/wh" --mode upsert --buckets 16
+
+echo "== streaming ingest (checkpointed) =="
+run ingest --changelog "$WORK/log" --warehouse "$WORK/wh2" \
+    --checkpoint "$WORK/ckpt" --mode upsert --buckets 16 --stream
+
+echo "== stream re-run: checkpoint resume must be a no-op =="
+run ingest --changelog "$WORK/log" --warehouse "$WORK/wh2" \
+    --checkpoint "$WORK/ckpt" --mode upsert --buckets 16 --stream
+BATCHES=$(wc -l < "$WORK/wh2/_lineage/lineage.jsonl")
+echo "lineage records after re-run: $BATCHES"
+[ "$BATCHES" -eq 1 ] || { echo "FAIL: checkpoint resume re-processed data"; exit 1; }
+
+echo "== show =="
+run show --warehouse "$WORK/wh2" --table sandbox.airquality | head -3
+echo "SUBMIT SMOKE PASSED"
