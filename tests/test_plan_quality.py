@@ -142,3 +142,37 @@ def test_knn_join_broadcast_side_is_bounded(spark):
     again = {(r["src"], r["rank"]): r["dst"] for r in suite.q_knn_join(spark, SF_DIR).collect()}
     for r in rows:
         assert again[(r["src"], r["rank"])] == r["dst"]
+
+
+def test_knn_join_lsh_is_key_equality_join(spark):
+    """The LSH k-NN join must reach the pair stage through a key-equality
+    (shuffle/broadcast hash) join on the (table, signature) probe key —
+    never a cartesian/nested-loop pair enumeration. At 100 TB the
+    candidate fan-out is bounded by bucket population ~ n / 2^planes."""
+    from nifi_ngsild_postgresql_spark.analytics import advanced
+
+    df = advanced.q_knn_join_lsh(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # it IS a join — key-equality on the probe key
+
+
+def test_knn_join_lsh_recall_vs_exact(spark):
+    """Multi-table LSH (L=8 tables x 8 planes, Hamming<=1 multi-probe)
+    must recover >= 55% of the exact top-5 neighbor pairs even on the
+    near-random sf embeddings (worst case for LSH: mean pairwise cosine
+    ~0, so neighbors barely separate from the bulk). On real embedding
+    corpora the (1-theta/pi)^b collision bound makes recall far higher."""
+    from nifi_ngsild_postgresql_spark.analytics import advanced
+
+    exact = {
+        (r["src"], r["dst"]) for r in suite.q_knn_join(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["src"], r["dst"])
+        for r in advanced.q_knn_join_lsh(spark, SF_DIR).collect()
+    }
+    assert len(exact) == 500 * suite.KNN_K
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.55, f"LSH recall {recall:.3f} below floor"
