@@ -42,7 +42,7 @@ def q_cdc_ingest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(*sorted(df.columns))
 
 
-def _oracle_cdc() -> str:
+def _oracle_cdc(where: str = "") -> str:
     action_cols = ",\n       ".join(
         f"CASE WHEN event_type = '{t}' THEN event_type END AS action_{t}"
         for t in EVENT_TYPES
@@ -59,7 +59,7 @@ WITH ranked AS (
            PARTITION BY user_id, date_trunc('milliseconds', ts)
            ORDER BY ts DESC, event_id DESC
          ) AS rn
-  FROM events
+  FROM events {where}
 )
 SELECT {action_cols},
        'urn:ngsi-ld:UserActivity:' || CAST(user_id AS VARCHAR) AS entityid,
@@ -95,6 +95,50 @@ def q_cdc_ingest_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_CDC_INGEST_UPSERT_MOR = _oracle_cdc()
+
+
+def q_cdc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC *out* of the lake (plans/lake.py read_changes): ingest odd
+    commits as epoch 0, even commits as epoch 1 (merge-on-read), then
+    return the change feed between those two snapshots — every net
+    row-level change tagged insert/update. Exercises the O(changes)
+    fast path end-to-end: re-sent identical content and late-arriving
+    LWW losers are NOT emitted, matching the exact state diff the
+    oracle computes from the raw events."""
+    ship_package(spark)
+    warehouse = tempfile.mkdtemp(prefix="ngsild_cdf_wh_")
+    changelog = changelog_from_events(spark, sf_dir)
+    cfg = IngestConfig(write_mode="upsert_mor", isolate_table_failures=False)
+    odd = changelog.filter(F_col("commit").cast("long") % 2 == 1)
+    even = changelog.filter(F_col("commit").cast("long") % 2 == 0)
+    ingest_batch(odd, cfg, warehouse, epoch_id="cdf-0")
+    ingest_batch(even, cfg, warehouse, epoch_id="cdf-1")
+    t = LakeCatalog(warehouse).table("analytics", "useractivity")
+    versions = t.versions()
+    df = t.read_changes(spark, versions[0], versions[-1])
+    return df.select(*sorted(df.columns))
+
+
+def _oracle_changefeed() -> str:
+    content_cols = (
+        [f"action_{t}" for t in EVENT_TYPES]
+        + ["props"]
+        + [f"score_{t}" for t in EVENT_TYPES]
+    )
+    diff = "\n     OR ".join(f"f.{c} IS DISTINCT FROM o.{c}" for c in content_cols)
+    return f"""
+WITH final AS ({_oracle_cdc()}),
+     old AS ({_oracle_cdc("WHERE event_id % 2 = 1")})
+SELECT f.*,
+       CASE WHEN o.entityid IS NULL THEN 'insert' ELSE 'update' END AS _change_type
+FROM final f
+LEFT JOIN old o
+  ON f.entityid = o.entityid AND f.observedat = o.observedat
+WHERE o.entityid IS NULL OR {diff}
+"""
+
+
+SQL_CDC_CHANGEFEED = _oracle_changefeed()
 
 
 def q_cdc_ingest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,10 +11,12 @@ from . import advanced, suite
 from ..streaming.sessionize import SQL_SESSIONIZE, q_sessionize
 from .flagship import (
     SQL_CDC_INGEST_FLATTEN,
+    SQL_CDC_CHANGEFEED,
     SQL_CDC_INGEST_SEMI_FLATTEN,
     SQL_CDC_INGEST_UPSERT,
     SQL_CDC_INGEST_UPSERT_MOR,
     SQL_REPLAY_MANIFEST,
+    q_cdc_changefeed,
     q_cdc_ingest_flatten,
     q_cdc_ingest_semi_flatten,
     q_cdc_ingest_upsert,
@@ -48,6 +50,7 @@ REGISTRY: dict[str, tuple] = {
     # --- the engine itself, oracle-checked end-to-end ---
     "cdc_ingest_upsert": (q_cdc_ingest_upsert, SQL_CDC_INGEST_UPSERT),
     "cdc_ingest_upsert_mor": (q_cdc_ingest_upsert_mor, SQL_CDC_INGEST_UPSERT_MOR),
+    "cdc_changefeed": (q_cdc_changefeed, SQL_CDC_CHANGEFEED),
     "cdc_ingest_flatten": (q_cdc_ingest_flatten, SQL_CDC_INGEST_FLATTEN),
     "cdc_ingest_semi_flatten": (
         q_cdc_ingest_semi_flatten,

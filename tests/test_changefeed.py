@@ -1,0 +1,177 @@
+"""Change-data-feed (plans/lake.py read_changes): CDC *out* of the lake.
+
+Invariants pinned here:
+
+- MoR/append ranges use the O(changes) fast path: only commit dirs in the
+  range plus the from-state of touched buckets are scanned, and the
+  result equals the exact state-diff (cross-validated with force_diff)
+- late-arriving LWW losers are NOT emitted (they changed nothing)
+- CoW upsert ranges emit exact insert/update; replace emits delete
+- content-invariant commits (compaction/rebucket) emit nothing
+- schema evolution in the range doesn't fabricate updates for old rows
+- from_version=0 emits the full to-state as inserts
+- expired ranges fail loudly instead of returning wrong changes
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.config import IngestConfig
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch
+
+
+def _payload(eid, v, ts="2024-01-01T00:00:00Z", attr="level"):
+    return json.dumps(
+        {"id": f"urn:x:{eid}", "type": "Gauge",
+         attr: {"type": "Property", "value": v, "observedAt": ts}}
+    )
+
+
+def _batch(spark, items, seq0=0, recv_ms=None):
+    rows = [
+        ("t", "p", f"{seq0 + i:06d}", "Gauge", _payload(*item))
+        for i, item in enumerate(items)
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    ms = recv_ms if recv_ms is not None else 1700000000000 + seq0
+    return df.withColumn("recv_time", F.timestamp_millis(F.lit(ms)))
+
+
+def _ingest(spark, wh, mode, batches, seq0=0):
+    cfg = IngestConfig(write_mode=mode, n_buckets=4)
+    for i, items in enumerate(batches):
+        ingest_batch(_batch(spark, items, seq0=seq0 + i * 100), cfg, wh, f"e{seq0 + i}")
+    return LakeCatalog(wh).table("t", "gauge")
+
+
+def _changes(df):
+    return {
+        (r["entityid"], r["_change_type"]): r["level"] for r in df.collect()
+    }
+
+
+def test_mor_fast_path_insert_update_and_cross_validation(spark, tmp_path):
+    wh = str(tmp_path / "mor")
+    cfg = IngestConfig(write_mode="upsert_mor", n_buckets=4)
+    # same recv_time in both batches so the re-sent (1, 1.0) row is
+    # bit-identical content (incl. the recvtime data column); only the
+    # commit id (_seq) advances
+    ingest_batch(
+        _batch(spark, [(j, 1.0) for j in range(6)], recv_ms=1700000000000),
+        cfg, wh, "e0",
+    )
+    ingest_batch(
+        _batch(spark, [(0, 2.0), (1, 1.0), (99, 9.0)], seq0=100,
+               recv_ms=1700000000000),
+        cfg, wh, "e1",
+    )
+    t = LakeCatalog(wh).table("t", "gauge")
+    v1, v2 = t.versions()
+    fast = t.read_changes(spark, v1, v2)
+    got = _changes(fast)
+    # entity 1 re-sent identical content -> no change emitted
+    assert got == {
+        ("urn:x:0", "update"): 2.0,
+        ("urn:x:99", "insert"): 9.0,
+    }
+    # the fast path must agree with the exact state diff
+    diff = _changes(t.read_changes(spark, v1, v2, force_diff=True))
+    assert got == diff
+
+
+def test_mor_fast_path_skips_late_arriving_lww_loser(spark, tmp_path):
+    wh = str(tmp_path / "late")
+    cfg = IngestConfig(write_mode="upsert_mor", n_buckets=4)
+    ingest_batch(_batch(spark, [(7, 5.0)], recv_ms=1700000005000), cfg, wh, "e0")
+    # same upsert key, OLDER recv_time -> loses LWW, table state unchanged
+    ingest_batch(_batch(spark, [(7, 4.0)], recv_ms=1700000001000), cfg, wh, "e1")
+    t = LakeCatalog(wh).table("t", "gauge")
+    v1, v2 = t.versions()
+    assert t.read_changes(spark, v1, v2).count() == 0
+    assert t.read_changes(spark, v1, v2, force_diff=True).count() == 0
+    # reader still sees the winner
+    assert t.read(spark).collect()[0]["level"] == 5.0
+
+
+def test_cow_upsert_and_replace_emit_exact_changes(spark, tmp_path):
+    wh = str(tmp_path / "cow")
+    t = _ingest(spark, wh, "upsert", [
+        [(j, 1.0) for j in range(4)],
+        [(0, 3.0), (50, 5.0)],
+    ])
+    v1, v2 = t.versions()[:2]
+    got = _changes(t.read_changes(spark, v1, v2))
+    assert got == {("urn:x:0", "update"): 3.0, ("urn:x:50", "insert"): 5.0}
+    # replace-mode: incoming entity replaces ALL its stored rows -> the
+    # replaced-away row for a different observedAt surfaces as delete
+    cfg = IngestConfig(write_mode="replace", n_buckets=4)
+    ingest_batch(
+        _batch(spark, [(0, 7.0, "2024-02-02T00:00:00Z")], seq0=900), cfg, wh, "e9"
+    )
+    v3 = t.versions()[-1]
+    got = _changes(t.read_changes(spark, v2, v3))
+    assert got == {
+        ("urn:x:0", "insert"): 7.0,   # new observedAt = new upsert key
+        ("urn:x:0", "delete"): 3.0,   # old row replaced away
+    }
+
+
+def test_compaction_and_rebucket_emit_no_changes(spark, tmp_path):
+    wh = str(tmp_path / "cpt")
+    t = _ingest(spark, wh, "upsert_mor", [
+        [(j, 1.0) for j in range(5)],
+        [(0, 2.0)],
+    ])
+    v_before = t.versions()[-1]
+    t.compact(spark, max_files_per_bucket=0)
+    t.compact(spark, rebucket_to=8)
+    v_after = t.versions()[-1]
+    assert v_after > v_before
+    assert t.read_changes(spark, v_before, v_after).count() == 0
+    # and a range SPANNING the compaction still reports the real change
+    got = _changes(t.read_changes(spark, t.versions()[0], v_after))
+    assert got == {("urn:x:0", "update"): 2.0}
+
+
+def test_schema_evolution_does_not_fabricate_updates(spark, tmp_path):
+    wh = str(tmp_path / "evo")
+    t = _ingest(spark, wh, "upsert", [[(0, 1.0), (1, 1.5)]])
+    # second batch introduces a NEW attribute on a NEW entity: the schema
+    # gains a column; old rows read as NULL there and must not be emitted
+    cfg = IngestConfig(write_mode="upsert", n_buckets=4)
+    ingest_batch(
+        _batch(spark, [(2, 9.0, "2024-01-01T00:00:00Z", "pressure")], seq0=500),
+        cfg, wh, "e5",
+    )
+    v1, v2 = t.versions()
+    ch = t.read_changes(spark, v1, v2).collect()
+    assert {(r["entityid"], r["_change_type"]) for r in ch} == {
+        ("urn:x:2", "insert")
+    }
+    assert ch[0]["pressure"] == 9.0
+
+
+def test_from_zero_is_full_snapshot_as_inserts_and_bad_ranges_fail(spark, tmp_path):
+    wh = str(tmp_path / "zero")
+    t = _ingest(spark, wh, "upsert", [[(j, 1.0) for j in range(3)], [(0, 2.0)]])
+    v1, v2 = t.versions()
+    ch = t.read_changes(spark, 0, v2)
+    assert {r["_change_type"] for r in ch.collect()} == {"insert"}
+    assert ch.count() == t.read(spark).count()
+    # empty range -> empty frame with the change schema
+    assert t.read_changes(spark, v2, v2).count() == 0
+    with pytest.raises(ValueError):
+        t.read_changes(spark, v2, v1)
+    # expired snapshots make a range unreconstructible -> loud failure
+    t2 = _ingest(spark, str(tmp_path / "exp"), "upsert",
+                 [[(j, float(i))] for i, j in enumerate(range(10))])
+    t2.expire_snapshots(keep_last=2)
+    with pytest.raises(ValueError, match="expired"):
+        t2.read_changes(spark, 1, t2.versions()[-1])
