@@ -68,6 +68,25 @@ META_COLS = {"_row_key": "string", "_recv_time": "timestamp", "_seq": "string"}
 _SNAPSHOT_RE = re.compile(r"^v(\d{8})\.json$")
 
 
+def _canon_stat(v):
+    """Canonicalize a parquet-footer stat or a pruning bound to a value
+    that compares correctly against its peers: timestamps/datetimes
+    become naive-UTC ISO strings (lexicographic order == instant order,
+    including across differing fractional-second precision), bytes
+    decode to str, everything else passes through."""
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
 def _spark_field(name: str, pg_type: str) -> T.StructField:
     return T.StructField(name, _parse_type(SPARK_TYPE[pg_type]), True)
 
@@ -95,6 +114,7 @@ class LakeTable:
         n_buckets: int = 16,
         auto_compact_files: int | None = 32,
         max_tracked_epochs: int = 64,
+        stats_cols: tuple[str, ...] = ("entityid", "observedat"),
     ):
         self.warehouse = warehouse
         self.tenant = tenant
@@ -102,6 +122,7 @@ class LakeTable:
         self.default_n_buckets = n_buckets
         self.auto_compact_files = auto_compact_files
         self.max_tracked_epochs = max_tracked_epochs
+        self.stats_cols = stats_cols
         self.path = os.path.join(warehouse, tenant, name)
         self.meta_dir = os.path.join(self.path, "_meta")
 
@@ -149,19 +170,53 @@ class LakeTable:
         spark: SparkSession,
         with_meta: bool = False,
         version: int | None = None,
+        where: dict[str, tuple[Any, Any]] | None = None,
     ) -> DataFrame:
         """Read the table; ``version`` time-travels to a past snapshot
         (every snapshot manifest is immutable, so any committed version
-        stays readable until its files are garbage-collected)."""
+        stays readable until its files are garbage-collected).
+
+        ``where`` maps column -> inclusive (lo, hi) range (either bound
+        may be None) and turns the scan into a data-skipping read:
+
+        - file dirs whose manifest min/max stats (collected from parquet
+          footers at write time — the Iceberg manifest-stats analog) fall
+          entirely outside a range are never opened;
+        - an ``entityid`` point lookup additionally prunes to the single
+          hash bucket that entity lives in;
+        - the residual row filter is applied in the scan, where it also
+          reaches the parquet reader as a pushed filter.
+
+        At 100 TB this is the difference between a time-range query
+        scanning a table and scanning a handful of files. On a
+        merge-on-read snapshot ``where`` is restricted to the key-derived
+        columns (entityid, observedat): duplicates of a key always agree
+        on those, so pruning can never split a key's duplicates and
+        expose a stale LWW loser — filtering on any other column could."""
         snap = self.snapshot(version) if version else self.latest_snapshot()
         if snap is None:
             raise FileNotFoundError(f"lake table {self.tenant}.{self.name} not found")
-        df = self._read_files(
-            spark,
-            snap["schema"],
-            [p for paths in snap["files"].values() for p in paths],
-            with_meta=True,
-        )
+        rel_paths = [p for paths in snap["files"].values() for p in paths]
+        if where:
+            unknown = set(where) - set(snap["schema"])
+            if unknown:
+                raise ValueError(f"unknown where columns {sorted(unknown)}")
+            if snap.get("merge_on_read"):
+                unsafe = set(where) - {"entityid", "observedat"}
+                if unsafe:
+                    raise ValueError(
+                        "merge-on-read scan may only filter key-derived "
+                        f"columns (entityid, observedat), got {sorted(unsafe)}"
+                    )
+            rel_paths = self._prune_files(spark, snap, where)
+        df = self._read_files(spark, snap["schema"], rel_paths, with_meta=True)
+        if where:
+            for col, (lo, hi) in where.items():
+                typ = SPARK_TYPE[snap["schema"][col]]
+                if lo is not None:
+                    df = df.filter(F.col(col) >= F.lit(lo).cast(typ))
+                if hi is not None:
+                    df = df.filter(F.col(col) <= F.lit(hi).cast(typ))
         if snap.get("merge_on_read"):
             # MoR scan: resolve duplicate keys newest-wins (same reduce as
             # the CoW write path, so both modes expose identical state)
@@ -190,6 +245,128 @@ class LakeTable:
         if not with_meta:
             df = df.drop(*META_COLS)
         return df
+
+    # --- write-time column stats / data skipping --------------------------
+
+    def _collect_stats(
+        self, files: dict[str, list[str]]
+    ) -> dict[str, dict[str, list]]:
+        """Per commit-dir min/max for ``stats_cols``, read from the parquet
+        footers of the files just written (Iceberg manifest-stats analog;
+        driver-side, one footer read per written file — bounded by touched
+        buckets per commit). A column appears in a dir's stats only if
+        EVERY row group of every file in the dir carries min/max for it;
+        otherwise pruning on it would silently skip unaccounted rows."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict[str, list]] = {}
+        for rels in files.values():
+            for rel in rels:
+                d = os.path.join(self.path, rel)
+                if not os.path.isdir(d):
+                    continue
+                agg: dict[str, list] = {}
+                complete: set[str] = set(self.stats_cols)
+                for fn in sorted(os.listdir(d)):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    md = pq.ParquetFile(os.path.join(d, fn)).metadata
+                    for g in range(md.num_row_groups):
+                        rg = md.row_group(g)
+                        seen: set[str] = set()
+                        for ci in range(rg.num_columns):
+                            col = rg.column(ci)
+                            name = col.path_in_schema
+                            if name not in self.stats_cols:
+                                continue
+                            st = col.statistics
+                            if st is None or not st.has_min_max:
+                                continue
+                            mn, mx = _canon_stat(st.min), _canon_stat(st.max)
+                            if name in agg:
+                                agg[name][0] = min(agg[name][0], mn)
+                                agg[name][1] = max(agg[name][1], mx)
+                            else:
+                                agg[name] = [mn, mx]
+                            seen.add(name)
+                        complete &= seen
+                stats = {c: agg[c] for c in sorted(complete & set(agg))}
+                if stats:
+                    out[rel] = stats
+        return out
+
+    def _carry_stats(
+        self,
+        snap: dict[str, Any] | None,
+        files: dict[str, list[str]],
+        new_files: dict[str, list[str]],
+    ) -> dict[str, dict[str, list]]:
+        """The next manifest's ``file_stats``: stats for the dirs just
+        written plus the prior snapshot's stats for every carried-forward
+        dir (dropped automatically for dirs no longer referenced), so the
+        manifest stays the single source for pruning and its size stays
+        proportional to the live file-dir count."""
+        merged = dict(snap.get("file_stats", {})) if snap else {}
+        merged.update(self._collect_stats(new_files))
+        live = {p for paths in files.values() for p in paths}
+        return {rel: merged[rel] for rel in sorted(live & set(merged))}
+
+    def _prune_files(
+        self,
+        spark: SparkSession,
+        snap: dict[str, Any],
+        where: dict[str, tuple[Any, Any]],
+    ) -> list[str]:
+        """File dirs that may contain rows matching ``where``: manifest
+        min/max pruning per column, plus hash-bucket pruning for an
+        entityid point lookup. Dirs without stats for a column are always
+        kept (pruning is only ever an optimization, never a filter)."""
+        buckets = snap["files"]
+        eid = where.get("entityid")
+        if eid and eid[0] is not None and eid[0] == eid[1]:
+            b = str(
+                spark.range(1)
+                .select(
+                    F.pmod(
+                        F.xxhash64(F.lit(eid[0])), F.lit(snap["n_buckets"])
+                    ).alias("b")
+                )
+                .first()["b"]
+            )
+            buckets = {b: snap["files"].get(b, [])}
+        stats = snap.get("file_stats", {})
+
+        def _bound(c, v):
+            # string bounds on temporal columns must canonicalize the same
+            # way footer stats do (naive-UTC ISO) or comparisons go wrong
+            typ = SPARK_TYPE[snap["schema"][c]]
+            if isinstance(v, str) and typ in ("timestamp", "date"):
+                import datetime
+
+                if typ == "date":
+                    v = datetime.date.fromisoformat(v)
+                else:
+                    v = datetime.datetime.fromisoformat(v.replace("Z", "+00:00"))
+            return _canon_stat(v)
+
+        bounds = {
+            c: (_bound(c, lo), _bound(c, hi)) for c, (lo, hi) in where.items()
+        }
+        keep = []
+        for rels in buckets.values():
+            for rel in rels:
+                s = stats.get(rel, {})
+                ok = True
+                for c, (lo, hi) in bounds.items():
+                    if c not in s:
+                        continue
+                    mn, mx = s[c]
+                    if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                        ok = False
+                        break
+                if ok:
+                    keep.append(rel)
+        return keep
 
     # --- change data feed (CDC out) ---------------------------------------
 
@@ -509,6 +686,7 @@ class LakeTable:
             files.pop(b, None)
         for b, paths in new_files.items():
             files[b] = paths
+        file_stats = self._carry_stats(snap, files, new_files)
         # a compaction covering every bucket leaves only unique rows:
         # the table is read-optimized again
         full = set(to_compact) == set(snap["files"])
@@ -523,6 +701,7 @@ class LakeTable:
                 "n_epochs_total": snap.get("n_epochs_total", len(snap["epochs"])),
                 "merge_on_read": bool(snap.get("merge_on_read")) and not full,
                 "mode": "compact",
+                "file_stats": file_stats,
                 "stats": {"compacted_rows": rows},
             }
         )
@@ -627,6 +806,7 @@ class LakeTable:
                 # replaced away; new_files covers every bucket present in
                 # to_write, which includes all old touched rows
                 pass
+        file_stats = self._carry_stats(snap, files, new_files)
 
         epochs = dict(snap["epochs"]) if snap else {}
         epochs[epoch_id] = version
@@ -656,6 +836,7 @@ class LakeTable:
                     or bool(snap and snap.get("merge_on_read"))
                 ),
                 "mode": mode,
+                "file_stats": file_stats,
                 "stats": {"last_rows_written": rows_written},
             }
         )

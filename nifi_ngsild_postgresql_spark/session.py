@@ -87,6 +87,10 @@ def get_spark(
         )
         # staging partition columns (tenant/table_name) must stay strings
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        # INT64 micros instead of legacy INT96: parquet footers then carry
+        # min/max stats for timestamp columns, which the lake's
+        # data-skipping reads (plans/lake.py read(where=...)) depend on
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

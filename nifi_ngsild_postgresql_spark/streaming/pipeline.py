@@ -57,6 +57,8 @@ def ingest_batch(
     # columns must stay strings even for numeric-looking tenants)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    # timestamp stats in parquet footers (lake data-skipping) need INT64
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     catalog = LakeCatalog(
         warehouse,
         n_buckets=cfg.n_buckets,
@@ -321,6 +323,7 @@ def reprocess_retries(
     # must parse in UTC no matter how the caller built the session
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     out: dict[str, Any] = {"reprocessed": 0, "failed": 0, "skipped": 0, "tables": {}}
     dirs = [
         d for d in os.listdir(retry_root)

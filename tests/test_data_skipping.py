@@ -1,0 +1,115 @@
+"""Data-skipping reads (plans/lake.py read(where=...)): write-time
+parquet-footer min/max stats land in the snapshot manifest (the Iceberg
+manifest-stats analog) and prune file dirs before Spark ever opens them;
+an entityid point lookup additionally prunes to its single hash bucket.
+
+At 100 TB this is the difference between a time-range query scanning the
+table and scanning a handful of files; correctness is pinned by equality
+with the unpruned filtered read, and MoR scans refuse non-key filters
+(which could split a key's duplicates and expose a stale LWW loser).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.config import IngestConfig
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch
+
+
+def _payload(eid, v, ts):
+    return json.dumps(
+        {"id": f"urn:x:{eid}", "type": "Gauge",
+         "level": {"type": "Property", "value": v, "observedAt": ts}}
+    )
+
+
+def _batch(spark, items, seq0=0):
+    rows = [
+        ("t", "p", f"{seq0 + i:06d}", "Gauge", _payload(*item))
+        for i, item in enumerate(items)
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).withColumn("recv_time", F.timestamp_millis(F.lit(1700000000000 + seq0)))
+
+
+JAN = [(j, 1.0, "2024-01-15T00:00:00Z") for j in range(4)]
+MAR = [(j, 2.0, "2024-03-15T00:00:00Z") for j in range(4)]
+
+
+def _table(spark, wh, mode="upsert_mor"):
+    cfg = IngestConfig(write_mode=mode, n_buckets=4)
+    ingest_batch(_batch(spark, JAN), cfg, wh, "e0")
+    ingest_batch(_batch(spark, MAR, seq0=100), cfg, wh, "e1")
+    return LakeCatalog(wh).table("t", "gauge")
+
+
+def test_manifest_carries_footer_stats(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "wh"))
+    snap = t.latest_snapshot()
+    stats = snap["file_stats"]
+    all_dirs = {p for paths in snap["files"].values() for p in paths}
+    assert set(stats) == all_dirs  # every live dir has stats
+    for s in stats.values():
+        assert set(s) == {"entityid", "observedat"}
+        mn, mx = s["observedat"]
+        assert mn <= mx and mn.startswith("2024-")
+
+
+def test_time_range_read_prunes_files_and_matches_full_scan(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "wh"))
+    snap = t.latest_snapshot()
+    all_dirs = [p for paths in snap["files"].values() for p in paths]
+    rng = ("2024-03-01T00:00:00Z", "2024-04-01T00:00:00Z")
+    kept = t._prune_files(spark, snap, {"observedat": rng})
+    assert 0 < len(kept) < len(all_dirs)  # January dirs skipped, March kept
+    pruned = t.read(spark, where={"observedat": rng})
+    full = t.read(spark).filter(
+        (F.col("observedat") >= F.lit(rng[0]).cast("timestamp"))
+        & (F.col("observedat") <= F.lit(rng[1]).cast("timestamp"))
+    )
+    assert pruned.count() == 4
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_entityid_point_lookup_prunes_to_one_bucket(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "wh"))
+    snap = t.latest_snapshot()
+    eid = "urn:x:2"
+    b = str(
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(eid)), F.lit(snap["n_buckets"])).alias("b"))
+        .first()["b"]
+    )
+    kept = t._prune_files(spark, snap, {"entityid": (eid, eid)})
+    assert set(kept) <= set(snap["files"][b])
+    rows = t.read(spark, where={"entityid": (eid, eid)}).collect()
+    assert {r["entityid"] for r in rows} == {eid}
+    assert len(rows) == 2  # one per observedAt key
+
+
+def test_residual_filter_reaches_parquet_scan(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "wh"))
+    df = t.read(spark, where={"observedat": ("2024-03-01T00:00:00Z", None)})
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "observedat" in pushed[0]
+
+
+def test_mor_scan_refuses_non_key_filters(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="key-derived"):
+        t.read(spark, where={"level": (0.0, 1.5)})
+    # after full compaction the snapshot is read-optimized again and any
+    # column may be filtered (no duplicates left to split)
+    t.compact(spark, max_files_per_bucket=0)
+    got = t.read(spark, where={"level": (0.0, 1.5)})
+    assert got.count() == 4  # the January rows
+    with pytest.raises(ValueError, match="unknown"):
+        t.read(spark, where={"nope": (1, 2)})
