@@ -69,6 +69,22 @@ def main(argv: list[str] | None = None) -> int:
         choices=["append", "upsert", "upsert_mor", "replace"],
     )
 
+    c = sub.add_parser(
+        "changes",
+        help="change feed (CDC out): rows changed between two snapshots, "
+        "or consume incrementally with --checkpoint",
+    )
+    c.add_argument("--warehouse", required=True)
+    c.add_argument("--table", required=True, help="tenant.table")
+    c.add_argument("--from-version", type=int, default=None)
+    c.add_argument("--to-version", type=int, default=None)
+    c.add_argument(
+        "--checkpoint",
+        default=None,
+        help="consumer checkpoint dir: poll from the last consumed "
+        "version and advance it (ignores --from/--to)",
+    )
+
     m = sub.add_parser("maintain", help="compact / rebucket / expire snapshots")
     m.add_argument("--warehouse", required=True)
     m.add_argument("--table", required=True, help="tenant.table")
@@ -130,6 +146,28 @@ def main(argv: list[str] | None = None) -> int:
         snap = table.latest_snapshot()
         print(json.dumps({"version": snap["version"], "schema": snap["schema"]}))
         table.read(spark).show(20, truncate=40)
+        return 0
+
+    if args.cmd == "changes":
+        from .plans.lake import LakeCatalog
+
+        tenant, name = args.table.split(".", 1)
+        table = LakeCatalog(args.warehouse).table(tenant, name)
+        if args.checkpoint:
+            from .streaming.changefeed import ChangeFeedConsumer
+
+            consumer = ChangeFeedConsumer(table, args.checkpoint)
+            out = consumer.poll(spark)
+            changes = out.pop("changes", None)
+            print(json.dumps(out))
+            if changes is not None and out["rows"]:
+                changes.show(20, truncate=40)
+        else:
+            v_from = args.from_version if args.from_version is not None else 0
+            df = table.read_changes(spark, v_from, args.to_version)
+            print(json.dumps({"from": v_from, "to": args.to_version
+                              or table.versions()[-1], "rows": df.count()}))
+            df.show(20, truncate=40)
         return 0
 
     if args.cmd == "retry":
