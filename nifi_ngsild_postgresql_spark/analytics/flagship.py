@@ -97,6 +97,32 @@ def q_cdc_ingest_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CDC_INGEST_UPSERT_MOR = _oracle_cdc()
 
 
+def q_cdc_ingest_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship ingest through the JDBC-parity SQL sink
+    (plans/sql_sink.py over embedded DuckDB — the reference's PostgreSQL
+    write path: CREATE SCHEMA/TABLE, transactional batch upsert, epoch
+    ledger), swapped in behind the UNCHANGED pipeline via the catalog
+    hook. Split across two epochs to exercise cross-batch LWW in SQL.
+    The oracle is the SAME final-state SQL as the lake flagship — every
+    sink must expose identical state."""
+    from ..plans.sql_sink import SqlCatalog
+
+    ship_package(spark)
+    warehouse = tempfile.mkdtemp(prefix="ngsild_sql_wh_")
+    catalog = SqlCatalog()
+    changelog = changelog_from_events(spark, sf_dir)
+    cfg = IngestConfig(write_mode="upsert", isolate_table_failures=False)
+    odd = changelog.filter(F_col("commit").cast("long") % 2 == 1)
+    even = changelog.filter(F_col("commit").cast("long") % 2 == 0)
+    ingest_batch(odd, cfg, warehouse, epoch_id="sql-0", catalog=catalog)
+    ingest_batch(even, cfg, warehouse, epoch_id="sql-1", catalog=catalog)
+    df = catalog.table("analytics", "useractivity").read(spark)
+    return df.select(*sorted(df.columns))
+
+
+SQL_CDC_INGEST_SQL = _oracle_cdc()
+
+
 def q_cdc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC *out* of the lake (plans/lake.py read_changes): ingest odd
     commits as epoch 0, even commits as epoch 1 (merge-on-read), then

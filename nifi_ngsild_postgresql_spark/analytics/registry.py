@@ -13,12 +13,14 @@ from .flagship import (
     SQL_CDC_INGEST_FLATTEN,
     SQL_CDC_CHANGEFEED,
     SQL_CDC_INGEST_SEMI_FLATTEN,
+    SQL_CDC_INGEST_SQL,
     SQL_CDC_INGEST_UPSERT,
     SQL_CDC_INGEST_UPSERT_MOR,
     SQL_REPLAY_MANIFEST,
     q_cdc_changefeed,
     q_cdc_ingest_flatten,
     q_cdc_ingest_semi_flatten,
+    q_cdc_ingest_sql,
     q_cdc_ingest_upsert,
     q_cdc_ingest_upsert_mor,
     q_replay_manifest,
@@ -51,6 +53,7 @@ REGISTRY: dict[str, tuple] = {
     "cdc_ingest_upsert": (q_cdc_ingest_upsert, SQL_CDC_INGEST_UPSERT),
     "cdc_ingest_upsert_mor": (q_cdc_ingest_upsert_mor, SQL_CDC_INGEST_UPSERT_MOR),
     "cdc_changefeed": (q_cdc_changefeed, SQL_CDC_CHANGEFEED),
+    "cdc_ingest_sql": (q_cdc_ingest_sql, SQL_CDC_INGEST_SQL),
     "cdc_ingest_flatten": (q_cdc_ingest_flatten, SQL_CDC_INGEST_FLATTEN),
     "cdc_ingest_semi_flatten": (
         q_cdc_ingest_semi_flatten,

@@ -95,6 +95,25 @@ def _parse_type(s: str) -> T.DataType:
     return T.StructType.fromDDL(f"x {s}")[0].dataType
 
 
+def align_frame(df: DataFrame, schema: dict[str, str]) -> DataFrame:
+    """Project df to exactly (schema columns + meta cols), adding NULL
+    for schema columns the batch didn't produce. ``try_cast`` keeps the
+    mismatch→NULL rule under ANSI mode (a throwing cast here would
+    abort the batch on every retry — see plans/project.py _typed).
+    Shared by every sink implementation (LakeTable, plans/sql_sink.py)."""
+    cols = []
+    for c, t in schema.items():
+        if c in df.columns:
+            cols.append(F.col(c).try_cast(SPARK_TYPE[t]).alias(c))
+        else:
+            cols.append(F.lit(None).cast(SPARK_TYPE[t]).alias(c))
+    for m, ddl in META_COLS.items():
+        cols.append(
+            (F.col(m) if m in df.columns else F.lit(None)).cast(ddl).alias(m)
+        )
+    return df.select(*cols)
+
+
 def table_spark_schema(schema: dict[str, str], with_meta: bool = True) -> T.StructType:
     fields = [_spark_field(c, t) for c, t in schema.items()]
     if with_meta:
@@ -578,21 +597,7 @@ class LakeTable:
         return files, rows_written
 
     def _align(self, df: DataFrame, schema: dict[str, str]) -> DataFrame:
-        """Project df to exactly (schema columns + meta cols), adding NULL
-        for schema columns the batch didn't produce. ``try_cast`` keeps the
-        mismatch→NULL rule under ANSI mode (a throwing cast here would
-        abort the batch on every retry — see plans/project.py _typed)."""
-        cols = []
-        for c, t in schema.items():
-            if c in df.columns:
-                cols.append(F.col(c).try_cast(SPARK_TYPE[t]).alias(c))
-            else:
-                cols.append(F.lit(None).cast(SPARK_TYPE[t]).alias(c))
-        for m, ddl in META_COLS.items():
-            cols.append(
-                (F.col(m) if m in df.columns else F.lit(None)).cast(ddl).alias(m)
-            )
-        return df.select(*cols)
+        return align_frame(df, schema)
 
     def append(
         self, df: DataFrame, schema: dict[str, str], epoch_id: str

@@ -1,0 +1,245 @@
+"""JDBC-parity SQL sink — the reference's PostgreSQL write path, executed
+against an embedded DuckDB (no Postgres/JDBC in this sandbox), proving
+the engine's sink boundary is REAL: the same pipeline
+(``ingest_batch(..., catalog=SqlCatalog(db))``) drives either this sink
+or the snapshot lake (plans/lake.py) and produces identical final state
+(pinned by the row-sha manifest equality test in test_sql_sink.py).
+
+Reference analogs, statement for statement (NgsiLdToPostgreSQL.java /
+PostgreSQLTransformer.java):
+
+- ``CREATE SCHEMA IF NOT EXISTS`` — XFORM:388-390
+- ``CREATE TABLE IF NOT EXISTS (col TYPE, ...)`` — XFORM:392-412
+- new-column diff → ``ALTER TABLE ADD COLUMN`` — XFORM:474-507
+- one transaction per batch, rollback on failure — PROC:553-570
+- duplicate-batch suppression via an ``_epochs`` ledger keyed
+  (table, epoch_id) — the flow-level DetectDuplicate analog (S4),
+  checked and recorded INSIDE the batch transaction so a replay of a
+  committed epoch is a no-op and a crashed batch leaves no trace
+
+Upsert semantics match the lake's MERGE exactly: the batch is
+LWW-reduced in Spark first, stored rows older than their batch
+replacement are deleted, and batch rows that LOSE to a newer stored row
+(late data) are not inserted.
+
+Scale framing: this sink is the *parity* path — one SQL endpoint, like
+the reference's single Postgres; rows funnel through the driver the way
+the reference funnels FlowFiles through one JDBC connection. The scale
+path is the lake; both implement the same table surface, which is the
+swap boundary ICEBERG.md describes for a real Iceberg catalog.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import last_writer_wins
+from .lake import META_COLS, align_frame, table_spark_schema
+
+# engine PG-type tag -> DuckDB column type (NUMERIC is DOUBLE because the
+# reference's NUMERIC cells are projected as doubles — plans/project.py)
+DUCK_TYPE = {
+    "TEXT": "VARCHAR",
+    "TIMESTAMPTZ": "TIMESTAMP",
+    "TIMETZ": "VARCHAR",
+    "DATE": "DATE",
+    "NUMERIC": "DOUBLE",
+    "GEOMETRY": "VARCHAR",
+    "JSONB": "VARCHAR",
+    "ARRAY": "VARCHAR[]",
+}
+_META_DUCK = {"_row_key": "VARCHAR", "_recv_time": "TIMESTAMP", "_seq": "VARCHAR"}
+
+
+def _q(ident: str) -> str:
+    return '"' + ident.replace('"', '""') + '"'
+
+
+class SqlCatalog:
+    """One embedded database = one sink endpoint. A single connection and
+    a lock serialize table commits, exactly like the reference's one JDBC
+    connection (concurrent per-table jobs still parallelize everything
+    up to the final write)."""
+
+    def __init__(self, db_path: str = ":memory:"):
+        import duckdb
+
+        self.con = duckdb.connect(db_path)
+        self.lock = threading.Lock()
+        self.con.execute(
+            "CREATE TABLE IF NOT EXISTS _epochs("
+            "tbl VARCHAR, epoch_id VARCHAR, PRIMARY KEY (tbl, epoch_id))"
+        )
+        self.con.execute(
+            "CREATE TABLE IF NOT EXISTS _schemas("
+            "tbl VARCHAR, col VARCHAR, pg_type VARCHAR, ord INTEGER, "
+            "PRIMARY KEY (tbl, col))"
+        )
+
+    def table(self, tenant: str, name: str) -> "SqlTable":
+        return SqlTable(self, tenant, name)
+
+    def list_tables(self) -> list[tuple[str, str]]:
+        rows = self.con.execute(
+            "SELECT DISTINCT tbl FROM _schemas ORDER BY tbl"
+        ).fetchall()
+        return [tuple(r[0].split(".", 1)) for r in rows]
+
+
+class SqlTable:
+    def __init__(self, catalog: SqlCatalog, tenant: str, name: str):
+        self.catalog = catalog
+        self.tenant = tenant
+        self.name = name
+        self.key = f"{tenant}.{name}"
+        self.fq = f"{_q(tenant)}.{_q(name)}"
+
+    # --- metadata ---------------------------------------------------------
+
+    def schema(self) -> dict[str, str] | None:
+        """Engine-typed column dict from the ``_schemas`` ledger (the
+        authoritative record, like the lake's schema-in-manifest; DuckDB's
+        information_schema is lossy — TEXT/JSONB/GEOMETRY all read back
+        VARCHAR — so existing-type-wins reconciliation uses the ledger)."""
+        rows = self.catalog.con.execute(
+            "SELECT col, pg_type FROM _schemas WHERE tbl = ? ORDER BY ord",
+            [self.key],
+        ).fetchall()
+        return {c: t for c, t in rows} or None
+
+    def has_epoch(self, epoch_id: str) -> bool:
+        return bool(
+            self.catalog.con.execute(
+                "SELECT 1 FROM _epochs WHERE tbl = ? AND epoch_id = ?",
+                [self.key, epoch_id],
+            ).fetchone()
+        )
+
+    # --- write ------------------------------------------------------------
+
+    def append(self, df, schema, epoch_id: str) -> dict[str, Any]:
+        return self._apply(df, schema, epoch_id, mode="append")
+
+    def upsert(self, df, schema, epoch_id: str) -> dict[str, Any]:
+        return self._apply(df, schema, epoch_id, mode="upsert")
+
+    def upsert_mor(self, df, schema, epoch_id: str) -> dict[str, Any]:
+        """Merge-on-read is a lake-format concept; a SQL endpoint's native
+        merge IS the write-optimized form — dispatches to upsert."""
+        return self._apply(df, schema, epoch_id, mode="upsert")
+
+    def replace_entities(self, df, schema, epoch_id: str) -> dict[str, Any]:
+        return self._apply(df, schema, epoch_id, mode="replace")
+
+    def _apply(self, df, schema, epoch_id: str, mode: str) -> dict[str, Any]:
+        aligned = align_frame(df, schema)
+        if mode == "upsert":
+            aligned = last_writer_wins(aligned)
+        # the driver-side funnel: one Arrow batch per (table, micro-batch),
+        # the exact shape of the reference's per-FlowFile JDBC batch
+        batch = aligned.toArrow()
+        cols = list(schema) + list(META_COLS)
+        col_list = ", ".join(_q(c) for c in cols)
+        con, key = self.catalog.con, self.key
+        with self.catalog.lock:
+            con.execute("BEGIN")
+            try:
+                if con.execute(
+                    "SELECT 1 FROM _epochs WHERE tbl = ? AND epoch_id = ?",
+                    [key, epoch_id],
+                ).fetchone():
+                    con.execute("ROLLBACK")
+                    return {"skipped_epoch": True}
+                existing = self.schema() or {}
+                con.execute(f"CREATE SCHEMA IF NOT EXISTS {_q(self.tenant)}")
+                if not existing:
+                    ddl_cols = ", ".join(
+                        f"{_q(c)} {DUCK_TYPE[t]}" for c, t in schema.items()
+                    )
+                    meta_cols = ", ".join(
+                        f"{_q(m)} {d}" for m, d in _META_DUCK.items()
+                    )
+                    con.execute(
+                        f"CREATE TABLE IF NOT EXISTS {self.fq} "
+                        f"({ddl_cols}, {meta_cols})"
+                    )
+                else:
+                    # new-column diff -> ALTER TABLE (XFORM:474-507);
+                    # existing columns already won reconciliation upstream
+                    for c in schema:
+                        if c not in existing:
+                            con.execute(
+                                f"ALTER TABLE {self.fq} ADD COLUMN "
+                                f"{_q(c)} {DUCK_TYPE[schema[c]]}"
+                            )
+                for i, (c, t) in enumerate(schema.items()):
+                    con.execute(
+                        "INSERT OR REPLACE INTO _schemas VALUES (?, ?, ?, ?)",
+                        [key, c, t, i],
+                    )
+                con.register("_ngsild_batch", batch)
+                if mode == "replace":
+                    # delete-then-insert per incoming entity (XFORM:443-445)
+                    con.execute(
+                        f"DELETE FROM {self.fq} WHERE entityid IN "
+                        "(SELECT DISTINCT entityid FROM _ngsild_batch)"
+                    )
+                    inserted = con.execute(
+                        f"INSERT INTO {self.fq} ({col_list}) "
+                        f"SELECT {col_list} FROM _ngsild_batch"
+                    ).fetchone()[0]
+                elif mode == "upsert":
+                    # LWW against stored rows: drop stored rows their batch
+                    # replacement beats, then insert only batch winners —
+                    # a late-arriving batch row older than the stored row
+                    # changes nothing (same reduce as the lake MERGE)
+                    con.execute(
+                        f"DELETE FROM {self.fq} t WHERE EXISTS ("
+                        "SELECT 1 FROM _ngsild_batch b "
+                        "WHERE b.entityid = t.entityid "
+                        "AND b._row_key = t._row_key "
+                        "AND (b._recv_time, b._seq) >= (t._recv_time, t._seq))"
+                    )
+                    inserted = con.execute(
+                        f"INSERT INTO {self.fq} ({col_list}) "
+                        f"SELECT {col_list} FROM _ngsild_batch b "
+                        f"WHERE NOT EXISTS (SELECT 1 FROM {self.fq} t "
+                        "WHERE t.entityid = b.entityid "
+                        "AND t._row_key = b._row_key)"
+                    ).fetchone()[0]
+                else:
+                    inserted = con.execute(
+                        f"INSERT INTO {self.fq} ({col_list}) "
+                        f"SELECT {col_list} FROM _ngsild_batch"
+                    ).fetchone()[0]
+                con.execute(
+                    "INSERT INTO _epochs VALUES (?, ?)", [key, epoch_id]
+                )
+                con.execute("COMMIT")
+            except Exception:
+                # reference rollback parity (PROC:553-570): the failed
+                # batch leaves no rows, no columns, no epoch record
+                con.execute("ROLLBACK")
+                raise
+            finally:
+                con.unregister("_ngsild_batch")
+        return {"rows_written": int(inserted), "sink": "sql"}
+
+    # --- read -------------------------------------------------------------
+
+    def read(self, spark: SparkSession, with_meta: bool = False) -> DataFrame:
+        schema = self.schema()
+        if schema is None:
+            raise FileNotFoundError(f"sql table {self.key} not found")
+        cols = list(schema) + list(META_COLS)
+        with self.catalog.lock:
+            pdf = self.catalog.con.execute(
+                f"SELECT {', '.join(_q(c) for c in cols)} FROM {self.fq}"
+            ).df()
+        df = spark.createDataFrame(pdf, table_spark_schema(schema))
+        if not with_meta:
+            df = df.drop(*META_COLS)
+        return df

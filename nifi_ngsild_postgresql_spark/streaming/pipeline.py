@@ -44,11 +44,19 @@ def ingest_batch(
     cfg: IngestConfig,
     warehouse: str,
     epoch_id: str,
+    catalog: Any | None = None,
 ) -> dict[str, Any]:
     """Process one micro-batch of change events into the lake warehouse.
 
     Idempotent per (table, epoch_id): re-running a committed epoch is a
     no-op (exactly-once under at-least-once delivery / stream restart).
+
+    ``catalog`` swaps the sink behind the same pipeline: any object with
+    ``table(tenant, name) -> {schema, append, upsert, upsert_mor,
+    replace_entities}`` (the boundary ICEBERG.md documents). Default is
+    the snapshot lake; plans/sql_sink.py SqlCatalog is the JDBC-parity
+    alternative. ``warehouse`` still hosts staging, lineage and the
+    error/retry channels either way.
     """
     t0 = time.time()
     spark = changelog_df.sparkSession
@@ -59,12 +67,13 @@ def ingest_batch(
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     # timestamp stats in parquet footers (lake data-skipping) need INT64
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    catalog = LakeCatalog(
-        warehouse,
-        n_buckets=cfg.n_buckets,
-        auto_compact_files=cfg.auto_compact_files,
-        max_tracked_epochs=cfg.max_tracked_epochs,
-    )
+    if catalog is None:
+        catalog = LakeCatalog(
+            warehouse,
+            n_buckets=cfg.n_buckets,
+            auto_compact_files=cfg.auto_compact_files,
+            max_tracked_epochs=cfg.max_tracked_epochs,
+        )
 
     # Stage the narrow frame as parquet partitioned by target table rather
     # than .persist(): the frame is consumed by the error split, the schema

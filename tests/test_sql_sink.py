@@ -1,0 +1,164 @@
+"""JDBC-parity SQL sink (plans/sql_sink.py): the reference's PostgreSQL
+write path over embedded DuckDB, driven by the UNCHANGED pipeline via the
+``catalog=`` hook — the demonstrated sink-swap boundary (ICEBERG.md).
+
+Invariants:
+- final state identical to the lake sink for the same batches (row-sha
+  manifest equality — the north rule's own invariant)
+- dynamic DDL parity: CREATE SCHEMA/TABLE, ALTER TABLE ADD COLUMN with
+  NULL backfill (XFORM:388-412, 474-507)
+- exactly-once: replaying a committed epoch is a no-op
+- LWW upsert parity incl. late-arriving losers
+- transaction rollback: a failed batch leaves no rows, no DDL, no epoch
+  record, and the same epoch then commits cleanly (PROC:553-570)
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.config import IngestConfig
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+from nifi_ngsild_postgresql_spark.plans.manifest import table_manifest
+from nifi_ngsild_postgresql_spark.plans.sql_sink import SqlCatalog
+from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch
+
+
+def _payload(eid, v, ts="2024-01-01T00:00:00Z", attr="level"):
+    return json.dumps(
+        {"id": f"urn:x:{eid}", "type": "Gauge",
+         attr: {"type": "Property", "value": v, "observedAt": ts}}
+    )
+
+
+def _batch(spark, items, seq0=0, recv_ms=None):
+    rows = [
+        ("t", "p", f"{seq0 + i:06d}", "Gauge", _payload(*item))
+        for i, item in enumerate(items)
+    ]
+    ms = recv_ms if recv_ms is not None else 1700000000000 + seq0
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).withColumn("recv_time", F.timestamp_millis(F.lit(ms)))
+
+
+BATCHES = [
+    [(j, 1.0) for j in range(8)],
+    [(0, 2.0), (99, 9.0), (3, 3.5, "2024-02-01T00:00:00Z")],
+    [(1, 7.0), (1, 8.0)],  # in-batch duplicate, later commit wins
+]
+
+
+def _run(spark, wh, catalog=None, mode="upsert"):
+    cfg = IngestConfig(write_mode=mode, n_buckets=4, isolate_table_failures=False)
+    for i, items in enumerate(BATCHES):
+        ingest_batch(
+            _batch(spark, items, seq0=i * 100), cfg, wh, f"e{i}", catalog=catalog
+        )
+
+
+def test_sql_sink_final_state_equals_lake(spark, tmp_path):
+    cat = SqlCatalog(str(tmp_path / "db.duckdb"))
+    _run(spark, str(tmp_path / "whsql"), catalog=cat)
+    _run(spark, str(tmp_path / "whlake"))
+    sql_state = cat.table("t", "gauge").read(spark)
+    lake_state = LakeCatalog(str(tmp_path / "whlake")).table("t", "gauge").read(spark)
+    assert table_manifest(sql_state) == table_manifest(lake_state)
+    rows = {r["entityid"]: r["level"] for r in sql_state.collect()
+            if r["observedat"].month == 1}
+    assert rows["urn:x:0"] == 2.0 and rows["urn:x:1"] == 8.0
+
+
+def test_sql_sink_schema_evolution_alter_table(spark, tmp_path):
+    cat = SqlCatalog()
+    cfg = IngestConfig(write_mode="upsert", n_buckets=4, isolate_table_failures=False)
+    wh = str(tmp_path / "wh")
+    ingest_batch(_batch(spark, [(0, 1.0)]), cfg, wh, "e0", catalog=cat)
+    ingest_batch(
+        _batch(spark, [(1, 5.0, "2024-01-01T00:00:00Z", "pressure")], seq0=100),
+        cfg, wh, "e1", catalog=cat,
+    )
+    t = cat.table("t", "gauge")
+    assert "pressure" in t.schema()  # ALTER TABLE ADD COLUMN happened
+    rows = {r["entityid"]: (r["level"], r["pressure"])
+            for r in t.read(spark).collect()}
+    assert rows["urn:x:0"] == (1.0, None)  # NULL backfill on the old row
+    assert rows["urn:x:1"] == (None, 5.0)
+
+
+def test_sql_sink_epoch_replay_is_noop(spark, tmp_path):
+    cat = SqlCatalog()
+    cfg = IngestConfig(write_mode="upsert", n_buckets=4, isolate_table_failures=False)
+    wh = str(tmp_path / "wh")
+    ingest_batch(_batch(spark, [(0, 1.0)]), cfg, wh, "e0", catalog=cat)
+    lin = ingest_batch(_batch(spark, [(0, 999.0)]), cfg, wh, "e0", catalog=cat)
+    assert lin["tables"]["t.gauge"]["skipped_epoch"] is True
+    assert [r["level"] for r in cat.table("t", "gauge").read(spark).collect()] == [1.0]
+
+
+def test_sql_sink_late_arriving_loser_is_not_applied(spark, tmp_path):
+    cat = SqlCatalog()
+    cfg = IngestConfig(write_mode="upsert", n_buckets=4, isolate_table_failures=False)
+    wh = str(tmp_path / "wh")
+    ingest_batch(_batch(spark, [(7, 5.0)], recv_ms=1700000005000), cfg, wh, "e0",
+                 catalog=cat)
+    ingest_batch(_batch(spark, [(7, 4.0)], recv_ms=1700000001000), cfg, wh, "e1",
+                 catalog=cat)
+    rows = cat.table("t", "gauge").read(spark).collect()
+    assert len(rows) == 1 and rows[0]["level"] == 5.0
+
+
+class _FlakyCon:
+    """Connection proxy that fails a chosen statement once — simulates the
+    reference's BatchUpdateException mid-transaction."""
+
+    def __init__(self, real, fail_on: str):
+        self._real = real
+        self._fail_on = fail_on
+        self.tripped = False
+
+    def execute(self, sql, *a):
+        if not self.tripped and self._fail_on in sql:
+            self.tripped = True
+            raise RuntimeError("simulated mid-transaction failure")
+        return self._real.execute(sql, *a)
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+
+def test_sql_sink_rollback_leaves_no_trace_then_commits(spark, tmp_path):
+    cat = SqlCatalog()
+    cfg = IngestConfig(write_mode="upsert", n_buckets=4, isolate_table_failures=False)
+    wh = str(tmp_path / "wh")
+    real = cat.con
+    cat.con = _FlakyCon(real, "INSERT INTO _epochs")
+    with pytest.raises(RuntimeError, match="simulated"):
+        ingest_batch(_batch(spark, [(0, 1.0)]), cfg, wh, "e0", catalog=cat)
+    # rollback: no table, no schema ledger entry, no epoch record
+    assert cat.table("t", "gauge").schema() is None
+    assert real.execute("SELECT COUNT(*) FROM _epochs").fetchone()[0] == 0
+    cat.con = real
+    # the SAME epoch now commits cleanly (retry after rollback)
+    ingest_batch(_batch(spark, [(0, 1.0)]), cfg, wh, "e0", catalog=cat)
+    assert [r["level"] for r in cat.table("t", "gauge").read(spark).collect()] == [1.0]
+
+
+def test_sql_sink_replace_mode_delete_before_insert(spark, tmp_path):
+    cat = SqlCatalog()
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert", n_buckets=4, isolate_table_failures=False)
+    ingest_batch(_batch(spark, [(0, 1.0), (1, 1.0)]), cfg, wh, "e0", catalog=cat)
+    rcfg = IngestConfig(write_mode="replace", n_buckets=4, isolate_table_failures=False)
+    ingest_batch(
+        _batch(spark, [(0, 7.0, "2024-03-03T00:00:00Z")], seq0=100), rcfg, wh, "e1",
+        catalog=cat,
+    )
+    rows = sorted(
+        (r["entityid"], r["level"]) for r in cat.table("t", "gauge").read(spark).collect()
+    )
+    # entity 0's old row was deleted (replace), entity 1 untouched
+    assert rows == [("urn:x:0", 7.0), ("urn:x:1", 1.0)]
