@@ -437,11 +437,13 @@ def run_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    catalog: Any | None = None,
 ):
     """Structured Streaming wrapper: tail the changelog directory (parquet),
     foreachBatch into ingest_batch. Resumable from checkpoint; epoch ids
     are (stream) batch ids, so replayed batches after a crash are skipped
-    by the lake's epoch bookkeeping (exactly-once, S4)."""
+    by the sink's epoch bookkeeping (exactly-once, S4). ``catalog`` swaps
+    the sink exactly as in ingest_batch (lake default / SQL sink)."""
     static = spark.read.parquet(changelog_path)
     reader = (
         spark.readStream.schema(static.schema)
@@ -450,7 +452,10 @@ def run_stream(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_batch(batch_df, cfg, warehouse, epoch_id=f"stream-{batch_id}")
+        ingest_batch(
+            batch_df, cfg, warehouse, epoch_id=f"stream-{batch_id}",
+            catalog=catalog,
+        )
 
     writer = reader.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

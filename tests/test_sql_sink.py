@@ -162,3 +162,37 @@ def test_sql_sink_replace_mode_delete_before_insert(spark, tmp_path):
     )
     # entity 0's old row was deleted (replace), entity 1 untouched
     assert rows == [("urn:x:0", 7.0), ("urn:x:1", 1.0)]
+
+
+def test_sql_sink_streaming_equals_batch_ingest(spark, tmp_path):
+    """The SQL sink behind Structured Streaming: multiple micro-batches
+    through run_stream(catalog=SqlCatalog) converge to the same state as
+    one batch ingest into a fresh catalog (stream epoch ids + the ledger
+    make replays no-ops)."""
+    from nifi_ngsild_postgresql_spark.session import ship_package
+    from nifi_ngsild_postgresql_spark.sources.generator import synthesize_changelog
+    from nifi_ngsild_postgresql_spark.streaming.pipeline import run_stream
+
+    ship_package(spark)
+    log_dir = str(tmp_path / "log")
+    synthesize_changelog(spark, 300, seed=7, partitions=4).write.parquet(log_dir)
+    cfg = IngestConfig(
+        write_mode="upsert", ignore_empty_observed_at=False,
+        isolate_table_failures=False,
+    )
+
+    streamed = SqlCatalog(str(tmp_path / "s.duckdb"))
+    q = run_stream(spark, log_dir, cfg, str(tmp_path / "whs"), str(tmp_path / "ckpt"),
+                   max_files_per_trigger=2, catalog=streamed)
+    q.awaitTermination()
+
+    batched = SqlCatalog(str(tmp_path / "b.duckdb"))
+    ingest_batch(spark.read.parquet(log_dir), cfg, str(tmp_path / "whb"), "one",
+                 catalog=batched)
+
+    tables = streamed.list_tables()
+    assert tables and set(tables) == set(batched.list_tables())
+    for t in tables:
+        assert table_manifest(streamed.table(*t).read(spark)) == table_manifest(
+            batched.table(*t).read(spark)
+        ), f"state diverged for {t}"
