@@ -64,6 +64,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact": (suite.q_dedup_exact, suite.SQL_DEDUP_EXACT),
     "fingerprint": (suite.q_fingerprint, suite.SQL_FINGERPRINT),
     "stratified_sample": (suite.q_stratified_sample, suite.SQL_STRATIFIED_SAMPLE),
+    "tfidf_topk": (suite.q_tfidf_topk, suite.SQL_TFIDF_TOPK),
     "knn_join": (suite.q_knn_join, suite.SQL_KNN_JOIN),
     "minhash_bands": (suite.q_minhash_bands, suite.SQL_MINHASH_BANDS),
     "ngram_jaccard": (suite.q_ngram_jaccard, suite.SQL_NGRAM_JACCARD),

@@ -906,3 +906,63 @@ WHERE vec_id <> 0
 ORDER BY cosine DESC, vec_id ASC
 LIMIT 10
 """
+
+
+TFIDF_K = 3
+
+
+def q_tfidf_topk(spark, sf_dir, k: int = TFIDF_K):
+    """Top-k salient terms per document by TF-IDF-style score. Exact
+    cross-engine math: tf and df are exact integer counts, the score is
+    ONE double expression over them — (tf::double * N) / df, identical
+    operation order in Spark and DuckDB, so bits match. Scale shape: two
+    keyed aggregations (term-frequency per doc, doc-frequency per term)
+    + a broadcast-sized scalar N + a per-doc window — no cross join, and
+    the df aggregation partial-combines hot terms map-side."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score",
+        (F.col("tf").cast("double") * F.lit(float(n_docs))) / F.col("df"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+SQL_TFIDF_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         (CAST(t.tf AS DOUBLE) * (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)) / d.df AS score
+  FROM tf t JOIN dfreq d USING (term)
+)
+SELECT doc_id, term, tf, df, score, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rank
+  FROM scored
+)
+WHERE rank <= {TFIDF_K}
+"""
