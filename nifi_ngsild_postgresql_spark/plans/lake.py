@@ -442,26 +442,28 @@ class LakeTable:
                 "_change_type", "string"
             )
             return spark.createDataFrame([], empty)
-        missing = [
-            v
-            for v in range(max(from_version, 1), to_version + 1)
-            if v not in versions
+        # the state diff only needs the ENDPOINT snapshots; middle versions
+        # matter solely for choosing the fast path (their commit modes and
+        # commit dirs). Expired middles therefore force the diff, while an
+        # expired endpoint makes the range unreconstructible.
+        missing_endpoints = [
+            v for v in {from_version, to_version} if v > 0 and v not in versions
         ]
-        if missing:
+        if missing_endpoints:
             raise ValueError(
-                f"snapshots {missing} expired — change range v{from_version}.."
-                f"v{to_version} is no longer reconstructible (expire_snapshots)"
+                f"snapshots {sorted(missing_endpoints)} expired — change range "
+                f"v{from_version}..v{to_version} is no longer reconstructible "
+                "(expire_snapshots)"
             )
-        range_snaps = [
-            self.snapshot(v) for v in range(from_version + 1, to_version + 1)
-        ]
-        fast = (
-            not force_diff
-            and from_version > 0
-            and all(s.get("mode") in ("append", "upsert_mor") for s in range_snaps)
+        middles_missing = any(
+            v not in versions for v in range(from_version + 1, to_version)
         )
-        if fast:
-            return self._changes_fast(spark, from_version, range_snaps, schema)
+        if not (force_diff or from_version == 0 or middles_missing):
+            range_snaps = [
+                self.snapshot(v) for v in range(from_version + 1, to_version + 1)
+            ]
+            if all(s.get("mode") in ("append", "upsert_mor") for s in range_snaps):
+                return self._changes_fast(spark, from_version, range_snaps, schema)
         return self._changes_diff(spark, from_version, to_version, schema)
 
     def _state(self, spark: SparkSession, version: int, schema: dict[str, str]):

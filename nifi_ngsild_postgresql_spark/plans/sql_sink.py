@@ -68,7 +68,11 @@ class SqlCatalog:
         import duckdb
 
         self.con = duckdb.connect(db_path)
-        self.lock = threading.Lock()
+        # RLock, and EVERY connection touch takes it (this duckdb build
+        # segfaults under concurrent execute from the pipeline's
+        # per-table thread pool); reentrant because _apply reads the
+        # schema ledger while holding the commit lock
+        self.lock = threading.RLock()
         self.con.execute(
             "CREATE TABLE IF NOT EXISTS _epochs("
             "tbl VARCHAR, epoch_id VARCHAR, PRIMARY KEY (tbl, epoch_id))"
@@ -83,9 +87,10 @@ class SqlCatalog:
         return SqlTable(self, tenant, name)
 
     def list_tables(self) -> list[tuple[str, str]]:
-        rows = self.con.execute(
-            "SELECT DISTINCT tbl FROM _schemas ORDER BY tbl"
-        ).fetchall()
+        with self.lock:
+            rows = self.con.execute(
+                "SELECT DISTINCT tbl FROM _schemas ORDER BY tbl"
+            ).fetchall()
         return [tuple(r[0].split(".", 1)) for r in rows]
 
 
@@ -104,19 +109,21 @@ class SqlTable:
         authoritative record, like the lake's schema-in-manifest; DuckDB's
         information_schema is lossy — TEXT/JSONB/GEOMETRY all read back
         VARCHAR — so existing-type-wins reconciliation uses the ledger)."""
-        rows = self.catalog.con.execute(
-            "SELECT col, pg_type FROM _schemas WHERE tbl = ? ORDER BY ord",
-            [self.key],
-        ).fetchall()
+        with self.catalog.lock:
+            rows = self.catalog.con.execute(
+                "SELECT col, pg_type FROM _schemas WHERE tbl = ? ORDER BY ord",
+                [self.key],
+            ).fetchall()
         return {c: t for c, t in rows} or None
 
     def has_epoch(self, epoch_id: str) -> bool:
-        return bool(
-            self.catalog.con.execute(
-                "SELECT 1 FROM _epochs WHERE tbl = ? AND epoch_id = ?",
-                [self.key, epoch_id],
-            ).fetchone()
-        )
+        with self.catalog.lock:
+            return bool(
+                self.catalog.con.execute(
+                    "SELECT 1 FROM _epochs WHERE tbl = ? AND epoch_id = ?",
+                    [self.key, epoch_id],
+                ).fetchone()
+            )
 
     # --- write ------------------------------------------------------------
 
@@ -225,7 +232,12 @@ class SqlTable:
                 con.execute("ROLLBACK")
                 raise
             finally:
-                con.unregister("_ngsild_batch")
+                try:
+                    con.unregister("_ngsild_batch")
+                except Exception:
+                    # failure happened before register(); never mask the
+                    # original exception from inside the finally block
+                    pass
         return {"rows_written": int(inserted), "sink": "sql"}
 
     # --- read -------------------------------------------------------------

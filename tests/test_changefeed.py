@@ -175,6 +175,10 @@ def test_from_zero_is_full_snapshot_as_inserts_and_bad_ranges_fail(spark, tmp_pa
     t2.expire_snapshots(keep_last=2)
     with pytest.raises(ValueError, match="expired"):
         t2.read_changes(spark, 1, t2.versions()[-1])
+    # but endpoint-complete ranges still work after expiry: full
+    # hydration from 0 (needs only the to-state) and the kept window
+    assert t2.read_changes(spark, 0, t2.versions()[-1]).count() == 10
+    assert t2.read_changes(spark, *t2.versions()[-2:]).count() == 1
 
 
 def test_consumer_delivers_each_change_once_and_resumes(spark, tmp_path):
