@@ -134,6 +134,7 @@ class LakeTable:
         auto_compact_files: int | None = 32,
         max_tracked_epochs: int = 64,
         stats_cols: tuple[str, ...] = ("entityid", "observedat"),
+        sort_within_buckets: tuple[str, ...] = ("observedat",),
     ):
         self.warehouse = warehouse
         self.tenant = tenant
@@ -142,6 +143,7 @@ class LakeTable:
         self.auto_compact_files = auto_compact_files
         self.max_tracked_epochs = max_tracked_epochs
         self.stats_cols = stats_cols
+        self.sort_within_buckets = sort_within_buckets
         self.path = os.path.join(warehouse, tenant, name)
         self.meta_dir = os.path.join(self.path, "_meta")
 
@@ -582,9 +584,17 @@ class LakeTable:
         obs = Observation()
         # one shuffle keyed by bucket: output file count == touched buckets,
         # avoids the tasks×buckets small-file explosion
+        out = df.repartition("_bucket")
+        # Iceberg sort-order analog: cluster rows by time inside each
+        # bucket file (task-local sort, no extra shuffle) so parquet
+        # row-group stats stay tight and pushed time-range filters skip
+        # row groups even after compaction merges many epochs into one
+        # file (the dir-level manifest stats then span the union)
+        sort_cols = [c for c in self.sort_within_buckets if c in df.columns]
+        if sort_cols:
+            out = out.sortWithinPartitions("_bucket", *sort_cols)
         (
-            df.repartition("_bucket")
-            .observe(obs, F.count(F.lit(1)).alias("rows"))
+            out.observe(obs, F.count(F.lit(1)).alias("rows"))
             .write.mode("error")
             .partitionBy("_bucket")
             .parquet(out_dir)

@@ -113,3 +113,25 @@ def test_mor_scan_refuses_non_key_filters(spark, tmp_path):
     assert got.count() == 4  # the January rows
     with pytest.raises(ValueError, match="unknown"):
         t.read(spark, where={"nope": (1, 2)})
+
+
+def test_writes_are_time_sorted_within_bucket_files(spark, tmp_path):
+    """Sort-order analog of Iceberg's SORTED BY: after compaction merges
+    epochs, every bucket file holds rows in observedat order, so parquet
+    row-group stats stay tight for pushed time-range filters."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = _table(spark, str(tmp_path / "wh"))
+    t.compact(spark, max_files_per_bucket=0)  # merge Jan + Mar epochs
+    snap = t.latest_snapshot()
+    checked = 0
+    for paths in snap["files"].values():
+        for rel in paths:
+            for f in glob.glob(f"{t.path}/{rel}/*.parquet"):
+                col = pq.read_table(f, columns=["observedat"])["observedat"]
+                vals = col.to_pylist()
+                assert vals == sorted(vals), f"unsorted rows in {f}"
+                checked += 1
+    assert checked > 0
