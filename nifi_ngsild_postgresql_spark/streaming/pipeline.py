@@ -289,11 +289,16 @@ def _route_to_retry(
 
 
 def reprocess_retries(
-    spark: SparkSession, cfg: IngestConfig, warehouse: str
+    spark: SparkSession,
+    cfg: IngestConfig,
+    warehouse: str,
+    catalog: Any | None = None,
 ) -> dict[str, Any]:
     """Replay every parked retry slice through inference → reconcile →
     projection → write (the failure's cause — e.g. corrupt table metadata —
-    is assumed fixed).
+    is assumed fixed). Pass the SAME ``catalog`` the original ingest used
+    (sink swap, ingest_batch docstring) or the slice replays into the
+    default lake.
 
     Exactly-once safeguards:
 
@@ -322,12 +327,13 @@ def reprocess_retries(
     retry_root = os.path.join(warehouse, "_retry")
     if not os.path.isdir(retry_root):
         return {"reprocessed": 0, "failed": 0, "skipped": 0, "tables": {}}
-    catalog = LakeCatalog(
-        warehouse,
-        n_buckets=cfg.n_buckets,
-        auto_compact_files=cfg.auto_compact_files,
-        max_tracked_epochs=cfg.max_tracked_epochs,
-    )
+    if catalog is None:
+        catalog = LakeCatalog(
+            warehouse,
+            n_buckets=cfg.n_buckets,
+            auto_compact_files=cfg.auto_compact_files,
+            max_tracked_epochs=cfg.max_tracked_epochs,
+        )
     # same defensive confs as ingest_batch: replayed TIMESTAMPTZ cells
     # must parse in UTC no matter how the caller built the session
     spark.conf.set("spark.sql.session.timeZone", "UTC")
