@@ -658,3 +658,133 @@ SELECT doc_id AS media_id,
        'stubbed' AS decode_status
 FROM documents
 """
+
+
+# --------------------------------------------------------------------------
+# k-means clustering — deterministic Lloyd iterations in exact integer math
+# --------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _sq_dist_expr(emb_col, centroid: list[int]):
+    """Exact int64 squared distance of an array<long> column to an
+    integer centroid literal. |x-c| <= ~2^24 per dim, squared <= 2^48,
+    x64 dims <= 2^54 — no overflow."""
+    w = F.array(*[F.lit(int(x)).cast("long") for x in centroid])
+    return F.aggregate(
+        F.zip_with(emb_col, w, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kmeans_assign(qe: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """cluster = argmin_c sq_dist(emb, c), ties to the lower cid — one
+    narrow in-row expression over K centroid literals (K is broadcast-
+    sized by construction; no join, no shuffle)."""
+    best = F.least(
+        *[
+            F.struct(
+                _sq_dist_expr(F.col("emb"), cvec).alias("d"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, cvec in cents
+        ]
+    )
+    return qe.select(
+        "vec_id",
+        "emb",
+        best["cid"].alias("cluster"),
+        best["d"].alias("sq_dist"),
+    )
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (K=8, 2 iterations) over the quantized
+    embeddings — the iterative-algorithm representative of the training-
+    data suite, oracle-checked bit-for-bit:
+
+    - initial centroids = the first K vectors (no RNG);
+    - assignment distance is pure int64 over the quantized grid;
+    - updated centroids snap back onto the integer grid as
+      floor(sum_i / n) — exact int64 sums, one IEEE double division,
+      floor — so the NEXT assignment is exact integer math again and
+      DuckDB reproduces every assignment decision identically.
+
+    Scale shape: per iteration one narrow map (distance to K broadcast
+    centroid literals, in-row) + one keyed aggregation for centroid sums
+    (posexplode -> groupBy(cluster, dim) with map-side partial agg);
+    only K x dim aggregated sums ever reach the driver. The standard
+    Lloyd-on-Spark layout — iterations scale linearly in rows."""
+    import math
+
+    e = _t(spark, sf_dir, "embeddings")
+    qe = e.select("vec_id", quantized_embedding("embedding").alias("emb"))
+    cents = sorted(
+        (r["vec_id"], list(r["emb"]))
+        for r in qe.filter(F.col("vec_id") < KMEANS_K).collect()
+    )
+    assigned = _kmeans_assign(qe, cents)
+    for _ in range(KMEANS_ITERS - 1):
+        sums = (
+            assigned.select("cluster", F.posexplode("emb").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in sums:
+            by_cid.setdefault(r["cluster"], {})[r["dim"]] = math.floor(
+                r["s"] / r["n"]
+            )
+        cents = [
+            (cid, [dims[i] for i in sorted(dims)])
+            for cid, dims in sorted(by_cid.items())
+        ]
+        assigned = _kmeans_assign(qe, cents)
+    return assigned.select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("sq_dist").cast("long").alias("sq_dist"),
+    )
+
+
+def _sql_kmeans() -> str:
+    sq = (
+        "list_sum(list_transform(list_zip({e}, {c}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    assign = f"""
+  SELECT q.vec_id, q.emb, b.cid AS cluster, b.d AS sq_dist
+  FROM {{src}} q, LATERAL (
+    SELECT c.cid, CAST({sq.format(e="q.emb", c="c.cvec")} AS BIGINT) AS d
+    FROM {{cents}} c
+    ORDER BY d ASC, c.cid ASC
+    LIMIT 1
+  ) b
+"""
+    return f"""
+WITH qe AS (
+  SELECT vec_id, {_SQL_QVEC.format(col="embedding")} AS emb FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, emb AS cvec FROM qe WHERE vec_id < {KMEANS_K}
+), a0 AS ({assign.format(src="qe", cents="c0")}
+), sums AS (
+  SELECT cluster, idx,
+         CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+  FROM (
+    SELECT cluster, unnest(emb) AS v, generate_subscripts(emb, 1) AS idx
+    FROM a0
+  )
+  GROUP BY cluster, idx
+), c1 AS (
+  SELECT cluster AS cid, list(cv ORDER BY idx) AS cvec FROM sums GROUP BY cluster
+), a1 AS ({assign.format(src="qe", cents="c1")}
+)
+SELECT vec_id, CAST(cluster AS INT) AS cluster, sq_dist FROM a1
+"""
+
+
+SQL_KMEANS = _sql_kmeans()

@@ -78,6 +78,7 @@ REGISTRY: dict[str, tuple] = {
     "simhash_neardup": (advanced.q_simhash_neardup, advanced.SQL_SIMHASH_NEARDUP),
     "ann_lsh_topk": (advanced.q_ann_lsh_topk, advanced.SQL_ANN_LSH_TOPK),
     "knn_join_lsh": (advanced.q_knn_join_lsh, advanced.SQL_KNN_JOIN_LSH),
+    "kmeans": (advanced.q_kmeans, advanced.SQL_KMEANS),
     "ann_ivf_topk": (advanced.q_ann_ivf_topk, advanced.SQL_ANN_IVF_TOPK),
     "embedding_neardup": (
         advanced.q_embedding_neardup,

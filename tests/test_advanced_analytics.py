@@ -151,3 +151,33 @@ def test_stratified_sample_deterministic_and_rate_bounded(spark):
     )
     kept_en = sum(1 for r in a if r["lang"] == "en")
     assert 0.05 <= kept_en / total_en <= 0.50  # 25% target, binomial slack
+
+
+def test_kmeans_improves_cost_and_covers_all_vectors(spark):
+    """Lloyd iterations must actually move: the final within-cluster
+    squared-distance total is well below the initial assignment's
+    (measured 0.42 improvement at sf0.001; floor >= 0.2), every vector is
+    assigned, all K clusters are populated, and a rerun is bit-identical
+    (no RNG anywhere)."""
+    from pyspark.sql import functions as F
+
+    from nifi_ngsild_postgresql_spark.analytics import advanced
+
+    sf = "/root/testdata/sf0.001"
+    e = advanced._t(spark, sf, "embeddings")
+    qe = e.select(
+        "vec_id", advanced.quantized_embedding("embedding").alias("emb")
+    )
+    cents = sorted(
+        (r["vec_id"], list(r["emb"]))
+        for r in qe.filter(F.col("vec_id") < advanced.KMEANS_K).collect()
+    )
+    cost0 = advanced._kmeans_assign(qe, cents).agg(F.sum("sq_dist")).first()[0]
+    final = advanced.q_kmeans(spark, sf)
+    rows = final.collect()
+    cost2 = sum(r["sq_dist"] for r in rows)
+    assert len(rows) == qe.count()
+    assert len({r["cluster"] for r in rows}) == advanced.KMEANS_K
+    assert cost2 < 0.8 * cost0
+    again = {r["vec_id"]: r["cluster"] for r in advanced.q_kmeans(spark, sf).collect()}
+    assert all(again[r["vec_id"]] == r["cluster"] for r in rows)
