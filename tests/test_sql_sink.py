@@ -196,3 +196,39 @@ def test_sql_sink_streaming_equals_batch_ingest(spark, tmp_path):
         assert table_manifest(streamed.table(*t).read(spark)) == table_manifest(
             batched.table(*t).read(spark)
         ), f"state diverged for {t}"
+
+
+def test_retry_channel_replays_into_custom_catalog(spark, tmp_path):
+    """Partial-batch failure recovery composes with the sink swap: a
+    failing SQL table parks in <warehouse>/_retry while the other table
+    commits into the SAME SqlCatalog, and reprocess_retries(catalog=...)
+    replays the parked slice into that catalog — not the default lake."""
+    from nifi_ngsild_postgresql_spark.streaming.pipeline import reprocess_retries
+
+    cat = SqlCatalog()
+    # poison ONE target table: a pre-existing physical table with an
+    # incompatible shape makes that table's INSERT fail mid-transaction
+    cat.con.execute('CREATE SCHEMA "t"')
+    cat.con.execute('CREATE TABLE "t"."gauge" (x INTEGER)')
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert", n_buckets=4)  # isolation ON
+    rows = [
+        ("t", "p", "000001", "Gauge", _payload(1, 1.0)),
+        ("t", "p", "000002", "Meter",
+         json.dumps({"id": "urn:x:m1", "type": "Meter",
+                     "level": {"type": "Property", "value": 2.0,
+                               "observedAt": "2024-01-01T00:00:00Z"}})),
+    ]
+    batch = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).withColumn("recv_time", F.timestamp_millis(F.lit(1700000000000)))
+    lin = ingest_batch(batch, cfg, wh, "e0", catalog=cat)
+    assert "error" in lin["tables"]["t.gauge"]
+    assert lin["tables"]["t.meter"]["rows_written"] == 1
+    assert cat.table("t", "meter").read(spark).count() == 1
+    # fix the cause, replay the parked slice into the SAME catalog
+    cat.con.execute('DROP TABLE "t"."gauge"')
+    out = reprocess_retries(spark, cfg, wh, catalog=cat)
+    assert out["reprocessed"] == 1
+    got = cat.table("t", "gauge").read(spark).collect()
+    assert len(got) == 1 and got[0]["level"] == 1.0
