@@ -229,3 +229,45 @@ def test_consumer_crash_before_commit_redelivers(spark, tmp_path):
     # at-least-once: the same range is re-delivered on the next poll
     out = consumer.poll(spark, lambda df, v0, v1: None)
     assert (out["from"], out["to"], out["rows"]) == (0, 1, 1)
+
+
+def test_changefeed_composes_to_final_state_across_mixed_modes(spark, tmp_path):
+    """Losslessness: folding every consecutive change range (insert/update
+    -> put, delete -> remove) over an empty dict reproduces the final
+    table state exactly, across a mixed history of CoW upserts, MoR
+    appends, replace, and an interleaved compaction — i.e. the feed never
+    drops, duplicates, or fabricates a change at any mode boundary."""
+    import random
+
+    rng = random.Random(42)
+    wh = str(tmp_path / "wh")
+    seq = 0
+    modes = ["upsert", "upsert_mor", "upsert_mor", "replace", "upsert"]
+    t = None
+    for i, mode in enumerate(modes):
+        items = [
+            (rng.randrange(8), round(rng.uniform(0, 9), 1),
+             rng.choice(["2024-01-01T00:00:00Z", "2024-02-01T00:00:00Z"]))
+            for _ in range(rng.randrange(2, 6))
+        ]
+        cfg = IngestConfig(write_mode=mode, n_buckets=4)
+        ingest_batch(_batch(spark, items, seq0=seq), cfg, wh, f"e{i}")
+        seq += 100
+        t = LakeCatalog(wh).table("t", "gauge")
+        if i == 2:
+            t.compact(spark, max_files_per_bucket=0)
+    state: dict[tuple, float] = {}
+    prev = 0
+    for v in t.versions():
+        for r in t.read_changes(spark, prev, v).collect():
+            key = (r["entityid"], r["observedat"])
+            if r["_change_type"] == "delete":
+                state.pop(key)
+            else:
+                state[key] = r["level"]
+        prev = v
+    final = {
+        (r["entityid"], r["observedat"]): r["level"]
+        for r in t.read(spark).collect()
+    }
+    assert state == final and len(final) > 0
