@@ -9,8 +9,9 @@ so a DuckDB oracle can verify it bit-for-bit:
 - LSH ANN top-k        : integer hyperplane signatures over quantized
                          embeddings — sign bits are exact, so the oracle
                          reproduces the same candidate set
-- IVF ANN top-k        : deterministic coarse quantizer (cells = vec_id <
-                         n_cells) + exact integer cosine re-rank
+- IVF ANN top-k        : k-means-TRAINED coarse quantizer (Lloyd-2 in
+                         exact integer math) + exact integer cosine
+                         re-rank
 - Embedding near-dup   : exact integer-quantized cosine over all pairs
                          (the correctness semantics); the LSH-bucketed
                          candidate path is the documented 100 TB scale
@@ -418,92 +419,12 @@ SQL_KNN_JOIN_LSH = _sql_knn_join_lsh()
 
 
 # --------------------------------------------------------------------------
-# IVF ANN — deterministic coarse quantizer + exact integer cosine re-rank
+# IVF ANN — k-means-trained coarse quantizer + exact integer cosine re-rank
+# (implementation lives after the k-means section below, which it reuses)
 # --------------------------------------------------------------------------
 
 N_CELLS = 16
 N_PROBE = 4
-
-
-def ann_ivf_topk_df(
-    e: DataFrame, k: int = 10, n_cells: int = N_CELLS, n_probe: int = N_PROBE
-) -> DataFrame:
-    qe = e.select("vec_id", quantized_embedding("embedding").alias("emb"))
-    cents = qe.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("emb").alias("cvec")
-    )
-    # assign every vector to its nearest centroid (broadcast NL join +
-    # per-row argmax — the centroid side is tiny by construction);
-    # tie-break toward the smallest cell id so ranking is total
-    scored = qe.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "emb", "cell", int_cosine("emb", "cvec").alias("sim")
-    )
-    assigned = scored.groupBy("vec_id").agg(
-        F.max_by("cell", F.struct(F.col("sim"), (-F.col("cell")).alias("nc"))).alias(
-            "cell"
-        ),
-        F.first("emb").alias("emb"),
-    )
-    q = qe.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qvec"))
-    probe_cells = [
-        r["cell"]
-        for r in cents.crossJoin(F.broadcast(q))
-        .select("cell", int_cosine("cvec", "qvec").alias("sim"))
-        .orderBy(F.desc("sim"), F.asc("cell"))
-        .limit(n_probe)
-        .collect()
-    ]
-    cand = assigned.filter(
-        F.col("cell").isin(probe_cells) & (F.col("vec_id") != 0)
-    ).crossJoin(F.broadcast(q))
-    return (
-        cand.select("vec_id", int_cosine("emb", "qvec").alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(k)
-    )
-
-
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
-    """IVF-style ANN: deterministic coarse quantizer (cells = the first
-    N_CELLS vec_ids), nearest-cell assignment by exact integer cosine
-    (ties to the smaller cell), query probes its N_PROBE nearest cells,
-    exact re-rank. Scale path: candidate set ~ n * n_probe / n_cells; the
-    centroid table broadcasts. Fully oracle-checked."""
-    return ann_ivf_topk_df(_t(spark, sf_dir, "embeddings"), k)
-
-
-SQL_ANN_IVF_TOPK = f"""
-WITH qe AS (
-  SELECT vec_id, {_SQL_QVEC.format(col="embedding")} AS emb FROM embeddings
-), cents AS (
-  SELECT vec_id AS cell, emb AS cvec FROM qe WHERE vec_id < {N_CELLS}
-), scored AS (
-  SELECT v.vec_id, v.emb, c.cell,
-         {_SQL_INT_COSINE.format(a="v.emb", b="c.cvec")} AS sim
-  FROM qe v, cents c
-), assigned AS (
-  SELECT vec_id, emb, cell FROM (
-    SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
-    FROM scored
-  ) WHERE rn = 1
-), q AS (
-  SELECT emb AS qvec FROM qe WHERE vec_id = 0
-), probe AS (
-  SELECT cell FROM (
-    SELECT c.cell,
-           ROW_NUMBER() OVER (
-             ORDER BY {_SQL_INT_COSINE.format(a="c.cvec", b="qvec")} DESC,
-                      c.cell ASC) AS rn
-    FROM cents c, q
-  ) WHERE rn <= {N_PROBE}
-)
-SELECT vec_id, {_SQL_INT_COSINE.format(a="a.emb", b="qvec")} AS cosine
-FROM assigned a, q
-WHERE a.cell IN (SELECT cell FROM probe) AND vec_id <> 0
-ORDER BY cosine DESC, vec_id ASC
-LIMIT 10
-"""
 
 
 # --------------------------------------------------------------------------
@@ -701,35 +622,26 @@ def _kmeans_assign(qe: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFra
     )
 
 
-def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic Lloyd k-means (K=8, 2 iterations) over the quantized
-    embeddings — the iterative-algorithm representative of the training-
-    data suite, oracle-checked bit-for-bit:
-
-    - initial centroids = the first K vectors (no RNG);
-    - assignment distance is pure int64 over the quantized grid;
-    - updated centroids snap back onto the integer grid as
-      floor(sum_i / n) — exact int64 sums, one IEEE double division,
-      floor — so the NEXT assignment is exact integer math again and
-      DuckDB reproduces every assignment decision identically.
-
-    Scale shape: per iteration one narrow map (distance to K broadcast
-    centroid literals, in-row) + one keyed aggregation for centroid sums
-    (posexplode -> groupBy(cluster, dim) with map-side partial agg);
-    only K x dim aggregated sums ever reach the driver. The standard
-    Lloyd-on-Spark layout — iterations scale linearly in rows."""
+def _kmeans_centroids(
+    qe: DataFrame, k: int, iters: int = KMEANS_ITERS
+) -> list[tuple[int, list[int]]]:
+    """Lloyd-trained integer centroids: initial centroids = the first k
+    vectors (no RNG), assignment distance pure int64, updated centroids
+    snap back onto the integer grid as floor(sum_i / n) — exact int64
+    sums, one IEEE double division, floor — so every assignment decision
+    replays identically in the SQL oracles. Per iteration: one narrow
+    in-row map + one keyed aggregation; only k x dim sums reach the
+    driver."""
     import math
 
-    e = _t(spark, sf_dir, "embeddings")
-    qe = e.select("vec_id", quantized_embedding("embedding").alias("emb"))
     cents = sorted(
         (r["vec_id"], list(r["emb"]))
-        for r in qe.filter(F.col("vec_id") < KMEANS_K).collect()
+        for r in qe.filter(F.col("vec_id") < k).collect()
     )
-    assigned = _kmeans_assign(qe, cents)
-    for _ in range(KMEANS_ITERS - 1):
+    for _ in range(iters - 1):
         sums = (
-            assigned.select("cluster", F.posexplode("emb").alias("dim", "v"))
+            _kmeans_assign(qe, cents)
+            .select("cluster", F.posexplode("emb").alias("dim", "v"))
             .groupBy("cluster", "dim")
             .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
             .collect()
@@ -743,7 +655,18 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cid, [dims[i] for i in sorted(dims)])
             for cid, dims in sorted(by_cid.items())
         ]
-        assigned = _kmeans_assign(qe, cents)
+    return cents
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (K=8, 2 iterations) over the quantized
+    embeddings — the iterative-algorithm representative of the training-
+    data suite, oracle-checked bit-for-bit (see _kmeans_centroids for
+    the exact-math scheme). The standard Lloyd-on-Spark layout —
+    iterations scale linearly in rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    qe = e.select("vec_id", quantized_embedding("embedding").alias("emb"))
+    assigned = _kmeans_assign(qe, _kmeans_centroids(qe, KMEANS_K))
     return assigned.select(
         "vec_id",
         F.col("cluster").cast("int").alias("cluster"),
@@ -751,26 +674,30 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_kmeans() -> str:
-    sq = (
-        "list_sum(list_transform(list_zip({e}, {c}),"
-        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
-    )
-    assign = f"""
+_SQL_SQD = (
+    "list_sum(list_transform(list_zip({e}, {c}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+
+_SQL_ASSIGN = f"""
   SELECT q.vec_id, q.emb, b.cid AS cluster, b.d AS sq_dist
   FROM {{src}} q, LATERAL (
-    SELECT c.cid, CAST({sq.format(e="q.emb", c="c.cvec")} AS BIGINT) AS d
+    SELECT c.cid, CAST({_SQL_SQD.format(e="q.emb", c="c.cvec")} AS BIGINT) AS d
     FROM {{cents}} c
     ORDER BY d ASC, c.cid ASC
     LIMIT 1
   ) b
 """
-    return f"""
-WITH qe AS (
+
+
+def _sql_kmeans_ctes(k: int) -> str:
+    """The shared Lloyd-2 CTE chain: qe -> c0 -> a0 -> sums -> c1 -> a1
+    (final assignment against the once-updated centroids)."""
+    return f"""qe AS (
   SELECT vec_id, {_SQL_QVEC.format(col="embedding")} AS emb FROM embeddings
 ), c0 AS (
-  SELECT vec_id AS cid, emb AS cvec FROM qe WHERE vec_id < {KMEANS_K}
-), a0 AS ({assign.format(src="qe", cents="c0")}
+  SELECT vec_id AS cid, emb AS cvec FROM qe WHERE vec_id < {k}
+), a0 AS ({_SQL_ASSIGN.format(src="qe", cents="c0")}
 ), sums AS (
   SELECT cluster, idx,
          CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
@@ -781,10 +708,73 @@ WITH qe AS (
   GROUP BY cluster, idx
 ), c1 AS (
   SELECT cluster AS cid, list(cv ORDER BY idx) AS cvec FROM sums GROUP BY cluster
-), a1 AS ({assign.format(src="qe", cents="c1")}
-)
+), a1 AS ({_SQL_ASSIGN.format(src="qe", cents="c1")}
+)"""
+
+
+SQL_KMEANS = f"""
+WITH {_sql_kmeans_ctes(KMEANS_K)}
 SELECT vec_id, CAST(cluster AS INT) AS cluster, sq_dist FROM a1
 """
 
 
-SQL_KMEANS = _sql_kmeans()
+def ann_ivf_topk_df(
+    e: DataFrame, k: int = 10, n_cells: int = N_CELLS, n_probe: int = N_PROBE
+) -> DataFrame:
+    """IVF-flat with a k-means-TRAINED coarse quantizer (not a toy
+    first-N pick): cells are Lloyd-2 centroids (_kmeans_centroids, exact
+    integer math), every vector is assigned to its nearest cell by exact
+    int64 squared distance, the query probes its N_PROBE nearest cells
+    (selected driver-side in exact Python int math over the K centroid
+    vectors already on the driver), and candidates re-rank by exact
+    integer cosine. Scale shape: candidate set ~ n * n_probe / n_cells;
+    assignment is one narrow in-row map against broadcast centroid
+    literals — no joins until the bounded candidate re-rank."""
+    qe = e.select("vec_id", quantized_embedding("embedding").alias("emb"))
+    cents = _kmeans_centroids(qe, n_cells)
+    assigned = _kmeans_assign(qe, cents)
+    qvec = list(qe.filter(F.col("vec_id") == 0).first()["emb"])
+
+    def _sqd(c: list[int]) -> int:
+        return sum((a - b) * (a - b) for a, b in zip(qvec, c))
+
+    probe_cells = [
+        cid
+        for cid, _ in sorted(cents, key=lambda t: (_sqd(t[1]), t[0]))[:n_probe]
+    ]
+    q = qe.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qvec"))
+    cand = assigned.filter(
+        F.col("cluster").isin(probe_cells) & (F.col("vec_id") != 0)
+    ).crossJoin(F.broadcast(q))
+    return (
+        cand.select("vec_id", int_cosine("emb", "qvec").alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """IVF ANN with the Lloyd-trained quantizer — fully oracle-checked:
+    training, assignment and probing are all exact integer decisions, so
+    DuckDB reproduces the identical candidate set and ranking."""
+    return ann_ivf_topk_df(_t(spark, sf_dir, "embeddings"), k)
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH {_sql_kmeans_ctes(N_CELLS)}, q AS (
+  SELECT emb AS qvec FROM qe WHERE vec_id = 0
+), probe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           ROW_NUMBER() OVER (
+             ORDER BY {_SQL_SQD.format(e="c.cvec", c="qvec")} ASC,
+                      c.cid ASC) AS rn
+    FROM c1 c, q
+  ) WHERE rn <= {N_PROBE}
+)
+SELECT vec_id, {_SQL_INT_COSINE.format(a="a.emb", b="qvec")} AS cosine
+FROM a1 a, q
+WHERE a.cluster IN (SELECT cid FROM probe) AND vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
