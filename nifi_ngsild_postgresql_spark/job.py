@@ -58,6 +58,12 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("show")
     s.add_argument("--warehouse", required=True)
     s.add_argument("--table", required=True, help="tenant.table")
+    s.add_argument("--entity", default=None,
+                   help="point lookup: prunes to the entity's hash bucket")
+    s.add_argument("--since", default=None,
+                   help="observedat lower bound (ISO) — stats-pruned scan")
+    s.add_argument("--until", default=None,
+                   help="observedat upper bound (ISO) — stats-pruned scan")
 
     r = sub.add_parser(
         "retry", help="replay slices parked in <warehouse>/_retry"
@@ -145,7 +151,12 @@ def main(argv: list[str] | None = None) -> int:
         table = LakeCatalog(args.warehouse).table(tenant, name)
         snap = table.latest_snapshot()
         print(json.dumps({"version": snap["version"], "schema": snap["schema"]}))
-        table.read(spark).show(20, truncate=40)
+        where = {}
+        if args.entity:
+            where["entityid"] = (args.entity, args.entity)
+        if args.since or args.until:
+            where["observedat"] = (args.since, args.until)
+        table.read(spark, where=where or None).show(20, truncate=40)
         return 0
 
     if args.cmd == "changes":
