@@ -1,0 +1,99 @@
+"""Data-skipping probe: measured evidence for SCALE.md.
+
+Builds a month-partitioned ingest history (12 MoR epochs, one month of
+observedAt each) and compares a one-month time-range query as a full
+scan + filter vs the stats-pruned `read(where=...)` path: file dirs
+opened, rows returned (must be identical), wall time.
+
+Usage: python tools/skipping_probe.py  (prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from nifi_ngsild_postgresql_spark.config import IngestConfig  # noqa: E402
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog  # noqa: E402
+from nifi_ngsild_postgresql_spark.session import get_spark  # noqa: E402
+from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch  # noqa: E402
+
+N_ENTITIES = 2000
+MONTHS = 12
+
+
+def _month_batch(spark, month: int):
+    ts = f"2024-{month:02d}-15T00:00:00Z"
+    payload = F.to_json(
+        F.struct(
+            F.concat(F.lit("urn:x:"), F.col("id")).alias("id"),
+            F.lit("Gauge").alias("type"),
+            F.struct(
+                F.lit("Property").alias("type"),
+                (F.col("id") * month).cast("double").alias("value"),
+                F.lit(ts).alias("observedAt"),
+            ).alias("level"),
+        )
+    )
+    return (
+        spark.range(N_ENTITIES)
+        .select(
+            F.lit("t").alias("repo"),
+            F.lit("p").alias("path"),
+            F.lpad(F.lit(month * 100000) + F.col("id"), 12, "0").alias("commit"),
+            F.lit("Gauge").alias("lang"),
+            payload.alias("content"),
+            F.timestamp_millis(F.lit(1700000000000 + month)).alias("recv_time"),
+        )
+    )
+
+
+def main() -> None:
+    spark = get_spark(app_name="skipping-probe")
+    wh = tempfile.mkdtemp(prefix="skipprobe_")
+    cfg = IngestConfig(write_mode="upsert_mor", n_buckets=16)
+    for m in range(1, MONTHS + 1):
+        ingest_batch(_month_batch(spark, m), cfg, wh, f"m{m}")
+    t = LakeCatalog(wh).table("t", "gauge")
+    snap = t.latest_snapshot()
+    all_dirs = sum(len(p) for p in snap["files"].values())
+    rng = ("2024-06-01T00:00:00Z", "2024-06-30T23:59:59Z")
+    kept = len(t._prune_files(spark, snap, {"observedat": rng}))
+
+    def timed(df):
+        t0 = time.time()
+        n = df.count()
+        return n, round(time.time() - t0, 3)
+
+    lo = F.lit(rng[0]).cast("timestamp")
+    hi = F.lit(rng[1]).cast("timestamp")
+    # warm both paths once (JIT), then measure
+    for _ in range(2):
+        full = timed(
+            t.read(spark).filter(F.col("observedat").between(lo, hi))
+        )
+        pruned = timed(t.read(spark, where={"observedat": rng}))
+    assert full[0] == pruned[0] == N_ENTITIES, (full, pruned)
+    print(
+        json.dumps(
+            {
+                "dirs_total": all_dirs,
+                "dirs_opened_pruned": kept,
+                "skip_ratio": round(1 - kept / all_dirs, 3),
+                "rows": full[0],
+                "full_scan_sec": full[1],
+                "pruned_scan_sec": pruned[1],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
