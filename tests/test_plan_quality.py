@@ -176,3 +176,24 @@ def test_knn_join_lsh_recall_vs_exact(spark):
     assert len(exact) == 500 * suite.KNN_K
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.55, f"LSH recall {recall:.3f} below floor"
+
+
+def test_tfidf_is_keyed_joins_only(spark):
+    """TF-IDF must stay two keyed aggregations + a key-equality join —
+    no cartesian/nested-loop stage anywhere (a hot term fans out 1:1
+    per tf row, never quadratically)."""
+    plan = _plan(suite.q_tfidf_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_assignment_is_joinless(spark):
+    """The Lloyd assignment stage evaluates distances against K broadcast
+    centroid LITERALS in-row: the final assignment plan must contain no
+    join at all — at 100 TB every iteration is one narrow map plus one
+    partial-aggregated centroid-sum reduction."""
+    from nifi_ngsild_postgresql_spark.analytics import advanced
+
+    df = advanced.q_kmeans(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan
