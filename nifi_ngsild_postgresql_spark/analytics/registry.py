@@ -65,6 +65,7 @@ REGISTRY: dict[str, tuple] = {
     "fingerprint": (suite.q_fingerprint, suite.SQL_FINGERPRINT),
     "stratified_sample": (suite.q_stratified_sample, suite.SQL_STRATIFIED_SAMPLE),
     "tfidf_topk": (suite.q_tfidf_topk, suite.SQL_TFIDF_TOPK),
+    "asof_join": (suite.q_asof_join, suite.SQL_ASOF_JOIN),
     "knn_join": (suite.q_knn_join, suite.SQL_KNN_JOIN),
     "minhash_bands": (suite.q_minhash_bands, suite.SQL_MINHASH_BANDS),
     "ngram_jaccard": (suite.q_ngram_jaccard, suite.SQL_NGRAM_JACCARD),

@@ -966,3 +966,68 @@ SELECT doc_id, term, tf, df, score, rank FROM (
 )
 WHERE rank <= {TFIDF_K}
 """
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join — each query event matched to the most recent reference
+    event of the same user at or before its timestamp (odd event_ids are
+    queries, even are references). Spark has no ASOF JOIN operator; the
+    scale-safe composition is UNION + conditional last-value window: tag
+    both sides, sort within each user by (ts, side) so references at the
+    same instant precede queries, and carry the last non-null reference
+    value forward. ONE hash shuffle on user_id, no join fan-out at all —
+    a range join would explode on hot users; this is linear per user.
+    References are pre-reduced per (user, ts) by max event_id so the
+    pick is total. Oracle: DuckDB's native ASOF LEFT JOIN (ts >=
+    semantics match the window ordering)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    q = e.filter(F.col("event_id") % 2 == 1).select(
+        "user_id",
+        "ts",
+        F.col("event_id"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(1).alias("is_q"),
+    )
+    r = (
+        e.filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("v"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("event_id"),
+            "v",
+            F.lit(0).alias("is_q"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        q.unionByName(r)
+        .withColumn(
+            "ref_value",
+            F.last(
+                F.when(F.col("is_q") == 0, F.col("v")), ignorenulls=True
+            ).over(w),
+        )
+        .filter(F.col("is_q") == 1)
+        .select("event_id", "user_id", "ts", "ref_value")
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH q AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1
+), r AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS v
+  FROM events WHERE event_id % 2 = 0
+  GROUP BY user_id, ts
+)
+SELECT q.event_id, q.user_id, q.ts, r.v AS ref_value
+FROM q ASOF LEFT JOIN r ON q.user_id = r.user_id AND q.ts >= r.ts
+"""

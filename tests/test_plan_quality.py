@@ -197,3 +197,17 @@ def test_kmeans_assignment_is_joinless(spark):
     df = advanced.q_kmeans(spark, SF_DIR)
     plan = _plan(df)
     assert "Join" not in plan
+
+
+def test_asof_join_is_joinless_single_shuffle(spark):
+    """The as-of join composition must contain NO join operator (it is
+    union + conditional last-value window) and exactly one exchange
+    keyed on user_id — the property that makes it linear per user at
+    100 TB where a range join would explode on hot users."""
+    import re
+
+    plan = _plan(suite.q_asof_join(spark, SF_DIR))
+    assert "Join" not in plan
+    # exactly two keyed exchanges: the reference dedup on (user, ts) and
+    # the window partition on user — both linear, no pairwise stage
+    assert len(set(re.findall(r"\(\d+\) Exchange", plan))) == 2
