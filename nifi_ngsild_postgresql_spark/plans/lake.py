@@ -397,6 +397,7 @@ class LakeTable:
         from_version: int,
         to_version: int | None = None,
         force_diff: bool = False,
+        include_preimage: bool = False,
     ) -> DataFrame:
         """Change-data-feed — CDC *out* of the lake: the net row-level
         changes between two committed snapshots, each row tagged with a
@@ -404,6 +405,13 @@ class LakeTable:
         closes the CDC loop: downstream consumers incrementally follow a
         table this engine maintains instead of rescanning it (the Iceberg
         incremental-read / Delta CDF analog — ICEBERG.md).
+
+        ``include_preimage=True`` additionally emits, for every update,
+        the REPLACED row tagged ``update_preimage`` (Delta CDF's
+        update_preimage/postimage pair) — what subtractive consumers
+        (incremental view maintenance, streaming/changefeed.py
+        aggregate_deltas) need to retract old values without rescanning.
+        Deletes already carry the old content; inserts have none.
 
         Two physical paths, chosen by the commit modes recorded in the
         snapshot range (force_diff pins the fallback, used by tests to
@@ -465,8 +473,12 @@ class LakeTable:
                 self.snapshot(v) for v in range(from_version + 1, to_version + 1)
             ]
             if all(s.get("mode") in ("append", "upsert_mor") for s in range_snaps):
-                return self._changes_fast(spark, from_version, range_snaps, schema)
-        return self._changes_diff(spark, from_version, to_version, schema)
+                return self._changes_fast(
+                    spark, from_version, range_snaps, schema, include_preimage
+                )
+        return self._changes_diff(
+            spark, from_version, to_version, schema, include_preimage
+        )
 
     def _state(self, spark: SparkSession, version: int, schema: dict[str, str]):
         """A snapshot's logical state projected to ``schema`` (meta kept)."""
@@ -482,6 +494,7 @@ class LakeTable:
         from_version: int,
         range_snaps: list[dict[str, Any]],
         schema: dict[str, str],
+        include_preimage: bool = False,
     ) -> DataFrame:
         from ..operators.dedup import ORDER_COLS, last_writer_wins
         from .manifest import with_row_sha
@@ -509,6 +522,7 @@ class LakeTable:
             F.col("_row_key").alias("_o_row_key"),
             F.col("_row_sha256").alias("_o_sha"),
             *[F.col(c).alias(f"_o{c}") for c in ORDER_COLS],
+            *[F.col(c).alias(f"_p_{c}") for c in schema],
         )
         j = new.join(
             old,
@@ -531,7 +545,15 @@ class LakeTable:
             .otherwise(F.lit("update"))
             .alias("_change_type")
         )
-        return j.filter(wins & differs).select(*schema.keys(), ctype)
+        changed = j.filter(wins & differs)
+        post = changed.select(*schema.keys(), ctype)
+        if not include_preimage:
+            return post
+        pre = changed.filter(F.col("_o_sha").isNotNull()).select(
+            *[F.col(f"_p_{c}").alias(c) for c in schema],
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        return post.unionByName(pre)
 
     def _changes_diff(
         self,
@@ -539,6 +561,7 @@ class LakeTable:
         from_version: int,
         to_version: int,
         schema: dict[str, str],
+        include_preimage: bool = False,
     ) -> DataFrame:
         from .manifest import with_row_sha
 
@@ -567,7 +590,14 @@ class LakeTable:
             .otherwise(F.lit("update"))
             .alias("_change_type")
         )
-        return j.select(*cols, ctype)
+        post = j.select(*cols, ctype)
+        if not include_preimage:
+            return post
+        pre = j.filter(asha.isNotNull() & bsha.isNotNull()).select(
+            *[F.col(f"b.{c}").alias(c) for c in schema],
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        return post.unionByName(pre)
 
     # --- write ------------------------------------------------------------
 

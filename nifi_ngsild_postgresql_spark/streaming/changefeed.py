@@ -31,9 +31,15 @@ from ..plans.lake import LakeTable
 
 
 class ChangeFeedConsumer:
-    def __init__(self, table: LakeTable, checkpoint_dir: str):
+    def __init__(
+        self,
+        table: LakeTable,
+        checkpoint_dir: str,
+        include_preimage: bool = False,
+    ):
         self.table = table
         self.checkpoint_dir = checkpoint_dir
+        self.include_preimage = include_preimage
         os.makedirs(checkpoint_dir, exist_ok=True)
         self._ckpt = os.path.join(checkpoint_dir, "position.json")
 
@@ -66,7 +72,9 @@ class ChangeFeedConsumer:
         v1 = versions[-1] if versions else 0
         if v1 <= v0:
             return {"from": v0, "to": v0, "rows": 0}
-        changes = self.table.read_changes(spark, v0, v1)
+        changes = self.table.read_changes(
+            spark, v0, v1, include_preimage=self.include_preimage
+        )
         out: dict[str, Any] = {"from": v0, "to": v1}
         if apply_fn is not None:
             apply_fn(changes, v0, v1)
@@ -76,3 +84,27 @@ class ChangeFeedConsumer:
             out["changes"] = changes
         self._commit(v1)
         return out
+
+
+def aggregate_deltas(changes: DataFrame, value_col: str) -> DataFrame:
+    """Incremental-view-maintenance kernel: turn one pre-image-bearing
+    change batch into per-entity (d_count, d_sum) deltas that, added to a
+    maintained aggregate, keep it equal to re-aggregating the full table
+    — without ever rescanning it. Signs: insert/update add the new row,
+    update_preimage/delete retract the old one; an update therefore nets
+    +new −old for the sum and 0 for the count. Requires the feed to be
+    read with ``include_preimage=True`` (ChangeFeedConsumer(...,
+    include_preimage=True)); one keyed aggregation, O(changes)."""
+    from pyspark.sql import functions as F
+
+    add = F.col("_change_type").isin("insert", "update")
+    sign = F.when(add, F.lit(1.0)).otherwise(F.lit(-1.0))
+    cnt = (
+        F.when(F.col("_change_type") == "insert", 1)
+        .when(F.col("_change_type") == "delete", -1)
+        .otherwise(0)
+    )
+    return changes.groupBy("entityid").agg(
+        F.sum(cnt).alias("d_count"),
+        F.sum(sign * F.coalesce(F.col(value_col), F.lit(0.0))).alias("d_sum"),
+    )

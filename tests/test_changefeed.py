@@ -271,3 +271,71 @@ def test_changefeed_composes_to_final_state_across_mixed_modes(spark, tmp_path):
         for r in t.read(spark).collect()
     }
     assert state == final and len(final) > 0
+
+
+def test_preimages_and_incremental_view_maintenance(spark, tmp_path):
+    """include_preimage emits the replaced row for every update (both
+    physical paths), and the aggregate_deltas IVM kernel folds those
+    batches into a maintained per-entity (count, sum) that exactly equals
+    re-aggregating the final table — across MoR fast-path batches, a CoW
+    update, and a replace-mode delete, without ever rescanning state."""
+    from nifi_ngsild_postgresql_spark.streaming.changefeed import (
+        ChangeFeedConsumer,
+        aggregate_deltas,
+    )
+
+    wh = str(tmp_path / "wh")
+    plan = [
+        ("upsert_mor", [(0, 1.0), (1, 2.0), (2, 3.0)]),
+        ("upsert_mor", [(0, 5.0), (3, 4.0)]),                 # update + insert
+        ("upsert", [(1, 7.0), (1, 7.5, "2024-03-01T00:00:00Z")]),
+        ("replace", [(2, 9.0, "2024-04-04T00:00:00Z")]),      # deletes old key
+    ]
+    for i, (mode, items) in enumerate(plan):
+        cfg = IngestConfig(write_mode=mode, n_buckets=4)
+        ingest_batch(_batch(spark, items, seq0=i * 100), cfg, wh, f"e{i}")
+    t = LakeCatalog(wh).table("t", "gauge")
+
+    # direct pre-image check on the MoR fast path (v1 -> v2)
+    v = t.versions()
+    ch = t.read_changes(spark, v[0], v[1], include_preimage=True).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert {r["level"] for r in by_type["update"]} == {5.0}
+    assert {r["level"] for r in by_type["update_preimage"]} == {1.0}
+    assert {r["level"] for r in by_type["insert"]} == {4.0}
+
+    # IVM: fold every consecutive range's deltas into a maintained agg
+    maintained: dict[str, tuple[int, float]] = {}
+    consumer = ChangeFeedConsumer(
+        t, str(tmp_path / "ckpt"), include_preimage=True
+    )
+    prev = 0
+    for ver in v:
+        ch = t.read_changes(spark, prev, ver, include_preimage=True)
+        for r in aggregate_deltas(ch, "level").collect():
+            c, s = maintained.get(r["entityid"], (0, 0.0))
+            maintained[r["entityid"]] = (
+                c + r["d_count"], round(s + r["d_sum"], 6)
+            )
+        prev = ver
+    maintained = {k: v_ for k, v_ in maintained.items() if v_[0] > 0}
+    recomputed = {
+        r["entityid"]: (r["n"], round(r["s"], 6))
+        for r in t.read(spark)
+        .groupBy("entityid")
+        .agg(F.count("*").alias("n"), F.sum("level").alias("s"))
+        .collect()
+    }
+    assert maintained == recomputed
+    # the consumer plumbing carries preimages too: hydrate (all inserts),
+    # then ingest an update and poll again
+    out = consumer.poll(spark)
+    assert {r["_change_type"] for r in out["changes"].collect()} == {"insert"}
+    cfg = IngestConfig(write_mode="upsert_mor", n_buckets=4)
+    ingest_batch(_batch(spark, [(0, 6.0)], seq0=900), cfg, wh, "e9")
+    out = consumer.poll(spark)
+    assert "update_preimage" in {
+        r["_change_type"] for r in out["changes"].collect()
+    }
