@@ -1031,3 +1031,33 @@ WITH q AS (
 SELECT q.event_id, q.user_id, q.ts, r.v AS ref_value
 FROM q ASOF LEFT JOIN r ON q.user_id = r.user_id AND q.ts >= r.ts
 """
+
+
+def q_percentile_agg(spark, sf_dir):
+    """Exact per-group quantiles: median and p95 order value per order
+    priority. Spark's exact `percentile` and DuckDB's `percentile_cont`
+    share the same linear-interpolation rule over identical doubles, so
+    the result hashes bit-for-bit. Scale note: exact percentiles
+    sort-aggregate per group — fine at any group COUNT but memory-bound
+    per group; at 100 TB with huge groups switch to approx_percentile
+    (t-digest, bounded memory), which trades the cross-engine
+    determinism this oracle needs."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+            F.expr("percentile(o_totalprice, 0.95)").alias("p95_price"),
+        )
+    )
+
+
+SQL_PERCENTILE_AGG = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_price,
+       percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS p95_price
+FROM orders
+GROUP BY o_orderpriority
+"""
