@@ -775,8 +775,16 @@ class LakeTable:
             expired += 1
         removed = 0
         data_dir = os.path.join(self.path, "data")
+        latest = keep[-1]
         if os.path.isdir(data_dir):
             for d in sorted(os.listdir(data_dir)):
+                m = re.match(r"^c(\d{8})$", d)
+                # only GC dirs AT OR BELOW the newest kept snapshot: a
+                # commit dir numbered above it belongs to an IN-FLIGHT
+                # writer that hasn't published its manifest yet — deleting
+                # it here would race the commit and lose its data
+                if m and int(m.group(1)) > latest:
+                    continue
                 if f"data/{d}" not in kept_refs:
                     shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
                     removed += 1

@@ -162,3 +162,33 @@ def test_compaction_preserves_content_and_reduces_files(spark, tmp_path):
     assert table.read(spark, version=before["version"]).count() == 24
     # idempotent: nothing left to compact
     assert table.compact(spark, max_files_per_bucket=4)["compacted_buckets"] == 0
+
+
+def test_expire_spares_in_flight_commit_dirs(spark, tmp_path):
+    """GC must never delete a commit directory numbered ABOVE the newest
+    kept snapshot: that dir belongs to a concurrent writer that has
+    written data but not yet published its manifest - racing it loses
+    the commit. Orphans at or below the horizon (failed old commits) are
+    still collected."""
+    import os
+
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert", n_buckets=2)
+    for i in range(5):
+        ingest_batch(
+            _batch(spark, [(1, float(i), "2024-01-01T00:00:00Z")], seq0=i * 10),
+            cfg, wh, f"e{i}",
+        )
+    t = LakeCatalog(wh).table("t", "gauge")
+    latest = t.versions()[-1]
+    data = os.path.join(t.path, "data")
+    # simulate an in-flight writer: data staged for version latest+1,
+    # manifest not yet committed
+    inflight = os.path.join(data, f"c{latest + 1:08d}")
+    os.makedirs(os.path.join(inflight, "_bucket=0"))
+    # and a below-horizon orphan from a long-dead failed commit
+    orphan = os.path.join(data, "c00000000")
+    os.makedirs(orphan)
+    t.expire_snapshots(keep_last=2)
+    assert os.path.isdir(inflight), "in-flight commit dir was GC'd"
+    assert not os.path.isdir(orphan), "below-horizon orphan not collected"
