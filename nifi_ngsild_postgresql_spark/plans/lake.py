@@ -56,6 +56,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import tempfile
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -190,7 +191,7 @@ class LakeTable:
         self,
         spark: SparkSession,
         with_meta: bool = False,
-        version: int | None = None,
+        version: int | str | None = None,
         where: dict[str, tuple[Any, Any]] | None = None,
     ) -> DataFrame:
         """Read the table; ``version`` time-travels to a past snapshot
@@ -214,6 +215,7 @@ class LakeTable:
         columns (entityid, observedat): duplicates of a key always agree
         on those, so pruning can never split a key's duplicates and
         expose a stale LWW loser — filtering on any other column could."""
+        version = self._resolve_version(version)
         snap = self.snapshot(version) if version else self.latest_snapshot()
         if snap is None:
             raise FileNotFoundError(f"lake table {self.tenant}.{self.name} not found")
@@ -754,25 +756,73 @@ class LakeTable:
         )
         return {"compacted_buckets": len(to_compact), "rows": rows, "version": version}
 
+    # --- named snapshot refs (Iceberg tags) -------------------------------
+
+    def _tags_path(self) -> str:
+        return os.path.join(self.meta_dir, "_tags.json")
+
+    def tags(self) -> dict[str, int]:
+        if not os.path.exists(self._tags_path()):
+            return {}
+        with open(self._tags_path()) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Name a snapshot (Iceberg tag analog): ``read(version=...)``
+        accepts the name, and ``expire_snapshots`` never GCs a tagged
+        snapshot or its files — the audit/repro pin for "the table as
+        training run X saw it". Committed via write-temp + atomic
+        replace."""
+        if version is None:
+            version = self.versions()[-1]
+        if version not in self.versions():
+            raise ValueError(f"cannot tag missing snapshot v{version}")
+        tags = self.tags()
+        tags[name] = version
+        fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(tags, f)
+        os.replace(tmp, self._tags_path())
+        return version
+
+    def drop_tag(self, name: str) -> None:
+        tags = self.tags()
+        tags.pop(name, None)
+        fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(tags, f)
+        os.replace(tmp, self._tags_path())
+
+    def _resolve_version(self, version: int | str | None) -> int | None:
+        if isinstance(version, str):
+            tags = self.tags()
+            if version not in tags:
+                raise ValueError(f"unknown tag {version!r}")
+            return tags[version]
+        return version
+
     def expire_snapshots(self, keep_last: int = 8) -> dict[str, Any]:
         """Garbage-collect snapshot manifests older than the newest
         ``keep_last`` and every data commit directory no kept snapshot
-        references. Time travel remains available within the kept window;
-        the manifest directory stays O(keep_last) forever."""
+        references. Tagged snapshots are always kept regardless of age.
+        Time travel remains available within the kept window; the
+        manifest directory stays O(keep_last + tags) forever."""
         import shutil
 
         versions = self.versions()
         if len(versions) <= keep_last:
             return {"expired_snapshots": 0, "removed_dirs": 0}
-        keep = versions[-keep_last:]
+        tagged = set(self.tags().values())
+        keep = sorted(set(versions[-keep_last:]) | (tagged & set(versions)))
         kept_refs: set[str] = set()
         for v in keep:
             for paths in self.snapshot(v)["files"].values():
                 kept_refs.update(p.split("/_bucket=")[0] for p in paths)
         expired = 0
-        for v in versions[:-keep_last]:
-            os.remove(os.path.join(self.meta_dir, f"v{v:08d}.json"))
-            expired += 1
+        for v in versions:
+            if v not in keep:
+                os.remove(os.path.join(self.meta_dir, f"v{v:08d}.json"))
+                expired += 1
         removed = 0
         data_dir = os.path.join(self.path, "data")
         latest = keep[-1]

@@ -192,3 +192,28 @@ def test_expire_spares_in_flight_commit_dirs(spark, tmp_path):
     t.expire_snapshots(keep_last=2)
     assert os.path.isdir(inflight), "in-flight commit dir was GC'd"
     assert not os.path.isdir(orphan), "below-horizon orphan not collected"
+
+
+def test_tags_pin_snapshots_against_gc_and_resolve_in_read(spark, tmp_path):
+    """Iceberg-tag analog: a named snapshot survives expire_snapshots
+    regardless of age, read(version=<name>) resolves it, and dropping
+    the tag releases it to the next GC."""
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert", n_buckets=2)
+    for i in range(6):
+        ingest_batch(
+            _batch(spark, [(1, float(i), "2024-01-01T00:00:00Z")], seq0=i * 10),
+            cfg, wh, f"e{i}",
+        )
+    t = LakeCatalog(wh).table("t", "gauge")
+    t.tag("training-run-7", version=2)
+    t.expire_snapshots(keep_last=2)
+    assert 2 in t.versions()          # pinned by the tag
+    assert 3 not in t.versions()      # untagged old snapshot expired
+    assert t.read(spark, version="training-run-7").collect()[0]["level"] == 1.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown tag"):
+        t.read(spark, version="nope")
+    t.drop_tag("training-run-7")
+    t.expire_snapshots(keep_last=2)
+    assert 2 not in t.versions()      # released to GC
