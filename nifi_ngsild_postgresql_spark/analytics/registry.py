@@ -67,6 +67,7 @@ REGISTRY: dict[str, tuple] = {
     "tfidf_topk": (suite.q_tfidf_topk, suite.SQL_TFIDF_TOPK),
     "asof_join": (suite.q_asof_join, suite.SQL_ASOF_JOIN),
     "percentile_agg": (suite.q_percentile_agg, suite.SQL_PERCENTILE_AGG),
+    "rolling_user_stats": (suite.q_rolling_user_stats, suite.SQL_ROLLING_USER_STATS),
     "knn_join": (suite.q_knn_join, suite.SQL_KNN_JOIN),
     "minhash_bands": (suite.q_minhash_bands, suite.SQL_MINHASH_BANDS),
     "ngram_jaccard": (suite.q_ngram_jaccard, suite.SQL_NGRAM_JACCARD),

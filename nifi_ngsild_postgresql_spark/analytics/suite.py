@@ -1061,3 +1061,41 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority
 """
+
+
+def q_rolling_user_stats(spark, sf_dir):
+    """Per-event rolling features over each user's last 5 events (count /
+    sum / mean of value) — the time-series feature-engineering shape for
+    training-data pipelines. One keyed window (hash shuffle on user_id,
+    task-local sort), frame = ROWS 4 PRECEDING..CURRENT; both engines
+    accumulate the frame in identical ascending order over identical
+    doubles, so sums and means hash bit-for-bit."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n5"),
+        F.sum("value").over(w).alias("sum5"),
+        F.avg("value").over(w).alias("avg5"),
+    )
+
+
+SQL_ROLLING_USER_STATS = """
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n5,
+       SUM(value) OVER w AS sum5,
+       AVG(value) OVER w AS avg5
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+)
+"""
