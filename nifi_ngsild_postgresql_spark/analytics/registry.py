@@ -70,6 +70,7 @@ REGISTRY: dict[str, tuple] = {
     "rolling_user_stats": (suite.q_rolling_user_stats, suite.SQL_ROLLING_USER_STATS),
     "knn_join": (suite.q_knn_join, suite.SQL_KNN_JOIN),
     "minhash_bands": (suite.q_minhash_bands, suite.SQL_MINHASH_BANDS),
+    "dedup_clusters": (suite.q_dedup_clusters, suite.SQL_DEDUP_CLUSTERS),
     "ngram_jaccard": (suite.q_ngram_jaccard, suite.SQL_NGRAM_JACCARD),
     "langid": (suite.q_langid, suite.SQL_LANGID),
     "quality_score": (suite.q_quality_score, suite.SQL_QUALITY_SCORE),

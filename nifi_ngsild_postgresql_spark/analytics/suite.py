@@ -1099,3 +1099,83 @@ WINDOW w AS (
   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
 )
 """
+
+
+DEDUP_CLUSTER_MAX_ITERS = 16
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution — the step AFTER candidate
+    generation that makes dedup actionable: connected components over
+    the MinHash-band candidate pairs via min-label propagation, each doc
+    labeled with its component's minimum doc_id, ``keep`` marking the
+    canonical representative (one survivor per cluster). The fixpoint is
+    UNIQUE (component-min is order-independent), so the iterative Spark
+    computation and DuckDB's recursive-CTE reachability agree exactly.
+
+    Scale shape: per iteration one keyed join (labels x edges) + one
+    map-side-combined min aggregation — O(E) per round, rounds bounded
+    by component diameter (near-dup clusters are tiny; the driver loop
+    stops at the fixpoint via a bounded count check, capped at
+    DEDUP_CLUSTER_MAX_ITERS). This is label propagation, the standard
+    Spark connected-components shape — no driver-side graph."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = q_minhash_bands(spark, sf_dir)
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster"))
+    for _ in range(DEDUP_CLUSTER_MAX_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels.localCheckpoint()  # truncate the iterative lineage
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "cluster",
+        (F.col("doc_id") == F.col("cluster")).alias("keep"),
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({SQL_MINHASH_BANDS})
+), edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+)
+SELECT d.doc_id,
+       COALESCE(r.cluster, d.doc_id) AS cluster,
+       d.doc_id = COALESCE(r.cluster, d.doc_id) AS keep
+FROM documents d
+LEFT JOIN (
+  WITH RECURSIVE reach(doc_id, label) AS (
+    SELECT doc_a, doc_a FROM edges
+    UNION
+    SELECT e.doc_a, r.label FROM edges e JOIN reach r ON r.doc_id = e.doc_b
+  )
+  SELECT doc_id, MIN(label) AS cluster FROM reach GROUP BY doc_id
+) r ON r.doc_id = d.doc_id
+"""
