@@ -16,7 +16,7 @@ Subcommands:
     ingest    — batch or streaming ingest of a changelog into the lake
     show      — print a lake table's schema + a sample
     retry     — replay table slices parked in <warehouse>/_retry
-    maintain  — compact / rebucket / expire snapshots
+    maintain  — compact / rebucket / expire / tag snapshots
 """
 
 from __future__ import annotations
@@ -91,8 +91,15 @@ def main(argv: list[str] | None = None) -> int:
         "version and advance it (ignores --from/--to)",
     )
 
-    m = sub.add_parser("maintain", help="compact / rebucket / expire snapshots")
+    m = sub.add_parser(
+        "maintain", help="compact / rebucket / expire / tag snapshots"
+    )
     m.add_argument("--warehouse", required=True)
+    m.add_argument("--tag", default=None,
+                   help="name the current (or --tag-version) snapshot; "
+                   "tagged snapshots are never GC'd")
+    m.add_argument("--tag-version", type=int, default=None)
+    m.add_argument("--drop-tag", default=None)
     m.add_argument("--table", required=True, help="tenant.table")
     m.add_argument("--max-files-per-bucket", type=int, default=8)
     m.add_argument("--rebucket-to", type=int, default=None)
@@ -194,15 +201,21 @@ def main(argv: list[str] | None = None) -> int:
 
         tenant, name = args.table.split(".", 1)
         table = LakeCatalog(args.warehouse).table(tenant, name)
-        out: dict = {
-            "compact": table.compact(
+        out: dict = {}
+        if args.tag:
+            out["tagged"] = {args.tag: table.tag(args.tag, args.tag_version)}
+        if args.drop_tag:
+            table.drop_tag(args.drop_tag)
+            out["dropped_tag"] = args.drop_tag
+        if not (args.tag or args.drop_tag):
+            out["compact"] = table.compact(
                 spark,
                 max_files_per_bucket=args.max_files_per_bucket,
                 rebucket_to=args.rebucket_to,
             )
-        }
         if args.expire_keep_last:
             out["expire"] = table.expire_snapshots(keep_last=args.expire_keep_last)
+        out["tags"] = table.tags()
         print(json.dumps(out))
         return 0
 
