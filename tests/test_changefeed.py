@@ -339,3 +339,55 @@ def test_preimages_and_incremental_view_maintenance(spark, tmp_path):
     assert "update_preimage" in {
         r["_change_type"] for r in out["changes"].collect()
     }
+
+
+def test_materialized_aggregate_refresh_and_crash_recovery(spark, tmp_path):
+    """The persistent IVM view: refresh folds each change range into
+    parquet state and equals full re-aggregation after every refresh;
+    a crash BETWEEN state write and checkpoint commit re-derives the
+    identical state on the next refresh (no double counting)."""
+    from nifi_ngsild_postgresql_spark.streaming.changefeed import (
+        MaterializedAggregate,
+    )
+
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert_mor", n_buckets=4)
+    ingest_batch(_batch(spark, [(j, 1.0) for j in range(5)]), cfg, wh, "e0")
+    t = LakeCatalog(wh).table("t", "gauge")
+    view = MaterializedAggregate(t, str(tmp_path / "view"), "level")
+
+    def recomputed():
+        return {
+            r["entityid"]: (r["n"], round(r["s"], 6))
+            for r in t.read(spark)
+            .groupBy("entityid")
+            .agg(F.count("*").alias("n"), F.sum("level").alias("s"))
+            .collect()
+        }
+
+    def materialized():
+        return {
+            r["entityid"]: (r["n_rows"], round(r["sum_value"], 6))
+            for r in view.read(spark).collect()
+        }
+
+    view.refresh(spark)
+    assert materialized() == recomputed()
+    # more changes: update + new entity + a second observedAt row
+    ingest_batch(
+        _batch(spark, [(0, 4.0), (9, 9.0), (1, 2.5, "2024-02-02T00:00:00Z")],
+               seq0=100),
+        cfg, wh, "e1",
+    )
+    # simulate a crash between state write and checkpoint commit: run the
+    # refresh with the commit disabled, then refresh normally
+    real_commit = view.consumer._commit
+    view.consumer._commit = lambda v: None
+    view.refresh(spark)
+    view.consumer._commit = real_commit
+    assert view.consumer.position() == 1  # checkpoint did NOT advance
+    out = view.refresh(spark)             # re-derives and commits
+    assert out["to"] == t.versions()[-1]
+    assert materialized() == recomputed()
+    # idempotent no-op refresh
+    assert view.refresh(spark)["rows"] == 0
