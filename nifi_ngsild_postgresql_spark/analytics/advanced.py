@@ -433,16 +433,19 @@ N_PROBE = 4
 
 NEARDUP_THRESHOLD = 0.42  # synthetic embeddings are near-uniform (max
 # pairwise cosine ~0.51): 0.42 yields a non-vacuous, bounded pair set at
-# every SF (27 pairs at sf0.001, 34 at sf0.01, 441 at sf0.1)
+# every SF (27 exact pairs at sf0.001, 34 at sf0.01, 441 at sf0.1)
+NEARDUP_TABLES = 4
+NEARDUP_PLANES = 6
+NEARDUP_SEED = 101  # distinct from the ANN plane family (seed 13)
 
 
-def q_embedding_neardup(
+def embedding_neardup_exact(
     spark: SparkSession, sf_dir: str, threshold: float = NEARDUP_THRESHOLD
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs, exact semantics: all pairs with
-    integer-quantized cosine >= threshold. This is the oracle-checked
-    correctness definition; at 10^9+ vectors use lsh_neardup_candidates
-    (bucketed candidate generation) + this exact re-rank on candidates."""
+    """ALL-PAIRS near-dup — O(n^2) theta join; the exact-recall baseline
+    the bucketed q_embedding_neardup is measured against in pytest
+    (test_embedding_neardup_recall_vs_exact). NOT the green entry: this
+    shape cannot run at 10^9 vectors."""
     e = _t(spark, sf_dir, "embeddings")
     qe = e.select("vec_id", quantized_embedding("embedding").alias("emb"))
     a, b = qe.alias("a"), qe.alias("b")
@@ -454,35 +457,115 @@ def q_embedding_neardup(
     return pairs.filter(F.col("cosine") >= threshold)
 
 
-SQL_EMBEDDING_NEARDUP = f"""
+def lsh_neardup_candidates(
+    e: DataFrame,
+    n_tables: int = NEARDUP_TABLES,
+    n_planes: int = NEARDUP_PLANES,
+) -> DataFrame:
+    """The 100 TB candidate-generation path: multi-table signature-
+    bucketed self-join. L independent hyperplane tables of b bits each; a
+    vector probes, per table, its own bucket plus the b Hamming-1 buckets
+    (multi-probe), candidates live only in their exact bucket, and the
+    join is key-equality on (table, signature) — shuffle-partitioned,
+    never an all-pairs stage. Per-task fan-out is bounded by bucket
+    population ~ n / 2^b; at larger n grow b to hold that ratio while L
+    controls recall. Exact duplicates ALWAYS collide (identical vectors
+    -> identical sign bits in every table); a pair at angle theta
+    collides per table with prob p^b + b*p^(b-1)*(1-p), p = 1 - theta/pi,
+    unioned over L tables. Pairs found by several tables are deduped with
+    groupBy (cosine is deterministic, so max == any). Output: one row per
+    colliding pair with its exact integer-quantized cosine."""
+    dim = len(e.select("embedding").first()[0])
+    qe = e.select("vec_id", quantized_embedding("embedding").alias("emb"))
+    sigs = qe
+    for t in range(n_tables):
+        planes = _int_hyperplanes(dim, n_planes, seed=NEARDUP_SEED + t)
+        sigs = sigs.withColumn(f"sig{t}", _lsh_sig_expr("emb", planes))
+    probe_keys, cand_keys = [], []
+    for t in range(n_tables):
+        sigc = F.col(f"sig{t}")
+        exact = F.concat(F.lit(f"{t}:"), sigc)
+        cand_keys.append(exact)
+        probe_keys.append(exact)
+        probe_keys += [
+            F.concat(F.lit(f"{t}:"), _flip_bit(sigc, i, n_planes))
+            for i in range(n_planes)
+        ]
+    probes = sigs.select(
+        "vec_id", "emb", F.explode(F.array(*probe_keys)).alias("probe")
+    )
+    cand = sigs.select(
+        F.col("vec_id").alias("dst"),
+        F.col("emb").alias("demb"),
+        F.explode(F.array(*cand_keys)).alias("probe"),
+    )
+    return (
+        probes.join(cand, "probe")
+        .filter(F.col("vec_id") < F.col("dst"))
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("dst").alias("vec_b"),
+            int_cosine("emb", "demb").alias("cosine"),
+        )
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+
+
+def q_embedding_neardup(
+    spark: SparkSession, sf_dir: str, threshold: float = NEARDUP_THRESHOLD
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs — THE scale shape, oracle-checked:
+    multi-table LSH candidate generation (key-equality join on
+    (table, signature), Hamming<=1 multi-probe — see
+    lsh_neardup_candidates) + exact integer-cosine re-rank >= threshold.
+    Signature bits are exact integer sign tests, so the DuckDB oracle
+    reproduces the identical candidate set and cosines bit-for-bit.
+    Semantics are probabilistic-recall BY CONTRACT (deterministic given
+    the plane seeds): exact duplicates are always found; recall vs the
+    all-pairs baseline (embedding_neardup_exact) is pinned in pytest.
+    Plan gate: test_embedding_neardup_is_key_equality_join asserts no
+    cartesian / nested-loop / non-equi pair stage."""
+    e = _t(spark, sf_dir, "embeddings")
+    cands = lsh_neardup_candidates(e)
+    return cands.filter(F.col("cosine") >= threshold)
+
+
+def _sql_embedding_neardup() -> str:
+    sig_cols = ", ".join(
+        f"{_sql_lsh_sig('emb', _int_hyperplanes(EMBEDDING_DIM, NEARDUP_PLANES, seed=NEARDUP_SEED + t))}"
+        f" AS sig{t}"
+        for t in range(NEARDUP_TABLES)
+    )
+    probe_list, cand_list = [], []
+    for t in range(NEARDUP_TABLES):
+        cand_list.append(f"'{t}:' || sig{t}")
+        probe_list.append(f"'{t}:' || sig{t}")
+        probe_list += [
+            f"'{t}:' || {_sql_flip(f'sig{t}', i, NEARDUP_PLANES)}"
+            for i in range(NEARDUP_PLANES)
+        ]
+    return f"""
 WITH qe AS (
   SELECT vec_id, {_SQL_QVEC.format(col="embedding")} AS emb FROM embeddings
+), sigs AS (
+  SELECT vec_id, emb, {sig_cols} FROM qe
+), probes AS (
+  SELECT vec_id, emb, unnest([{", ".join(probe_list)}]) AS probe FROM sigs
+), cands AS (
+  SELECT vec_id AS dst, emb AS demb, unnest([{", ".join(cand_list)}]) AS probe
+  FROM sigs
+), pairs AS (
+  SELECT p.vec_id AS vec_a, c.dst AS vec_b,
+         MAX({_SQL_INT_COSINE.format(a="p.emb", b="c.demb")}) AS cosine
+  FROM probes p JOIN cands c ON c.probe = p.probe AND p.vec_id < c.dst
+  GROUP BY p.vec_id, c.dst
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       {_SQL_INT_COSINE.format(a="a.emb", b="b.emb")} AS cosine
-FROM qe a JOIN qe b ON a.vec_id < b.vec_id
-WHERE {_SQL_INT_COSINE.format(a="a.emb", b="b.emb")} >= {NEARDUP_THRESHOLD}
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {NEARDUP_THRESHOLD}
 """
 
 
-def lsh_neardup_candidates(e: DataFrame, n_planes: int = 6) -> DataFrame:
-    """The 100 TB candidate-generation path: signature-bucketed self-join
-    (pairs sharing the full hyperplane signature). Probabilistic recall —
-    exact duplicates always collide (identical vectors -> identical sign
-    bits); near-dups collide with prob (1 - theta/pi)^n_planes. Pinned by
-    pytest on planted duplicates; NOT the oracle semantics."""
-    dim = len(e.select("embedding").first()[0])
-    planes = _int_hyperplanes(dim, n_planes)
-    qe = e.select("vec_id", quantized_embedding("embedding").alias("emb"))
-    sig = qe.withColumn("sig", _lsh_sig_expr("emb", planes))
-    a, b = sig.alias("a"), sig.alias("b")
-    return a.join(
-        b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vec_id") < F.col("b.vec_id"))
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        int_cosine("a.emb", "b.emb").alias("cosine"),
-    )
+SQL_EMBEDDING_NEARDUP = _sql_embedding_neardup()
 
 
 # --------------------------------------------------------------------------

@@ -814,6 +814,13 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 KNN_K = 5
 
+# Hard ceiling on the broadcast-kNN candidate side: 1M x (64 dims x 8 B)
+# ~ 512 MB of int64 on the driver + per-executor broadcast — the honest
+# upper bound of this shape. Past it the operator REFUSES to run (loud
+# ValueError) instead of silently OOMing the driver; the scale path is
+# knn_join_lsh (key-equality LSH buckets, no broadcast, no collect).
+KNN_BROADCAST_MAX_CANDIDATES = 1_000_000
+
 
 def q_knn_join(spark, sf_dir, k: int = KNN_K):
     """k-NN JOIN: top-k cosine neighbors for EVERY vector (the all-queries
@@ -831,14 +838,24 @@ def q_knn_join(spark, sf_dir, k: int = KNN_K):
     100 TB path reuses the LSH machinery (advanced.py hyperplane
     signatures) to generate per-bucket candidate sets and runs this same
     exact re-rank on each bounded set — recall of that path is pinned by
-    test_lsh_finds_planted_near_duplicates."""
+    test_lsh_finds_planted_near_duplicates. The driver collect is HARD
+    CAPPED at KNN_BROADCAST_MAX_CANDIDATES: past the cap this operator
+    raises instead of OOMing, directing callers to knn_join_lsh."""
     import numpy as np
     import pandas as pd
 
     e = _t(spark, sf_dir, "embeddings")
     qe = e.select("vec_id", quantized_embedding("embedding").alias("emb"))
-    # candidate side: tiny by the broadcast-knn contract (at scale the
+    # candidate side: bounded by the broadcast-knn contract (at scale the
     # LSH bucketing bounds it per task); int64 so the matmul is exact
+    n_cand = e.count()
+    if n_cand > KNN_BROADCAST_MAX_CANDIDATES:
+        raise ValueError(
+            f"knn_join: {n_cand} candidate vectors exceed the broadcast-kNN "
+            f"cap of {KNN_BROADCAST_MAX_CANDIDATES} — collecting them would "
+            "OOM the driver. Use knn_join_lsh (multi-table LSH buckets, "
+            "key-equality join, no driver collect) at this scale."
+        )
     rows = qe.collect()
     cand_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     cand = np.array([r["emb"] for r in rows], dtype=np.int64)

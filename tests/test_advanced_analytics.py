@@ -94,6 +94,27 @@ def test_embedding_neardup_nonvacuous_and_thresholded(spark):
         assert float(r["cosine"]) >= advanced.NEARDUP_THRESHOLD
 
 
+def test_embedding_neardup_recall_vs_exact(spark):
+    """The green bucketed entry vs the all-pairs baseline: every pair the
+    LSH path reports must BE an exact-threshold pair (precision 1.0 —
+    the re-rank is exact), and recall on the near-random sf embeddings
+    (LSH worst case: colliding angles ~65 deg) must clear 0.5. Planted
+    exact duplicates are always recalled (identical sign bits) — pinned
+    separately by test_lsh_neardup_scale_path_finds_planted_duplicates."""
+    ship_package(spark)
+    approx = {
+        (r["vec_a"], r["vec_b"])
+        for r in advanced.q_embedding_neardup(spark, SF_DIR).collect()
+    }
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in advanced.embedding_neardup_exact(spark, SF_DIR).collect()
+    }
+    assert approx <= exact  # exact re-rank => no false positives
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"LSH near-dup recall {recall:.3f} below floor"
+
+
 def test_lsh_neardup_scale_path_finds_planted_duplicates(spark):
     """The 100 TB candidate path (signature-bucketed join, no all-pairs):
     exact duplicates always share the full signature, so planted copies

@@ -73,12 +73,14 @@ def test_analytics_plans_stay_jvm_and_keyed(spark):
         "simhash": advanced.q_simhash_neardup,
         "ngram": suite.q_ngram_jaccard,
         "minhash": suite.q_minhash_bands,
+        "neardup": advanced.q_embedding_neardup,
     }
     broadcast_nl_ok = {
         "ann_lsh": advanced.q_ann_lsh_topk,
         "ann_ivf": advanced.q_ann_ivf_topk,
         "ann_cosine": suite.q_ann_cosine_topk,
-        "neardup_exact": advanced.q_embedding_neardup,
+        # test-only all-pairs recall baseline — NOT a queries() entry
+        "neardup_exact": advanced.embedding_neardup_exact,
     }
     for name, fn in {**keyed, **broadcast_nl_ok}.items():
         plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
@@ -142,6 +144,32 @@ def test_knn_join_broadcast_side_is_bounded(spark):
     again = {(r["src"], r["rank"]): r["dst"] for r in suite.q_knn_join(spark, SF_DIR).collect()}
     for r in rows:
         assert again[(r["src"], r["rank"])] == r["dst"]
+
+
+def test_knn_join_refuses_unbounded_driver_collect(spark, monkeypatch):
+    """The broadcast-kNN green entry must never collect an unbounded
+    candidate set to the driver: past KNN_BROADCAST_MAX_CANDIDATES it
+    raises loudly and points at knn_join_lsh (the no-collect scale
+    shape) instead of silently OOMing."""
+    import pytest as _pytest
+
+    monkeypatch.setattr(suite, "KNN_BROADCAST_MAX_CANDIDATES", 10)
+    with _pytest.raises(ValueError, match="knn_join_lsh"):
+        suite.q_knn_join(spark, SF_DIR)
+
+
+def test_embedding_neardup_is_key_equality_join(spark):
+    """The green embedding_neardup entry is the bucketed LSH shape: the
+    pair stage must be reached through a key-equality join on the
+    (table, signature) probe key — never an all-pairs theta join,
+    cartesian, or nested loop (the round-2 weak shape)."""
+    from nifi_ngsild_postgresql_spark.analytics import advanced
+
+    df = advanced.q_embedding_neardup(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # key-equality on the probe key
 
 
 def test_knn_join_lsh_is_key_equality_join(spark):
