@@ -57,6 +57,8 @@ import json
 import os
 import re
 import tempfile
+import time
+from contextlib import contextmanager
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,6 +69,19 @@ from .project import SPARK_TYPE
 
 META_COLS = {"_row_key": "string", "_recv_time": "timestamp", "_seq": "string"}
 _SNAPSHOT_RE = re.compile(r"^v(\d{8})\.json$")
+# commit data dirs: version prefix + per-attempt token (see _write_data);
+# the bare form (no token) is grandfathered for pre-token tables
+_COMMIT_DIR_RE = re.compile(r"^c(\d{8})(?:_[0-9a-f]{8})?$")
+
+# optimistic-commit bound: a writer losing this many O_EXCL races in a row
+# gives up loudly (CommitConflictError) instead of livelocking
+COMMIT_MAX_RETRIES = 5
+
+
+class CommitConflictError(RuntimeError):
+    """Raised when a writer exhausts COMMIT_MAX_RETRIES consecutive
+    snapshot-publish conflicts (the Iceberg CommitFailedException
+    analog). The batch is untouched on disk state and safe to re-run."""
 
 
 def _canon_stat(v):
@@ -504,6 +519,16 @@ class LakeTable:
         rel: list[str] = []
         touched: set[str] = set()
         for s in range_snaps:
+            added = s.get("added_files")
+            if added is not None:
+                # manifest-recorded additions (authoritative: survives
+                # tokenized commit dirs and optimistic-commit rebases,
+                # where the dir's version prefix != the committed version)
+                for b, paths in added.items():
+                    rel.extend(paths)
+                    touched.add(b)
+                continue
+            # pre-token layout fallback: dirs named exactly by version
             commit_rel = f"data/c{s['version']:08d}"
             cdir = os.path.join(self.path, commit_rel)
             if not os.path.isdir(cdir):
@@ -608,10 +633,20 @@ class LakeTable:
     ) -> tuple[dict[str, list[str]], int]:
         """Write df (wide + meta cols, already carrying _bucket); returns
         {bucket: [relative path]} for the buckets present and the row count
-        (captured via Observation — no extra read-back job)."""
+        (captured via Observation — no extra read-back job).
+
+        The commit directory carries a per-attempt random token so (a) two
+        concurrent writers planning the same version number never collide
+        on the data write (the loser rebases or recomputes at commit time
+        — see _apply's optimistic retry) and (b) a crash-replayed epoch
+        re-stages cleanly instead of failing on its own half-written dir.
+        Abandoned dirs are orphans; expire_snapshots collects them after
+        the grace window."""
+        import uuid
+
         from pyspark.sql import Observation
 
-        commit_rel = f"data/c{version:08d}"
+        commit_rel = f"data/c{version:08d}_{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.path, commit_rel)
         obs = Observation()
         # one shuffle keyed by bucket: output file count == touched buckets,
@@ -688,6 +723,7 @@ class LakeTable:
         spark: SparkSession,
         max_files_per_bucket: int = 4,
         rebucket_to: int | None = None,
+        _attempt: int = 0,
     ) -> dict[str, Any]:
         """Small-file compaction: rewrite every bucket whose manifest lists
         more than ``max_files_per_bucket`` entries into a single commit
@@ -739,21 +775,37 @@ class LakeTable:
         # a compaction covering every bucket leaves only unique rows:
         # the table is read-optimized again
         full = set(to_compact) == set(snap["files"])
-        self._commit(
-            {
-                "version": version,
-                "n_buckets": n_buckets,
-                "schema": snap["schema"],
-                "files": files,
-                "epochs": dict(snap["epochs"]),
-                "epoch_horizon": snap.get("epoch_horizon", 0),
-                "n_epochs_total": snap.get("n_epochs_total", len(snap["epochs"])),
-                "merge_on_read": bool(snap.get("merge_on_read")) and not full,
-                "mode": "compact",
-                "file_stats": file_stats,
-                "stats": {"compacted_rows": rows},
-            }
-        )
+        try:
+            self._commit(
+                {
+                    "version": version,
+                    "n_buckets": n_buckets,
+                    "schema": snap["schema"],
+                    "files": files,
+                    "epochs": dict(snap["epochs"]),
+                    "epoch_horizon": snap.get("epoch_horizon", 0),
+                    "n_epochs_total": snap.get("n_epochs_total", len(snap["epochs"])),
+                    "merge_on_read": bool(snap.get("merge_on_read")) and not full,
+                    "mode": "compact",
+                    "file_stats": file_stats,
+                    "added_files": new_files,
+                    "stats": {"compacted_rows": rows},
+                }
+            )
+        except FileExistsError:
+            # maintenance always yields to writers: drop the staged
+            # rewrite and re-plan against the new snapshot (bounded — a
+            # compaction that keeps losing just leaves the table
+            # un-compacted, never wrong)
+            self._drop_staged(new_files)
+            if _attempt >= COMMIT_MAX_RETRIES:
+                return {"compacted_buckets": 0, "conflict": True}
+            return self.compact(
+                spark,
+                max_files_per_bucket=max_files_per_bucket,
+                rebucket_to=rebucket_to,
+                _attempt=_attempt + 1,
+            )
         return {"compacted_buckets": len(to_compact), "rows": rows, "version": version}
 
     # --- named snapshot refs (Iceberg tags) -------------------------------
@@ -767,31 +819,61 @@ class LakeTable:
         with open(self._tags_path()) as f:
             return {k: int(v) for k, v in json.load(f).items()}
 
+    @contextmanager
+    def _tags_lock(self, timeout: float = 10.0):
+        """O_EXCL lock file serializing every tag mutation AND the
+        expire_snapshots keep-set computation: concurrent taggers no
+        longer lose each other's read-modify-write, and a tag() can never
+        race expire_snapshots into GCing the snapshot it just pinned
+        (round-2 ADVICE). Crash-orphaned locks surface as a TimeoutError
+        naming the file rather than a silent deadlock."""
+        os.makedirs(self.meta_dir, exist_ok=True)
+        lock = os.path.join(self.meta_dir, "_tags.lock")
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"tags lock {lock} held past {timeout}s — if its "
+                        "holder crashed, remove the stale lock file"
+                    )
+                time.sleep(0.01)
+        try:
+            yield
+        finally:
+            os.close(fd)
+            os.unlink(lock)
+
     def tag(self, name: str, version: int | None = None) -> int:
         """Name a snapshot (Iceberg tag analog): ``read(version=...)``
         accepts the name, and ``expire_snapshots`` never GCs a tagged
         snapshot or its files — the audit/repro pin for "the table as
-        training run X saw it". Committed via write-temp + atomic
-        replace."""
-        if version is None:
-            version = self.versions()[-1]
-        if version not in self.versions():
-            raise ValueError(f"cannot tag missing snapshot v{version}")
-        tags = self.tags()
-        tags[name] = version
-        fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(tags, f)
-        os.replace(tmp, self._tags_path())
-        return version
+        training run X saw it". Read-modify-write under _tags_lock,
+        published via write-temp + atomic replace."""
+        with self._tags_lock():
+            if version is None:
+                version = self.versions()[-1]
+            if version not in self.versions():
+                raise ValueError(f"cannot tag missing snapshot v{version}")
+            tags = self.tags()
+            tags[name] = version
+            fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(tags, f)
+            os.replace(tmp, self._tags_path())
+            return version
 
     def drop_tag(self, name: str) -> None:
-        tags = self.tags()
-        tags.pop(name, None)
-        fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(tags, f)
-        os.replace(tmp, self._tags_path())
+        with self._tags_lock():
+            tags = self.tags()
+            tags.pop(name, None)
+            fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(tags, f)
+            os.replace(tmp, self._tags_path())
 
     def _resolve_version(self, version: int | str | None) -> int | None:
         if isinstance(version, str):
@@ -801,47 +883,140 @@ class LakeTable:
             return tags[version]
         return version
 
-    def expire_snapshots(self, keep_last: int = 8) -> dict[str, Any]:
+    def expire_snapshots(
+        self, keep_last: int = 8, orphan_grace_seconds: float = 3600.0
+    ) -> dict[str, Any]:
         """Garbage-collect snapshot manifests older than the newest
         ``keep_last`` and every data commit directory no kept snapshot
-        references. Tagged snapshots are always kept regardless of age.
-        Time travel remains available within the kept window; the
-        manifest directory stays O(keep_last + tags) forever."""
+        references. Tagged snapshots are always kept regardless of age
+        (the keep-set is computed under _tags_lock, so a concurrent tag()
+        either lands before — and pins its snapshot — or serializes
+        after). Time travel remains available within the kept window; the
+        manifest directory stays O(keep_last + tags) forever.
+
+        Dirs referenced by an EXPIRED snapshot are removed immediately
+        (their writer committed long ago). Dirs referenced by NO snapshot
+        are orphans — either a crashed/abandoned commit attempt or an
+        in-flight writer that staged data but hasn't published yet — and
+        are removed only once older than ``orphan_grace_seconds``
+        (Iceberg's remove_orphan_files older_than); dirs numbered above
+        the newest kept snapshot are additionally always protected."""
         import shutil
 
-        versions = self.versions()
-        if len(versions) <= keep_last:
-            return {"expired_snapshots": 0, "removed_dirs": 0}
-        tagged = set(self.tags().values())
-        keep = sorted(set(versions[-keep_last:]) | (tagged & set(versions)))
-        kept_refs: set[str] = set()
-        for v in keep:
-            for paths in self.snapshot(v)["files"].values():
-                kept_refs.update(p.split("/_bucket=")[0] for p in paths)
-        expired = 0
-        for v in versions:
-            if v not in keep:
-                os.remove(os.path.join(self.meta_dir, f"v{v:08d}.json"))
-                expired += 1
-        removed = 0
-        data_dir = os.path.join(self.path, "data")
-        latest = keep[-1]
-        if os.path.isdir(data_dir):
-            for d in sorted(os.listdir(data_dir)):
-                m = re.match(r"^c(\d{8})$", d)
-                # only GC dirs AT OR BELOW the newest kept snapshot: a
-                # commit dir numbered above it belongs to an IN-FLIGHT
-                # writer that hasn't published its manifest yet — deleting
-                # it here would race the commit and lose its data
-                if m and int(m.group(1)) > latest:
-                    continue
-                if f"data/{d}" not in kept_refs:
+        with self._tags_lock():
+            versions = self.versions()
+            if not versions:
+                return {"expired_snapshots": 0, "removed_dirs": 0}
+            tagged = set(self.tags().values())
+            keep = sorted(set(versions[-keep_last:]) | (tagged & set(versions)))
+
+            def _refs(vs) -> set[str]:
+                out: set[str] = set()
+                for v in vs:
+                    for paths in self.snapshot(v)["files"].values():
+                        out.update(p.split("/_bucket=")[0] for p in paths)
+                return out
+
+            kept_refs = _refs(keep)
+            expired_refs = _refs(v for v in versions if v not in keep)
+            expired = 0
+            for v in versions:
+                if v not in keep:
+                    os.remove(os.path.join(self.meta_dir, f"v{v:08d}.json"))
+                    expired += 1
+            removed = 0
+            data_dir = os.path.join(self.path, "data")
+            latest = keep[-1]
+            now = time.time()
+            if os.path.isdir(data_dir):
+                for d in sorted(os.listdir(data_dir)):
+                    m = _COMMIT_DIR_RE.match(d)
+                    # never GC dirs numbered above the newest kept
+                    # snapshot: an in-flight writer that will commit there
+                    if m and int(m.group(1)) > latest:
+                        continue
+                    rel = f"data/{d}"
+                    if rel in kept_refs:
+                        continue
+                    if rel not in expired_refs:
+                        # true orphan — could be an in-flight writer about
+                        # to rebase onto a lower version: grace window
+                        try:
+                            age = now - os.path.getmtime(
+                                os.path.join(data_dir, d)
+                            )
+                        except OSError:
+                            continue
+                        if age < orphan_grace_seconds:
+                            continue
                     shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
                     removed += 1
-        return {"expired_snapshots": expired, "removed_dirs": removed}
+            return {"expired_snapshots": expired, "removed_dirs": removed}
+
+    def _merge_schema(
+        self, base: dict[str, Any] | None, schema: dict[str, str]
+    ) -> dict[str, str]:
+        """Commit-time schema: ours plus any columns a concurrent writer
+        added meanwhile (union of ADD COLUMNS — the only evolution the
+        engine performs, so the merge is always well-defined; type
+        conflicts are rejected by _can_rebase before we get here). In the
+        conflict-free path base's columns are already a subset of ours and
+        this is the identity."""
+        merged = dict(schema)
+        if base:
+            for col, typ in base["schema"].items():
+                merged.setdefault(col, typ)
+        return merged
+
+    def _can_rebase(
+        self,
+        mode: str,
+        snap: dict[str, Any] | None,
+        latest: dict[str, Any],
+        new_files: dict[str, list[str]],
+        schema: dict[str, str],
+        n_buckets: int,
+    ) -> bool:
+        """Is a metadata-only retry against ``latest`` sound for files we
+        staged against ``snap``? Additive commits (append / MoR) always
+        rebase; a CoW rewrite rebases only if no bucket it rewrote changed
+        under it (entity keys hash to fixed buckets, so any concurrent
+        write touching our entities MUST have altered one of our buckets'
+        file lists — bucket-level comparison is a complete conflict
+        detector). Rebucketing or a column-type conflict always forces a
+        recompute."""
+        if latest["n_buckets"] != n_buckets:
+            return False
+        for col, typ in latest["schema"].items():
+            if schema.get(col, typ) != typ:
+                return False
+        if mode in ("upsert", "replace"):
+            old = snap["files"] if snap else {}
+            for b in new_files:
+                if old.get(b, []) != latest["files"].get(b, []):
+                    return False
+        return True
+
+    def _drop_staged(self, new_files: dict[str, list[str]]) -> None:
+        """Best-effort removal of data dirs staged by an abandoned commit
+        attempt (the per-attempt token makes them exclusively ours);
+        anything left over is an orphan for expire_snapshots."""
+        import shutil
+
+        for paths in new_files.values():
+            for rel in paths:
+                shutil.rmtree(
+                    os.path.join(self.path, rel.split("/_bucket=")[0]),
+                    ignore_errors=True,
+                )
 
     def _apply(
-        self, df: DataFrame, schema: dict[str, str], epoch_id: str, mode: str
+        self,
+        df: DataFrame,
+        schema: dict[str, str],
+        epoch_id: str,
+        mode: str,
+        _attempt: int = 0,
     ) -> dict[str, Any]:
         snap = self.latest_snapshot()
         if snap and epoch_id in snap["epochs"]:
@@ -897,54 +1072,88 @@ class LakeTable:
 
         new_files, rows_written = self._write_data(to_write, version, schema, n_buckets)
 
-        files = dict(old_files)
-        if mode in ("append", "upsert_mor"):
-            for b, paths in new_files.items():
-                files[b] = files.get(b, []) + paths
-        else:
-            # rewritten buckets replace their old file lists; untouched
-            # buckets carry forward
-            for b, paths in new_files.items():
-                files[b] = paths
-            if snap and mode in ("upsert", "replace"):
-                # a touched bucket can end up empty only if all rows were
-                # replaced away; new_files covers every bucket present in
-                # to_write, which includes all old touched rows
-                pass
-        file_stats = self._carry_stats(snap, files, new_files)
-
-        epochs = dict(snap["epochs"]) if snap else {}
-        epochs[epoch_id] = version
-        horizon = snap.get("epoch_horizon", 0) if snap else 0
-        if len(epochs) > self.max_tracked_epochs:
-            # bounded idempotence window: fold the oldest epochs into the
-            # horizon (module docstring — same trade as Iceberg snapshot
-            # expiry; replays always target recent epochs)
-            by_version = sorted(epochs.items(), key=lambda kv: kv[1])
-            pruned = by_version[: len(epochs) - self.max_tracked_epochs]
-            horizon = max(horizon, max(v for _k, v in pruned))
-            epochs = dict(by_version[len(pruned):])
-        self._commit(
-            {
-                "version": version,
-                "n_buckets": n_buckets,
-                "schema": schema,
-                "files": files,
-                "epochs": epochs,
-                "epoch_horizon": horizon,
-                "n_epochs_total": (snap.get("n_epochs_total", len(snap["epochs"])) if snap else 0) + 1,
-                # MoR commits may leave duplicate keys across a bucket's
-                # files: readers must LWW-reduce until a compaction
-                # materializes unique rows (cleared there)
-                "merge_on_read": (
-                    mode == "upsert_mor"
-                    or bool(snap and snap.get("merge_on_read"))
-                ),
-                "mode": mode,
-                "file_stats": file_stats,
-                "stats": {"last_rows_written": rows_written},
-            }
-        )
+        # --- optimistic commit (Iceberg-style): publish against the
+        # snapshot we planned from; if a concurrent writer won the O_EXCL
+        # race, re-read the latest snapshot and either REBASE (metadata-
+        # only retry — always legal for append/MoR additions, legal for
+        # CoW when no touched bucket changed under us) or RECOMPUTE the
+        # whole write against the new state. Bounded by COMMIT_MAX_RETRIES;
+        # abandoned data dirs are orphans collected by expire_snapshots
+        # after the grace window.
+        base = snap
+        while True:
+            version = (base["version"] + 1) if base else 1
+            commit_schema = self._merge_schema(base, schema)
+            files = dict(base["files"]) if base else {}
+            if mode in ("append", "upsert_mor"):
+                for b, paths in new_files.items():
+                    files[b] = files.get(b, []) + paths
+            else:
+                # rewritten buckets replace their old file lists (legal on
+                # rebase only because _can_rebase proved them unchanged
+                # since we read them); untouched buckets carry forward
+                for b, paths in new_files.items():
+                    files[b] = paths
+            file_stats = self._carry_stats(base, files, new_files)
+            epochs = dict(base["epochs"]) if base else {}
+            epochs[epoch_id] = version
+            horizon = base.get("epoch_horizon", 0) if base else 0
+            if len(epochs) > self.max_tracked_epochs:
+                # bounded idempotence window: fold the oldest epochs into
+                # the horizon (module docstring — same trade as Iceberg
+                # snapshot expiry; replays always target recent epochs)
+                by_version = sorted(epochs.items(), key=lambda kv: kv[1])
+                pruned = by_version[: len(epochs) - self.max_tracked_epochs]
+                horizon = max(horizon, max(v for _k, v in pruned))
+                epochs = dict(by_version[len(pruned):])
+            try:
+                self._commit(
+                    {
+                        "version": version,
+                        "n_buckets": n_buckets,
+                        "schema": commit_schema,
+                        "files": files,
+                        "epochs": epochs,
+                        "epoch_horizon": horizon,
+                        "n_epochs_total": (base.get("n_epochs_total", len(base["epochs"])) if base else 0) + 1,
+                        # MoR commits may leave duplicate keys across a
+                        # bucket's files: readers must LWW-reduce until a
+                        # compaction materializes unique rows (cleared there)
+                        "merge_on_read": (
+                            mode == "upsert_mor"
+                            or bool(base and base.get("merge_on_read"))
+                        ),
+                        "mode": mode,
+                        "file_stats": file_stats,
+                        # this commit's own additions (the change-feed
+                        # fast path reads exactly these — never derived
+                        # from dir names, which rebases decouple from the
+                        # committed version)
+                        "added_files": new_files,
+                        "stats": {"last_rows_written": rows_written},
+                    }
+                )
+                break
+            except FileExistsError:
+                if _attempt >= COMMIT_MAX_RETRIES:
+                    raise CommitConflictError(
+                        f"{self.tenant}.{self.name}: gave up after "
+                        f"{_attempt} commit conflicts (epoch {epoch_id})"
+                    )
+                _attempt += 1
+                latest = self.latest_snapshot()
+                if epoch_id in latest["epochs"]:
+                    # another writer landed OUR epoch — exactly-once holds
+                    self._drop_staged(new_files)
+                    return {"skipped_epoch": True}
+                if self._can_rebase(mode, snap, latest, new_files, commit_schema, n_buckets):
+                    base = latest
+                    continue
+                # conflicting writes to a touched bucket (or rebucket /
+                # incompatible schema): our merged output is stale — drop
+                # the staged files and recompute against the new snapshot
+                self._drop_staged(new_files)
+                return self._apply(df, schema, epoch_id, mode, _attempt=_attempt)
         stats = {
             "rows_written": rows_written,
             "buckets_touched": len(new_files),

@@ -1,0 +1,266 @@
+"""Optimistic concurrent-writer commits (round-2 VERDICT item 3).
+
+The lake's snapshot publish is an O_EXCL file create; a concurrent loser
+used to surface as a raw FileExistsError and lean on the foreachBatch
+retry. Now the loser retries in-engine, Iceberg-style: re-read the
+latest snapshot, re-check the epoch, then either REBASE (metadata-only
+re-commit — always legal for additive append/MoR commits, legal for CoW
+when no touched bucket changed underneath) or RECOMPUTE the write
+against the new state. These tests interleave two writers
+deterministically by hooking LakeTable._commit: the first writer's first
+publish attempt triggers a full second-writer commit, forcing the
+conflict, single-threaded and repeatable.
+
+Reference contrast: nifi-ngsild-postgresql serializes all writers
+through one JDBC connection (PostgreSQLConnectionPool, PROC:238-248) so
+the conflict cannot arise there; Iceberg's optimistic retry
+(ICEBERG.md delta #1) is the behavior matched here.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.config import IngestConfig
+from nifi_ngsild_postgresql_spark.plans import lake as lake_mod
+from nifi_ngsild_postgresql_spark.plans.lake import CommitConflictError, LakeCatalog
+from nifi_ngsild_postgresql_spark.plans.manifest import table_manifest
+from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch
+
+TS = "2024-01-01T00:00:00Z"
+
+
+def _payload(eid, v, ts=TS):
+    return json.dumps(
+        {"id": f"urn:x:{eid}", "type": "Gauge",
+         "level": {"type": "Property", "value": v, "observedAt": ts}}
+    )
+
+
+def _batch(spark, items, seq0=0):
+    rows = [
+        ("t", "p", f"{seq0 + i:06d}", "Gauge", _payload(eid, v, ts))
+        for i, (eid, v, ts) in enumerate(items)
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).withColumn("recv_time", F.timestamp_millis(F.lit(1700000000000 + seq0)))
+
+
+def _interleave(monkeypatch, fire_other):
+    """Patch LakeTable._commit so the FIRST publish attempt runs
+    ``fire_other()`` (a full competing commit) before publishing —
+    guaranteeing the patched writer loses the O_EXCL race exactly once."""
+    orig = lake_mod.LakeTable._commit
+    state = {"fired": False}
+
+    def racing(self, snapshot):
+        if not state["fired"]:
+            state["fired"] = True
+            fire_other()
+        return orig(self, snapshot)
+
+    monkeypatch.setattr(lake_mod.LakeTable, "_commit", racing)
+    return state
+
+
+def _bucket_of(spark, eid: int, n_buckets: int) -> int:
+    return (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(f"urn:x:{eid}")), F.lit(n_buckets)))
+        .first()[0]
+    )
+
+
+def _distinct_bucket_eids(spark, n_buckets: int) -> tuple[int, int]:
+    b1 = _bucket_of(spark, 1, n_buckets)
+    for eid in range(2, 64):
+        if _bucket_of(spark, eid, n_buckets) != b1:
+            return 1, eid
+    raise AssertionError("no distinct-bucket entity id found")
+
+
+def _serial_manifest(spark, tmp_path, cfg, batches):
+    wh = str(tmp_path / "wh_serial")
+    for df, epoch in batches:
+        ingest_batch(df, cfg, wh, epoch)
+    return set(table_manifest(LakeCatalog(wh).table("t", "gauge").read(spark)))
+
+
+def test_concurrent_appends_both_land_via_rebase(spark, tmp_path, monkeypatch):
+    """Two appends interleave: the loser rebases (metadata-only — its
+    staged data files are reused, no second Spark write) and both epochs
+    land; state equals serial execution."""
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="append", n_buckets=4)
+    seed = _batch(spark, [(0, 0.0, TS)])
+    a = _batch(spark, [(1, 1.0, TS)], seq0=10)
+    b = _batch(spark, [(2, 2.0, TS)], seq0=20)
+    ingest_batch(seed, cfg, wh, "e-seed")
+
+    writes = []
+    orig_write = lake_mod.LakeTable._write_data
+
+    def counting_write(self, *args, **kwargs):
+        writes.append(1)
+        return orig_write(self, *args, **kwargs)
+
+    monkeypatch.setattr(lake_mod.LakeTable, "_write_data", counting_write)
+    _interleave(monkeypatch, lambda: ingest_batch(b, cfg, wh, "e-b"))
+    stats = ingest_batch(a, cfg, wh, "e-a")
+
+    t = LakeCatalog(wh).table("t", "gauge")
+    assert t.versions() == [1, 2, 3]
+    snap = t.latest_snapshot()
+    assert {"e-a", "e-b"} <= set(snap["epochs"])
+    # rebase, not recompute: one data write per writer
+    assert len(writes) == 2
+    assert stats["tables"]["t.gauge"]["version"] == 3
+    got = set(table_manifest(t.read(spark)))
+    want = _serial_manifest(
+        spark, tmp_path, cfg, [(seed, "e-seed"), (b, "e-b"), (a, "e-a")]
+    )
+    assert got == want
+
+
+def test_concurrent_cow_disjoint_buckets_rebases(spark, tmp_path, monkeypatch):
+    """CoW upserts touching DISJOINT buckets: bucket-level conflict
+    detection proves the rewrite still valid, so the loser rebases
+    without re-running the merge."""
+    n_buckets = 4
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert", n_buckets=n_buckets)
+    e1, e2 = _distinct_bucket_eids(spark, n_buckets)
+    seed = _batch(spark, [(e1, 0.0, TS), (e2, 0.0, TS)])
+    a = _batch(spark, [(e1, 1.0, TS)], seq0=10)
+    b = _batch(spark, [(e2, 2.0, TS)], seq0=20)
+    ingest_batch(seed, cfg, wh, "e-seed")
+
+    writes = []
+    orig_write = lake_mod.LakeTable._write_data
+
+    def counting_write(self, *args, **kwargs):
+        writes.append(1)
+        return orig_write(self, *args, **kwargs)
+
+    monkeypatch.setattr(lake_mod.LakeTable, "_write_data", counting_write)
+    _interleave(monkeypatch, lambda: ingest_batch(b, cfg, wh, "e-b"))
+    ingest_batch(a, cfg, wh, "e-a")
+
+    t = LakeCatalog(wh).table("t", "gauge")
+    assert t.versions() == [1, 2, 3]
+    assert {"e-a", "e-b"} <= set(t.latest_snapshot()["epochs"])
+    assert len(writes) == 2  # rebase: no recompute write
+    rows = {r["entityid"]: r["level"] for r in t.read(spark).collect()}
+    assert rows == {f"urn:x:{e1}": 1.0, f"urn:x:{e2}": 2.0}
+    got = set(table_manifest(t.read(spark)))
+    want = _serial_manifest(
+        spark, tmp_path, cfg, [(seed, "e-seed"), (b, "e-b"), (a, "e-a")]
+    )
+    assert got == want
+
+
+def test_concurrent_cow_same_bucket_recomputes(spark, tmp_path, monkeypatch):
+    """CoW upserts to the SAME entity (hence same bucket): the loser's
+    merged output is stale — it must recompute against the interleaver's
+    snapshot, and the final row is the LWW winner across both writers,
+    exactly as if they ran serially."""
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert", n_buckets=4)
+    seed = _batch(spark, [(1, 0.0, TS)])
+    a = _batch(spark, [(1, 10.0, TS)], seq0=20)  # higher seq -> LWW winner
+    b = _batch(spark, [(1, 5.0, TS)], seq0=10)
+    ingest_batch(seed, cfg, wh, "e-seed")
+
+    writes = []
+    orig_write = lake_mod.LakeTable._write_data
+
+    def counting_write(self, *args, **kwargs):
+        writes.append(1)
+        return orig_write(self, *args, **kwargs)
+
+    monkeypatch.setattr(lake_mod.LakeTable, "_write_data", counting_write)
+    _interleave(monkeypatch, lambda: ingest_batch(b, cfg, wh, "e-b"))
+    ingest_batch(a, cfg, wh, "e-a")
+
+    t = LakeCatalog(wh).table("t", "gauge")
+    assert t.versions() == [1, 2, 3]
+    assert {"e-a", "e-b"} <= set(t.latest_snapshot()["epochs"])
+    assert len(writes) == 3  # loser recomputed: one extra data write
+    rows = t.read(spark).collect()
+    assert len(rows) == 1 and rows[0]["level"] == 10.0
+    got = set(table_manifest(t.read(spark)))
+    want = _serial_manifest(
+        spark, tmp_path, cfg, [(seed, "e-seed"), (b, "e-b"), (a, "e-a")]
+    )
+    assert got == want
+
+
+def test_same_epoch_race_is_exactly_once(spark, tmp_path, monkeypatch):
+    """Two writers racing the SAME epoch id (at-least-once redelivery):
+    the loser finds its epoch already committed in the latest snapshot
+    and skips — no duplicate rows, even under append mode."""
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="append", n_buckets=4)
+    seed = _batch(spark, [(0, 0.0, TS)])
+    dup = _batch(spark, [(1, 1.0, TS)], seq0=10)
+    ingest_batch(seed, cfg, wh, "e-seed")
+
+    _interleave(monkeypatch, lambda: ingest_batch(dup, cfg, wh, "e-dup"))
+    stats = ingest_batch(dup, cfg, wh, "e-dup")
+
+    t = LakeCatalog(wh).table("t", "gauge")
+    assert t.versions() == [1, 2]
+    assert stats["tables"]["t.gauge"].get("skipped_epoch") is True
+    assert t.read(spark).count() == 2  # seed row + ONE copy of the dup row
+
+
+def test_commit_conflict_bound_surfaces_loudly(spark, tmp_path, monkeypatch):
+    """With the retry budget exhausted, the writer raises
+    CommitConflictError instead of livelocking; the pipeline's
+    table-failure isolation parks the slice in the retry channel (the
+    same at-least-once recovery path as any other table failure)."""
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="append", n_buckets=4, isolate_table_failures=False)
+    seed = _batch(spark, [(0, 0.0, TS)])
+    a = _batch(spark, [(1, 1.0, TS)], seq0=10)
+    b = _batch(spark, [(2, 2.0, TS)], seq0=20)
+    ingest_batch(seed, cfg, wh, "e-seed")
+
+    monkeypatch.setattr(lake_mod, "COMMIT_MAX_RETRIES", 0)
+    _interleave(monkeypatch, lambda: ingest_batch(b, cfg, wh, "e-b"))
+    with pytest.raises(CommitConflictError):
+        ingest_batch(a, cfg, wh, "e-a")
+    # the interleaver's commit is intact; the loser changed nothing
+    t = LakeCatalog(wh).table("t", "gauge")
+    assert {"e-seed", "e-b"} <= set(t.latest_snapshot()["epochs"])
+    assert "e-a" not in t.latest_snapshot()["epochs"]
+
+
+def test_loser_staged_files_are_dropped_on_recompute(spark, tmp_path, monkeypatch):
+    """The recompute path must not leak its abandoned first-attempt data
+    dirs: they are removed eagerly (and would otherwise be orphans for
+    expire_snapshots' grace window)."""
+    import os
+
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert", n_buckets=4)
+    seed = _batch(spark, [(1, 0.0, TS)])
+    a = _batch(spark, [(1, 10.0, TS)], seq0=20)
+    b = _batch(spark, [(1, 5.0, TS)], seq0=10)
+    ingest_batch(seed, cfg, wh, "e-seed")
+    _interleave(monkeypatch, lambda: ingest_batch(b, cfg, wh, "e-b"))
+    ingest_batch(a, cfg, wh, "e-a")
+
+    t = LakeCatalog(wh).table("t", "gauge")
+    referenced = {
+        p.split("/_bucket=")[0]
+        for v in t.versions()
+        for paths in t.snapshot(v)["files"].values()
+        for p in paths
+    }
+    on_disk = {f"data/{d}" for d in os.listdir(os.path.join(t.path, "data"))}
+    assert on_disk == referenced, f"leaked staged dirs: {on_disk - referenced}"

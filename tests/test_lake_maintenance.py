@@ -189,7 +189,13 @@ def test_expire_spares_in_flight_commit_dirs(spark, tmp_path):
     # and a below-horizon orphan from a long-dead failed commit
     orphan = os.path.join(data, "c00000000")
     os.makedirs(orphan)
+    # default grace window: a FRESH below-horizon orphan is protected (it
+    # may be a concurrent writer about to rebase onto a lower version)
     t.expire_snapshots(keep_last=2)
+    assert os.path.isdir(inflight), "in-flight commit dir was GC'd"
+    assert os.path.isdir(orphan), "fresh orphan GC'd inside grace window"
+    # past the grace window it is collected
+    t.expire_snapshots(keep_last=2, orphan_grace_seconds=0)
     assert os.path.isdir(inflight), "in-flight commit dir was GC'd"
     assert not os.path.isdir(orphan), "below-horizon orphan not collected"
 
