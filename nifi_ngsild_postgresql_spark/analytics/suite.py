@@ -1144,6 +1144,7 @@ def q_dedup_clusters(spark, sf_dir):
         )
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster"))
+    changed = 0
     for _ in range(DEDUP_CLUSTER_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -1168,6 +1169,18 @@ def q_dedup_clusters(spark, sf_dir):
         labels = new_labels.localCheckpoint()  # truncate the iterative lineage
         if changed == 0:
             break
+    if changed != 0:
+        # never silent (round-2 advice): a component with diameter >
+        # DEDUP_CLUSTER_MAX_ITERS has NOT converged and these labels
+        # would diverge from the recursive-CTE oracle
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dedup_clusters: fixpoint not reached after %d rounds "
+            "(%d labels still changing) — raise DEDUP_CLUSTER_MAX_ITERS",
+            DEDUP_CLUSTER_MAX_ITERS,
+            changed,
+        )
     return labels.select(
         "doc_id",
         "cluster",

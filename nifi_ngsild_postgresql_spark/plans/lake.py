@@ -59,6 +59,7 @@ import re
 import tempfile
 import time
 from contextlib import contextmanager
+from functools import reduce
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -441,7 +442,12 @@ class LakeTable:
           joins against the from-state of only the *touched buckets* —
           the same bound as a CoW write. A batch row that LOSES the LWW
           race to an already-stored row (late data) changed nothing and
-          is not emitted; deletes cannot occur in these modes.
+          is not emitted; deletes cannot occur in these modes. On a
+          MULTISET table (non-MoR with plain append commits in its
+          history — sticky ``append_visible`` flag) LWW semantics don't
+          apply: every commit row is a visible insert, including
+          identical re-appends, and the feed emits them all verbatim
+          (still O(changes), no join at all).
         - **state-diff fallback** — the range contains a CoW
           upsert/replace/compaction (whose commit dirs carry rewritten
           unchanged rows): full-outer join of the two states on the
@@ -485,16 +491,33 @@ class LakeTable:
         middles_missing = any(
             v not in versions for v in range(from_version + 1, to_version)
         )
+        # multiset visibility (round-2 advice): once a plain append commit
+        # landed on a non-MoR table (sticky append_visible flag), duplicate
+        # keys are visible BY DESIGN — the LWW fast path would suppress
+        # 'losing' or identical re-appends that really changed the table,
+        # and a keyed state diff would multiply duplicate rows. Such
+        # tables route to insert-exact fast path / full-row-identity diff.
+        to_snap = self.snapshot(to_version)
+        append_multiset = bool(to_snap.get("append_visible")) and not to_snap.get(
+            "merge_on_read"
+        )
         if not (force_diff or from_version == 0 or middles_missing):
             range_snaps = [
                 self.snapshot(v) for v in range(from_version + 1, to_version + 1)
             ]
             if all(s.get("mode") in ("append", "upsert_mor") for s in range_snaps):
+                if append_multiset:
+                    return self._changes_append(spark, range_snaps, schema)
                 return self._changes_fast(
                     spark, from_version, range_snaps, schema, include_preimage
                 )
         return self._changes_diff(
-            spark, from_version, to_version, schema, include_preimage
+            spark,
+            from_version,
+            to_version,
+            schema,
+            include_preimage,
+            full_identity=append_multiset,
         )
 
     def _state(self, spark: SparkSession, version: int, schema: dict[str, str]):
@@ -582,6 +605,35 @@ class LakeTable:
         )
         return post.unionByName(pre)
 
+    def _changes_append(
+        self,
+        spark: SparkSession,
+        range_snaps: list[dict[str, Any]],
+        schema: dict[str, str],
+    ) -> DataFrame:
+        """Append-only range on a multiset-visible table: the change set
+        is EXACTLY the rows in the range's commit dirs, each tagged
+        insert — O(changes) scan, no join, and no LWW suppression (an
+        identical re-append adds a visible row, so it IS reported;
+        round-2 advice). Preimages don't arise: a multiset append never
+        replaces a row."""
+        rel: list[str] = []
+        for s in range_snaps:
+            added = s.get("added_files")
+            if added is not None:
+                for paths in added.values():
+                    rel.extend(paths)
+                continue
+            commit_rel = f"data/c{s['version']:08d}"  # pre-token layout
+            cdir = os.path.join(self.path, commit_rel)
+            if not os.path.isdir(cdir):
+                continue
+            for d in sorted(os.listdir(cdir)):
+                if d.startswith("_bucket="):
+                    rel.append(f"{commit_rel}/{d}")
+        rows = self._read_files(spark, schema, rel, with_meta=False)
+        return rows.select(*schema, F.lit("insert").alias("_change_type"))
+
     def _changes_diff(
         self,
         spark: SparkSession,
@@ -589,6 +641,7 @@ class LakeTable:
         to_version: int,
         schema: dict[str, str],
         include_preimage: bool = False,
+        full_identity: bool = False,
     ) -> DataFrame:
         from .manifest import with_row_sha
 
@@ -600,12 +653,19 @@ class LakeTable:
             self._state(spark, from_version, schema), exclude=meta
         ).alias("b")
         asha, bsha = F.col("a._row_sha256"), F.col("b._row_sha256")
-        j = a.join(
-            b,
-            (F.col("a.entityid") == F.col("b.entityid"))
-            & (F.col("a._row_key") == F.col("b._row_key")),
-            "full_outer",
-        ).filter(asha.isNull() | bsha.isNull() | (asha != bsha))
+        # multiset tables (full_identity) pair rows on full row identity
+        # (key + _seq, unique per source event): duplicate keys neither
+        # multiply through the join nor cancel a genuine re-append; the
+        # feed then reports inserts/deletes only, which is exact for a
+        # multiset (nothing is ever updated in place)
+        key_cols = ("entityid", "_row_key") + (("_seq",) if full_identity else ())
+        on = reduce(
+            lambda x, y: x & y,
+            [F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in key_cols],
+        )
+        j = a.join(b, on, "full_outer").filter(
+            asha.isNull() | bsha.isNull() | (asha != bsha)
+        )
         in_to = asha.isNotNull()
         cols = [
             F.when(in_to, F.col(f"a.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
@@ -786,6 +846,7 @@ class LakeTable:
                     "epoch_horizon": snap.get("epoch_horizon", 0),
                     "n_epochs_total": snap.get("n_epochs_total", len(snap["epochs"])),
                     "merge_on_read": bool(snap.get("merge_on_read")) and not full,
+                    "append_visible": bool(snap.get("append_visible")),
                     "mode": "compact",
                     "file_stats": file_stats,
                     "added_files": new_files,
@@ -1122,6 +1183,16 @@ class LakeTable:
                         "merge_on_read": (
                             mode == "upsert_mor"
                             or bool(base and base.get("merge_on_read"))
+                        ),
+                        # sticky: once a plain append commit lands, the
+                        # (non-MoR) state is a MULTISET — duplicate keys
+                        # are visible by design and the change feed must
+                        # diff on full row identity (read_changes);
+                        # conservative because a later CoW upsert dedupes
+                        # only the buckets it touches
+                        "append_visible": (
+                            mode == "append"
+                            or bool(base and base.get("append_visible"))
                         ),
                         "mode": mode,
                         "file_stats": file_stats,

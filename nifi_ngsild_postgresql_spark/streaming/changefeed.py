@@ -64,9 +64,27 @@ class ChangeFeedConsumer:
     ) -> dict[str, Any]:
         """Consume everything committed since the checkpoint. Returns
         ``{"from": v0, "to": v1, "rows": n}``; a no-op poll (nothing new)
-        returns rows=0 without calling ``apply_fn``. When ``apply_fn`` is
-        None the change DataFrame is returned under ``"changes"`` and the
-        checkpoint still advances (caller consumes eagerly)."""
+        returns rows=0 without calling ``apply_fn``.
+
+        With ``apply_fn`` the row count rides the consumer's own action
+        via an Observation — ONE job per poll, the change computation
+        never re-executes for stats (round-2 advice; gated by
+        test_poll_runs_one_job). If ``apply_fn`` ran no Spark action —
+        violating the at-least-once contract, which requires consuming
+        BEFORE the checkpoint advances — the poll materializes the
+        observed plan itself so nothing is silently skipped.
+
+        With ``apply_fn=None`` the changes are MATERIALIZED into a
+        Spark cache (persist + count) before the checkpoint advances and
+        returned under ``"changes"`` — the returned frame reads the
+        cache, never a possibly-expired snapshot range. The weaker
+        contract on this path, by design: the cache is process-local, so
+        a crash after poll() returns but before the caller drains it
+        loses that range (at-most-once). Consumers needing at-least-once
+        must use ``apply_fn``."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         v0 = self.position()
         versions = self.table.versions()
         v1 = versions[-1] if versions else 0
@@ -77,13 +95,34 @@ class ChangeFeedConsumer:
         )
         out: dict[str, Any] = {"from": v0, "to": v1}
         if apply_fn is not None:
-            apply_fn(changes, v0, v1)
-            out["rows"] = changes.count()
+            obs = Observation()
+            observed = changes.observe(obs, F.count(F.lit(1)).alias("rows"))
+            apply_fn(observed, v0, v1)
+            rows = self._observed_rows(obs)
+            if rows is None:
+                # apply_fn broke the contract (no action over the frame):
+                # materialize here so the range is consumed before commit
+                rows = observed.count()
+            out["rows"] = rows
         else:
-            out["rows"] = changes.count()
+            changes = changes.persist()
+            out["rows"] = changes.count()  # materializes the cache
             out["changes"] = changes
         self._commit(v1)
         return out
+
+    @staticmethod
+    def _observed_rows(obs) -> int | None:
+        """Non-blocking Observation read: the metric map if an action
+        completed over the observed plan, else None (``obs.get`` would
+        block forever on an unconsumed plan)."""
+        try:
+            m = obs._jo.getOrEmpty()
+            if m.isEmpty():
+                return None
+            return int(obs.get["rows"])
+        except Exception:  # pragma: no cover — JVM API drift
+            return None
 
 
 def aggregate_deltas(changes: DataFrame, value_col: str) -> DataFrame:

@@ -179,6 +179,16 @@ def _ingest_staged(
             stats = _write_table(table, wide, final_schema, epoch_id, cfg)
             if not stats.get("skipped_epoch"):
                 stats["new_columns"] = sorted(new_columns)
+            # a successful commit supersedes any slice parked for the SAME
+            # (epoch, table) by an earlier failed delivery of this batch —
+            # unpark it NOW, while the fact is certain, instead of relying
+            # on the bounded has_epoch window at replay time (which a
+            # late replay can outlive — round-2 advice)
+            stale = os.path.join(
+                warehouse, "_retry", f"{epoch_id}-{tenant}.{table_name}"
+            )
+            if os.path.isdir(stale):
+                shutil.rmtree(stale, ignore_errors=True)
             return f"{tenant}.{table_name}", stats
         except Exception as exc:  # noqa: BLE001 — per-table failure isolation
             if not cfg.isolate_table_failures:
@@ -189,7 +199,7 @@ def _ingest_staged(
             # OTHER tables of the micro-batch still commit; an operator (or
             # reprocess_retries) replays them once the cause is fixed.
             stats = _route_to_retry(
-                flat, warehouse, epoch_id, tenant, table_name, exc, cfg
+                flat, warehouse, epoch_id, tenant, table_name, exc, cfg, catalog
             )
             return f"{tenant}.{table_name}", stats
 
@@ -233,6 +243,7 @@ def _route_to_retry(
     table_name: str,
     exc: Exception,
     cfg: IngestConfig,
+    catalog: Any | None = None,
 ) -> dict[str, Any]:
     """Park one failed table's slice of the staged narrow frame under
     <warehouse>/_retry/<epoch>-<tenant>.<table>/ with the error recorded.
@@ -243,11 +254,22 @@ def _route_to_retry(
     and replay skips the Python parse entirely. A ``_meta.json`` sidecar
     records the failed epoch and the ORIGINAL write mode/bucket count so
     replay preserves the stream's semantics regardless of the replayer's
-    flags."""
+    flags — plus whether the epoch had ALREADY COMMITTED when the failure
+    hit (a post-commit failure, e.g. auto-compaction threw): that durable
+    fact lets a replay skip the slice no matter how far past the
+    has_epoch tracking window it happens (round-2 advice)."""
     import logging
 
     from pyspark.sql import Observation
 
+    committed_before_parking = False
+    if catalog is not None:
+        try:
+            committed_before_parking = bool(
+                catalog.table(tenant, table_name).has_epoch(epoch_id)
+            )
+        except Exception:  # noqa: BLE001 — the table itself may be the failure
+            committed_before_parking = False
     retry_dir = os.path.join(
         warehouse, "_retry", f"{epoch_id}-{tenant}.{table_name}"
     )
@@ -270,6 +292,7 @@ def _route_to_retry(
                 "table": table_name,
                 "write_mode": cfg.write_mode,
                 "n_buckets": cfg.n_buckets,
+                "committed_before_parking": committed_before_parking,
                 "error": f"{type(exc).__name__}: {exc}",
             },
             f,
@@ -348,22 +371,25 @@ def reprocess_retries(
     dirs.sort(key=lambda d: os.path.getmtime(os.path.join(retry_root, d)))
     for d in dirs:
         path = os.path.join(retry_root, d)
-        meta_path = os.path.join(path, "_meta.json")
-        meta: dict[str, Any] = {}
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                meta = json.load(f)
-        slice_cfg = (
-            dataclasses.replace(
-                cfg,
-                write_mode=meta["write_mode"],
-                n_buckets=meta.get("n_buckets", cfg.n_buckets),
-            )
-            if meta.get("write_mode")
-            else cfg
-        )
         epoch = f"retry-{d}"
         try:
+            # sidecar parse INSIDE the per-slice isolation: one corrupt
+            # _meta.json parks only its own slice instead of aborting the
+            # whole replay run (round-2 advice)
+            meta_path = os.path.join(path, "_meta.json")
+            meta: dict[str, Any] = {}
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+            slice_cfg = (
+                dataclasses.replace(
+                    cfg,
+                    write_mode=meta["write_mode"],
+                    n_buckets=meta.get("n_buckets", cfg.n_buckets),
+                )
+                if meta.get("write_mode")
+                else cfg
+            )
             flat = spark.read.parquet(path)
             dir_stats: dict[str, dict[str, Any]] = {}
             for (tenant, table_name), inferred in sorted(
@@ -371,7 +397,14 @@ def reprocess_retries(
             ):
                 table = catalog.table(tenant, table_name)
                 orig_epoch = meta.get("failed_epoch")
-                if orig_epoch and table.has_epoch(orig_epoch):
+                already = bool(orig_epoch) and (
+                    # durable fact recorded AT PARKING TIME — valid no
+                    # matter how late the replay runs (the has_epoch
+                    # window below is bounded to max_tracked_epochs)
+                    meta.get("committed_before_parking")
+                    or table.has_epoch(orig_epoch)
+                )
+                if already:
                     # the "failed" commit actually landed (failure was
                     # post-commit, or the stream re-delivered and
                     # succeeded): replaying would double-apply

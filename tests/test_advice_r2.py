@@ -1,0 +1,338 @@
+"""Regression tests for the round-2 advisor findings (ADVICE.md):
+
+1. medium — read_changes on a plain-append (multiset) table: duplicate
+            keys are visible by design, so the feed must report EVERY
+            appended row (including identical re-appends and LWW
+            'losers') and must never multiply rows through a keyed
+            state diff — fast path emits commit rows as inserts; the
+            diff fallback pairs on full row identity (key + _seq).
+2. medium — ChangeFeedConsumer.poll: with apply_fn the row count rides
+            the consumer's own action (ONE job per poll, no second
+            execution of the change computation); with apply_fn=None
+            the changes are materialized into a cache BEFORE the
+            checkpoint advances.
+3. medium — reprocess_retries: a post-commit failure records
+            committed_before_parking in _meta.json, so the replay skips
+            it even after the has_epoch window rolled past; a corrupt
+            sidecar parks only its own slice; a successful re-delivery
+            of the same epoch unparks the stale slice.
+4. low    — dedup_clusters warns when the fixpoint cap is exhausted
+            with labels still changing.
+5. low    — tag mutations serialize through an O_EXCL lock file; a held
+            lock surfaces as TimeoutError naming the file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.config import IngestConfig
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+from nifi_ngsild_postgresql_spark.streaming.changefeed import ChangeFeedConsumer
+from nifi_ngsild_postgresql_spark.streaming.pipeline import (
+    ingest_batch,
+    reprocess_retries,
+)
+
+TS = "2024-01-01T00:00:00Z"
+
+
+def _payload(eid, v, ts=TS):
+    return json.dumps(
+        {"id": f"urn:x:{eid}", "type": "Gauge",
+         "level": {"type": "Property", "value": v, "observedAt": ts}}
+    )
+
+
+def _batch(spark, items, seq0=0, recv=1700000000000):
+    rows = [
+        ("t", "p", f"{seq0 + i:06d}", "Gauge", _payload(eid, v, ts))
+        for i, (eid, v, ts) in enumerate(items)
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).withColumn("recv_time", F.timestamp_millis(F.lit(recv)))
+
+
+# --------------------------------------------------------------------------
+# 1. append-table (multiset) change feed
+# --------------------------------------------------------------------------
+
+
+def _append_table(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="append", n_buckets=2)
+    # v1: two rows; v2: an IDENTICAL re-append of eid 1 plus a stale
+    # 'loser' re-append of eid 2 (lower recv_time than stored)
+    ingest_batch(_batch(spark, [(1, 1.0, TS), (2, 2.0, TS)]), cfg, wh, "e1")
+    ingest_batch(
+        _batch(spark, [(1, 1.0, TS), (2, 0.5, TS)], seq0=10, recv=1600000000000),
+        cfg, wh, "e2",
+    )
+    return LakeCatalog(wh).table("t", "gauge")
+
+
+def test_append_feed_reports_every_appended_row(spark, tmp_path):
+    t = _append_table(spark, tmp_path)
+    assert t.latest_snapshot()["append_visible"] is True
+    assert t.read(spark).count() == 4  # multiset: all four rows visible
+    changes = t.read_changes(spark, 1, 2).collect()
+    # the LWW fast path used to suppress BOTH rows (identical content /
+    # losing recv_time); on a multiset every appended row is an insert
+    assert len(changes) == 2
+    assert {r["_change_type"] for r in changes} == {"insert"}
+    assert sorted(r["level"] for r in changes) == [0.5, 1.0]
+
+
+def test_append_feed_diff_fallback_matches_fast_path(spark, tmp_path):
+    t = _append_table(spark, tmp_path)
+    fast = t.read_changes(spark, 1, 2).collect()
+    diff = t.read_changes(spark, 1, 2, force_diff=True).collect()
+    key = lambda r: (r["entityid"], r["level"], r["_change_type"])  # noqa: E731
+    # full-row-identity diff: no suppressed re-appends, no multiplied
+    # duplicate keys — byte-equal to the fast path
+    assert sorted(map(key, fast)) == sorted(map(key, diff))
+
+
+def test_append_feed_full_history_has_no_row_multiplication(spark, tmp_path):
+    t = _append_table(spark, tmp_path)
+    # from v0 (empty) to v2: all four stored rows, each exactly once —
+    # the old keyed diff joined dup keys many-to-many
+    changes = t.read_changes(spark, 0, 2).collect()
+    assert len(changes) == 4
+    assert {r["_change_type"] for r in changes} == {"insert"}
+
+
+# --------------------------------------------------------------------------
+# 2. change-feed consumer job count / eager materialization
+# --------------------------------------------------------------------------
+
+
+def test_poll_runs_one_job(spark, tmp_path, monkeypatch):
+    """With apply_fn, the poll must execute the change computation ONCE:
+    the consumer's own write is the only Spark action (the row count
+    rides it via Observation — asserted both by job count with AQE off,
+    which otherwise splits one action into several jobs, and by spying
+    that the count came from the Observation, not a second count())."""
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert", n_buckets=2)
+    ingest_batch(_batch(spark, [(1, 1.0, TS), (2, 2.0, TS)]), cfg, wh, "e1")
+    t = LakeCatalog(wh).table("t", "gauge")
+    consumer = ChangeFeedConsumer(t, str(tmp_path / "ckpt"))
+    sink = str(tmp_path / "sink")
+
+    observed = {}
+    orig_obs = ChangeFeedConsumer._observed_rows
+
+    def spy(obs):
+        observed["rows"] = orig_obs(obs)
+        return observed["rows"]
+
+    monkeypatch.setattr(ChangeFeedConsumer, "_observed_rows", staticmethod(spy))
+
+    sc = spark.sparkContext
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("cdf-poll-jobcount", "poll")
+    try:
+        out = consumer.poll(
+            spark, lambda df, v0, v1: df.write.mode("overwrite").parquet(sink)
+        )
+    finally:
+        sc.setJobGroup("", "")
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    jobs = sc.statusTracker().getJobIdsForGroup("cdf-poll-jobcount")
+    assert len(jobs) == 1, f"poll ran {len(jobs)} jobs, expected 1"
+    assert observed["rows"] == 2  # count rode the write, no second pass
+    assert out["rows"] == 2
+    assert spark.read.parquet(sink).count() == 2
+
+
+def test_poll_materializes_before_commit_without_apply_fn(spark, tmp_path):
+    """apply_fn=None: the returned frame is cached and materialized
+    BEFORE the checkpoint advances — it stays readable even if the
+    consumed snapshot range is expired right after the poll."""
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="append", n_buckets=2)
+    ingest_batch(_batch(spark, [(1, 1.0, TS)]), cfg, wh, "e1")
+    ingest_batch(_batch(spark, [(2, 2.0, TS)], seq0=10), cfg, wh, "e2")
+    t = LakeCatalog(wh).table("t", "gauge")
+    consumer = ChangeFeedConsumer(t, str(tmp_path / "ckpt"))
+    out = consumer.poll(spark)
+    assert out["rows"] == 2 and consumer.position() == 2
+    changes = out["changes"]
+    assert changes.storageLevel.useMemory  # cached
+    # simulate the worst case: the consumed range's data vanishes
+    import shutil
+
+    shutil.rmtree(os.path.join(t.path, "data"), ignore_errors=True)
+    assert changes.count() == 2  # served from the cache, not the files
+    changes.unpersist()
+
+
+def test_poll_contract_breaking_apply_fn_still_consumes(spark, tmp_path):
+    """An apply_fn that runs NO Spark action violates the at-least-once
+    contract; the poll detects the unconsumed Observation and
+    materializes the range itself before committing — rows is exact,
+    never a blocked or skipped range."""
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert", n_buckets=2)
+    ingest_batch(_batch(spark, [(1, 1.0, TS)]), cfg, wh, "e1")
+    t = LakeCatalog(wh).table("t", "gauge")
+    consumer = ChangeFeedConsumer(t, str(tmp_path / "ckpt"))
+    out = consumer.poll(spark, lambda df, v0, v1: None)  # no action!
+    assert out["rows"] == 1
+    assert consumer.position() == 1
+
+
+# --------------------------------------------------------------------------
+# 3. retry-channel exactly-once beyond the epoch window
+# --------------------------------------------------------------------------
+
+
+def _fail_once_write_table(monkeypatch):
+    from nifi_ngsild_postgresql_spark.streaming import pipeline as pl
+
+    orig = pl._write_table
+    state = {"failed": False}
+
+    def flaky(table, wide, final_schema, epoch_id, cfg):
+        if not state["failed"]:
+            state["failed"] = True
+            raise RuntimeError("injected sink failure")
+        return orig(table, wide, final_schema, epoch_id, cfg)
+
+    monkeypatch.setattr(pl, "_write_table", flaky)
+    return state
+
+
+def test_post_commit_failure_skips_replay_beyond_epoch_window(
+    spark, tmp_path, monkeypatch
+):
+    """A failure AFTER the commit landed (auto-compaction threw) parks
+    the slice with committed_before_parking=True. Replay skips it even
+    once max_tracked_epochs later commits pruned the epoch from the
+    has_epoch window — the old window-only check double-applied here."""
+    from nifi_ngsild_postgresql_spark.plans import lake as lake_mod
+
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(
+        write_mode="append", n_buckets=2, auto_compact_files=0, max_tracked_epochs=2
+    )
+
+    orig_compact = lake_mod.LakeTable.compact
+    state = {"boom": True}
+
+    def flaky_compact(self, *args, **kwargs):
+        if state["boom"]:
+            state["boom"] = False
+            raise RuntimeError("injected post-commit failure")
+        return orig_compact(self, *args, **kwargs)
+
+    monkeypatch.setattr(lake_mod.LakeTable, "compact", flaky_compact)
+    ingest_batch(_batch(spark, [(1, 1.0, TS)]), cfg, wh, "e-pc")
+    retry_root = os.path.join(wh, "_retry")
+    (parked,) = os.listdir(retry_root)
+    with open(os.path.join(retry_root, parked, "_meta.json")) as f:
+        assert json.load(f)["committed_before_parking"] is True
+
+    # push e-pc out of the 2-epoch tracking window
+    for i in range(4):
+        ingest_batch(
+            _batch(spark, [(10 + i, float(i), TS)], seq0=100 + i * 10),
+            cfg, wh, f"e-fill{i}",
+        )
+    t = LakeCatalog(wh).table("t", "gauge")
+    assert not t.has_epoch("e-pc")  # window has genuinely rolled past
+    before = t.read(spark).count()
+
+    out = reprocess_retries(spark, cfg, wh)
+    assert out["skipped"] == 1 and out["failed"] == 0
+    assert LakeCatalog(wh).table("t", "gauge").read(spark).count() == before
+    assert not os.path.isdir(os.path.join(retry_root, parked))
+
+
+def test_corrupt_sidecar_parks_only_its_own_slice(spark, tmp_path, monkeypatch):
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert", n_buckets=2)
+    _fail_once_write_table(monkeypatch)
+    ingest_batch(_batch(spark, [(1, 1.0, TS)]), cfg, wh, "e-bad")
+    _fail_once_write_table(monkeypatch)
+    ingest_batch(_batch(spark, [(2, 2.0, TS)], seq0=10), cfg, wh, "e-good")
+    retry_root = os.path.join(wh, "_retry")
+    dirs = sorted(os.listdir(retry_root))
+    assert len(dirs) == 2
+    # corrupt the first slice's sidecar
+    with open(os.path.join(retry_root, dirs[0], "_meta.json"), "w") as f:
+        f.write("{not json")
+
+    out = reprocess_retries(spark, cfg, wh)
+    # one slice replayed, one failed-and-stayed-parked — never an abort
+    assert out["reprocessed"] == 1 and out["failed"] == 1
+    assert sorted(os.listdir(retry_root)) == [dirs[0]]
+
+
+def test_successful_redelivery_unparks_stale_slice(spark, tmp_path, monkeypatch):
+    """Crash between parking and the stream checkpoint: the batch is
+    re-delivered under the SAME epoch and commits. The stale parked
+    slice must disappear at commit time (durable, window-independent) so
+    a late replay cannot double-apply it."""
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="append", n_buckets=2)
+    _fail_once_write_table(monkeypatch)
+    batch = _batch(spark, [(1, 1.0, TS)])
+    ingest_batch(batch, cfg, wh, "e-redeliver")
+    retry_root = os.path.join(wh, "_retry")
+    assert len(os.listdir(retry_root)) == 1
+    # redelivery of the same epoch now succeeds (flaky failed once)
+    ingest_batch(batch, cfg, wh, "e-redeliver")
+    assert os.listdir(retry_root) == []
+    t = LakeCatalog(wh).table("t", "gauge")
+    assert t.read(spark).count() == 1
+    # nothing left for replay to double-apply
+    out = reprocess_retries(spark, cfg, wh)
+    assert out == {"reprocessed": 0, "failed": 0, "skipped": 0, "tables": {}}
+    assert t.read(spark).count() == 1
+
+
+# --------------------------------------------------------------------------
+# 4. dedup_clusters cap warning
+# --------------------------------------------------------------------------
+
+
+def test_dedup_clusters_warns_on_exhausted_cap(spark, caplog, monkeypatch):
+    import logging
+
+    from nifi_ngsild_postgresql_spark.analytics import suite
+
+    monkeypatch.setattr(suite, "DEDUP_CLUSTER_MAX_ITERS", 1)
+    with caplog.at_level(logging.WARNING):
+        suite.q_dedup_clusters(spark, "/root/testdata/sf0.001").collect()
+    assert any("fixpoint not reached" in r.message for r in caplog.records)
+
+
+# --------------------------------------------------------------------------
+# 5. tags lock
+# --------------------------------------------------------------------------
+
+
+def test_tag_mutations_serialize_through_lock(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert", n_buckets=2)
+    ingest_batch(_batch(spark, [(1, 1.0, TS)]), cfg, wh, "e1")
+    t = LakeCatalog(wh).table("t", "gauge")
+    # a held lock blocks and surfaces loudly
+    with t._tags_lock():
+        with pytest.raises(TimeoutError, match="_tags.lock"):
+            with t._tags_lock(timeout=0.2):
+                pass
+    # released: mutations proceed and the lock file is cleaned up
+    assert t.tag("pin") == 1
+    assert t.tags() == {"pin": 1}
+    t.drop_tag("pin")
+    assert t.tags() == {}
+    assert not os.path.exists(os.path.join(t.meta_dir, "_tags.lock"))

@@ -123,22 +123,33 @@ def test_retry_replay_is_idempotent_across_crash(spark, tmp_path):
 
 
 def test_replay_skips_slice_whose_epoch_already_committed(spark, tmp_path):
-    """A failure AFTER the commit landed (e.g. post-commit maintenance
-    threw), or a crash before the stream checkpoint followed by successful
-    re-delivery, leaves a parked slice whose original epoch IS committed.
-    Replaying it would double-apply; the replay must drop it instead."""
+    """A crash before the stream checkpoint followed by successful
+    re-delivery leaves a parked slice whose original epoch IS committed.
+    Round 3: the successful commit UNPARKS the stale slice immediately
+    (durable, independent of the has_epoch window — round-2 advice);
+    the window check in reprocess_retries remains as belt-and-suspenders
+    for slices parked by older builds, exercised here by re-parking the
+    slice by hand after the redelivery."""
+    import shutil
+
     wh = str(tmp_path / "wh")
     cfg = IngestConfig(write_mode="append")  # append would show duplicates
     ingest_batch(_batch(spark, _entities(1.0, 1.0)), cfg, wh, "e1")
     bad = _corrupt_manifest(wh, "ta")
     ingest_batch(_batch(spark, _entities(2.0, 2.0), seq0=10), cfg, wh, "e2")
     os.remove(bad)
+    src = os.path.join(wh, "_retry", "e2-t.ta")
+    saved = str(tmp_path / "saved-slice")
+    shutil.copytree(src, saved)
     # the stream re-delivers the batch after the crash and it commits
-    # normally under the SAME epoch id...
+    # normally under the SAME epoch id -> the stale slice is unparked NOW
     ingest_batch(_batch(spark, _entities(2.0, 2.0), seq0=10), cfg, wh, "e2")
     cat = LakeCatalog(wh)
     assert cat.table("t", "ta").read(spark).count() == 2  # e1 + e2
-    # ...so the stale parked slice must be dropped, not re-applied
+    assert not os.listdir(os.path.join(wh, "_retry"))
+    # a leftover pre-unpark slice (older build) is still caught by the
+    # has_epoch window at replay time: dropped, never double-applied
+    shutil.copytree(saved, src)
     out = reprocess_retries(spark, cfg, wh)
     assert out["skipped"] == 1 and out["reprocessed"] == 0
     assert out["tables"]["t.ta"] == {"skipped_already_committed": "e2"}
