@@ -92,6 +92,9 @@ REGISTRY: dict[str, tuple] = {
         advanced.q_multimodal_features,
         advanced.SQL_MULTIMODAL_FEATURES,
     ),
+    # round 3: audio/wav decode is REAL (stdlib wave over synthesized
+    # RIFF/PCM bytes; oracle checks header fields + exact sample stats)
+    "audio_decode": (advanced.q_audio_decode, advanced.SQL_AUDIO_DECODE),
 }
 
 

@@ -202,3 +202,40 @@ def test_kmeans_improves_cost_and_covers_all_vectors(spark):
     assert cost2 < 0.8 * cost0
     again = {r["vec_id"]: r["cluster"] for r in advanced.q_kmeans(spark, sf).collect()}
     assert all(again[r["vec_id"]] == r["cluster"] for r in rows)
+
+
+def test_wav_decode_reads_real_bytes():
+    """decode_wav is a real parse, not a fingerprint: it round-trips the
+    synthesized container exactly, and corrupting the RIFF magic or
+    truncating PCM frames flips decode_status to an error instead of
+    returning fabricated stats."""
+    doc_id = 7
+    payload = synth = advanced.synth_wav(doc_id)
+    out = advanced.decode_wav(payload)
+    assert out["decode_status"] == "decoded"
+    assert out["n_channels"] == 1 + doc_id % 2
+    assert out["sample_rate"] == 8000 * (1 + doc_id % 3)
+    n_frames = 32 + doc_id % 33
+    assert out["n_samples"] == n_frames
+    vals = [
+        (doc_id * advanced.AUDIO_SYNTH_A + j * advanced.AUDIO_SYNTH_B) % 65536
+        - 32768
+        for j in range(n_frames * out["n_channels"])
+    ]
+    assert out["sample_sum"] == sum(vals)
+    assert out["sample_sumsq"] == sum(v * v for v in vals)
+
+    corrupt = b"JUNK" + synth[4:]  # break the RIFF magic
+    assert advanced.decode_wav(corrupt)["decode_status"].startswith("error")
+    truncated = synth[:-10]  # lose PCM frames the header still promises
+    assert advanced.decode_wav(truncated)["decode_status"].startswith("error")
+
+
+def test_audio_decode_query_end_to_end(spark):
+    ship_package(spark)
+    rows = {r["media_id"]: r for r in advanced.q_audio_decode(spark, SF_DIR).collect()}
+    assert len(rows) > 0
+    assert all(r["decode_status"] == "decoded" for r in rows.values())
+    some = rows[min(rows)]
+    assert some["n_bytes"] == 44 + 2 * some["n_samples"] * some["n_channels"]
+    assert some["duration_ms"] == some["n_samples"] * 1000 // some["sample_rate"]
