@@ -48,6 +48,11 @@ class IngestConfig:
     # window); older epochs fold into the epoch horizon — see
     # plans/lake.py LakeTable docstring
     max_tracked_epochs: int = 64
+    # auto-rebucket: when the MEDIAN bucket's bytes (tracked in the
+    # manifest) exceed this, post-commit maintenance rewrites the table
+    # with a power-of-two-scaled bucket count (content-invariant);
+    # None disables — see plans/lake.py _rebucket_target
+    target_bucket_bytes: int | None = 256 << 20
     # partial-batch failure recovery (reference BatchUpdateException
     # routing, NgsiLdToPostgreSQL.java:420-509): when one target table's
     # commit fails, route ONLY that table's flattened rows to

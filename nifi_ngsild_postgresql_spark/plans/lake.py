@@ -152,6 +152,7 @@ class LakeTable:
         max_tracked_epochs: int = 64,
         stats_cols: tuple[str, ...] = ("entityid", "observedat"),
         sort_within_buckets: tuple[str, ...] = ("observedat",),
+        target_bucket_bytes: int | None = 256 << 20,
     ):
         self.warehouse = warehouse
         self.tenant = tenant
@@ -159,6 +160,13 @@ class LakeTable:
         self.default_n_buckets = n_buckets
         self.auto_compact_files = auto_compact_files
         self.max_tracked_epochs = max_tracked_epochs
+        # auto-rebucket threshold: when the MEDIAN bucket outgrows this,
+        # the post-commit maintenance hook rewrites the table with a
+        # doubled (power-of-two-scaled) bucket count — the create-time 16
+        # is right for a small table, a 100 TB table wants O(10^3-10^4);
+        # None disables. Bucket bytes come from the manifest (recorded at
+        # write time), so the check is O(buckets) dict reads, no I/O.
+        self.target_bucket_bytes = target_bucket_bytes
         self.stats_cols = stats_cols
         self.sort_within_buckets = sort_within_buckets
         self.path = os.path.join(warehouse, tenant, name)
@@ -306,9 +314,11 @@ class LakeTable:
                     continue
                 agg: dict[str, list] = {}
                 complete: set[str] = set(self.stats_cols)
+                n_bytes = 0
                 for fn in sorted(os.listdir(d)):
                     if not fn.endswith(".parquet"):
                         continue
+                    n_bytes += os.path.getsize(os.path.join(d, fn))
                     md = pq.ParquetFile(os.path.join(d, fn)).metadata
                     for g in range(md.num_row_groups):
                         rg = md.row_group(g)
@@ -330,8 +340,12 @@ class LakeTable:
                             seen.add(name)
                         complete &= seen
                 stats = {c: agg[c] for c in sorted(complete & set(agg))}
-                if stats:
-                    out[rel] = stats
+                # dir byte size rides the stats entry ("_bytes" — never a
+                # column name: encoded identifiers can't start with '_'):
+                # the auto-rebucket trigger reads it from the manifest at
+                # zero I/O cost
+                stats["_bytes"] = n_bytes
+                out[rel] = stats
         return out
 
     def _carry_stats(
@@ -1230,7 +1244,14 @@ class LakeTable:
             "buckets_touched": len(new_files),
             "version": version,
         }
-        if self.auto_compact_files is not None and any(
+        rebucket_to = self._rebucket_target(files, file_stats, n_buckets)
+        if rebucket_to:
+            # bucket-count scaling (round-2 verdict item 6): the median
+            # bucket outgrew target_bucket_bytes, so the table has
+            # outgrown its layout — rewrite with a power-of-two-scaled
+            # bucket count (content-invariant; also compacts)
+            stats["auto_rebucket"] = self.compact(spark, rebucket_to=rebucket_to)
+        elif self.auto_compact_files is not None and any(
             len(paths) > self.auto_compact_files for paths in files.values()
         ):
             # bound per-bucket file lists (and so manifest size) under
@@ -1239,6 +1260,39 @@ class LakeTable:
                 spark, max_files_per_bucket=self.auto_compact_files
             )
         return stats
+
+    MAX_AUTO_BUCKETS = 4096
+
+    def _rebucket_target(
+        self,
+        files: dict[str, list[str]],
+        file_stats: dict[str, dict],
+        n_buckets: int,
+    ) -> int | None:
+        """Bucket count the table SHOULD have, or None if the current one
+        still fits: doubles until the median bucket (by manifest-recorded
+        bytes) would land under target_bucket_bytes, capped at
+        MAX_AUTO_BUCKETS. Median, not max, so one skewed entity can't
+        force a full-table rewrite; dirs written before byte tracking
+        count as 0 (conservative: never rebucket on unknowns)."""
+        if self.target_bucket_bytes is None or not files:
+            return None
+        if n_buckets >= self.MAX_AUTO_BUCKETS:
+            return None
+        sizes = sorted(
+            sum(file_stats.get(rel, {}).get("_bytes", 0) for rel in rels)
+            for rels in files.values()
+        )
+        median = sizes[len(sizes) // 2]
+        if median <= self.target_bucket_bytes:
+            return None
+        factor = 2
+        while (
+            median // factor > self.target_bucket_bytes
+            and n_buckets * factor < self.MAX_AUTO_BUCKETS
+        ):
+            factor *= 2
+        return min(n_buckets * factor, self.MAX_AUTO_BUCKETS)
 
 
 class LakeCatalog:
@@ -1251,11 +1305,13 @@ class LakeCatalog:
         n_buckets: int = 16,
         auto_compact_files: int | None = 32,
         max_tracked_epochs: int = 64,
+        target_bucket_bytes: int | None = 256 << 20,
     ):
         self.warehouse = warehouse
         self.n_buckets = n_buckets
         self.auto_compact_files = auto_compact_files
         self.max_tracked_epochs = max_tracked_epochs
+        self.target_bucket_bytes = target_bucket_bytes
 
     def table(self, tenant: str, name: str) -> LakeTable:
         return LakeTable(
@@ -1265,6 +1321,7 @@ class LakeCatalog:
             self.n_buckets,
             auto_compact_files=self.auto_compact_files,
             max_tracked_epochs=self.max_tracked_epochs,
+            target_bucket_bytes=self.target_bucket_bytes,
         )
 
     def list_tables(self) -> list[tuple[str, str]]:

@@ -73,6 +73,7 @@ def ingest_batch(
             n_buckets=cfg.n_buckets,
             auto_compact_files=cfg.auto_compact_files,
             max_tracked_epochs=cfg.max_tracked_epochs,
+            target_bucket_bytes=cfg.target_bucket_bytes,
         )
 
     # Stage the narrow frame as parquet partitioned by target table rather
@@ -356,6 +357,7 @@ def reprocess_retries(
             n_buckets=cfg.n_buckets,
             auto_compact_files=cfg.auto_compact_files,
             max_tracked_epochs=cfg.max_tracked_epochs,
+            target_bucket_bytes=cfg.target_bucket_bytes,
         )
     # same defensive confs as ingest_batch: replayed TIMESTAMPTZ cells
     # must parse in UTC no matter how the caller built the session

@@ -223,3 +223,56 @@ def test_tags_pin_snapshots_against_gc_and_resolve_in_read(spark, tmp_path):
     t.drop_tag("training-run-7")
     t.expire_snapshots(keep_last=2)
     assert 2 not in t.versions()      # released to GC
+
+
+def test_auto_rebucket_triggers_on_bucket_bytes(spark, tmp_path):
+    """Round-2 verdict item 6: when the median bucket's bytes (tracked in
+    the manifest at write time) cross target_bucket_bytes, the
+    post-commit maintenance hook rewrites the table with a scaled bucket
+    count — content sha-identical, no manual compact(rebucket_to=)."""
+    import dataclasses
+
+    wh = str(tmp_path / "wh")
+    quiet = IngestConfig(
+        write_mode="upsert", n_buckets=2, target_bucket_bytes=None
+    )
+    rows = [(j, float(j), "2024-01-01T00:00:00Z") for j in range(40)]
+    ingest_batch(_batch(spark, rows), quiet, wh, "e1")
+    table = LakeCatalog(wh).table("t", "gauge")
+    snap1 = table.latest_snapshot()
+    assert snap1["n_buckets"] == 2
+    # write-time byte tracking is in the manifest
+    assert all(s.get("_bytes", 0) > 0 for s in snap1["file_stats"].values())
+
+    # enable a threshold far below the current median bucket size: the
+    # NEXT commit's maintenance hook must rebucket
+    tiny = dataclasses.replace(quiet, target_bucket_bytes=1000)
+    out = ingest_batch(
+        _batch(spark, [(99, 99.0, "2024-01-02T00:00:00Z")], seq0=100),
+        tiny, wh, "e2",
+    )
+    assert "auto_rebucket" in out["tables"]["t.gauge"]
+    snap2 = table.latest_snapshot()
+    assert snap2["mode"] == "compact"
+    assert snap2["n_buckets"] > 2
+
+    # content invariant: equals the same ingests run with rebucket off
+    wh2 = str(tmp_path / "wh2")
+    ingest_batch(_batch(spark, rows), quiet, wh2, "e1")
+    ingest_batch(
+        _batch(spark, [(99, 99.0, "2024-01-02T00:00:00Z")], seq0=100),
+        quiet, wh2, "e2",
+    )
+    got = table_manifest(table.read(spark))
+    want = table_manifest(LakeCatalog(wh2).table("t", "gauge").read(spark))
+    assert sorted(got) == sorted(want)
+
+    # stable: with the median under target (any threshold above the
+    # ~3 KB parquet per-dir floor that dominates at this toy scale), a
+    # further commit must NOT rebucket
+    roomy = dataclasses.replace(quiet, target_bucket_bytes=1_000_000)
+    out3 = ingest_batch(
+        _batch(spark, [(100, 1.0, "2024-01-03T00:00:00Z")], seq0=200),
+        roomy, wh, "e3",
+    )
+    assert "auto_rebucket" not in out3["tables"]["t.gauge"]
