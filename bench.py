@@ -47,6 +47,9 @@ HEADLINE = [
     "quality_score",
     "token_count",
     "ann_cosine_topk",
+    # round 3: the bucketed near-dup green entry + real WAV decode
+    "embedding_neardup",
+    "audio_decode",
 ]
 
 

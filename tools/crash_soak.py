@@ -1,0 +1,242 @@
+"""Combined crash + retry + resume soak (round-2 verdict item 8).
+
+The separate pieces are proven elsewhere (BENCH/STREAM.md sustained soak,
+tests/test_retry_channel.py failure injection, the verify-drive
+kill/resume); this tool proves them COMPOSED at soak scale:
+
+  1. baseline: the full changelog through run_stream uninterrupted;
+     per-table distributed content fingerprint recorded.
+  2. chaos: same changelog, fresh warehouse/checkpoint —
+       a. stream KILLED mid-run (q.stop() after K committed batches),
+       b. while down, the busiest table's NEXT manifest version is
+          corrupted with junk (the verify-drive failure injection): on
+          restart every micro-batch touching that table fails and parks
+          its slice in <wh>/_retry while the other tables keep
+          committing,
+       c. stream RESTARTED from the checkpoint (re-delivered batch is
+          deduped by epoch bookkeeping; parked-then-recommitted slices
+          are unparked at commit time),
+       d. junk removed, reprocess_retries() replays the parked slices
+          under their recorded write mode.
+  3. equality: every table's fingerprint (row count + bit-xor + sum over
+     the per-row content sha256, computed distributively — no
+     driver-side sha list at 4.7M rows) must equal the baseline's.
+
+Usage: python tools/crash_soak.py [n_events] [n_batches]
+Writes BENCH/CRASH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+if os.path.isdir("/dev/shm"):
+    os.environ.setdefault("NGSILD_STAGING_DIR", "/dev/shm/ngsild-staging")
+os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+
+KILL_AFTER_BATCHES = 6
+
+
+def table_fingerprint(spark, table) -> dict:
+    """Distributed order-insensitive content fingerprint: row count plus
+    bit-xor and modular sum over two independent 60-bit slices of each
+    row's canonical content sha256. Equality of all four fields is
+    overwhelming evidence of multiset equality without collecting
+    millions of shas to the driver."""
+    from pyspark.sql import functions as F
+
+    from nifi_ngsild_postgresql_spark.plans.manifest import with_row_sha
+
+    df = with_row_sha(table.read(spark)).select("_row_sha256")
+    a = F.conv(F.substring("_row_sha256", 1, 15), 16, 10).cast("long")
+    b = F.conv(F.substring("_row_sha256", 16, 15), 16, 10).cast("long")
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "bit_xor(cast(conv(substring(_row_sha256, 1, 15), 16, 10) as long))"
+        ).alias("x1"),
+        F.expr(
+            "bit_xor(cast(conv(substring(_row_sha256, 16, 15), 16, 10) as long))"
+        ).alias("x2"),
+        F.sum(a % 1_000_000_007).alias("s1"),
+        F.sum(b % 1_000_000_007).alias("s2"),
+    ).first()
+    return {k: int(row[k] or 0) for k in ("n", "x1", "x2", "s1", "s2")}
+
+
+def warehouse_fingerprints(spark, wh: str) -> dict[str, dict]:
+    from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+
+    cat = LakeCatalog(wh)
+    return {
+        f"{t}.{n}": table_fingerprint(spark, cat.table(t, n))
+        for t, n in cat.list_tables()
+    }
+
+
+def _wait_for_batches(wh: str, k: int, timeout_s: float = 1800.0) -> int:
+    path = os.path.join(wh, "_lineage", "lineage.jsonl")
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        try:
+            with open(path) as f:
+                n = sum(1 for line in f if '"epoch_id"' in line)
+            if n >= k:
+                return n
+        except FileNotFoundError:
+            pass
+        time.sleep(1.0)
+    raise TimeoutError(f"stream never reached {k} batches")
+
+
+def run_baseline(spark, log_dir: str, cfg, files_per_trigger: int) -> tuple[dict, float]:
+    from nifi_ngsild_postgresql_spark.streaming.pipeline import run_stream
+
+    root = tempfile.mkdtemp(prefix="crash_base_")
+    wh, ckpt = os.path.join(root, "wh"), os.path.join(root, "ckpt")
+    t0 = time.time()
+    q = run_stream(spark, log_dir, cfg, wh, ckpt,
+                   max_files_per_trigger=files_per_trigger)
+    q.awaitTermination()
+    wall = time.time() - t0
+    fps = warehouse_fingerprints(spark, wh)
+    shutil.rmtree(root, ignore_errors=True)
+    return fps, wall
+
+
+def run_chaos(spark, log_dir: str, cfg, files_per_trigger: int) -> tuple[dict, dict]:
+    from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+    from nifi_ngsild_postgresql_spark.streaming.pipeline import (
+        reprocess_retries,
+        run_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="crash_chaos_")
+    wh, ckpt = os.path.join(root, "wh"), os.path.join(root, "ckpt")
+    stats: dict = {}
+    t0 = time.time()
+
+    # phase 1: run, then KILL after K committed batches
+    q = run_stream(spark, log_dir, cfg, wh, ckpt,
+                   max_files_per_trigger=files_per_trigger)
+    stats["killed_after_batches"] = _wait_for_batches(wh, KILL_AFTER_BATCHES)
+    q.stop()
+    q.awaitTermination()
+
+    # phase 2 (while down): corrupt the busiest table's next manifest —
+    # on restart, every batch touching it fails and parks in _retry
+    cat = LakeCatalog(wh)
+    tables = [cat.table(t, n) for t, n in cat.list_tables()]
+    victim = max(tables, key=lambda t: len(t.versions()))
+    junk = os.path.join(
+        victim.meta_dir, f"v{victim.versions()[-1] + 1:08d}.json"
+    )
+    with open(junk, "w") as f:
+        f.write("{ this is not json")
+    stats["victim"] = f"{victim.tenant}.{victim.name}"
+
+    # phase 3: RESTART from the checkpoint; the re-delivered batch and
+    # all remaining batches run; victim slices park, others commit
+    q = run_stream(spark, log_dir, cfg, wh, ckpt,
+                   max_files_per_trigger=files_per_trigger)
+    q.awaitTermination()
+    retry_root = os.path.join(wh, "_retry")
+    stats["parked_slices"] = (
+        len(os.listdir(retry_root)) if os.path.isdir(retry_root) else 0
+    )
+
+    # phase 4: cause fixed -> replay the parked slices
+    os.remove(junk)
+    replay = reprocess_retries(spark, cfg, wh)
+    stats["replayed"] = replay["reprocessed"]
+    stats["replay_skipped"] = replay["skipped"]
+    stats["replay_failed"] = replay["failed"]
+    stats["total_wall_s"] = round(time.time() - t0, 1)
+
+    fps = warehouse_fingerprints(spark, wh)
+    shutil.rmtree(root, ignore_errors=True)
+    return fps, stats
+
+
+def main(n_events: int = 2_000_000, n_batches: int = 20) -> None:
+    from nifi_ngsild_postgresql_spark.config import IngestConfig
+    from nifi_ngsild_postgresql_spark.session import get_spark
+    from nifi_ngsild_postgresql_spark.sources.generator import synthesize_changelog
+
+    spark = get_spark(app_name="crash-soak", master="local[32]",
+                      shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    gen_root = tempfile.mkdtemp(prefix="crash_log_")
+    log_dir = os.path.join(gen_root, "log")
+    files_per_trigger = 2
+    synthesize_changelog(
+        spark, n_events, seed=7, partitions=n_batches * files_per_trigger
+    ).write.parquet(log_dir)
+
+    cfg = IngestConfig(
+        write_mode="upsert", ignore_empty_observed_at=False, n_buckets=64,
+        max_tracked_epochs=8, auto_compact_files=16,
+    )
+    base_fps, base_wall = run_baseline(spark, log_dir, cfg, files_per_trigger)
+    chaos_fps, stats = run_chaos(spark, log_dir, cfg, files_per_trigger)
+    shutil.rmtree(gen_root, ignore_errors=True)
+
+    equal = base_fps == chaos_fps
+    report = {
+        "n_events": n_events,
+        "n_batches": n_batches,
+        "baseline_wall_s": round(base_wall, 1),
+        "chaos": stats,
+        "tables": sorted(base_fps),
+        "fingerprints_equal": equal,
+    }
+    print(json.dumps(report))
+    with open(os.path.join(REPO, "BENCH", "CRASH.md"), "w") as f:
+        f.write(
+            "# Crash + retry + resume soak\n\n"
+            f"{n_events:,} change events, upsert (copy-on-write), "
+            f"local[32]. The chaos run is KILLED after "
+            f"{stats['killed_after_batches']} committed micro-batches; "
+            f"while down, `{stats['victim']}`'s next manifest version is "
+            "corrupted with junk; the stream restarts from its checkpoint "
+            f"(re-delivered batch deduped by epoch bookkeeping), parks "
+            f"{stats['parked_slices']} failing slices in `_retry` while "
+            "the other tables keep committing; the junk is removed and "
+            f"`reprocess_retries` replays {stats['replayed']} slices "
+            f"(skipped {stats['replay_skipped']}, failed "
+            f"{stats['replay_failed']}).\n\n"
+            f"**Final state equality vs the uninterrupted baseline: "
+            f"{'EQUAL' if equal else 'MISMATCH'}** — per-table distributed "
+            "content fingerprint (row count + bit-xor + modular sum over "
+            "two 60-bit slices of each row's canonical content sha256; "
+            "plans/manifest.py canonicalization).\n\n"
+            f"Baseline wall {report['baseline_wall_s']} s; chaos wall "
+            f"{stats['total_wall_s']} s (includes kill/restart overhead "
+            "and the replay).\n\n"
+            "Raw:\n"
+            f"`{json.dumps(report)}`\n"
+        )
+    if not equal:
+        diff = {
+            k: (base_fps.get(k), chaos_fps.get(k))
+            for k in set(base_fps) | set(chaos_fps)
+            if base_fps.get(k) != chaos_fps.get(k)
+        }
+        print("MISMATCH:", json.dumps(diff))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000,
+        int(sys.argv[2]) if len(sys.argv) > 2 else 20,
+    )
