@@ -1,0 +1,288 @@
+"""Corpus-preparation operators round 3 — the text-side steps a training
+pipeline runs between dedup and tokenizer feed, each with a DuckDB
+oracle over the same parquet:
+
+- chunk_text          : fixed-window token chunking with stride/overlap
+                        (training-sequence packing's deterministic
+                        precursor) — pure JVM expressions, narrow.
+- repetition_score    : Gopher-style repetition signals per document
+                        (duplicate-token fraction, top-bigram fraction)
+                        — in-row n-grams, one keyed aggregation.
+- boilerplate_shingles: corpus-frequent shingle coverage per document
+                        (the C4 "remove boilerplate" signal): global
+                        shingle document-frequency via keyed agg, docs
+                        rejoined to the frequent set. Scale shape:
+                        groupBy(shingle) partial-aggregates map-side;
+                        the frequent set is df-thresholded (small by
+                        construction — frequent means repeated across
+                        docs) and the rejoin is key-equality.
+
+Determinism contract (shared with suite.py): token operations split on
+single spaces with empties filtered, fractions are ONE double division
+over exact integer counts, so DuckDB reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CHUNK_WINDOW = 32  # tokens per training chunk
+CHUNK_STRIDE = 24  # tokens between chunk starts (overlap = window-stride)
+
+BOILER_SHINGLE = 3  # tokens per shingle; "boilerplate" = shingle whose
+# document frequency is >= BOILER_DF_MULT x the corpus-average shingle
+# df. Relative, so the definition is scale-free (an absolute df cutoff
+# is either vacuous or saturated depending on corpus size — measured on
+# the sf0.001/0.1 synthetic corpora), and the comparison is kept in
+# exact integers (df * n_shingles >= MULT * total) so both engines
+# agree bit-for-bit.
+BOILER_DF_MULT = 2
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokens(col: str):
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+# --------------------------------------------------------------------------
+# chunk_text
+# --------------------------------------------------------------------------
+
+
+def q_chunk_text(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """One row per training chunk: the document's token stream cut into
+    ``window``-token pieces every ``stride`` tokens (trailing partial
+    chunk kept — a tokenizer pads it). n_chunks = 1 + ceil(max(0,
+    n - window) / stride); empty documents produce no chunks. Narrow,
+    fully JVM (split / sequence / slice / explode): at 100 TB this is a
+    map-only stage whose output fan-out is n_tokens/stride per doc."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens("text").alias("toks")).withColumn(
+        "n_tokens", F.size("toks")
+    )
+    n = F.col("n_tokens")
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - window, F.lit(0)) + stride - 1) / stride
+    ).cast("int")
+    chunks = (
+        toks.filter(n > 0)
+        .withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.slice(
+                "toks", F.col("chunk_id") * stride + 1, F.lit(window)
+            ).alias("ctoks"),
+        )
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size("ctoks").cast("long").alias("chunk_tokens"),
+        F.array_join("ctoks", " ").alias("chunk_text"),
+    )
+
+
+SQL_CHUNK_TEXT = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0
+), chunks AS (
+  SELECT doc_id,
+         CAST(unnest(range(0,
+           1 + (greatest(n - {CHUNK_WINDOW}, 0) + {CHUNK_STRIDE} - 1)
+               // {CHUNK_STRIDE})) AS INT) AS chunk_id,
+         toks, n
+  FROM sized
+)
+SELECT doc_id, chunk_id,
+       CAST(len(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                 least(chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW}, n)))
+            AS BIGINT) AS chunk_tokens,
+       array_to_string(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                 least(chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW}, n)), ' ')
+         AS chunk_text
+FROM chunks
+"""
+
+
+# --------------------------------------------------------------------------
+# repetition_score
+# --------------------------------------------------------------------------
+
+
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (the Gopher/MassiveText quality
+    rules' shape): dup_token_frac = 1 - distinct/total tokens;
+    top_bigram_frac = occurrences of the most frequent bigram / total
+    bigrams (ties by count are frac-identical, so no tie-break is
+    needed). In-row array ops + one explode + keyed agg — no shuffle
+    wider than (doc_id, bigram)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        ).alias("bigrams"),
+    )
+    counts = (
+        base.select("doc_id", "n_tokens", "n_distinct", F.explode("bigrams").alias("bg"))
+        .groupBy("doc_id", "n_tokens", "n_distinct", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams"))
+    )
+    return counts.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("dup_token_frac"),
+        (
+            F.col("top_bigram_n").cast("double") / F.col("n_bigrams").cast("double")
+        ).alias("top_bigram_frac"),
+    )
+
+
+SQL_REPETITION_SCORE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+  FROM toks WHERE len(toks) >= 2
+), counts AS (
+  SELECT doc_id, n_tokens, n_distinct, unnest(bigrams) AS bg
+  FROM base
+), per_bg AS (
+  SELECT doc_id, n_tokens, n_distinct, bg, COUNT(*) AS c
+  FROM counts GROUP BY doc_id, n_tokens, n_distinct, bg
+)
+SELECT doc_id, n_tokens,
+       1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         AS dup_token_frac,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac
+FROM per_bg
+GROUP BY doc_id, n_tokens, n_distinct
+"""
+
+
+# --------------------------------------------------------------------------
+# boilerplate_shingles
+# --------------------------------------------------------------------------
+
+
+def q_boilerplate_shingles(
+    spark: SparkSession,
+    sf_dir: str,
+    shingle: int = BOILER_SHINGLE,
+    df_mult: int = BOILER_DF_MULT,
+) -> DataFrame:
+    """Per-document fraction of shingles that are corpus-boilerplate
+    (document frequency >= df_mult x the corpus-average shingle df) —
+    the C4 remove-boilerplate signal with a scale-free threshold. Keyed
+    aggregations only: distinct (doc, shingle) -> shingle df, a one-row
+    corpus total, then docs rejoin the frequent set with a broadcast
+    key-equality join. At 100 TB the frequent set is small by
+    construction (frequent = well above average), df counting
+    partial-aggregates map-side, and the threshold comparison stays in
+    exact integers so the oracle agrees bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", _tokens("text").alias("toks"))
+        .filter(F.size("toks") >= shingle)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {shingle - 1}),"
+                    f" i -> array_join(slice(toks, i, {shingle}), ' '))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    tot = df_counts.agg(
+        F.sum("df").alias("total"), F.count(F.lit(1)).alias("nsh")
+    )
+    frequent = (
+        df_counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("df") * F.col("nsh") >= df_mult * F.col("total"))
+        .select("sh")
+    )
+    per_doc = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    boiler = (
+        sh.join(F.broadcast(frequent), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        per_doc.join(boiler, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
+            (
+                F.coalesce("n_boiler", F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+SQL_BOILERPLATE_SHINGLES = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - {BOILER_SHINGLE - 2}),
+                i -> array_to_string(list_slice(toks, i, i + {BOILER_SHINGLE - 1}), ' ')))
+           AS sh
+  FROM toks WHERE len(toks) >= {BOILER_SHINGLE}
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM sh0
+), dfc AS (
+  SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh
+), tot AS (
+  SELECT SUM(df) AS total, COUNT(*) AS nsh FROM dfc
+), frequent AS (
+  SELECT sh FROM dfc, tot WHERE df * nsh >= {BOILER_DF_MULT} * total
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+), boiler AS (
+  SELECT s.doc_id, COUNT(*) AS n_boiler
+  FROM sh s JOIN frequent f ON s.sh = f.sh
+  GROUP BY s.doc_id
+)
+SELECT p.doc_id,
+       CAST(p.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(b.n_boiler, 0) AS BIGINT) AS n_boiler,
+       CAST(COALESCE(b.n_boiler, 0) AS DOUBLE) / CAST(p.n_shingles AS DOUBLE)
+         AS boiler_frac
+FROM per_doc p LEFT JOIN boiler b ON p.doc_id = b.doc_id
+"""

@@ -7,7 +7,7 @@ Spark-specific plumbing) and get the driver's rows-only check.
 
 from __future__ import annotations
 
-from . import advanced, suite
+from . import advanced, corpus, suite
 from ..streaming.sessionize import SQL_SESSIONIZE, q_sessionize
 from .flagship import (
     SQL_CDC_INGEST_FLATTEN,
@@ -95,6 +95,13 @@ REGISTRY: dict[str, tuple] = {
     # round 3: audio/wav decode is REAL (stdlib wave over synthesized
     # RIFF/PCM bytes; oracle checks header fields + exact sample stats)
     "audio_decode": (advanced.q_audio_decode, advanced.SQL_AUDIO_DECODE),
+    # round 3: corpus-preparation ops (analytics/corpus.py)
+    "chunk_text": (corpus.q_chunk_text, corpus.SQL_CHUNK_TEXT),
+    "repetition_score": (corpus.q_repetition_score, corpus.SQL_REPETITION_SCORE),
+    "boilerplate_shingles": (
+        corpus.q_boilerplate_shingles,
+        corpus.SQL_BOILERPLATE_SHINGLES,
+    ),
 }
 
 

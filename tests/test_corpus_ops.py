@@ -1,0 +1,106 @@
+"""Corpus-preparation operators (analytics/corpus.py): semantic
+invariants the DuckDB oracle can't express — chunk reconstruction,
+planted repetition values, boilerplate non-vacuity — plus plan gates
+(no Python stage; chunking stays shuffle-free)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.analytics import corpus
+from nifi_ngsild_postgresql_spark.session import ship_package
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_chunk_text_reconstructs_documents(spark):
+    """Chunks with stride overlap must tile the token stream exactly:
+    chunk 0 plus each later chunk's tokens[window-stride:] concatenate
+    back to the original document."""
+    ship_package(spark)
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    chunks: dict[int, dict[int, list[str]]] = {}
+    for r in corpus.q_chunk_text(spark, SF_DIR).collect():
+        chunks.setdefault(r["doc_id"], {})[r["chunk_id"]] = (
+            r["chunk_text"].split(" ") if r["chunk_text"] else []
+        )
+        assert r["chunk_tokens"] <= corpus.CHUNK_WINDOW
+        assert r["chunk_tokens"] == len(chunks[r["doc_id"]][r["chunk_id"]])
+    overlap = corpus.CHUNK_WINDOW - corpus.CHUNK_STRIDE
+    assert set(chunks) == {d for d, toks in docs.items() if toks}
+    for doc_id, by_id in chunks.items():
+        ids = sorted(by_id)
+        assert ids == list(range(len(ids)))  # contiguous chunk ids
+        rebuilt = list(by_id[0])
+        for i in ids[1:]:
+            assert by_id[i - 1][corpus.CHUNK_STRIDE:] == by_id[i][:overlap]
+            rebuilt += by_id[i][overlap:]
+        assert rebuilt == docs[doc_id], f"doc {doc_id} not tiled"
+    # multi-chunk docs exist (non-vacuous overlap handling)
+    assert any(len(v) > 1 for v in chunks.values())
+
+
+def test_repetition_score_planted_values(spark):
+    """A fully repetitive planted document pins the formulas: 'x x x x'
+    has dup_token_frac 0.75 and top_bigram_frac 1.0; a document of
+    all-distinct tokens has dup_token_frac 0."""
+    import pandas as pd  # noqa: F401 — spark.createDataFrame(pandas)
+
+    ship_package(spark)
+    rows = {r["doc_id"]: r for r in corpus.q_repetition_score(spark, SF_DIR).collect()}
+    assert len(rows) > 0
+    for r in rows.values():
+        assert 0.0 <= r["dup_token_frac"] < 1.0
+        assert 0.0 < r["top_bigram_frac"] <= 1.0
+    # planted docs via a temp parquet dir + the same query function
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(1, "x x x x"), (2, "a b c d e")], "doc_id long, text string"
+    ).write.parquet(os.path.join(tmp, "documents.parquet"))
+    got = {r["doc_id"]: r for r in corpus.q_repetition_score(spark, tmp).collect()}
+    assert got[1]["dup_token_frac"] == 0.75 and got[1]["top_bigram_frac"] == 1.0
+    assert got[2]["dup_token_frac"] == 0.0
+    assert abs(got[2]["top_bigram_frac"] - 0.25) < 1e-12  # 4 distinct bigrams
+
+
+def test_boilerplate_shingles_nonvacuous_and_bounded(spark):
+    ship_package(spark)
+    rows = corpus.q_boilerplate_shingles(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert 0 <= r["n_boiler"] <= r["n_shingles"]
+        assert abs(r["boiler_frac"] - r["n_boiler"] / r["n_shingles"]) < 1e-12
+    # the relative-df threshold is selective at every SF: some boilerplate
+    # found, but not everything is boilerplate
+    assert any(r["n_boiler"] > 0 for r in rows)
+    assert any(r["n_boiler"] < r["n_shingles"] for r in rows)
+
+
+def test_corpus_plans_stay_jvm(spark):
+    """No Python stage anywhere; chunking is a narrow map (no Exchange);
+    boilerplate's only nested-loop is the intentional 1-row corpus-total
+    broadcast."""
+    ship_package(spark)
+    for name, fn in {
+        "chunk": corpus.q_chunk_text,
+        "repetition": corpus.q_repetition_score,
+        "boiler": corpus.q_boilerplate_shingles,
+    }.items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+            assert marker not in plan, f"{name}: Python stage {marker}"
+        assert "CartesianProduct" not in plan, name
+    chunk_plan = (
+        corpus.q_chunk_text(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in chunk_plan  # map-only at any scale

@@ -56,7 +56,9 @@ def test_manifest_carries_footer_stats(spark, tmp_path):
     all_dirs = {p for paths in snap["files"].values() for p in paths}
     assert set(stats) == all_dirs  # every live dir has stats
     for s in stats.values():
-        assert set(s) == {"entityid", "observedat"}
+        # round 3: dir byte size rides the stats entry (auto-rebucket)
+        assert set(s) == {"entityid", "observedat", "_bytes"}
+        assert s["_bytes"] > 0
         mn, mx = s["observedat"]
         assert mn <= mx and mn.startswith("2024-")
 
