@@ -16,6 +16,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def dedup_events_stream(
+    events_stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact deduplication on event_id with watermark-bounded
+    state (dropDuplicatesWithinWatermark): at-least-once upstream
+    delivery becomes exactly-once rows downstream, and the dedup state
+    is bounded by the watermark horizon instead of growing with stream
+    length (a plain dropDuplicates on an unbounded stream retains every
+    key forever). Contract: a redelivery arriving WITHIN the watermark
+    of the first copy is dropped; one arriving later than the watermark
+    may re-emit — the same horizon trade the windowed aggregation makes.
+    Batch==stream parity is pinned by
+    test_stream_dedup_equals_batch_dropduplicates."""
+    return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def windowed_counts_stream(
     events_stream: DataFrame,
     window_duration: str = "1 hour",

@@ -183,3 +183,71 @@ def test_stream_equals_batch_oracle_on_events(spark, tmp_path):
     for (w, et), n_late in late_counts.items():
         k = (w, et)
         assert full[k] == got.get(k, (0, None))[0] + n_late
+
+
+def test_stream_dedup_equals_batch_dropduplicates(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on event_id)
+    over the real events table with redeliveries injected into LATER
+    micro-batches: the streamed output must equal the batch
+    dropDuplicates of the same input — at-least-once in, exactly-once
+    out, with state bounded by the watermark."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nifi_ngsild_postgresql_spark.streaming.windows import dedup_events_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    chunks = list(np.array_split(events, 4))
+    # redeliver the last 50 rows of each chunk in the NEXT chunk (same
+    # event ids, within the watermark) — classic at-least-once replay
+    feeds = []
+    for i, c in enumerate(chunks):
+        dup = chunks[i - 1].tail(50) if i > 0 else c.head(0)
+        feeds.append(__import__("pandas").concat([dup, c]))
+    for i, chunk in enumerate(feeds):
+        chunk = chunk.assign(ts=chunk["ts"].astype("datetime64[us]"))
+        p = os.path.join(src, f"chunk-{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), p)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string,"
+            " value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_events_stream(stream, "2 hours")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.schema(
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double"
+    ).parquet(out)
+    assert got.count() == len(events)  # every duplicate dropped
+    assert got.select("event_id").distinct().count() == len(events)
+    want = sorted(
+        (int(r["event_id"]), str(r["ts"])) for _, r in events.iterrows()
+    )
+    assert sorted((r["event_id"], str(r["ts"])) for r in got.collect()) == want
