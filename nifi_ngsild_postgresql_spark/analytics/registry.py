@@ -95,6 +95,9 @@ REGISTRY: dict[str, tuple] = {
     # round 3: audio/wav decode is REAL (stdlib wave over synthesized
     # RIFF/PCM bytes; oracle checks header fields + exact sample stats)
     "audio_decode": (advanced.q_audio_decode, advanced.SQL_AUDIO_DECODE),
+    # round 3: spatial predicates over GeoProperty lon/lat doubles
+    # (functions/geo.py — the PostGIS-divergence gap closer for Points)
+    "geo_radius": (suite.q_geo_radius, suite.SQL_GEO_RADIUS),
     # round 3: corpus-preparation ops (analytics/corpus.py)
     "chunk_text": (corpus.q_chunk_text, corpus.SQL_CHUNK_TEXT),
     "repetition_score": (corpus.q_repetition_score, corpus.SQL_REPETITION_SCORE),

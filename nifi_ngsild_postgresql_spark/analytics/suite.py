@@ -1209,3 +1209,70 @@ LEFT JOIN (
   SELECT doc_id, MIN(label) AS cluster FROM reach GROUP BY doc_id
 ) r ON r.doc_id = d.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# geo radius query (functions/geo.py predicates, round 3)
+# --------------------------------------------------------------------------
+
+GEO_CENTER_LAT = 48.8566
+GEO_CENTER_LON = 2.3522
+GEO_RADIUS_KM = 2000.0
+
+
+def q_geo_radius(spark, sf_dir):
+    """Great-circle radius query over GeoProperty-style lon/lat double
+    columns (the shape the reference materializes for Point geometries,
+    XFORM:278-284; this engine replicates those columns — SCALE.md's
+    PostGIS divergence note): exact-bbox prefilter + haversine re-check
+    (functions/geo.py within_radius). Points are synthesized
+    deterministically from c_custkey in exact integer arithmetic so the
+    oracle reproduces them; the distance is one fixed-order chain of
+    IEEE trig ops mirrored in the SQL."""
+    from ..functions.geo import within_radius
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        (
+            (F.col("c_custkey") * 104729 % 170000) / 1000.0 - 85.0
+        ).alias("lat"),
+        (
+            (F.col("c_custkey") * 7919 % 360000) / 1000.0 - 180.0
+        ).alias("lon"),
+    )
+    return within_radius(
+        pts, "lat", "lon", GEO_CENTER_LAT, GEO_CENTER_LON, GEO_RADIUS_KM
+    )
+
+
+def _sql_geo_radius() -> str:
+    import math
+
+    from ..functions.geo import EARTH_RADIUS_KM, SQL_HAVERSINE_KM
+
+    ang = GEO_RADIUS_KM / EARTH_RADIUS_KM
+    dlat = math.degrees(ang)
+    dlon = math.degrees(
+        math.asin(math.sin(ang) / math.cos(math.radians(GEO_CENTER_LAT)))
+    )
+    dist = SQL_HAVERSINE_KM.format(
+        R=EARTH_RADIUS_KM, lat1="lat", lon1="lon",
+        lat2=GEO_CENTER_LAT, lon2=GEO_CENTER_LON,
+    )
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 104729 % 170000) / 1000.0 - 85.0 AS lat,
+         (c_custkey * 7919 % 360000) / 1000.0 - 180.0 AS lon
+  FROM customer
+)
+SELECT c_custkey, lat, lon, {dist} AS dist_km
+FROM pts
+WHERE lat BETWEEN {GEO_CENTER_LAT - dlat} AND {GEO_CENTER_LAT + dlat}
+  AND lon BETWEEN {GEO_CENTER_LON - dlon} AND {GEO_CENTER_LON + dlon}
+  AND {dist} <= {GEO_RADIUS_KM}
+"""
+
+
+SQL_GEO_RADIUS = _sql_geo_radius()

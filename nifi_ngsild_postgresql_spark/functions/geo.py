@@ -1,0 +1,108 @@
+"""Spatial predicates over the GeoProperty columns — the PostGIS-gap
+closer for query-side use.
+
+The reference stores Point GeoProperties as PostGIS GEOMETRY via
+``ST_GeomFromGeoJSON`` (NgsiLdToPostgreSqlTransformer ~XFORM:349) and
+additionally materializes ``<attr>_lon`` / ``<attr>_lat`` double columns
+for Points (XFORM:278-284); this engine replicates the lon/lat columns
+and keeps the geometry as canonical GeoJSON text (documented divergence,
+SCALE.md). These functions give users the common spatial predicates a
+PostGIS consumer would run — bounding box and great-circle radius — as
+pure JVM column expressions over those lon/lat doubles: whole-stage
+codegen, pushdown-friendly (the bbox comparisons reach the parquet
+scan), no UDF.
+
+Full polygon/geometry algebra stays out of scope: that genuinely needs
+a geo library (Sedona on a real cluster); point predicates cover the
+reference's own Point fan-out, the only geometry shape it decomposes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
+
+
+def haversine_km(
+    lat1: Column | str, lon1: Column | str, lat2: Column | str, lon2: Column | str
+) -> Column:
+    """Great-circle distance in km (haversine) as one JVM expression.
+    Operation order is fixed and mirrored by the DuckDB oracle so both
+    engines produce bit-comparable doubles."""
+    la1, lo1 = F.radians(lat1), F.radians(lon1)
+    la2, lo2 = F.radians(lat2), F.radians(lon2)
+    dlat, dlon = la2 - la1, lo2 - lo1
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(la1) * F.cos(la2) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+SQL_HAVERSINE_KM = (
+    "(2.0 * {R} * asin(sqrt("
+    " sin((radians({lat2}) - radians({lat1})) / 2)"
+    " * sin((radians({lat2}) - radians({lat1})) / 2)"
+    " + cos(radians({lat1})) * cos(radians({lat2}))"
+    " * sin((radians({lon2}) - radians({lon1})) / 2)"
+    " * sin((radians({lon2}) - radians({lon1})) / 2))))"
+)
+
+
+def in_bbox(
+    lat: Column | str,
+    lon: Column | str,
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+) -> Column:
+    """Bounding-box predicate — four comparisons that push down to the
+    parquet scan (and, on a LakeTable read(where=...), prune whole file
+    dirs when lon/lat are in stats_cols)."""
+    return (
+        (F.col(lat) if isinstance(lat, str) else lat).between(lat_min, lat_max)
+        & (F.col(lon) if isinstance(lon, str) else lon).between(lon_min, lon_max)
+    )
+
+
+def within_radius(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    center_lat: float,
+    center_lon: float,
+    radius_km: float,
+) -> DataFrame:
+    """Rows within ``radius_km`` of the center, pre-filtered by the
+    exact enclosing bounding box (Matuschek's formulae: the naive
+    dlat/cos(lat) box CLIPS the disk at high latitudes) so the trig runs
+    only on candidates — the standard index-friendly radius-query shape;
+    at 100 TB the bbox is what prunes, the haversine is the exact
+    re-check. The bbox is a superset of the disk, so the result is
+    exactly the haversine predicate."""
+    import math
+
+    ang = radius_km / EARTH_RADIUS_KM  # angular radius, radians
+    dlat = math.degrees(ang)
+    if ang >= math.pi / 2 or abs(center_lat) + dlat >= 90.0:
+        dlon = 180.0  # disk touches a pole: all longitudes qualify
+    else:
+        dlon = math.degrees(
+            math.asin(min(1.0, math.sin(ang) / math.cos(math.radians(center_lat))))
+        )
+    boxed = df.filter(
+        in_bbox(
+            lat_col, lon_col,
+            max(-90.0, center_lat - dlat), min(90.0, center_lat + dlat),
+            max(-180.0, center_lon - dlon), min(180.0, center_lon + dlon),
+        )
+    )
+    dist = haversine_km(
+        F.col(lat_col), F.col(lon_col), F.lit(center_lat), F.lit(center_lon)
+    )
+    return boxed.withColumn("dist_km", dist).filter(
+        F.col("dist_km") <= radius_km
+    )

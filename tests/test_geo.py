@@ -1,0 +1,94 @@
+"""Spatial predicates (functions/geo.py): the radius query's exact-bbox
+prefilter must be a SUPERSET of the haversine disk (the naive
+dlat/cos(lat) box clips it at high latitudes — regression), the bbox
+comparisons must push down to the parquet scan, and known distances pin
+the haversine itself."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.functions.geo import (
+    EARTH_RADIUS_KM,
+    haversine_km,
+    within_radius,
+)
+from nifi_ngsild_postgresql_spark.session import ship_package
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_haversine_known_distances(spark):
+    ship_package(spark)
+    df = spark.createDataFrame(
+        [
+            # Paris -> London ~343.5 km
+            (48.8566, 2.3522, 51.5074, -0.1278, 343.5),
+            # equator quarter-circumference
+            (0.0, 0.0, 0.0, 90.0, math.pi / 2 * EARTH_RADIUS_KM),
+            # pole to pole
+            (90.0, 0.0, -90.0, 0.0, math.pi * EARTH_RADIUS_KM),
+            (12.34, 56.78, 12.34, 56.78, 0.0),  # identical points
+        ],
+        "lat1 double, lon1 double, lat2 double, lon2 double, want double",
+    )
+    rows = df.select(
+        haversine_km("lat1", "lon1", "lat2", "lon2").alias("d"), "want"
+    ).collect()
+    for r in rows:
+        assert abs(r["d"] - r["want"]) < 1.0, (r["d"], r["want"])
+
+
+def test_within_radius_bbox_is_superset_of_disk(spark):
+    """High-latitude center where the naive dlat/cos box clips the disk:
+    the bbox-prefiltered result must equal the pure haversine filter."""
+    from nifi_ngsild_postgresql_spark.analytics import suite
+
+    ship_package(spark)
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 104729 % 170000) / 1000.0 - 85.0).alias("lat"),
+        ((F.col("c_custkey") * 7919 % 360000) / 1000.0 - 180.0).alias("lon"),
+    )
+    for lat_c, lon_c, r_km in [(75.0, 10.0, 2500.0), (48.8566, 2.3522, 2000.0)]:
+        boxed = {
+            r["c_custkey"]
+            for r in within_radius(pts, "lat", "lon", lat_c, lon_c, r_km).collect()
+        }
+        exact = {
+            r["c_custkey"]
+            for r in pts.withColumn(
+                "d", haversine_km("lat", "lon", F.lit(lat_c), F.lit(lon_c))
+            )
+            .filter(F.col("d") <= r_km)
+            .collect()
+        }
+        assert boxed == exact, f"bbox clipped the disk at lat {lat_c}"
+    # and the registry query is non-vacuous + selective
+    rows = suite.q_geo_radius(spark, SF_DIR).collect()
+    assert 0 < len(rows) < pts.count()
+
+
+def test_bbox_filter_pushes_down_to_scan(spark):
+    """The bbox comparisons must reach the parquet reader as pushed
+    filters when lon/lat are real columns — the predicate a 100 TB scan
+    prunes with."""
+    import os
+    import tempfile
+
+    ship_package(spark)
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "pts.parquet")
+    spark.createDataFrame(
+        [(i, float(i % 90), float(i % 180)) for i in range(1000)],
+        "id long, lat double, lon double",
+    ).write.mode("overwrite").parquet(p)
+    pts = spark.read.parquet(p)
+    df = within_radius(pts, "lat", "lon", 45.0, 90.0, 500.0)
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "lat" in pushed and "lon" in pushed
