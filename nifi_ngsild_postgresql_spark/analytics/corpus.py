@@ -286,3 +286,54 @@ SELECT p.doc_id,
          AS boiler_frac
 FROM per_doc p LEFT JOIN boiler b ON p.doc_id = b.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# term_search (inverted-index shape)
+# --------------------------------------------------------------------------
+
+SEARCH_TERMS = ["spark", "merge", "window"]
+
+
+def q_term_search(
+    spark: SparkSession, sf_dir: str, terms: list[str] | None = None
+) -> DataFrame:
+    """Conjunctive term search through the inverted-index shape: tokens
+    explode into (doc_id, token) postings, the tiny query-term IN-list
+    filters them (planned BEFORE the explode by Catalyst where possible,
+    and the posting stream it leaves is O(matches), not O(tokens)), one
+    keyed aggregation counts distinct matched terms and total hits, and
+    docs matching ALL terms survive, ranked by hit count. At 100 TB
+    this is the batch shape of an index build + lookup: the wide explode
+    never shuffles — only the per-doc aggregate does."""
+    terms = SEARCH_TERMS if terms is None else terms
+    d = _t(spark, sf_dir, "documents")
+    postings = d.select(
+        "doc_id", F.explode(_tokens("text")).alias("tok")
+    ).filter(F.col("tok").isin(terms))
+    return (
+        postings.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.count_distinct("tok").alias("n_terms"),
+        )
+        .filter(F.col("n_terms") == len(terms))
+        .select("doc_id", "n_hits")
+    )
+
+
+_TERM_LIST = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+
+SQL_TERM_SEARCH = f"""
+WITH postings AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS tok
+  FROM documents
+), hits AS (
+  SELECT doc_id, tok FROM postings WHERE tok IN ({_TERM_LIST})
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM hits
+GROUP BY doc_id
+HAVING COUNT(DISTINCT tok) = {len(SEARCH_TERMS)}
+"""

@@ -105,6 +105,7 @@ REGISTRY: dict[str, tuple] = {
         corpus.q_boilerplate_shingles,
         corpus.SQL_BOILERPLATE_SHINGLES,
     ),
+    "term_search": (corpus.q_term_search, corpus.SQL_TERM_SEARCH),
 }
 
 

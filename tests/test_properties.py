@@ -96,3 +96,28 @@ def test_is_number_matches_java_semantics(x):
 def test_bool_is_not_number():
     assert not ti.is_number(True)
     assert not ti.is_number(False)
+
+
+@given(
+    st.integers(min_value=0, max_value=500),
+    st.integers(min_value=2, max_value=64),
+    st.integers(min_value=1, max_value=64),
+)
+def test_chunk_count_formula_tiles_any_length(n, window, stride):
+    """analytics/corpus.py chunking: for ANY (n_tokens, window, stride)
+    with stride <= window, the chunk-count closed form produces chunks
+    that (a) start inside the document, (b) cover every token, and
+    (c) make the last chunk non-empty — the pure-arithmetic invariant
+    behind test_chunk_text_reconstructs_documents."""
+    if stride > window or n == 0:
+        return
+    n_chunks = 1 + (max(0, n - window) + stride - 1) // stride
+    starts = [k * stride for k in range(n_chunks)]
+    assert all(s < n for s in starts)            # non-empty chunks
+    covered = set()
+    for s in starts:
+        covered.update(range(s, min(n, s + window)))
+    assert covered == set(range(n))              # every token in a chunk
+    # minimal: one fewer chunk would leave a tail uncovered
+    if n_chunks > 1:
+        assert (n_chunks - 2) * stride + window < n
