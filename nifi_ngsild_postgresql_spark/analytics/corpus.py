@@ -337,3 +337,118 @@ FROM hits
 GROUP BY doc_id
 HAVING COUNT(DISTINCT tok) = {len(SEARCH_TERMS)}
 """
+
+
+# --------------------------------------------------------------------------
+# pack_sequences (GPT-style training-sequence packing)
+# --------------------------------------------------------------------------
+
+PACK_BUDGET = 64  # tokens per packed training sequence
+PACK_DOC_BUCKET = 256  # docs per prefix-sum bucket (see scale note)
+
+
+def q_pack_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = PACK_BUDGET,
+    doc_bucket: int = PACK_DOC_BUCKET,
+) -> DataFrame:
+    """GPT-style sequence packing: conceptually concatenate every
+    document's token stream in doc_id order and cut the global stream
+    every ``budget`` tokens (documents straddle cuts — no padding waste;
+    the trailing partial sequence is kept). Output: one row per
+    (sequence, document) fragment with its token slice.
+
+    Scale shape — the global token offset is a DISTRIBUTED PREFIX SUM,
+    not one giant window: per-bucket token totals (doc_id // doc_bucket)
+    aggregate map-side, the bounded bucket-total list is cumulated on
+    the driver (n_docs / doc_bucket rows — raise doc_bucket so this
+    stays O(10^4) at any corpus size, or add a third level) and joined
+    back broadcast; the per-doc offset then needs only a window WITHIN
+    its bucket. Every downstream step is a narrow map + explode. The
+    DuckDB oracle uses a plain global window — same arithmetic, exact
+    integers, bit-identical output."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", _tokens("text").alias("toks"))
+        .withColumn("n", F.size("toks").cast("long"))
+        .filter(F.col("n") > 0)
+        .withColumn("bucket", (F.col("doc_id") / doc_bucket).cast("long"))
+    )
+    btotals = sorted(
+        (r["bucket"], r["t"])
+        for r in toks.groupBy("bucket").agg(F.sum("n").alias("t")).collect()
+    )
+    offsets, acc = [], 0
+    for b, t in btotals:
+        offsets.append((b, acc))
+        acc += t
+    boff = spark.createDataFrame(offsets, "bucket long, bucket_off long")
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        toks.join(F.broadcast(boff), "bucket")
+        .withColumn(
+            "start",
+            F.col("bucket_off") + F.coalesce(F.sum("n").over(w), F.lit(0)),
+        )
+    )
+    frags = placed.withColumn(
+        "seq_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / budget),
+                F.floor((F.col("start") + F.col("n") - 1) / budget),
+            )
+        ),
+    )
+    frag_start = F.greatest(F.col("seq_id") * budget - F.col("start"), F.lit(0))
+    frag_end = F.least(
+        (F.col("seq_id") + 1) * budget - F.col("start"), F.col("n")
+    )
+    return frags.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        (frag_end - frag_start).cast("long").alias("frag_tokens"),
+        F.array_join(
+            F.slice("toks", (frag_start + 1).cast("int"), (frag_end - frag_start).cast("int")),
+            " ",
+        ).alias("frag_text"),
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), sized AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+  FROM toks WHERE len(toks) > 0
+), placed AS (
+  SELECT doc_id, toks, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start
+  FROM sized
+), frags AS (
+  SELECT doc_id, toks, n, start,
+         unnest(range(start // {PACK_BUDGET},
+                      (start + n - 1) // {PACK_BUDGET} + 1)) AS seq_id
+  FROM placed
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       CAST(least((seq_id + 1) * {PACK_BUDGET} - start, n)
+            - greatest(seq_id * {PACK_BUDGET} - start, 0) AS BIGINT)
+         AS frag_tokens,
+       array_to_string(list_slice(toks,
+            greatest(seq_id * {PACK_BUDGET} - start, 0) + 1,
+            least((seq_id + 1) * {PACK_BUDGET} - start, n)), ' ')
+         AS frag_text
+FROM frags
+"""

@@ -106,6 +106,7 @@ REGISTRY: dict[str, tuple] = {
         corpus.SQL_BOILERPLATE_SHINGLES,
     ),
     "term_search": (corpus.q_term_search, corpus.SQL_TERM_SEARCH),
+    "pack_sequences": (corpus.q_pack_sequences, corpus.SQL_PACK_SEQUENCES),
 }
 
 

@@ -104,3 +104,44 @@ def test_corpus_plans_stay_jvm(spark):
         .toString()
     )
     assert "Exchange" not in chunk_plan  # map-only at any scale
+
+
+def test_pack_sequences_tiles_and_fills(spark):
+    """Packing invariants: (a) every sequence except the last holds
+    exactly PACK_BUDGET tokens (no padding waste), (b) concatenating a
+    document's fragments in seq order reproduces its token stream, and
+    (c) fragments per (seq, doc) are unique."""
+    ship_package(spark)
+    rows = corpus.q_pack_sequences(spark, SF_DIR).collect()
+    per_seq: dict[int, int] = {}
+    per_doc: dict[int, list] = {}
+    seen = set()
+    for r in rows:
+        assert (r["seq_id"], r["doc_id"]) not in seen
+        seen.add((r["seq_id"], r["doc_id"]))
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["frag_tokens"]
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["seq_id"], r["frag_text"])
+        )
+    last = max(per_seq)
+    assert all(v == corpus.PACK_BUDGET for k, v in per_seq.items() if k != last)
+    assert 0 < per_seq[last] <= corpus.PACK_BUDGET
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    for doc_id, frags in per_doc.items():
+        rebuilt = []
+        for _seq, txt in sorted(frags):
+            rebuilt += txt.split(" ") if txt else []
+        assert rebuilt == docs[doc_id], f"doc {doc_id} not reassembled"
+
+
+def test_pack_sequences_window_is_bucket_partitioned(spark):
+    """The 100 TB shape gate: the only Window in the plan partitions by
+    the prefix-sum bucket — never a global single-partition window over
+    the whole corpus."""
+    ship_package(spark)
+    df = corpus.q_pack_sequences(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(bucket" in plan, plan[:2000]
