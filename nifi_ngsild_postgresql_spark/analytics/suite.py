@@ -1276,3 +1276,94 @@ WHERE lat BETWEEN {GEO_CENTER_LAT - dlat} AND {GEO_CENTER_LAT + dlat}
 
 
 SQL_GEO_RADIUS = _sql_geo_radius()
+
+
+# --------------------------------------------------------------------------
+# funnel_stages (ordered event-sequence conversion)
+# --------------------------------------------------------------------------
+
+FUNNEL = ("view", "click", "purchase")
+FUNNEL_WINDOW_H = 24  # conversion window per step, hours
+
+
+def q_funnel_stages(spark, sf_dir):
+    """Ordered conversion funnel per user with per-step conversion
+    windows: the earliest view, the earliest click within
+    FUNNEL_WINDOW_H hours AT OR AFTER that view, and the earliest
+    purchase within the window after that click; stage = how deep the
+    user converted (1-3). Each step is one keyed aggregation over an
+    equi-join on user_id (the ordering/window constraint rides the join
+    as a range predicate on an already-keyed pair — never a cross
+    join); at 100 TB that's three shuffles on the same key, which AQE
+    plans as co-partitioned after the first. Timestamps are exact
+    (microsecond parquet values), so the DuckDB oracle matches
+    bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    horizon = F.expr(f"INTERVAL {FUNNEL_WINDOW_H} HOURS")
+
+    def first_in_window(prev, etype, alias):
+        anchor = prev.columns[-1]
+        e = ev.filter(F.col("event_type") == etype).alias("e")
+        return (
+            e.join(prev.alias("p"), F.col("e.user_id") == F.col("p.user_id"))
+            .filter(
+                (F.col("e.ts") >= F.col(f"p.{anchor}"))
+                & (F.col("e.ts") <= F.col(f"p.{anchor}") + horizon)
+            )
+            .groupBy(F.col("e.user_id").alias("user_id"))
+            .agg(F.min("e.ts").alias(alias))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = first_in_window(v, FUNNEL[1], "t_click")
+    # purchase must follow the user's qualifying click
+    vc = v.join(c, "user_id")
+    p = first_in_window(
+        vc.select("user_id", "t_click"), FUNNEL[2], "t_purchase"
+    )
+    out = (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).alias("stage"),
+        )
+    )
+    return out
+
+
+SQL_FUNNEL_STAGES = f"""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+    AND e.ts <= v.t_view + INTERVAL {FUNNEL_WINDOW_H} HOURS
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+    AND e.ts <= c.t_click + INTERVAL {FUNNEL_WINDOW_H} HOURS
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       CAST(1 + CAST(c.t_click IS NOT NULL AS INT)
+              + CAST(p.t_purchase IS NOT NULL AS INT) AS INT) AS stage
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""

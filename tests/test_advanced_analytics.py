@@ -239,3 +239,30 @@ def test_audio_decode_query_end_to_end(spark):
     some = rows[min(rows)]
     assert some["n_bytes"] == 44 + 2 * some["n_samples"] * some["n_channels"]
     assert some["duration_ms"] == some["n_samples"] * 1000 // some["sample_rate"]
+
+
+def test_funnel_stages_ordering_and_windows(spark):
+    """Funnel invariants the oracle can't express: timestamps are
+    ordered per user, each step lands within its conversion window, the
+    stage count matches the non-null timestamps, and the stage
+    distribution is non-vacuous (users stop at every depth)."""
+    from collections import Counter
+    from datetime import timedelta
+
+    from nifi_ngsild_postgresql_spark.analytics import suite
+
+    ship_package(spark)
+    rows = suite.q_funnel_stages(spark, SF_DIR).collect()
+    assert rows
+    horizon = timedelta(hours=suite.FUNNEL_WINDOW_H)
+    for r in rows:
+        want_stage = 1 + (r["t_click"] is not None) + (r["t_purchase"] is not None)
+        assert r["stage"] == want_stage
+        if r["t_click"] is not None:
+            assert r["t_view"] <= r["t_click"] <= r["t_view"] + horizon
+        else:
+            assert r["t_purchase"] is None  # can't skip a stage
+        if r["t_purchase"] is not None:
+            assert r["t_click"] <= r["t_purchase"] <= r["t_click"] + horizon
+    dist = Counter(r["stage"] for r in rows)
+    assert set(dist) == {1, 2, 3}
