@@ -452,3 +452,74 @@ SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
          AS frag_text
 FROM frags
 """
+
+
+# --------------------------------------------------------------------------
+# decontaminate (benchmark n-gram overlap)
+# --------------------------------------------------------------------------
+
+DECON_SHINGLE = 5  # tokens per contamination shingle (GPT-3 used 13-gram
+# on much longer documents; 5 fits the short synthetic docs while keeping
+# false-positive collisions rare)
+DECON_EVAL_MOD = 97  # doc_id % MOD == 0 marks the held-out benchmark set
+
+
+def q_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    shingle: int = DECON_SHINGLE,
+    eval_mod: int = DECON_EVAL_MOD,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Pile hygiene step): find
+    training documents sharing any ``shingle``-gram with the held-out
+    benchmark set (here: doc_id % eval_mod == 0 stands in for the eval
+    suite). Output: one row per contaminated training doc with the
+    number of distinct leaked shingles. Scale shape: the benchmark
+    shingle set is SMALL by construction (eval suites are), so the
+    overlap join broadcasts it against the corpus shingle stream —
+    a map-side semi-join, no shuffle of the corpus side; the per-doc
+    count is one keyed aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens("text").alias("toks")).filter(
+        F.size("toks") >= shingle
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {shingle - 1}),"
+                f" i -> array_join(slice(toks, i, {shingle}), ' '))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    eval_sh = (
+        sh.filter(F.col("doc_id") % eval_mod == 0).select("sh").distinct()
+    )
+    train = sh.filter(F.col("doc_id") % eval_mod != 0)
+    return (
+        train.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_leaked_shingles"))
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - {DECON_SHINGLE - 2}),
+                i -> array_to_string(list_slice(toks, i, i + {DECON_SHINGLE - 1}), ' ')))
+           AS sh
+  FROM toks WHERE len(toks) >= {DECON_SHINGLE}
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM sh0
+), eval_sh AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % {DECON_EVAL_MOD} = 0
+)
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_leaked_shingles
+FROM sh s JOIN eval_sh e ON s.sh = e.sh
+WHERE s.doc_id % {DECON_EVAL_MOD} <> 0
+GROUP BY s.doc_id
+"""

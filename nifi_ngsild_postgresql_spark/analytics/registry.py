@@ -108,6 +108,7 @@ REGISTRY: dict[str, tuple] = {
     "term_search": (corpus.q_term_search, corpus.SQL_TERM_SEARCH),
     "pack_sequences": (corpus.q_pack_sequences, corpus.SQL_PACK_SEQUENCES),
     "funnel_stages": (suite.q_funnel_stages, suite.SQL_FUNNEL_STAGES),
+    "decontaminate": (corpus.q_decontaminate, corpus.SQL_DECONTAMINATE),
 }
 
 
