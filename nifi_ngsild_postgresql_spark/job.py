@@ -52,6 +52,9 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--stream", action="store_true")
     i.add_argument("--include-empty-observed-at", action="store_true")
     i.add_argument("--buckets", type=int, default=64)
+    i.add_argument("--target-bucket-bytes", type=int, default=256 << 20,
+                   help="auto-rebucket when the median bucket exceeds this"
+                        " (0 disables)")
     i.add_argument("--ignored-attributes", default="")
     i.add_argument("--sysattrs", action="store_true")
 
@@ -84,6 +87,8 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--table", required=True, help="tenant.table")
     c.add_argument("--from-version", type=int, default=None)
     c.add_argument("--to-version", type=int, default=None)
+    c.add_argument("--include-preimage", action="store_true",
+                   help="emit update_preimage rows (Delta CDF analog)")
     c.add_argument(
         "--checkpoint",
         default=None,
@@ -104,6 +109,10 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--max-files-per-bucket", type=int, default=8)
     m.add_argument("--rebucket-to", type=int, default=None)
     m.add_argument("--expire-keep-last", type=int, default=None)
+    m.add_argument("--orphan-grace", type=float, default=3600.0,
+                   help="seconds an unreferenced data dir must age before"
+                        " GC may remove it (crashed/in-flight writer"
+                        " protection)")
 
     args = parser.parse_args(argv)
 
@@ -132,6 +141,7 @@ def main(argv: list[str] | None = None) -> int:
             write_mode=args.mode,
             ignore_empty_observed_at=not args.include_empty_observed_at,
             n_buckets=args.buckets,
+            target_bucket_bytes=args.target_bucket_bytes or None,
             ignored_attributes=args.ignored_attributes,
             export_sysattrs=args.sysattrs,
         )
@@ -174,7 +184,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.checkpoint:
             from .streaming.changefeed import ChangeFeedConsumer
 
-            consumer = ChangeFeedConsumer(table, args.checkpoint)
+            consumer = ChangeFeedConsumer(
+                table, args.checkpoint,
+                include_preimage=args.include_preimage,
+            )
             out = consumer.poll(spark)
             changes = out.pop("changes", None)
             print(json.dumps(out))
@@ -182,7 +195,10 @@ def main(argv: list[str] | None = None) -> int:
                 changes.show(20, truncate=40)
         else:
             v_from = args.from_version if args.from_version is not None else 0
-            df = table.read_changes(spark, v_from, args.to_version)
+            df = table.read_changes(
+                spark, v_from, args.to_version,
+                include_preimage=args.include_preimage,
+            )
             print(json.dumps({"from": v_from, "to": args.to_version
                               or table.versions()[-1], "rows": df.count()}))
             df.show(20, truncate=40)
@@ -214,7 +230,10 @@ def main(argv: list[str] | None = None) -> int:
                 rebucket_to=args.rebucket_to,
             )
         if args.expire_keep_last:
-            out["expire"] = table.expire_snapshots(keep_last=args.expire_keep_last)
+            out["expire"] = table.expire_snapshots(
+                keep_last=args.expire_keep_last,
+                orphan_grace_seconds=args.orphan_grace,
+            )
         out["tags"] = table.tags()
         print(json.dumps(out))
         return 0
