@@ -345,6 +345,11 @@ HAVING COUNT(DISTINCT tok) = {len(SEARCH_TERMS)}
 
 PACK_BUDGET = 64  # tokens per packed training sequence
 PACK_DOC_BUCKET = 256  # docs per prefix-sum bucket (see scale note)
+# hard ceiling on the driver-side bucket-total list: past it the
+# operator REFUSES to run instead of silently collecting an unbounded
+# list — raise doc_bucket (or add a third prefix-sum level) at that
+# corpus size
+PACK_MAX_PREFIX_BUCKETS = 1_000_000
 
 
 def q_pack_sequences(
@@ -375,6 +380,15 @@ def q_pack_sequences(
         .filter(F.col("n") > 0)
         .withColumn("bucket", (F.col("doc_id") / doc_bucket).cast("long"))
     )
+    n_buckets = toks.select("bucket").distinct().count()
+    if n_buckets > PACK_MAX_PREFIX_BUCKETS:
+        raise ValueError(
+            f"pack_sequences: {n_buckets} prefix-sum buckets exceed "
+            f"PACK_MAX_PREFIX_BUCKETS ({PACK_MAX_PREFIX_BUCKETS}) — "
+            "collecting the bucket totals would strain the driver. Raise "
+            "doc_bucket so n_docs/doc_bucket stays bounded (or add a "
+            "third prefix-sum level)."
+        )
     btotals = sorted(
         (r["bucket"], r["t"])
         for r in toks.groupBy("bucket").agg(F.sum("n").alias("t")).collect()

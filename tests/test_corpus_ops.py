@@ -145,3 +145,15 @@ def test_pack_sequences_window_is_bucket_partitioned(spark):
     df = corpus.q_pack_sequences(spark, SF_DIR)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "windowspecdefinition(bucket" in plan, plan[:2000]
+
+
+def test_pack_sequences_guards_driver_collect(spark, monkeypatch):
+    """Like knn_join's broadcast cap: past PACK_MAX_PREFIX_BUCKETS the
+    operator refuses loudly instead of collecting an unbounded
+    bucket-total list to the driver."""
+    import pytest
+
+    ship_package(spark)
+    monkeypatch.setattr(corpus, "PACK_MAX_PREFIX_BUCKETS", 1)
+    with pytest.raises(ValueError, match="doc_bucket"):
+        corpus.q_pack_sequences(spark, SF_DIR)
