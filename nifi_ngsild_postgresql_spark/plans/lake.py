@@ -1221,6 +1221,7 @@ class LakeTable:
                 break
             except FileExistsError:
                 if _attempt >= COMMIT_MAX_RETRIES:
+                    self._drop_staged(new_files)
                     raise CommitConflictError(
                         f"{self.tenant}.{self.name}: gave up after "
                         f"{_attempt} commit conflicts (epoch {epoch_id})"

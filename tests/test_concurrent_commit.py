@@ -264,3 +264,39 @@ def test_loser_staged_files_are_dropped_on_recompute(spark, tmp_path, monkeypatc
     }
     on_disk = {f"data/{d}" for d in os.listdir(os.path.join(t.path, "data"))}
     assert on_disk == referenced, f"leaked staged dirs: {on_disk - referenced}"
+
+
+def test_concurrent_schema_evolution_merges_columns(spark, tmp_path, monkeypatch):
+    """Two writers concurrently ADD different columns (append mode,
+    disjoint attributes): the loser's rebase must commit the UNION of
+    both schemas — its own new column plus the interleaver's — and both
+    columns read back with NULLs where the other writer's rows lack
+    them."""
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="append", n_buckets=4)
+
+    def attr_batch(eid, attr, v, seq0):
+        payload = json.dumps(
+            {"id": f"urn:x:{eid}", "type": "Gauge",
+             attr: {"type": "Property", "value": v,
+                    "observedAt": TS}}
+        )
+        return spark.createDataFrame(
+            [("t", "p", f"{seq0:06d}", "Gauge", payload)],
+            "repo string, path string, commit string, lang string, content string",
+        ).withColumn("recv_time", F.timestamp_millis(F.lit(1700000000000 + seq0)))
+
+    ingest_batch(attr_batch(0, "level", 0.0, 0), cfg, wh, "e-seed")
+    a = attr_batch(1, "alpha", 1.0, 10)   # writer A adds column alpha
+    b = attr_batch(2, "beta", 2.0, 20)    # interleaver adds column beta
+    _interleave(monkeypatch, lambda: ingest_batch(b, cfg, wh, "e-b"))
+    ingest_batch(a, cfg, wh, "e-a")
+
+    t = LakeCatalog(wh).table("t", "gauge")
+    snap = t.latest_snapshot()
+    assert {"e-a", "e-b"} <= set(snap["epochs"])
+    assert {"alpha", "beta", "level"} <= set(snap["schema"])
+    rows = {r["entityid"]: r for r in t.read(spark).collect()}
+    assert rows["urn:x:1"]["alpha"] == 1.0 and rows["urn:x:1"]["beta"] is None
+    assert rows["urn:x:2"]["beta"] == 2.0 and rows["urn:x:2"]["alpha"] is None
+    assert rows["urn:x:0"]["alpha"] is None and rows["urn:x:0"]["beta"] is None
