@@ -69,11 +69,16 @@ def test_analytics_plans_stay_jvm_and_keyed(spark):
     1-row-broadcast nested loop (the ANN query vector)."""
     from nifi_ngsild_postgresql_spark.analytics import advanced
 
+    from nifi_ngsild_postgresql_spark.analytics import corpus
+
     keyed = {
         "simhash": advanced.q_simhash_neardup,
         "ngram": suite.q_ngram_jaccard,
         "minhash": suite.q_minhash_bands,
         "neardup": advanced.q_embedding_neardup,
+        "term_search": corpus.q_term_search,
+        "decontaminate": corpus.q_decontaminate,
+        "funnel": suite.q_funnel_stages,
     }
     broadcast_nl_ok = {
         "ann_lsh": advanced.q_ann_lsh_topk,
