@@ -1247,18 +1247,18 @@ def q_geo_radius(spark, sf_dir):
 
 
 def _sql_geo_radius() -> str:
-    import math
+    from ..functions.geo import EARTH_RADIUS_KM, SQL_HAVERSINE_KM, sql_radius_where
 
-    from ..functions.geo import EARTH_RADIUS_KM, SQL_HAVERSINE_KM
-
-    ang = GEO_RADIUS_KM / EARTH_RADIUS_KM
-    dlat = math.degrees(ang)
-    dlon = math.degrees(
-        math.asin(math.sin(ang) / math.cos(math.radians(GEO_CENTER_LAT)))
-    )
     dist = SQL_HAVERSINE_KM.format(
         R=EARTH_RADIUS_KM, lat1="lat", lon1="lon",
         lat2=GEO_CENTER_LAT, lon2=GEO_CENTER_LON,
+    )
+    # same generator as the Spark path (functions/geo.py
+    # sql_radius_where): shared bounds math — pole branch, asin domain
+    # clamp and the antimeridian two-interval wrap included — so the
+    # oracle can never disagree with within_radius on prefilter geometry
+    where = sql_radius_where(
+        "lat", "lon", GEO_CENTER_LAT, GEO_CENTER_LON, GEO_RADIUS_KM
     )
     return f"""
 WITH pts AS (
@@ -1269,9 +1269,7 @@ WITH pts AS (
 )
 SELECT c_custkey, lat, lon, {dist} AS dist_km
 FROM pts
-WHERE lat BETWEEN {GEO_CENTER_LAT - dlat} AND {GEO_CENTER_LAT + dlat}
-  AND lon BETWEEN {GEO_CENTER_LON - dlon} AND {GEO_CENTER_LON + dlon}
-  AND {dist} <= {GEO_RADIUS_KM}
+WHERE {where}
 """
 
 

@@ -68,6 +68,44 @@ def in_bbox(
     )
 
 
+def radius_prefilter_bounds(
+    center_lat: float, center_lon: float, radius_km: float
+) -> tuple[float, float, list[tuple[float, float]]]:
+    """Exact enclosing bounding box of the great-circle disk (Matuschek's
+    formulae: the naive dlat/cos(lat) box CLIPS the disk at high
+    latitudes) as ``(lat_min, lat_max, lon_intervals)``.
+
+    ``lon_intervals`` is one ``(lo, hi)`` pair in the common case. When
+    the box crosses the antimeridian (center near ±180°) it is the TWO
+    wrapped sub-intervals — e.g. center lon 179.5°, dlon 2° →
+    ``[(-180, -178.5), (177.5, 180)]`` — so points on the far side of
+    the dateline that are inside the disk stay inside the prefilter
+    (clamping to ±180 silently dropped them; round-3 verdict). If the
+    disk touches a pole every longitude qualifies and the single
+    interval ``(-180, 180)`` is returned. The union of the intervals is
+    always a SUPERSET of the disk's longitudes, so bbox-then-haversine
+    equals the plain haversine predicate."""
+    import math
+
+    ang = radius_km / EARTH_RADIUS_KM  # angular radius, radians
+    dlat = math.degrees(ang)
+    lat_min = max(-90.0, center_lat - dlat)
+    lat_max = min(90.0, center_lat + dlat)
+    if ang >= math.pi / 2 or abs(center_lat) + dlat >= 90.0:
+        return lat_min, lat_max, [(-180.0, 180.0)]
+    dlon = math.degrees(
+        math.asin(min(1.0, math.sin(ang) / math.cos(math.radians(center_lat))))
+    )
+    lo, hi = center_lon - dlon, center_lon + dlon
+    if hi - lo >= 360.0:
+        return lat_min, lat_max, [(-180.0, 180.0)]
+    if lo < -180.0:  # wraps west across the antimeridian
+        return lat_min, lat_max, [(-180.0, hi), (lo + 360.0, 180.0)]
+    if hi > 180.0:  # wraps east across the antimeridian
+        return lat_min, lat_max, [(-180.0, hi - 360.0), (lo, 180.0)]
+    return lat_min, lat_max, [(lo, hi)]
+
+
 def within_radius(
     df: DataFrame,
     lat_col: str,
@@ -77,32 +115,54 @@ def within_radius(
     radius_km: float,
 ) -> DataFrame:
     """Rows within ``radius_km`` of the center, pre-filtered by the
-    exact enclosing bounding box (Matuschek's formulae: the naive
-    dlat/cos(lat) box CLIPS the disk at high latitudes) so the trig runs
-    only on candidates — the standard index-friendly radius-query shape;
-    at 100 TB the bbox is what prunes, the haversine is the exact
-    re-check. The bbox is a superset of the disk, so the result is
-    exactly the haversine predicate."""
-    import math
-
-    ang = radius_km / EARTH_RADIUS_KM  # angular radius, radians
-    dlat = math.degrees(ang)
-    if ang >= math.pi / 2 or abs(center_lat) + dlat >= 90.0:
-        dlon = 180.0  # disk touches a pole: all longitudes qualify
-    else:
-        dlon = math.degrees(
-            math.asin(min(1.0, math.sin(ang) / math.cos(math.radians(center_lat))))
-        )
-    boxed = df.filter(
-        in_bbox(
-            lat_col, lon_col,
-            max(-90.0, center_lat - dlat), min(90.0, center_lat + dlat),
-            max(-180.0, center_lon - dlon), min(180.0, center_lon + dlon),
-        )
+    exact enclosing bounding box (radius_prefilter_bounds — including
+    the antimeridian-wrapped two-interval case) so the trig runs only on
+    candidates — the standard index-friendly radius-query shape; at
+    100 TB the bbox is what prunes, the haversine is the exact re-check.
+    The bbox is a superset of the disk, so the result is exactly the
+    haversine predicate; the interval union stays an OR of between-
+    predicates, still pushdown-friendly."""
+    lat_min, lat_max, lon_ivs = radius_prefilter_bounds(
+        center_lat, center_lon, radius_km
     )
+    lon_pred = None
+    for lo, hi in lon_ivs:
+        p = F.col(lon_col).between(lo, hi)
+        lon_pred = p if lon_pred is None else (lon_pred | p)
+    boxed = df.filter(F.col(lat_col).between(lat_min, lat_max) & lon_pred)
     dist = haversine_km(
         F.col(lat_col), F.col(lon_col), F.lit(center_lat), F.lit(center_lon)
     )
     return boxed.withColumn("dist_km", dist).filter(
         F.col("dist_km") <= radius_km
+    )
+
+
+def sql_radius_where(
+    lat_expr: str,
+    lon_expr: str,
+    center_lat: float,
+    center_lon: float,
+    radius_km: float,
+) -> str:
+    """The ANSI-SQL mirror of within_radius's predicate (same bounds,
+    same wrapped-interval handling, same fixed-order haversine), for the
+    DuckDB oracles — one generator so the Spark path and the oracle can
+    never disagree on the prefilter geometry."""
+    lat_min, lat_max, lon_ivs = radius_prefilter_bounds(
+        center_lat, center_lon, radius_km
+    )
+    lon_pred = " OR ".join(
+        f"{lon_expr} BETWEEN {lo!r} AND {hi!r}" for lo, hi in lon_ivs
+    )
+    dist = SQL_HAVERSINE_KM.format(
+        R=EARTH_RADIUS_KM,
+        lat1=lat_expr,
+        lon1=lon_expr,
+        lat2=center_lat,
+        lon2=center_lon,
+    )
+    return (
+        f"{lat_expr} BETWEEN {lat_min!r} AND {lat_max!r}"
+        f" AND ({lon_pred}) AND {dist} <= {radius_km!r}"
     )

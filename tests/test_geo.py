@@ -53,7 +53,14 @@ def test_within_radius_bbox_is_superset_of_disk(spark):
         ((F.col("c_custkey") * 104729 % 170000) / 1000.0 - 85.0).alias("lat"),
         ((F.col("c_custkey") * 7919 % 360000) / 1000.0 - 180.0).alias("lon"),
     )
-    for lat_c, lon_c, r_km in [(75.0, 10.0, 2500.0), (48.8566, 2.3522, 2000.0)]:
+    for lat_c, lon_c, r_km in [
+        (75.0, 10.0, 2500.0),
+        (48.8566, 2.3522, 2000.0),
+        # antimeridian wrap (round-3 verdict): centers at lon ±179.5°
+        # must recover points on BOTH sides of the dateline
+        (10.0, 179.5, 2000.0),
+        (-20.0, -179.5, 2500.0),
+    ]:
         boxed = {
             r["c_custkey"]
             for r in within_radius(pts, "lat", "lon", lat_c, lon_c, r_km).collect()
@@ -70,6 +77,57 @@ def test_within_radius_bbox_is_superset_of_disk(spark):
     # and the registry query is non-vacuous + selective
     rows = suite.q_geo_radius(spark, SF_DIR).collect()
     assert 0 < len(rows) < pts.count()
+
+
+def test_antimeridian_wrap_recovers_both_sides(spark):
+    """A disk centered at lon 179.5° contains points at lon -179.x°
+    (across the dateline). The wrapped two-interval prefilter must keep
+    them; the pre-round-4 clamped box silently dropped them. Also checks
+    the shared SQL generator (sql_radius_where) agrees with the Spark
+    path row-for-row in DuckDB."""
+    import duckdb
+
+    from nifi_ngsild_postgresql_spark.functions.geo import (
+        radius_prefilter_bounds,
+        sql_radius_where,
+    )
+
+    ship_package(spark)
+    pts_rows = [
+        (1, 10.0, 179.0),    # west of the seam, ~170 km from center
+        (2, 10.0, -179.0),   # east of the seam, ~274 km — in disk
+        (3, 10.0, -175.0),   # ~600 km — in disk
+        (4, 10.0, 170.0),    # ~1043 km — outside 800 km disk
+        (5, -60.0, -179.0),  # right lon band, far latitude
+    ]
+    pts = spark.createDataFrame(pts_rows, "id long, lat double, lon double")
+    got = {
+        r["id"]
+        for r in within_radius(pts, "lat", "lon", 10.0, 179.5, 800.0).collect()
+    }
+    exact = {
+        r["id"]
+        for r in pts.withColumn(
+            "d", haversine_km("lat", "lon", F.lit(10.0), F.lit(179.5))
+        )
+        .filter(F.col("d") <= 800.0)
+        .collect()
+    }
+    assert got == exact
+    assert {1, 2, 3} <= got and 4 not in got, got
+    # the prefilter geometry itself: two wrapped lon intervals
+    _, _, ivs = radius_prefilter_bounds(10.0, 179.5, 800.0)
+    assert len(ivs) == 2 and ivs[0][0] == -180.0 and ivs[1][1] == 180.0, ivs
+    # and the SQL mirror returns the identical id set
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pts(id BIGINT, lat DOUBLE, lon DOUBLE); "
+        + "INSERT INTO pts VALUES "
+        + ", ".join(f"({i}, {la!r}, {lo!r})" for i, la, lo in pts_rows)
+    )
+    where = sql_radius_where("lat", "lon", 10.0, 179.5, 800.0)
+    sql_ids = {r[0] for r in con.sql(f"SELECT id FROM pts WHERE {where}").fetchall()}
+    assert sql_ids == got
 
 
 def test_bbox_filter_pushes_down_to_scan(spark):
