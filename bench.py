@@ -50,6 +50,8 @@ HEADLINE = [
     # round 3: the bucketed near-dup green entry + real WAV decode
     "embedding_neardup",
     "audio_decode",
+    # round 4: real PNG decode (stdlib zlib inflate + de-filter)
+    "image_decode",
 ]
 
 
@@ -76,7 +78,6 @@ def run_bench(sf_dir: str = SF_DIR, cpus: str = CPUS) -> dict:
     # 8g heap; same setting the scaling harness uses
     os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
     from nifi_ngsild_postgresql_spark.session import get_spark
-    import __spark_entry__ as entry_mod
 
     spark = get_spark(
         app_name="ngsild-bench",
@@ -85,7 +86,12 @@ def run_bench(sf_dir: str = SF_DIR, cpus: str = CPUS) -> dict:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    qs = entry_mod.queries()
+    # all_queries: the headline keeps timing ann_cosine_topk (continuity
+    # with earlier rounds' BENCH files) even though it now lives in the
+    # pytest-only parity set, outside the <=50-entry driver registry
+    from nifi_ngsild_postgresql_spark.analytics import registry
+
+    qs = registry.all_queries()
     timings: dict[str, float] = {}
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
@@ -94,18 +100,17 @@ def run_bench(sf_dir: str = SF_DIR, cpus: str = CPUS) -> dict:
     qs["cdc_ingest_upsert"](spark, "/root/testdata/sf0.001").count()
     qs["sort_topk"](spark, sf_dir).collect()
 
-    # Each query is timed twice and the MINIMUM reported: the engine is a
-    # long-running streaming service, so steady-state (post-JIT, warm page
-    # cache) throughput is the design metric — the first full-size run pays
-    # one-time C2 JIT compilation that a real deployment amortizes over
-    # millions of micro-batches. Measured on this box: first sf0.1 ingest
-    # 8-12s, every subsequent one 5.2-5.5s.
+    # Each query is timed three times and the MINIMUM reported (round-3
+    # verdict item 3: best-of-2 left single-run ±30% box variance in the
+    # per-query numbers): the engine is a long-running streaming service,
+    # so steady-state (post-JIT, warm page cache) throughput is the
+    # design metric — the first full-size run pays one-time C2 JIT
+    # compilation that a real deployment amortizes over millions of
+    # micro-batches. Measured on this box: first sf0.1 ingest 8-12s,
+    # every subsequent one 5.2-5.5s.
     for name in HEADLINE:
         best = None
-        # the flagship dominates the suite AND has the widest run-to-run
-        # spread (multi-job pipeline: ±30% box variance compounds), so it
-        # gets a third trial
-        trials = 3 if name == "cdc_ingest_upsert" else 2
+        trials = 3
         for _trial in range(trials):
             t0 = time.time()
             df = qs[name](spark, sf_dir)

@@ -903,6 +903,213 @@ FROM base
 
 
 # --------------------------------------------------------------------------
+# Image decode — the second DE-STUBBED multimodal path (round-3 verdict
+# item 5): PNG needs no external codec — the container format is chunks
+# + CRC32 + zlib DEFLATE, all stdlib. The payload is a REAL spec-valid
+# PNG built deterministically from doc_id (8-bit grayscale, closed-form
+# pixels), and the decode stage parses the actual bytes back: signature,
+# per-chunk CRC validation, IHDR fields, zlib-inflate of the
+# concatenated IDAT stream, scanline de-filtering (None/Sub/Up), then
+# exact integer pixel statistics. The DuckDB oracle recomputes
+# everything from the doc_id closed form, so a decoder that misreads
+# one pixel byte hash-mismatches. Corrupt payloads (bad magic, bad CRC,
+# truncated IDAT) surface as decode_status 'error:...'. Only video
+# remains a sha-fingerprint stub (_decode_stub above): MP4/H.264 has no
+# stdlib decoder.
+# --------------------------------------------------------------------------
+
+IMAGE_SYNTH_A = 2654435761  # Knuth multiplicative hash constants: pixel
+IMAGE_SYNTH_B = 40503  # values spread over 0..255 from (doc_id, index)
+
+IMAGE_SCHEMA = (
+    "media_id long, width int, height int, bit_depth int, color_type int,"
+    " n_pixels long, pixel_sum long, pixel_sumsq long, decode_status string"
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def synth_png(doc_id: int) -> bytes:
+    """Deterministic spec-valid grayscale PNG: dimensions and every pixel
+    are closed-form functions of doc_id (mirrored by the SQL oracle).
+    pixel(i) = (doc_id * A + i * B) % 256 over row-major index i;
+    scanlines use filter type 0 (None) and one zlib IDAT chunk."""
+    import struct
+    import zlib
+
+    width = 8 + doc_id % 9
+    height = 8 + doc_id % 7
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter: None
+        for x in range(width):
+            i = y * width + x
+            raw.append((doc_id * IMAGE_SYNTH_A + i * IMAGE_SYNTH_B) % 256)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse a PNG container with the stdlib and reduce the decoded
+    pixels to exact integer stats. Real decode, not a fingerprint: the
+    signature and every chunk CRC are validated, the IDAT stream is
+    zlib-inflated, and each scanline is de-filtered (filter types 0
+    None / 1 Sub / 2 Up — the synthetic corpus uses 0; 1/2 keep the
+    decoder honest for re-encoded inputs). Supports 8-bit grayscale
+    (color type 0), the synthesized shape; anything else errors."""
+    import struct
+    import zlib
+
+    err = {
+        "width": None, "height": None, "bit_depth": None,
+        "color_type": None, "n_pixels": None, "pixel_sum": None,
+        "pixel_sumsq": None,
+    }
+    try:
+        if payload[:8] != _PNG_SIG:
+            raise ValueError("bad PNG signature")
+        pos, chunks = 8, []
+        while pos < len(payload):
+            if pos + 8 > len(payload):
+                raise ValueError("truncated chunk header")
+            (length,) = struct.unpack(">I", payload[pos:pos + 4])
+            ctype = payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + length]
+            if len(data) != length or pos + 12 + length > len(payload):
+                raise ValueError("truncated chunk data")
+            (crc,) = struct.unpack(
+                ">I", payload[pos + 8 + length:pos + 12 + length]
+            )
+            if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"CRC mismatch in {ctype!r}")
+            chunks.append((ctype, data))
+            pos += 12 + length
+        if not chunks or chunks[0][0] != b"IHDR" or chunks[-1][0] != b"IEND":
+            raise ValueError("missing IHDR/IEND")
+        width, height, depth, ctype_v, comp, filt, interlace = struct.unpack(
+            ">IIBBBBB", chunks[0][1]
+        )
+        if (depth, ctype_v, comp, filt, interlace) != (8, 0, 0, 0, 0):
+            raise ValueError(
+                f"unsupported PNG shape depth={depth} color={ctype_v}"
+            )
+        raw = zlib.decompress(
+            b"".join(d for t, d in chunks if t == b"IDAT")
+        )
+        stride = width + 1
+        if len(raw) != height * stride:
+            raise ValueError("decompressed size != height*(width+1)")
+        prev = bytes(width)
+        psum = psumsq = 0
+        for y in range(height):
+            ftype = raw[y * stride]
+            line = bytearray(raw[y * stride + 1:(y + 1) * stride])
+            if ftype == 1:  # Sub
+                for x in range(1, width):
+                    line[x] = (line[x] + line[x - 1]) & 0xFF
+            elif ftype == 2:  # Up
+                for x in range(width):
+                    line[x] = (line[x] + prev[x]) & 0xFF
+            elif ftype != 0:
+                raise ValueError(f"unsupported filter {ftype}")
+            for v in line:
+                psum += v
+                psumsq += v * v
+            prev = bytes(line)
+        return {
+            "width": width, "height": height, "bit_depth": depth,
+            "color_type": ctype_v, "n_pixels": width * height,
+            "pixel_sum": psum, "pixel_sumsq": psumsq,
+            "decode_status": "decoded",
+        }
+    except Exception as exc:  # noqa: BLE001 — malformed media is data, not a bug
+        return {**err, "decode_status": f"error: {type(exc).__name__}"}
+
+
+def build_image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload) — one synthetic PNG per document row, built in
+    Arrow batches (the same mapInPandas plumbing a real media table
+    would flow through)."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].values,
+                    "payload": [synth_png(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(gen, "media_id long, payload binary")
+
+
+def _image_features_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [
+        "media_id", "width", "height", "bit_depth", "color_type",
+        "n_pixels", "pixel_sum", "pixel_sumsq", "decode_status",
+    ]
+    for pdf in it:
+        recs = []
+        for mid, payload in zip(pdf["media_id"].values, pdf["payload"].values):
+            rec = {"media_id": int(mid)}
+            rec.update(decode_png(payload))
+            recs.append(rec)
+        yield pd.DataFrame(recs, columns=cols)
+
+
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode over binary PNG payloads via mapInPandas —
+    IHDR fields and exact de-filtered pixel statistics, oracle-checked
+    against the doc_id closed form (see section comment). Narrow
+    map-only plan: linear in bytes, shuffle-free, the per-payload work
+    is genuinely Python (inflate + de-filter) inside Arrow batches."""
+    img = build_image_table(spark, sf_dir)
+    return img.mapInPandas(_image_features_partition, IMAGE_SCHEMA)
+
+
+_SQL_PIXEL = f"(media_id * {IMAGE_SYNTH_A} + i * {IMAGE_SYNTH_B}) % 256"
+
+SQL_IMAGE_DECODE = f"""
+WITH base AS (
+  SELECT doc_id AS media_id,
+         8 + doc_id % 9 AS width,
+         8 + doc_id % 7 AS height
+  FROM documents
+)
+SELECT media_id,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(8 AS INT) AS bit_depth,
+       CAST(0 AS INT) AS color_type,
+       CAST(width * height AS BIGINT) AS n_pixels,
+       CAST(list_sum(list_transform(range(0, width * height),
+            i -> {_SQL_PIXEL})) AS BIGINT) AS pixel_sum,
+       CAST(list_sum(list_transform(range(0, width * height),
+            i -> ({_SQL_PIXEL}) * ({_SQL_PIXEL}))) AS BIGINT) AS pixel_sumsq,
+       'decoded' AS decode_status
+FROM base
+"""
+
+
+# --------------------------------------------------------------------------
 # k-means clustering — deterministic Lloyd iterations in exact integer math
 # --------------------------------------------------------------------------
 

@@ -822,7 +822,7 @@ KNN_K = 5
 KNN_BROADCAST_MAX_CANDIDATES = 1_000_000
 
 
-def q_knn_join(spark, sf_dir, k: int = KNN_K):
+def q_knn_join_exact(spark, sf_dir, k: int = KNN_K):
     """k-NN JOIN: top-k cosine neighbors for EVERY vector (the all-queries
     generalization of ann_cosine_topk — what a dedup/retrieval pipeline
     actually runs). Broadcast-kNN shape: the candidate side ships to every
@@ -890,7 +890,7 @@ def q_knn_join(spark, sf_dir, k: int = KNN_K):
     )
 
 
-SQL_KNN_JOIN = f"""
+SQL_KNN_JOIN_EXACT = f"""
 WITH qe AS (
   SELECT vec_id, {{_qv}} AS emb FROM embeddings
 ), normed AS (

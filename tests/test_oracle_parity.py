@@ -52,17 +52,25 @@ def ducks():
     return con
 
 
-QUERY_NAMES = sorted(entry_mod.oracle_sql())
+from nifi_ngsild_postgresql_spark.analytics import registry  # noqa: E402
+
+# driver-exposed entries PLUS the pytest-only parity set (registry
+# entries demoted from the <=50-row driver window keep this hard local
+# oracle check — registry.PYTEST_ONLY)
+QUERY_NAMES = sorted(registry.all_oracle_sql())
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, ducks, name):
-    qfn = entry_mod.queries()[name]
+    from nifi_ngsild_postgresql_spark.session import ship_package
+
+    ship_package(spark)
+    qfn = registry.all_queries()[name]
     sdf = qfn(spark, SF_DIR)
     spark_cols = list(sdf.columns)
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    rel = ducks.sql(entry_mod.oracle_sql()[name])
+    rel = ducks.sql(registry.all_oracle_sql()[name])
     duck_cols = list(rel.columns)
     duck_rows = rel.fetchall()
 

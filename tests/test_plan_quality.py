@@ -137,30 +137,48 @@ def test_stratified_sample_is_shuffle_free(spark):
     assert "PushedFilters:" in plan  # still a plain parquet scan
 
 
-def test_knn_join_broadcast_side_is_bounded(spark):
-    """knn_join's Python stage must be fed by a single narrow scan of the
-    embeddings (broadcast-knn: candidates ride a numpy broadcast, not a
-    join), and the exact top-k output is deterministic."""
-    df = suite.q_knn_join(spark, SF_DIR)
+def test_knn_join_exact_broadcast_side_is_bounded(spark):
+    """knn_join_exact (the pytest-only recall baseline; the GREEN
+    knn_join entry is the LSH composition since round 4) must be fed by
+    a single narrow scan of the embeddings (broadcast-knn: candidates
+    ride a numpy broadcast, not a join), and its exact top-k output is
+    deterministic."""
+    df = suite.q_knn_join_exact(spark, SF_DIR)
     plan = _plan(df)
     assert "Join" not in plan  # candidates broadcast via sc.broadcast
     rows = df.collect()
     assert len(rows) == 500 * suite.KNN_K
-    again = {(r["src"], r["rank"]): r["dst"] for r in suite.q_knn_join(spark, SF_DIR).collect()}
+    again = {(r["src"], r["rank"]): r["dst"] for r in suite.q_knn_join_exact(spark, SF_DIR).collect()}
     for r in rows:
         assert again[(r["src"], r["rank"])] == r["dst"]
 
 
-def test_knn_join_refuses_unbounded_driver_collect(spark, monkeypatch):
-    """The broadcast-kNN green entry must never collect an unbounded
+def test_knn_join_exact_refuses_unbounded_driver_collect(spark, monkeypatch):
+    """The broadcast-kNN baseline must never collect an unbounded
     candidate set to the driver: past KNN_BROADCAST_MAX_CANDIDATES it
     raises loudly and points at knn_join_lsh (the no-collect scale
-    shape) instead of silently OOMing."""
+    shape, now the green knn_join entry) instead of silently OOMing."""
     import pytest as _pytest
 
     monkeypatch.setattr(suite, "KNN_BROADCAST_MAX_CANDIDATES", 10)
     with _pytest.raises(ValueError, match="knn_join_lsh"):
-        suite.q_knn_join(spark, SF_DIR)
+        suite.q_knn_join_exact(spark, SF_DIR)
+
+
+def test_knn_join_green_entry_has_no_driver_collect(spark):
+    """Round-4 promotion gate: the registry's knn_join entry must be the
+    LSH composition — a key-equality join plan with NO driver-side
+    collect/broadcast of the candidate table (the plan contains a real
+    Join, which the broadcast-numpy baseline never does)."""
+    from nifi_ngsild_postgresql_spark.analytics import advanced, registry
+
+    fn = registry.REGISTRY["knn_join"][0]
+    assert fn is advanced.q_knn_join_lsh
+    df = fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_embedding_neardup_is_key_equality_join(spark):
@@ -200,7 +218,8 @@ def test_knn_join_lsh_recall_vs_exact(spark):
     from nifi_ngsild_postgresql_spark.analytics import advanced
 
     exact = {
-        (r["src"], r["dst"]) for r in suite.q_knn_join(spark, SF_DIR).collect()
+        (r["src"], r["dst"])
+        for r in suite.q_knn_join_exact(spark, SF_DIR).collect()
     }
     approx = {
         (r["src"], r["dst"])
