@@ -252,11 +252,12 @@ def run_scaling_exec(n_events: int = 400_000) -> None:
     spark.stop()
 
     results = {}
+    trials = 3  # round-3 verdict item 6: best-of-3, not best-of-2
     for exec_cores in (1, 2):
-        # one executor over the full input (best of 2 fresh JVMs)
+        # one executor over the full input (best of N fresh JVMs)
         t1 = min(
             r["sec"]
-            for _ in range(2)
+            for _ in range(trials)
             for r in _run_workers([_exec_worker_code(exec_cores, shards, "one")])
         )
         # four concurrent executors, one disjoint shard each: fleet wall
@@ -266,7 +267,7 @@ def run_scaling_exec(n_events: int = 400_000) -> None:
                 [_exec_worker_code(exec_cores, [sh], f"w{i}")
                  for i, sh in enumerate(shards)]
             ))
-            for _ in range(2)
+            for _ in range(trials)
         )
         eff = round((t1 / t4) / 4, 3)
         results[exec_cores] = {
@@ -277,6 +278,23 @@ def run_scaling_exec(n_events: int = 400_000) -> None:
         }
 
     best = max(r["efficiency"] for r in results.values())
+    below = {c: r["efficiency"] for c, r in results.items() if r["efficiency"] < 0.8}
+    caveat = ""
+    if below:
+        caveat = (
+            "\n\nStated plainly rather than only \"target met\": the "
+            + ", ".join(f"local[{c}] configuration measured {e}" for c, e in below.items())
+            + " — BELOW the 0.8 target in that configuration. The\n"
+            "headline takes the best configuration because the sub-target\n"
+            "one is a hardware artifact of this single box: its 4-executor\n"
+            "fleet runs 8-16 hardware threads (each local[N] executor also\n"
+            "runs N Python parse workers) against ONE shared memory/page-\n"
+            "cache subsystem on a ~16-physical-core VM, so the fleet's\n"
+            "aggregate bandwidth per executor is a fraction of the solo\n"
+            "run's — contention a real cluster's per-node memory does not\n"
+            "have. The separate-JVM construction already removes the\n"
+            "allocator/GC sharing; it cannot un-share the DRAM."
+        )
     _update_section(
         os.path.join(REPO, "BENCH", "BASELINE.md"),
         "## Headline: N -> 4N executor scaling (separate JVMs)",
@@ -285,7 +303,7 @@ def run_scaling_exec(n_events: int = 400_000) -> None:
         "executors\" is one executor JVM over the whole input vs four\n"
         "CONCURRENT executor JVMs over one disjoint shard each (same total\n"
         f"input: a {n_events}-event synthetic changelog; fleet wall =\n"
-        "slowest worker; best of 2 fresh-JVM runs per configuration;\n"
+        f"slowest worker; best of {trials} fresh-JVM runs per configuration;\n"
         "`bench.py --scaling-exec`).\n\n"
         "| executor size | 1 executor | 4 executors | speedup | N->4N efficiency |\n"
         "|---|---|---|---|---|\n"
@@ -298,9 +316,10 @@ def run_scaling_exec(n_events: int = 400_000) -> None:
         + f"\n**Best N -> 4N efficiency {best} — target >= 0.8"
         + (" met.**" if best >= 0.8 else " NOT met.**")
         + " The 4-executor fleets run 8-16 hardware threads total on this\n"
-        "~16-physical-core VM, so neither configuration is oversubscribed;\n"
-        "remaining loss is shared page cache/memory bandwidth, which a real\n"
-        "cluster's per-node resources would not share.",
+        "~16-physical-core VM, so neither configuration is oversubscribed\n"
+        "on CPU; remaining loss is shared page cache/memory bandwidth,\n"
+        "which a real cluster's per-node resources would not share."
+        + caveat,
     )
     print(json.dumps({"scaling_exec": results}))
     shutil.rmtree(root, ignore_errors=True)

@@ -553,8 +553,12 @@ def lsh_neardup_candidates(
         # explicit numbered repartition before the scoring stage: AQE
         # coalesces the distinct's output by BYTES (id pairs are tiny)
         # and would run the CPU-bound cosine folds on a handful of
-        # tasks; a user-numbered shuffle is never coalesced
-        .repartition(32, "vec_a", "vec_b")
+        # tasks; a user-numbered shuffle is never coalesced. The count
+        # follows the session's parallelism (round-3 verdict item 7 —
+        # was a hardcoded 32), same derivation flatten.py uses
+        .repartition(
+            e.sparkSession.sparkContext.defaultParallelism, "vec_a", "vec_b"
+        )
     )
     zero = F.lit(0).cast("long")
     norm2 = F.aggregate("emb", zero, lambda acc, x: acc + x * x)

@@ -380,19 +380,26 @@ def q_pack_sequences(
         .filter(F.col("n") > 0)
         .withColumn("bucket", (F.col("doc_id") / doc_bucket).cast("long"))
     )
-    n_buckets = toks.select("bucket").distinct().count()
-    if n_buckets > PACK_MAX_PREFIX_BUCKETS:
-        raise ValueError(
-            f"pack_sequences: {n_buckets} prefix-sum buckets exceed "
-            f"PACK_MAX_PREFIX_BUCKETS ({PACK_MAX_PREFIX_BUCKETS}) — "
-            "collecting the bucket totals would strain the driver. Raise "
-            "doc_bucket so n_docs/doc_bucket stays bounded (or add a "
-            "third prefix-sum level)."
-        )
-    btotals = sorted(
-        (r["bucket"], r["t"])
-        for r in toks.groupBy("bucket").agg(F.sum("n").alias("t")).collect()
+    # cardinality guard ON the aggregated frame (round-3 ADVICE: a
+    # dedicated distinct().count() job re-tokenized the whole corpus a
+    # second time just to count buckets): limit(cap+1) bounds what can
+    # ever reach the driver, and overflowing the cap surfaces as the
+    # (cap+1)-th row — one job, one pass over the tokens
+    agg_rows = (
+        toks.groupBy("bucket")
+        .agg(F.sum("n").alias("t"))
+        .limit(PACK_MAX_PREFIX_BUCKETS + 1)
+        .collect()
     )
+    if len(agg_rows) > PACK_MAX_PREFIX_BUCKETS:
+        raise ValueError(
+            f"pack_sequences: more than {PACK_MAX_PREFIX_BUCKETS} "
+            "prefix-sum buckets (PACK_MAX_PREFIX_BUCKETS) — collecting "
+            "the bucket totals would strain the driver. Raise doc_bucket "
+            "so n_docs/doc_bucket stays bounded (or add a third "
+            "prefix-sum level)."
+        )
+    btotals = sorted((r["bucket"], r["t"]) for r in agg_rows)
     offsets, acc = [], 0
     for b, t in btotals:
         offsets.append((b, acc))

@@ -205,9 +205,29 @@ class LakeTable:
     def _commit(self, snapshot: dict[str, Any]) -> None:
         os.makedirs(self.meta_dir, exist_ok=True)
         path = os.path.join(self.meta_dir, f"v{snapshot['version']:08d}.json")
-        # atomic publish: O_EXCL create — a concurrent writer loses cleanly
-        with open(path, "x") as f:
-            json.dump(snapshot, f)
+        # Atomic publish (round-3 ADVICE): streaming json.dump straight
+        # into the O_EXCL final path let a peer losing the race — which
+        # immediately calls latest_snapshot() — read a PARTIAL manifest
+        # (JSONDecodeError instead of the designed rebase), and a crash
+        # mid-dump permanently poisoned that version for every future
+        # committer. Now: write + fsync a temp file (its "_tmp" prefix
+        # can never match _SNAPSHOT_RE, so readers never see it), then
+        # publish with os.link — atomic, and EEXIST preserves the O_EXCL
+        # loser semantics for the optimistic-commit retry loop.
+        fd, tmp = tempfile.mkstemp(
+            dir=self.meta_dir, prefix="_tmp_manifest_", suffix=".json"
+        )
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(snapshot, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                raise
+        finally:
+            os.unlink(tmp)
 
     # --- read -------------------------------------------------------------
 
@@ -975,7 +995,16 @@ class LakeTable:
         in-flight writer that staged data but hasn't published yet — and
         are removed only once older than ``orphan_grace_seconds``
         (Iceberg's remove_orphan_files older_than); dirs numbered above
-        the newest kept snapshot are additionally always protected."""
+        the newest kept snapshot are additionally always protected.
+
+        Lock scope (round-3 ADVICE): only the keep-set computation and
+        manifest deletion run under _tags_lock — the expensive data-dir
+        sweep (per-dir mtime stats + rmtree of every removable commit
+        dir) happens after release, so a long GC pass can no longer push
+        a concurrent tag()/drop_tag() past the lock timeout. Safe:
+        once the expired manifests are gone no snapshot references those
+        dirs, so removing them races nothing (a tag() after release can
+        only pin a KEPT version)."""
         import shutil
 
         with self._tags_lock():
@@ -999,34 +1028,36 @@ class LakeTable:
                 if v not in keep:
                     os.remove(os.path.join(self.meta_dir, f"v{v:08d}.json"))
                     expired += 1
-            removed = 0
-            data_dir = os.path.join(self.path, "data")
-            latest = keep[-1]
-            now = time.time()
-            if os.path.isdir(data_dir):
-                for d in sorted(os.listdir(data_dir)):
-                    m = _COMMIT_DIR_RE.match(d)
-                    # never GC dirs numbered above the newest kept
-                    # snapshot: an in-flight writer that will commit there
-                    if m and int(m.group(1)) > latest:
+        # --- lock released: data-dir removal only, decided from the
+        # already-computed ref sets ---
+        removed = 0
+        data_dir = os.path.join(self.path, "data")
+        latest = keep[-1]
+        now = time.time()
+        if os.path.isdir(data_dir):
+            for d in sorted(os.listdir(data_dir)):
+                m = _COMMIT_DIR_RE.match(d)
+                # never GC dirs numbered above the newest kept
+                # snapshot: an in-flight writer that will commit there
+                if m and int(m.group(1)) > latest:
+                    continue
+                rel = f"data/{d}"
+                if rel in kept_refs:
+                    continue
+                if rel not in expired_refs:
+                    # true orphan — could be an in-flight writer about
+                    # to rebase onto a lower version: grace window
+                    try:
+                        age = now - os.path.getmtime(
+                            os.path.join(data_dir, d)
+                        )
+                    except OSError:
                         continue
-                    rel = f"data/{d}"
-                    if rel in kept_refs:
+                    if age < orphan_grace_seconds:
                         continue
-                    if rel not in expired_refs:
-                        # true orphan — could be an in-flight writer about
-                        # to rebase onto a lower version: grace window
-                        try:
-                            age = now - os.path.getmtime(
-                                os.path.join(data_dir, d)
-                            )
-                        except OSError:
-                            continue
-                        if age < orphan_grace_seconds:
-                            continue
-                    shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
-                    removed += 1
-            return {"expired_snapshots": expired, "removed_dirs": removed}
+                shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
+                removed += 1
+        return {"expired_snapshots": expired, "removed_dirs": removed}
 
     def _merge_schema(
         self, base: dict[str, Any] | None, schema: dict[str, str]
@@ -1092,6 +1123,8 @@ class LakeTable:
         epoch_id: str,
         mode: str,
         _attempt: int = 0,
+        _rebases: int = 0,
+        _recomputes: int = 0,
     ) -> dict[str, Any]:
         snap = self.latest_snapshot()
         if snap and epoch_id in snap["epochs"]:
@@ -1233,17 +1266,30 @@ class LakeTable:
                     self._drop_staged(new_files)
                     return {"skipped_epoch": True}
                 if self._can_rebase(mode, snap, latest, new_files, commit_schema, n_buckets):
+                    _rebases += 1
                     base = latest
                     continue
                 # conflicting writes to a touched bucket (or rebucket /
                 # incompatible schema): our merged output is stale — drop
                 # the staged files and recompute against the new snapshot
                 self._drop_staged(new_files)
-                return self._apply(df, schema, epoch_id, mode, _attempt=_attempt)
+                return self._apply(
+                    df, schema, epoch_id, mode,
+                    _attempt=_attempt,
+                    _rebases=_rebases,
+                    _recomputes=_recomputes + 1,
+                )
         stats = {
             "rows_written": rows_written,
             "buckets_touched": len(new_files),
             "version": version,
+            # contention observability (round-3 verdict item 9): these
+            # ride the per-batch lineage record, so a contended
+            # multi-stream deployment shows its conflict/rebase/recompute
+            # rates instead of retrying silently
+            "commit_conflicts": _attempt,
+            "commit_rebases": _rebases,
+            "commit_recomputes": _recomputes,
         }
         rebucket_to = self._rebucket_target(files, file_stats, n_buckets)
         if rebucket_to:

@@ -42,6 +42,10 @@ class ChangeFeedConsumer:
         self.include_preimage = include_preimage
         os.makedirs(checkpoint_dir, exist_ok=True)
         self._ckpt = os.path.join(checkpoint_dir, "position.json")
+        # the previous poll's persisted changes frame (apply_fn=None
+        # path) — unpersisted on the next poll so a long-running polling
+        # loop doesn't accumulate cached blocks unboundedly
+        self._prev_cached: DataFrame | None = None
 
     def position(self) -> int:
         """Last consumed snapshot version (0 = nothing consumed yet:
@@ -81,11 +85,19 @@ class ChangeFeedConsumer:
         contract on this path, by design: the cache is process-local, so
         a crash after poll() returns but before the caller drains it
         loses that range (at-most-once). Consumers needing at-least-once
-        must use ``apply_fn``."""
+        must use ``apply_fn``.
+
+        Cache lifetime: each poll() unpersists the PREVIOUS poll's
+        cached frame (round-3 ADVICE — a polling loop otherwise
+        accumulates cached blocks unboundedly), so drain one batch
+        before polling the next; call ``release()`` to free the last
+        batch when done with the consumer."""
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
         v0 = self.position()
+        # a new poll supersedes the previous batch: release its cache
+        self.release()
         versions = self.table.versions()
         v1 = versions[-1] if versions else 0
         if v1 <= v0:
@@ -108,14 +120,35 @@ class ChangeFeedConsumer:
             changes = changes.persist()
             out["rows"] = changes.count()  # materializes the cache
             out["changes"] = changes
+            self._prev_cached = changes
         self._commit(v1)
         return out
+
+    def release(self) -> None:
+        """Unpersist the cached frame of the last apply_fn=None poll (if
+        any). Called automatically at the start of each poll(); call it
+        yourself when retiring the consumer."""
+        if self._prev_cached is not None:
+            try:
+                self._prev_cached.unpersist()
+            except Exception:  # session already stopped — nothing to free
+                pass
+            self._prev_cached = None
 
     @staticmethod
     def _observed_rows(obs) -> int | None:
         """Non-blocking Observation read: the metric map if an action
         completed over the observed plan, else None (``obs.get`` would
-        block forever on an unconsumed plan)."""
+        block forever on an unconsumed plan).
+
+        VERSION NOTE: ``obs._jo`` is PySpark's private handle to the JVM
+        Observation (pyspark.sql.observation, present 3.3-4.1; pinned
+        here against drift by test_observed_rows_fallback_keeps_contract)
+        and ``getOrEmpty`` its non-blocking accessor. If an upgrade
+        renames either, this returns None and poll() falls back to
+        counting the observed plan itself — the at-least-once contract
+        holds at the cost of one extra job, and the fallback test keeps
+        that degradation loud in CI rather than silent in prod."""
         try:
             m = obs._jo.getOrEmpty()
             if m.isEmpty():

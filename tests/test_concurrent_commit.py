@@ -148,12 +148,17 @@ def test_concurrent_cow_disjoint_buckets_rebases(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(lake_mod.LakeTable, "_write_data", counting_write)
     _interleave(monkeypatch, lambda: ingest_batch(b, cfg, wh, "e-b"))
-    ingest_batch(a, cfg, wh, "e-a")
+    stats = ingest_batch(a, cfg, wh, "e-a")
 
     t = LakeCatalog(wh).table("t", "gauge")
     assert t.versions() == [1, 2, 3]
     assert {"e-a", "e-b"} <= set(t.latest_snapshot()["epochs"])
     assert len(writes) == 2  # rebase: no recompute write
+    # contention counters ride the lineage record (round-3 verdict #9)
+    tstats = stats["tables"]["t.gauge"]
+    assert tstats["commit_conflicts"] == 1
+    assert tstats["commit_rebases"] == 1
+    assert tstats["commit_recomputes"] == 0
     rows = {r["entityid"]: r["level"] for r in t.read(spark).collect()}
     assert rows == {f"urn:x:{e1}": 1.0, f"urn:x:{e2}": 2.0}
     got = set(table_manifest(t.read(spark)))
@@ -184,12 +189,17 @@ def test_concurrent_cow_same_bucket_recomputes(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(lake_mod.LakeTable, "_write_data", counting_write)
     _interleave(monkeypatch, lambda: ingest_batch(b, cfg, wh, "e-b"))
-    ingest_batch(a, cfg, wh, "e-a")
+    stats = ingest_batch(a, cfg, wh, "e-a")
 
     t = LakeCatalog(wh).table("t", "gauge")
     assert t.versions() == [1, 2, 3]
     assert {"e-a", "e-b"} <= set(t.latest_snapshot()["epochs"])
     assert len(writes) == 3  # loser recomputed: one extra data write
+    # contention counters survive across the recompute recursion
+    tstats = stats["tables"]["t.gauge"]
+    assert tstats["commit_conflicts"] == 1
+    assert tstats["commit_rebases"] == 0
+    assert tstats["commit_recomputes"] == 1
     rows = t.read(spark).collect()
     assert len(rows) == 1 and rows[0]["level"] == 10.0
     got = set(table_manifest(t.read(spark)))
@@ -238,6 +248,48 @@ def test_commit_conflict_bound_surfaces_loudly(spark, tmp_path, monkeypatch):
     t = LakeCatalog(wh).table("t", "gauge")
     assert {"e-seed", "e-b"} <= set(t.latest_snapshot()["epochs"])
     assert "e-a" not in t.latest_snapshot()["epochs"]
+
+
+def test_manifest_publish_is_atomic(spark, tmp_path, monkeypatch):
+    """Round-3 ADVICE: the manifest must be COMPLETE before it becomes
+    visible under its v-file name. json.dump streamed straight into the
+    O_EXCL final path let a racing reader see a partial manifest. Now
+    the write goes to a fsynced temp file published via os.link: at
+    link time the source is already valid complete JSON; a pre-existing
+    target still surfaces as FileExistsError (the optimistic-retry
+    signal); and neither outcome leaves temp or partial files behind."""
+    import os as _os
+
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="append", n_buckets=4)
+    ingest_batch(_batch(spark, [(0, 0.0, TS)]), cfg, wh, "e-seed")
+    t = LakeCatalog(wh).table("t", "gauge")
+    snap = dict(t.latest_snapshot())
+
+    seen = {}
+    orig_link = _os.link
+
+    def checking_link(src, dst, **kw):
+        # the to-be-published file must already be complete valid JSON
+        with open(src) as f:
+            seen["payload"] = json.load(f)
+        return orig_link(src, dst, **kw)
+
+    monkeypatch.setattr(_os, "link", checking_link)
+    snap2 = {**snap, "version": snap["version"] + 1}
+    t._commit(snap2)
+    assert seen["payload"]["version"] == snap2["version"]
+    assert t.versions()[-1] == snap2["version"]
+
+    # losing the race still raises FileExistsError (retry-loop contract)
+    with pytest.raises(FileExistsError):
+        t._commit(snap2)
+    # and no temp/partial files linger in _meta
+    leftovers = [
+        f for f in _os.listdir(t.meta_dir)
+        if not (f.endswith(".json") and f.startswith("v")) and f != "_tags.json"
+    ]
+    assert leftovers == [], leftovers
 
 
 def test_loser_staged_files_are_dropped_on_recompute(spark, tmp_path, monkeypatch):
