@@ -583,22 +583,36 @@ def q_ngram_jaccard(spark, sf_dir):
     never quadratic on a hot shingle). jaccard is one double division of
     exact integers — bit-identical across engines."""
     sh = _shingles(_t(spark, sf_dir, "documents"))
-    # global doc-frequency filter: one extra narrow aggregation, removes
-    # the skew hazard from every downstream stage
-    rare = (
+    # ONE keyed aggregation replaces the old rare-filter join + shingle
+    # self-join (round-4 shape: the previous plan recomputed the shingle
+    # extraction four times — rare agg, both self-join sides, sizes —
+    # and shuffled the full shingle table three times; this one shuffles
+    # it ONCE, and both downstream branches hang off the same grouped
+    # subtree so Spark reuses the exchange). The df <= MAX filter still
+    # bounds everything: a hot shingle is dropped before any fan-out.
+    grouped = (
         sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= MAX_DOCS_PER_SHINGLE)
-        .select("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= MAX_DOCS_PER_SHINGLE)
     )
-    sh = sh.join(rare, "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # candidate pairs generated IN-ROW from each rare shingle's sorted
+    # doc list (<= C(10,2) = 45 structs per shingle) — never a self-join
+    pair_arr = F.expr(
+        "flatten(transform(docs, (x, i) ->"
+        " transform(slice(docs, i + 2, size(docs)),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
+    )
+    # per-doc rare-shingle set sizes, from the SAME grouped frame
+    sizes = (
+        grouped.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
