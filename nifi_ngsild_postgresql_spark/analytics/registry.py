@@ -138,6 +138,10 @@ PYTEST_ONLY: dict[str, tuple] = {
     # Lives here because the driver window is full at 50; the pytest
     # oracle is the hard check.
     "video_decode": (advanced.q_video_decode, advanced.SQL_VIDEO_DECODE),
+    # round 4: polygon CONTAINMENT (even-odd ray cast as a JVM fold, no
+    # UDF/geo lib) — partial closure of the "geometry algebra beyond
+    # Points" gap; concave test polygon so bbox shortcuts can't pass.
+    "geo_polygon": (suite.q_geo_polygon, suite.SQL_GEO_POLYGON),
 }
 
 

@@ -1290,6 +1290,57 @@ WHERE {where}
 SQL_GEO_RADIUS = _sql_geo_radius()
 
 
+# A deliberately CONCAVE polygon (lon, lat) — an axis-aligned bbox test
+# would misclassify points in the notch, so parity here proves the
+# even-odd ray cast, not a rectangle check. Roughly "Europe with a bite
+# taken out of the middle".
+GEO_POLYGON = [
+    (-10.0, 36.0), (30.0, 36.0), (30.0, 60.0), (10.0, 60.0),
+    (10.0, 45.0), (0.0, 45.0), (0.0, 60.0), (-10.0, 60.0),
+]
+
+
+def q_geo_polygon(spark, sf_dir):
+    """Point-in-polygon containment (even-odd ray cast as one JVM fold —
+    functions/geo.py point_in_polygon) over the same deterministic
+    lon/lat points as geo_radius, against a concave literal polygon.
+    The closed form is mirrored exactly in SQL; a bbox shortcut would
+    fail on the notch points."""
+    from ..functions.geo import point_in_polygon
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        (
+            (F.col("c_custkey") * 104729 % 170000) / 1000.0 - 85.0
+        ).alias("lat"),
+        (
+            (F.col("c_custkey") * 7919 % 360000) / 1000.0 - 180.0
+        ).alias("lon"),
+    )
+    return pts.filter(point_in_polygon("lat", "lon", GEO_POLYGON)).select(
+        "c_custkey", "lat", "lon"
+    )
+
+
+def _sql_geo_polygon() -> str:
+    from ..functions.geo import sql_point_in_polygon
+
+    pred = sql_point_in_polygon("lat", "lon", GEO_POLYGON)
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 104729 % 170000) / 1000.0 - 85.0 AS lat,
+         (c_custkey * 7919 % 360000) / 1000.0 - 180.0 AS lon
+  FROM customer
+)
+SELECT c_custkey, lat, lon FROM pts WHERE {pred}
+"""
+
+
+SQL_GEO_POLYGON = _sql_geo_polygon()
+
+
 # --------------------------------------------------------------------------
 # funnel_stages (ordered event-sequence conversion)
 # --------------------------------------------------------------------------

@@ -12,9 +12,15 @@ pure JVM column expressions over those lon/lat doubles: whole-stage
 codegen, pushdown-friendly (the bbox comparisons reach the parquet
 scan), no UDF.
 
-Full polygon/geometry algebra stays out of scope: that genuinely needs
-a geo library (Sedona on a real cluster); point predicates cover the
-reference's own Point fan-out, the only geometry shape it decomposes.
+Polygon CONTAINMENT is covered too (round 4): ``point_in_polygon`` is
+an exact even-odd ray cast expressed as one JVM aggregate over the
+ring's edge list — no UDF, no geo library — with the identical closed
+form mirrored for the DuckDB oracle (``sql_point_in_polygon``). FULL
+geometry algebra (intersection/buffer/union, geodesic edges) remains
+out of scope: that genuinely needs Sedona on a real cluster. Planar
+edge semantics, like PostGIS ST_Contains on lon/lat; boundary points
+follow the strict ray-cast convention (implementation-defined, as in
+most engines).
 """
 
 from __future__ import annotations
@@ -136,6 +142,72 @@ def within_radius(
     return boxed.withColumn("dist_km", dist).filter(
         F.col("dist_km") <= radius_km
     )
+
+
+def point_in_polygon(
+    lat: Column | str, lon: Column | str, ring: list[tuple[float, float]]
+) -> Column:
+    """Even-odd ray-cast containment of (lat, lon) in a polygon ring —
+    one pure JVM expression (no UDF): for each edge whose endpoints
+    straddle the point's latitude, count whether the horizontal ray to
+    the west crosses it; odd crossings = inside.
+
+    ``ring`` is [(lon, lat), ...] in GeoJSON coordinate order, open or
+    closed (the closing edge is added if absent). Horizontal edges
+    contribute nothing (the straddle test excludes them; the division
+    below is double math, so an unevaluated-short-circuit Inf is
+    harmless under three-valued AND). The crossing count is emitted as
+    a fold over the edge array so Catalyst keeps it inside whole-stage
+    codegen; the DuckDB oracle (sql_point_in_polygon) runs the
+    bit-identical formula. Planar edges — use small polygons or a
+    Sedona swap for geodesic exactness."""
+    pts = [(float(lo), float(la)) for lo, la in ring]
+    if pts[0] != pts[-1]:
+        pts = pts + [pts[0]]
+    latc = F.col(lat) if isinstance(lat, str) else lat
+    lonc = F.col(lon) if isinstance(lon, str) else lon
+    edges = F.array(
+        *[
+            F.struct(
+                F.lit(x1).alias("x1"), F.lit(y1).alias("y1"),
+                F.lit(x2).alias("x2"), F.lit(y2).alias("y2"),
+            )
+            for (x1, y1), (x2, y2) in zip(pts, pts[1:])
+        ]
+    )
+    crossings = F.aggregate(
+        edges,
+        F.lit(0),
+        lambda acc, e: acc
+        + F.when(
+            ((e["y1"] > latc) != (e["y2"] > latc))
+            & (
+                lonc
+                < (e["x2"] - e["x1"]) * (latc - e["y1"]) / (e["y2"] - e["y1"])
+                + e["x1"]
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return crossings % 2 == 1
+
+
+def sql_point_in_polygon(
+    lat_expr: str, lon_expr: str, ring: list[tuple[float, float]]
+) -> str:
+    """DuckDB mirror of point_in_polygon — same edge list, same straddle
+    + crossing formula, same even-odd rule."""
+    pts = [(float(lo), float(la)) for lo, la in ring]
+    if pts[0] != pts[-1]:
+        pts = pts + [pts[0]]
+    terms = []
+    for (x1, y1), (x2, y2) in zip(pts, pts[1:]):
+        terms.append(
+            f"(CASE WHEN (({y1!r} > {lat_expr}) <> ({y2!r} > {lat_expr}))"
+            f" AND {lon_expr} < ({x2!r} - {x1!r}) * ({lat_expr} - {y1!r})"
+            f" / ({y2!r} - {y1!r}) + {x1!r} THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
 
 
 def sql_radius_where(

@@ -130,6 +130,65 @@ def test_antimeridian_wrap_recovers_both_sides(spark):
     assert sql_ids == got
 
 
+def test_point_in_polygon_ray_cast(spark):
+    """Even-odd ray cast against the concave GEO_POLYGON: points in the
+    notch are inside the bounding box but OUTSIDE the polygon — a bbox
+    shortcut fails here. Python reference implementation and the DuckDB
+    mirror must agree with the Spark fold point for point."""
+    import duckdb
+
+    from nifi_ngsild_postgresql_spark.analytics.suite import GEO_POLYGON
+    from nifi_ngsild_postgresql_spark.functions.geo import (
+        point_in_polygon,
+        sql_point_in_polygon,
+    )
+
+    ship_package(spark)
+
+    def ref_inside(lat, lon, ring):
+        pts = list(ring)
+        if pts[0] != pts[-1]:
+            pts = pts + [pts[0]]
+        n = 0
+        for (x1, y1), (x2, y2) in zip(pts, pts[1:]):
+            if (y1 > lat) != (y2 > lat) and lon < (x2 - x1) * (lat - y1) / (
+                y2 - y1
+            ) + x1:
+                n += 1
+        return n % 2 == 1
+
+    cases = [
+        (1, 48.0, 15.0, True),    # body
+        (2, 50.0, 5.0, False),    # the notch: inside bbox, outside polygon
+        (3, 55.0, -5.0, True),    # west prong
+        (4, 55.0, 20.0, True),    # east prong
+        (5, 40.0, 40.0, False),   # east of polygon
+        (6, 30.0, 15.0, False),   # south of polygon
+        (7, 59.0, 5.0, False),    # notch, near the top
+        (8, 44.0, 5.0, True),     # below the notch floor -> body
+    ]
+    for _i, la, lo, want in cases:
+        assert ref_inside(la, lo, GEO_POLYGON) is want, (la, lo)
+
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, la, lo, _w in cases], "id long, lat double, lon double"
+    )
+    got = {
+        r["id"]
+        for r in df.filter(point_in_polygon("lat", "lon", GEO_POLYGON)).collect()
+    }
+    assert got == {i for i, _la, _lo, w in cases if w}, got
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pts(id BIGINT, lat DOUBLE, lon DOUBLE); INSERT INTO pts VALUES "
+        + ", ".join(f"({i}, {la!r}, {lo!r})" for i, la, lo, _w in cases)
+    )
+    pred = sql_point_in_polygon("lat", "lon", GEO_POLYGON)
+    sql_ids = {r[0] for r in con.sql(f"SELECT id FROM pts WHERE {pred}").fetchall()}
+    assert sql_ids == got
+
+
 def test_bbox_filter_pushes_down_to_scan(spark):
     """The bbox comparisons must reach the parquet reader as pushed
     filters when lon/lat are real columns — the predicate a 100 TB scan
