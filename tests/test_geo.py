@@ -189,6 +189,57 @@ def test_point_in_polygon_ray_cast(spark):
     assert sql_ids == got
 
 
+def test_point_in_polygon_property_random_rings(spark):
+    """Property check: on deterministic pseudo-random simple polygons
+    (star-shaped construction — strictly increasing angles around a
+    center guarantee no self-intersection, arbitrary convexity) the
+    Spark fold must agree with the pure-Python reference ray cast for
+    every probe point. One Spark job per polygon, 60 probes each."""
+    import math
+    import random
+
+    from nifi_ngsild_postgresql_spark.functions.geo import point_in_polygon
+
+    ship_package(spark)
+
+    def ref_inside(lat, lon, ring):
+        pts = list(ring)
+        if pts[0] != pts[-1]:
+            pts = pts + [pts[0]]
+        n = 0
+        for (x1, y1), (x2, y2) in zip(pts, pts[1:]):
+            if (y1 > lat) != (y2 > lat) and lon < (x2 - x1) * (lat - y1) / (
+                y2 - y1
+            ) + x1:
+                n += 1
+        return n % 2 == 1
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        cx, cy = rng.uniform(-30, 30), rng.uniform(-30, 30)
+        n_vert = rng.randint(5, 11)
+        angles = sorted(rng.uniform(0, 2 * math.pi) for _ in range(n_vert))
+        ring = [
+            (
+                round(cx + rng.uniform(3, 20) * math.cos(a), 4),
+                round(cy + rng.uniform(3, 20) * math.sin(a), 4),
+            )
+            for a in angles
+        ]
+        probes = [
+            (i, round(cy + rng.uniform(-25, 25), 4), round(cx + rng.uniform(-25, 25), 4))
+            for i in range(60)
+        ]
+        want = {i for i, la, lo in probes if ref_inside(la, lo, ring)}
+        df = spark.createDataFrame(probes, "id long, lat double, lon double")
+        got = {
+            r["id"]
+            for r in df.filter(point_in_polygon("lat", "lon", ring)).collect()
+        }
+        assert got == want, f"seed {seed}: {got ^ want}"
+        assert 0 < len(want) < len(probes), f"seed {seed} vacuous"
+
+
 def test_bbox_filter_pushes_down_to_scan(spark):
     """The bbox comparisons must reach the parquet reader as pushed
     filters when lon/lat are real columns — the predicate a 100 TB scan
