@@ -110,6 +110,7 @@ def _ingest_staged(
 ) -> dict[str, Any]:
     from pyspark.sql import Observation
 
+    t_flat0 = time.time()
     obs = Observation()
     (
         flatten(changelog_df, cfg)
@@ -124,6 +125,7 @@ def _ingest_staged(
         .partitionBy("tenant", "table_name")
         .parquet(staging)
     )
+    t_flat = round(time.time() - t_flat0, 3)
     if int(obs.get["rows"]) == 0:
         # empty micro-batch: no partition dirs were written, so the staged
         # read below would fail schema inference — no-op commit instead
@@ -153,7 +155,9 @@ def _ingest_staged(
         ).parquet(os.path.join(warehouse, "_errors"))
 
     # --- per-batch schema inference + reconciliation ---
+    t_inf0 = time.time()
     schemas = infer_batch_schemas(flat)
+    t_infer = round(time.time() - t_inf0, 3)
 
     metrics = obs.get
     lineage: dict[str, Any] = {
@@ -220,6 +224,15 @@ def _ingest_staged(
             lineage["tables"][key] = stats
 
     lineage["wall_s"] = round(time.time() - t0, 3)
+    # phase split (observability: where does a slow micro-batch spend its
+    # time — the Python flatten+stage, the schema aggregation, or the
+    # table writes): commit covers the concurrently-scheduled per-table
+    # project/LWW/MERGE work between inference and here
+    lineage["phase_s"] = {
+        "flatten_stage": t_flat,
+        "schema_infer": t_infer,
+        "table_commits": round(time.time() - t0 - t_flat - t_infer, 3),
+    }
     _append_lineage(warehouse, lineage)
     return lineage
 

@@ -74,6 +74,12 @@ def test_current_state_default_export(spark, warehouse):
         _changelog(spark, "entity-current.jsonld"), cfg, warehouse, "e1"
     )
     assert lineage["errors"] == 0
+    # per-phase wall split rides every lineage record (round-4
+    # observability): phases are positive and account for the batch wall
+    phases = lineage["phase_s"]
+    assert set(phases) == {"flatten_stage", "schema_infer", "table_commits"}
+    assert all(v >= 0 for v in phases.values())
+    assert abs(sum(phases.values()) - lineage["wall_s"]) < 0.5
     df = _read(spark, warehouse, "public", "shellfishtable")
     assert set(df.columns) == CURRENT_COLUMNS
     assert df.count() == 1
