@@ -7,7 +7,7 @@ Spark-specific plumbing) and get the driver's rows-only check.
 
 from __future__ import annotations
 
-from . import advanced, corpus, suite
+from . import advanced, corpus, sketches, suite
 from ..streaming.sessionize import SQL_SESSIONIZE, q_sessionize
 from .flagship import (
     SQL_CDC_INGEST_FLATTEN,
@@ -142,6 +142,14 @@ PYTEST_ONLY: dict[str, tuple] = {
     # UDF/geo lib) — partial closure of the "geometry algebra beyond
     # Points" gap; concave test polygon so bbox shortcuts can't pass.
     "geo_polygon": (suite.q_geo_polygon, suite.SQL_GEO_POLYGON),
+    # round 4: mergeable sketches (analytics/sketches.py) — oracle-exact
+    # HLL (scaled-integer registers) + count-min (md5 buckets); the
+    # O(registers)-shuffle cardinality/frequency primitives for 100 TB.
+    "hll_distinct": (sketches.q_hll_distinct, sketches.SQL_HLL_DISTINCT),
+    "heavy_hitters": (sketches.q_heavy_hitters, sketches.SQL_HEAVY_HITTERS),
+    # round 4: grid-indexed spatial JOIN (broadcast cell cover + exact
+    # ray-cast re-check — one BroadcastHashJoin, never a nested loop)
+    "geo_grid_join": (suite.q_geo_grid_join, suite.SQL_GEO_GRID_JOIN),
 }
 
 

@@ -1,0 +1,261 @@
+"""Mergeable sketch operators — HyperLogLog distinct-count and
+count-min frequency estimation — as pure JVM expression pipelines.
+
+These are the cardinality/frequency primitives a 100 TB corpus pipeline
+leans on when exact answers would shuffle the full key space: a sketch
+is a tiny, mergeable, map-side-combinable aggregate (fixed register
+file / counter grid per group), so the only data crossing the wire is
+O(groups x registers) regardless of input size. Spark ships built-ins
+for both jobs (``approx_count_distinct`` is HLL++); the point of this
+module is an *oracle-checkable* formulation — every hash is md5-derived
+and every register update is exact int64 arithmetic, so DuckDB can run
+the bit-identical formula and the driver's value-hash comparison holds.
+(Beyond the reference's operator set — NgsiLdToPostgreSQL.java has no
+analytics surface; SURVEY.md §2 "training-data pipeline ops" family.)
+
+Determinism rules (same contract as analytics/suite.py):
+- the 60-bit hash is the first 15 hex chars of md5, identical on both
+  engines (Spark ``conv(substring(md5(x),1,15),16,10)``, DuckDB strpos
+  fold — the exact pattern proven green by simhash, advanced.py:150);
+- HLL registers are folded in SCALED-INTEGER space: a register holding
+  max-rho r contributes ``2^(W_BITS+1-r)`` as int64, so the per-group
+  SUM is exact integer math with no float fold-order sensitivity; the
+  single double division happens once, on the final exact integers;
+- count-min counters are plain bigint COUNTs; the probe side's buckets
+  are Python-``hashlib.md5``-precomputed literals (md5 is md5 — the
+  same bytes on every engine).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct-count — exact-integer register algebra
+# --------------------------------------------------------------------------
+
+HLL_P = 6                      # 2^6 = 64 registers per group
+HLL_M = 1 << HLL_P
+HLL_HASH_BITS = 60             # 15 md5 hex chars -> positive int64
+HLL_W_BITS = HLL_HASH_BITS - HLL_P   # 54 rho-probe bits
+# Flajolet et al.'s bias constant for m >= 64; one Python-rounded double
+# literal embedded in BOTH engines so the arithmetic is bit-identical.
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+# estimate numerator alpha * m^2, pre-scaled by 2^(W_BITS+1) to cancel
+# the register-term scaling below (one Python double -> same literal)
+_HLL_NUMER = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_W_BITS + 1))
+
+
+def _hll_term_case(w: str) -> str:
+    """SQL CASE mapping the 54-bit rho-probe word ``w`` to its SCALED
+    register term ``2^(55 - rho)`` = ``2^bitlength(w)`` as an exact
+    int64 (w == 0 -> rho = 55 -> term 1). max(rho) == min(term), so
+    registers aggregate with MIN over exact integers — no floats until
+    the final division. Plain integer comparisons parse identically in
+    Spark SQL and DuckDB."""
+    branches = " ".join(
+        f"WHEN {w} >= {1 << (b - 1)} THEN {1 << b}"
+        for b in range(HLL_W_BITS, 0, -1)
+    )
+    return f"CASE {branches} ELSE 1 END"
+
+
+def hll_distinct(
+    df: DataFrame, grp: str, col: str, out: str = "approx_distinct"
+) -> DataFrame:
+    """Per-``grp`` HLL estimate of ``count(distinct col)``.
+
+    Shape at scale: hash + register-index are narrow projections; the
+    groupBy(grp, reg) MAX partial-aggregates map-side, so at most
+    ``groups x 64`` rows reach the first exchange; the per-group
+    finalize is a second keyed agg over <= 64 rows per group. Two tiny
+    keyed shuffles total, nothing proportional to input rows."""
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    hashed = df.select(
+        F.col(grp),
+        h.bitwiseAND(F.lit(HLL_M - 1)).alias("reg"),
+        F.shiftright(h, HLL_P).alias("w"),
+    )
+    regs = (
+        hashed.select(grp, "reg", F.expr(_hll_term_case("w")).alias("term"))
+        .groupBy(grp, "reg")
+        .agg(F.min("term").alias("term"))
+    )
+    agg = regs.groupBy(grp).agg(
+        F.sum("term").alias("s"), F.count(F.lit(1)).alias("nregs")
+    )
+    # registers never hit contribute rho=0 -> scaled term 2^55 each
+    empty_term = F.lit(1 << (HLL_W_BITS + 1)).cast("long")
+    s_full = F.col("s") + (F.lit(HLL_M) - F.col("nregs")) * empty_term
+    raw = F.lit(_HLL_NUMER) / s_full.cast("double")
+    v = (F.lit(HLL_M) - F.col("nregs")).cast("double")
+    # small-range linear counting (exact same branch predicate on both
+    # engines: `raw` derives from identical exact integers)
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(raw)
+    return agg.select(
+        F.col(grp),
+        F.round(est, 4).alias(out),
+        F.col("nregs").cast("long").alias("used_registers"),
+    )
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order priority, HLL-sketched. The exact
+    answer needs a shuffle of every (priority, custkey) pair; the
+    sketch moves <= 5 x 64 register rows after map-side combine."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return hll_distinct(orders, "o_orderpriority", "o_custkey")
+
+
+def _sql_hll_distinct() -> str:
+    term = _hll_term_case("(h >> 6)")
+    return f"""
+WITH hashed AS (
+  SELECT o_orderpriority,
+         CAST(list_sum(list_transform(range(1, 16),
+              i -> (CAST(strpos('0123456789abcdef',
+                          substr(md5(CAST(o_custkey AS VARCHAR)), i, 1)) AS BIGINT) - 1)
+                   << (4 * (15 - i))
+         )) AS BIGINT) AS h
+  FROM orders
+), regs AS (
+  SELECT o_orderpriority, (h & {HLL_M - 1}) AS reg,
+         MIN({term}) AS term
+  FROM hashed GROUP BY o_orderpriority, (h & {HLL_M - 1})
+), agg AS (
+  SELECT o_orderpriority, CAST(SUM(term) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS nregs
+  FROM regs GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       ROUND(CASE WHEN {_HLL_NUMER!r} / CAST(s + ({HLL_M} - nregs) * {1 << (HLL_W_BITS + 1)} AS DOUBLE) <= {2.5 * HLL_M!r}
+                   AND ({HLL_M} - nregs) > 0
+                  THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST({HLL_M} - nregs AS DOUBLE))
+                  ELSE {_HLL_NUMER!r} / CAST(s + ({HLL_M} - nregs) * {1 << (HLL_W_BITS + 1)} AS DOUBLE)
+             END, 4) AS approx_distinct,
+       nregs AS used_registers
+FROM agg
+"""
+
+
+SQL_HLL_DISTINCT = _sql_hll_distinct()
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch — frequency estimates for a probe lexicon
+# --------------------------------------------------------------------------
+
+CM_DEPTH = 4        # independent md5-salted hash rows
+CM_WIDTH = 512      # counters per row
+# probe lexicon: frequent corpus tokens plus one deliberately absent
+# term, whose estimate exposes pure collision noise (count-min never
+# under-counts, so absent-term estimates bound the sketch error)
+CM_PROBES = [
+    "scan", "window", "join", "merge", "spark",
+    "stream", "batch", "hash", "the", "zz-absent-probe",
+]
+
+
+def _cm_bucket(row: int, tok: str) -> int:
+    """Python-side bucket for the literal probe rows — identical to the
+    engine-side formula because md5 is md5: first 15 hex chars of
+    md5('cm{row}|' + tok) mod CM_WIDTH."""
+    h = int(hashlib.md5(f"cm{row}|{tok}".encode()).hexdigest()[:15], 16)
+    return h % CM_WIDTH
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates over the documents token stream.
+
+    Shape at scale: tokens explode CM_DEPTH sketch rows, but
+    groupBy(row, bucket) partial-aggregates map-side so at most
+    DEPTH x WIDTH = 2048 counters reach the exchange per map task —
+    the shuffle is O(sketch), not O(tokens). The probe side is a
+    40-row literal broadcast; estimates are min over the token's
+    DEPTH counters (0 when a counter was never hit)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok")
+    )
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("sk_row"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(f"cm{i}|"), F.col("tok"))),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % CM_WIDTH
+                        ).alias("sk_bucket"),
+                    )
+                    for i in range(CM_DEPTH)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.sk_row", "cell.sk_bucket")
+    sketch = cells.groupBy("sk_row", "sk_bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    probes = spark.createDataFrame(
+        [(tok, i, _cm_bucket(i, tok)) for tok in CM_PROBES for i in range(CM_DEPTH)],
+        "token string, sk_row int, sk_bucket int",
+    )
+    return (
+        F.broadcast(probes)
+        .join(sketch, ["sk_row", "sk_bucket"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cm_estimate"))
+    )
+
+
+def _sql_heavy_hitters() -> str:
+    probe_rows = ", ".join(
+        f"('{tok}', {i}, {_cm_bucket(i, tok)})"
+        for tok in CM_PROBES
+        for i in range(CM_DEPTH)
+    )
+    cell_selects = "\n  UNION ALL\n".join(
+        f"""  SELECT {i} AS sk_row,
+         CAST(list_sum(list_transform(range(1, 16),
+              j -> (CAST(strpos('0123456789abcdef',
+                          substr(md5('cm{i}|' || tok), j, 1)) AS BIGINT) - 1)
+                   << (4 * (15 - j))
+         )) AS BIGINT) % {CM_WIDTH} AS sk_bucket
+  FROM toks"""
+        for i in range(CM_DEPTH)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+), cells AS (
+{cell_selects}
+), sketch AS (
+  SELECT sk_row, sk_bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY sk_row, sk_bucket
+), probes AS (
+  SELECT * FROM (VALUES {probe_rows}) AS t(token, sk_row, sk_bucket)
+)
+SELECT p.token,
+       CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS cm_estimate
+FROM probes p
+LEFT JOIN sketch s ON p.sk_row = s.sk_row AND p.sk_bucket = s.sk_bucket
+GROUP BY p.token
+"""
+
+
+SQL_HEAVY_HITTERS = _sql_heavy_hitters()

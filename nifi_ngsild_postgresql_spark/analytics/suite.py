@@ -1342,6 +1342,101 @@ SQL_GEO_POLYGON = _sql_geo_polygon()
 
 
 # --------------------------------------------------------------------------
+# geo_grid_join (grid-indexed point-in-polygon JOIN)
+# --------------------------------------------------------------------------
+
+# Named regions for the spatial join — GEO_POLYGON (concave, the ray-cast
+# prover) plus two convex rings elsewhere on the globe so the join has
+# multiple keys and non-trivial selectivity.
+GEO_REGIONS: list[tuple[str, list[tuple[float, float]]]] = [
+    ("europe_notch", GEO_POLYGON),
+    ("atlantic_triangle", [(-60.0, -50.0), (0.0, -50.0), (-30.0, 10.0)]),
+    ("asia_diamond", [(60.0, 10.0), (100.0, 30.0), (140.0, 10.0), (100.0, -10.0)]),
+]
+
+_GRID_DEG = 10.0  # cell edge; lat rows 18 per lon column in the encoding
+
+
+def _grid_cell_cover(ring: list[tuple[float, float]]) -> list[int]:
+    """All grid cells intersecting the ring's bbox, +-1 cell margin,
+    clamped to the valid lon/lat cell ranges. A superset of the cells
+    any contained point can land in, so the cell equi-join is a safe
+    prefilter for the exact ray-cast re-check."""
+    lons = [lo for lo, _ in ring]
+    lats = [la for _, la in ring]
+    import math as _m
+
+    fx0 = max(-18, int(_m.floor(min(lons) / _GRID_DEG)) - 1)
+    fx1 = min(17, int(_m.floor(max(lons) / _GRID_DEG)) + 1)
+    fy0 = max(-9, int(_m.floor(min(lats) / _GRID_DEG)) - 1)
+    fy1 = min(8, int(_m.floor(max(lats) / _GRID_DEG)) + 1)
+    return [
+        (fx + 18) * 18 + (fy + 9)
+        for fx in range(fx0, fx1 + 1)
+        for fy in range(fy0, fy1 + 1)
+    ]
+
+
+def q_geo_grid_join(spark, sf_dir):
+    """Spatial JOIN points-to-regions via a broadcast grid index: each
+    point keys into its 10-degree lon/lat cell; each region broadcasts
+    its (region, cell) bbox cover; a hash equi-join on cell yields
+    candidates and the exact even-odd ray cast (functions/geo.py)
+    confirms containment. At 100 TB the naive shape is a broadcast
+    NESTED-LOOP of every point against every polygon predicate — the
+    grid turns it into one BroadcastHashJoin whose fan-out is bounded
+    by cells-per-region, with the expensive exact predicate evaluated
+    only on bbox-candidate rows (plan-gated: no NL join). Same point
+    derivation as geo_radius/geo_polygon; DuckDB oracle is the exact
+    per-region predicate with no grid (superset-prefilter equivalence
+    is therefore part of what parity proves)."""
+    from ..functions.geo import point_in_polygon
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 104729 % 170000) / 1000.0 - 85.0).alias("lat"),
+        ((F.col("c_custkey") * 7919 % 360000) / 1000.0 - 180.0).alias("lon"),
+    ).withColumn(
+        "cell",
+        (F.floor(F.col("lon") / _GRID_DEG) + 18) * 18
+        + (F.floor(F.col("lat") / _GRID_DEG) + 9),
+    )
+    cells = spark.createDataFrame(
+        [(name, cell) for name, ring in GEO_REGIONS for cell in _grid_cell_cover(ring)],
+        "region string, cell long",
+    )
+    cand = pts.join(F.broadcast(cells), "cell")
+    exact = None
+    for name, ring in GEO_REGIONS:
+        pred = (F.col("region") == name) & point_in_polygon("lat", "lon", ring)
+        exact = pred if exact is None else (exact | pred)
+    return cand.filter(exact).select("c_custkey", "region")
+
+
+def _sql_geo_grid_join() -> str:
+    from ..functions.geo import sql_point_in_polygon
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT c_custkey, '{name}' AS region FROM pts"
+        f" WHERE {sql_point_in_polygon('lat', 'lon', ring)}"
+        for name, ring in GEO_REGIONS
+    )
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 104729 % 170000) / 1000.0 - 85.0 AS lat,
+         (c_custkey * 7919 % 360000) / 1000.0 - 180.0 AS lon
+  FROM customer
+)
+{arms}
+"""
+
+
+SQL_GEO_GRID_JOIN = _sql_geo_grid_join()
+
+
+# --------------------------------------------------------------------------
 # funnel_stages (ordered event-sequence conversion)
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,169 @@
+"""Sketch-operator properties and plan gates (analytics/sketches.py,
+suite.q_geo_grid_join). Oracle parity itself is covered by
+test_oracle_parity (the entries live in registry.PYTEST_ONLY / REGISTRY);
+these tests pin the *semantic guarantees* the sketches advertise and the
+physical shapes that make them 100 TB-safe."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.analytics import sketches, suite
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _exec_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog
+# --------------------------------------------------------------------------
+
+def test_hll_estimate_tracks_exact_distinct(spark):
+    """m=64 gives sigma ~ 1.04/sqrt(64) = 13%; every group estimate must
+    land within 3.5 sigma of the exact distinct count."""
+    est = {
+        r["o_orderpriority"]: r["approx_distinct"]
+        for r in sketches.q_hll_distinct(spark, SF_DIR).collect()
+    }
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    exact = {
+        r["o_orderpriority"]: r["d"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for grp, e in est.items():
+        rel = abs(e - exact[grp]) / exact[grp]
+        assert rel < 3.5 * 1.04 / math.sqrt(sketches.HLL_M), (grp, e, exact[grp])
+
+
+def test_hll_registers_merge_as_min_term(spark):
+    """Sketch mergeability — the property that makes HLL shuffle
+    O(registers): registers built over two disjoint halves of the input
+    and MIN-merged must equal the single-pass registers."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lo = orders.filter(F.col("o_orderkey") % 2 == 0)
+    hi = orders.filter(F.col("o_orderkey") % 2 == 1)
+
+    def regs(df):
+        h = F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        return (
+            df.select(
+                F.col("o_orderpriority").alias("grp"),
+                h.bitwiseAND(F.lit(sketches.HLL_M - 1)).alias("reg"),
+                F.shiftright(h, sketches.HLL_P).alias("w"),
+            )
+            .select("grp", "reg", F.expr(sketches._hll_term_case("w")).alias("term"))
+            .groupBy("grp", "reg")
+            .agg(F.min("term").alias("term"))
+        )
+
+    merged = sorted(
+        tuple(r)
+        for r in regs(lo)
+        .unionByName(regs(hi))
+        .groupBy("grp", "reg")
+        .agg(F.min("term").alias("term"))
+        .collect()
+    )
+    single = sorted(tuple(r) for r in regs(orders).collect())
+    assert merged == single
+
+
+def test_hll_plan_is_two_keyed_exchanges_no_python(spark):
+    plan = _exec_plan(sketches.q_hll_distinct(spark, SF_DIR))
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+    # map-side combine before the register exchange (skew/volume safety)
+    assert "partial_min" in plan
+    assert plan.count("Exchange") <= 3  # 2 keyed + possible AQE read
+
+
+# --------------------------------------------------------------------------
+# Count-min
+# --------------------------------------------------------------------------
+
+def test_count_min_never_undercounts(spark):
+    """The count-min invariant: estimate >= true frequency for every
+    probe (collisions only ever inflate); the deliberately absent probe
+    reads 0 on this dataset (its four counters are collision-measured)."""
+    est = {
+        r["token"]: r["cm_estimate"]
+        for r in sketches.q_heavy_hitters(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = {
+        r["tok"]: r["c"]
+        for r in docs.select(
+            F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok")
+        )
+        .filter(F.col("tok").isin(sketches.CM_PROBES))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert set(est) == set(sketches.CM_PROBES)
+    for tok in sketches.CM_PROBES:
+        assert est[tok] >= exact.get(tok, 0), (tok, est[tok], exact.get(tok))
+    assert exact.get("zz-absent-probe") is None
+    assert est["zz-absent-probe"] == 0  # deterministic on this dataset
+
+
+def test_count_min_shuffle_is_sketch_sized(spark):
+    """The only wide exchange carries (row, bucket) partial counts —
+    partial_count before the exchange proves map-side combine, so at
+    most DEPTH x WIDTH rows per map task hit the wire."""
+    plan = _exec_plan(sketches.q_heavy_hitters(spark, SF_DIR))
+    assert "partial_count" in plan
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+    assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# Grid-indexed spatial join
+# --------------------------------------------------------------------------
+
+def test_geo_grid_join_is_hash_join_not_nested_loop(spark):
+    plan = _exec_plan(suite.q_geo_grid_join(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+
+
+def test_grid_cover_is_superset_of_each_region(spark):
+    """Correctness precondition of the prefilter: every point inside a
+    region's polygon must land in one of its covered cells — sampled on
+    a dense lattice including cell-boundary-adjacent points."""
+    from nifi_ngsild_postgresql_spark.functions.geo import point_in_polygon
+
+    for name, ring in suite.GEO_REGIONS:
+        cover = set(suite._grid_cell_cover(ring))
+        lons = [lo for lo, _ in ring]
+        lats = [la for _, la in ring]
+        samples = []
+        lo = min(lons)
+        while lo <= max(lons):
+            la = min(lats)
+            while la <= max(lats):
+                samples.append((la, lo))
+                la += 1.7
+            lo += 1.7
+        sdf = spark.createDataFrame(samples, "lat double, lon double")
+        inside = sdf.filter(point_in_polygon("lat", "lon", ring)).withColumn(
+            "cell",
+            (F.floor(F.col("lon") / suite._GRID_DEG) + 18) * 18
+            + (F.floor(F.col("lat") / suite._GRID_DEG) + 9),
+        )
+        bad = inside.filter(~F.col("cell").isin(*cover)).count()
+        assert bad == 0, name
