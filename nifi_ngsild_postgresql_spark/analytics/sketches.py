@@ -63,16 +63,13 @@ def _hll_term_case(w: str) -> str:
     return f"CASE {branches} ELSE 1 END"
 
 
-def hll_distinct(
-    df: DataFrame, grp: str, col: str, out: str = "approx_distinct"
-) -> DataFrame:
-    """Per-``grp`` HLL estimate of ``count(distinct col)``.
-
-    Shape at scale: hash + register-index are narrow projections; the
-    groupBy(grp, reg) MAX partial-aggregates map-side, so at most
-    ``groups x 64`` rows reach the first exchange; the per-group
-    finalize is a second keyed agg over <= 64 rows per group. Two tiny
-    keyed shuffles total, nothing proportional to input rows."""
+def hll_registers(df: DataFrame, grp: str, col: str) -> DataFrame:
+    """(grp, reg, term) register file — the sketch's MERGEABLE state:
+    register files over any partition of the input MIN-merge (on term;
+    min-term == max-rho) to exactly the single-pass registers, which is
+    what lets a streaming view fold micro-batches incrementally
+    (streaming/changefeed.py MaterializedDistinct) and what makes the
+    batch shuffle O(groups x 64) after map-side combine."""
     h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
@@ -81,11 +78,19 @@ def hll_distinct(
         h.bitwiseAND(F.lit(HLL_M - 1)).alias("reg"),
         F.shiftright(h, HLL_P).alias("w"),
     )
-    regs = (
+    return (
         hashed.select(grp, "reg", F.expr(_hll_term_case("w")).alias("term"))
         .groupBy(grp, "reg")
         .agg(F.min("term").alias("term"))
     )
+
+
+def hll_finalize(
+    regs: DataFrame, grp: str, out: str = "approx_distinct"
+) -> DataFrame:
+    """Register file -> per-group estimate (Flajolet raw formula with
+    small-range linear counting), all float math on final exact
+    integers — see module docstring for the determinism contract."""
     agg = regs.groupBy(grp).agg(
         F.sum("term").alias("s"), F.count(F.lit(1)).alias("nregs")
     )
@@ -105,6 +110,15 @@ def hll_distinct(
         F.round(est, 4).alias(out),
         F.col("nregs").cast("long").alias("used_registers"),
     )
+
+
+def hll_distinct(
+    df: DataFrame, grp: str, col: str, out: str = "approx_distinct"
+) -> DataFrame:
+    """Per-``grp`` HLL estimate of ``count(distinct col)``: register
+    build + finalize. Two tiny keyed shuffles total, nothing
+    proportional to input rows."""
+    return hll_finalize(hll_registers(df, grp, col), grp, out)
 
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -445,3 +445,78 @@ def test_materialized_aggregate_refresh_and_crash_recovery(spark, tmp_path):
     assert materialized() == recomputed()
     # idempotent no-op refresh
     assert view.refresh(spark)["rows"] == 0
+
+
+def test_materialized_distinct_hll_view(spark, tmp_path):
+    """The HLL-backed persistent distinct view (MaterializedDistinct):
+    after every refresh its register state equals a single-pass
+    hll_registers over ALL postimages ever delivered (sketch
+    mergeability, now across micro-batches + parquet round-trips), and
+    a crash between state write and checkpoint commit re-derives
+    bit-identical state — the MIN-merge is idempotent, so double-apply
+    cannot drift."""
+    from nifi_ngsild_postgresql_spark.analytics.sketches import (
+        hll_finalize,
+        hll_registers,
+    )
+    from nifi_ngsild_postgresql_spark.streaming.changefeed import (
+        MaterializedDistinct,
+    )
+
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert_mor", n_buckets=4)
+    ingest_batch(_batch(spark, [(j, 1.0) for j in range(6)]), cfg, wh, "e0")
+    t = LakeCatalog(wh).table("t", "gauge")
+    view = MaterializedDistinct(
+        t, str(tmp_path / "view"), grp="entityid", key="observedat"
+    )
+
+    ever_seen = None  # accumulated postimages across all refresh ranges
+
+    def refresh_and_check():
+        nonlocal ever_seen
+        v0 = view.consumer.position()
+        view.refresh(spark)
+        v1 = view.consumer.position()
+        rng = t.read_changes(spark, v0, v1).filter(
+            F.col("_change_type").isin("insert", "update")
+        ).select("entityid", "observedat")
+        ever_seen = rng if ever_seen is None else ever_seen.unionByName(rng)
+        expect = sorted(
+            tuple(r)
+            for r in hll_registers(ever_seen, "entityid", "observedat").collect()
+        )
+        got = sorted(tuple(r) for r in view.registers(spark).collect())
+        assert got == expect
+        regs = hll_registers(ever_seen, "entityid", "observedat")
+        est = sorted(tuple(r) for r in hll_finalize(regs, "entityid").collect())
+        assert sorted(tuple(r) for r in view.estimate(spark).collect()) == est
+
+    refresh_and_check()
+    # new observation instants for existing entities + a brand-new entity
+    ingest_batch(
+        _batch(
+            spark,
+            [(0, 2.0, "2024-02-01T00:00:00Z"), (9, 9.0),
+             (1, 3.0, "2024-03-01T00:00:00Z")],
+            seq0=100,
+        ),
+        cfg, wh, "e1",
+    )
+    # crash between state write and checkpoint commit: the re-derivation
+    # must land on identical registers
+    real_commit = view.consumer._commit
+    view.consumer._commit = lambda v: None
+    view.refresh(spark)
+    view.consumer._commit = real_commit
+    assert view.consumer.position() == 1
+    refresh_and_check()
+    # no-op refresh
+    assert view.refresh(spark)["registers"] == 0
+    # the view never rescans the base table: estimates for 6+1 entities,
+    # one group per entity, each counting its distinct observedat values
+    est = {r["entityid"]: r["approx_distinct"] for r in view.estimate(spark).collect()}
+    assert len(est) == 7
+    # tiny per-group cardinalities land in the linear-counting regime and
+    # are near-exact there
+    assert est["urn:x:0"] >= 1.0 and est["urn:x:1"] >= 1.0
