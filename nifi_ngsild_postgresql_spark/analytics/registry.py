@@ -143,10 +143,17 @@ PYTEST_ONLY: dict[str, tuple] = {
     # Points" gap; concave test polygon so bbox shortcuts can't pass.
     "geo_polygon": (suite.q_geo_polygon, suite.SQL_GEO_POLYGON),
     # round 4: mergeable sketches (analytics/sketches.py) — oracle-exact
-    # HLL (scaled-integer registers) + count-min (md5 buckets); the
-    # O(registers)-shuffle cardinality/frequency primitives for 100 TB.
+    # HLL (scaled-integer registers), count-min (md5 buckets), integer
+    # log-bin histogram quantiles, and a Bloom membership bitmap; the
+    # O(state)-shuffle cardinality/frequency/quantile/membership
+    # primitives for 100 TB.
     "hll_distinct": (sketches.q_hll_distinct, sketches.SQL_HLL_DISTINCT),
     "heavy_hitters": (sketches.q_heavy_hitters, sketches.SQL_HEAVY_HITTERS),
+    "quantile_sketch": (sketches.q_quantile_sketch, sketches.SQL_QUANTILE_SKETCH),
+    "bloom_membership": (
+        sketches.q_bloom_membership,
+        sketches.SQL_BLOOM_MEMBERSHIP,
+    ),
     # round 4: grid-indexed spatial JOIN (broadcast cell cover + exact
     # ray-cast re-check — one BroadcastHashJoin, never a nested loop)
     "geo_grid_join": (suite.q_geo_grid_join, suite.SQL_GEO_GRID_JOIN),

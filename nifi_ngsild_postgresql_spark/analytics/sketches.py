@@ -1,11 +1,13 @@
-"""Mergeable sketch operators — HyperLogLog distinct-count and
-count-min frequency estimation — as pure JVM expression pipelines.
+"""Mergeable sketch operators — HyperLogLog distinct-count, count-min
+frequency, integer log-bin histogram quantiles, and a Bloom membership
+bitmap — as pure JVM expression pipelines.
 
-These are the cardinality/frequency primitives a 100 TB corpus pipeline
-leans on when exact answers would shuffle the full key space: a sketch
-is a tiny, mergeable, map-side-combinable aggregate (fixed register
-file / counter grid per group), so the only data crossing the wire is
-O(groups x registers) regardless of input size. Spark ships built-ins
+These are the cardinality/frequency/quantile/membership primitives a
+100 TB corpus pipeline leans on when exact answers would shuffle the
+full key space: a sketch is a tiny, mergeable, map-side-combinable
+aggregate (fixed register file / counter grid / bin histogram / bitmap
+per group), so the only data crossing the wire is O(sketch state)
+regardless of input size. Spark ships built-ins
 for both jobs (``approx_count_distinct`` is HLL++); the point of this
 module is an *oracle-checkable* formulation — every hash is md5-derived
 and every register update is exact int64 arithmetic, so DuckDB can run
@@ -273,3 +275,269 @@ GROUP BY p.token
 
 
 SQL_HEAVY_HITTERS = _sql_heavy_hitters()
+
+
+# --------------------------------------------------------------------------
+# Histogram quantile sketch — integer log-bins, zero float boundaries
+# --------------------------------------------------------------------------
+
+QS_SCALE = 100          # fixed-point: n = floor(x * 100) (positive domain)
+QS_MAX_BITS = 63        # full int64 positive range
+QS_SUB_BITS = 4         # 16 sub-bins per octave -> bin width ~6% of value
+QS_QUANTILES = (0.5, 0.95, 0.99)
+
+
+def _bitlength_case(n: str, max_bits: int = QS_MAX_BITS) -> str:
+    """CASE ladder: bitlength of a non-negative int64 via pure integer
+    comparisons (the cross-engine-exact alternative to floor(log2) —
+    libm log2 can differ in the last ulp between engines, which at a
+    bin boundary would flip the bin)."""
+    branches = " ".join(
+        f"WHEN {n} >= {1 << (b - 1)} THEN {b}"
+        for b in range(max_bits, 0, -1)
+    )
+    return f"CASE {branches} ELSE 0 END"
+
+
+def _qsketch_bin_exprs(n: str, b: str, intdiv) -> tuple[str, str]:
+    """(lo, width) of the log-bin holding ``n``: octave = bitlength(b),
+    split into 2^QS_SUB_BITS sub-bins by the top bits — all integer
+    CASE arithmetic. ``intdiv(expr, const)`` spells integer division in
+    the target dialect (Spark ``div``, DuckDB ``//``); everything else
+    is dialect-shared. For n < 2^(QS_SUB_BITS+1) the bin is exact
+    (width 1). lo is unique across bins, so it doubles as the bin key."""
+    thr = QS_SUB_BITS + 1
+    scale_branches = " ".join(
+        f"WHEN {b} = {bb} THEN {1 << (bb - thr)}"
+        for bb in range(thr + 1, QS_MAX_BITS + 1)
+    )
+    width = f"CASE WHEN {b} <= {thr} THEN 1 {scale_branches} END"
+    m_branches = " ".join(
+        f"WHEN {b} = {bb} THEN {intdiv(n, 1 << (bb - thr))} * {1 << (bb - thr)}"
+        for bb in range(thr + 1, QS_MAX_BITS + 1)
+    )
+    lo = f"CASE WHEN {b} <= {thr} THEN {n} {m_branches} END"
+    return lo, width
+
+
+def quantile_sketch(
+    df: DataFrame, grp: str, col: str, quantiles=QS_QUANTILES
+) -> DataFrame:
+    """Per-group quantile estimates from an integer log-binned
+    histogram — the mergeable O(bins)-state alternative to exact
+    per-group sorting: bin counts partial-aggregate map-side and the
+    shuffle carries at most ``groups x ~940`` bin rows however large
+    the input. Estimates interpolate linearly inside a bin (<= ~6%
+    relative error by construction). Positive-domain (x > 0); the
+    fixed-point quantization floor(x*100) and every bin edge are exact
+    integer ops, so the DuckDB oracle lands in identical bins."""
+    from pyspark.sql import Window
+
+    n = f"CAST(FLOOR({col} * {QS_SCALE}) AS BIGINT)"
+    b = _bitlength_case("n")
+    lo, width = _qsketch_bin_exprs("n", "b", lambda e, c: f"({e} div {c})")
+    bins = (
+        df.select(F.col(grp), F.expr(n).alias("n"))
+        .select(grp, "n", F.expr(b).alias("b"))
+        .select(grp, F.expr(lo).alias("lo"), F.expr(width).alias("width"))
+        .groupBy(grp, "lo")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("width").alias("width"))
+    )
+    w = Window.partitionBy(grp).orderBy("lo")
+    cum = bins.select(
+        grp, "lo", "width", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(grp)).alias("total"),
+    )
+    out = None
+    for q in quantiles:
+        r = F.expr(f"CAST(CEIL({q!r} * total) AS BIGINT)")
+        sel = cum.filter((F.col("cum") >= r) & ((F.col("cum") - F.col("cnt")) < r))
+        est = (
+            F.col("lo").cast("double")
+            + F.col("width").cast("double")
+            * (r - (F.col("cum") - F.col("cnt"))).cast("double")
+            / F.col("cnt").cast("double")
+        ) / QS_SCALE
+        part = sel.select(
+            F.col(grp), F.lit(q).alias("q"), F.round(est, 6).alias("est")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of l_extendedprice per return flag, histogram-
+    sketched; exact per-group sort would shuffle every row."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return quantile_sketch(li, "l_returnflag", "l_extendedprice")
+
+
+def _sql_quantile_sketch() -> str:
+    n = f"CAST(FLOOR(l_extendedprice * {QS_SCALE}) AS BIGINT)"
+    b = _bitlength_case("n")
+    lo, width = _qsketch_bin_exprs("n", "b", lambda e, c: f"({e} // {c})")
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT l_returnflag, CAST({q!r} AS DOUBLE) AS q,
+       ROUND((CAST(lo AS DOUBLE) + CAST(width AS DOUBLE)
+              * CAST(CAST(CEIL({q!r} * total) AS BIGINT) - (cum - cnt) AS DOUBLE)
+              / CAST(cnt AS DOUBLE)) / {QS_SCALE}, 6) AS est
+FROM cum
+WHERE cum >= CAST(CEIL({q!r} * total) AS BIGINT)
+  AND (cum - cnt) < CAST(CEIL({q!r} * total) AS BIGINT)"""
+        for q in QS_QUANTILES
+    )
+    return f"""
+WITH pts AS (
+  SELECT l_returnflag, {n} AS n FROM lineitem
+), withb AS (
+  SELECT l_returnflag, n, {b} AS b FROM pts
+), binned AS (
+  SELECT l_returnflag, {lo} AS lo, {width} AS width FROM withb
+), bins AS (
+  SELECT l_returnflag, lo, CAST(COUNT(*) AS BIGINT) AS cnt,
+         MIN(width) AS width
+  FROM binned GROUP BY l_returnflag, lo
+), cum AS (
+  SELECT l_returnflag, lo, width, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY lo) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS total
+  FROM bins
+)
+{arms}
+"""
+
+
+SQL_QUANTILE_SKETCH = _sql_quantile_sketch()
+
+
+# --------------------------------------------------------------------------
+# Bloom filter — mergeable set-membership bitmap as BIT_OR aggregates
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 16384                 # 256 int64 words
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_K = 3                        # probes per key (3 x 12 <= 60 hash bits)
+_BLOOM_IDX_BITS = 14               # log2(BLOOM_BITS)
+# membership probes: low keys exist in orders at every SF (custkeys are
+# dense from 1); the 9xx-billion keys never do — their verdicts measure
+# the false-positive rate, never a false negative
+BLOOM_PROBES = [1, 2, 3, 5, 8, 13, 900000000001, 900000000002, 900000000003]
+
+
+def _signed_mask(bit: int) -> int:
+    """int64 two's-complement value of (1 << bit) — bit 63 is the sign
+    bit; Python must fold it to the negative value Spark's shiftleft
+    wraps to and DuckDB's CASE emits (DuckDB raises on 1 << 63)."""
+    return (1 << bit) if bit < 63 else -(1 << 63)
+
+
+def _bloom_positions(key: int) -> list[int]:
+    """Python mirror of the engine-side probe positions (md5 is md5)."""
+    h = int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+    return [(h >> (_BLOOM_IDX_BITS * i)) & (BLOOM_BITS - 1) for i in range(BLOOM_K)]
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership of probe keys in orders.o_custkey.
+
+    The bitmap is BLOOM_WORDS rows of BIT_OR-aggregated int64 — a
+    mergeable, map-side-combinable sketch like the HLL register file:
+    the shuffle carries at most 256 words per map task regardless of
+    input rows, and bitmaps over disjoint inputs OR-merge exactly. The
+    guarantee is one-sided (no false negatives); the absent probes'
+    verdicts expose the false-positive rate. Spark's own
+    BloomFilterAggregate is driver-collected and hash-incompatible
+    across engines; this formulation keeps the bitmap AS A DATAFRAME
+    and every bit md5-derived, so DuckDB reproduces it bit-for-bit."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    h = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = orders.select(h.alias("h"))
+    pos = hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.shiftright("h", _BLOOM_IDX_BITS * i)
+                    .bitwiseAND(F.lit(BLOOM_BITS - 1))
+                    .alias("p")
+                    for i in range(BLOOM_K)
+                ]
+            )
+        ).alias("p")
+    )
+    bitmap = (
+        pos.select(
+            F.shiftright("p", 6).alias("word"),
+            # bit 63 wraps to the sign bit — same two's-complement value
+            # the oracle's CASE and the Python probe helper produce
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT) & 63)").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    probes = spark.createDataFrame(
+        [
+            (key, p >> 6, _signed_mask(p & 63))
+            for key in BLOOM_PROBES
+            for p in _bloom_positions(key)
+        ],
+        "probe_key long, word long, mask long",
+    )
+    return (
+        F.broadcast(probes)
+        .join(bitmap, "word", "left")
+        .groupBy("probe_key")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                        != 0,
+                        1,
+                    ).otherwise(0)
+                )
+                == BLOOM_K
+            ).alias("maybe_present")
+        )
+    )
+
+
+def _sql_bloom_membership() -> str:
+    probe_rows = ", ".join(
+        f"({key}, {p >> 6}, {_signed_mask(p & 63)})"
+        for key in BLOOM_PROBES
+        for p in _bloom_positions(key)
+    )
+    pos_arms = "\nUNION ALL\n".join(
+        f"  SELECT ((h >> {_BLOOM_IDX_BITS * i}) & {BLOOM_BITS - 1}) AS p FROM hashed"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT CAST(list_sum(list_transform(range(1, 16),
+       j -> (CAST(strpos('0123456789abcdef',
+                   substr(md5(CAST(o_custkey AS VARCHAR)), j, 1)) AS BIGINT) - 1)
+            << (4 * (15 - j))
+  )) AS BIGINT) AS h
+  FROM orders
+), pos AS (
+{pos_arms}
+), bitmap AS (
+  SELECT (p >> 6) AS word,
+         CAST(BIT_OR(CASE WHEN (p & 63) = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                          ELSE (CAST(1 AS BIGINT) << CAST(p & 63 AS INT)) END) AS BIGINT) AS bits
+  FROM pos GROUP BY (p >> 6)
+), probes AS (
+  SELECT * FROM (VALUES {probe_rows}) AS t(probe_key, word, mask)
+)
+SELECT CAST(p.probe_key AS BIGINT) AS probe_key,
+       (SUM(CASE WHEN (COALESCE(b.bits, 0) & p.mask) <> 0 THEN 1 ELSE 0 END) = {BLOOM_K}) AS maybe_present
+FROM probes p
+LEFT JOIN bitmap b ON p.word = b.word
+GROUP BY p.probe_key
+"""
+
+
+SQL_BLOOM_MEMBERSHIP = _sql_bloom_membership()

@@ -167,3 +167,141 @@ def test_grid_cover_is_superset_of_each_region(spark):
         )
         bad = inside.filter(~F.col("cell").isin(*cover)).count()
         assert bad == 0, name
+
+
+# --------------------------------------------------------------------------
+# Quantile sketch
+# --------------------------------------------------------------------------
+
+def test_quantile_sketch_error_bound(spark):
+    """Bin width is <= 2^-QS_SUB_BITS of the value by construction, so
+    every estimate must sit within ~6.5% of the exact quantile."""
+    est = {
+        (r["l_returnflag"], r["q"]): r["est"]
+        for r in sketches.q_quantile_sketch(spark, SF_DIR).collect()
+    }
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    exact_rows = li.groupBy("l_returnflag").agg(
+        *[
+            F.expr(f"percentile(l_extendedprice, {q})").alias(f"p{i}")
+            for i, q in enumerate(sketches.QS_QUANTILES)
+        ]
+    ).collect()
+    assert len(est) == 3 * len(exact_rows)
+    for r in exact_rows:
+        for i, q in enumerate(sketches.QS_QUANTILES):
+            e, x = est[(r["l_returnflag"], q)], r[f"p{i}"]
+            assert abs(e - x) / x < 0.065, (r["l_returnflag"], q, e, x)
+
+
+def test_quantile_sketch_bins_merge_by_sum(spark):
+    """Histogram mergeability: bin counts over two disjoint halves sum
+    to the single-pass bins (what makes the sketch map-side
+    combinable / multi-batch foldable)."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+    def bins(df):
+        n = f"CAST(FLOOR(l_extendedprice * {sketches.QS_SCALE}) AS BIGINT)"
+        b = sketches._bitlength_case("n")
+        lo, width = sketches._qsketch_bin_exprs(
+            "n", "b", lambda e, c: f"({e} div {c})"
+        )
+        return (
+            df.select(F.col("l_returnflag"), F.expr(n).alias("n"))
+            .select("l_returnflag", "n", F.expr(b).alias("b"))
+            .select("l_returnflag", F.expr(lo).alias("lo"))
+            .groupBy("l_returnflag", "lo")
+            .count()
+        )
+
+    lo_half = li.filter(F.col("l_orderkey") % 2 == 0)
+    hi_half = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged = sorted(
+        tuple(r)
+        for r in bins(lo_half)
+        .unionByName(bins(hi_half))
+        .groupBy("l_returnflag", "lo")
+        .agg(F.sum("count").alias("count"))
+        .collect()
+    )
+    assert merged == sorted(tuple(r) for r in bins(li).collect())
+
+
+def test_quantile_sketch_plan_stays_jvm(spark):
+    plan = _exec_plan(sketches.q_quantile_sketch(spark, SF_DIR))
+    assert "partial_count" in plan
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+
+
+# --------------------------------------------------------------------------
+# Bloom membership
+# --------------------------------------------------------------------------
+
+def test_bloom_never_false_negative(spark):
+    """One-sided guarantee: every probe key actually present in
+    o_custkey MUST report maybe_present=true."""
+    verdicts = {
+        r["probe_key"]: r["maybe_present"]
+        for r in sketches.q_bloom_membership(spark, SF_DIR).collect()
+    }
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    present = {
+        r["o_custkey"]
+        for r in orders.select("o_custkey")
+        .filter(F.col("o_custkey").isin(sketches.BLOOM_PROBES))
+        .distinct()
+        .collect()
+    }
+    assert present, "fixture drift: no probe key present at all"
+    for key in present:
+        assert verdicts[key] is True, key
+    # the 9xx-billion keys are synthetic absentees; on this dataset the
+    # deterministic bitmap reports them absent (false-positive check)
+    for key in (900000000001, 900000000002, 900000000003):
+        assert verdicts[key] is False, key
+
+
+def test_bloom_bitmaps_or_merge(spark):
+    """Bitmap mergeability: BIT_OR of per-half bitmaps equals the
+    single-pass bitmap."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+    def bitmap(df):
+        h = F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        pos = df.select(h.alias("h")).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.shiftright("h", sketches._BLOOM_IDX_BITS * i)
+                        .bitwiseAND(F.lit(sketches.BLOOM_BITS - 1))
+                        .alias("p")
+                        for i in range(sketches.BLOOM_K)
+                    ]
+                )
+            ).alias("p")
+        )
+        return (
+            pos.select(
+                F.shiftright("p", 6).alias("word"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT) & 63)").alias(
+                    "mask"
+                ),
+            )
+            .groupBy("word")
+            .agg(F.bit_or("mask").alias("bits"))
+        )
+
+    lo = orders.filter(F.col("o_orderkey") % 2 == 0)
+    hi = orders.filter(F.col("o_orderkey") % 2 == 1)
+    merged = sorted(
+        tuple(r)
+        for r in bitmap(lo)
+        .unionByName(bitmap(hi))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+        .collect()
+    )
+    assert merged == sorted(tuple(r) for r in bitmap(orders).collect())
