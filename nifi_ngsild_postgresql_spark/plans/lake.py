@@ -722,8 +722,68 @@ class LakeTable:
 
     # --- write ------------------------------------------------------------
 
+    def _zorder_expr(self, df: DataFrame, cols: list[str]):
+        """Morton (bit-interleaved) clustering key over 2+ numeric or
+        temporal columns — the Delta OPTIMIZE ZORDER / Iceberg z-sort
+        analog, as one pure JVM expression: each column is quantized to
+        16 bits against its min/max over the rows being rewritten (one
+        tiny agg job), then the quantized words are bit-interleaved so
+        that sorting by the result clusters rows that are close in EVERY
+        dimension. Used by compact(zorder_by=...) as the
+        sortWithinPartitions key: parquet row-group/page stats then stay
+        tight on all z columns at once, so pushed filters on ANY of them
+        skip row groups — a single-column sort only achieves that for
+        its leading column."""
+        Q_BITS = 16
+        num = {}
+        for c in cols:
+            if c not in df.columns:
+                raise ValueError(f"zorder column {c!r} not in table schema")
+            dt = dict(df.dtypes)[c]
+            if dt in ("timestamp", "date"):
+                num[c] = F.col(c).cast("timestamp").cast("double")
+            elif dt in ("bigint", "int", "smallint", "double", "float"):
+                num[c] = F.col(c).cast("double")
+            else:
+                raise ValueError(
+                    f"zorder column {c!r} has unsupported type {dt}"
+                    " (numeric/temporal only)"
+                )
+        bounds = df.agg(
+            *[F.min(e).alias(f"mn_{i}") for i, (c, e) in enumerate(num.items())],
+            *[F.max(e).alias(f"mx_{i}") for i, (c, e) in enumerate(num.items())],
+        ).first()
+        stride = len(cols)
+        z = F.lit(0).cast("long")
+        for i, (c, e) in enumerate(num.items()):
+            mn = bounds[f"mn_{i}"]
+            mx = bounds[f"mx_{i}"]
+            if mn is None or mx is None or mx <= mn:
+                q = F.lit(0).cast("long")  # constant/all-null column
+            else:
+                q = F.least(
+                    F.lit((1 << Q_BITS) - 1),
+                    F.greatest(
+                        F.lit(0),
+                        ((e - F.lit(mn)) / F.lit(mx - mn) * ((1 << Q_BITS) - 1))
+                        .cast("long"),
+                    ),
+                )
+            q = F.coalesce(q, F.lit(0))  # nulls cluster at the origin
+            for b in range(Q_BITS):
+                z = z + F.shiftleft(
+                    F.shiftright(q, b).bitwiseAND(F.lit(1)).cast("long"),
+                    b * stride + i,
+                )
+        return z
+
     def _write_data(
-        self, df: DataFrame, version: int, schema: dict[str, str], n_buckets: int
+        self,
+        df: DataFrame,
+        version: int,
+        schema: dict[str, str],
+        n_buckets: int,
+        cluster_expr=None,
     ) -> tuple[dict[str, list[str]], int]:
         """Write df (wide + meta cols, already carrying _bucket); returns
         {bucket: [relative path]} for the buckets present and the row count
@@ -751,9 +811,15 @@ class LakeTable:
         # row-group stats stay tight and pushed time-range filters skip
         # row groups even after compaction merges many epochs into one
         # file (the dir-level manifest stats then span the union)
-        sort_cols = [c for c in self.sort_within_buckets if c in df.columns]
-        if sort_cols:
-            out = out.sortWithinPartitions("_bucket", *sort_cols)
+        if cluster_expr is not None:
+            # z-order compaction: multi-dimensional clustering key
+            # replaces the default time sort (task-local, no extra
+            # shuffle — same cost shape as the single-column sort)
+            out = out.sortWithinPartitions(F.col("_bucket"), cluster_expr)
+        else:
+            sort_cols = [c for c in self.sort_within_buckets if c in df.columns]
+            if sort_cols:
+                out = out.sortWithinPartitions("_bucket", *sort_cols)
         (
             out.observe(obs, F.count(F.lit(1)).alias("rows"))
             .write.mode("error")
@@ -817,6 +883,7 @@ class LakeTable:
         spark: SparkSession,
         max_files_per_bucket: int = 4,
         rebucket_to: int | None = None,
+        zorder_by: list[str] | None = None,
         _attempt: int = 0,
     ) -> dict[str, Any]:
         """Small-file compaction: rewrite every bucket whose manifest lists
@@ -830,7 +897,13 @@ class LakeTable:
         the bucket-scaling path for a table that outgrew its layout (a
         100 TB table wants O(10^3-10^4) buckets, not the create-time 16).
         Content is invariant under rebucketing (pinned by test via the
-        sha256 row manifest); only the entityid→bucket mapping changes."""
+        sha256 row manifest); only the entityid→bucket mapping changes.
+
+        ``zorder_by`` rewrites the covered buckets with a Morton
+        bit-interleaved clustering sort (_zorder_expr) instead of the
+        default time sort — multi-dimensional data skipping for tables
+        filtered on more than one column. Implies a full rewrite so the
+        clustering is uniform; content-invariant like rebucketing."""
         snap = self.latest_snapshot()
         if snap is None:
             return {"compacted_buckets": 0}
@@ -838,6 +911,8 @@ class LakeTable:
         if rebucket_to is not None and rebucket_to != n_buckets:
             n_buckets = rebucket_to
             to_compact = dict(snap["files"])  # full rewrite
+        elif zorder_by:
+            to_compact = dict(snap["files"])  # full rewrite for uniformity
         else:
             to_compact = {
                 b: paths
@@ -859,7 +934,10 @@ class LakeTable:
             "_bucket",
             F.pmod(F.xxhash64(F.col("entityid")), F.lit(n_buckets)),
         )
-        new_files, rows = self._write_data(df, version, snap["schema"], n_buckets)
+        cluster_expr = self._zorder_expr(df, zorder_by) if zorder_by else None
+        new_files, rows = self._write_data(
+            df, version, snap["schema"], n_buckets, cluster_expr=cluster_expr
+        )
         files = dict(snap["files"])
         for b in to_compact:
             files.pop(b, None)
@@ -899,6 +977,7 @@ class LakeTable:
                 spark,
                 max_files_per_bucket=max_files_per_bucket,
                 rebucket_to=rebucket_to,
+                zorder_by=zorder_by,
                 _attempt=_attempt + 1,
             )
         return {"compacted_buckets": len(to_compact), "rows": rows, "version": version}

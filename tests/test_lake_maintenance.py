@@ -276,3 +276,64 @@ def test_auto_rebucket_triggers_on_bucket_bytes(spark, tmp_path):
         roomy, wh, "e3",
     )
     assert "auto_rebucket" not in out3["tables"]["t.gauge"]
+
+
+def test_zorder_expr_interleaves_dimensions(spark, tmp_path):
+    """The Morton key must cluster BOTH dimensions at once: z-sorting a
+    16x16 grid and taking the first quarter must yield exactly the
+    low/low quadrant (x<8 AND y<8) — a lexicographic sort would instead
+    return two full columns of x with y spanning the whole range."""
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert", n_buckets=2)
+    ingest_batch(_batch(spark, [(1, 1.0, "2024-01-01T00:00:00Z")]), cfg, wh, "e1")
+    table = LakeCatalog(wh).table("t", "gauge")
+    grid = spark.createDataFrame(
+        [(float(x), float(y)) for x in range(16) for y in range(16)],
+        "x double, y double",
+    )
+    z = table._zorder_expr(grid, ["x", "y"])
+    first_quarter = grid.orderBy(z).limit(64).collect()
+    assert all(r["x"] < 8 and r["y"] < 8 for r in first_quarter)
+    # a plain (x, y) sort provably does NOT have this property here
+    lex_quarter = grid.orderBy("x", "y").limit(64).collect()
+    assert any(r["y"] >= 8 for r in lex_quarter)
+
+
+def test_zorder_compaction_preserves_content(spark, tmp_path):
+    """compact(zorder_by=[...]) is a full clustering rewrite: content
+    invariant (sha row manifest equal), every bucket down to one dir,
+    and time-travel to the pre-compaction version still works."""
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="append", n_buckets=2)
+    for i in range(4):
+        ingest_batch(
+            _batch(
+                spark,
+                [(j, float(i * 7 + j), f"2024-01-0{i+1}T00:00:00Z") for j in range(6)],
+                seq0=i * 10,
+            ),
+            cfg, wh, f"e{i}",
+        )
+    table = LakeCatalog(wh).table("t", "gauge")
+    before = table.latest_snapshot()
+    manifest_before = table_manifest(table.read(spark))
+
+    stats = table.compact(spark, zorder_by=["observedat", "level"])
+    assert stats["compacted_buckets"] == len(before["files"])  # full rewrite
+    after = table.latest_snapshot()
+    assert all(len(paths) == 1 for paths in after["files"].values())
+    assert table_manifest(table.read(spark)) == manifest_before
+    assert table.read(spark, version=before["version"]).count() == 24
+
+
+def test_zorder_rejects_bad_columns(spark, tmp_path):
+    import pytest
+
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert", n_buckets=2)
+    ingest_batch(_batch(spark, [(1, 1.0, "2024-01-01T00:00:00Z")]), cfg, wh, "e1")
+    table = LakeCatalog(wh).table("t", "gauge")
+    with pytest.raises(ValueError, match="not in table schema"):
+        table.compact(spark, zorder_by=["nope"])
+    with pytest.raises(ValueError, match="unsupported type"):
+        table.compact(spark, zorder_by=["entityid"])  # string col
