@@ -982,6 +982,185 @@ class LakeTable:
             )
         return {"compacted_buckets": len(to_compact), "rows": rows, "version": version}
 
+    # --- row-level DELETE / UPDATE (Delta DML analog) ---------------------
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        where: dict[str, tuple[Any, Any]] | None = None,
+        predicate: str | None = None,
+    ) -> dict[str, Any]:
+        """Predicate-based row-level DELETE (the Delta ``DELETE FROM``
+        analog — retention sweeps, GDPR erasure). ``where`` maps column →
+        inclusive (lo, hi) range and drives manifest-stat file pruning
+        exactly like ``read(where=...)``; ``predicate`` is an arbitrary
+        Spark SQL boolean over the wide columns, applied exactly. Rows
+        where the combined condition is NULL are KEPT (SQL DELETE
+        three-valued semantics). Only buckets holding a candidate file
+        dir are rewritten — at 100 TB a time-bounded retention delete
+        touches the file dirs its range intersects, not the table. The
+        change feed reports the removed rows as ``delete`` rows (row-sha
+        diff, read_changes)."""
+        return self._rewrite_where(spark, where, predicate, action="delete")
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        set: dict[str, str],
+        where: dict[str, tuple[Any, Any]] | None = None,
+        predicate: str | None = None,
+    ) -> dict[str, Any]:
+        """Predicate-based row-level UPDATE (the Delta ``UPDATE`` analog).
+        ``set`` maps column → Spark SQL expression evaluated per matching
+        row and cast to the column's declared type; non-matching rows pass
+        through byte-identical. Key/meta columns (entityid, _row_key, and
+        the ingest metadata) are immutable — changing them would silently
+        re-home rows across hash buckets. Pruning and commit semantics
+        are identical to ``delete_where``."""
+        if not set:
+            raise ValueError("update_where requires at least one SET column")
+        return self._rewrite_where(
+            spark, where, predicate, action="update", set_exprs=set
+        )
+
+    def _rewrite_where(
+        self,
+        spark: SparkSession,
+        where: dict[str, tuple[Any, Any]] | None,
+        predicate: str | None,
+        action: str,
+        set_exprs: dict[str, str] | None = None,
+        _attempt: int = 0,
+    ) -> dict[str, Any]:
+        """Shared DELETE/UPDATE core: prune candidate file dirs by
+        manifest stats, copy-on-write rewrite of the buckets they live in
+        (whole buckets — under merge-on-read a key's LWW duplicates never
+        split, and the rewrite materializes the resolve for those buckets
+        like compact does), optimistic commit with full recompute on
+        conflict. Unlike maintenance, a lost race past the retry budget
+        raises CommitConflictError: a user mutation must never be
+        silently dropped."""
+        if where is None and predicate is None:
+            raise ValueError("provide where bounds and/or a predicate")
+        snap = self.latest_snapshot()
+        if snap is None:
+            return {"matched": 0, "rewritten_buckets": 0}
+        schema = snap["schema"]
+        unknown = set(where or {}) - set(schema)
+        if unknown:
+            raise ValueError(f"unknown where columns {sorted(unknown)}")
+        immutable = {"entityid"} | set(META_COLS)
+        bad = set(set_exprs or {}) & immutable
+        if bad:
+            raise ValueError(f"immutable columns in SET: {sorted(bad)}")
+        unknown_set = set(set_exprs or {}) - set(schema)
+        if unknown_set:
+            raise ValueError(f"unknown SET columns {sorted(unknown_set)}")
+
+        candidates = set(self._prune_files(spark, snap, where or {}))
+        touched = {
+            b: paths
+            for b, paths in snap["files"].items()
+            if any(p in candidates for p in paths)
+        }
+        if not touched:
+            return {"matched": 0, "rewritten_buckets": 0}
+        n_buckets = snap["n_buckets"]
+        version = snap["version"] + 1
+        rel_paths = [p for paths in touched.values() for p in paths]
+        df = self._read_files(spark, schema, rel_paths, with_meta=True)
+        if snap.get("merge_on_read"):
+            # resolve LWW BEFORE evaluating the condition: the predicate
+            # may reference non-key columns, and it must see the same
+            # state a reader sees, never a shadowed loser row
+            from ..operators.dedup import last_writer_wins
+
+            df = last_writer_wins(df)
+
+        cond = F.lit(True)
+        for col, (lo, hi) in (where or {}).items():
+            typ = SPARK_TYPE[schema[col]]
+            if lo is not None:
+                cond = cond & (F.col(col) >= F.lit(lo).cast(typ))
+            if hi is not None:
+                cond = cond & (F.col(col) <= F.lit(hi).cast(typ))
+        if predicate is not None:
+            cond = cond & F.expr(predicate)
+        # SQL three-valued logic: NULL condition never matches
+        cond = F.coalesce(cond, F.lit(False))
+
+        df = df.persist()
+        try:
+            matched = df.filter(cond).count()
+            if matched == 0:
+                return {"matched": 0, "rewritten_buckets": 0}
+            if action == "delete":
+                out = df.filter(~cond)
+            else:
+                out = df.select(
+                    *[
+                        F.when(cond, F.expr(set_exprs[c]).cast(SPARK_TYPE[schema[c]]))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c in (set_exprs or {})
+                        else F.col(c)
+                        for c in df.columns
+                    ]
+                )
+            out = out.withColumn(
+                "_bucket",
+                F.pmod(F.xxhash64(F.col("entityid")), F.lit(n_buckets)),
+            )
+            new_files, rows_written = self._write_data(out, version, schema, n_buckets)
+        finally:
+            df.unpersist()
+
+        files = dict(snap["files"])
+        for b in touched:
+            files.pop(b, None)
+        for b, paths in new_files.items():
+            files[b] = paths
+        file_stats = self._carry_stats(snap, files, new_files)
+        full = set(touched) == set(snap["files"])
+        try:
+            self._commit(
+                {
+                    "version": version,
+                    "n_buckets": n_buckets,
+                    "schema": schema,
+                    "files": files,
+                    "epochs": dict(snap["epochs"]),
+                    "epoch_horizon": snap.get("epoch_horizon", 0),
+                    "n_epochs_total": snap.get("n_epochs_total", len(snap["epochs"])),
+                    # rewritten buckets are materialized; the flag only
+                    # clears when every bucket was covered (mirrors compact)
+                    "merge_on_read": bool(snap.get("merge_on_read")) and not full,
+                    "append_visible": bool(snap.get("append_visible")),
+                    "mode": action,
+                    "file_stats": file_stats,
+                    "added_files": new_files,
+                    "stats": {"matched": matched, "rows_written": rows_written},
+                }
+            )
+        except FileExistsError:
+            self._drop_staged(new_files)
+            if _attempt >= COMMIT_MAX_RETRIES:
+                raise CommitConflictError(
+                    f"{action} on {self.tenant}.{self.name} lost the commit"
+                    f" race {COMMIT_MAX_RETRIES + 1} times"
+                )
+            # full recompute against the new snapshot: the predicate must
+            # be re-evaluated over state that may have changed under us
+            return self._rewrite_where(
+                spark, where, predicate, action, set_exprs, _attempt + 1
+            )
+        return {
+            "matched": matched,
+            "rewritten_buckets": len(touched),
+            "rows_written": rows_written,
+            "version": version,
+        }
+
     # --- named snapshot refs (Iceberg tags) -------------------------------
 
     def _tags_path(self) -> str:

@@ -1,0 +1,167 @@
+"""Row-level DELETE / UPDATE (plans/lake.py delete_where / update_where).
+
+The reference engine has no DML beyond the NiFi insert/replace flows;
+these are the Delta-style retention/GDPR operations a CDC lake needs.
+Semantics pinned here: SQL three-valued matching (NULL never matches),
+stat-pruned bucket-granular rewrite, merge-on-read resolution before the
+predicate is evaluated (a delete must never resurrect a shadowed LWW
+loser), change-feed delete/update rows, and time-travel to the
+pre-mutation snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.config import IngestConfig
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch
+
+
+def _payload(eid, v, ts="2024-01-01T00:00:00Z"):
+    return json.dumps(
+        {"id": f"urn:x:{eid}", "type": "Gauge",
+         "level": {"type": "Property", "value": v, "observedAt": ts}}
+    )
+
+
+def _batch(spark, items, seq0=0):
+    rows = [
+        ("t", "p", f"{seq0 + i:06d}", "Gauge", _payload(eid, v, ts))
+        for i, (eid, v, ts) in enumerate(items)
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).withColumn("recv_time", F.timestamp_millis(F.lit(1700000000000 + seq0)))
+
+
+def _table(spark, tmp_path, mode="upsert", days=2, per_day=8):
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode=mode, n_buckets=2)
+    for d in range(days):
+        ingest_batch(
+            _batch(
+                spark,
+                [(j, float(d * 100 + j), f"2024-01-0{d+1}T00:00:00Z")
+                 for j in range(per_day)],
+                seq0=d * 100,
+            ),
+            cfg, wh, f"e{d}",
+        )
+    return LakeCatalog(wh).table("t", "gauge")
+
+
+def test_delete_where_range(spark, tmp_path):
+    table = _table(spark, tmp_path, mode="append")
+    before = table.latest_snapshot()
+    out = table.delete_where(
+        spark, where={"observedat": ("2024-01-02T00:00:00Z", None)}
+    )
+    assert out["matched"] == 8
+    rows = table.read(spark).collect()
+    assert len(rows) == 8
+    assert all(r["observedat"].isoformat().startswith("2024-01-01") for r in rows)
+    # time travel still sees the pre-delete state
+    assert table.read(spark, version=before["version"]).count() == 16
+
+
+def test_delete_where_predicate_and_null_semantics(spark, tmp_path):
+    """Rows where the condition evaluates to NULL are KEPT (SQL DELETE)."""
+    table = _table(spark, tmp_path, mode="upsert", days=1)
+    # null out one row's level via update, then delete on a level predicate
+    table.update_where(
+        spark, set={"level": "cast(null as double)"}, predicate="entityid = 'urn:x:0'"
+    )
+    out = table.delete_where(spark, predicate="level < 100")
+    assert out["matched"] == 7  # the NULL-level row did not match
+    left = {r["entityid"] for r in table.read(spark).collect()}
+    assert left == {"urn:x:0"}
+
+
+def test_delete_where_prunes_to_noop(spark, tmp_path):
+    """A range outside every dir's manifest stats must not commit a new
+    version at all — the 100 TB retention sweep that matches nothing is
+    a metadata-only operation."""
+    table = _table(spark, tmp_path, mode="append")
+    v = table.latest_snapshot()["version"]
+    out = table.delete_where(
+        spark, where={"observedat": ("2030-01-01T00:00:00Z", None)}
+    )
+    assert out == {"matched": 0, "rewritten_buckets": 0}
+    assert table.latest_snapshot()["version"] == v
+
+
+def test_update_where_casts_and_leaves_rest_intact(spark, tmp_path):
+    table = _table(spark, tmp_path, mode="upsert", days=1)
+    out = table.update_where(
+        spark, set={"level": "level + 1000"}, predicate="level >= 4"
+    )
+    assert out["matched"] == 4
+    got = {r["entityid"]: r["level"] for r in table.read(spark).collect()}
+    assert got["urn:x:3"] == 3.0 and got["urn:x:4"] == 1004.0
+    # updated rows keep their identity: total row count unchanged
+    assert len(got) == 8
+
+
+def test_update_where_rejects_immutable_and_unknown(spark, tmp_path):
+    table = _table(spark, tmp_path, mode="upsert", days=1)
+    with pytest.raises(ValueError, match="immutable"):
+        table.update_where(spark, set={"entityid": "'x'"}, predicate="true")
+    with pytest.raises(ValueError, match="unknown SET"):
+        table.update_where(spark, set={"nope": "1"}, predicate="true")
+    with pytest.raises(ValueError, match="unknown where"):
+        table.delete_where(spark, where={"nope": (1, 2)})
+    with pytest.raises(ValueError, match="where bounds and/or a predicate"):
+        table.delete_where(spark)
+
+
+def test_delete_under_merge_on_read_no_resurrection(spark, tmp_path):
+    """Under MoR a key's old versions sit in earlier commit dirs. Deleting
+    by a predicate on the CURRENT value must remove the key entirely —
+    never expose the shadowed older row again."""
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert_mor", n_buckets=2)
+    ts = "2024-01-01T00:00:00Z"
+    ingest_batch(_batch(spark, [(1, 5.0, ts), (2, 6.0, ts)]), cfg, wh, "e1")
+    ingest_batch(_batch(spark, [(1, 50.0, ts)], seq0=10), cfg, wh, "e2")
+    table = LakeCatalog(wh).table("t", "gauge")
+    out = table.delete_where(spark, predicate="level = 50.0")
+    assert out["matched"] == 1
+    rows = {r["entityid"]: r["level"] for r in table.read(spark).collect()}
+    assert rows == {"urn:x:2": 6.0}  # urn:x:1 gone, 5.0 NOT resurrected
+
+
+def test_dml_rides_the_change_feed(spark, tmp_path):
+    table = _table(spark, tmp_path, mode="upsert", days=1)
+    v0 = table.latest_snapshot()["version"]
+    table.delete_where(spark, predicate="entityid = 'urn:x:3'")
+    table.update_where(spark, set={"level": "level * 2"},
+                       predicate="entityid = 'urn:x:5'")
+    changes = table.read_changes(spark, from_version=v0).collect()
+    by_type = {}
+    for r in changes:
+        by_type.setdefault(r["_change_type"], set()).add(r["entityid"])
+    assert by_type.get("delete") == {"urn:x:3"}
+    assert "urn:x:5" in by_type.get("update", by_type.get("insert", set()))
+
+
+def test_delete_only_rewrites_touched_buckets(spark, tmp_path):
+    """An entityid point delete prunes to one hash bucket: the other
+    bucket's file dirs must be carried forward byte-identical."""
+    table = _table(spark, tmp_path, mode="upsert", days=1, per_day=12)
+    before = table.latest_snapshot()
+    out = table.delete_where(
+        spark,
+        where={"entityid": ("urn:x:7", "urn:x:7")},
+    )
+    assert out["matched"] == 1
+    assert out["rewritten_buckets"] == 1
+    after = table.latest_snapshot()
+    untouched = [
+        b for b in before["files"]
+        if before["files"][b] == after["files"].get(b)
+    ]
+    assert len(untouched) == len(before["files"]) - 1
