@@ -79,6 +79,40 @@ _COMMIT_DIR_RE = re.compile(r"^c(\d{8})(?:_[0-9a-f]{8})?$")
 COMMIT_MAX_RETRIES = 5
 
 
+# --- manifest Bloom filters (per-commit-dir point-lookup skipping) --------
+# Same md5-derived layout as analytics/sketches.py q_bloom_membership (all
+# bits md5-derived, no JVM-private hash, so any engine can rebuild them);
+# the few lines are duplicated rather than imported so the storage layer
+# never depends on the analytics package.
+LAKE_BLOOM_BITS = 16384            # 256 int64 words ≈ 2 KB per dir per col
+LAKE_BLOOM_WORDS = LAKE_BLOOM_BITS // 64
+LAKE_BLOOM_K = 3
+_LAKE_BLOOM_IDX_BITS = 14
+
+
+def _bloom_positions_for(value: str) -> list[int]:
+    import hashlib
+
+    h = int(hashlib.md5(value.encode()).hexdigest()[:15], 16)
+    return [
+        (h >> (_LAKE_BLOOM_IDX_BITS * i)) & (LAKE_BLOOM_BITS - 1)
+        for i in range(LAKE_BLOOM_K)
+    ]
+
+
+def _bloom_maybe_contains(words_hex: str, value: str) -> bool:
+    """One-sided membership probe: False means PROVABLY absent (safe to
+    prune the dir), True means maybe present (keep it)."""
+    import struct
+
+    words = struct.unpack(f">{LAKE_BLOOM_WORDS}q", bytes.fromhex(words_hex))
+    for p in _bloom_positions_for(value):
+        w = words[p >> 6] & ((1 << 64) - 1)
+        if not (w >> (p & 63)) & 1:
+            return False
+    return True
+
+
 class CommitConflictError(RuntimeError):
     """Raised when a writer exhausts COMMIT_MAX_RETRIES consecutive
     snapshot-publish conflicts (the Iceberg CommitFailedException
@@ -153,6 +187,7 @@ class LakeTable:
         stats_cols: tuple[str, ...] = ("entityid", "observedat"),
         sort_within_buckets: tuple[str, ...] = ("observedat",),
         target_bucket_bytes: int | None = 256 << 20,
+        bloom_cols: tuple[str, ...] = (),
     ):
         self.warehouse = warehouse
         self.tenant = tenant
@@ -168,6 +203,12 @@ class LakeTable:
         # write time), so the check is O(buckets) dict reads, no I/O.
         self.target_bucket_bytes = target_bucket_bytes
         self.stats_cols = stats_cols
+        # string columns to build per-commit-dir Bloom bitmaps for at
+        # write time (manifest-level point-lookup file skipping beyond
+        # min/max ranges — the Iceberg/Parquet bloom analog); entityid
+        # point lookups are already bucket-pruned, so this pays off for
+        # SECONDARY string keys (a device id attribute, a batch tag)
+        self.bloom_cols = bloom_cols
         self.sort_within_buckets = sort_within_buckets
         self.path = os.path.join(warehouse, tenant, name)
         self.meta_dir = os.path.join(self.path, "_meta")
@@ -335,11 +376,13 @@ class LakeTable:
                 agg: dict[str, list] = {}
                 complete: set[str] = set(self.stats_cols)
                 n_bytes = 0
+                n_rows = 0
                 for fn in sorted(os.listdir(d)):
                     if not fn.endswith(".parquet"):
                         continue
                     n_bytes += os.path.getsize(os.path.join(d, fn))
                     md = pq.ParquetFile(os.path.join(d, fn)).metadata
+                    n_rows += md.num_rows
                     for g in range(md.num_row_groups):
                         rg = md.row_group(g)
                         seen: set[str] = set()
@@ -365,8 +408,33 @@ class LakeTable:
                 # the auto-rebucket trigger reads it from the manifest at
                 # zero I/O cost
                 stats["_bytes"] = n_bytes
+                # footer row count per dir -> metadata-only COUNT(*)
+                # (row_count()); same zero-extra-I/O ride as _bytes
+                stats["_rows"] = n_rows
                 out[rel] = stats
         return out
+
+    def row_count(self, version: int | str | None = None) -> int | None:
+        """Metadata-only COUNT(*) (the Iceberg snapshot-summary analog):
+        sums the per-dir parquet-footer row counts recorded in the
+        manifest at write time — no Spark session, no file opens. Returns
+        None when the count is not answerable from metadata alone: a
+        merge-on-read snapshot (physical rows include LWW losers the scan
+        would collapse) or a pre-round-4 manifest missing ``_rows``;
+        callers then fall back to ``read(spark).count()``."""
+        version = self._resolve_version(version)
+        snap = self.snapshot(version) if version else self.latest_snapshot()
+        if snap is None or snap.get("merge_on_read"):
+            return None
+        stats = snap.get("file_stats", {})
+        total = 0
+        for paths in snap["files"].values():
+            for rel in paths:
+                n = stats.get(rel, {}).get("_rows")
+                if n is None:
+                    return None
+                total += n
+        return total
 
     def _carry_stats(
         self,
@@ -425,6 +493,18 @@ class LakeTable:
         bounds = {
             c: (_bound(c, lo), _bound(c, hi)) for c, (lo, hi) in where.items()
         }
+        # equality point predicates on string bloom columns additionally
+        # probe the per-dir Bloom bitmap (built at write time for
+        # ``bloom_cols``): min/max ranges can't prune a high-cardinality
+        # secondary key whose values interleave across every dir, but a
+        # negative bloom probe PROVES the dir holds no matching row
+        point = {
+            c: lo
+            for c, (lo, hi) in where.items()
+            if lo is not None
+            and lo == hi
+            and SPARK_TYPE[snap["schema"][c]] == "string"
+        }
         keep = []
         for rels in buckets.values():
             for rel in rels:
@@ -437,6 +517,12 @@ class LakeTable:
                     if (lo is not None and mx < lo) or (hi is not None and mn > hi):
                         ok = False
                         break
+                if ok:
+                    for c, v in point.items():
+                        bm = s.get("_bloom", {}).get(c)
+                        if bm is not None and not _bloom_maybe_contains(bm, str(v)):
+                            ok = False
+                            break
                 if ok:
                     keep.append(rel)
         return keep
@@ -784,7 +870,7 @@ class LakeTable:
         schema: dict[str, str],
         n_buckets: int,
         cluster_expr=None,
-    ) -> tuple[dict[str, list[str]], int]:
+    ) -> tuple[dict[str, list[str]], int, dict[str, dict[str, str]]]:
         """Write df (wide + meta cols, already carrying _bucket); returns
         {bucket: [relative path]} for the buckets present and the row count
         (captured via Observation — no extra read-back job).
@@ -833,7 +919,89 @@ class LakeTable:
             if d.startswith("_bucket=")
         ]
         files = {b: [f"{commit_rel}/_bucket={b}"] for b in buckets}
-        return files, rows_written
+        blooms = self._build_blooms(df.sparkSession, out_dir, commit_rel, schema)
+        return files, rows_written, blooms
+
+    def _build_blooms(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        commit_rel: str,
+        schema: dict[str, str],
+    ) -> dict[str, dict[str, str]]:
+        """Per-commit-dir Bloom bitmaps for ``bloom_cols`` (the
+        Iceberg/Parquet bloom-filter analog at manifest level): one extra
+        distributed agg job per column over the JUST-WRITTEN files (page-
+        cache hot, O(batch) — never O(table)); the shuffle carries at
+        most 256 BIT_OR-combined int64 words per map task. The bitmap is
+        stored hex-packed in the manifest's file_stats, so an equality
+        point lookup on a secondary string key can prove a dir absent
+        and skip it — min/max ranges can't do that for high-cardinality
+        keys whose values interleave across every dir."""
+        present = [c for c in self.bloom_cols if c in schema]
+        for c in present:
+            if SPARK_TYPE[schema[c]] != "string":
+                raise ValueError(
+                    f"bloom column {c!r} has type {schema[c]}"
+                    " (string columns only: the manifest probe hashes the"
+                    " exact stored string)"
+                )
+        if not present:
+            return {}
+        import struct
+
+        back = spark.read.parquet(out_dir)
+        out: dict[str, dict[str, str]] = {}
+        for c in present:
+            h = F.conv(F.substring(F.md5(F.col(c)), 1, 15), 16, 10).cast("long")
+            pos = (
+                back.select(F.col("_bucket").cast("string").alias("_b"), h.alias("h"))
+                .where(F.col("h").isNotNull())
+                .select(
+                    "_b",
+                    F.explode(
+                        F.array(
+                            *[
+                                F.shiftright("h", _LAKE_BLOOM_IDX_BITS * i)
+                                .bitwiseAND(F.lit(LAKE_BLOOM_BITS - 1))
+                                .alias("p")
+                                for i in range(LAKE_BLOOM_K)
+                            ]
+                        )
+                    ).alias("p"),
+                )
+            )
+            rows = (
+                pos.select(
+                    "_b",
+                    F.shiftright("p", 6).alias("word"),
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), CAST(p AS INT) & 63)"
+                    ).alias("mask"),
+                )
+                .groupBy("_b", "word")
+                .agg(F.bit_or("mask").alias("bits"))
+                .collect()
+            )
+            per_bucket: dict[str, list[int]] = {}
+            for r in rows:
+                per_bucket.setdefault(r["_b"], [0] * LAKE_BLOOM_WORDS)[
+                    int(r["word"])
+                ] = int(r["bits"])
+            for b, words in per_bucket.items():
+                rel = f"{commit_rel}/_bucket={b}"
+                out.setdefault(rel, {})[c] = struct.pack(
+                    f">{LAKE_BLOOM_WORDS}q", *words
+                ).hex()
+        return out
+
+    @staticmethod
+    def _attach_blooms(
+        file_stats: dict[str, dict], blooms: dict[str, dict[str, str]]
+    ) -> None:
+        for rel, colmap in blooms.items():
+            if rel in file_stats:
+                file_stats[rel]["_bloom"] = colmap
 
     def _align(self, df: DataFrame, schema: dict[str, str]) -> DataFrame:
         return align_frame(df, schema)
@@ -935,7 +1103,7 @@ class LakeTable:
             F.pmod(F.xxhash64(F.col("entityid")), F.lit(n_buckets)),
         )
         cluster_expr = self._zorder_expr(df, zorder_by) if zorder_by else None
-        new_files, rows = self._write_data(
+        new_files, rows, blooms = self._write_data(
             df, version, snap["schema"], n_buckets, cluster_expr=cluster_expr
         )
         files = dict(snap["files"])
@@ -944,6 +1112,7 @@ class LakeTable:
         for b, paths in new_files.items():
             files[b] = paths
         file_stats = self._carry_stats(snap, files, new_files)
+        self._attach_blooms(file_stats, blooms)
         # a compaction covering every bucket leaves only unique rows:
         # the table is read-optimized again
         full = set(to_compact) == set(snap["files"])
@@ -1111,7 +1280,9 @@ class LakeTable:
                 "_bucket",
                 F.pmod(F.xxhash64(F.col("entityid")), F.lit(n_buckets)),
             )
-            new_files, rows_written = self._write_data(out, version, schema, n_buckets)
+            new_files, rows_written, blooms = self._write_data(
+                out, version, schema, n_buckets
+            )
         finally:
             df.unpersist()
 
@@ -1121,6 +1292,7 @@ class LakeTable:
         for b, paths in new_files.items():
             files[b] = paths
         file_stats = self._carry_stats(snap, files, new_files)
+        self._attach_blooms(file_stats, blooms)
         full = set(touched) == set(snap["files"])
         try:
             self._commit(
@@ -1436,7 +1608,9 @@ class LakeTable:
             else:
                 to_write = combined
 
-        new_files, rows_written = self._write_data(to_write, version, schema, n_buckets)
+        new_files, rows_written, blooms = self._write_data(
+            to_write, version, schema, n_buckets
+        )
 
         # --- optimistic commit (Iceberg-style): publish against the
         # snapshot we planned from; if a concurrent writer won the O_EXCL
@@ -1461,6 +1635,7 @@ class LakeTable:
                 for b, paths in new_files.items():
                     files[b] = paths
             file_stats = self._carry_stats(base, files, new_files)
+            self._attach_blooms(file_stats, blooms)
             epochs = dict(base["epochs"]) if base else {}
             epochs[epoch_id] = version
             horizon = base.get("epoch_horizon", 0) if base else 0
@@ -1611,12 +1786,14 @@ class LakeCatalog:
         auto_compact_files: int | None = 32,
         max_tracked_epochs: int = 64,
         target_bucket_bytes: int | None = 256 << 20,
+        bloom_cols: tuple[str, ...] = (),
     ):
         self.warehouse = warehouse
         self.n_buckets = n_buckets
         self.auto_compact_files = auto_compact_files
         self.max_tracked_epochs = max_tracked_epochs
         self.target_bucket_bytes = target_bucket_bytes
+        self.bloom_cols = bloom_cols
 
     def table(self, tenant: str, name: str) -> LakeTable:
         return LakeTable(
@@ -1627,6 +1804,7 @@ class LakeCatalog:
             auto_compact_files=self.auto_compact_files,
             max_tracked_epochs=self.max_tracked_epochs,
             target_bucket_bytes=self.target_bucket_bytes,
+            bloom_cols=self.bloom_cols,
         )
 
     def list_tables(self) -> list[tuple[str, str]]:

@@ -1,0 +1,203 @@
+"""Manifest-level Bloom filters for secondary string keys
+(plans/lake.py bloom_cols / _build_blooms / _prune_files).
+
+Min/max footer stats can't prune an equality lookup on a high-cardinality
+secondary key (a device id attribute, a batch tag) whose values
+interleave across every commit dir — every dir's [min, max] contains the
+probe. The Iceberg/Parquet answer is a Bloom filter per data file; here
+the bitmap (2 KB per dir per column, md5-derived so any engine can
+rebuild it) rides the snapshot manifest's file_stats and a negative
+probe PROVES a dir holds no matching row. Correctness is pinned the same
+way as min/max skipping: pruning is one-sided (never drops a dir that
+contains the value) and the pruned read equals the unpruned filtered
+read row-for-row.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.config import IngestConfig
+from nifi_ngsild_postgresql_spark.plans.lake import (
+    LakeCatalog,
+    _bloom_maybe_contains,
+    _bloom_positions_for,
+    LAKE_BLOOM_BITS,
+    LAKE_BLOOM_K,
+    LAKE_BLOOM_WORDS,
+)
+from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch
+
+
+def _payload(eid, v, tag, ts):
+    return json.dumps(
+        {"id": f"urn:x:{eid}", "type": "Gauge",
+         "level": {"type": "Property", "value": v, "observedAt": ts},
+         "deviceTag": {"type": "Property", "value": tag, "observedAt": ts}}
+    )
+
+
+def _batch(spark, items, seq0=0):
+    rows = [
+        ("t", "p", f"{seq0 + i:06d}", "Gauge", _payload(*item))
+        for i, item in enumerate(items)
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).withColumn("recv_time", F.timestamp_millis(F.lit(1700000000000 + seq0)))
+
+
+def _table(spark, wh, mode="upsert", bloom_cols=("devicetag",)):
+    cfg = IngestConfig(write_mode=mode, n_buckets=4)
+    cat = LakeCatalog(wh, n_buckets=4, bloom_cols=bloom_cols)
+    ingest_batch(
+        _batch(spark, [(j, 1.0, f"dev-{j}", "2024-01-15T00:00:00Z")
+                       for j in range(8)]),
+        cfg, wh, "e0", catalog=cat,
+    )
+    ingest_batch(
+        _batch(spark, [(j, 2.0, f"dev-{j}", "2024-03-15T00:00:00Z")
+                       for j in range(8, 16)], seq0=100),
+        cfg, wh, "e1", catalog=cat,
+    )
+    return cat.table("t", "gauge")
+
+
+def test_blooms_recorded_in_manifest(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "wh"))
+    snap = t.latest_snapshot()
+    for rel in (p for paths in snap["files"].values() for p in paths):
+        bm = snap["file_stats"][rel].get("_bloom", {})
+        assert set(bm) == {"devicetag"}
+        # 256 int64 words hex-packed = 4096 hex chars, and non-trivial
+        assert len(bm["devicetag"]) == LAKE_BLOOM_WORDS * 16
+        assert set(bm["devicetag"]) != {"0"}
+
+
+def test_point_lookup_prunes_and_matches_full_scan(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "wh"))
+    snap = t.latest_snapshot()
+    all_dirs = [p for paths in snap["files"].values() for p in paths]
+    pruned_any = False
+    for j in range(16):
+        tag = f"dev-{j}"
+        kept = t._prune_files(spark, snap, {"devicetag": (tag, tag)})
+        pruned_any |= len(kept) < len(all_dirs)
+        got = t.read(spark, where={"devicetag": (tag, tag)})
+        full = t.read(spark).filter(F.col("devicetag") == tag)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, full.collect())
+        ), tag
+        assert got.count() == 1
+    # one-sided guarantee held for every probe; and the filter actually
+    # skipped something for at least one of them (each dir holds only a
+    # slice of the 16 tags, so most probes must prune)
+    assert pruned_any
+
+
+def test_absent_value_prunes_everything(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "wh"))
+    snap = t.latest_snapshot()
+    # 200 absent probes: Bloom false positives may keep a dir, but at
+    # 16 values in a 16384-bit / k=3 filter the fp rate is ~0 — and the
+    # READ must return 0 rows regardless
+    kept_total = 0
+    for i in range(200):
+        kept_total += len(
+            t._prune_files(spark, snap, {"devicetag": (f"nope-{i}", f"nope-{i}")})
+        )
+    assert kept_total == 0
+    assert t.read(spark, where={"devicetag": ("nope-0", "nope-0")}).count() == 0
+
+
+def test_range_predicate_never_consults_bloom(spark, tmp_path):
+    # a RANGE on the bloom column can't use the bitmap (membership only);
+    # it must fall back to min/max behaviour and stay correct
+    t = _table(spark, str(tmp_path / "wh"))
+    got = t.read(spark, where={"devicetag": ("dev-0", "dev-9")})
+    full = t.read(spark).filter(
+        (F.col("devicetag") >= "dev-0") & (F.col("devicetag") <= "dev-9")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_blooms_carry_forward_through_later_commits(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="append", n_buckets=4)
+    cat = LakeCatalog(wh, n_buckets=4, bloom_cols=("devicetag",))
+    ingest_batch(
+        _batch(spark, [(j, 1.0, f"dev-{j}", "2024-01-15T00:00:00Z")
+                       for j in range(4)]),
+        cfg, wh, "e0", catalog=cat,
+    )
+    t = cat.table("t", "gauge")
+    v1_dirs = {p for ps in t.latest_snapshot()["files"].values() for p in ps}
+    ingest_batch(
+        _batch(spark, [(j, 2.0, f"dev-{j}", "2024-03-15T00:00:00Z")
+                       for j in range(4, 8)], seq0=100),
+        cfg, wh, "e1", catalog=cat,
+    )
+    snap = t.latest_snapshot()
+    live = {p for ps in snap["files"].values() for p in ps}
+    assert v1_dirs < live  # append keeps the old dirs
+    for rel in live:
+        assert "devicetag" in snap["file_stats"][rel].get("_bloom", {}), rel
+
+
+def test_non_string_bloom_col_raises(spark, tmp_path):
+    t = LakeCatalog(str(tmp_path / "wh"), bloom_cols=("level",)).table("t", "g")
+    with pytest.raises(ValueError, match="string columns only"):
+        t._build_blooms(spark, str(tmp_path / "none"), "x", {"level": "NUMERIC"})
+    # and through the pipeline the batch is parked, never half-committed
+    wh = str(tmp_path / "wh2")
+    cat = LakeCatalog(wh, n_buckets=4, bloom_cols=("level",))
+    out = ingest_batch(
+        _batch(spark, [(0, 1.0, "d", "2024-01-15T00:00:00Z")]),
+        IngestConfig(n_buckets=4), wh, "e0", catalog=cat,
+    )
+    assert "ValueError" in out["tables"]["t.gauge"]["error"]
+    assert cat.table("t", "gauge").latest_snapshot() is None
+
+
+def test_bloom_probe_matches_spark_hash_layout():
+    # the Python probe and the Spark-side builder must agree bit-for-bit;
+    # pin the probe's own layout so a constant change breaks loudly
+    for v in [f"dev-{i}" for i in range(50)] + ["", "ü", "a" * 1000]:
+        pos = _bloom_positions_for(v)
+        assert len(pos) == LAKE_BLOOM_K
+        assert all(0 <= p < LAKE_BLOOM_BITS for p in pos)
+    # build a tiny filter by hand and probe it
+    import struct
+
+    words = [0] * LAKE_BLOOM_WORDS
+    for v in ("a", "b"):
+        for p in _bloom_positions_for(v):
+            words[p >> 6] |= 1 << (p & 63)
+    # pack as signed big-endian like the manifest does
+    packed = struct.pack(
+        f">{LAKE_BLOOM_WORDS}q",
+        *[w - (1 << 64) if w >= (1 << 63) else w for w in words],
+    ).hex()
+    assert _bloom_maybe_contains(packed, "a")
+    assert _bloom_maybe_contains(packed, "b")
+    assert not _bloom_maybe_contains(packed, "c")
+
+
+def test_row_count_metadata_only(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "wh"))
+    assert t.row_count() == t.read(spark).count() == 16
+    out = t.delete_where(spark, where={"devicetag": ("dev-3", "dev-3")})
+    assert out["matched"] == 1
+    assert t.row_count() == 15
+    # time travel: the count is per-version
+    assert t.row_count(version=out["version"] - 1) == 16
+
+
+def test_row_count_declines_on_merge_on_read(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "wh"), mode="upsert_mor")
+    # physical rows may include LWW losers; metadata can't answer
+    assert t.row_count() is None
+    assert t.read(spark).count() == 16

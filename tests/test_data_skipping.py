@@ -57,8 +57,8 @@ def test_manifest_carries_footer_stats(spark, tmp_path):
     assert set(stats) == all_dirs  # every live dir has stats
     for s in stats.values():
         # round 3: dir byte size rides the stats entry (auto-rebucket)
-        assert set(s) == {"entityid", "observedat", "_bytes"}
-        assert s["_bytes"] > 0
+        assert set(s) == {"entityid", "observedat", "_bytes", "_rows"}
+        assert s["_bytes"] > 0 and s["_rows"] > 0
         mn, mx = s["observedat"]
         assert mn <= mx and mn.startswith("2024-")
 
