@@ -69,6 +69,15 @@ from pyspark.sql import types as T
 from .project import SPARK_TYPE
 
 META_COLS = {"_row_key": "string", "_recv_time": "timestamp", "_seq": "string"}
+# merge-on-read DELETE marker (Iceberg v2 equality-delete analog): a
+# tombstone is a row carrying only the key-derived columns + meta order
+# cols + _tombstone=true; it participates in the normal LWW reduce (its
+# order is the deleted row's order with '~' appended to _seq, strictly
+# greater lexicographically) and a winning tombstone removes the key from
+# the scan. Data files never carry the column — the explicit read schema
+# yields NULL there, coalesced to false. Only consulted when the snapshot
+# records has_tombstones.
+TOMBSTONE_COL = "_tombstone"
 _SNAPSHOT_RE = re.compile(r"^v(\d{8})\.json$")
 # commit data dirs: version prefix + per-attempt token (see _write_data);
 # the bare form (no token) is grandfathered for pre-token tables
@@ -317,8 +326,16 @@ class LakeTable:
                         f"columns (entityid, observedat), got {sorted(unsafe)}"
                     )
             rel_paths = self._prune_files(spark, snap, where)
-        df = self._read_files(spark, snap["schema"], rel_paths, with_meta=True)
+        has_tomb = bool(snap.get("has_tombstones"))
+        df = self._read_files(
+            spark, snap["schema"], rel_paths, with_meta=True,
+            with_tombstone=has_tomb,
+        )
         if where:
+            # safe on tombstones: MoR scans (has_tombstones implies MoR)
+            # only filter key-derived columns, which a tombstone copies
+            # from the row it deletes — a filter keeping the target always
+            # keeps its tombstone
             for col, (lo, hi) in where.items():
                 typ = SPARK_TYPE[snap["schema"][col]]
                 if lo is not None:
@@ -331,6 +348,12 @@ class LakeTable:
             from ..operators.dedup import last_writer_wins
 
             df = last_writer_wins(df)
+        if has_tomb:
+            # a key whose LWW winner is a tombstone is deleted; a later
+            # re-insert out-orders the tombstone and resurrects the key
+            df = df.filter(
+                ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+            ).drop(TOMBSTONE_COL)
         if not with_meta:
             df = df.drop(*META_COLS)
         return df
@@ -341,8 +364,11 @@ class LakeTable:
         schema: dict[str, str],
         rel_paths: list[str],
         with_meta: bool,
+        with_tombstone: bool = False,
     ) -> DataFrame:
         sp_schema = table_spark_schema(schema, with_meta=True)
+        if with_tombstone:
+            sp_schema = sp_schema.add(TOMBSTONE_COL, T.BooleanType(), True)
         if not rel_paths:
             df = spark.createDataFrame([], sp_schema)
         else:
@@ -621,11 +647,23 @@ class LakeTable:
         append_multiset = bool(to_snap.get("append_visible")) and not to_snap.get(
             "merge_on_read"
         )
+        # tombstones anywhere in the range (endpoint state or a delete_mor
+        # commit) force the exact state diff: the fast path reads commit
+        # dirs / raw touched-bucket state and would surface a tombstone as
+        # a NULL-payload row instead of a delete
+        tombstones_in_range = bool(
+            self.snapshot(from_version).get("has_tombstones")
+        ) if from_version in versions else False
         if not (force_diff or from_version == 0 or middles_missing):
             range_snaps = [
                 self.snapshot(v) for v in range(from_version + 1, to_version + 1)
             ]
-            if all(s.get("mode") in ("append", "upsert_mor") for s in range_snaps):
+            tombstones_in_range = tombstones_in_range or any(
+                s.get("has_tombstones") for s in range_snaps
+            )
+            if not tombstones_in_range and all(
+                s.get("mode") in ("append", "upsert_mor") for s in range_snaps
+            ):
                 if append_multiset:
                     return self._changes_append(spark, range_snaps, schema)
                 return self._changes_fast(
@@ -1091,13 +1129,23 @@ class LakeTable:
             return {"compacted_buckets": 0}
         version = snap["version"] + 1
         rel_paths = [p for paths in to_compact.values() for p in paths]
-        df = self._read_files(spark, snap["schema"], rel_paths, with_meta=True)
+        has_tomb = bool(snap.get("has_tombstones"))
+        df = self._read_files(
+            spark, snap["schema"], rel_paths, with_meta=True,
+            with_tombstone=has_tomb,
+        )
         if snap.get("merge_on_read"):
             # materialize the read-time LWW for the compacted buckets
             # (keys never cross buckets, so per-bucket resolution is total)
             from ..operators.dedup import last_writer_wins
 
             df = last_writer_wins(df)
+        if has_tomb:
+            # materialize the deletes for the compacted buckets: spent
+            # tombstones do not survive the rewrite
+            df = df.filter(
+                ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+            ).drop(TOMBSTONE_COL)
         df = df.withColumn(
             "_bucket",
             F.pmod(F.xxhash64(F.col("entityid")), F.lit(n_buckets)),
@@ -1127,6 +1175,7 @@ class LakeTable:
                     "epoch_horizon": snap.get("epoch_horizon", 0),
                     "n_epochs_total": snap.get("n_epochs_total", len(snap["epochs"])),
                     "merge_on_read": bool(snap.get("merge_on_read")) and not full,
+                    "has_tombstones": has_tomb and not full,
                     "append_visible": bool(snap.get("append_visible")),
                     "mode": "compact",
                     "file_stats": file_stats,
@@ -1158,6 +1207,7 @@ class LakeTable:
         spark: SparkSession,
         where: dict[str, tuple[Any, Any]] | None = None,
         predicate: str | None = None,
+        strategy: str = "cow",
     ) -> dict[str, Any]:
         """Predicate-based row-level DELETE (the Delta ``DELETE FROM``
         analog — retention sweeps, GDPR erasure). ``where`` maps column →
@@ -1169,8 +1219,161 @@ class LakeTable:
         dir are rewritten — at 100 TB a time-bounded retention delete
         touches the file dirs its range intersects, not the table. The
         change feed reports the removed rows as ``delete`` rows (row-sha
-        diff, read_changes)."""
+        diff, read_changes).
+
+        ``strategy="mor"`` writes TOMBSTONES instead of rewriting buckets
+        (the Iceberg v2 equality-delete analog): per-delete cost is
+        O(matched rows), never O(touched buckets) — the write-optimized
+        shape for frequent small deletes on a huge table, at the price of
+        a read-time merge until the next compaction materializes them
+        (exactly the upsert_mor trade). Final state is identical to the
+        copy-on-write path."""
+        if strategy == "mor":
+            return self._delete_mor(spark, where, predicate)
+        if strategy != "cow":
+            raise ValueError(f"unknown delete strategy {strategy!r}")
         return self._rewrite_where(spark, where, predicate, action="delete")
+
+    def _delete_mor(
+        self,
+        spark: SparkSession,
+        where: dict[str, tuple[Any, Any]] | None,
+        predicate: str | None,
+        _attempt: int = 0,
+    ) -> dict[str, Any]:
+        """Merge-on-read DELETE: write one tombstone row per matched
+        visible row and commit it as an O(matched) append. The tombstone
+        copies the key-derived columns (entityid, observedat — so stat
+        pruning keeps it with its target) and the row's meta order with
+        ``'~'`` appended to ``_seq`` (lexicographically greater than any
+        stored ``_seq``, so the tombstone wins the LWW reduce against the
+        row it deletes while any LATER re-insert of the key out-orders it
+        and resurrects — the Kafka-compaction delete-marker semantics).
+        Readers resolve via the ordinary MoR LWW pass; ``compact()``
+        materializes and discards spent tombstones."""
+        if where is None and predicate is None:
+            raise ValueError("provide where bounds and/or a predicate")
+        snap = self.latest_snapshot()
+        if snap is None:
+            return {"matched": 0, "tombstones_written": 0}
+        if snap.get("append_visible") and not snap.get("merge_on_read"):
+            raise ValueError(
+                "merge-on-read delete needs keyed (LWW) state; this table "
+                "holds a visible multiset (plain append history) — use "
+                "strategy='cow'"
+            )
+        schema = snap["schema"]
+        unknown = set(where or {}) - set(schema)
+        if unknown:
+            raise ValueError(f"unknown where columns {sorted(unknown)}")
+        n_buckets = snap["n_buckets"]
+        version = snap["version"] + 1
+
+        candidates = set(self._prune_files(spark, snap, where or {}))
+        touched = {
+            b: paths
+            for b, paths in snap["files"].items()
+            if any(p in candidates for p in paths)
+        }
+        if not touched:
+            return {"matched": 0, "tombstones_written": 0}
+        rel_paths = [p for paths in touched.values() for p in paths]
+        has_tomb = bool(snap.get("has_tombstones"))
+        df = self._read_files(
+            spark, schema, rel_paths, with_meta=True, with_tombstone=has_tomb
+        )
+        if snap.get("merge_on_read"):
+            from ..operators.dedup import last_writer_wins
+
+            df = last_writer_wins(df)
+        if has_tomb:
+            df = df.filter(
+                ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+            ).drop(TOMBSTONE_COL)
+
+        cond = F.lit(True)
+        for col, (lo, hi) in (where or {}).items():
+            typ = SPARK_TYPE[schema[col]]
+            if lo is not None:
+                cond = cond & (F.col(col) >= F.lit(lo).cast(typ))
+            if hi is not None:
+                cond = cond & (F.col(col) <= F.lit(hi).cast(typ))
+        if predicate is not None:
+            cond = cond & F.expr(predicate)
+        cond = F.coalesce(cond, F.lit(False))
+
+        key_derived = {"entityid", "observedat"}
+        tombs = (
+            df.filter(cond)
+            .select(
+                *[
+                    F.col(c).alias(c)
+                    if c in key_derived
+                    else F.lit(None).cast(SPARK_TYPE[t]).alias(c)
+                    for c, t in schema.items()
+                ],
+                F.col("_row_key"),
+                F.col("_recv_time"),
+                F.concat(
+                    F.coalesce(F.col("_seq"), F.lit("")), F.lit("~")
+                ).alias("_seq"),
+                F.lit(True).alias(TOMBSTONE_COL),
+            )
+            .withColumn(
+                "_bucket",
+                F.pmod(F.xxhash64(F.col("entityid")), F.lit(n_buckets)),
+            )
+        )
+        new_files, n_tombs, blooms = self._write_data(
+            tombs, version, schema, n_buckets
+        )
+        if n_tombs == 0:
+            # pruning found candidate dirs but the exact condition matched
+            # nothing — commit nothing (mirrors the CoW prune-to-noop rule)
+            self._drop_staged(new_files)
+            return {"matched": 0, "tombstones_written": 0}
+        files = dict(snap["files"])
+        for b, paths in new_files.items():
+            files[b] = files.get(b, []) + paths
+        file_stats = self._carry_stats(snap, files, new_files)
+        self._attach_blooms(file_stats, blooms)
+        try:
+            self._commit(
+                {
+                    "version": version,
+                    "n_buckets": n_buckets,
+                    "schema": schema,
+                    "files": files,
+                    "epochs": dict(snap["epochs"]),
+                    "epoch_horizon": snap.get("epoch_horizon", 0),
+                    "n_epochs_total": snap.get(
+                        "n_epochs_total", len(snap["epochs"])
+                    ),
+                    "merge_on_read": True,
+                    "has_tombstones": True,
+                    "append_visible": bool(snap.get("append_visible")),
+                    "mode": "delete_mor",
+                    "file_stats": file_stats,
+                    "added_files": new_files,
+                    "stats": {"matched": n_tombs},
+                }
+            )
+        except FileExistsError:
+            self._drop_staged(new_files)
+            if _attempt >= COMMIT_MAX_RETRIES:
+                raise CommitConflictError(
+                    f"mor delete on {self.tenant}.{self.name} lost the "
+                    f"commit race {COMMIT_MAX_RETRIES + 1} times"
+                )
+            # recompute: the predicate must re-evaluate against the state
+            # that won (a rebase could double-delete or miss new rows)
+            return self._delete_mor(spark, where, predicate, _attempt + 1)
+        return {
+            "matched": n_tombs,
+            "tombstones_written": n_tombs,
+            "touched_buckets": len(new_files),
+            "version": version,
+        }
 
     def update_where(
         self,
@@ -1237,7 +1440,10 @@ class LakeTable:
         n_buckets = snap["n_buckets"]
         version = snap["version"] + 1
         rel_paths = [p for paths in touched.values() for p in paths]
-        df = self._read_files(spark, schema, rel_paths, with_meta=True)
+        has_tomb = bool(snap.get("has_tombstones"))
+        df = self._read_files(
+            spark, schema, rel_paths, with_meta=True, with_tombstone=has_tomb
+        )
         if snap.get("merge_on_read"):
             # resolve LWW BEFORE evaluating the condition: the predicate
             # may reference non-key columns, and it must see the same
@@ -1245,6 +1451,12 @@ class LakeTable:
             from ..operators.dedup import last_writer_wins
 
             df = last_writer_wins(df)
+        if has_tomb:
+            # ...and never match (or rewrite back) an already-deleted key;
+            # the rewrite materializes the touched buckets' tombstones
+            df = df.filter(
+                ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+            ).drop(TOMBSTONE_COL)
 
         cond = F.lit(True)
         for col, (lo, hi) in (where or {}).items():
@@ -1307,6 +1519,7 @@ class LakeTable:
                     # rewritten buckets are materialized; the flag only
                     # clears when every bucket was covered (mirrors compact)
                     "merge_on_read": bool(snap.get("merge_on_read")) and not full,
+                    "has_tombstones": has_tomb and not full,
                     "append_visible": bool(snap.get("append_visible")),
                     "mode": action,
                     "file_stats": file_stats,
@@ -1586,9 +1799,16 @@ class LakeTable:
                 touched_old = [
                     p for b in touched_buckets for p in old_files.get(b, [])
                 ]
+                has_tomb = bool(snap and snap.get("has_tombstones"))
                 old = self._read_files(
-                    spark, schema, touched_old, with_meta=True
+                    spark, schema, touched_old, with_meta=True,
+                    with_tombstone=has_tomb,
                 ).withColumn("_bucket", bucket_expr)
+                if has_tomb:
+                    # live incoming rows vs stored tombstones: same LWW
+                    # arena (a stored tombstone shadows older stored rows
+                    # unless the batch out-orders it)
+                    incoming = incoming.withColumn(TOMBSTONE_COL, F.lit(False))
                 if mode == "replace":
                     incoming_ids = incoming.select("entityid").distinct()
                     combined = old.join(
@@ -1597,6 +1817,7 @@ class LakeTable:
                 else:
                     combined = old.unionByName(incoming)
             else:
+                has_tomb = False
                 combined = incoming
             if mode == "upsert":
                 # single LWW reduce covering in-batch duplicates and stored
@@ -1605,6 +1826,14 @@ class LakeTable:
                 from ..operators.dedup import last_writer_wins
 
                 to_write = last_writer_wins(combined)
+                if has_tomb:
+                    # the rewrite materializes the touched buckets: keys
+                    # whose winner is a tombstone drop out entirely (their
+                    # tombstone is spent); replace mode keeps rows verbatim
+                    # (no LWW there), so its tombstones ride through
+                    to_write = to_write.filter(
+                        ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+                    ).drop(TOMBSTONE_COL)
             else:
                 to_write = combined
 
@@ -1663,6 +1892,13 @@ class LakeTable:
                         "merge_on_read": (
                             mode == "upsert_mor"
                             or bool(base and base.get("merge_on_read"))
+                        ),
+                        # sticky like merge_on_read: a CoW upsert spends
+                        # the tombstones of the buckets it rewrites, but
+                        # other buckets may still hold them; only a full
+                        # compaction proves none remain
+                        "has_tombstones": bool(
+                            base and base.get("has_tombstones")
                         ),
                         # sticky: once a plain append commit lands, the
                         # (non-MoR) state is a MULTISET — duplicate keys

@@ -1,0 +1,273 @@
+"""Merge-on-read DELETE via tombstones (plans/lake.py delete_where
+strategy='mor' / _delete_mor) — the Iceberg v2 equality-delete analog.
+
+A tombstone is one row per deleted key carrying only the key-derived
+columns + the deleted row's LWW order with '~' appended to _seq; it wins
+the ordinary merge-on-read LWW reduce against the row it deletes, and a
+LATER re-insert out-orders it (Kafka compaction delete-marker
+semantics). Pinned here: final-state identity with the copy-on-write
+delete, O(matched) write cost (untouched data dirs byte-identical),
+resurrection by later upsert, materialization + flag clearing on full
+compaction, spent-tombstone removal by a CoW upsert of the bucket,
+stat-pruned scans that keep tombstones with their targets, exact change
+feed (forced state diff), multiset refusal, and time travel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.config import IngestConfig
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+from nifi_ngsild_postgresql_spark.plans.manifest import with_row_sha
+from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch
+
+
+def _payload(eid, v, ts="2024-01-01T00:00:00Z"):
+    return json.dumps(
+        {"id": f"urn:x:{eid}", "type": "Gauge",
+         "level": {"type": "Property", "value": v, "observedAt": ts}}
+    )
+
+
+def _batch(spark, items, seq0=0):
+    rows = [
+        ("t", "p", f"{seq0 + i:06d}", "Gauge", _payload(eid, v, ts))
+        for i, (eid, v, ts) in enumerate(items)
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).withColumn("recv_time", F.timestamp_millis(F.lit(1700000000000 + seq0)))
+
+
+def _table(spark, tmp_path, mode="upsert_mor", days=2, per_day=8, sub="wh"):
+    wh = str(tmp_path / sub)
+    cfg = IngestConfig(write_mode=mode, n_buckets=2)
+    for d in range(days):
+        ingest_batch(
+            _batch(
+                spark,
+                [(j, float(d * 100 + j), f"2024-01-0{d+1}T00:00:00Z")
+                 for j in range(per_day)],
+                seq0=d * 100,
+            ),
+            cfg, wh, f"e{d}",
+        )
+    return LakeCatalog(wh).table("t", "gauge")
+
+
+def _rows(spark, table, **kw):
+    return sorted(map(tuple, table.read(spark, **kw).collect()))
+
+
+def test_mor_delete_matches_cow_delete_state(spark, tmp_path):
+    where = {"observedat": ("2024-01-02T00:00:00Z", None)}
+    cow = _table(spark, tmp_path, sub="cow")
+    mor = _table(spark, tmp_path, sub="mor")
+    out_c = cow.delete_where(spark, where=where)
+    out_m = mor.delete_where(spark, where=where, strategy="mor")
+    assert out_c["matched"] == out_m["matched"] == 8
+    assert _rows(spark, cow) == _rows(spark, mor)
+    assert len(_rows(spark, mor)) == 8
+
+
+def test_mor_delete_is_o_matched_not_o_buckets(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    before = t.latest_snapshot()
+    sizes_before = {
+        rel: os.path.getsize(os.path.join(t.path, rel, f))
+        for paths in before["files"].values()
+        for rel in paths
+        for f in os.listdir(os.path.join(t.path, rel))
+        if f.endswith(".parquet")
+    }
+    out = t.delete_where(
+        spark, where={"observedat": ("2024-01-02T00:00:00Z", None)},
+        strategy="mor",
+    )
+    assert out["tombstones_written"] == 8
+    snap = t.latest_snapshot()
+    assert snap["has_tombstones"] and snap["merge_on_read"]
+    # every pre-delete data dir is carried forward untouched — the commit
+    # only ADDED tombstone dirs (O(matched), no bucket rewrite)
+    live = {p for paths in snap["files"].values() for p in paths}
+    assert set(sizes_before) < live
+    for rel, sz in sizes_before.items():
+        d = os.path.join(t.path, rel)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                assert os.path.getsize(os.path.join(d, f)) == sz
+    added = {p for paths in snap["added_files"].values() for p in paths}
+    # tombstone dirs carry footer row counts: exactly the matched rows
+    n_tomb_rows = sum(
+        snap["file_stats"][rel]["_rows"] for rel in added
+    )
+    assert n_tomb_rows == 8
+
+
+def test_later_upsert_resurrects_deleted_key(spark, tmp_path):
+    wh_cfg = IngestConfig(write_mode="upsert_mor", n_buckets=2)
+    t = _table(spark, tmp_path)
+    wh = os.path.dirname(os.path.dirname(t.path))
+    t.delete_where(
+        spark, where={"observedat": ("2024-01-02T00:00:00Z", None)},
+        strategy="mor",
+    )
+    assert len(_rows(spark, t)) == 8
+    # re-insert entity 3's day-2 reading with a LATER recv_time/seq
+    ingest_batch(
+        _batch(spark, [(3, 999.0, "2024-01-02T00:00:00Z")], seq0=5000),
+        wh_cfg, wh, "e-redo",
+    )
+    rows = t.read(spark).filter(
+        F.col("observedat") >= F.lit("2024-01-02T00:00:00Z").cast("timestamp")
+    ).collect()
+    assert len(rows) == 1 and float(rows[0]["level"]) == 999.0
+
+
+def test_replayed_deleted_event_stays_deleted(spark, tmp_path):
+    # at-least-once: the SAME event (same recv_time and seq) redelivered
+    # after its row was deleted must NOT resurrect — the tombstone's
+    # _seq + '~' out-orders the identical replay
+    wh_cfg = IngestConfig(write_mode="upsert_mor", n_buckets=2)
+    t = _table(spark, tmp_path)
+    wh = os.path.dirname(os.path.dirname(t.path))
+    t.delete_where(
+        spark, where={"observedat": ("2024-01-02T00:00:00Z", None)},
+        strategy="mor",
+    )
+    # day-2 batch originally went in with seq0=100 under epoch e1;
+    # redeliver the identical rows under a NEW epoch (so the epoch
+    # idempotence skip doesn't mask the LWW question)
+    ingest_batch(
+        _batch(
+            spark,
+            [(j, float(100 + j), "2024-01-02T00:00:00Z") for j in range(8)],
+            seq0=100,
+        ),
+        wh_cfg, wh, "e1-replayed",
+    )
+    assert len(_rows(spark, t)) == 8  # still only day-1 rows
+
+
+def test_full_compaction_materializes_and_clears_flag(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.delete_where(
+        spark, where={"observedat": ("2024-01-02T00:00:00Z", None)},
+        strategy="mor",
+    )
+    before = _rows(spark, t)
+    out = t.compact(spark, max_files_per_bucket=0)
+    assert out["compacted_buckets"] > 0
+    snap = t.latest_snapshot()
+    assert not snap.get("has_tombstones") and not snap.get("merge_on_read")
+    assert _rows(spark, t) == before
+    # physical rows now equal logical rows (tombstones + losers gone)
+    assert t.row_count() == 8
+
+
+def test_cow_upsert_spends_tombstones_of_touched_buckets(spark, tmp_path):
+    # a copy-on-write upsert over a tombstoned table must neither
+    # resurrect deleted keys nor write tombstone rows back verbatim
+    wh_cfg = IngestConfig(write_mode="upsert", n_buckets=2)
+    t = _table(spark, tmp_path, mode="upsert")
+    wh = os.path.dirname(os.path.dirname(t.path))
+    t.delete_where(
+        spark, where={"observedat": ("2024-01-02T00:00:00Z", None)},
+        strategy="mor",
+    )
+    # upsert day-1 refresh values for every entity => every bucket touched
+    ingest_batch(
+        _batch(spark, [(j, float(1000 + j), "2024-01-01T00:00:00Z")
+                       for j in range(8)], seq0=9000),
+        wh_cfg, wh, "e-refresh",
+    )
+    rows = _rows(spark, t)
+    assert len(rows) == 8  # day-2 keys stay deleted
+    vals = sorted(float(r["level"]) for r in t.read(spark).collect())
+    assert vals == [float(1000 + j) for j in range(8)]
+
+
+def test_stat_pruned_scan_keeps_tombstones_with_targets(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.delete_where(
+        spark,
+        where={"observedat": ("2024-01-02T00:00:00Z", None)},
+        predicate="level >= 104",
+        strategy="mor",
+    )
+    # a pruned time-range read over the deleted range must not resurrect
+    got = t.read(
+        spark, where={"observedat": ("2024-01-02T00:00:00Z", None)}
+    )
+    vals = sorted(float(r["level"]) for r in got.collect())
+    assert vals == [100.0, 101.0, 102.0, 103.0]
+
+
+def test_change_feed_emits_exact_deletes(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    v0 = t.latest_snapshot()["version"]
+    t.delete_where(
+        spark, where={"observedat": ("2024-01-02T00:00:00Z", None)},
+        strategy="mor",
+    )
+    ch = t.read_changes(spark, from_version=v0).collect()
+    assert len(ch) == 8
+    assert {r["_change_type"] for r in ch} == {"delete"}
+    # deletes carry the old content, not NULL tombstone payloads
+    assert all(r["level"] is not None for r in ch)
+
+
+def test_multiset_table_refuses_mor_delete(spark, tmp_path):
+    t = _table(spark, tmp_path, mode="append")
+    with pytest.raises(ValueError, match="multiset"):
+        t.delete_where(
+            spark, where={"observedat": (None, None)}, strategy="mor"
+        )
+    with pytest.raises(ValueError, match="unknown delete strategy"):
+        t.delete_where(spark, where={"observedat": (None, None)}, strategy="x")
+
+
+def test_time_travel_and_noop_semantics(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    v0 = t.latest_snapshot()["version"]
+    out = t.delete_where(
+        spark, where={"observedat": ("2024-01-02T00:00:00Z", None)},
+        strategy="mor",
+    )
+    assert len(_rows(spark, t, version=v0)) == 16
+    # deleting the same range again matches nothing and commits nothing
+    out2 = t.delete_where(
+        spark, where={"observedat": ("2024-01-02T00:00:00Z", None)},
+        strategy="mor",
+    )
+    assert out2["matched"] == 0
+    assert t.latest_snapshot()["version"] == out["version"]
+    # pruning to zero candidates also commits nothing
+    out3 = t.delete_where(
+        spark, where={"observedat": ("2031-01-01T00:00:00Z", None)},
+        strategy="mor",
+    )
+    assert out3 == {"matched": 0, "tombstones_written": 0}
+
+
+def test_mor_delete_state_sha_equals_cow_after_compaction(spark, tmp_path):
+    # strongest identity check: delete MoR, compact, and the canonical
+    # per-row sha multiset equals the CoW-deleted table's
+    cow = _table(spark, tmp_path, sub="cow2")
+    mor = _table(spark, tmp_path, sub="mor2")
+    where = {"observedat": (None, "2024-01-01T23:59:59Z")}
+    cow.delete_where(spark, where=where)
+    mor.delete_where(spark, where=where, strategy="mor")
+    mor.compact(spark, max_files_per_bucket=0)
+    sha = lambda t: sorted(
+        r["_row_sha256"]
+        for r in with_row_sha(
+            t.read(spark, with_meta=True), exclude=("_row_key", "_recv_time", "_seq")
+        ).select("_row_sha256").collect()
+    )
+    assert sha(cow) == sha(mor)
