@@ -1229,43 +1229,62 @@ class LakeTable:
         (exactly the upsert_mor trade). Final state is identical to the
         copy-on-write path."""
         if strategy == "mor":
-            return self._delete_mor(spark, where, predicate)
+            return self._mutate_mor(spark, where, predicate, action="delete")
         if strategy != "cow":
             raise ValueError(f"unknown delete strategy {strategy!r}")
         return self._rewrite_where(spark, where, predicate, action="delete")
 
-    def _delete_mor(
+    def _mutate_mor(
         self,
         spark: SparkSession,
         where: dict[str, tuple[Any, Any]] | None,
         predicate: str | None,
+        action: str,
+        set_exprs: dict[str, str] | None = None,
         _attempt: int = 0,
     ) -> dict[str, Any]:
-        """Merge-on-read DELETE: write one tombstone row per matched
-        visible row and commit it as an O(matched) append. The tombstone
-        copies the key-derived columns (entityid, observedat — so stat
-        pruning keeps it with its target) and the row's meta order with
-        ``'~'`` appended to ``_seq`` (lexicographically greater than any
-        stored ``_seq``, so the tombstone wins the LWW reduce against the
-        row it deletes while any LATER re-insert of the key out-orders it
-        and resurrects — the Kafka-compaction delete-marker semantics).
-        Readers resolve via the ordinary MoR LWW pass; ``compact()``
-        materializes and discards spent tombstones."""
+        """Merge-on-read DELETE/UPDATE: write O(matched) rows that
+        out-order the rows they supersede instead of rewriting buckets.
+
+        - ``delete``: one TOMBSTONE per matched visible row — copies the
+          key-derived columns (entityid, observedat — so stat pruning
+          keeps it with its target) with all other payload NULL and
+          ``_tombstone=true``.
+        - ``update``: the matched row itself with ``set_exprs`` applied —
+          a full superseding version, no tombstone involved.
+
+        Both bump the matched row's LWW order by appending ``'~'`` to
+        ``_seq`` (lexicographically greater than any stored ``_seq``
+        and than the identical replayed event, while any LATER event —
+        greater ``_recv_time`` or a later commit's ``_seq`` — still
+        out-orders the mutation: event-sourced truth outranks manual
+        DML patches). Readers resolve via the ordinary MoR LWW pass;
+        ``compact()`` materializes. A chain of k MoR mutations on one
+        key grows its ``_seq`` by k bytes — negligible for the
+        retention/GDPR cadence this targets; a pathological per-key DML
+        loop should use the CoW path."""
         if where is None and predicate is None:
             raise ValueError("provide where bounds and/or a predicate")
         snap = self.latest_snapshot()
         if snap is None:
-            return {"matched": 0, "tombstones_written": 0}
+            return {"matched": 0, "rows_written": 0}
         if snap.get("append_visible") and not snap.get("merge_on_read"):
             raise ValueError(
-                "merge-on-read delete needs keyed (LWW) state; this table "
-                "holds a visible multiset (plain append history) — use "
-                "strategy='cow'"
+                f"merge-on-read {action} needs keyed (LWW) state; this "
+                "table holds a visible multiset (plain append history) — "
+                "use strategy='cow'"
             )
         schema = snap["schema"]
         unknown = set(where or {}) - set(schema)
         if unknown:
             raise ValueError(f"unknown where columns {sorted(unknown)}")
+        immutable = {"entityid"} | set(META_COLS)
+        bad = set(set_exprs or {}) & immutable
+        if bad:
+            raise ValueError(f"immutable columns in SET: {sorted(bad)}")
+        unknown_set = set(set_exprs or {}) - set(schema)
+        if unknown_set:
+            raise ValueError(f"unknown SET columns {sorted(unknown_set)}")
         n_buckets = snap["n_buckets"]
         version = snap["version"] + 1
 
@@ -1276,7 +1295,7 @@ class LakeTable:
             if any(p in candidates for p in paths)
         }
         if not touched:
-            return {"matched": 0, "tombstones_written": 0}
+            return {"matched": 0, "rows_written": 0}
         rel_paths = [p for paths in touched.values() for p in paths]
         has_tomb = bool(snap.get("has_tombstones"))
         df = self._read_files(
@@ -1302,10 +1321,13 @@ class LakeTable:
             cond = cond & F.expr(predicate)
         cond = F.coalesce(cond, F.lit(False))
 
-        key_derived = {"entityid", "observedat"}
-        tombs = (
-            df.filter(cond)
-            .select(
+        matched = df.filter(cond)
+        bumped_seq = F.concat(
+            F.coalesce(F.col("_seq"), F.lit("")), F.lit("~")
+        ).alias("_seq")
+        if action == "delete":
+            key_derived = {"entityid", "observedat"}
+            out = matched.select(
                 *[
                     F.col(c).alias(c)
                     if c in key_derived
@@ -1314,24 +1336,36 @@ class LakeTable:
                 ],
                 F.col("_row_key"),
                 F.col("_recv_time"),
-                F.concat(
-                    F.coalesce(F.col("_seq"), F.lit("")), F.lit("~")
-                ).alias("_seq"),
+                bumped_seq,
                 F.lit(True).alias(TOMBSTONE_COL),
             )
-            .withColumn(
-                "_bucket",
-                F.pmod(F.xxhash64(F.col("entityid")), F.lit(n_buckets)),
+        else:
+            # superseding full row: SET columns recomputed (mismatch→NULL
+            # via the same cast rule as the CoW path), everything else
+            # carried; no tombstone column — this IS a live row
+            out = matched.select(
+                *[
+                    F.expr(set_exprs[c]).cast(SPARK_TYPE[schema[c]]).alias(c)
+                    if c in (set_exprs or {})
+                    else F.col(c).alias(c)
+                    for c in schema
+                ],
+                F.col("_row_key"),
+                F.col("_recv_time"),
+                bumped_seq,
             )
+        out = out.withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64(F.col("entityid")), F.lit(n_buckets)),
         )
-        new_files, n_tombs, blooms = self._write_data(
-            tombs, version, schema, n_buckets
+        new_files, n_rows, blooms = self._write_data(
+            out, version, schema, n_buckets
         )
-        if n_tombs == 0:
+        if n_rows == 0:
             # pruning found candidate dirs but the exact condition matched
             # nothing — commit nothing (mirrors the CoW prune-to-noop rule)
             self._drop_staged(new_files)
-            return {"matched": 0, "tombstones_written": 0}
+            return {"matched": 0, "rows_written": 0}
         files = dict(snap["files"])
         for b, paths in new_files.items():
             files[b] = files.get(b, []) + paths
@@ -1350,27 +1384,32 @@ class LakeTable:
                         "n_epochs_total", len(snap["epochs"])
                     ),
                     "merge_on_read": True,
-                    "has_tombstones": True,
+                    "has_tombstones": (
+                        action == "delete"
+                        or bool(snap.get("has_tombstones"))
+                    ),
                     "append_visible": bool(snap.get("append_visible")),
-                    "mode": "delete_mor",
+                    "mode": f"{action}_mor",
                     "file_stats": file_stats,
                     "added_files": new_files,
-                    "stats": {"matched": n_tombs},
+                    "stats": {"matched": n_rows},
                 }
             )
         except FileExistsError:
             self._drop_staged(new_files)
             if _attempt >= COMMIT_MAX_RETRIES:
                 raise CommitConflictError(
-                    f"mor delete on {self.tenant}.{self.name} lost the "
+                    f"mor {action} on {self.tenant}.{self.name} lost the "
                     f"commit race {COMMIT_MAX_RETRIES + 1} times"
                 )
             # recompute: the predicate must re-evaluate against the state
             # that won (a rebase could double-delete or miss new rows)
-            return self._delete_mor(spark, where, predicate, _attempt + 1)
+            return self._mutate_mor(
+                spark, where, predicate, action, set_exprs, _attempt + 1
+            )
         return {
-            "matched": n_tombs,
-            "tombstones_written": n_tombs,
+            "matched": n_rows,
+            "rows_written": n_rows,
             "touched_buckets": len(new_files),
             "version": version,
         }
@@ -1381,6 +1420,7 @@ class LakeTable:
         set: dict[str, str],
         where: dict[str, tuple[Any, Any]] | None = None,
         predicate: str | None = None,
+        strategy: str = "cow",
     ) -> dict[str, Any]:
         """Predicate-based row-level UPDATE (the Delta ``UPDATE`` analog).
         ``set`` maps column → Spark SQL expression evaluated per matching
@@ -1388,9 +1428,19 @@ class LakeTable:
         through byte-identical. Key/meta columns (entityid, _row_key, and
         the ingest metadata) are immutable — changing them would silently
         re-home rows across hash buckets. Pruning and commit semantics
-        are identical to ``delete_where``."""
+        are identical to ``delete_where``.
+
+        ``strategy="mor"`` appends superseding row versions instead of
+        rewriting buckets — O(matched) like the tombstone delete, same
+        read-time-merge trade (``_mutate_mor``)."""
         if not set:
             raise ValueError("update_where requires at least one SET column")
+        if strategy == "mor":
+            return self._mutate_mor(
+                spark, where, predicate, action="update", set_exprs=set
+            )
+        if strategy != "cow":
+            raise ValueError(f"unknown update strategy {strategy!r}")
         return self._rewrite_where(
             spark, where, predicate, action="update", set_exprs=set
         )

@@ -89,7 +89,7 @@ def test_mor_delete_is_o_matched_not_o_buckets(spark, tmp_path):
         spark, where={"observedat": ("2024-01-02T00:00:00Z", None)},
         strategy="mor",
     )
-    assert out["tombstones_written"] == 8
+    assert out["rows_written"] == 8
     snap = t.latest_snapshot()
     assert snap["has_tombstones"] and snap["merge_on_read"]
     # every pre-delete data dir is carried forward untouched — the commit
@@ -252,7 +252,7 @@ def test_time_travel_and_noop_semantics(spark, tmp_path):
         spark, where={"observedat": ("2031-01-01T00:00:00Z", None)},
         strategy="mor",
     )
-    assert out3 == {"matched": 0, "tombstones_written": 0}
+    assert out3 == {"matched": 0, "rows_written": 0}
 
 
 def test_mor_delete_state_sha_equals_cow_after_compaction(spark, tmp_path):
@@ -271,3 +271,122 @@ def test_mor_delete_state_sha_equals_cow_after_compaction(spark, tmp_path):
         ).select("_row_sha256").collect()
     )
     assert sha(cow) == sha(mor)
+
+# --- merge-on-read UPDATE (superseding row versions, _mutate_mor) -------
+
+
+def test_mor_update_matches_cow_update_state(spark, tmp_path):
+    where = {"observedat": ("2024-01-02T00:00:00Z", None)}
+    cow = _table(spark, tmp_path, sub="ucow")
+    mor = _table(spark, tmp_path, sub="umor")
+    out_c = cow.update_where(spark, set={"level": "level + 0.5"}, where=where)
+    out_m = mor.update_where(
+        spark, set={"level": "level + 0.5"}, where=where, strategy="mor"
+    )
+    assert out_c["matched"] == out_m["matched"] == 8
+    assert _rows(spark, cow) == _rows(spark, mor)
+    got = sorted(
+        float(r["level"])
+        for r in mor.read(spark, where=where).collect()
+    )
+    assert got == [100.5 + j for j in range(8)]
+
+
+def test_mor_update_is_o_matched_append(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    before = t.latest_snapshot()
+    dirs_before = {p for ps in before["files"].values() for p in ps}
+    out = t.update_where(
+        spark, set={"level": "level * 2"},
+        where={"observedat": ("2024-01-02T00:00:00Z", None)},
+        predicate="level >= 104",
+        strategy="mor",
+    )
+    assert out["matched"] == out["rows_written"] == 4
+    snap = t.latest_snapshot()
+    assert snap["mode"] == "update_mor" and snap["merge_on_read"]
+    # no tombstones were introduced by an update
+    assert not snap.get("has_tombstones")
+    # pure append: every old dir carried forward
+    live = {p for ps in snap["files"].values() for p in ps}
+    assert dirs_before < live
+    vals = sorted(float(r["level"]) for r in t.read(spark).collect())
+    assert vals == sorted(
+        [float(j) for j in range(8)]           # day 1 untouched
+        + [100.0, 101.0, 102.0, 103.0]         # below predicate
+        + [208.0, 210.0, 212.0, 214.0]         # doubled
+    )
+
+
+def test_mor_update_then_delete_chain(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    where = {"observedat": ("2024-01-02T00:00:00Z", None)}
+    t.update_where(spark, set={"level": "level + 1000"}, where=where,
+                   strategy="mor")
+    out = t.delete_where(spark, where=where, predicate="level >= 1104",
+                         strategy="mor")
+    assert out["matched"] == 4
+    vals = sorted(float(r["level"]) for r in t.read(spark).collect())
+    assert vals == sorted(
+        [float(j) for j in range(8)] + [1100.0, 1101.0, 1102.0, 1103.0]
+    )
+    # compaction materializes the whole chain
+    before = _rows(spark, t)
+    t.compact(spark, max_files_per_bucket=0)
+    assert _rows(spark, t) == before
+    assert t.row_count() == 12
+
+
+def test_mor_update_change_feed_preimages(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    v0 = t.latest_snapshot()["version"]
+    t.update_where(
+        spark, set={"level": "level + 1.0"},
+        where={"observedat": ("2024-01-02T00:00:00Z", None)},
+        strategy="mor",
+    )
+    ch = t.read_changes(spark, from_version=v0, include_preimage=True)
+    by_type = {
+        r["_change_type"]: ch.filter(F.col("_change_type") == r["_change_type"]).count()
+        for r in ch.select("_change_type").distinct().collect()
+    }
+    assert by_type == {"update": 8, "update_preimage": 8}
+
+
+def test_mor_update_guards(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    with pytest.raises(ValueError, match="immutable"):
+        t.update_where(spark, set={"entityid": "'x'"},
+                       where={"observedat": (None, None)}, strategy="mor")
+    with pytest.raises(ValueError, match="unknown SET"):
+        t.update_where(spark, set={"nope": "1"},
+                       where={"observedat": (None, None)}, strategy="mor")
+    with pytest.raises(ValueError, match="unknown update strategy"):
+        t.update_where(spark, set={"level": "1"},
+                       where={"observedat": (None, None)}, strategy="zzz")
+    ta = _table(spark, tmp_path, mode="append", sub="wh-app")
+    with pytest.raises(ValueError, match="multiset"):
+        ta.update_where(spark, set={"level": "1"},
+                        where={"observedat": (None, None)}, strategy="mor")
+
+
+def test_later_event_overrides_mor_update(spark, tmp_path):
+    # event-sourced truth outranks a DML patch: a LATER ingest of the
+    # same key replaces the updated version
+    wh_cfg = IngestConfig(write_mode="upsert_mor", n_buckets=2)
+    t = _table(spark, tmp_path)
+    wh = os.path.dirname(os.path.dirname(t.path))
+    t.update_where(
+        spark, set={"level": "level + 1000"},
+        where={"observedat": ("2024-01-02T00:00:00Z", None)},
+        strategy="mor",
+    )
+    ingest_batch(
+        _batch(spark, [(3, 7.0, "2024-01-02T00:00:00Z")], seq0=9000),
+        wh_cfg, wh, "e-late",
+    )
+    row = t.read(spark).filter(
+        (F.col("entityid") == "urn:x:3")
+        & (F.col("observedat") >= F.lit("2024-01-02T00:00:00Z").cast("timestamp"))
+    ).collect()
+    assert len(row) == 1 and float(row[0]["level"]) == 7.0
