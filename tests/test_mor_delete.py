@@ -390,3 +390,51 @@ def test_later_event_overrides_mor_update(spark, tmp_path):
         & (F.col("observedat") >= F.lit("2024-01-02T00:00:00Z").cast("timestamp"))
     ).collect()
     assert len(row) == 1 and float(row[0]["level"]) == 7.0
+
+
+def test_materialized_aggregate_tracks_mor_dml(spark, tmp_path):
+    """Integration: the persistent IVM view (MaterializedAggregate)
+    stays equal to full re-aggregation THROUGH merge-on-read deletes and
+    updates — the forced state-diff change feed delivers exact
+    delete/update_preimage retractions for tombstoned ranges."""
+    from nifi_ngsild_postgresql_spark.streaming.changefeed import (
+        MaterializedAggregate,
+    )
+
+    t = _table(spark, tmp_path)
+    view = MaterializedAggregate(t, str(tmp_path / "view"), "level")
+
+    def recomputed():
+        return {
+            r["entityid"]: (r["n"], round(r["s"], 6))
+            for r in t.read(spark)
+            .groupBy("entityid")
+            .agg(F.count("*").alias("n"), F.sum("level").alias("s"))
+            .collect()
+        }
+
+    def materialized():
+        return {
+            r["entityid"]: (r["n_rows"], round(r["sum_value"], 6))
+            for r in view.read(spark).collect()
+        }
+
+    view.refresh(spark)
+    assert materialized() == recomputed()
+    t.update_where(
+        spark, set={"level": "level + 10"},
+        where={"observedat": ("2024-01-02T00:00:00Z", None)}, strategy="mor",
+    )
+    view.refresh(spark)
+    assert materialized() == recomputed()
+    t.delete_where(
+        spark, where={"observedat": ("2024-01-02T00:00:00Z", None)},
+        predicate="level >= 114", strategy="mor",
+    )
+    view.refresh(spark)
+    assert materialized() == recomputed()
+    # entities whose only day-2 row was deleted drop to their day-1 count
+    assert all(n in (1, 2) for n, _s in materialized().values())
+    # and a compaction (content-invariant) feeds through as zero changes
+    t.compact(spark, max_files_per_bucket=0)
+    assert view.refresh(spark)["rows"] == 0 or materialized() == recomputed()
