@@ -114,6 +114,23 @@ def main(argv: list[str] | None = None) -> int:
                         " GC may remove it (crashed/in-flight writer"
                         " protection)")
 
+    d = sub.add_parser(
+        "dml", help="predicate DELETE/UPDATE (copy-on-write or merge-on-read)"
+    )
+    d.add_argument("--warehouse", required=True)
+    d.add_argument("--table", required=True, help="tenant.table")
+    d.add_argument("--action", choices=("delete", "update"), required=True)
+    d.add_argument("--entity", default=None, help="exact entityid match")
+    d.add_argument("--since", default=None, help="observedAt lower bound")
+    d.add_argument("--until", default=None, help="observedAt upper bound")
+    d.add_argument("--predicate", default=None,
+                   help="Spark SQL boolean over the wide columns")
+    d.add_argument("--set", action="append", default=[], metavar="COL=EXPR",
+                   help="update only; repeatable")
+    d.add_argument("--strategy", choices=("cow", "mor"), default="cow",
+                   help="cow rewrites touched buckets; mor appends "
+                        "O(matched) tombstones / superseding versions")
+
     args = parser.parse_args(argv)
 
     from .session import get_spark
@@ -235,6 +252,36 @@ def main(argv: list[str] | None = None) -> int:
                 orphan_grace_seconds=args.orphan_grace,
             )
         out["tags"] = table.tags()
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "dml":
+        from .plans.lake import LakeCatalog
+
+        tenant, name = args.table.split(".", 1)
+        table = LakeCatalog(args.warehouse).table(tenant, name)
+        where: dict = {}
+        if args.entity:
+            where["entityid"] = (args.entity, args.entity)
+        if args.since or args.until:
+            where["observedat"] = (args.since, args.until)
+        if not (where or args.predicate):
+            parser.error("dml needs --entity/--since/--until and/or --predicate")
+        if args.action == "delete":
+            if args.set:
+                parser.error("--set is update-only")
+            out = table.delete_where(
+                spark, where=where or None, predicate=args.predicate,
+                strategy=args.strategy,
+            )
+        else:
+            sets = dict(kv.split("=", 1) for kv in args.set)
+            if not sets:
+                parser.error("update requires at least one --set COL=EXPR")
+            out = table.update_where(
+                spark, set=sets, where=where or None,
+                predicate=args.predicate, strategy=args.strategy,
+            )
         print(json.dumps(out))
         return 0
 
