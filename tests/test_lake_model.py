@@ -1,0 +1,188 @@
+"""Model-based randomized check of the lake's keyed-state semantics.
+
+A seeded random sequence of operations — CoW/MoR upserts, MoR
+delete/update, CoW delete/update, compaction, rebucketing — runs against
+both the real LakeTable and a ~40-line Python dict model of the intended
+semantics (one visible row per (entityid, _row_key), resolved by
+max (order, seq) with DML bumping seq by '~'). After EVERY operation the
+table's read() must equal the model exactly.
+
+This pins the cross-operation interactions no single-feature test
+reaches: a MoR delete followed by an out-of-order upsert, an update on
+top of a tombstone chain, a compaction in the middle of mixed CoW/MoR
+history, rebucketing a tombstoned table, etc. Deterministic (fixed
+seeds), so a failure is replayable.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+
+SCHEMA = {"entityid": "TEXT", "level": "NUMERIC", "observedat": "TIMESTAMPTZ"}
+KEYS = [f"urn:x:{i}" for i in range(6)]
+ROW_KEYS = ["r0", "r1"]
+TS = "2024-01-15T00:00:00"
+
+
+def _mk_batch(spark, rows):
+    """rows: list of (entityid, row_key, level, recv_ms, seq)."""
+    data = [
+        (eid, float(level), TS, rk, recv_ms, seq)
+        for eid, rk, level, recv_ms, seq in rows
+    ]
+    return (
+        spark.createDataFrame(
+            data,
+            "entityid string, level double, observedat string, "
+            "_row_key string, _recv int, _seq string",
+        )
+        .select(
+            "entityid",
+            "level",
+            F.col("observedat").cast("timestamp").alias("observedat"),
+            "_row_key",
+            F.timestamp_millis(
+                F.lit(1700000000000) + F.col("_recv").cast("long")
+            ).alias("_recv_time"),
+            "_seq",
+        )
+    )
+
+
+class Model:
+    """One visible row per (entityid, _row_key); LWW by (recv, seq)."""
+
+    def __init__(self):
+        # (eid, rk) -> {"order": (recv, seq), "level": float|None,
+        #               "deleted": bool}
+        self.state: dict = {}
+
+    def _win(self, key, order):
+        cur = self.state.get(key)
+        return cur is None or order >= cur["order"]
+
+    def upsert(self, rows):
+        # batch itself LWW-reduced first, then vs stored
+        batch: dict = {}
+        for eid, rk, level, recv, seq in rows:
+            k, o = (eid, rk), (recv, seq)
+            if k not in batch or o >= batch[k][0]:
+                batch[k] = (o, level)
+        for k, (o, level) in batch.items():
+            if self._win(k, o):
+                self.state[k] = {"order": o, "level": float(level),
+                                 "deleted": False}
+
+    def _visible(self):
+        return {k: v for k, v in self.state.items() if not v["deleted"]}
+
+    def delete(self, lo, hi):
+        for k, v in self._visible().items():
+            if lo <= v["level"] <= hi:
+                recv, seq = v["order"]
+                self.state[k] = {"order": (recv, seq + "~"), "level": None,
+                                 "deleted": True}
+        # returns nothing; table result compared via read()
+
+    def update(self, lo, hi, delta):
+        for k, v in self._visible().items():
+            if lo <= v["level"] <= hi:
+                recv, seq = v["order"]
+                self.state[k] = {
+                    "order": (recv, seq + "~"),
+                    "level": v["level"] + delta,
+                    "deleted": False,
+                }
+
+    def rows(self):
+        return sorted(
+            (eid, rk, v["level"]) for (eid, rk), v in self._visible().items()
+        )
+
+
+def _table_rows(spark, t):
+    if t.latest_snapshot() is None:
+        return []
+    return sorted(
+        (r["entityid"], r["_row_key"], float(r["level"]))
+        for r in t.read(spark, with_meta=True).collect()
+    )
+
+
+def _run_scenario(spark, tmp_path, seed, n_ops=14):
+    rng = random.Random(seed)
+    cat = LakeCatalog(str(tmp_path / f"wh{seed}"), n_buckets=2,
+                      auto_compact_files=None)
+    t = cat.table("t", "model")
+    model = Model()
+    epoch = 0
+    trace = []
+    for step in range(n_ops):
+        op = rng.choice(
+            ["upsert", "upsert", "upsert_mor", "upsert_mor",
+             "delete_mor", "update_mor", "delete_cow", "update_cow",
+             "compact", "rebucket"]
+        )
+        if t.latest_snapshot() is None and op not in ("upsert", "upsert_mor"):
+            op = "upsert_mor"
+        trace.append(op)
+        if op in ("upsert", "upsert_mor"):
+            epoch += 1
+            # (recv, seq) made globally unique per row: a same-key tie
+            # with different payloads would make max_by nondeterministic
+            # in BOTH engine and model
+            rows = [
+                (
+                    rng.choice(KEYS),
+                    rng.choice(ROW_KEYS),
+                    rng.randrange(0, 100),
+                    rng.randrange(0, 5000),
+                    f"{rng.randrange(0, 100):04d}{epoch:04d}{i:02d}",
+                )
+                for i in range(rng.randrange(1, 6))
+            ]
+            getattr(t, op)(_mk_batch(spark, rows), SCHEMA, f"e{epoch}")
+            model.upsert(rows)
+        elif op in ("delete_mor", "delete_cow"):
+            lo = rng.randrange(0, 80)
+            hi = lo + rng.randrange(5, 40)
+            t.delete_where(
+                spark, where={"level": (float(lo), float(hi))},
+                strategy="mor" if op == "delete_mor" else "cow",
+            )
+            model.delete(lo, hi)
+        elif op in ("update_mor", "update_cow"):
+            lo = rng.randrange(0, 80)
+            hi = lo + rng.randrange(5, 40)
+            delta = rng.randrange(1000, 2000)
+            t.update_where(
+                spark, set={"level": f"level + {delta}"},
+                where={"level": (float(lo), float(hi))},
+                strategy="mor" if op == "update_mor" else "cow",
+            )
+            model.update(lo, hi, delta)
+        elif op == "compact":
+            t.compact(spark, max_files_per_bucket=0)
+        elif op == "rebucket":
+            t.compact(spark, rebucket_to=rng.choice([2, 4]))
+        got, want = _table_rows(spark, t), model.rows()
+        assert got == want, (
+            f"seed={seed} step={step} op={op} trace={trace}\n"
+            f"table={got}\nmodel={want}"
+        )
+
+
+def test_lake_model_seed_1(spark, tmp_path):
+    _run_scenario(spark, tmp_path, seed=1)
+
+
+def test_lake_model_seed_2(spark, tmp_path):
+    _run_scenario(spark, tmp_path, seed=2)
+
+
+def test_lake_model_seed_3(spark, tmp_path):
+    _run_scenario(spark, tmp_path, seed=3)
