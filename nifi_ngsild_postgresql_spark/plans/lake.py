@@ -155,7 +155,9 @@ def _parse_type(s: str) -> T.DataType:
     return T.StructType.fromDDL(f"x {s}")[0].dataType
 
 
-def align_frame(df: DataFrame, schema: dict[str, str]) -> DataFrame:
+def align_frame(
+    df: DataFrame, schema: dict[str, str], extra: tuple[str, ...] = ()
+) -> DataFrame:
     """Project df to exactly (schema columns + meta cols), adding NULL
     for schema columns the batch didn't produce. ``try_cast`` keeps the
     mismatch→NULL rule under ANSI mode (a throwing cast here would
@@ -171,6 +173,8 @@ def align_frame(df: DataFrame, schema: dict[str, str]) -> DataFrame:
         cols.append(
             (F.col(m) if m in df.columns else F.lit(None)).cast(ddl).alias(m)
         )
+    for e in extra:
+        cols.append(F.col(e))
     return df.select(*cols)
 
 
@@ -562,6 +566,7 @@ class LakeTable:
         to_version: int | None = None,
         force_diff: bool = False,
         include_preimage: bool = False,
+        with_meta: bool = False,
     ) -> DataFrame:
         """Change-data-feed — CDC *out* of the lake: the net row-level
         changes between two committed snapshots, each row tagged with a
@@ -617,7 +622,7 @@ class LakeTable:
             raise ValueError(f"bad change range v{from_version}..v{to_version}")
         schema = self.snapshot(to_version)["schema"]
         if from_version == to_version:
-            empty = table_spark_schema(schema, with_meta=False).add(
+            empty = table_spark_schema(schema, with_meta=with_meta).add(
                 "_change_type", "string"
             )
             return spark.createDataFrame([], empty)
@@ -661,13 +666,20 @@ class LakeTable:
             tombstones_in_range = tombstones_in_range or any(
                 s.get("has_tombstones") for s in range_snaps
             )
+            # apply_changes commits are additive MoR appends too; their
+            # only fast-path hazard (tombstone rows) is exactly what the
+            # tombstones_in_range guard above already excludes
             if not tombstones_in_range and all(
-                s.get("mode") in ("append", "upsert_mor") for s in range_snaps
+                s.get("mode") in ("append", "upsert_mor", "apply_changes")
+                for s in range_snaps
             ):
                 if append_multiset:
-                    return self._changes_append(spark, range_snaps, schema)
+                    return self._changes_append(
+                        spark, range_snaps, schema, with_meta
+                    )
                 return self._changes_fast(
-                    spark, from_version, range_snaps, schema, include_preimage
+                    spark, from_version, range_snaps, schema,
+                    include_preimage, with_meta,
                 )
         return self._changes_diff(
             spark,
@@ -676,6 +688,7 @@ class LakeTable:
             schema,
             include_preimage,
             full_identity=append_multiset,
+            with_meta=with_meta,
         )
 
     def _state(self, spark: SparkSession, version: int, schema: dict[str, str]):
@@ -693,6 +706,7 @@ class LakeTable:
         range_snaps: list[dict[str, Any]],
         schema: dict[str, str],
         include_preimage: bool = False,
+        with_meta: bool = False,
     ) -> DataFrame:
         from ..operators.dedup import ORDER_COLS, last_writer_wins
         from .manifest import with_row_sha
@@ -754,11 +768,22 @@ class LakeTable:
             .alias("_change_type")
         )
         changed = j.filter(wins & differs)
-        post = changed.select(*schema.keys(), ctype)
+        meta = list(META_COLS) if with_meta else []
+        post = changed.select(*schema.keys(), *meta, ctype)
         if not include_preimage:
             return post
+        # preimage meta: the REPLACED row's key/order (_o-aliased old side)
+        pre_meta = (
+            [
+                F.col("_o_row_key").alias("_row_key"),
+                *[F.col(f"_o{c}").alias(c) for c in ORDER_COLS],
+            ]
+            if with_meta
+            else []
+        )
         pre = changed.filter(F.col("_o_sha").isNotNull()).select(
             *[F.col(f"_p_{c}").alias(c) for c in schema],
+            *pre_meta,
             F.lit("update_preimage").alias("_change_type"),
         )
         return post.unionByName(pre)
@@ -768,6 +793,7 @@ class LakeTable:
         spark: SparkSession,
         range_snaps: list[dict[str, Any]],
         schema: dict[str, str],
+        with_meta: bool = False,
     ) -> DataFrame:
         """Append-only range on a multiset-visible table: the change set
         is EXACTLY the rows in the range's commit dirs, each tagged
@@ -789,8 +815,11 @@ class LakeTable:
             for d in sorted(os.listdir(cdir)):
                 if d.startswith("_bucket="):
                     rel.append(f"{commit_rel}/{d}")
-        rows = self._read_files(spark, schema, rel, with_meta=False)
-        return rows.select(*schema, F.lit("insert").alias("_change_type"))
+        rows = self._read_files(spark, schema, rel, with_meta=with_meta)
+        meta = list(META_COLS) if with_meta else []
+        return rows.select(
+            *schema, *meta, F.lit("insert").alias("_change_type")
+        )
 
     def _changes_diff(
         self,
@@ -800,6 +829,7 @@ class LakeTable:
         schema: dict[str, str],
         include_preimage: bool = False,
         full_identity: bool = False,
+        with_meta: bool = False,
     ) -> DataFrame:
         from .manifest import with_row_sha
 
@@ -825,9 +855,10 @@ class LakeTable:
             asha.isNull() | bsha.isNull() | (asha != bsha)
         )
         in_to = asha.isNotNull()
+        out_cols = list(schema) + (list(META_COLS) if with_meta else [])
         cols = [
             F.when(in_to, F.col(f"a.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
-            for c in schema
+            for c in out_cols
         ]
         ctype = (
             F.when(bsha.isNull(), F.lit("insert"))
@@ -839,7 +870,7 @@ class LakeTable:
         if not include_preimage:
             return post
         pre = j.filter(asha.isNotNull() & bsha.isNotNull()).select(
-            *[F.col(f"b.{c}").alias(c) for c in schema],
+            *[F.col(f"b.{c}").alias(c) for c in out_cols],
             F.lit("update_preimage").alias("_change_type"),
         )
         return post.unionByName(pre)
@@ -1041,8 +1072,13 @@ class LakeTable:
             if rel in file_stats:
                 file_stats[rel]["_bloom"] = colmap
 
-    def _align(self, df: DataFrame, schema: dict[str, str]) -> DataFrame:
-        return align_frame(df, schema)
+    def _align(
+        self,
+        df: DataFrame,
+        schema: dict[str, str],
+        extra: tuple[str, ...] = (),
+    ) -> DataFrame:
+        return align_frame(df, schema, extra)
 
     def append(
         self, df: DataFrame, schema: dict[str, str], epoch_id: str
@@ -1075,6 +1111,71 @@ class LakeTable:
         (pinned by the sha256 row-manifest equality test and the shared
         DuckDB oracle)."""
         return self._apply(df, schema, epoch_id, mode="upsert_mor")
+
+    def apply_changes(
+        self, changes: DataFrame, schema: dict[str, str], epoch_id: str
+    ) -> dict[str, Any]:
+        """Apply a change-feed batch to THIS table — the Delta Live
+        Tables ``APPLY CHANGES INTO`` analog, closing the CDC loop
+        table-to-table: a downstream (mirror / filtered / projected)
+        lake table follows an upstream one at **O(changes) per batch**,
+        never rescanning it.
+
+        ``changes`` is a frame from ``read_changes(..., with_meta=True)``
+        (or any frame with the schema columns + meta cols + a
+        ``_change_type`` in insert/update/delete; ``update_preimage``
+        rows are ignored). One merge-on-read commit per batch:
+
+        - insert/update rows append as superseding versions CARRYING the
+          source row's LWW order — so re-delivery, out-of-order batches
+          and replays converge to the same state the source resolves to;
+        - delete rows append tombstones whose order is the deleted row's
+          order bumped by ``'~'`` — the same marker a local MoR delete
+          writes, so a later upstream re-insert resurrects downstream
+          exactly like it does upstream.
+
+        Exactly-once per (table, epoch_id) like every other write; use
+        the upstream ``(table, from_version, to_version)`` as the epoch
+        id to make each polled range idempotent."""
+        for c in ("_change_type", *META_COLS):
+            if c not in changes.columns:
+                raise ValueError(
+                    f"changes frame missing {c!r} — read the feed with "
+                    "read_changes(..., with_meta=True)"
+                )
+        snap = self.latest_snapshot()
+        if snap and snap.get("append_visible") and not snap.get("merge_on_read"):
+            raise ValueError(
+                "apply_changes needs keyed (LWW) state; this table holds "
+                "a visible multiset (plain append history)"
+            )
+        cols = [c for c in schema if c in changes.columns]
+        base_sel = [*cols, *META_COLS]
+        post = changes.filter(
+            F.col("_change_type").isin("insert", "update")
+        ).select(*base_sel)
+        dels = changes.filter(F.col("_change_type") == "delete")
+        if bool(dels.limit(1).count()):
+            key_derived = {"entityid", "observedat"}
+            tombs = dels.select(
+                *[
+                    F.col(c).alias(c)
+                    if c in key_derived
+                    else F.lit(None).cast(SPARK_TYPE[schema[c]]).alias(c)
+                    for c in cols
+                ],
+                F.col("_row_key"),
+                F.col("_recv_time"),
+                F.concat(
+                    F.coalesce(F.col("_seq"), F.lit("")), F.lit("~")
+                ).alias("_seq"),
+            )
+            combined = post.withColumn(TOMBSTONE_COL, F.lit(False)).unionByName(
+                tombs.withColumn(TOMBSTONE_COL, F.lit(True))
+            )
+        else:
+            combined = post
+        return self._apply(combined, schema, epoch_id, mode="apply_changes")
 
     def replace_entities(
         self, df: DataFrame, schema: dict[str, str], epoch_id: str
@@ -1830,13 +1931,22 @@ class LakeTable:
         bucket_expr = F.pmod(F.xxhash64(F.col("entityid")), F.lit(n_buckets)).alias(
             "_bucket"
         )
-        incoming = self._align(df, schema).withColumn("_bucket", bucket_expr)
+        extra = (
+            (TOMBSTONE_COL,)
+            if mode == "apply_changes" and TOMBSTONE_COL in df.columns
+            else ()
+        )
+        incoming = self._align(df, schema, extra).withColumn(
+            "_bucket", bucket_expr
+        )
 
         if mode == "append":
             to_write = incoming
-        elif mode == "upsert_mor":
+        elif mode in ("upsert_mor", "apply_changes"):
             # merge-on-read: LWW-reduce the batch only, append it; stored
             # duplicates are resolved at read time / next compaction
+            # (apply_changes rides the same shape — its tombstone rows
+            # carry TOMBSTONE_COL as ordinary payload through the reduce)
             from ..operators.dedup import last_writer_wins
 
             to_write = last_writer_wins(incoming)
@@ -1904,7 +2014,7 @@ class LakeTable:
             version = (base["version"] + 1) if base else 1
             commit_schema = self._merge_schema(base, schema)
             files = dict(base["files"]) if base else {}
-            if mode in ("append", "upsert_mor"):
+            if mode in ("append", "upsert_mor", "apply_changes"):
                 for b, paths in new_files.items():
                     files[b] = files.get(b, []) + paths
             else:
@@ -1940,16 +2050,17 @@ class LakeTable:
                         # bucket's files: readers must LWW-reduce until a
                         # compaction materializes unique rows (cleared there)
                         "merge_on_read": (
-                            mode == "upsert_mor"
+                            mode in ("upsert_mor", "apply_changes")
                             or bool(base and base.get("merge_on_read"))
                         ),
                         # sticky like merge_on_read: a CoW upsert spends
                         # the tombstones of the buckets it rewrites, but
                         # other buckets may still hold them; only a full
-                        # compaction proves none remain
-                        "has_tombstones": bool(
-                            base and base.get("has_tombstones")
-                        ),
+                        # compaction proves none remain. apply_changes
+                        # introduces tombstones iff its batch carried
+                        # delete rows (the caller checked)
+                        "has_tombstones": bool(extra)
+                        or bool(base and base.get("has_tombstones")),
                         # sticky: once a plain append commit lands, the
                         # (non-MoR) state is a MULTISET — duplicate keys
                         # are visible by design and the change feed must

@@ -36,10 +36,12 @@ class ChangeFeedConsumer:
         table: LakeTable,
         checkpoint_dir: str,
         include_preimage: bool = False,
+        with_meta: bool = False,
     ):
         self.table = table
         self.checkpoint_dir = checkpoint_dir
         self.include_preimage = include_preimage
+        self.with_meta = with_meta
         os.makedirs(checkpoint_dir, exist_ok=True)
         self._ckpt = os.path.join(checkpoint_dir, "position.json")
         # the previous poll's persisted changes frame (apply_fn=None
@@ -103,7 +105,8 @@ class ChangeFeedConsumer:
         if v1 <= v0:
             return {"from": v0, "to": v0, "rows": 0}
         changes = self.table.read_changes(
-            spark, v0, v1, include_preimage=self.include_preimage
+            spark, v0, v1, include_preimage=self.include_preimage,
+            with_meta=self.with_meta,
         )
         out: dict[str, Any] = {"from": v0, "to": v1}
         if apply_fn is not None:
@@ -156,6 +159,82 @@ class ChangeFeedConsumer:
             return int(obs.get["rows"])
         except Exception:  # pragma: no cover — JVM API drift
             return None
+
+
+def filtered_changes(changes: DataFrame, predicate: str) -> DataFrame:
+    """Rewrite a preimage-bearing change batch into the change batch of
+    the FILTERED view ``WHERE predicate`` — the transform that makes a
+    filtered downstream table (LakeTable.apply_changes) track its source
+    correctly. The non-obvious case is an update whose postimage LEAVES
+    the predicate: downstream must receive a DELETE (carrying the
+    postimage's LWW order, so the tombstone out-orders the old version
+    it still holds), not silence. Conversely an update entering the
+    predicate arrives as a plain superseding row against no stored state.
+    Deletes forward unconditionally — a delete for a key the view never
+    held resolves to a tombstone that the view's scan filters out anyway
+    (harmless, and cheaper than evaluating the predicate on a NULL
+    preimage). Requires read_changes(include_preimage=True,
+    with_meta=True); preimage rows are consumed here, not forwarded."""
+    from pyspark.sql import functions as F
+
+    p = F.coalesce(F.expr(predicate), F.lit(False))
+    keep = changes.filter(
+        F.col("_change_type").isin("insert", "update") & p
+    )
+    dels = changes.filter(F.col("_change_type") == "delete")
+    leaving = changes.filter(
+        (F.col("_change_type") == "update") & ~p
+    ).withColumn("_change_type", F.lit("delete"))
+    return keep.unionByName(dels).unionByName(leaving)
+
+
+class TablePropagator:
+    """A downstream lake table that FOLLOWS an upstream one through the
+    change feed — the Delta Live Tables pipeline edge (bronze→silver):
+    each ``run()`` polls the upstream feed once and applies the batch to
+    the target via ``LakeTable.apply_changes`` at O(changes), with
+    exactly-once end-to-end: the apply epoch is keyed by the polled
+    version range, so the at-least-once redelivery after a crash between
+    apply and checkpoint commit hits the epoch ledger and no-ops.
+
+    ``predicate`` makes the target the filtered view of the source
+    (``filtered_changes`` handles rows leaving the filter)."""
+
+    def __init__(
+        self,
+        source: LakeTable,
+        target: LakeTable,
+        checkpoint_dir: str,
+        predicate: str | None = None,
+    ):
+        self.source = source
+        self.target = target
+        self.predicate = predicate
+        self.consumer = ChangeFeedConsumer(
+            source, checkpoint_dir,
+            include_preimage=predicate is not None,
+            with_meta=True,
+        )
+
+    def run(self, spark: SparkSession) -> dict[str, Any]:
+        schema = self.source.schema()
+        applied: dict[str, Any] = {}
+
+        def apply_fn(changes: DataFrame, v0: int, v1: int) -> None:
+            batch = (
+                filtered_changes(changes, self.predicate)
+                if self.predicate is not None
+                else changes
+            )
+            applied.update(
+                self.target.apply_changes(
+                    batch, schema, epoch_id=f"cdf-{v0}-{v1}"
+                )
+            )
+
+        out = self.consumer.poll(spark, apply_fn=apply_fn)
+        out["applied"] = applied
+        return out
 
 
 def aggregate_deltas(changes: DataFrame, value_col: str) -> DataFrame:

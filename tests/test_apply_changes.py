@@ -1,0 +1,186 @@
+"""Table-to-table CDC propagation (LakeTable.apply_changes +
+streaming/changefeed.py TablePropagator / filtered_changes) — the Delta
+Live Tables APPLY CHANGES INTO analog.
+
+A downstream lake table follows an upstream one through the change feed
+at O(changes) per batch. Pinned here: the mirror equals the source after
+every kind of upstream commit (CoW/MoR upserts, MoR delete + update,
+compaction), propagation preserves the source's LWW order so replays
+and redeliveries converge, the apply epoch keyed by the polled version
+range makes the at-least-once consumer exactly-once end-to-end, a
+FILTERED mirror handles updates crossing the predicate boundary in both
+directions, mirror commits are pure appends (O(changes), old dirs
+carried), and a changes frame without meta columns is rejected loudly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.config import IngestConfig
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+from nifi_ngsild_postgresql_spark.streaming.changefeed import (
+    TablePropagator,
+    filtered_changes,
+)
+from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch
+
+
+def _payload(eid, v, ts="2024-01-01T00:00:00Z"):
+    return json.dumps(
+        {"id": f"urn:x:{eid}", "type": "Gauge",
+         "level": {"type": "Property", "value": v, "observedAt": ts}}
+    )
+
+
+def _batch(spark, items, seq0=0):
+    rows = [
+        ("t", "p", f"{seq0 + i:06d}", "Gauge", _payload(eid, v, ts))
+        for i, (eid, v, ts) in enumerate(items)
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).withColumn("recv_time", F.timestamp_millis(F.lit(1700000000000 + seq0)))
+
+
+def _setup(spark, tmp_path, mode="upsert_mor"):
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode=mode, n_buckets=2)
+    ingest_batch(
+        _batch(spark, [(j, float(j), "2024-01-01T00:00:00Z")
+                       for j in range(8)]),
+        cfg, wh, "e0",
+    )
+    src = LakeCatalog(wh).table("t", "gauge")
+    dst = LakeCatalog(str(tmp_path / "mirror"), n_buckets=2).table("m", "gauge")
+    return wh, cfg, src, dst
+
+
+def _rows(spark, t, **kw):
+    if t.latest_snapshot() is None:
+        return []
+    return sorted(map(tuple, t.read(spark, **kw).collect()))
+
+
+def test_mirror_tracks_source_through_mixed_ops(spark, tmp_path):
+    wh, cfg, src, dst = _setup(spark, tmp_path)
+    prop = TablePropagator(src, dst, str(tmp_path / "ckpt"))
+    prop.run(spark)
+    assert _rows(spark, dst) == _rows(spark, src)
+    # MoR upsert batch (updates + a new entity)
+    ingest_batch(
+        _batch(spark, [(0, 100.0, "2024-01-01T00:00:00Z"),
+                       (9, 9.0, "2024-01-02T00:00:00Z")], seq0=100),
+        cfg, wh, "e1",
+    )
+    prop.run(spark)
+    assert _rows(spark, dst) == _rows(spark, src)
+    # MoR delete + MoR update upstream
+    src.delete_where(spark, predicate="level >= 100", strategy="mor")
+    src.update_where(spark, set={"level": "level + 0.25"},
+                     predicate="level <= 2", strategy="mor")
+    prop.run(spark)
+    assert _rows(spark, dst) == _rows(spark, src)
+    # CoW compaction upstream is content-invariant: zero-row batch
+    src.compact(spark, max_files_per_bucket=0)
+    out = prop.run(spark)
+    assert out["rows"] == 0
+    assert _rows(spark, dst) == _rows(spark, src)
+    # no-op poll
+    assert prop.run(spark)["rows"] == 0
+
+
+def test_redelivered_range_is_exactly_once(spark, tmp_path):
+    wh, cfg, src, dst = _setup(spark, tmp_path)
+    prop = TablePropagator(src, dst, str(tmp_path / "ckpt"))
+    prop.run(spark)
+    before = _rows(spark, dst)
+    v_dst = dst.latest_snapshot()["version"]
+    # crash between apply and checkpoint commit: rewind the checkpoint
+    # and poll again — the redelivered range hits the epoch ledger
+    prop.consumer._commit(0)
+    out = prop.run(spark)
+    assert out["applied"].get("skipped_epoch") is True
+    assert dst.latest_snapshot()["version"] == v_dst
+    assert _rows(spark, dst) == before
+
+
+def test_mirror_commits_are_pure_appends(spark, tmp_path):
+    wh, cfg, src, dst = _setup(spark, tmp_path)
+    prop = TablePropagator(src, dst, str(tmp_path / "ckpt"))
+    prop.run(spark)
+    dirs1 = {p for ps in dst.latest_snapshot()["files"].values() for p in ps}
+    ingest_batch(
+        _batch(spark, [(0, 50.0, "2024-01-01T00:00:00Z")], seq0=200),
+        cfg, wh, "e1",
+    )
+    src.delete_where(spark, predicate="level = 3", strategy="mor")
+    prop.run(spark)
+    snap = dst.latest_snapshot()
+    live = {p for ps in snap["files"].values() for p in ps}
+    assert dirs1 < live  # every first-batch dir carried forward
+    assert snap["mode"] == "apply_changes" and snap["merge_on_read"]
+    assert snap["has_tombstones"]  # the delete row became a tombstone
+    # and a full compaction downstream materializes it away
+    dst.compact(spark, max_files_per_bucket=0)
+    assert _rows(spark, dst) == _rows(spark, src)
+
+
+def test_filtered_mirror_handles_boundary_crossings(spark, tmp_path):
+    wh, cfg, src, dst = _setup(spark, tmp_path)
+    pred = "level >= 4"
+    prop = TablePropagator(src, dst, str(tmp_path / "ckpt"), predicate=pred)
+    prop.run(spark)
+    # target == source WHERE pred
+    want = sorted(map(tuple, src.read(spark).filter(pred).collect()))
+    assert _rows(spark, dst) == want
+    # entity 2 (level 2, outside) moves INSIDE; entity 6 (level 6,
+    # inside) moves OUTSIDE — via upstream MoR updates
+    src.update_where(spark, set={"level": "level + 10"},
+                     predicate="level = 2", strategy="mor")
+    src.update_where(spark, set={"level": "level - 10"},
+                     predicate="level = 6", strategy="mor")
+    prop.run(spark)
+    want = sorted(map(tuple, src.read(spark).filter(pred).collect()))
+    assert _rows(spark, dst) == want
+    got_ids = {r[0] for r in _rows(spark, dst)}
+    assert "urn:x:2" in got_ids and "urn:x:6" not in got_ids
+    # upstream delete of an in-view row propagates
+    src.delete_where(spark, predicate="level = 12", strategy="mor")
+    prop.run(spark)
+    want = sorted(map(tuple, src.read(spark).filter(pred).collect()))
+    assert _rows(spark, dst) == want
+
+
+def test_apply_changes_requires_meta(spark, tmp_path):
+    wh, cfg, src, dst = _setup(spark, tmp_path)
+    schema = src.schema()
+    changes = src.read_changes(spark, 0)  # no with_meta
+    with pytest.raises(ValueError, match="with_meta"):
+        dst.apply_changes(changes, schema, "e0")
+
+
+def test_source_replay_after_propagated_delete_stays_deleted(spark, tmp_path):
+    # order preservation end-to-end: the mirror's tombstone carries the
+    # source row's bumped order, so redelivering the ORIGINAL source
+    # event into the MIRROR's upstream and re-propagating cannot
+    # resurrect downstream unless it resurrects upstream
+    wh, cfg, src, dst = _setup(spark, tmp_path)
+    prop = TablePropagator(src, dst, str(tmp_path / "ckpt"))
+    prop.run(spark)
+    src.delete_where(spark, predicate="level = 5", strategy="mor")
+    prop.run(spark)
+    assert _rows(spark, dst) == _rows(spark, src)
+    # identical replay upstream (same recv_time/seq): stays deleted both
+    ingest_batch(
+        _batch(spark, [(j, float(j), "2024-01-01T00:00:00Z")
+                       for j in range(8)]),
+        cfg, wh, "e0-replay",
+    )
+    prop.run(spark)
+    assert _rows(spark, dst) == _rows(spark, src)
+    assert "urn:x:5" not in {r[0] for r in _rows(spark, dst)}
