@@ -114,6 +114,20 @@ def main(argv: list[str] | None = None) -> int:
                         " GC may remove it (crashed/in-flight writer"
                         " protection)")
 
+    pr = sub.add_parser(
+        "propagate",
+        help="apply one change-feed batch of --source into --target "
+             "(DLT APPLY CHANGES INTO analog; run repeatedly to follow)",
+    )
+    pr.add_argument("--warehouse", required=True)
+    pr.add_argument("--source", required=True, help="tenant.table")
+    pr.add_argument("--target-warehouse", default=None,
+                    help="defaults to --warehouse")
+    pr.add_argument("--target", required=True, help="tenant.table")
+    pr.add_argument("--checkpoint", required=True)
+    pr.add_argument("--predicate", default=None,
+                    help="make the target the filtered view WHERE predicate")
+
     d = sub.add_parser(
         "dml", help="predicate DELETE/UPDATE (copy-on-write or merge-on-read)"
     )
@@ -253,6 +267,22 @@ def main(argv: list[str] | None = None) -> int:
             )
         out["tags"] = table.tags()
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "propagate":
+        from .plans.lake import LakeCatalog
+        from .streaming.changefeed import TablePropagator
+
+        s_tenant, s_name = args.source.split(".", 1)
+        t_tenant, t_name = args.target.split(".", 1)
+        src = LakeCatalog(args.warehouse).table(s_tenant, s_name)
+        dst = LakeCatalog(args.target_warehouse or args.warehouse).table(
+            t_tenant, t_name
+        )
+        prop = TablePropagator(
+            src, dst, args.checkpoint, predicate=args.predicate
+        )
+        print(json.dumps(prop.run(spark), default=str))
         return 0
 
     if args.cmd == "dml":
