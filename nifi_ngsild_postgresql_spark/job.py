@@ -114,6 +114,21 @@ def main(argv: list[str] | None = None) -> int:
                         " GC may remove it (crashed/in-flight writer"
                         " protection)")
 
+    q = sub.add_parser(
+        "sql",
+        help="run a SQL query over the warehouse (tables registered as "
+             "<tenant>_<table> temp views)",
+    )
+    q.add_argument("--warehouse", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--limit", type=int, default=20)
+
+    h = sub.add_parser(
+        "history", help="snapshot history of a table (DESCRIBE HISTORY)"
+    )
+    h.add_argument("--warehouse", required=True)
+    h.add_argument("--table", required=True, help="tenant.table")
+
     pr = sub.add_parser(
         "propagate",
         help="apply one change-feed batch of --source into --target "
@@ -267,6 +282,23 @@ def main(argv: list[str] | None = None) -> int:
             )
         out["tags"] = table.tags()
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "sql":
+        from .plans.lake import LakeCatalog
+
+        views = LakeCatalog(args.warehouse).register_views(spark)
+        print(json.dumps({"views": views}))
+        spark.sql(args.query).show(args.limit, truncate=40)
+        return 0
+
+    if args.cmd == "history":
+        from .plans.lake import LakeCatalog
+
+        tenant, name = args.table.split(".", 1)
+        LakeCatalog(args.warehouse).table(tenant, name).history(spark).show(
+            50, truncate=60
+        )
         return 0
 
     if args.cmd == "propagate":

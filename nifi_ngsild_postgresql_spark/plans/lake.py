@@ -466,6 +466,45 @@ class LakeTable:
                 total += n
         return total
 
+    def history(self, spark: SparkSession) -> DataFrame:
+        """Snapshot history as a queryable DataFrame — the Delta
+        ``DESCRIBE HISTORY`` / Iceberg ``snapshots`` metadata-table
+        analog: one row per retained snapshot with its commit mode,
+        state flags, file/row/byte footprint and per-commit stats JSON.
+        Driver-side manifest reads only (O(retained versions)); no data
+        files are opened."""
+        rows = []
+        for v in self.versions():
+            s = self.snapshot(v)
+            stats = s.get("file_stats", {})
+            rels = [p for paths in s["files"].values() for p in paths]
+            n_bytes = sum(stats.get(r, {}).get("_bytes") or 0 for r in rels)
+            phys = [stats.get(r, {}).get("_rows") for r in rels]
+            rows.append(
+                (
+                    v,
+                    s.get("mode", "unknown"),
+                    s["n_buckets"],
+                    len(rels),
+                    sum(p for p in phys if p is not None)
+                    if all(p is not None for p in phys)
+                    else None,
+                    n_bytes or None,
+                    bool(s.get("merge_on_read")),
+                    bool(s.get("has_tombstones")),
+                    bool(s.get("append_visible")),
+                    len(s["schema"]),
+                    json.dumps(s.get("stats", {}), sort_keys=True),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "version int, mode string, n_buckets int, file_dirs int, "
+            "physical_rows long, bytes long, merge_on_read boolean, "
+            "has_tombstones boolean, append_visible boolean, "
+            "n_columns int, commit_stats string",
+        )
+
     def _carry_stats(
         self,
         snap: dict[str, Any] | None,
@@ -2203,6 +2242,24 @@ class LakeCatalog:
             target_bucket_bytes=self.target_bucket_bytes,
             bloom_cols=self.bloom_cols,
         )
+
+    def register_views(
+        self, spark: SparkSession, prefix: str = ""
+    ) -> list[str]:
+        """Register every lake table as a Spark temp view named
+        ``<tenant>_<table>`` (optionally prefixed) — the SQL surface a
+        PostgreSQL user of the reference expects: after registration,
+        ``spark.sql("SELECT ... FROM tenant_table JOIN ...")`` works
+        against the lake, with Catalyst pushing filters/projection into
+        the parquet scan (row-group skipping still applies). Manifest-
+        level dir pruning does NOT engage through a view — for hot
+        point/time-range lookups use ``read(where=...)`` directly."""
+        names = []
+        for tenant, name in self.list_tables():
+            view = f"{prefix}{tenant}_{name}"
+            self.table(tenant, name).read(spark).createOrReplaceTempView(view)
+            names.append(view)
+        return names
 
     def list_tables(self) -> list[tuple[str, str]]:
         out = []

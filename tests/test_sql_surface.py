@@ -1,0 +1,92 @@
+"""SQL surface over the lake (LakeCatalog.register_views) and the
+snapshot-history metadata table (LakeTable.history) — the interfaces a
+PostgreSQL user of the reference reaches for: ad-hoc SQL over the
+maintained tables and DESCRIBE HISTORY over their commit log.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.config import IngestConfig
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch
+
+
+def _payload(eid, v, ts="2024-01-01T00:00:00Z"):
+    return json.dumps(
+        {"id": f"urn:x:{eid}", "type": "Gauge",
+         "level": {"type": "Property", "value": v, "observedAt": ts}}
+    )
+
+
+def _batch(spark, items, seq0=0):
+    rows = [
+        ("t", "p", f"{seq0 + i:06d}", "Gauge", _payload(eid, v, ts))
+        for i, (eid, v, ts) in enumerate(items)
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).withColumn("recv_time", F.timestamp_millis(F.lit(1700000000000 + seq0)))
+
+
+def _warehouse(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert_mor", n_buckets=2)
+    ingest_batch(
+        _batch(spark, [(j, float(j), "2024-01-01T00:00:00Z")
+                       for j in range(8)]),
+        cfg, wh, "e0",
+    )
+    ingest_batch(
+        _batch(spark, [(0, 100.0, "2024-01-01T00:00:00Z")], seq0=100),
+        cfg, wh, "e1",
+    )
+    return LakeCatalog(wh)
+
+
+def test_register_views_and_sql(spark, tmp_path):
+    cat = _warehouse(spark, tmp_path)
+    views = cat.register_views(spark)
+    assert views == ["t_gauge"]
+    got = spark.sql(
+        "SELECT entityid, level FROM t_gauge WHERE level >= 5 "
+        "ORDER BY level"
+    ).collect()
+    # the view reads the RESOLVED state: entity 0's level is 100, losers
+    # invisible
+    assert [(r["entityid"], float(r["level"])) for r in got] == [
+        ("urn:x:5", 5.0), ("urn:x:6", 6.0), ("urn:x:7", 7.0),
+        ("urn:x:0", 100.0),
+    ]
+    # aggregation over the view equals the DataFrame path
+    n_sql = spark.sql("SELECT count(*) AS n FROM t_gauge").first()["n"]
+    assert n_sql == cat.table("t", "gauge").read(spark).count() == 8
+    # prefixed registration for multi-warehouse sessions
+    assert cat.register_views(spark, prefix="lake_") == ["lake_t_gauge"]
+    assert spark.sql("SELECT count(*) AS n FROM lake_t_gauge").first()["n"] == 8
+
+
+def test_history_metadata_table(spark, tmp_path):
+    cat = _warehouse(spark, tmp_path)
+    t = cat.table("t", "gauge")
+    t.delete_where(spark, predicate="level = 3", strategy="mor")
+    t.compact(spark, max_files_per_bucket=0)
+    h = {r["version"]: r for r in t.history(spark).collect()}
+    assert set(h) == {1, 2, 3, 4}
+    assert h[1]["mode"] == "upsert_mor" and h[1]["merge_on_read"]
+    assert h[3]["mode"] == "delete_mor" and h[3]["has_tombstones"]
+    assert h[4]["mode"] == "compact" and not h[4]["has_tombstones"]
+    # post-compaction snapshot is read-optimized: physical == logical
+    assert h[4]["physical_rows"] == 7
+    assert h[4]["bytes"] and h[4]["file_dirs"] > 0
+    # commit stats ride along as JSON
+    assert json.loads(h[3]["commit_stats"])["matched"] == 1
+    # history is itself SQL-queryable
+    t.history(spark).createOrReplaceTempView("gauge_history")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM gauge_history WHERE merge_on_read"
+    ).first()["n"]
+    assert n == 3
