@@ -1194,7 +1194,12 @@ class LakeTable:
             F.col("_change_type").isin("insert", "update")
         ).select(*base_sel)
         dels = changes.filter(F.col("_change_type") == "delete")
-        if bool(dels.limit(1).count()):
+        # full count, NOT limit(1): when ``changes`` is a consumer's
+        # observed frame this is the first action over it, and an
+        # early-exit scan would freeze the poll's Observation at a
+        # partial row count — the full filter-count consumes every
+        # change row, so the observed metric stays exact
+        if bool(dels.count()):
             key_derived = {"entityid", "observedat"}
             tombs = dels.select(
                 *[

@@ -83,7 +83,11 @@ def test_mirror_tracks_source_through_mixed_ops(spark, tmp_path):
     src.delete_where(spark, predicate="level >= 100", strategy="mor")
     src.update_where(spark, set={"level": "level + 0.25"},
                      predicate="level <= 2", strategy="mor")
-    prop.run(spark)
+    out = prop.run(spark)
+    # the poll's observed row count must be the FULL batch (1 delete of
+    # entity 0 + 2 updates of levels 1,2), not whatever a partial first
+    # action happened to scan (the limit(1) regression this pins)
+    assert out["rows"] == 3
     assert _rows(spark, dst) == _rows(spark, src)
     # CoW compaction upstream is content-invariant: zero-row batch
     src.compact(spark, max_files_per_bucket=0)
