@@ -1056,6 +1056,14 @@ class LakeTable:
                 )
         if not present:
             return {}
+        # an empty batch leaves a dir with no parquet parts (just
+        # _SUCCESS): nothing to index, and read.parquet would fail on it
+        if not any(
+            fn.endswith(".parquet")
+            for _root, _dirs, files in os.walk(out_dir)
+            for fn in files
+        ):
+            return {}
         import struct
 
         back = spark.read.parquet(out_dir)

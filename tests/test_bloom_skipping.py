@@ -201,3 +201,16 @@ def test_row_count_declines_on_merge_on_read(spark, tmp_path):
     # physical rows may include LWW losers; metadata can't answer
     assert t.row_count() is None
     assert t.read(spark).count() == 16
+
+
+def test_empty_batch_on_bloom_table_commits_cleanly(spark, tmp_path):
+    # an upsert whose batch is empty writes no parquet parts; the bloom
+    # builder must skip, not fail on the part-less commit dir
+    from nifi_ngsild_postgresql_spark.plans.lake import table_spark_schema
+
+    t = _table(spark, str(tmp_path / "wh"))
+    schema = t.schema()
+    empty = spark.createDataFrame([], table_spark_schema(schema))
+    out = t.upsert(empty, schema, "e-empty")
+    assert out["rows_written"] == 0
+    assert t.read(spark).count() == 16
