@@ -54,6 +54,7 @@ millions of micro-batches):
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import tempfile
@@ -276,10 +277,9 @@ class LakeTable:
                 json.dump(snapshot, f)
                 f.flush()
                 os.fsync(f.fileno())
-            try:
-                os.link(tmp, path)
-            except FileExistsError:
-                raise
+            # os.link raises FileExistsError on EEXIST, preserving the
+            # O_EXCL loser semantics for the optimistic-commit retry loop
+            os.link(tmp, path)
         finally:
             os.unlink(tmp)
 
@@ -929,6 +929,16 @@ class LakeTable:
         skip row groups — a single-column sort only achieves that for
         its leading column."""
         Q_BITS = 16
+        # interleaved bit positions reach (Q_BITS-1)*stride + stride-1;
+        # past 63 the JVM's shiftleft wraps mod 64 and the additive fold
+        # carry-propagates across aliased bits — deterministic garbage as
+        # a sort key. Refuse instead of silently not clustering.
+        if len(cols) > 64 // Q_BITS:
+            raise ValueError(
+                f"zorder_by supports at most {64 // Q_BITS} columns "
+                f"({Q_BITS}-bit quantization into one 64-bit key), got "
+                f"{len(cols)}"
+            )
         num = {}
         for c in cols:
             if c not in df.columns:
@@ -952,15 +962,30 @@ class LakeTable:
         for i, (c, e) in enumerate(num.items()):
             mn = bounds[f"mn_{i}"]
             mx = bounds[f"mx_{i}"]
-            if mn is None or mx is None or mx <= mn:
-                q = F.lit(0).cast("long")  # constant/all-null column
+            finite = (
+                mn is not None
+                and mx is not None
+                and math.isfinite(mn)
+                and math.isfinite(mx)
+            )
+            if not finite or mx <= mn:
+                # constant/all-null column — or NaN/Infinity in the
+                # bounds (F.max treats NaN as the largest double): a
+                # NaN-poisoned range would make the quantization NaN for
+                # EVERY row and the long cast throws under ANSI. Degrade
+                # to a constant key bit-plane rather than aborting the
+                # compaction.
+                q = F.lit(0).cast("long")
             else:
+                # try_cast: individual NaN/Inf CELLS quantize to NULL →
+                # coalesced to the origin below, instead of an ANSI
+                # SparkArithmeticException aborting the rewrite
                 q = F.least(
                     F.lit((1 << Q_BITS) - 1),
                     F.greatest(
                         F.lit(0),
                         ((e - F.lit(mn)) / F.lit(mx - mn) * ((1 << Q_BITS) - 1))
-                        .cast("long"),
+                        .try_cast("long"),
                     ),
                 )
             q = F.coalesce(q, F.lit(0))  # nulls cluster at the origin
@@ -1198,6 +1223,11 @@ class LakeTable:
             )
         cols = [c for c in schema if c in changes.columns]
         base_sel = [*cols, *META_COLS]
+        # the change batch may be an expensive plan (a state-diff feed is
+        # a full-outer join of two table states) and is consumed at least
+        # twice below (dels presence + the write): cache it for the
+        # commit's duration
+        changes = changes.persist()
         post = changes.filter(
             F.col("_change_type").isin("insert", "update")
         ).select(*base_sel)
@@ -1205,8 +1235,8 @@ class LakeTable:
         # full count, NOT limit(1): when ``changes`` is a consumer's
         # observed frame this is the first action over it, and an
         # early-exit scan would freeze the poll's Observation at a
-        # partial row count — the full filter-count consumes every
-        # change row, so the observed metric stays exact
+        # partial row count — the full filter-count consumes (and
+        # caches) every change row, so the observed metric stays exact
         if bool(dels.count()):
             key_derived = {"entityid", "observedat"}
             tombs = dels.select(
@@ -1227,7 +1257,10 @@ class LakeTable:
             )
         else:
             combined = post
-        return self._apply(combined, schema, epoch_id, mode="apply_changes")
+        try:
+            return self._apply(combined, schema, epoch_id, mode="apply_changes")
+        finally:
+            changes.unpersist()
 
     def replace_entities(
         self, df: DataFrame, schema: dict[str, str], epoch_id: str
@@ -1431,7 +1464,11 @@ class LakeTable:
         unknown = set(where or {}) - set(schema)
         if unknown:
             raise ValueError(f"unknown where columns {sorted(unknown)}")
-        immutable = {"entityid"} | set(META_COLS)
+        # observedat is key-derived: _row_key encodes it at flatten time,
+        # MoR reads whitelist it for pre-LWW filtering, and tombstones
+        # copy it — a SET on it would desynchronize row identity (and on
+        # MoR let a filtered read resurrect a superseded version)
+        immutable = {"entityid", "observedat"} | set(META_COLS)
         bad = set(set_exprs or {}) & immutable
         if bad:
             raise ValueError(f"immutable columns in SET: {sorted(bad)}")
@@ -1624,7 +1661,11 @@ class LakeTable:
         unknown = set(where or {}) - set(schema)
         if unknown:
             raise ValueError(f"unknown where columns {sorted(unknown)}")
-        immutable = {"entityid"} | set(META_COLS)
+        # observedat is key-derived: _row_key encodes it at flatten time,
+        # MoR reads whitelist it for pre-LWW filtering, and tombstones
+        # copy it — a SET on it would desynchronize row identity (and on
+        # MoR let a filtered read resurrect a superseded version)
+        immutable = {"entityid", "observedat"} | set(META_COLS)
         bad = set(set_exprs or {}) & immutable
         if bad:
             raise ValueError(f"immutable columns in SET: {sorted(bad)}")
@@ -2269,8 +2310,15 @@ class LakeCatalog:
         point/time-range lookups use ``read(where=...)`` directly."""
         names = []
         for tenant, name in self.list_tables():
+            t = self.table(tenant, name)
+            if not t.versions():
+                # a writer that crashed between mkdir(_meta) and its
+                # first manifest publish leaves a table dir with no
+                # committed snapshot; one such husk must not take down
+                # the whole warehouse's SQL surface
+                continue
             view = f"{prefix}{tenant}_{name}"
-            self.table(tenant, name).read(spark).createOrReplaceTempView(view)
+            t.read(spark).createOrReplaceTempView(view)
             names.append(view)
         return names
 

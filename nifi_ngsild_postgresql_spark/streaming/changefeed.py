@@ -173,8 +173,11 @@ def filtered_changes(changes: DataFrame, predicate: str) -> DataFrame:
     Deletes forward unconditionally — a delete for a key the view never
     held resolves to a tombstone that the view's scan filters out anyway
     (harmless, and cheaper than evaluating the predicate on a NULL
-    preimage). Requires read_changes(include_preimage=True,
-    with_meta=True); preimage rows are consumed here, not forwarded."""
+    preimage). Requires read_changes(with_meta=True); preimages are NOT
+    needed — the leaving-the-view delete is derived from the update's
+    POSTIMAGE (whose order is the newest, exactly what the downstream
+    tombstone must carry) — and update_preimage rows, if present, are
+    dropped here."""
     from pyspark.sql import functions as F
 
     p = F.coalesce(F.expr(predicate), F.lit(False))
@@ -210,10 +213,11 @@ class TablePropagator:
         self.source = source
         self.target = target
         self.predicate = predicate
+        # no preimages: filtered_changes derives its leaving-the-view
+        # deletes from update POSTIMAGES, so requesting preimages would
+        # only double the feed plan's output to be filtered back out
         self.consumer = ChangeFeedConsumer(
-            source, checkpoint_dir,
-            include_preimage=predicate is not None,
-            with_meta=True,
+            source, checkpoint_dir, with_meta=True
         )
 
     def run(self, spark: SparkSession) -> dict[str, Any]:

@@ -337,3 +337,56 @@ def test_zorder_rejects_bad_columns(spark, tmp_path):
         table.compact(spark, zorder_by=["nope"])
     with pytest.raises(ValueError, match="unsupported type"):
         table.compact(spark, zorder_by=["entityid"])  # string col
+
+
+def test_zorder_survives_nan_cells_and_caps_columns(spark, tmp_path):
+    """Round-4 review fixes: (a) a NaN in a z-order column must not
+    abort the compaction under ANSI (F.max picks NaN as the range max →
+    quantization would be NaN for EVERY row, and the long cast throws);
+    (b) more than 64/Q_BITS columns would wrap shiftleft mod 64 into a
+    garbage sort key — refused loudly instead."""
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert", n_buckets=2)
+    ingest_batch(
+        _batch(spark, [(j, float(j), "2024-01-01T00:00:00Z") for j in range(4)]),
+        cfg, wh, "e1",
+    )
+    table = LakeCatalog(wh).table("t", "gauge")
+    nan_df = spark.createDataFrame(
+        [(0.0, 1.0), (1.0, float("nan")), (2.0, 3.0)], "x double, y double"
+    )
+    # NaN poisons y's max → y degrades to a constant bit-plane; x still
+    # orders the rows, and nothing raises
+    z = table._zorder_expr(nan_df, ["x", "y"])
+    got = [r["x"] for r in nan_df.orderBy(z).collect()]
+    assert got == [0.0, 1.0, 2.0]
+    # full compaction over a table containing a NaN cell stays green
+    manifest_before = table_manifest(table.read(spark))
+    out = table.compact(spark, zorder_by=["observedat", "level"])
+    assert out["compacted_buckets"] > 0
+    assert table_manifest(table.read(spark)) == manifest_before
+    import pytest
+    with pytest.raises(ValueError, match="at most 4 columns"):
+        table._zorder_expr(
+            spark.createDataFrame([(1.0,)], "a double"),
+            ["a", "a", "a", "a", "a"],
+        )
+
+
+def test_register_views_skips_snapshotless_husk(spark, tmp_path):
+    """A writer that crashed between mkdir(_meta) and its first manifest
+    publish must not take down the whole warehouse's SQL surface."""
+    import os
+
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert", n_buckets=2)
+    ingest_batch(
+        _batch(spark, [(1, 1.0, "2024-01-01T00:00:00Z")]), cfg, wh, "e1"
+    )
+    os.makedirs(os.path.join(wh, "t", "husk", "_meta"))
+    cat = LakeCatalog(wh)
+    assert ("t", "husk") in cat.list_tables()
+    assert cat.register_views(spark) == ["t_gauge"]
+    assert spark.sql("SELECT count(*) AS n FROM t_gauge").first()["n"] == 1

@@ -165,3 +165,17 @@ def test_delete_only_rewrites_touched_buckets(spark, tmp_path):
         if before["files"][b] == after["files"].get(b)
     ]
     assert len(untouched) == len(before["files"]) - 1
+
+
+def test_observedat_is_immutable_in_set(spark, tmp_path):
+    """Round-4 review fix: observedat is key-derived (_row_key encodes
+    it, MoR reads whitelist it pre-LWW, tombstones copy it) — a SET on
+    it would desynchronize row identity, and on MoR let a filtered read
+    resurrect a superseded version. Refused for BOTH strategies."""
+    table = _table(spark, tmp_path, mode="upsert")
+    for strategy in ("cow", "mor"):
+        with pytest.raises(ValueError, match="immutable"):
+            table.update_where(
+                spark, set={"observedat": "timestamp'2030-01-01'"},
+                where={"observedat": (None, None)}, strategy=strategy,
+            )
