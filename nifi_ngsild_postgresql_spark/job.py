@@ -108,6 +108,9 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--table", required=True, help="tenant.table")
     m.add_argument("--max-files-per-bucket", type=int, default=8)
     m.add_argument("--rebucket-to", type=int, default=None)
+    m.add_argument("--zorder-by", default=None,
+                   help="comma-separated columns: full clustering rewrite "
+                        "(Delta OPTIMIZE ZORDER analog)")
     m.add_argument("--expire-keep-last", type=int, default=None)
     m.add_argument("--orphan-grace", type=float, default=3600.0,
                    help="seconds an unreferenced data dir must age before"
@@ -274,6 +277,9 @@ def main(argv: list[str] | None = None) -> int:
                 spark,
                 max_files_per_bucket=args.max_files_per_bucket,
                 rebucket_to=args.rebucket_to,
+                zorder_by=(
+                    args.zorder_by.split(",") if args.zorder_by else None
+                ),
             )
         if args.expire_keep_last:
             out["expire"] = table.expire_snapshots(
