@@ -1,0 +1,155 @@
+"""Incremental near-duplicate detection against a PERSISTED signature
+index — the composition a 100 TB training-data pipeline actually runs.
+
+Batch dedup (suite.q_minhash_bands) re-shingles the whole corpus every
+run. At crawl scale the corpus is a lake table growing by CDC batches,
+and the right shape is a **signature index maintained as a lake table**:
+
+- ``index_batch(new_docs)`` MinHash-bands only the NEW docs and appends
+  their (band → doc) rows as an O(batch) merge-on-read upsert — history
+  is never re-shingled;
+- ``probe(new_docs)`` joins the new batch's signatures against the
+  stored index on the band key. The index table is hash-bucketed **on
+  the band** (band = entityid), so at scale the probe is a keyed
+  equality join against a co-located table, and a single-band lookup
+  prunes to one bucket via the ordinary manifest machinery;
+- re-indexing the same doc is LWW-absorbed (key = (band, doc)), so
+  at-least-once pipelines don't inflate the index.
+
+The band definition is IDENTICAL to ``q_minhash_bands`` (4 salted
+md5-min families over word-3-shingles, md5-concatenated into one band),
+so the incremental result is comparable against the batch operator and
+reproducible bit-for-bit by the DuckDB oracle (SQL_DEDUP_INCREMENTAL).
+
+Reference anchor: the reference has no dedup at all (its flow-level
+DetectDuplicate is an exact-id cache, SURVEY §2.1 S4); this is part of
+the task-mandated training-data layer, composed with the engine's own
+lake/CDC machinery.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.lake import LakeCatalog
+from .suite import _shingles, _t
+
+N_FAMILIES = 4
+
+INDEX_SCHEMA = {"entityid": "TEXT", "doc_id": "TEXT"}
+
+
+def band_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, band): one LSH band per doc — min(md5(salt||shingle))
+    over 4 salted families, md5-folded. In-row shingling, one keyed agg;
+    identical definition to suite.q_minhash_bands so batch and
+    incremental results are directly comparable."""
+    sh = _shingles(docs)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"s{k}|"), F.col("shingle")))).alias(f"h{k}")
+            for k in range(N_FAMILIES)
+        ]
+    )
+    return sig.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws("|", *[f"h{k}" for k in range(N_FAMILIES)])
+        ).alias("band"),
+    )
+
+
+class SignatureIndex:
+    """A MinHash band index persisted as a lake table, keyed so the
+    probe join is band-colocated: entityid = band (hash-bucketed),
+    _row_key = doc id, one row per (band, doc). Ordinary lake machinery
+    gives the index durability, exactly-once batch epochs, time travel
+    and compaction for free."""
+
+    def __init__(
+        self,
+        warehouse: str,
+        tenant: str = "dedup",
+        name: str = "sig_index",
+        n_buckets: int = 16,
+    ):
+        self.table = LakeCatalog(warehouse, n_buckets=n_buckets).table(
+            tenant, name
+        )
+
+    def index_batch(self, docs: DataFrame, epoch_id: str) -> dict:
+        """Shingle + band ONLY this batch and append its signatures —
+        O(batch) merge-on-read upsert; re-delivered epochs no-op via the
+        epoch ledger, re-indexed docs LWW-collapse via (band, doc)."""
+        rows = band_signatures(docs).select(
+            F.col("band").alias("entityid"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("doc_id").cast("string").alias("_row_key"),
+            F.to_timestamp(F.lit("2024-01-01")).alias("_recv_time"),
+            F.lit(epoch_id).alias("_seq"),
+        )
+        return self.table.upsert_mor(rows, INDEX_SCHEMA, epoch_id)
+
+    def probe(self, spark: SparkSession, docs: DataFrame) -> DataFrame:
+        """Candidate (new_doc, hist_doc) pairs: the batch's signatures
+        equality-joined against the stored index on the band key. Never
+        re-shingles history — per-batch cost is O(new × bands) plus the
+        keyed join against the (bucket-colocated) index."""
+        idx = self.table.read(spark).select(
+            F.col("entityid").alias("band"),
+            F.col("doc_id").cast("long").alias("hist_doc"),
+        )
+        new = band_signatures(docs).select(
+            "band", F.col("doc_id").cast("long").alias("new_doc")
+        )
+        return new.join(idx, "band").select("new_doc", "hist_doc")
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked drive of the incremental pattern: docs with
+    doc_id % 5 != 0 are 'history', indexed in TWO epochs (odd then
+    even — proving batches compose); docs with doc_id % 5 == 0 are the
+    'new crawl batch', probed against the persisted index without
+    re-shingling history. Returns the cross-split candidate pairs —
+    exactly what batch MinHash over the full corpus yields restricted
+    to (new × history), which is what SQL_DEDUP_INCREMENTAL computes."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = SignatureIndex(tempfile.mkdtemp(prefix="ngsild_sigidx_"), n_buckets=8)
+    idx.index_batch(hist.filter(F.col("doc_id") % 2 == 1), "epoch-odd")
+    idx.index_batch(hist.filter(F.col("doc_id") % 2 == 0), "epoch-even")
+    return idx.probe(spark, new)
+
+
+SQL_DEDUP_INCREMENTAL = """
+WITH toks AS (
+  SELECT doc_id, tok, i
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok,
+           generate_subscripts(list_filter(string_split(text, ' '), t -> t <> ''), 1) AS i
+    FROM documents
+  )
+), sh AS (
+  SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+  FROM toks t1
+  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+  JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2
+), sig AS (
+  SELECT doc_id,
+         MIN(md5('s0|' || shingle)) AS h0, MIN(md5('s1|' || shingle)) AS h1,
+         MIN(md5('s2|' || shingle)) AS h2, MIN(md5('s3|' || shingle)) AS h3
+  FROM sh GROUP BY doc_id
+), band AS (
+  SELECT doc_id, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band FROM sig
+)
+SELECT CAST(n.doc_id AS BIGINT) AS new_doc,
+       CAST(h.doc_id AS BIGINT) AS hist_doc
+FROM band n
+JOIN band h ON n.band = h.band
+WHERE n.doc_id % 5 = 0 AND h.doc_id % 5 <> 0
+"""

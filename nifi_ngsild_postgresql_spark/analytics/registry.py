@@ -7,7 +7,7 @@ Spark-specific plumbing) and get the driver's rows-only check.
 
 from __future__ import annotations
 
-from . import advanced, corpus, sketches, suite
+from . import advanced, corpus, incremental, sketches, suite
 from ..streaming.sessionize import SQL_SESSIONIZE, q_sessionize
 from .flagship import (
     SQL_CDC_INGEST_FLATTEN,
@@ -157,6 +157,14 @@ PYTEST_ONLY: dict[str, tuple] = {
     # round 4: grid-indexed spatial JOIN (broadcast cell cover + exact
     # ray-cast re-check — one BroadcastHashJoin, never a nested loop)
     "geo_grid_join": (suite.q_geo_grid_join, suite.SQL_GEO_GRID_JOIN),
+    # round 4: incremental dedup against a PERSISTED band-signature
+    # index maintained AS a lake table (band-bucketed; two index epochs
+    # compose; probe never re-shingles history) — the CDC × dedup
+    # composition a growing 100 TB corpus needs
+    "dedup_incremental": (
+        incremental.q_dedup_incremental,
+        incremental.SQL_DEDUP_INCREMENTAL,
+    ),
 }
 
 
