@@ -311,3 +311,78 @@ SELECT sha256({canon}) AS row_sha FROM final_state
 
 
 SQL_REPLAY_MANIFEST = _oracle_manifest()
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC engine driven end-to-end THREE epochs deep with an SCD
+    Type-2 history (streaming/scd.py) following the table's change feed:
+    after each ingest epoch e (commits with id % 3 == e), one
+    ``Scd2History.refresh(label=e)`` folds that epoch's net changes into
+    the versioned history. Returns the full history — one row per
+    (entity row, validity interval) with valid_from/valid_to epoch
+    labels and is_current. The DuckDB oracle recomputes the same
+    intervals from the raw events: per-key LWW state at each cumulative
+    epoch, consecutive-state change points, LEAD() for valid_to."""
+    from ..streaming.scd import Scd2History
+
+    ship_package(spark)
+    warehouse = tempfile.mkdtemp(prefix="ngsild_scd_wh_")
+    state_dir = tempfile.mkdtemp(prefix="ngsild_scd_ckpt_")
+    changelog = changelog_from_events(spark, sf_dir)
+    cfg = IngestConfig(write_mode="upsert_mor", isolate_table_failures=False)
+    scd = None
+    for e in range(3):
+        batch = changelog.filter(F_col("commit").cast("long") % 3 == e)
+        ingest_batch(batch, cfg, warehouse, epoch_id=f"scd-src-{e}")
+        if scd is None:
+            source = LakeCatalog(warehouse).table("analytics", "useractivity")
+            scd = Scd2History(source, warehouse, state_dir)
+        scd.refresh(spark, label=e)
+    df = scd.read(spark).drop("src_key")
+    return df.select(*sorted(df.columns))
+
+
+def _oracle_scd2() -> str:
+    content = (
+        [f"action_{t}" for t in EVENT_TYPES]
+        + ["props"]
+        + [f"score_{t}" for t in EVENT_TYPES]
+    )
+    diff = "\n      OR ".join(
+        f"{c} IS DISTINCT FROM LAG({c}) OVER w" for c in content
+    )
+    out_cols = ",\n       ".join(
+        [f"action_{t}" for t in EVENT_TYPES]
+        + ["entityid", "entitytype", "observedat", "props", "recvtime"]
+        + [f"score_{t}" for t in EVENT_TYPES]
+    )
+    states = ",\n".join(
+        f"s{e} AS ({_oracle_cdc(f'WHERE event_id % 3 <= {e}')})"
+        for e in range(3)
+    )
+    union = "\n  UNION ALL ".join(
+        f"SELECT {e} AS epoch, * FROM s{e}" for e in range(3)
+    )
+    return f"""
+WITH {states},
+states AS (
+  {union}
+),
+flagged AS (
+  SELECT *,
+         (LAG(epoch) OVER w IS NULL
+      OR {diff}) AS chg
+  FROM states
+  WINDOW w AS (PARTITION BY entityid, observedat ORDER BY epoch)
+),
+vers AS (SELECT * FROM flagged WHERE chg)
+SELECT {out_cols},
+       CAST(epoch AS BIGINT) AS valid_from,
+       CAST(LEAD(epoch) OVER w2 AS BIGINT) AS valid_to,
+       (LEAD(epoch) OVER w2 IS NULL) AS is_current
+FROM vers
+WINDOW w2 AS (PARTITION BY entityid, observedat ORDER BY epoch)
+"""
+
+
+SQL_SCD2_HISTORY = _oracle_scd2()

@@ -11,6 +11,8 @@ from . import advanced, corpus, incremental, sketches, suite
 from ..streaming.sessionize import SQL_SESSIONIZE, q_sessionize
 from .flagship import (
     SQL_CDC_INGEST_FLATTEN,
+    SQL_SCD2_HISTORY,
+    q_scd2_history,
     SQL_CDC_CHANGEFEED,
     SQL_CDC_INGEST_SEMI_FLATTEN,
     SQL_CDC_INGEST_SQL,
@@ -165,6 +167,11 @@ PYTEST_ONLY: dict[str, tuple] = {
         incremental.q_dedup_incremental,
         incremental.SQL_DEDUP_INCREMENTAL,
     ),
+    # round 4: SCD Type-2 history maintained incrementally from the
+    # change feed (streaming/scd.py) — close-rows from update_preimage
+    # content (O(changes)), open-version lookup via a slim bucketed
+    # pointer table; the history table is never scanned on refresh
+    "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
 }
 
 

@@ -30,6 +30,11 @@ SPARK_TYPE = {
     ti.GEOMETRY: "string",
     ti.JSONB: "string",
     ti.ARRAY: "array<string>",
+    # PG types used by engine-maintained companion tables (SCD2 history,
+    # pointer tables — streaming/scd.py); never produced by attribute
+    # type inference, so the ingest ladder is unaffected
+    "BIGINT": "long",
+    "BOOLEAN": "boolean",
 }
 
 

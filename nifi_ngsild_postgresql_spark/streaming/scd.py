@@ -1,0 +1,251 @@
+"""Type-2 slowly-changing-dimension history maintained incrementally
+from the lake's change feed — the classic CDC downstream shape the
+reference's append-only sink cannot produce (SURVEY §2.1 S3: the NiFi
+processor INSERTs current state and discards the superseded version;
+NgsiLdToPostgreSQL.java has no history concept at all).
+
+``Scd2History`` follows a source lake table's change feed and maintains
+a full version history: one row per (logical row, validity interval)
+with ``valid_from`` / ``valid_to`` labels and an ``is_current`` flag —
+so "what did this entity look like as of batch N" is a plain filter,
+not a replay.
+
+Designed so a refresh NEVER scans the history table (100 TB shape):
+
+- **close-rows come from the change feed itself**: ``read_changes(...,
+  include_preimage=True)`` already carries the exact superseded content
+  for every update (``update_preimage``) and delete — O(changes), no
+  lookup of stored history content;
+- the only stored state a refresh touches is a slim **pointer table**
+  (logical key → open version's ``valid_from``, no content columns),
+  itself an ordinary bucketed lake table keyed identically to the
+  source, so the pointer join is a keyed equality join against a
+  bucket-colocated table that is O(live keys), not O(history rows);
+- both history and pointer writes are merge-on-read upserts with
+  epoch ids derived from the change range (``scd2-{v0}-{v1}``), so a
+  crash between the two commits replays the same deterministic batch
+  and the epoch ledger no-ops whichever half already landed —
+  effectively exactly-once, same argument as plans/lake.py S4.
+
+History rows are keyed ``(entityid, src_row_key @ valid_from)``:
+closing a version re-upserts the SAME key with ``valid_to`` set, and
+scan-time LWW (ordered by the refresh's monotone ``_recv_time``) makes
+the closed image win without rewriting data files.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.lake import LakeCatalog, LakeTable
+from .changefeed import ChangeFeedConsumer
+
+# monotone per-refresh LWW clock: base + source-version seconds. Fixed
+# base (not wall clock) keeps refreshes deterministic and replayable.
+_LWW_BASE = "2024-01-01 00:00:00"
+
+SCD_COLS = {
+    "src_key": "TEXT",
+    "valid_from": "BIGINT",
+    "valid_to": "BIGINT",
+    "is_current": "BOOLEAN",
+}
+
+PTR_SCHEMA = {
+    "entityid": "TEXT",
+    "src_key": "TEXT",
+    "valid_from": "BIGINT",
+    "live": "BOOLEAN",
+}
+
+
+class Scd2History:
+    """SCD Type 2 history of ``source``, fed by its change feed.
+
+    ``refresh(spark, label)`` consumes the change range since the last
+    refresh and applies it under validity label ``label`` (any
+    caller-chosen monotone integer — batch number, source version,
+    event-time bucket). Rows opened in the range get
+    ``valid_from=label``; rows superseded or deleted in it get their
+    open version closed with ``valid_to=label``.
+    """
+
+    def __init__(
+        self,
+        source: LakeTable,
+        warehouse: str,
+        state_dir: str,
+        tenant: str = "scd",
+        name: str | None = None,
+        n_buckets: int | None = None,
+    ):
+        self.source = source
+        cat = (
+            LakeCatalog(warehouse, n_buckets=n_buckets)
+            if n_buckets
+            else LakeCatalog(warehouse)
+        )
+        self.history = cat.table(tenant, name or f"{source.name}_history")
+        self.pointer = cat.table(tenant, f"{self.history.name}_ptr")
+        self.consumer = ChangeFeedConsumer(
+            source, state_dir, include_preimage=True, with_meta=True
+        )
+
+    # -- helpers -----------------------------------------------------
+
+    def _hist_schema(self) -> dict[str, str]:
+        return {**(self.source.schema() or {}), **SCD_COLS}
+
+    @staticmethod
+    def _hist_rows(
+        df: DataFrame,
+        content_cols: list[str],
+        valid_from,
+        valid_to,
+        is_current: bool,
+        recv,
+        seq: str,
+    ) -> DataFrame:
+        vf = valid_from.cast("long")
+        return df.select(
+            *content_cols,
+            F.col("src_key"),
+            vf.alias("valid_from"),
+            valid_to.cast("long").alias("valid_to"),
+            F.lit(is_current).alias("is_current"),
+            F.concat_ws("@", F.col("src_key"), vf.cast("string")).alias(
+                "_row_key"
+            ),
+            recv.alias("_recv_time"),
+            F.lit(seq).alias("_seq"),
+        )
+
+    # -- the incremental maintenance step ----------------------------
+
+    def refresh(self, spark: SparkSession, label: int) -> dict[str, Any]:
+        """Fold the unconsumed change range into the history under
+        validity label ``label``. O(changes) + a keyed join against the
+        pointer table; the history table is never read."""
+        v0 = self.consumer.position()
+        versions = self.source.versions()
+        v1 = versions[-1] if versions else 0
+        if v1 <= v0:
+            return {"from": v0, "to": v0, "opened": 0, "closed": 0}
+
+        content_cols = list(self.source.schema() or {})
+        clash = set(content_cols) & set(SCD_COLS)
+        if clash:
+            raise ValueError(
+                f"source columns {sorted(clash)} collide with SCD2 "
+                "bookkeeping columns — rename them upstream"
+            )
+        ch = self.source.read_changes(
+            spark, v0, v1, include_preimage=True, with_meta=True
+        ).select(*content_cols, F.col("_row_key").alias("src_key"), "_change_type")
+        # two consumers of the same change batch (open + close): compute
+        # the feed once (mirrors ChangeFeedConsumer.poll's caching rule)
+        ch = ch.persist()
+        try:
+            recv = F.to_timestamp(F.lit(_LWW_BASE)) + F.make_interval(
+                secs=F.lit(int(v1))
+            )
+            lbl = F.lit(int(label))
+            opened = self._hist_rows(
+                ch.filter(F.col("_change_type").isin("insert", "update")),
+                content_cols,
+                valid_from=lbl,
+                valid_to=F.lit(None),
+                is_current=True,
+                recv=recv,
+                seq=f"scd2-open-{v1}",
+            )
+            # superseded content rides the feed (update_preimage/delete);
+            # only the open version's valid_from needs stored state — the
+            # slim pointer table, joined on the same key the buckets hash
+            old = ch.filter(
+                F.col("_change_type").isin("update_preimage", "delete")
+            )
+            ptr = (
+                self.pointer.read(spark)
+                .filter(F.col("live"))
+                .select("entityid", "src_key", "valid_from")
+                if self.pointer.versions()
+                else None
+            )
+            if ptr is not None:
+                closed = self._hist_rows(
+                    old.join(ptr, ["entityid", "src_key"], "inner"),
+                    content_cols,
+                    valid_from=F.col("valid_from"),
+                    valid_to=lbl,
+                    is_current=False,
+                    recv=recv,
+                    seq=f"scd2-close-{v1}",
+                )
+                hist_batch = opened.unionByName(closed)
+            else:
+                hist_batch = opened
+            hist_res = self.history.upsert_mor(
+                hist_batch, self._hist_schema(), epoch_id=f"scd2-{v0}-{v1}"
+            )
+
+            ptr_meta = [
+                F.col("src_key").alias("_row_key"),
+                recv.alias("_recv_time"),
+                F.lit(f"scd2p-{v1}").alias("_seq"),
+            ]
+            ptr_open = ch.filter(
+                F.col("_change_type").isin("insert", "update")
+            ).select(
+                "entityid",
+                "src_key",
+                lbl.cast("long").alias("valid_from"),
+                F.lit(True).alias("live"),
+                *ptr_meta,
+            )
+            ptr_dead = ch.filter(F.col("_change_type") == "delete").select(
+                "entityid",
+                "src_key",
+                F.lit(None).cast("long").alias("valid_from"),
+                F.lit(False).alias("live"),
+                *ptr_meta,
+            )
+            self.pointer.upsert_mor(
+                ptr_open.unionByName(ptr_dead),
+                PTR_SCHEMA,
+                epoch_id=f"scd2p-{v0}-{v1}",
+            )
+        finally:
+            ch.unpersist()
+        self.consumer._commit(v1)
+        return {
+            "from": v0,
+            "to": v1,
+            "label": int(label),
+            "rows_written": hist_res.get("rows_written"),
+        }
+
+    # -- reads -------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Full version history (content + src_key/valid_from/valid_to/
+        is_current); scan-time LWW resolves close-overwrites."""
+        return self.history.read(spark)
+
+    def as_of(self, spark: SparkSession, label: int) -> DataFrame:
+        """Point-in-time image: rows whose validity interval covers
+        ``label`` — a plain filter over the history, no replay."""
+        return (
+            self.read(spark)
+            .filter(
+                (F.col("valid_from") <= F.lit(int(label)))
+                & (
+                    F.col("valid_to").isNull()
+                    | (F.col("valid_to") > F.lit(int(label)))
+                )
+            )
+            .drop("src_key", "valid_from", "valid_to", "is_current")
+        )
