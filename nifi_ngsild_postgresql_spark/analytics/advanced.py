@@ -971,6 +971,64 @@ def synth_png(doc_id: int) -> bytes:
     )
 
 
+def _png_gray_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse + fully decode an 8-bit grayscale PNG with the stdlib:
+    signature and per-chunk CRC validation, zlib inflate, scanline
+    de-filter (types 0 None / 1 Sub / 2 Up). Returns (width, height,
+    top-down row-major pixel bytes); raises ValueError on anything
+    malformed or unsupported. Shared by decode_png and resize_image."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos, chunks = 8, []
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated chunk data")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length:pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r}")
+        chunks.append((ctype, data))
+        pos += 12 + length
+    if not chunks or chunks[0][0] != b"IHDR" or chunks[-1][0] != b"IEND":
+        raise ValueError("missing IHDR/IEND")
+    width, height, depth, ctype_v, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", chunks[0][1]
+    )
+    if (depth, ctype_v, comp, filt, interlace) != (8, 0, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG shape depth={depth} color={ctype_v}"
+        )
+    raw = zlib.decompress(b"".join(d for t, d in chunks if t == b"IDAT"))
+    stride = width + 1
+    if len(raw) != height * stride:
+        raise ValueError("decompressed size != height*(width+1)")
+    prev = bytes(width)
+    out = bytearray()
+    for y in range(height):
+        ftype = raw[y * stride]
+        line = bytearray(raw[y * stride + 1:(y + 1) * stride])
+        if ftype == 1:  # Sub
+            for x in range(1, width):
+                line[x] = (line[x] + line[x - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(width):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unsupported filter {ftype}")
+        out.extend(line)
+        prev = bytes(line)
+    return width, height, bytes(out)
+
+
 def decode_png(payload: bytes) -> dict:
     """Parse a PNG container with the stdlib and reduce the decoded
     pixels to exact integer stats. Real decode, not a fingerprint: the
@@ -979,69 +1037,17 @@ def decode_png(payload: bytes) -> dict:
     None / 1 Sub / 2 Up — the synthetic corpus uses 0; 1/2 keep the
     decoder honest for re-encoded inputs). Supports 8-bit grayscale
     (color type 0), the synthesized shape; anything else errors."""
-    import struct
-    import zlib
-
     err = {
         "width": None, "height": None, "bit_depth": None,
         "color_type": None, "n_pixels": None, "pixel_sum": None,
         "pixel_sumsq": None,
     }
     try:
-        if payload[:8] != _PNG_SIG:
-            raise ValueError("bad PNG signature")
-        pos, chunks = 8, []
-        while pos < len(payload):
-            if pos + 8 > len(payload):
-                raise ValueError("truncated chunk header")
-            (length,) = struct.unpack(">I", payload[pos:pos + 4])
-            ctype = payload[pos + 4:pos + 8]
-            data = payload[pos + 8:pos + 8 + length]
-            if len(data) != length or pos + 12 + length > len(payload):
-                raise ValueError("truncated chunk data")
-            (crc,) = struct.unpack(
-                ">I", payload[pos + 8 + length:pos + 12 + length]
-            )
-            if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-                raise ValueError(f"CRC mismatch in {ctype!r}")
-            chunks.append((ctype, data))
-            pos += 12 + length
-        if not chunks or chunks[0][0] != b"IHDR" or chunks[-1][0] != b"IEND":
-            raise ValueError("missing IHDR/IEND")
-        width, height, depth, ctype_v, comp, filt, interlace = struct.unpack(
-            ">IIBBBBB", chunks[0][1]
-        )
-        if (depth, ctype_v, comp, filt, interlace) != (8, 0, 0, 0, 0):
-            raise ValueError(
-                f"unsupported PNG shape depth={depth} color={ctype_v}"
-            )
-        raw = zlib.decompress(
-            b"".join(d for t, d in chunks if t == b"IDAT")
-        )
-        stride = width + 1
-        if len(raw) != height * stride:
-            raise ValueError("decompressed size != height*(width+1)")
-        prev = bytes(width)
-        psum = psumsq = 0
-        for y in range(height):
-            ftype = raw[y * stride]
-            line = bytearray(raw[y * stride + 1:(y + 1) * stride])
-            if ftype == 1:  # Sub
-                for x in range(1, width):
-                    line[x] = (line[x] + line[x - 1]) & 0xFF
-            elif ftype == 2:  # Up
-                for x in range(width):
-                    line[x] = (line[x] + prev[x]) & 0xFF
-            elif ftype != 0:
-                raise ValueError(f"unsupported filter {ftype}")
-            for v in line:
-                psum += v
-                psumsq += v * v
-            prev = bytes(line)
+        width, height, px = _png_gray_pixels(payload)
         return {
-            "width": width, "height": height, "bit_depth": depth,
-            "color_type": ctype_v, "n_pixels": width * height,
-            "pixel_sum": psum, "pixel_sumsq": psumsq,
+            "width": width, "height": height, "bit_depth": 8,
+            "color_type": 0, "n_pixels": width * height,
+            "pixel_sum": sum(px), "pixel_sumsq": sum(v * v for v in px),
             "decode_status": "decoded",
         }
     except Exception as exc:  # noqa: BLE001 — malformed media is data, not a bug
@@ -1217,20 +1223,14 @@ def synth_avi(doc_id: int) -> bytes:
     return struct.pack("<4sI", b"RIFF", len(riff_body)) + riff_body
 
 
-def decode_avi(payload: bytes) -> dict:
-    """Parse an uncompressed AVI with the stdlib and reduce the decoded
-    frames to exact integer stats. Real decode: headers are parsed and
-    cross-validated, every frame chunk is size-checked, scanline padding
-    stripped and the bottom-up row order flipped back; the position-
-    weighted checksum runs over the recovered LOGICAL byte order, so
-    ordering mistakes fail the oracle."""
+def _avi_logical_frames(payload: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Parse + fully decode an uncompressed AVI with the stdlib: RIFF
+    walk, avih/strh/strf cross-validation, per-frame size check,
+    scanline de-padding and bottom-up -> top-down flip. Returns
+    (width, height, fps, frames) where each frame is its LOGICAL
+    top-down BGR byte string; raises ValueError on anything malformed.
+    Shared by decode_avi and sample_avi_frames."""
     import struct
-
-    err = {
-        "width": None, "height": None, "n_frames": None, "fps": None,
-        "n_pixel_bytes": None, "pixel_sum": None, "pixel_sumsq": None,
-        "pixel_checksum": None,
-    }
 
     def walk(data: bytes):
         pos = 0
@@ -1244,67 +1244,90 @@ def decode_avi(payload: bytes) -> dict:
         if pos != len(data):
             raise ValueError("trailing garbage")
 
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("bad RIFF/AVI magic")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if riff_size + 8 != len(payload):
+        raise ValueError("RIFF size mismatch")
+    avih = strh = strf = None
+    raw_frames: list[bytes] = []
+
+    def visit(fourcc, body):
+        nonlocal avih, strh, strf
+        if fourcc == b"LIST":
+            for fc, b in walk(body[4:]):
+                visit(fc, b)
+        elif fourcc == b"avih":
+            avih = body
+        elif fourcc == b"strh":
+            strh = body
+        elif fourcc == b"strf":
+            strf = body
+        elif fourcc in (b"00db", b"00dc"):
+            raw_frames.append(body)
+
+    for fc, b in walk(payload[12:]):
+        visit(fc, b)
+    if avih is None or strh is None or strf is None:
+        raise ValueError("missing avih/strh/strf")
+    a = struct.unpack("<14I", avih)
+    n_frames, w, h = a[4], a[8], a[9]
+    fcc_type, handler = struct.unpack_from("<4s4s", strh, 0)
+    scale, rate = struct.unpack_from("<II", strh, 20)
+    bi = struct.unpack("<IiiHHIIiiII", strf)
+    if fcc_type != b"vids" or handler != b"DIB ":
+        raise ValueError(f"unsupported stream {fcc_type!r}/{handler!r}")
+    if bi[4] != 24 or bi[5] != 0:  # biBitCount / biCompression
+        raise ValueError("not 24-bit BI_RGB")
+    if (bi[1], bi[2]) != (w, h):
+        raise ValueError("strf dims != avih dims")
+    if scale == 0 or rate % scale:
+        raise ValueError("non-integer fps")
+    fps = rate // scale
+    if len(raw_frames) != n_frames:
+        raise ValueError(f"{len(raw_frames)} frame chunks != {n_frames}")
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    frames: list[bytes] = []
+    for frame in raw_frames:
+        if len(frame) != (row_bytes + pad) * h:
+            raise ValueError("frame size mismatch")
+        logical = bytearray(h * row_bytes)
+        for file_row in range(h):
+            y = h - 1 - file_row  # undo bottom-up storage
+            start = file_row * (row_bytes + pad)
+            logical[y * row_bytes:(y + 1) * row_bytes] = frame[
+                start:start + row_bytes  # strip padding
+            ]
+        frames.append(bytes(logical))
+    return w, h, fps, frames
+
+
+def decode_avi(payload: bytes) -> dict:
+    """Parse an uncompressed AVI with the stdlib and reduce the decoded
+    frames to exact integer stats. Real decode: headers are parsed and
+    cross-validated, every frame chunk is size-checked, scanline padding
+    stripped and the bottom-up row order flipped back; the position-
+    weighted checksum runs over the recovered LOGICAL byte order, so
+    ordering mistakes fail the oracle."""
+    err = {
+        "width": None, "height": None, "n_frames": None, "fps": None,
+        "n_pixel_bytes": None, "pixel_sum": None, "pixel_sumsq": None,
+        "pixel_checksum": None,
+    }
     try:
-        if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
-            raise ValueError("bad RIFF/AVI magic")
-        (riff_size,) = struct.unpack_from("<I", payload, 4)
-        if riff_size + 8 != len(payload):
-            raise ValueError("RIFF size mismatch")
-        avih = strh = strf = None
-        frames: list[bytes] = []
-
-        def visit(fourcc, body):
-            nonlocal avih, strh, strf
-            if fourcc == b"LIST":
-                for fc, b in walk(body[4:]):
-                    visit(fc, b)
-            elif fourcc == b"avih":
-                avih = body
-            elif fourcc == b"strh":
-                strh = body
-            elif fourcc == b"strf":
-                strf = body
-            elif fourcc in (b"00db", b"00dc"):
-                frames.append(body)
-
-        for fc, b in walk(payload[12:]):
-            visit(fc, b)
-        if avih is None or strh is None or strf is None:
-            raise ValueError("missing avih/strh/strf")
-        a = struct.unpack("<14I", avih)
-        n_frames, w, h = a[4], a[8], a[9]
-        fcc_type, handler = struct.unpack_from("<4s4s", strh, 0)
-        scale, rate = struct.unpack_from("<II", strh, 20)
-        bi = struct.unpack("<IiiHHIIiiII", strf)
-        if fcc_type != b"vids" or handler != b"DIB ":
-            raise ValueError(f"unsupported stream {fcc_type!r}/{handler!r}")
-        if bi[4] != 24 or bi[5] != 0:  # biBitCount / biCompression
-            raise ValueError("not 24-bit BI_RGB")
-        if (bi[1], bi[2]) != (w, h):
-            raise ValueError("strf dims != avih dims")
-        if scale == 0 or rate % scale:
-            raise ValueError("non-integer fps")
-        fps = rate // scale
-        if len(frames) != n_frames:
-            raise ValueError(f"{len(frames)} frame chunks != {n_frames}")
+        w, h, fps, frames = _avi_logical_frames(payload)
         row_bytes = w * 3
-        pad = (-row_bytes) % 4
         psum = psumsq = pchk = 0
-        for f, frame in enumerate(frames):
-            if len(frame) != (row_bytes + pad) * h:
-                raise ValueError("frame size mismatch")
-            for file_row in range(h):
-                y = h - 1 - file_row  # undo bottom-up storage
-                start = file_row * (row_bytes + pad)
-                line = frame[start:start + row_bytes]  # strip padding
-                base = (f * h + y) * row_bytes
-                for k, v in enumerate(line):
-                    psum += v
-                    psumsq += v * v
-                    pchk += (base + k) * v
+        for f, logical in enumerate(frames):
+            base = f * h * row_bytes
+            for k, v in enumerate(logical):
+                psum += v
+                psumsq += v * v
+                pchk += (base + k) * v
         return {
-            "width": w, "height": h, "n_frames": n_frames, "fps": fps,
-            "n_pixel_bytes": n_frames * h * row_bytes,
+            "width": w, "height": h, "n_frames": len(frames), "fps": fps,
+            "n_pixel_bytes": len(frames) * h * row_bytes,
             "pixel_sum": psum, "pixel_sumsq": psumsq,
             "pixel_checksum": pchk, "decode_status": "decoded",
         }
@@ -1378,6 +1401,200 @@ SELECT media_id,
        CAST(list_sum(list_transform(range(0, n_frames * height * width * 3),
             j -> j * ({_SQL_VBYTE}))) AS BIGINT) AS pixel_checksum,
        'decoded' AS decode_status
+FROM base
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal TRANSFORMS (round 4): the brief's decode / feature-extract /
+# resize / frame-sample list, completed. Both ops run the REAL stdlib
+# decoders above and transform the recovered pixels — not fingerprints —
+# and both are oracle-exact: nearest-neighbor resample and frame
+# sampling are pure integer index maps, so DuckDB reproduces the
+# transformed pixel statistics bit-for-bit from the doc_id closed form.
+# Map-only mapInPandas plans: linear in payload bytes, shuffle-free,
+# per-row memory bounded by one media object (what any real decoder
+# needs), so the shape holds on a 100 TB media table.
+# --------------------------------------------------------------------------
+
+RESIZE_W, RESIZE_H = 12, 10  # fixed thumbnail grid: inputs are 8-16 x
+# 8-14, so both up- and down-sampling paths run across the corpus
+
+RESIZE_SCHEMA = (
+    "media_id long, width int, height int, out_width int, out_height int,"
+    " pixel_sum long, pixel_sumsq long, pixel_checksum long,"
+    " decode_status string"
+)
+
+
+def resize_image(payload: bytes) -> dict:
+    """Decode (real PNG parse, _png_gray_pixels) then nearest-neighbor
+    resample to RESIZE_W x RESIZE_H: out(y,x) = in(y*h//OH, x*w//OW).
+    Returns exact integer stats of the RESIZED pixels including a
+    position-weighted checksum, so picking the wrong source pixel for
+    even one output position fails the oracle."""
+    err = {
+        "width": None, "height": None, "out_width": None,
+        "out_height": None, "pixel_sum": None, "pixel_sumsq": None,
+        "pixel_checksum": None,
+    }
+    try:
+        w, h, px = _png_gray_pixels(payload)
+        psum = psumsq = pchk = 0
+        o = 0
+        for y in range(RESIZE_H):
+            sy = (y * h) // RESIZE_H
+            for x in range(RESIZE_W):
+                v = px[sy * w + (x * w) // RESIZE_W]
+                psum += v
+                psumsq += v * v
+                pchk += o * v
+                o += 1
+        return {
+            "width": w, "height": h,
+            "out_width": RESIZE_W, "out_height": RESIZE_H,
+            "pixel_sum": psum, "pixel_sumsq": psumsq,
+            "pixel_checksum": pchk, "decode_status": "resized",
+        }
+    except Exception as exc:  # noqa: BLE001 — malformed media is data, not a bug
+        return {**err, "decode_status": f"error: {type(exc).__name__}"}
+
+
+def _image_resize_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [
+        "media_id", "width", "height", "out_width", "out_height",
+        "pixel_sum", "pixel_sumsq", "pixel_checksum", "decode_status",
+    ]
+    for pdf in it:
+        recs = []
+        for mid, payload in zip(pdf["media_id"].values, pdf["payload"].values):
+            rec = {"media_id": int(mid)}
+            rec.update(resize_image(payload))
+            recs.append(rec)
+        yield pd.DataFrame(recs, columns=cols)
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real decode + nearest-neighbor thumbnail resample over binary PNG
+    payloads via mapInPandas, oracle-checked: the resample is an integer
+    index map, so DuckDB recomputes the resized stats exactly."""
+    img = build_image_table(spark, sf_dir)
+    return img.mapInPandas(_image_resize_partition, RESIZE_SCHEMA)
+
+
+# source index of resized output position o (o = y*OW + x)
+_SQL_RESIZE_SRC = (
+    f"((((o // {RESIZE_W}) * height) // {RESIZE_H}) * width"
+    f" + ((o % {RESIZE_W}) * width) // {RESIZE_W})"
+)
+_SQL_RESIZED_PIXEL = _SQL_PIXEL.replace(" i ", f" {_SQL_RESIZE_SRC} ")
+
+SQL_IMAGE_RESIZE = f"""
+WITH base AS (
+  SELECT doc_id AS media_id,
+         8 + doc_id % 9 AS width,
+         8 + doc_id % 7 AS height
+  FROM documents
+)
+SELECT media_id,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST({RESIZE_W} AS INT) AS out_width,
+       CAST({RESIZE_H} AS INT) AS out_height,
+       CAST(list_sum(list_transform(range(0, {RESIZE_W * RESIZE_H}),
+            o -> {_SQL_RESIZED_PIXEL})) AS BIGINT) AS pixel_sum,
+       CAST(list_sum(list_transform(range(0, {RESIZE_W * RESIZE_H}),
+            o -> ({_SQL_RESIZED_PIXEL}) * ({_SQL_RESIZED_PIXEL})))
+            AS BIGINT) AS pixel_sumsq,
+       CAST(list_sum(list_transform(range(0, {RESIZE_W * RESIZE_H}),
+            o -> o * ({_SQL_RESIZED_PIXEL}))) AS BIGINT) AS pixel_checksum,
+       'resized' AS decode_status
+FROM base
+"""
+
+FRAME_STEP = 2  # sample every 2nd frame (0, 2, 4, ...)
+
+FRAME_SAMPLE_SCHEMA = (
+    "media_id long, width int, height int, n_frames int,"
+    " n_frames_sampled int, pixel_sum long, pixel_checksum long,"
+    " decode_status string"
+)
+
+
+def sample_avi_frames(payload: bytes, step: int = FRAME_STEP) -> dict:
+    """Decode (real AVI parse, _avi_logical_frames) then keep every
+    ``step``-th frame. Stats are position-weighted by the frame's
+    ORIGINAL logical byte index, so sampling the wrong frames — or the
+    right frames in the wrong order — fails the oracle."""
+    err = {
+        "width": None, "height": None, "n_frames": None,
+        "n_frames_sampled": None, "pixel_sum": None, "pixel_checksum": None,
+    }
+    try:
+        w, h, _fps, frames = _avi_logical_frames(payload)
+        row_bytes = w * 3
+        psum = pchk = 0
+        sampled = range(0, len(frames), step)
+        for f in sampled:
+            base = f * h * row_bytes
+            for k, v in enumerate(frames[f]):
+                psum += v
+                pchk += (base + k) * v
+        return {
+            "width": w, "height": h, "n_frames": len(frames),
+            "n_frames_sampled": len(sampled),
+            "pixel_sum": psum, "pixel_checksum": pchk,
+            "decode_status": "sampled",
+        }
+    except Exception as exc:  # noqa: BLE001 — malformed media is data, not a bug
+        return {**err, "decode_status": f"error: {type(exc).__name__}"}
+
+
+def _frame_sample_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [
+        "media_id", "width", "height", "n_frames", "n_frames_sampled",
+        "pixel_sum", "pixel_checksum", "decode_status",
+    ]
+    for pdf in it:
+        recs = []
+        for mid, payload in zip(pdf["media_id"].values, pdf["payload"].values):
+            rec = {"media_id": int(mid)}
+            rec.update(sample_avi_frames(payload))
+            recs.append(rec)
+        yield pd.DataFrame(recs, columns=cols)
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real decode + every-Nth frame sampling over binary AVI payloads
+    via mapInPandas, oracle-checked via original-index-weighted stats."""
+    vid = build_video_table(spark, sf_dir)
+    return vid.mapInPandas(_frame_sample_partition, FRAME_SAMPLE_SCHEMA)
+
+
+# frame-bytes per frame: height * width * 3; byte j belongs to frame
+# j // fb — sampled iff (j // fb) % FRAME_STEP == 0
+SQL_VIDEO_FRAME_SAMPLE = f"""
+WITH base AS (
+  SELECT doc_id AS media_id,
+         8 + doc_id % 5 AS width,
+         6 + doc_id % 4 AS height,
+         2 + doc_id % 3 AS n_frames
+  FROM documents
+)
+SELECT media_id,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(n_frames AS INT) AS n_frames,
+       CAST((n_frames + {FRAME_STEP} - 1) // {FRAME_STEP} AS INT)
+           AS n_frames_sampled,
+       CAST(list_sum(list_transform(range(0, n_frames * height * width * 3),
+            j -> CASE WHEN (j // (height * width * 3)) % {FRAME_STEP} = 0
+                      THEN {_SQL_VBYTE} ELSE 0 END)) AS BIGINT) AS pixel_sum,
+       CAST(list_sum(list_transform(range(0, n_frames * height * width * 3),
+            j -> CASE WHEN (j // (height * width * 3)) % {FRAME_STEP} = 0
+                      THEN j * ({_SQL_VBYTE}) ELSE 0 END)) AS BIGINT)
+           AS pixel_checksum,
+       'sampled' AS decode_status
 FROM base
 """
 

@@ -140,6 +140,14 @@ PYTEST_ONLY: dict[str, tuple] = {
     # Lives here because the driver window is full at 50; the pytest
     # oracle is the hard check.
     "video_decode": (advanced.q_video_decode, advanced.SQL_VIDEO_DECODE),
+    # round 4: the brief's multimodal transform list completed — REAL
+    # decode feeding nearest-neighbor resize / every-Nth frame sampling,
+    # both oracle-exact integer index maps over the decoded pixels
+    "image_resize": (advanced.q_image_resize, advanced.SQL_IMAGE_RESIZE),
+    "video_frame_sample": (
+        advanced.q_video_frame_sample,
+        advanced.SQL_VIDEO_FRAME_SAMPLE,
+    ),
     # round 4: polygon CONTAINMENT (even-odd ray cast as a JVM fold, no
     # UDF/geo lib) — partial closure of the "geometry algebra beyond
     # Points" gap; concave test polygon so bbox shortcuts can't pass.

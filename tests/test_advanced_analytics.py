@@ -405,3 +405,69 @@ def test_funnel_stages_ordering_and_windows(spark):
             assert r["t_click"] <= r["t_purchase"] <= r["t_click"] + horizon
     dist = Counter(r["stage"] for r in rows)
     assert set(dist) == {1, 2, 3}
+
+
+def test_image_resize_nearest_neighbor_exact():
+    """resize_image really resamples the DECODED pixels: for a known
+    doc_id the resized stats equal a hand-rolled nearest-neighbor
+    reference over the closed-form pixel function, the checksum is
+    position-weighted (permuting output order would change it), and a
+    corrupt payload errors instead of fabricating a thumbnail."""
+    doc_id = 62
+    out = advanced.resize_image(advanced.synth_png(doc_id))
+    w, h = 8 + doc_id % 9, 8 + doc_id % 7
+    OW, OH = advanced.RESIZE_W, advanced.RESIZE_H
+    ref = [
+        (doc_id * advanced.IMAGE_SYNTH_A
+         + (((y * h) // OH) * w + (x * w) // OW) * advanced.IMAGE_SYNTH_B)
+        % 256
+        for y in range(OH)
+        for x in range(OW)
+    ]
+    assert out["decode_status"] == "resized"
+    assert (out["width"], out["height"]) == (w, h)
+    assert (out["out_width"], out["out_height"]) == (OW, OH)
+    assert out["pixel_sum"] == sum(ref)
+    assert out["pixel_sumsq"] == sum(v * v for v in ref)
+    assert out["pixel_checksum"] == sum(i * v for i, v in enumerate(ref))
+    # reversed output order: same sum, different checksum — the weight
+    # really encodes output position
+    assert out["pixel_checksum"] != sum(
+        i * v for i, v in enumerate(reversed(ref))
+    )
+    bad = advanced.resize_image(b"JUNK")
+    assert bad["decode_status"].startswith("error")
+    assert bad["pixel_sum"] is None
+
+
+def test_video_frame_sample_keeps_even_frames_only():
+    """sample_avi_frames keeps frames 0, 2, ... and weights stats by the
+    ORIGINAL logical byte index: for a 3-frame video the sampled sum
+    equals the closed-form sum over frames {0, 2}, and including frame 1
+    instead would produce a different checksum."""
+    doc_id = 4  # n_frames = 2 + 4 % 3 = 3
+    w, h, n_frames, _fps = advanced._video_dims(doc_id)
+    assert n_frames == 3
+    out = advanced.sample_avi_frames(advanced.synth_avi(doc_id))
+    fb = h * w * 3
+
+    def frame_stats(f):
+        s = c = 0
+        for k in range(fb):
+            j = f * fb + k
+            v = advanced._video_byte(doc_id, j)
+            s += v
+            c += j * v
+        return s, c
+
+    s0, c0 = frame_stats(0)
+    s1, c1 = frame_stats(1)
+    s2, c2 = frame_stats(2)
+    assert out["decode_status"] == "sampled"
+    assert out["n_frames"] == 3
+    assert out["n_frames_sampled"] == 2
+    assert out["pixel_sum"] == s0 + s2
+    assert out["pixel_checksum"] == c0 + c2
+    assert out["pixel_checksum"] != c0 + c1  # wrong frame pair detectable
+    bad = advanced.sample_avi_frames(advanced.synth_avi(doc_id)[:-9])
+    assert bad["decode_status"].startswith("error")
