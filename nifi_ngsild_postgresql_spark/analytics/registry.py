@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from . import advanced, corpus, incremental, sketches, suite
 from ..streaming.sessionize import SQL_SESSIONIZE, q_sessionize
+from ..streaming.windows import SQL_STREAM_INTERVAL_JOIN, q_stream_interval_join
 from .flagship import (
     SQL_CDC_INGEST_FLATTEN,
     SQL_SCD2_HISTORY,
@@ -174,6 +175,15 @@ PYTEST_ONLY: dict[str, tuple] = {
     "dedup_incremental": (
         incremental.q_dedup_incremental,
         incremental.SQL_DEDUP_INCREMENTAL,
+    ),
+    # round 4: watermarked stream-stream interval join (click->purchase
+    # attribution within a 2h horizon, streaming/windows.py). The batch
+    # twin is the oracle-checked entry; the streaming form is pinned
+    # row-equal to it across micro-batches by tests/test_stream_join.py
+    # (same evidence shape as sessionize/windowed_microbatch).
+    "stream_interval_join": (
+        q_stream_interval_join,
+        SQL_STREAM_INTERVAL_JOIN,
     ),
     # round 4: SCD Type-2 history maintained incrementally from the
     # change feed (streaming/scd.py) — close-rows from update_preimage

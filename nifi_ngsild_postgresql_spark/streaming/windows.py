@@ -60,3 +60,92 @@ def windowed_counts_stream(
             "sum_value",
         )
     )
+
+
+ATTRIBUTION_WINDOW = "2 hours"  # click -> purchase attribution horizon
+
+
+def _attribution_sides(events):
+    """(clicks, purchases) projections shared by the batch and streaming
+    forms, so batch==stream parity is a property of the join itself."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return clicks, purchases
+
+
+_ATTRIBUTION_COND = (
+    "user_id = p_user_id AND click_ts <= purchase_ts "
+    f"AND click_ts >= purchase_ts - interval {ATTRIBUTION_WINDOW}"
+)
+
+
+def _finish_attribution(joined):
+    return joined.select(
+        "user_id", "click_id", "purchase_id",
+        "click_ts", "purchase_ts", "purchase_value",
+    )
+
+
+def interval_join_batch(events) -> "DataFrame":
+    """Click->purchase attribution as a batch interval join: every
+    (click, purchase) pair of the same user with the purchase at most
+    ATTRIBUTION_WINDOW after the click. The range predicate rides the
+    user_id equi-join (one keyed shuffle, never a cartesian — same plan
+    family as funnel_stages, gated in test_plan_quality.py)."""
+    clicks, purchases = _attribution_sides(events)
+    return _finish_attribution(
+        clicks.join(purchases, F.expr(_ATTRIBUTION_COND))
+    )
+
+
+def interval_join_stream(events_stream, watermark: str = "4 hours"):
+    """The SAME attribution join as a Structured Streaming stream-stream
+    inner join: both sides carry event-time watermarks and the join
+    condition bounds click_ts to a closed interval around purchase_ts,
+    so Spark can expire buffered state — clicks older than
+    (watermark + attribution window) below the purchase-side watermark
+    are evicted instead of buffered forever. State is O(events within
+    the horizon), independent of stream length; matches are emitted as
+    soon as both sides arrive (inner join needs no watermark wait).
+    Batch==stream parity is pinned by tests/test_stream_join.py."""
+    clicks, purchases = _attribution_sides(events_stream)
+    return _finish_attribution(
+        clicks.withWatermark("click_ts", watermark).join(
+            purchases.withWatermark("purchase_ts", watermark),
+            F.expr(_ATTRIBUTION_COND),
+        )
+    )
+
+
+def q_stream_interval_join(spark, sf_dir: str):
+    """Registry entry: the batch twin over the events table (the
+    streaming form is pinned row-equal to it by the parity test, the
+    same evidence shape as sessionize/windowed_microbatch)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return interval_join_batch(events)
+
+
+SQL_STREAM_INTERVAL_JOIN = f"""
+SELECT c.user_id AS user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 2 HOUR
+"""

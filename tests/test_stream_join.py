@@ -1,0 +1,136 @@
+"""Watermarked stream-stream interval join (click->purchase attribution):
+batch semantics, batch==stream parity, cross-micro-batch join state, and
+the no-cartesian plan gate.
+
+Reference parity note: the reference engine (NiFi flow) has no
+stream-stream join — this is a Spark-first extension of the windowed
+micro-batch family (SURVEY.md §2 R1/S2) for the training-data pipeline
+tier, same evidence shape as sessionize (batch twin oracle-checked,
+streaming form pinned row-equal to it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.streaming.windows import (
+    interval_join_batch,
+    interval_join_stream,
+)
+
+SCHEMA = "event_id long, user_id long, ts timestamp, event_type string, value double"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(e, u, t, k, v) for (e, u, t, k, v) in rows],
+        "event_id long, user_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_batch_interval_join_semantics(spark):
+    rows = [
+        # user 1: click at 10:00 -> purchase 11:30 (match, within 2h)
+        (1, 1, "2024-01-01 10:00:00", "click", 0.0),
+        (2, 1, "2024-01-01 11:30:00", "purchase", 9.5),
+        # user 1: second purchase exactly 2h after the click (boundary
+        # is CLOSED: click_ts >= purchase_ts - 2h holds at equality)
+        (3, 1, "2024-01-01 12:00:00", "purchase", 4.0),
+        # user 1: purchase 2h01m after the click -> NO match
+        (4, 1, "2024-01-01 12:01:00", "purchase", 1.0),
+        # user 2: purchase BEFORE its click -> NO match
+        (5, 2, "2024-01-01 09:00:00", "purchase", 2.0),
+        (6, 2, "2024-01-01 09:30:00", "click", 0.0),
+        # user 3: click with user 1's timing but different user -> NO
+        # cross-user match
+        (7, 3, "2024-01-01 10:00:00", "click", 0.0),
+        # non-click/purchase types never join
+        (8, 1, "2024-01-01 10:30:00", "view", 0.0),
+    ]
+    out = interval_join_batch(_events(spark, rows)).collect()
+    got = {(r["click_id"], r["purchase_id"]) for r in out}
+    assert got == {(1, 2), (1, 3)}
+    by_pair = {(r["click_id"], r["purchase_id"]): r for r in out}
+    assert float(by_pair[(1, 2)]["purchase_value"]) == 9.5
+    assert by_pair[(1, 2)]["user_id"] == 1
+
+
+def test_batch_plan_is_keyed_equi_join(spark):
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "click", 0.0),
+        (2, 1, "2024-01-01 11:00:00", "purchase", 1.0),
+    ]
+    plan = interval_join_batch(_events(spark, rows))._jdf.queryExecution().executedPlan().toString()
+    # the range predicate must ride the user_id equi-join, never
+    # degrade to an all-pairs strategy
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stream_parity_and_cross_batch_state(spark, tmp_path):
+    """Two micro-batches; batch 2 carries purchases whose only matching
+    clicks arrived in batch 1 — the join must emit them from buffered
+    state. Final output == the batch join over the full input."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def write(rows):
+        _events(spark, rows).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = (
+            interval_join_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batch1 = [
+        (1, 1, "2024-01-01 10:00:00", "click", 0.0),
+        (2, 2, "2024-01-01 10:05:00", "click", 0.0),
+        # same-batch match for user 1
+        (3, 1, "2024-01-01 10:30:00", "purchase", 3.0),
+        (4, 3, "2024-01-01 10:40:00", "view", 0.0),
+    ]
+    batch2 = [
+        # matches user 2's CLICK FROM BATCH 1 (cross-batch state)
+        (5, 2, "2024-01-01 11:00:00", "purchase", 7.0),
+        # a second user-1 purchase still within 2h of click 1
+        (6, 1, "2024-01-01 11:50:00", "purchase", 2.0),
+        # out of window for every click (>2h after both)
+        (7, 1, "2024-01-01 14:00:00", "purchase", 1.0),
+    ]
+    write(batch1)
+    run_once()
+    write(batch2)
+    run_once()
+
+    out_schema = (
+        "user_id long, click_id long, purchase_id long,"
+        " click_ts timestamp, purchase_ts timestamp, purchase_value double"
+    )
+    streamed = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.read.schema(out_schema).parquet(out_dir).collect()
+    }
+    expected = {
+        (r["click_id"], r["purchase_id"])
+        for r in interval_join_batch(_events(spark, batch1 + batch2)).collect()
+    }
+    assert (1, 3) in expected and (2, 5) in expected and (1, 6) in expected
+    assert streamed == expected
+
+
+def test_streaming_plan_has_bounded_state(spark, tmp_path):
+    """The streaming form must carry watermarks on BOTH sides so the
+    join's buffered state is evictable (O(horizon), not O(stream))."""
+    src = str(tmp_path / "src")
+    _events(spark, [(1, 1, "2024-01-01 10:00:00", "click", 0.0)]).write.parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    analyzed = interval_join_stream(stream)._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("EventTimeWatermark") == 2
