@@ -9,7 +9,12 @@ from __future__ import annotations
 
 from . import advanced, corpus, incremental, sketches, suite
 from ..streaming.sessionize import SQL_SESSIONIZE, q_sessionize
-from ..streaming.windows import SQL_STREAM_INTERVAL_JOIN, q_stream_interval_join
+from ..streaming.windows import (
+    SQL_STREAM_INTERVAL_JOIN,
+    SQL_STREAM_INTERVAL_JOIN_OUTER,
+    q_stream_interval_join,
+    q_stream_interval_join_outer,
+)
 from .flagship import (
     SQL_CDC_INGEST_FLATTEN,
     SQL_SCD2_HISTORY,
@@ -184,6 +189,14 @@ PYTEST_ONLY: dict[str, tuple] = {
     "stream_interval_join": (
         q_stream_interval_join,
         SQL_STREAM_INTERVAL_JOIN,
+    ),
+    # round 4: the LEFT OUTER form — unmatched clicks are emitted with
+    # NULL purchase columns only once the watermark PROVES no matching
+    # purchase can still arrive (watermark as completeness proof;
+    # test_left_outer_emits_null_after_watermark drives the eviction)
+    "stream_interval_join_outer": (
+        q_stream_interval_join_outer,
+        SQL_STREAM_INTERVAL_JOIN_OUTER,
     ),
     # round 4: SCD Type-2 history maintained incrementally from the
     # change feed (streaming/scd.py) — close-rows from update_preimage

@@ -126,6 +126,58 @@ def interval_join_stream(events_stream, watermark: str = "4 hours"):
     )
 
 
+def interval_join_batch_left(events) -> "DataFrame":
+    """LEFT OUTER attribution: every click, with its in-window purchases
+    or NULL purchase columns if none converted. Same keyed equi-join
+    plan as the inner form."""
+    clicks, purchases = _attribution_sides(events)
+    return _finish_attribution(
+        clicks.join(purchases, F.expr(_ATTRIBUTION_COND), "left")
+    )
+
+
+def interval_join_stream_left(events_stream, watermark: str = "4 hours"):
+    """LEFT OUTER stream-stream attribution join. Unlike the inner form
+    (emit on match), the NULL row for a never-converted click can only
+    be emitted once the watermark proves no matching purchase can still
+    arrive — i.e. when the purchase-side watermark passes
+    click_ts + ATTRIBUTION_WINDOW. Until then the click sits in the
+    same bounded join state the inner form keeps; afterwards it is
+    evicted AND emitted with NULL purchase columns. This is the
+    watermark acting as a completeness proof, not just an eviction
+    policy — pinned by test_left_outer_emits_null_after_watermark."""
+    clicks, purchases = _attribution_sides(events_stream)
+    return _finish_attribution(
+        clicks.withWatermark("click_ts", watermark).join(
+            purchases.withWatermark("purchase_ts", watermark),
+            F.expr(_ATTRIBUTION_COND),
+            "leftOuter",
+        )
+    )
+
+
+def q_stream_interval_join_outer(spark, sf_dir: str):
+    """Registry entry (PYTEST_ONLY): batch twin of the left-outer form —
+    every click row survives, converted or not."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return interval_join_batch_left(events)
+
+
+SQL_STREAM_INTERVAL_JOIN_OUTER = """
+SELECT c.user_id AS user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 2 HOUR
+"""
+
+
 def q_stream_interval_join(spark, sf_dir: str):
     """Registry entry: the batch twin over the events table (the
     streaming form is pinned row-equal to it by the parity test, the

@@ -134,3 +134,104 @@ def test_streaming_plan_has_bounded_state(spark, tmp_path):
     stream = spark.readStream.schema(SCHEMA).parquet(src)
     analyzed = interval_join_stream(stream)._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("EventTimeWatermark") == 2
+
+
+def test_batch_left_outer_keeps_unconverted_clicks(spark):
+    from nifi_ngsild_postgresql_spark.streaming.windows import (
+        interval_join_batch_left,
+    )
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "click", 0.0),
+        (2, 1, "2024-01-01 11:30:00", "purchase", 9.5),
+        # user 2: click with NO purchase in window
+        (3, 2, "2024-01-01 10:00:00", "click", 0.0),
+        (4, 2, "2024-01-01 13:00:00", "purchase", 5.0),  # 3h later
+    ]
+    out = {
+        (r["click_id"], r["purchase_id"])
+        for r in interval_join_batch_left(_events(spark, rows)).collect()
+    }
+    assert out == {(1, 2), (3, None)}
+
+
+def test_left_outer_emits_null_after_watermark(spark, tmp_path):
+    """A click with no converting purchase must be emitted with NULL
+    purchase columns — but ONLY once the watermark passes
+    click_ts + attribution window (the completeness proof). Drive the
+    watermark forward with later batches and observe the null row
+    appear; matched rows must equal the batch left join."""
+    from nifi_ngsild_postgresql_spark.streaming.windows import (
+        interval_join_batch_left,
+        interval_join_stream_left,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def write(rows):
+        _events(spark, rows).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = (
+            interval_join_stream_left(stream, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    out_schema = (
+        "user_id long, click_id long, purchase_id long,"
+        " click_ts timestamp, purchase_ts timestamp, purchase_value double"
+    )
+
+    def result():
+        return {
+            (r["click_id"], r["purchase_id"])
+            for r in spark.read.schema(out_schema).parquet(out_dir).collect()
+        }
+
+    batch1 = [
+        (1, 1, "2024-01-01 10:00:00", "click", 0.0),   # converts
+        (2, 1, "2024-01-01 10:30:00", "purchase", 3.0),
+        (3, 2, "2024-01-01 10:00:00", "click", 0.0),   # never converts
+    ]
+    write(batch1)
+    run_once()
+    # watermark so far: 10:30 - 1h -> 09:30; click 3's outer deadline is
+    # 12:00 (+2h window) — the NULL row must NOT have been emitted yet
+    assert (3, None) not in result()
+    assert (1, 2) in result()
+
+    # advance event time far past the deadline ON BOTH SIDES (the global
+    # watermark is the MIN of the two sides' watermarks, and rows are
+    # filtered to their side BEFORE the watermark node — so a 'view'
+    # event advances neither). Two runs: the first raises the max event
+    # time, the next state round evicts + emits the NULL row. The
+    # far-future click (user 98) and purchase (user 99) never match
+    # anything and are themselves still within their own horizons.
+    write([
+        (4, 98, "2024-01-01 16:00:00", "click", 0.0),
+        (5, 99, "2024-01-01 16:00:00", "purchase", 1.0),
+    ])
+    run_once()
+    write([
+        (6, 98, "2024-01-01 17:00:00", "click", 0.0),
+        (7, 99, "2024-01-01 17:00:00", "purchase", 1.0),
+    ])
+    run_once()
+
+    got = result()
+    assert (3, None) in got, got
+    expected = {
+        (r["click_id"], r["purchase_id"])
+        for r in interval_join_batch_left(
+            _events(spark, batch1)
+        ).collect()
+    }
+    assert got == expected
