@@ -235,3 +235,75 @@ def test_left_outer_emits_null_after_watermark(spark, tmp_path):
         ).collect()
     }
     assert got == expected
+
+
+def test_stream_parity_randomized_splits(spark, tmp_path):
+    """Randomized parity: 240 events with random users/types/times,
+    sorted by time and cut into 4 micro-batches (cuts are time-ordered,
+    so the 4h watermark can never drop a cross-batch match — parity is
+    EXACT; see the derivation in streaming/windows.py docstrings). Any
+    buffered-state bug across batch boundaries breaks the equality."""
+    import random
+
+    rng = random.Random(20260817)
+    base = 1704103200  # 2024-01-01 10:00 UTC
+    rows = []
+    for i in range(240):
+        rows.append(
+            (
+                i,
+                rng.randrange(12),
+                i and base + rng.randrange(36_000),  # 10h span
+                rng.choice(["click", "purchase", "view", "signup"]),
+                round(rng.uniform(0, 20), 2),
+            )
+        )
+    rows = [(e, u, t or base, k, v) for (e, u, t, k, v) in rows]
+    rows.sort(key=lambda r: r[2])
+    batches = [rows[0:60], rows[60:130], rows[130:200], rows[200:240]]
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def to_df(rs):
+        return spark.createDataFrame(
+            [(e, u, t, k, v) for (e, u, t, k, v) in rs],
+            "event_id long, user_id long, epoch long, event_type string, value double",
+        ).select(
+            "event_id",
+            "user_id",
+            F.timestamp_seconds("epoch").alias("ts"),
+            "event_type",
+            "value",
+        )
+
+    for b in batches:
+        to_df(b).select(
+            "event_id", "user_id", "ts", "event_type", "value"
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = (
+            interval_join_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    out_schema = (
+        "user_id long, click_id long, purchase_id long,"
+        " click_ts timestamp, purchase_ts timestamp, purchase_value double"
+    )
+    streamed = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.read.schema(out_schema).parquet(out_dir).collect()
+    }
+    expected = {
+        (r["click_id"], r["purchase_id"])
+        for r in interval_join_batch(to_df(rows)).collect()
+    }
+    assert len(expected) > 50  # non-vacuous
+    assert streamed == expected
