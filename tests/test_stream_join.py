@@ -307,3 +307,67 @@ def test_stream_parity_randomized_splits(spark, tmp_path):
     }
     assert len(expected) > 50  # non-vacuous
     assert streamed == expected
+
+
+def test_join_state_is_bounded_by_horizon(spark, tmp_path):
+    """The O(horizon) claim, measured: feed 6 equal-sized micro-batches,
+    each advancing event time by 3h (past the 2h attribution window, so
+    older rows are evictable). The join's state-store row count
+    (stateOperators numRowsTotal) must PLATEAU — the late batches may
+    not hold more state than the early ones — instead of growing
+    linearly with the stream as an unwatermarked join would."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    base = 1704103200  # 2024-01-01 10:00 UTC
+
+    def write(batch_no):
+        rows = []
+        for i in range(40):
+            eid = batch_no * 100 + i
+            rows.append(
+                (
+                    eid,
+                    i % 7,
+                    base + batch_no * 10_800 + (i * 137) % 3600,
+                    "click" if i % 2 else "purchase",
+                    1.0,
+                )
+            )
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, epoch long, event_type string, value double",
+        ).select(
+            "event_id",
+            "user_id",
+            F.timestamp_seconds("epoch").alias("ts"),
+            "event_type",
+            "value",
+        ).write.mode("append").parquet(src)
+
+    state_rows = []
+    for b in range(6):
+        write(b)
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = (
+            interval_join_stream(stream, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+        assert progresses, "no state operator progress reported"
+        state_rows.append(
+            max(p["stateOperators"][0]["numRowsTotal"] for p in progresses)
+        )
+
+    # steady state by batch 2 (watermark needs one batch of history);
+    # every later batch must hold no more state than that plateau
+    plateau = max(state_rows[1:3])
+    assert all(s <= plateau for s in state_rows[3:]), state_rows
+    # and eviction is really happening: total ingested rows far exceed
+    # what the store retains at the end
+    assert state_rows[-1] < 6 * 40, state_rows
