@@ -87,8 +87,12 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs = entry.queries()
-    oracles = entry.oracle_sql()
+    # strict-check EVERYTHING with an oracle, including the pytest-only
+    # entries the driver's 50-row window can't see
+    from nifi_ngsild_postgresql_spark.analytics import registry
+
+    qs = registry.all_queries()
+    oracles = registry.all_oracle_sql()
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
