@@ -1,0 +1,242 @@
+"""Incrementally-maintained equi-join view — IVM for joins.
+
+``MaterializedAggregate`` / ``MaterializedDistinct`` (changefeed.py)
+maintain per-group scalars; this module maintains a full **join view**:
+
+    view = facts JOIN dims ON facts.<on> = dims.entityid
+
+as a lake table that follows BOTH base tables' change feeds at
+O(changes) per refresh — the view is never recomputed from scratch and
+never rescanned. This is the enrichment shape every CDC deployment has
+(readings x device registry, orders x customer dim) and the reference
+leaves to downstream SQL; here it becomes an operational object like
+the rest of the IVM family.
+
+Maintenance algebra (per refresh, both feeds polled together):
+
+- **fact-side delta** (``facts.read_changes(lv0, lv1)``): insert/update
+  postimages join the CURRENT dim state (broadcast — an enrichment dim
+  is small by definition); matched rows upsert into the view, unmatched
+  rows DELETE the fact's view row (inner join) or upsert with NULL dim
+  columns (left join). Feed deletes pass through as view deletes with
+  the fact's own LWW order, so the lake's tombstone chain applies
+  unchanged. Cost: O(fact changes).
+- **dim-side delta** (``dims.read_changes(rv0, rv1)`` with pre-images):
+  the affected join keys D are the dim entity ids in the batch
+  (pre-images included — an update that MOVES a key retracts the old
+  side). Facts with fk in D are re-derived against the new dim state
+  and upserted / deleted exactly like fact-side posts. Cost: O(facts
+  with fk in D) — a stat-pruned range read on copy-on-write fact
+  tables, since D is tiny (dim changes are rare by construction).
+
+View-row ordering — why replays and out-of-order refreshes converge:
+every view upsert carries the fact row's own (_recv_time, _seq) with
+``'#' + <refresh ordinal>`` appended to _seq (ordinal =
+zero-padded (lv1, rv1), strictly increasing across refreshes). A newer
+FACT version still wins on its own order (the suffix starts with
+``'#'`` = 0x23, below every alphanumeric, so suffixing preserves the
+prefix comparison), while for the SAME fact version a later refresh
+out-orders an earlier one — which is what lets a dim delete (view
+tombstone at ordinal r, ``..#r~``) be resurrected by the dim's
+re-insert (view upsert at ordinal r' > r, ``..#r'``). Fact-feed deletes
+keep the fact's raw order: ``seq~`` out-orders every ``seq#..`` suffix
+(0x7E > 0x23), and only a genuinely newer fact row resurrects the key.
+
+Exactly-once: the single view commit per refresh is keyed by the polled
+range pair (``mjoin-<lv0>-<lv1>-<rv0>-<rv1>``); a crash between apply
+and checkpoint re-derives the identical batch and the lake's epoch
+ledger no-ops it. Checkpoints advance only after the commit returns.
+
+100 TB shape: the only full-table touch is the dim-side affected-fact
+read, bounded by |D| and stat/bucket-pruned; everything else is keyed
+joins over change batches plus the view table's own MoR append commit
+(O(batch) regardless of view size). No driver-side row collect anywhere
+— the only collects are the two pruning bounds (2 scalars).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.lake import LakeTable, table_spark_schema
+from .changefeed import ChangeFeedConsumer
+
+_DIM_KEY = "__mj_dimkey"
+
+
+class MaterializedJoin:
+    """Maintain ``facts ⋈ dims`` (on ``facts[on] == dims.entityid``) as
+    the lake table ``view``, incrementally from both change feeds.
+
+    ``how`` is ``'inner'`` or ``'left'``. Dim payload columns land in
+    the view renamed ``<dim_prefix><col>`` (the dim's ``entityid`` is
+    redundant with the fact's ``on`` column and is dropped)."""
+
+    def __init__(
+        self,
+        facts: LakeTable,
+        dims: LakeTable,
+        view: LakeTable,
+        state_dir: str,
+        on: str,
+        how: str = "inner",
+        dim_prefix: str = "dim_",
+    ):
+        if how not in ("inner", "left"):
+            raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+        self.facts = facts
+        self.dims = dims
+        self.view = view
+        self.on = on
+        self.how = how
+        self.dim_prefix = dim_prefix
+        os.makedirs(state_dir, exist_ok=True)
+        # position tracking only — polling/commit is driven here so both
+        # checkpoints advance strictly AFTER the single view commit
+        self._fc = ChangeFeedConsumer(facts, os.path.join(state_dir, "facts"))
+        self._dc = ChangeFeedConsumer(dims, os.path.join(state_dir, "dims"))
+
+    # -- schema ------------------------------------------------------------
+
+    def _dim_payload(self) -> dict[str, str]:
+        ds = self.dims.schema() or {}
+        return {c: t for c, t in ds.items() if c != "entityid"}
+
+    def view_schema(self) -> dict[str, str]:
+        fs = self.facts.schema()
+        if fs is None:
+            raise FileNotFoundError("facts table has no committed schema yet")
+        clash = {f"{self.dim_prefix}{c}" for c in self._dim_payload()} & set(fs)
+        if clash:
+            raise ValueError(
+                f"dim columns {sorted(clash)} collide with fact columns — "
+                "pick another dim_prefix"
+            )
+        return {
+            **fs,
+            **{f"{self.dim_prefix}{c}": t for c, t in self._dim_payload().items()},
+        }
+
+    def _dim_state(self, spark: SparkSession, version: int) -> DataFrame:
+        """Current dim state as (__mj_dimkey, <prefix>payload...)."""
+        payload = self._dim_payload()
+        if version == 0:
+            return spark.createDataFrame(
+                [],
+                table_spark_schema(
+                    {"entityid": "TEXT", **payload}, with_meta=False
+                ),
+            ).select(
+                F.col("entityid").alias(_DIM_KEY),
+                *[F.col(c).alias(f"{self.dim_prefix}{c}") for c in payload],
+            )
+        return self.dims.read(spark, version=version).select(
+            F.col("entityid").alias(_DIM_KEY),
+            *[F.col(c).alias(f"{self.dim_prefix}{c}") for c in payload],
+        )
+
+    # -- refresh -----------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self.view.read(spark)
+
+    def refresh(self, spark: SparkSession) -> dict[str, Any]:
+        lv0, rv0 = self._fc.position(), self._dc.position()
+        lvs, rvs = self.facts.versions(), self.dims.versions()
+        lv1 = lvs[-1] if lvs else 0
+        rv1 = rvs[-1] if rvs else 0
+        if lv1 <= lv0 and rv1 <= rv0:
+            return {"facts": (lv0, lv0), "dims": (rv0, rv0), "rows": 0}
+        ordinal = f"{lv1:08d}{rv1:08d}"
+        suffixed = F.concat(
+            F.coalesce(F.col("_seq"), F.lit("")), F.lit("#" + ordinal)
+        ).alias("_seq")
+        dim_state = self._dim_state(spark, rv1)
+        schema = self.view_schema()
+        out_cols = [*schema, "_row_key", "_recv_time"]
+        parts: list[DataFrame] = []
+
+        def _routed(fact_rows: DataFrame) -> DataFrame:
+            """Join fact rows (with meta) to the dim state and route:
+            matched -> upsert; unmatched -> delete (inner) / NULL-padded
+            upsert (left)."""
+            j = fact_rows.join(
+                F.broadcast(dim_state),
+                fact_rows[self.on] == F.col(_DIM_KEY),
+                "left",
+            )
+            if self.how == "left":
+                ct = F.lit("update")
+            else:
+                ct = F.when(
+                    F.col(_DIM_KEY).isNull(), F.lit("delete")
+                ).otherwise(F.lit("update"))
+            return j.select(
+                *[c for c in out_cols if c in j.columns],
+                suffixed,
+                ct.alias("_change_type"),
+            )
+
+        if lv1 > lv0:
+            fc = self.facts.read_changes(spark, lv0, lv1, with_meta=True)
+            posts = fc.filter(F.col("_change_type").isin("insert", "update"))
+            parts.append(_routed(posts))
+            # feed deletes keep the fact's raw order: the lake bumps it
+            # with '~', which out-orders every '#'-suffixed view upsert
+            dels = fc.filter(F.col("_change_type") == "delete").select(
+                *[c for c in out_cols if c in fc.columns],
+                "_seq",
+                "_change_type",
+            )
+            parts.append(dels)
+
+        if rv1 > rv0 and lv0 > 0 and lv1 > 0:
+            # dim-side: re-derive facts whose fk is among the changed dim
+            # keys (pre-images included — a moved key retracts its old
+            # match). Skipped on first fact hydration (lv0 == 0): the
+            # hydration join above already saw the rv1 dim state.
+            dc = self.dims.read_changes(spark, rv0, rv1, include_preimage=True)
+            dkeys = dc.select(F.col("entityid").alias(_DIM_KEY)).distinct()
+            where = None
+            snap = self.facts.snapshot(lv1)
+            if not snap.get("merge_on_read") and self.on in snap["schema"]:
+                # stat-pruned superset read on CoW facts: [min(D), max(D)]
+                bounds = dkeys.agg(
+                    F.min(_DIM_KEY).alias("lo"), F.max(_DIM_KEY).alias("hi")
+                ).collect()[0]
+                if bounds["lo"] is not None:
+                    where = {self.on: (bounds["lo"], bounds["hi"])}
+            affected = (
+                self.facts.read(spark, with_meta=True, version=lv1, where=where)
+                .join(
+                    F.broadcast(dkeys),
+                    F.col(self.on) == F.col(_DIM_KEY),
+                    "left_semi",
+                )
+            )
+            parts.append(_routed(affected))
+
+        if not parts:
+            # dims advanced but no fact state exists yet — nothing a join
+            # view could contain; just advance the dim checkpoint
+            self._dc._commit(rv1)
+            return {"facts": (lv0, lv0), "dims": (rv0, rv1), "rows": 0}
+
+        combined = parts[0]
+        for p in parts[1:]:
+            combined = combined.unionByName(p, allowMissingColumns=True)
+        out = self.view.apply_changes(
+            combined, schema, epoch_id=f"mjoin-{lv0}-{lv1}-{rv0}-{rv1}"
+        )
+        self._fc._commit(lv1)
+        self._dc._commit(rv1)
+        return {
+            "facts": (lv0, lv1),
+            "dims": (rv0, rv1),
+            "rows": out.get("rows_written", 0),
+            "skipped_epoch": out.get("skipped_epoch", False),
+        }

@@ -1,0 +1,281 @@
+"""MaterializedJoin (streaming/joinview.py) — an equi-join view
+maintained incrementally from BOTH base tables' change feeds.
+
+Pinned here:
+- hydration equals the full recomputed join (inner and left);
+- fact inserts / updates / deletes propagate through the fact feed;
+- a dim update rewrites exactly the affected facts; a dim delete drops
+  them (inner) or NULL-pads them (left); a dim re-insert RESURRECTS
+  them (the refresh-ordinal _seq suffix out-orders the older view
+  tombstone);
+- a crash between the view commit and the checkpoint (simulated by
+  rolling the checkpoints back) re-derives the same batch and the
+  epoch ledger no-ops it — refresh is exactly-once;
+- a seeded random interleaving of fact/dim upserts and deletes with
+  refreshes sprinkled between commits always ends (and stays at every
+  refresh point) equal to the join recomputed from the base tables.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+from nifi_ngsild_postgresql_spark.streaming.joinview import MaterializedJoin
+
+FACT_SCHEMA = {
+    "entityid": "TEXT",
+    "sensor": "TEXT",
+    "reading": "NUMERIC",
+    "observedat": "TIMESTAMPTZ",
+}
+DIM_SCHEMA = {"entityid": "TEXT", "site": "TEXT", "calib": "NUMERIC"}
+TS = "2024-03-01T00:00:00"
+
+
+def _facts_batch(spark, rows):
+    """rows: (fact_id, sensor_id, reading, recv_ms, seq)."""
+    data = [
+        (f"urn:f:{fid}", f"urn:s:{sid}", float(v), TS, "r0", recv, seq)
+        for fid, sid, v, recv, seq in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "entityid string, sensor string, reading double, observedat string,"
+        " _row_key string, _recv int, _seq string",
+    ).select(
+        "entityid", "sensor", "reading",
+        F.col("observedat").cast("timestamp").alias("observedat"),
+        "_row_key",
+        F.timestamp_millis(
+            F.lit(1700000000000) + F.col("_recv").cast("long")
+        ).alias("_recv_time"),
+        "_seq",
+    )
+
+
+def _dims_batch(spark, rows):
+    """rows: (sensor_id, site, calib, recv_ms, seq)."""
+    data = [
+        (f"urn:s:{sid}", site, float(c), "r0", recv, seq)
+        for sid, site, c, recv, seq in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "entityid string, site string, calib double,"
+        " _row_key string, _recv int, _seq string",
+    ).select(
+        "entityid", "site", "calib", "_row_key",
+        F.timestamp_millis(
+            F.lit(1700000000000) + F.col("_recv").cast("long")
+        ).alias("_recv_time"),
+        "_seq",
+    )
+
+
+def _setup(spark, tmp_path, how="inner"):
+    cat = LakeCatalog(str(tmp_path / "wh"), n_buckets=2)
+    facts = cat.table("t", "readings")
+    dims = cat.table("t", "sensors")
+    view = cat.table("t", "readings_enriched")
+    mj = MaterializedJoin(
+        facts, dims, view, str(tmp_path / "mjstate"), on="sensor", how=how
+    )
+    return facts, dims, view, mj
+
+
+def _expected(spark, facts, dims, how):
+    """The join recomputed from scratch — the oracle the view must equal."""
+    if facts.latest_snapshot() is None:
+        return []
+    f = facts.read(spark)
+    if dims.latest_snapshot() is None:
+        if how == "inner":
+            return []
+        rows = f.withColumn("dim_site", F.lit(None).cast("string")).withColumn(
+            "dim_calib", F.lit(None).cast("double")
+        )
+    else:
+        d = dims.read(spark).select(
+            F.col("entityid").alias("__k"),
+            F.col("site").alias("dim_site"),
+            F.col("calib").alias("dim_calib"),
+        )
+        rows = f.join(d, f["sensor"] == F.col("__k"), how).drop("__k")
+    return sorted(
+        (r["entityid"], r["sensor"], r["reading"], r["dim_site"], r["dim_calib"])
+        for r in rows.collect()
+    )
+
+
+def _actual(spark, view):
+    if view.latest_snapshot() is None:
+        return []
+    return sorted(
+        (r["entityid"], r["sensor"], r["reading"], r["dim_site"], r["dim_calib"])
+        for r in view.read(spark).collect()
+    )
+
+
+def _check(spark, facts, dims, view, how):
+    assert _actual(spark, view) == _expected(spark, facts, dims, how)
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_hydration_equals_full_join(spark, tmp_path, how):
+    facts, dims, view, mj = _setup(spark, tmp_path, how)
+    dims.upsert(
+        _dims_batch(spark, [(0, "north", 1.5, 0, "000000"),
+                            (1, "south", 2.0, 0, "000001")]),
+        DIM_SCHEMA, "d0",
+    )
+    facts.upsert(
+        _facts_batch(spark, [(0, 0, 10.0, 0, "000000"),
+                             (1, 1, 20.0, 0, "000001"),
+                             (2, 7, 30.0, 0, "000002")]),  # sensor 7: no dim
+        FACT_SCHEMA, "f0",
+    )
+    mj.refresh(spark)
+    _check(spark, facts, dims, view, how)
+    # inner drops the orphan fact, left NULL-pads it
+    n = len(_actual(spark, view))
+    assert n == (2 if how == "inner" else 3)
+
+
+def test_fact_feed_propagates(spark, tmp_path):
+    facts, dims, view, mj = _setup(spark, tmp_path)
+    dims.upsert(_dims_batch(spark, [(0, "north", 1.5, 0, "000000")]),
+                DIM_SCHEMA, "d0")
+    facts.upsert(_facts_batch(spark, [(0, 0, 10.0, 0, "000000")]),
+                 FACT_SCHEMA, "f0")
+    mj.refresh(spark)
+    # update + insert through the fact feed
+    facts.upsert(
+        _facts_batch(spark, [(0, 0, 11.0, 1, "000100"),
+                             (3, 0, 33.0, 1, "000101")]),
+        FACT_SCHEMA, "f1",
+    )
+    mj.refresh(spark)
+    _check(spark, facts, dims, view, "inner")
+    # fact delete propagates as a view delete
+    facts.delete_where(spark, predicate="reading >= 33", strategy="mor")
+    mj.refresh(spark)
+    _check(spark, facts, dims, view, "inner")
+    assert len(_actual(spark, view)) == 1
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_dim_update_delete_reinsert(spark, tmp_path, how):
+    facts, dims, view, mj = _setup(spark, tmp_path, how)
+    dims.upsert(
+        _dims_batch(spark, [(0, "north", 1.5, 0, "000000"),
+                            (1, "south", 2.0, 0, "000001")]),
+        DIM_SCHEMA, "d0",
+    )
+    facts.upsert(
+        _facts_batch(spark, [(0, 0, 10.0, 0, "000000"),
+                             (1, 1, 20.0, 0, "000001"),
+                             (2, 0, 30.0, 0, "000002")]),
+        FACT_SCHEMA, "f0",
+    )
+    mj.refresh(spark)
+    # dim UPDATE rewrites the two facts on sensor 0, leaves sensor 1 alone
+    dims.upsert(_dims_batch(spark, [(0, "north-2", 1.75, 1, "000100")]),
+                DIM_SCHEMA, "d1")
+    mj.refresh(spark)
+    _check(spark, facts, dims, view, how)
+    sites = {r[3] for r in _actual(spark, view) if r[1] == "urn:s:0"}
+    assert sites == {"north-2"}
+    # dim DELETE: inner drops its facts, left NULL-pads them
+    dims.delete_where(spark, predicate="site = 'north-2'", strategy="mor")
+    mj.refresh(spark)
+    _check(spark, facts, dims, view, how)
+    # dim RE-INSERT resurrects them (ordinal suffix out-orders the
+    # older view tombstone)
+    dims.upsert(_dims_batch(spark, [(0, "north-3", 1.9, 2, "000200")]),
+                DIM_SCHEMA, "d2")
+    mj.refresh(spark)
+    _check(spark, facts, dims, view, how)
+    assert {r[3] for r in _actual(spark, view) if r[1] == "urn:s:0"} == {"north-3"}
+
+
+def test_refresh_is_exactly_once_after_checkpoint_rollback(spark, tmp_path):
+    facts, dims, view, mj = _setup(spark, tmp_path)
+    dims.upsert(_dims_batch(spark, [(0, "north", 1.5, 0, "000000")]),
+                DIM_SCHEMA, "d0")
+    facts.upsert(_facts_batch(spark, [(0, 0, 10.0, 0, "000000")]),
+                 FACT_SCHEMA, "f0")
+    mj.refresh(spark)
+    facts.upsert(_facts_batch(spark, [(0, 0, 11.0, 1, "000100")]),
+                 FACT_SCHEMA, "f1")
+    lv0, rv0 = mj._fc.position(), mj._dc.position()
+    out1 = mj.refresh(spark)
+    v_after = view.versions()[-1]
+    # simulate the crash window: view committed, checkpoints lost
+    mj._fc._commit(lv0)
+    mj._dc._commit(rv0)
+    out2 = mj.refresh(spark)
+    assert out2["skipped_epoch"] and not out1.get("skipped_epoch")
+    assert view.versions()[-1] == v_after  # no second commit
+    _check(spark, facts, dims, view, "inner")
+
+
+def test_noop_refresh(spark, tmp_path):
+    facts, dims, view, mj = _setup(spark, tmp_path)
+    facts.upsert(_facts_batch(spark, [(0, 0, 1.0, 0, "000000")]),
+                 FACT_SCHEMA, "f0")
+    dims.upsert(_dims_batch(spark, [(0, "n", 1.0, 0, "000000")]),
+                DIM_SCHEMA, "d0")
+    mj.refresh(spark)
+    v = view.versions()[-1]
+    out = mj.refresh(spark)
+    assert out["rows"] == 0 and view.versions()[-1] == v
+
+
+@pytest.mark.parametrize("how,seed", [("inner", 11), ("left", 23)])
+def test_randomized_interleaving_matches_recompute(spark, tmp_path, how, seed):
+    facts, dims, view, mj = _setup(spark, tmp_path, how)
+    rng = random.Random(seed)
+    recv, seq = 0, 0
+
+    def nxt():
+        nonlocal recv, seq
+        recv, seq = recv + 1, seq + 1
+        return recv, f"{seq:06d}"
+
+    fe, de = 0, 0
+    for step in range(18):
+        op = rng.choice(["fact_up", "fact_up", "dim_up", "fact_del", "dim_del"])
+        if op == "fact_up":
+            rows = [
+                (rng.randrange(6), rng.randrange(4), rng.uniform(0, 100), *nxt())
+                for _ in range(rng.randrange(1, 4))
+            ]
+            fe += 1
+            facts.upsert(_facts_batch(spark, rows), FACT_SCHEMA, f"f{fe}")
+        elif op == "dim_up":
+            rows = [
+                (rng.randrange(4), f"site{rng.randrange(8)}",
+                 rng.uniform(0, 5), *nxt())
+                for _ in range(rng.randrange(1, 3))
+            ]
+            de += 1
+            dims.upsert(_dims_batch(spark, rows), DIM_SCHEMA, f"d{de}")
+        elif op == "fact_del" and facts.latest_snapshot() is not None:
+            facts.delete_where(
+                spark, predicate=f"entityid = 'urn:f:{rng.randrange(6)}'",
+                strategy="mor",
+            )
+        elif op == "dim_del" and dims.latest_snapshot() is not None:
+            dims.delete_where(
+                spark, predicate=f"entityid = 'urn:s:{rng.randrange(4)}'",
+                strategy="mor",
+            )
+        if rng.random() < 0.5:
+            mj.refresh(spark)
+            _check(spark, facts, dims, view, how)
+    mj.refresh(spark)
+    _check(spark, facts, dims, view, how)
