@@ -1,0 +1,170 @@
+"""Write–Audit–Publish (WAP) — staged commits gated by audit queries.
+
+The Iceberg deployment pattern the reference's NiFi flow has no answer
+to: a producer wants its micro-batch INVISIBLE to readers until data-
+quality audits pass over the would-be-published state, then published
+atomically — or dropped without a trace. Here it is an operational
+object over the existing lake:
+
+- ``stage(df)`` writes into a private staging LakeTable under
+  ``<table>/_wap/<wap_id>/`` — full lake semantics (LWW upserts, MoR
+  deletes, schema evolution) but a directory readers of the main table
+  never open. Staging across several micro-batches is fine; each stage
+  call is epoch-idempotent like any other lake write.
+- ``preview(spark)`` is the EXACT state the main table will expose
+  after publish — main state unioned with the staged keyed state
+  (tombstones included) through the same LWW reduce the lake's own
+  readers use. Audits run over this, so what they approve is what
+  readers will see (pinned by test: preview == post-publish read).
+- ``publish(spark, audits=[...])`` evaluates each audit callable over
+  the preview; any falsy result raises ``AuditFailedError`` and the
+  main table is untouched (staging survives for inspection / a fixed
+  retry). When all pass, the staged keyed state lands as ONE
+  ``apply_changes`` commit — live rows as superseding versions carrying
+  their original LWW order, staged tombstone winners as deletes — keyed
+  by ``wap-<wap_id>``, so replaying a crashed publish is a no-op
+  (exactly-once). Cost: O(staged rows), never O(table).
+- ``abort()`` removes the staging directory; nothing was ever visible.
+
+100 TB shape: staging is an ordinary bucketed lake table (same bucket
+count as main so the publish shuffle aligns), audits are arbitrary
+DataFrame predicates pushed through the normal scan path, and publish
+is a MoR append commit — O(staged batch) regardless of main's size.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .lake import TOMBSTONE_COL, LakeTable
+
+
+class AuditFailedError(RuntimeError):
+    """An audit returned falsy — the staged batch was NOT published."""
+
+
+class WapSession:
+    """One write–audit–publish cycle against ``table``.
+
+    ``wap_id`` identifies the cycle; reopening a ``WapSession`` with the
+    same id resumes its staging state (so a crashed producer continues
+    where it stopped, and a crashed publish replays idempotently)."""
+
+    def __init__(self, table: LakeTable, wap_id: str):
+        if "/" in wap_id or wap_id in ("", ".", ".."):
+            raise ValueError(f"bad wap_id {wap_id!r}")
+        self.table = table
+        self.wap_id = wap_id
+        snap = table.latest_snapshot()
+        n_buckets = snap["n_buckets"] if snap else table.default_n_buckets
+        # path layout: <main table dir>/_wap/<wap_id>/staging — inside the
+        # main table's directory (one lifecycle, one permission domain)
+        # but never referenced by any main manifest, so readers and GC of
+        # the main table cannot see or touch it
+        self.staging = LakeTable(
+            os.path.join(table.path, "_wap"), wap_id, "staging",
+            n_buckets=n_buckets,
+        )
+
+    # -- producer side -------------------------------------------------------
+
+    def stage(
+        self, df: DataFrame, schema: dict[str, str], epoch_id: str
+    ) -> dict[str, Any]:
+        """Write a batch into the staging table (merge-on-read upsert —
+        O(batch); several stage calls accumulate one keyed state)."""
+        return self.staging.upsert_mor(df, schema, epoch_id)
+
+    def stage_delete(self, spark: SparkSession, predicate: str) -> dict[str, Any]:
+        """Stage a row deletion (MoR tombstones in staging). Only rows
+        already staged can be deleted here — deleting MAIN rows through a
+        WAP cycle means staging a tombstone for them, which requires the
+        row key; use ``delete_where`` on the main table for ad-hoc DML."""
+        return self.staging.delete_where(spark, predicate=predicate, strategy="mor")
+
+    # -- the would-be-published state -----------------------------------------
+
+    def _staged_state(self, spark: SparkSession) -> tuple[DataFrame, dict]:
+        """Staging's keyed state with tombstone winners KEPT (read() would
+        drop them; publish needs them as deletes)."""
+        from ..operators.dedup import last_writer_wins
+
+        snap = self.staging.latest_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"wap {self.wap_id}: nothing staged")
+        rel = [p for paths in snap["files"].values() for p in paths]
+        raw = self.staging._read_files(
+            spark, snap["schema"], rel, with_meta=True, with_tombstone=True
+        ).withColumn(
+            TOMBSTONE_COL, F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+        )
+        return last_writer_wins(raw), snap["schema"]
+
+    def _publish_schema(self, staged_schema: dict[str, str]) -> dict[str, str]:
+        return {**(self.table.schema() or {}), **staged_schema}
+
+    def preview(self, spark: SparkSession) -> DataFrame:
+        """Exactly what ``table.read`` will return after ``publish()`` —
+        the audit surface. Main rows a staged row out-orders disappear,
+        staged tombstone winners shadow their main rows."""
+        staged, s_schema = self._staged_state(spark)
+        schema = self._publish_schema(s_schema)
+        cols = [*schema, *"_row_key _recv_time _seq".split(), TOMBSTONE_COL]
+        main_snap = self.table.latest_snapshot()
+        if main_snap is None:
+            combined = staged
+        else:
+            main = self.table.read(spark, with_meta=True).withColumn(
+                TOMBSTONE_COL, F.lit(False)
+            )
+            for c in schema:
+                if c not in main.columns:
+                    main = main.withColumn(c, F.lit(None))
+                if c not in staged.columns:
+                    staged = staged.withColumn(c, F.lit(None))
+            from ..operators.dedup import last_writer_wins
+
+            combined = last_writer_wins(
+                main.select(*cols).unionByName(staged.select(*cols))
+            )
+        return (
+            combined.filter(~F.col(TOMBSTONE_COL))
+            .drop(TOMBSTONE_COL, "_row_key", "_recv_time", "_seq")
+        )
+
+    # -- gate + land -----------------------------------------------------------
+
+    def publish(
+        self,
+        spark: SparkSession,
+        audits: list[Callable[[DataFrame], bool]] | None = None,
+    ) -> dict[str, Any]:
+        staged, s_schema = self._staged_state(spark)
+        schema = self._publish_schema(s_schema)
+        for i, audit in enumerate(audits or []):
+            if not audit(self.preview(spark)):
+                raise AuditFailedError(
+                    f"wap {self.wap_id}: audit #{i} "
+                    f"({getattr(audit, '__name__', 'audit')}) rejected the "
+                    "staged state — nothing published"
+                )
+        changes = staged.withColumn(
+            "_change_type",
+            F.when(F.col(TOMBSTONE_COL), F.lit("delete")).otherwise(
+                F.lit("update")
+            ),
+        ).drop(TOMBSTONE_COL)
+        out = self.table.apply_changes(
+            changes, schema, epoch_id=f"wap-{self.wap_id}"
+        )
+        self.abort()  # staging fully landed — remove it
+        return out
+
+    def abort(self) -> None:
+        """Drop the staging directory; nothing ever became visible."""
+        shutil.rmtree(os.path.dirname(self.staging.path), ignore_errors=True)

@@ -1,0 +1,167 @@
+"""Write–Audit–Publish (plans/wap.py).
+
+Pinned here:
+- staged rows are invisible to main-table readers until publish;
+- preview() == the main table's read() after publish — the audit
+  surface IS the post-publish state (LWW races against stored rows and
+  staged tombstones included);
+- a failing audit raises, main is untouched, staging survives; the
+  same session publishes after the data is fixed;
+- publish is exactly-once: replaying a crashed publish (staging
+  re-created with the same wap_id and identical content) no-ops via
+  the epoch ledger;
+- abort leaves no trace on disk and nothing visible;
+- schema evolution staged through WAP lands with the merged schema.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+from nifi_ngsild_postgresql_spark.plans.wap import AuditFailedError, WapSession
+
+SCHEMA = {"entityid": "TEXT", "level": "NUMERIC", "observedat": "TIMESTAMPTZ"}
+TS = "2024-05-01T00:00:00"
+
+
+def _batch(spark, rows, extra_col=False):
+    """rows: (eid, level, recv_ms, seq)."""
+    data = [(f"urn:x:{e}", float(v), TS, "r0", recv, seq) for e, v, recv, seq in rows]
+    df = spark.createDataFrame(
+        data,
+        "entityid string, level double, observedat string,"
+        " _row_key string, _recv int, _seq string",
+    ).select(
+        "entityid", "level",
+        F.col("observedat").cast("timestamp").alias("observedat"),
+        "_row_key",
+        F.timestamp_millis(
+            F.lit(1700000000000) + F.col("_recv").cast("long")
+        ).alias("_recv_time"),
+        "_seq",
+    )
+    if extra_col:
+        df = df.withColumn("unit", F.lit("celsius"))
+    return df
+
+
+def _state(spark, t):
+    if t.latest_snapshot() is None:
+        return []
+    return sorted(
+        (r["entityid"], r["level"]) for r in t.read(spark).collect()
+    )
+
+
+def _setup(spark, tmp_path):
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=2).table("t", "gauge")
+    t.upsert(
+        _batch(spark, [(0, 1.0, 0, "000000"), (1, 2.0, 0, "000001")]),
+        SCHEMA, "e0",
+    )
+    return t
+
+
+def test_staged_rows_invisible_until_publish(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    wap = WapSession(t, "batch42")
+    wap.stage(_batch(spark, [(2, 3.0, 1, "000100")]), SCHEMA, "s0")
+    assert _state(spark, t) == [("urn:x:0", 1.0), ("urn:x:1", 2.0)]
+    v0 = t.versions()[-1]
+    wap.publish(spark)
+    assert _state(spark, t) == [
+        ("urn:x:0", 1.0), ("urn:x:1", 2.0), ("urn:x:2", 3.0)
+    ]
+    assert t.versions()[-1] == v0 + 1  # exactly one commit
+    assert not os.path.exists(os.path.join(t.path, "_wap", "batch42"))
+
+
+def test_preview_equals_post_publish_state(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    wap = WapSession(t, "b")
+    # update of a stored row (LWW race), a new row, and a staged delete
+    wap.stage(
+        _batch(spark, [(0, 10.0, 5, "000500"), (3, 30.0, 5, "000501"),
+                       (4, 40.0, 5, "000502")]),
+        SCHEMA, "s0",
+    )
+    wap.stage_delete(spark, "level >= 40")
+    preview = sorted(
+        (r["entityid"], r["level"]) for r in wap.preview(spark).collect()
+    )
+    wap.publish(spark)
+    assert preview == _state(spark, t)
+    assert preview == [
+        ("urn:x:0", 10.0), ("urn:x:1", 2.0), ("urn:x:3", 30.0)
+    ]
+
+
+def test_failed_audit_blocks_publish_then_fixed_lands(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    wap = WapSession(t, "gated")
+    wap.stage(_batch(spark, [(5, -1.0, 9, "000900")]), SCHEMA, "s0")
+
+    def no_negative_levels(df):
+        return df.filter(F.col("level") < 0).limit(1).count() == 0
+
+    v0 = t.versions()[-1]
+    with pytest.raises(AuditFailedError, match="no_negative_levels"):
+        wap.publish(spark, audits=[no_negative_levels])
+    # main untouched, staging survives for the fix
+    assert t.versions()[-1] == v0
+    assert _state(spark, t) == [("urn:x:0", 1.0), ("urn:x:1", 2.0)]
+    wap.stage(_batch(spark, [(5, 1.5, 10, "001000")]), SCHEMA, "s1")
+    wap.publish(spark, audits=[no_negative_levels])
+    assert ("urn:x:5", 1.5) in _state(spark, t)
+
+
+def test_publish_is_exactly_once(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    wap = WapSession(t, "once")
+    wap.stage(_batch(spark, [(6, 6.0, 3, "000300")]), SCHEMA, "s0")
+    out1 = wap.publish(spark)
+    # crashed-before-cleanup replay: same wap_id, identical staged content
+    wap2 = WapSession(t, "once")
+    wap2.stage(_batch(spark, [(6, 6.0, 3, "000300")]), SCHEMA, "s0")
+    out2 = wap2.publish(spark)
+    assert not out1.get("skipped_epoch") and out2.get("skipped_epoch")
+    assert _state(spark, t).count(("urn:x:6", 6.0)) == 1
+
+
+def test_abort_leaves_no_trace(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    wap = WapSession(t, "nope")
+    wap.stage(_batch(spark, [(7, 7.0, 4, "000400")]), SCHEMA, "s0")
+    wap.abort()
+    assert _state(spark, t) == [("urn:x:0", 1.0), ("urn:x:1", 2.0)]
+    assert not os.path.exists(os.path.join(t.path, "_wap", "nope"))
+    with pytest.raises(FileNotFoundError):
+        wap.preview(spark)
+
+
+def test_schema_evolution_through_wap(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    wap = WapSession(t, "evolve")
+    wap.stage(
+        _batch(spark, [(8, 8.0, 6, "000600")], extra_col=True),
+        {**SCHEMA, "unit": "TEXT"}, "s0",
+    )
+    wap.publish(spark)
+    assert t.schema().get("unit") == "TEXT"
+    rows = {r["entityid"]: r["unit"] for r in t.read(spark).collect()}
+    assert rows["urn:x:8"] == "celsius" and rows["urn:x:0"] is None
+
+
+def test_wap_on_empty_table_bootstraps(spark, tmp_path):
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=2).table("t", "fresh")
+    wap = WapSession(t, "first")
+    wap.stage(_batch(spark, [(0, 1.0, 0, "000000")]), SCHEMA, "s0")
+    assert sorted(
+        (r["entityid"], r["level"]) for r in wap.preview(spark).collect()
+    ) == [("urn:x:0", 1.0)]
+    wap.publish(spark)
+    assert _state(spark, t) == [("urn:x:0", 1.0)]
