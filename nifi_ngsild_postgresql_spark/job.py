@@ -57,6 +57,10 @@ def main(argv: list[str] | None = None) -> int:
                         " (0 disables)")
     i.add_argument("--ignored-attributes", default="")
     i.add_argument("--sysattrs", action="store_true")
+    i.add_argument("--wap-id", default=None,
+                   help="stage the batch invisibly under this write-audit-"
+                        "publish id instead of committing (land it with the"
+                        " `wap` subcommand after audits pass)")
 
     s = sub.add_parser("show")
     s.add_argument("--warehouse", required=True)
@@ -146,6 +150,22 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--predicate", default=None,
                     help="make the target the filtered view WHERE predicate")
 
+    w = sub.add_parser(
+        "wap",
+        help="write-audit-publish: preview / publish / abort batches "
+             "staged with `ingest --wap-id`",
+    )
+    w.add_argument("--warehouse", required=True)
+    w.add_argument("--wap-id", required=True)
+    w.add_argument("--action", choices=("preview", "publish", "abort"),
+                   required=True)
+    w.add_argument("--table", default=None,
+                   help="tenant.table (default: every table staged under "
+                        "the wap id)")
+    w.add_argument("--fail-if", action="append", default=[], metavar="EXPR",
+                   help="audit: reject publish if ANY previewed row matches "
+                        "this Spark SQL boolean; repeatable")
+
     d = sub.add_parser(
         "dml", help="predicate DELETE/UPDATE (copy-on-write or merge-on-read)"
     )
@@ -194,7 +214,21 @@ def main(argv: list[str] | None = None) -> int:
             ignored_attributes=args.ignored_attributes,
             export_sysattrs=args.sysattrs,
         )
+        catalog = None
+        if args.wap_id:
+            from .plans.lake import LakeCatalog
+            from .plans.wap import WapCatalog
+
+            catalog = WapCatalog(
+                LakeCatalog(
+                    args.warehouse, n_buckets=cfg.n_buckets,
+                    target_bucket_bytes=cfg.target_bucket_bytes,
+                ),
+                args.wap_id,
+            )
         if args.stream:
+            if args.wap_id:
+                parser.error("--wap-id is batch-only (stage, audit, publish)")
             if not args.checkpoint:
                 parser.error("--stream requires --checkpoint")
             query = run_stream(
@@ -205,9 +239,48 @@ def main(argv: list[str] | None = None) -> int:
         else:
             changelog = read_changelog(spark, args.changelog)
             t0 = time.time()
-            lineage = ingest_batch(changelog, cfg, args.warehouse, epoch_id="cli-0")
+            lineage = ingest_batch(
+                changelog, cfg, args.warehouse, epoch_id="cli-0",
+                catalog=catalog,
+            )
             lineage["sec"] = round(time.time() - t0, 2)
             print(json.dumps(lineage, default=str))
+        return 0
+
+    if args.cmd == "wap":
+        from .plans.lake import LakeCatalog
+        from .plans.wap import (
+            WapSession,
+            fail_if_any,
+            publish_warehouse,
+            staged_tables,
+        )
+
+        base = LakeCatalog(args.warehouse)
+        audits = [fail_if_any(e) for e in args.fail_if]
+        if args.action == "publish" and not args.table:
+            out = publish_warehouse(spark, base, args.wap_id, audits=audits)
+            print(json.dumps(out, default=str))
+            return 0
+        pairs = (
+            [tuple(args.table.split(".", 1))]
+            if args.table
+            else staged_tables(args.warehouse, args.wap_id)
+        )
+        out = {}
+        for tenant, name in pairs:
+            session = WapSession(base.table(tenant, name), args.wap_id)
+            key = f"{tenant}.{name}"
+            if args.action == "abort":
+                session.abort()
+                out[key] = "aborted"
+            elif args.action == "preview":
+                df = session.preview(spark)
+                out[key] = df.count()
+                df.show(20, truncate=40)
+            else:
+                out[key] = session.publish(spark, audits=audits)
+        print(json.dumps(out, default=str))
         return 0
 
     if args.cmd == "show":

@@ -168,3 +168,81 @@ class WapSession:
     def abort(self) -> None:
         """Drop the staging directory; nothing ever became visible."""
         shutil.rmtree(os.path.dirname(self.staging.path), ignore_errors=True)
+
+
+def fail_if_any(expr: str) -> Callable[[DataFrame], bool]:
+    """Audit builder: reject the publish if ANY previewed row satisfies
+    ``expr`` (a Spark SQL boolean over the view's wide columns) — the
+    CLI's ``--fail-if`` and the common data-quality-gate shape.
+
+    A warehouse-wide publish shares one audit list across tables with
+    different schemas, so an expression referencing columns a table
+    doesn't have is NOT APPLICABLE there and passes (``--fail-if
+    "no2 < 0"`` gates the air-quality table without blocking the valve
+    table). A typo'd column name therefore passes everywhere — verify
+    new audits once with ``--action preview`` on the intended table."""
+    from pyspark.errors.exceptions.base import AnalysisException
+
+    def audit(df: DataFrame) -> bool:
+        try:
+            return df.filter(F.expr(expr)).limit(1).count() == 0
+        except AnalysisException as e:
+            if "UNRESOLVED_COLUMN" in str(e):
+                return True  # not applicable to this table's schema
+            raise
+
+    audit.__name__ = f"fail_if_any({expr!r})"
+    return audit
+
+
+class WapCatalog:
+    """Route the UNCHANGED ingest pipeline into WAP staging — the same
+    sink-swap boundary the SQL sink uses (``ingest_batch(...,
+    catalog=...)``): ``table(tenant, name)`` returns the staging
+    LakeTable of a ``WapSession`` on the base catalog's table, so a
+    whole multi-table micro-batch stages invisibly under one wap id and
+    publishes table by table after its audits pass."""
+
+    def __init__(self, base, wap_id: str):
+        self.base = base
+        self.wap_id = wap_id
+
+    def table(self, tenant: str, name: str) -> LakeTable:
+        return WapSession(self.base.table(tenant, name), self.wap_id).staging
+
+
+def staged_tables(warehouse: str, wap_id: str) -> list[tuple[str, str]]:
+    """(tenant, table) pairs holding staged state for ``wap_id`` under
+    ``warehouse`` — directory discovery, no Spark."""
+    out = []
+    if not os.path.isdir(warehouse):
+        return out
+    for tenant in sorted(os.listdir(warehouse)):
+        tdir = os.path.join(warehouse, tenant)
+        if tenant.startswith("_") or not os.path.isdir(tdir):
+            continue
+        for name in sorted(os.listdir(tdir)):
+            if name.startswith("_"):
+                continue
+            if os.path.isdir(os.path.join(tdir, name, "_wap", wap_id)):
+                out.append((tenant, name))
+    return out
+
+
+def publish_warehouse(
+    spark: SparkSession,
+    base,
+    wap_id: str,
+    audits: list[Callable[[DataFrame], bool]] | None = None,
+) -> dict[str, Any]:
+    """Publish every table staged under ``wap_id`` in ``base``'s
+    warehouse, each gated by the same audits. Fails FAST: the first
+    audit rejection raises before any further table lands (tables
+    already published in this pass stay published — per-table
+    atomicity, the Iceberg WAP contract; rerunning after a fix is safe
+    because each publish is epoch-idempotent)."""
+    results: dict[str, Any] = {}
+    for tenant, name in staged_tables(base.warehouse, wap_id):
+        session = WapSession(base.table(tenant, name), wap_id)
+        results[f"{tenant}.{name}"] = session.publish(spark, audits=audits)
+    return results

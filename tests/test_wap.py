@@ -156,6 +156,70 @@ def test_schema_evolution_through_wap(spark, tmp_path):
     assert rows["urn:x:8"] == "celsius" and rows["urn:x:0"] is None
 
 
+def test_wap_catalog_stages_whole_pipeline_batch(spark, tmp_path):
+    """ingest_batch(..., catalog=WapCatalog(...)) stages a multi-entity
+    micro-batch invisibly through the UNCHANGED pipeline; publish_warehouse
+    lands it gated by a fail_if_any audit."""
+    import json as _json
+
+    from nifi_ngsild_postgresql_spark.config import IngestConfig
+    from nifi_ngsild_postgresql_spark.plans.wap import (
+        WapCatalog,
+        fail_if_any,
+        publish_warehouse,
+    )
+    from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch
+
+    wh = str(tmp_path / "wh")
+    base = LakeCatalog(wh, n_buckets=2)
+
+    def _payload(eid, v):
+        return _json.dumps(
+            {"id": f"urn:x:{eid}", "type": "Gauge",
+             "level": {"type": "Property", "value": v,
+                       "observedAt": "2024-05-01T00:00:00Z"}}
+        )
+
+    rows = [("t", "p", f"{i:06d}", "Gauge", _payload(i, float(i)))
+            for i in range(4)]
+    changelog = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string",
+    ).withColumn("recv_time", F.timestamp_millis(F.lit(1700000000000)))
+    cfg = IngestConfig(write_mode="upsert", n_buckets=2)
+    ingest_batch(
+        changelog, cfg, wh, "e0", catalog=WapCatalog(base, "nightly")
+    )
+    # invisible: the main table does not even exist yet
+    assert base.table("t", "gauge").latest_snapshot() is None
+    with pytest.raises(AuditFailedError):
+        publish_warehouse(
+            spark, base, "nightly", audits=[fail_if_any("level >= 3")]
+        )
+    assert base.table("t", "gauge").latest_snapshot() is None
+    out = publish_warehouse(
+        spark, base, "nightly", audits=[fail_if_any("level >= 99")]
+    )
+    assert out["t.gauge"]["rows_written"] == 4
+    assert base.table("t", "gauge").read(spark).count() == 4
+
+
+def test_fail_if_any_not_applicable_passes(spark, tmp_path):
+    """A warehouse-wide audit referencing a column this table lacks is
+    not applicable and passes; one that resolves still gates."""
+    from nifi_ngsild_postgresql_spark.plans.wap import fail_if_any
+
+    t = _setup(spark, tmp_path)
+    wap = WapSession(t, "na")
+    wap.stage(_batch(spark, [(9, 9.0, 2, "000200")]), SCHEMA, "s0")
+    wap.publish(spark, audits=[fail_if_any("no_such_column < 0")])
+    assert ("urn:x:9", 9.0) in _state(spark, t)
+    wap2 = WapSession(t, "na2")
+    wap2.stage(_batch(spark, [(10, -10.0, 3, "000300")]), SCHEMA, "s1")
+    with pytest.raises(AuditFailedError):
+        wap2.publish(spark, audits=[fail_if_any("level < 0")])
+
+
 def test_wap_on_empty_table_bootstraps(spark, tmp_path):
     t = LakeCatalog(str(tmp_path / "wh"), n_buckets=2).table("t", "fresh")
     wap = WapSession(t, "first")
