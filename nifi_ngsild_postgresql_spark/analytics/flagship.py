@@ -386,3 +386,117 @@ WINDOW w2 AS (PARTITION BY entityid, observedat ORDER BY epoch)
 
 
 SQL_SCD2_HISTORY = _oracle_scd2()
+
+
+def q_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``MaterializedJoin`` (streaming/joinview.py) driven end-to-end
+    with dim churn BETWEEN fact epochs: facts = events as a lake table
+    keyed by event, dims = one actor row per user (tier = user_id % 5,
+    region = 'r' || user_id % 7). Epoch 0 lands the even events and the
+    full actor dim; then every user_id % 3 == 0 actor moves to region
+    'rX' and every tier-4 actor is MoR-deleted (the dim-side
+    re-derivation path); epoch 1 lands the odd events AFTER the churn
+    (the fact-side path joining the already-mutated dim state). The
+    returned view must equal the inner join of the FINAL states — which
+    the DuckDB oracle computes directly from the raw events table."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.joinview import MaterializedJoin
+
+    ship_package(spark)
+    warehouse = tempfile.mkdtemp(prefix="ngsild_jv_wh_")
+    state = tempfile.mkdtemp(prefix="ngsild_jv_ckpt_")
+    cat = LakeCatalog(warehouse, n_buckets=4)
+    facts = cat.table("analytics", "actions")
+    dims = cat.table("analytics", "actors")
+    view = cat.table("analytics", "actions_enriched")
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fact_schema = {
+        "entityid": "TEXT",
+        "actor": "TEXT",
+        "event_type": "TEXT",
+        "value": "NUMERIC",
+        "observedat": "TIMESTAMPTZ",
+    }
+    dim_schema = {"entityid": "TEXT", "tier": "NUMERIC", "region": "TEXT"}
+
+    def fact_frame(pred):
+        return ev.filter(pred).select(
+            F.concat(F.lit("urn:ev:"), F.col("event_id")).alias("entityid"),
+            F.concat(F.lit("urn:user:"), F.col("user_id")).alias("actor"),
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+            F.col("ts").alias("observedat"),
+            F.lit("r0").alias("_row_key"),
+            F.timestamp_millis(
+                F.lit(1700000000000) + F.col("event_id")
+            ).alias("_recv_time"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0").alias("_seq"),
+        )
+
+    users = ev.select("user_id").distinct()
+
+    def dim_frame(df, region_expr, recv_off, seq_pfx):
+        return df.select(
+            F.concat(F.lit("urn:user:"), F.col("user_id")).alias("entityid"),
+            (F.col("user_id") % 5).cast("double").alias("tier"),
+            region_expr.alias("region"),
+            F.lit("r0").alias("_row_key"),
+            F.timestamp_millis(F.lit(1800000000000 + recv_off)).alias(
+                "_recv_time"
+            ),
+            F.concat(
+                F.lit(seq_pfx),
+                F.lpad(F.col("user_id").cast("string"), 8, "0"),
+            ).alias("_seq"),
+        )
+
+    mj = MaterializedJoin(facts, dims, view, state, on="actor", how="inner")
+    facts.upsert(
+        fact_frame(F.col("event_id") % 2 == 0), fact_schema, "jv-f0"
+    )
+    dims.upsert(
+        dim_frame(
+            users, F.concat(F.lit("r"), F.col("user_id") % 7), 0, "a"
+        ),
+        dim_schema, "jv-d0",
+    )
+    mj.refresh(spark)
+    dims.upsert(
+        dim_frame(
+            users.filter(F.col("user_id") % 3 == 0), F.lit("rX"), 1000, "b"
+        ),
+        dim_schema, "jv-d1",
+    )
+    dims.delete_where(spark, predicate="tier >= 4", strategy="mor")
+    mj.refresh(spark)
+    facts.upsert(
+        fact_frame(F.col("event_id") % 2 == 1), fact_schema, "jv-f1"
+    )
+    mj.refresh(spark)
+    df = mj.read(spark)
+    return df.select(*sorted(df.columns))
+
+
+SQL_JOIN_VIEW = """
+WITH f AS (
+  SELECT 'urn:ev:' || CAST(event_id AS VARCHAR) AS entityid,
+         'urn:user:' || CAST(user_id AS VARCHAR) AS actor,
+         event_type,
+         CAST(value AS DOUBLE) AS value,
+         ts AS observedat,
+         user_id
+  FROM events
+), d AS (
+  SELECT DISTINCT user_id,
+         CAST(user_id % 5 AS DOUBLE) AS dim_tier,
+         CASE WHEN user_id % 3 = 0 THEN 'rX'
+              ELSE 'r' || CAST(user_id % 7 AS VARCHAR) END AS dim_region
+  FROM events
+  WHERE user_id % 5 <> 4
+)
+SELECT f.entityid, f.actor, f.event_type, f.value, f.observedat,
+       d.dim_tier, d.dim_region
+FROM f JOIN d USING (user_id)
+"""

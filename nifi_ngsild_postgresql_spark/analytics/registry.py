@@ -17,7 +17,9 @@ from ..streaming.windows import (
 )
 from .flagship import (
     SQL_CDC_INGEST_FLATTEN,
+    SQL_JOIN_VIEW,
     SQL_SCD2_HISTORY,
+    q_join_view,
     q_scd2_history,
     SQL_CDC_CHANGEFEED,
     SQL_CDC_INGEST_SEMI_FLATTEN,
@@ -203,6 +205,11 @@ PYTEST_ONLY: dict[str, tuple] = {
     # content (O(changes)), open-version lookup via a slim bucketed
     # pointer table; the history table is never scanned on refresh
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
+    # round 4: the incrementally-maintained join view (streaming/
+    # joinview.py MaterializedJoin) driven end-to-end — dim churn
+    # between fact epochs exercises BOTH maintenance paths; the oracle
+    # recomputes the final inner join from the raw events
+    "join_view": (q_join_view, SQL_JOIN_VIEW),
 }
 
 
