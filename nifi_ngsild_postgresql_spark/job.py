@@ -150,6 +150,21 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--predicate", default=None,
                     help="make the target the filtered view WHERE predicate")
 
+    jv = sub.add_parser(
+        "joinview",
+        help="refresh an incrementally-maintained join view (facts x dims "
+             "from both change feeds; run repeatedly to follow)",
+    )
+    jv.add_argument("--warehouse", required=True)
+    jv.add_argument("--facts", required=True, help="tenant.table")
+    jv.add_argument("--dims", required=True, help="tenant.table")
+    jv.add_argument("--view", required=True, help="tenant.table")
+    jv.add_argument("--on", required=True,
+                    help="facts column holding the dim's entityid")
+    jv.add_argument("--how", choices=("inner", "left"), default="inner")
+    jv.add_argument("--checkpoint", required=True)
+    jv.add_argument("--dim-prefix", default="dim_")
+
     w = sub.add_parser(
         "wap",
         help="write-audit-publish: preview / publish / abort batches "
@@ -245,6 +260,23 @@ def main(argv: list[str] | None = None) -> int:
             )
             lineage["sec"] = round(time.time() - t0, 2)
             print(json.dumps(lineage, default=str))
+        return 0
+
+    if args.cmd == "joinview":
+        from .plans.lake import LakeCatalog
+        from .streaming.joinview import MaterializedJoin
+
+        cat = LakeCatalog(args.warehouse)
+        mj = MaterializedJoin(
+            cat.table(*args.facts.split(".", 1)),
+            cat.table(*args.dims.split(".", 1)),
+            cat.table(*args.view.split(".", 1)),
+            args.checkpoint,
+            on=args.on,
+            how=args.how,
+            dim_prefix=args.dim_prefix,
+        )
+        print(json.dumps(mj.refresh(spark), default=str))
         return 0
 
     if args.cmd == "wap":
