@@ -235,6 +235,69 @@ def test_noop_refresh(spark, tmp_path):
     assert out["rows"] == 0 and view.versions()[-1] == v
 
 
+def test_view_feed_chains_into_downstream_ivm(spark, tmp_path):
+    """The maintained view is itself a first-class CDC source: its
+    change feed drives a MaterializedDistinct (distinct facts ever seen
+    per dim site, HLL registers) — the full incremental chain
+    facts/dims -> join view -> sketch view, no stage ever rescanning its
+    input. Registers must equal a single-pass build over the union of
+    every state the view exposed (ever-seen semantics)."""
+    from pyspark.sql import functions as F
+
+    from nifi_ngsild_postgresql_spark.analytics.sketches import hll_registers
+    from nifi_ngsild_postgresql_spark.streaming.changefeed import (
+        MaterializedDistinct,
+    )
+
+    facts, dims, view, mj = _setup(spark, tmp_path)
+    md = MaterializedDistinct(
+        view, str(tmp_path / "mdstate"), grp="dim_site", key="entityid"
+    )
+    seen: set[tuple] = set()
+
+    def step():
+        mj.refresh(spark)
+        md.refresh(spark)
+        seen.update(
+            (r["dim_site"], r["entityid"]) for r in view.read(spark).collect()
+        )
+
+    dims.upsert(
+        _dims_batch(spark, [(0, "north", 1.0, 0, "000000"),
+                            (1, "south", 2.0, 0, "000001")]),
+        DIM_SCHEMA, "d0",
+    )
+    facts.upsert(
+        _facts_batch(spark, [(0, 0, 10.0, 0, "000000"),
+                             (1, 1, 20.0, 0, "000001")]),
+        FACT_SCHEMA, "f0",
+    )
+    step()
+    # dim 0 moves site -> its facts are re-seen under the new site
+    dims.upsert(_dims_batch(spark, [(0, "west", 1.5, 1, "000100")]),
+                DIM_SCHEMA, "d1")
+    step()
+    # more facts + a fact delete (ever-seen: the deleted key stays)
+    facts.upsert(
+        _facts_batch(spark, [(2, 0, 30.0, 2, "000200"),
+                             (3, 1, 40.0, 2, "000201")]),
+        FACT_SCHEMA, "f1",
+    )
+    facts.delete_where(spark, predicate="reading >= 40", strategy="mor")
+    step()
+    assert {s for s, _ in seen} == {"north", "south", "west"}
+    expected_regs = sorted(
+        map(tuple, hll_registers(
+            spark.createDataFrame(
+                sorted(seen), "dim_site string, entityid string"
+            ),
+            "dim_site", "entityid",
+        ).collect())
+    )
+    actual_regs = sorted(map(tuple, md.registers(spark).collect()))
+    assert actual_regs == expected_regs
+
+
 @pytest.mark.parametrize("how,seed", [("inner", 11), ("left", 23)])
 def test_randomized_interleaving_matches_recompute(spark, tmp_path, how, seed):
     facts, dims, view, mj = _setup(spark, tmp_path, how)
