@@ -254,8 +254,20 @@ def main(argv: list[str] | None = None) -> int:
         else:
             changelog = read_changelog(spark, args.changelog)
             t0 = time.time()
+            # staged (WAP) ingest accumulates several micro-batches under
+            # one wap id, so the epoch must distinguish input batches —
+            # derived from the changelog path, it stays idempotent for a
+            # re-run of the SAME batch while a second batch lands as a
+            # new epoch (a fixed id would silently no-op it)
+            import hashlib
+
+            epoch = (
+                "cli-" + hashlib.sha1(args.changelog.encode()).hexdigest()[:12]
+                if args.wap_id
+                else "cli-0"
+            )
             lineage = ingest_batch(
-                changelog, cfg, args.warehouse, epoch_id="cli-0",
+                changelog, cfg, args.warehouse, epoch_id=epoch,
                 catalog=catalog,
             )
             lineage["sec"] = round(time.time() - t0, 2)

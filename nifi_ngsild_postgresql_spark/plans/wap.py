@@ -113,6 +113,11 @@ class WapSession:
         the audit surface. Main rows a staged row out-orders disappear,
         staged tombstone winners shadow their main rows."""
         staged, s_schema = self._staged_state(spark)
+        return self._preview_from(spark, staged, s_schema)
+
+    def _preview_from(
+        self, spark: SparkSession, staged: DataFrame, s_schema: dict[str, str]
+    ) -> DataFrame:
         schema = self._publish_schema(s_schema)
         cols = [*schema, *"_row_key _recv_time _seq".split(), TOMBSTONE_COL]
         main_snap = self.table.latest_snapshot()
@@ -146,13 +151,20 @@ class WapSession:
     ) -> dict[str, Any]:
         staged, s_schema = self._staged_state(spark)
         schema = self._publish_schema(s_schema)
-        for i, audit in enumerate(audits or []):
-            if not audit(self.preview(spark)):
-                raise AuditFailedError(
-                    f"wap {self.wap_id}: audit #{i} "
-                    f"({getattr(audit, '__name__', 'audit')}) rejected the "
-                    "staged state — nothing published"
-                )
+        if audits:
+            # ONE preview plan, cached across audits — re-deriving the
+            # main-state union per audit would rescan the table N times
+            pv = self._preview_from(spark, staged, s_schema).persist()
+            try:
+                for i, audit in enumerate(audits):
+                    if not audit(pv):
+                        raise AuditFailedError(
+                            f"wap {self.wap_id}: audit #{i} "
+                            f"({getattr(audit, '__name__', 'audit')}) "
+                            "rejected the staged state — nothing published"
+                        )
+            finally:
+                pv.unpersist()
         changes = staged.withColumn(
             "_change_type",
             F.when(F.col(TOMBSTONE_COL), F.lit("delete")).otherwise(
@@ -162,6 +174,14 @@ class WapSession:
         out = self.table.apply_changes(
             changes, schema, epoch_id=f"wap-{self.wap_id}"
         )
+        if out.get("skipped_epoch"):
+            # the main table had already committed epoch wap-<id>: fine
+            # for a crashed-publish REPLAY (identical content), but a
+            # REUSED wap id would mean newly staged rows were never
+            # written — keep staging intact and say so loudly instead of
+            # silently discarding it
+            out = {**out, "staging_kept": True}
+            return out
         self.abort()  # staging fully landed — remove it
         return out
 

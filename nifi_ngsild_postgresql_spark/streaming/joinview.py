@@ -151,6 +151,12 @@ class MaterializedJoin:
         rv1 = rvs[-1] if rvs else 0
         if lv1 <= lv0 and rv1 <= rv0:
             return {"facts": (lv0, lv0), "dims": (rv0, rv0), "rows": 0}
+        if lv1 == 0:
+            # dims advanced but no fact state exists yet (the normal CDC
+            # load order) — a join view has nothing to contain; advance
+            # the dim checkpoint and wait for facts
+            self._dc._commit(rv1)
+            return {"facts": (0, 0), "dims": (rv0, rv1), "rows": 0}
         ordinal = f"{lv1:08d}{rv1:08d}"
         suffixed = F.concat(
             F.coalesce(F.col("_seq"), F.lit("")), F.lit("#" + ordinal)
@@ -160,10 +166,17 @@ class MaterializedJoin:
         out_cols = [*schema, "_row_key", "_recv_time"]
         parts: list[DataFrame] = []
 
-        def _routed(fact_rows: DataFrame) -> DataFrame:
+        def _routed(
+            fact_rows: DataFrame, drop_unmatched_inserts: bool = False
+        ) -> DataFrame:
             """Join fact rows (with meta) to the dim state and route:
             matched -> upsert; unmatched -> delete (inner) / NULL-padded
-            upsert (left)."""
+            upsert (left). ``drop_unmatched_inserts`` (fact-side posts):
+            an unmatched feed INSERT was never in the view — emitting a
+            tombstone for it would grow the view by O(unmatched inserts)
+            in dead rows and force downstream feeds onto the state-diff
+            path; only unmatched UPDATES (whose earlier version may have
+            matched) need the delete."""
             j = fact_rows.join(
                 F.broadcast(dim_state),
                 fact_rows[self.on] == F.col(_DIM_KEY),
@@ -172,6 +185,11 @@ class MaterializedJoin:
             if self.how == "left":
                 ct = F.lit("update")
             else:
+                if drop_unmatched_inserts:
+                    j = j.filter(
+                        F.col(_DIM_KEY).isNotNull()
+                        | (F.col("_change_type") == "update")
+                    )
                 ct = F.when(
                     F.col(_DIM_KEY).isNull(), F.lit("delete")
                 ).otherwise(F.lit("update"))
@@ -181,10 +199,16 @@ class MaterializedJoin:
                 ct.alias("_change_type"),
             )
 
+        fc = None
         if lv1 > lv0:
-            fc = self.facts.read_changes(spark, lv0, lv1, with_meta=True)
+            # the feed plan is consumed by two branches (posts + dels) and
+            # a state-diff feed is an O(state) full-outer join — cache it
+            # for the commit's duration so it executes once
+            fc = self.facts.read_changes(
+                spark, lv0, lv1, with_meta=True
+            ).persist()
             posts = fc.filter(F.col("_change_type").isin("insert", "update"))
-            parts.append(_routed(posts))
+            parts.append(_routed(posts, drop_unmatched_inserts=True))
             # feed deletes keep the fact's raw order: the lake bumps it
             # with '~', which out-orders every '#'-suffixed view upsert
             dels = fc.filter(F.col("_change_type") == "delete").select(
@@ -220,18 +244,16 @@ class MaterializedJoin:
             )
             parts.append(_routed(affected))
 
-        if not parts:
-            # dims advanced but no fact state exists yet — nothing a join
-            # view could contain; just advance the dim checkpoint
-            self._dc._commit(rv1)
-            return {"facts": (lv0, lv0), "dims": (rv0, rv1), "rows": 0}
-
         combined = parts[0]
         for p in parts[1:]:
             combined = combined.unionByName(p, allowMissingColumns=True)
-        out = self.view.apply_changes(
-            combined, schema, epoch_id=f"mjoin-{lv0}-{lv1}-{rv0}-{rv1}"
-        )
+        try:
+            out = self.view.apply_changes(
+                combined, schema, epoch_id=f"mjoin-{lv0}-{lv1}-{rv0}-{rv1}"
+            )
+        finally:
+            if fc is not None:
+                fc.unpersist()
         self._fc._commit(lv1)
         self._dc._commit(rv1)
         return {

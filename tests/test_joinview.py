@@ -223,6 +223,52 @@ def test_refresh_is_exactly_once_after_checkpoint_rollback(spark, tmp_path):
     _check(spark, facts, dims, view, "inner")
 
 
+def test_dims_before_facts_load_order(spark, tmp_path):
+    """The normal CDC load order — dims committed first, facts later —
+    must not crash: the dim-only refresh advances the dim checkpoint,
+    and the first fact batch hydrates against the already-loaded dims."""
+    facts, dims, view, mj = _setup(spark, tmp_path)
+    dims.upsert(_dims_batch(spark, [(0, "north", 1.5, 0, "000000")]),
+                DIM_SCHEMA, "d0")
+    out = mj.refresh(spark)
+    assert out["rows"] == 0 and out["dims"] == (0, 1)
+    out2 = mj.refresh(spark)  # still no facts: stable no-op
+    assert out2["rows"] == 0
+    facts.upsert(_facts_batch(spark, [(0, 0, 10.0, 0, "000000")]),
+                 FACT_SCHEMA, "f0")
+    mj.refresh(spark)
+    _check(spark, facts, dims, view, "inner")
+    assert len(_actual(spark, view)) == 1
+
+
+def test_unmatched_inserts_write_no_tombstones(spark, tmp_path):
+    """Inner mode: feed INSERTS that match no dim were never in the view
+    and must not append tombstones (a sparse dim over a big fact table
+    would otherwise grow the view by O(unmatched inserts) in dead rows
+    and force downstream feeds onto the state-diff path). An unmatched
+    UPDATE still deletes — its earlier version may have matched."""
+    facts, dims, view, mj = _setup(spark, tmp_path)
+    dims.upsert(_dims_batch(spark, [(0, "north", 1.5, 0, "000000")]),
+                DIM_SCHEMA, "d0")
+    facts.upsert(
+        _facts_batch(spark, [(0, 0, 10.0, 0, "000000"),
+                             (1, 7, 20.0, 0, "000001"),   # no dim 7
+                             (2, 8, 30.0, 0, "000002")]),  # no dim 8
+        FACT_SCHEMA, "f0",
+    )
+    mj.refresh(spark)
+    _check(spark, facts, dims, view, "inner")
+    assert not view.latest_snapshot().get("has_tombstones")
+    # fact 0 moves to an unmatched sensor: its view row must go away
+    # (tombstone justified — the key WAS visible)
+    facts.upsert(_facts_batch(spark, [(0, 9, 11.0, 1, "000100")]),
+                 FACT_SCHEMA, "f1")
+    mj.refresh(spark)
+    _check(spark, facts, dims, view, "inner")
+    assert _actual(spark, view) == []
+    assert view.latest_snapshot().get("has_tombstones")
+
+
 def test_noop_refresh(spark, tmp_path):
     facts, dims, view, mj = _setup(spark, tmp_path)
     facts.upsert(_facts_batch(spark, [(0, 0, 1.0, 0, "000000")]),

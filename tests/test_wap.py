@@ -130,6 +130,10 @@ def test_publish_is_exactly_once(spark, tmp_path):
     out2 = wap2.publish(spark)
     assert not out1.get("skipped_epoch") and out2.get("skipped_epoch")
     assert _state(spark, t).count(("urn:x:6", 6.0)) == 1
+    # a skipped publish must NOT discard staging: a REUSED wap id with
+    # NEW content keeps its rows recoverable instead of silently lost
+    assert out2.get("staging_kept")
+    assert os.path.exists(wap2.staging.path)
 
 
 def test_abort_leaves_no_trace(spark, tmp_path):
