@@ -115,6 +115,12 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--zorder-by", default=None,
                    help="comma-separated columns: full clustering rewrite "
                         "(Delta OPTIMIZE ZORDER analog)")
+    m.add_argument("--add-check", action="append", default=[],
+                   metavar="NAME=EXPR",
+                   help="register a write-time CHECK constraint "
+                        "(Spark SQL boolean; NULL passes); repeatable")
+    m.add_argument("--drop-check", action="append", default=[],
+                   metavar="NAME")
     m.add_argument("--expire-keep-last", type=int, default=None)
     m.add_argument("--orphan-grace", type=float, default=3600.0,
                    help="seconds an unreferenced data dir must age before"
@@ -389,7 +395,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.drop_tag:
             table.drop_tag(args.drop_tag)
             out["dropped_tag"] = args.drop_tag
-        if not (args.tag or args.drop_tag):
+        for kv in args.add_check:
+            name, expr = kv.split("=", 1)
+            table.add_check(name, expr)
+        for name in args.drop_check:
+            table.drop_check(name)
+        if args.add_check or args.drop_check:
+            out["checks"] = table.checks()
+        if not (args.tag or args.drop_tag or args.add_check or args.drop_check):
             out["compact"] = table.compact(
                 spark,
                 max_files_per_bucket=args.max_files_per_bucket,

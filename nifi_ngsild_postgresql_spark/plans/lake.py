@@ -129,6 +129,20 @@ class CommitConflictError(RuntimeError):
     analog). The batch is untouched on disk state and safe to re-run."""
 
 
+class CheckViolationError(RuntimeError):
+    """A table CHECK constraint rejected the batch (Delta CHECK / DLT
+    expectation analog). Raised BEFORE any file is staged: the table is
+    untouched and the batch is safe to fix and re-run. Carries
+    ``violations`` = {check name: violating row count}."""
+
+    def __init__(self, table: str, violations: dict[str, int]):
+        self.violations = violations
+        super().__init__(
+            f"{table}: CHECK constraint(s) rejected the batch — "
+            + ", ".join(f"{n}: {c} row(s)" for n, c in violations.items())
+        )
+
+
 def _canon_stat(v):
     """Canonicalize a parquet-footer stat or a pruning bound to a value
     that compares correctly against its peers: timestamps/datetimes
@@ -1857,6 +1871,78 @@ class LakeTable:
                 json.dump(tags, f)
             os.replace(tmp, self._tags_path())
 
+    # --- CHECK constraints (Delta CHECK / DLT expectation analog) ---------
+
+    def _checks_path(self) -> str:
+        return os.path.join(self.meta_dir, "_checks.json")
+
+    def checks(self) -> dict[str, str]:
+        """Active CHECK constraints: {name: Spark SQL boolean over the
+        wide columns}. SQL CHECK semantics — a row violates only when the
+        expression is FALSE; NULL passes (so tombstones and rows a
+        try_cast NULLed sail through, same as PostgreSQL/Delta)."""
+        if not os.path.exists(self._checks_path()):
+            return {}
+        with open(self._checks_path()) as f:
+            return dict(json.load(f))
+
+    def _write_checks(self, checks: dict[str, str]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(checks, f)
+        os.replace(tmp, self._checks_path())
+
+    def add_check(self, name: str, expr: str) -> None:
+        """Register a write-time CHECK: every subsequent commit validates
+        its aligned batch and a violation aborts BEFORE staging (one
+        extra pass over the batch per commit while checks exist — for
+        zero-extra-cost gating of expensive batches, stage through a
+        WapSession instead and audit the preview once). Serialized under
+        the same lock as tags; existing stored rows are NOT re-validated
+        (same as Delta's default). Scope: gates the five ingest write
+        modes (append / upsert / upsert_mor / apply_changes / replace,
+        and therefore WAP publishes and CDC propagation into this
+        table); predicate DML (delete_where / update_where) and
+        content-invariant maintenance (compact / rebucket / z-order) are
+        operator actions and bypass checks — documented divergence from
+        Delta, which enforces on every write."""
+        if not name or not expr:
+            raise ValueError("check needs a name and a boolean expression")
+        F.expr(expr)  # fail fast on unparseable SQL
+        os.makedirs(self.meta_dir, exist_ok=True)
+        with self._tags_lock():
+            checks = self.checks()
+            checks[name] = expr
+            self._write_checks(checks)
+
+    def drop_check(self, name: str) -> None:
+        with self._tags_lock():
+            checks = self.checks()
+            checks.pop(name, None)
+            self._write_checks(checks)
+
+    def _validate_checks(self, incoming: DataFrame) -> None:
+        checks = self.checks()
+        if not checks:
+            return
+        counts = incoming.agg(
+            *[
+                F.sum(
+                    F.when(
+                        ~F.coalesce(F.expr(e), F.lit(True)), 1
+                    ).otherwise(0)
+                ).alias(f"c{i}")
+                for i, e in enumerate(checks.values())
+            ]
+        ).collect()[0]
+        violations = {
+            name: int(counts[f"c{i}"] or 0)
+            for i, name in enumerate(checks)
+            if counts[f"c{i}"]
+        }
+        if violations:
+            raise CheckViolationError(f"{self.tenant}.{self.name}", violations)
+
     def _resolve_version(self, version: int | str | None) -> int | None:
         if isinstance(version, str):
             tags = self.tags()
@@ -2032,6 +2118,10 @@ class LakeTable:
         incoming = self._align(df, schema, extra).withColumn(
             "_bucket", bucket_expr
         )
+        # CHECK constraints gate the ALIGNED batch (what would land,
+        # post-try_cast) and abort before anything is staged; recomputed
+        # on conflict-recompute retries too (the batch re-derives)
+        self._validate_checks(incoming)
 
         if mode == "append":
             to_write = incoming

@@ -1,0 +1,133 @@
+"""Table CHECK constraints (plans/lake.py add_check/_validate_checks) —
+the Delta CHECK / DLT expectation analog, enforced at write time.
+
+Pinned here:
+- a violating batch aborts BEFORE staging: no new version, no staged
+  files, the error names each failing check with its row count, and a
+  corrected batch (same epoch id) still lands — the abort did not burn
+  the epoch;
+- SQL CHECK NULL semantics: a row where the expression is NULL passes
+  (tombstones and try_cast-NULLed values sail through);
+- deletes flow: apply_changes delete batches pass checks because the
+  tombstone payload is NULL;
+- drop_check re-allows; checks() round-trips;
+- WAP composition: a staged bad row is blocked at PUBLISH by the main
+  table's checks even with no explicit audits, and staging survives;
+- an expression referencing a column the table lacks fails the commit
+  loudly (AnalysisException), not silently.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.plans.lake import (
+    CheckViolationError,
+    LakeCatalog,
+)
+from nifi_ngsild_postgresql_spark.plans.wap import WapSession
+
+SCHEMA = {"entityid": "TEXT", "level": "NUMERIC", "observedat": "TIMESTAMPTZ"}
+TS = "2024-06-01T00:00:00"
+
+
+def _batch(spark, rows):
+    """rows: (eid, level|None, recv_ms, seq)."""
+    data = [
+        (f"urn:x:{e}", None if v is None else float(v), TS, "r0", recv, seq)
+        for e, v, recv, seq in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "entityid string, level double, observedat string,"
+        " _row_key string, _recv int, _seq string",
+    ).select(
+        "entityid", "level",
+        F.col("observedat").cast("timestamp").alias("observedat"),
+        "_row_key",
+        F.timestamp_millis(
+            F.lit(1700000000000) + F.col("_recv").cast("long")
+        ).alias("_recv_time"),
+        "_seq",
+    )
+
+
+def _table(spark, tmp_path):
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=2).table("t", "gauge")
+    t.upsert(_batch(spark, [(0, 1.0, 0, "000000")]), SCHEMA, "e0")
+    return t
+
+
+def test_violation_aborts_before_staging_and_epoch_survives(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.add_check("level_nonneg", "level >= 0")
+    t.add_check("level_sane", "level < 1000")
+    import os
+
+    v0 = t.versions()[-1]
+    data_dir = os.path.join(t.path, "data")
+    dirs_before = sorted(os.listdir(data_dir))
+    with pytest.raises(CheckViolationError) as exc:
+        t.upsert(
+            _batch(spark, [(1, -5.0, 1, "000100"), (2, -6.0, 1, "000101"),
+                           (3, 5000.0, 1, "000102")]),
+            SCHEMA, "e1",
+        )
+    assert exc.value.violations == {"level_nonneg": 2, "level_sane": 1}
+    assert t.versions()[-1] == v0  # nothing committed
+    # abort happened BEFORE staging: not a single new data dir
+    assert sorted(os.listdir(data_dir)) == dirs_before
+    # the corrected batch lands under the SAME epoch id
+    t.upsert(_batch(spark, [(1, 5.0, 1, "000100")]), SCHEMA, "e1")
+    assert t.versions()[-1] == v0 + 1
+    assert sorted(r["level"] for r in t.read(spark).collect()) == [1.0, 5.0]
+
+
+def test_null_passes_sql_check_semantics(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.add_check("level_nonneg", "level >= 0")
+    t.upsert(_batch(spark, [(4, None, 2, "000200")]), SCHEMA, "e2")
+    levels = {r["entityid"]: r["level"] for r in t.read(spark).collect()}
+    assert levels["urn:x:4"] is None
+
+
+def test_deletes_flow_through_checks(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.add_check("level_nonneg", "level >= 0")
+    t.delete_where(spark, predicate="level >= 1", strategy="mor")
+    assert t.read(spark).count() == 0
+
+
+def test_drop_check_reallows(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.add_check("level_nonneg", "level >= 0")
+    with pytest.raises(CheckViolationError):
+        t.upsert(_batch(spark, [(5, -1.0, 3, "000300")]), SCHEMA, "e3")
+    t.drop_check("level_nonneg")
+    assert t.checks() == {}
+    t.upsert(_batch(spark, [(5, -1.0, 3, "000300")]), SCHEMA, "e3")
+    assert t.read(spark).count() == 2
+
+
+def test_wap_publish_honors_main_table_checks(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.add_check("level_nonneg", "level >= 0")
+    wap = WapSession(t, "gate")
+    wap.stage(_batch(spark, [(6, -9.0, 4, "000400")]), SCHEMA, "s0")
+    v0 = t.versions()[-1]
+    with pytest.raises(CheckViolationError):
+        wap.publish(spark)
+    assert t.versions()[-1] == v0
+    import os
+
+    assert os.path.exists(wap.staging.path)  # staging survives the reject
+
+
+def test_unknown_column_in_check_fails_loudly(spark, tmp_path):
+    from pyspark.errors.exceptions.base import AnalysisException
+
+    t = _table(spark, tmp_path)
+    t.add_check("typo", "no_such_col >= 0")
+    with pytest.raises(AnalysisException):
+        t.upsert(_batch(spark, [(7, 7.0, 5, "000500")]), SCHEMA, "e5")
