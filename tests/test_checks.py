@@ -124,6 +124,59 @@ def test_wap_publish_honors_main_table_checks(spark, tmp_path):
     assert os.path.exists(wap.staging.path)  # staging survives the reject
 
 
+def test_check_violation_quarantines_slice_via_retry_channel(spark, tmp_path):
+    """Composition with the partial-batch recovery channel: during a
+    multi-table micro-batch, a CHECK violation on ONE table parks that
+    table's slice in <warehouse>/_retry (the other tables commit), and
+    after the operator drops the offending check, reprocess_retries
+    replays the parked slice exactly once — data-quality quarantine
+    with no data loss."""
+    import json as _json
+    import os
+
+    from nifi_ngsild_postgresql_spark.config import IngestConfig
+    from nifi_ngsild_postgresql_spark.streaming.pipeline import (
+        ingest_batch,
+        reprocess_retries,
+    )
+
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert")
+
+    def _changelog(a_val, b_val, seq0):
+        ents = [
+            {"id": "urn:x:a", "type": "Ta",
+             "m": {"type": "Property", "value": a_val,
+                   "observedAt": "2024-06-01T00:00:00Z"}},
+            {"id": "urn:x:b", "type": "Tb",
+             "m": {"type": "Property", "value": b_val,
+                   "observedAt": "2024-06-01T00:00:00Z"}},
+        ]
+        rows = [("t", "p", f"{seq0 + i:06d}", "x", _json.dumps(e))
+                for i, e in enumerate(ents)]
+        return spark.createDataFrame(
+            rows,
+            "repo string, path string, commit string, lang string,"
+            " content string",
+        ).withColumn(
+            "recv_time", F.timestamp_millis(F.lit(1700000000000 + seq0))
+        )
+
+    ingest_batch(_changelog(1.0, 1.0, 1), cfg, wh, "e1")
+    cat = LakeCatalog(wh)
+    cat.table("t", "ta").add_check("m_nonneg", "m >= 0")
+    lineage = ingest_batch(_changelog(-5.0, 2.0, 10), cfg, wh, "e2")
+    assert lineage["tables"]["t.ta"]["routed_to_retry"] == 1
+    assert "CHECK" in lineage["tables"]["t.ta"]["error"]
+    assert lineage["tables"]["t.tb"]["rows_written"] == 1
+    assert os.listdir(os.path.join(wh, "_retry")) == ["e2-t.ta"]
+    # operator decision: the value is legitimate — drop the check, replay
+    cat.table("t", "ta").drop_check("m_nonneg")
+    out = reprocess_retries(spark, cfg, wh)
+    assert out["reprocessed"] == 1 and not os.listdir(os.path.join(wh, "_retry"))
+    assert cat.table("t", "ta").read(spark).collect()[0]["m"] == -5.0
+
+
 def test_unknown_column_in_check_fails_loudly(spark, tmp_path):
     from pyspark.errors.exceptions.base import AnalysisException
 
