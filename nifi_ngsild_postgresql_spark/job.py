@@ -116,9 +116,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma-separated columns: full clustering rewrite "
                         "(Delta OPTIMIZE ZORDER analog)")
     m.add_argument("--add-check", action="append", default=[],
-                   metavar="NAME=EXPR",
-                   help="register a write-time CHECK constraint "
-                        "(Spark SQL boolean; NULL passes); repeatable")
+                   metavar="NAME[:ACTION]=EXPR",
+                   help="register a write-time CHECK / expectation "
+                        "(Spark SQL boolean; NULL passes); ACTION is "
+                        "fail (default) | drop | warn; repeatable")
     m.add_argument("--drop-check", action="append", default=[],
                    metavar="NAME")
     m.add_argument("--expire-keep-last", type=int, default=None)
@@ -397,7 +398,8 @@ def main(argv: list[str] | None = None) -> int:
             out["dropped_tag"] = args.drop_tag
         for kv in args.add_check:
             name, expr = kv.split("=", 1)
-            table.add_check(name, expr)
+            name, _, action = name.partition(":")
+            table.add_check(name, expr, action=action or "fail")
         for name in args.drop_check:
             table.drop_check(name)
         if args.add_check or args.drop_check:

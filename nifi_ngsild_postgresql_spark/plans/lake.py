@@ -1876,15 +1876,24 @@ class LakeTable:
     def _checks_path(self) -> str:
         return os.path.join(self.meta_dir, "_checks.json")
 
-    def checks(self) -> dict[str, str]:
-        """Active CHECK constraints: {name: Spark SQL boolean over the
-        wide columns}. SQL CHECK semantics — a row violates only when the
-        expression is FALSE; NULL passes (so tombstones and rows a
-        try_cast NULLed sail through, same as PostgreSQL/Delta)."""
+    def checks(self) -> dict[str, dict[str, str]]:
+        """Active CHECK constraints: {name: {"expr": Spark SQL boolean
+        over the wide columns, "action": fail|drop|warn}}. SQL CHECK
+        semantics — a row violates only when the expression is FALSE;
+        NULL passes (so tombstones and rows a try_cast NULLed sail
+        through, same as PostgreSQL/Delta). Actions mirror DLT
+        expectations: ``fail`` aborts the commit, ``drop`` filters the
+        violating rows out of the batch (counted in the commit stats),
+        ``warn`` only counts."""
         if not os.path.exists(self._checks_path()):
             return {}
         with open(self._checks_path()) as f:
-            return dict(json.load(f))
+            raw = json.load(f)
+        # round-4 back-compat: a bare string means action=fail
+        return {
+            n: ({"expr": v, "action": "fail"} if isinstance(v, str) else v)
+            for n, v in raw.items()
+        }
 
     def _write_checks(self, checks: dict[str, str]) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".tmp")
@@ -1892,27 +1901,41 @@ class LakeTable:
             json.dump(checks, f)
         os.replace(tmp, self._checks_path())
 
-    def add_check(self, name: str, expr: str) -> None:
-        """Register a write-time CHECK: every subsequent commit validates
-        its aligned batch and a violation aborts BEFORE staging (one
-        extra pass over the batch per commit while checks exist — for
+    def add_check(self, name: str, expr: str, action: str = "fail") -> None:
+        """Register a write-time CHECK / expectation: every subsequent
+        commit validates its aligned batch BEFORE staging (one extra
+        pass over the batch per commit while checks exist — for
         zero-extra-cost gating of expensive batches, stage through a
-        WapSession instead and audit the preview once). Serialized under
-        the same lock as tags; existing stored rows are NOT re-validated
-        (same as Delta's default). Scope: gates the five ingest write
-        modes (append / upsert / upsert_mor / apply_changes / replace,
-        and therefore WAP publishes and CDC propagation into this
-        table); predicate DML (delete_where / update_where) and
-        content-invariant maintenance (compact / rebucket / z-order) are
-        operator actions and bypass checks — documented divergence from
-        Delta, which enforces on every write."""
+        WapSession instead and audit the preview once).
+
+        ``action`` mirrors Delta Live Tables expectations:
+
+        - ``fail`` — any violating row aborts the whole commit
+          atomically (Delta CHECK constraint / DLT expect_or_fail);
+        - ``drop`` — violating rows are filtered out of the batch and
+          the rest commits; the per-check dropped count rides the
+          commit stats (DLT expect_or_drop);
+        - ``warn`` — rows land anyway, the violation count rides the
+          commit stats (DLT expect).
+
+        Serialized under the same lock as tags; existing stored rows are
+        NOT re-validated (same as Delta's default). Scope: gates the
+        five ingest write modes (append / upsert / upsert_mor /
+        apply_changes / replace, and therefore WAP publishes and CDC
+        propagation into this table); predicate DML (delete_where /
+        update_where) and content-invariant maintenance (compact /
+        rebucket / z-order) are operator actions and bypass checks —
+        documented divergence from Delta, which enforces on every
+        write."""
         if not name or not expr:
             raise ValueError("check needs a name and a boolean expression")
+        if action not in ("fail", "drop", "warn"):
+            raise ValueError(f"action must be fail|drop|warn, got {action!r}")
         F.expr(expr)  # fail fast on unparseable SQL
         os.makedirs(self.meta_dir, exist_ok=True)
         with self._tags_lock():
             checks = self.checks()
-            checks[name] = expr
+            checks[name] = {"expr": expr, "action": action}
             self._write_checks(checks)
 
     def drop_check(self, name: str) -> None:
@@ -1921,27 +1944,44 @@ class LakeTable:
             checks.pop(name, None)
             self._write_checks(checks)
 
-    def _validate_checks(self, incoming: DataFrame) -> None:
+    def _validate_checks(
+        self, incoming: DataFrame
+    ) -> tuple[DataFrame, dict[str, dict[str, int]]]:
+        """Enforce the table's checks on the aligned batch. Returns the
+        (possibly filtered, for drop-action checks) batch plus
+        {action: {check name: violating rows}} for the commit stats;
+        raises CheckViolationError if any fail-action check is hit."""
         checks = self.checks()
         if not checks:
-            return
+            return incoming, {}
+        names = list(checks)
         counts = incoming.agg(
             *[
                 F.sum(
                     F.when(
-                        ~F.coalesce(F.expr(e), F.lit(True)), 1
+                        ~F.coalesce(F.expr(checks[n]["expr"]), F.lit(True)), 1
                     ).otherwise(0)
                 ).alias(f"c{i}")
-                for i, e in enumerate(checks.values())
+                for i, n in enumerate(names)
             ]
         ).collect()[0]
-        violations = {
-            name: int(counts[f"c{i}"] or 0)
-            for i, name in enumerate(checks)
+        hit = {
+            n: int(counts[f"c{i}"] or 0)
+            for i, n in enumerate(names)
             if counts[f"c{i}"]
         }
-        if violations:
-            raise CheckViolationError(f"{self.tenant}.{self.name}", violations)
+        failing = {n: c for n, c in hit.items() if checks[n]["action"] == "fail"}
+        if failing:
+            raise CheckViolationError(f"{self.tenant}.{self.name}", failing)
+        stats: dict[str, dict[str, int]] = {}
+        for n, c in hit.items():
+            stats.setdefault(checks[n]["action"], {})[n] = c
+        dropped = [
+            checks[n]["expr"] for n in hit if checks[n]["action"] == "drop"
+        ]
+        for expr in dropped:
+            incoming = incoming.filter(F.coalesce(F.expr(expr), F.lit(True)))
+        return incoming, stats
 
     def _resolve_version(self, version: int | str | None) -> int | None:
         if isinstance(version, str):
@@ -2119,9 +2159,11 @@ class LakeTable:
             "_bucket", bucket_expr
         )
         # CHECK constraints gate the ALIGNED batch (what would land,
-        # post-try_cast) and abort before anything is staged; recomputed
-        # on conflict-recompute retries too (the batch re-derives)
-        self._validate_checks(incoming)
+        # post-try_cast): fail-action aborts before anything is staged,
+        # drop-action filters the batch, warn-action only counts;
+        # recomputed on conflict-recompute retries too (the batch
+        # re-derives)
+        incoming, check_stats = self._validate_checks(incoming)
 
         if mode == "append":
             to_write = incoming
@@ -2296,6 +2338,9 @@ class LakeTable:
             "rows_written": rows_written,
             "buckets_touched": len(new_files),
             "version": version,
+            # expectation outcomes: {"drop": {check: n}, "warn": {check: n}}
+            # — dropped rows never staged; warned rows landed anyway
+            **({"check_violations": check_stats} if check_stats else {}),
             # contention observability (round-3 verdict item 9): these
             # ride the per-batch lineage record, so a contended
             # multi-stream deployment shows its conflict/rebase/recompute

@@ -110,6 +110,40 @@ def test_drop_check_reallows(spark, tmp_path):
     assert t.read(spark).count() == 2
 
 
+def test_drop_action_filters_violators_and_counts(spark, tmp_path):
+    """DLT expect_or_drop: violating rows are filtered out of the batch
+    (never staged), the rest commits, and the dropped count rides the
+    commit stats."""
+    t = _table(spark, tmp_path)
+    t.add_check("level_nonneg", "level >= 0", action="drop")
+    out = t.upsert(
+        _batch(spark, [(1, -5.0, 1, "000100"), (2, 2.0, 1, "000101"),
+                       (3, -3.0, 1, "000102")]),
+        SCHEMA, "e1",
+    )
+    assert out["check_violations"] == {"drop": {"level_nonneg": 2}}
+    assert out["rows_written"] == 1
+    assert sorted(r["level"] for r in t.read(spark).collect()) == [1.0, 2.0]
+
+
+def test_warn_action_lands_rows_and_counts(spark, tmp_path):
+    """DLT expect: rows land anyway; the violation count is surfaced."""
+    t = _table(spark, tmp_path)
+    t.add_check("level_nonneg", "level >= 0", action="warn")
+    out = t.upsert(_batch(spark, [(1, -5.0, 1, "000100")]), SCHEMA, "e1")
+    assert out["check_violations"] == {"warn": {"level_nonneg": 1}}
+    assert sorted(r["level"] for r in t.read(spark).collect()) == [-5.0, 1.0]
+    # a clean batch reports nothing
+    out2 = t.upsert(_batch(spark, [(2, 2.0, 2, "000200")]), SCHEMA, "e2")
+    assert "check_violations" not in out2
+
+
+def test_bad_action_rejected(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    with pytest.raises(ValueError, match="fail|drop|warn"):
+        t.add_check("x", "level >= 0", action="quarantine")
+
+
 def test_wap_publish_honors_main_table_checks(spark, tmp_path):
     t = _table(spark, tmp_path)
     t.add_check("level_nonneg", "level >= 0")
