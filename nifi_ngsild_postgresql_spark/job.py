@@ -122,6 +122,9 @@ def main(argv: list[str] | None = None) -> int:
                         "fail (default) | drop | warn; repeatable")
     m.add_argument("--drop-check", action="append", default=[],
                    metavar="NAME")
+    m.add_argument("--restore-to", default=None, metavar="VERSION|TAG",
+                   help="metadata-only rollback: commit a new snapshot "
+                        "equal to the given version (Delta RESTORE)")
     m.add_argument("--expire-keep-last", type=int, default=None)
     m.add_argument("--orphan-grace", type=float, default=3600.0,
                    help="seconds an unreferenced data dir must age before"
@@ -404,7 +407,11 @@ def main(argv: list[str] | None = None) -> int:
             table.drop_check(name)
         if args.add_check or args.drop_check:
             out["checks"] = table.checks()
-        if not (args.tag or args.drop_tag or args.add_check or args.drop_check):
+        if args.restore_to is not None:
+            v = args.restore_to
+            out["restore"] = table.restore(int(v) if v.isdigit() else v)
+        if not (args.tag or args.drop_tag or args.add_check
+                or args.drop_check or args.restore_to):
             out["compact"] = table.compact(
                 spark,
                 max_files_per_bucket=args.max_files_per_bucket,

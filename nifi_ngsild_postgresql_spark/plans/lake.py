@@ -734,6 +734,25 @@ class LakeTable:
                     spark, from_version, range_snaps, schema,
                     include_preimage, with_meta,
                 )
+        # restore commits in the range: the to-state rows carry their
+        # ORIGINAL (old) LWW order, which an order-carrying downstream
+        # (apply_changes mirrors) would lose against the newer rows the
+        # rollback removed. Emit such ranges with SUPERSEDING order: the
+        # LWW-winner side's order suffixed '~r<to_version>' — newer than
+        # both sides (and than a previously propagated tombstone), still
+        # older than any genuinely new event's fresh _recv_time, and
+        # deterministic so replayed polls stay idempotent. Keyed mode
+        # only (apply_changes rejects multiset targets anyway).
+        restore_bump = (
+            to_version
+            if not append_multiset
+            and any(
+                self.snapshot(v).get("mode") == "restore"
+                for v in range(from_version + 1, to_version + 1)
+                if v in versions
+            )
+            else None
+        )
         return self._changes_diff(
             spark,
             from_version,
@@ -742,6 +761,7 @@ class LakeTable:
             include_preimage,
             full_identity=append_multiset,
             with_meta=with_meta,
+            restore_bump=restore_bump,
         )
 
     def _state(self, spark: SparkSession, version: int, schema: dict[str, str]):
@@ -883,6 +903,7 @@ class LakeTable:
         include_preimage: bool = False,
         full_identity: bool = False,
         with_meta: bool = False,
+        restore_bump: int | None = None,
     ) -> DataFrame:
         from .manifest import with_row_sha
 
@@ -913,6 +934,33 @@ class LakeTable:
             F.when(in_to, F.col(f"a.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
             for c in out_cols
         ]
+        if restore_bump is not None and with_meta:
+            # superseding order for restore ranges (see read_changes):
+            # whichever side wins the row's own LWW provides the base
+            # order; the '~r<v>' suffix out-orders that side and any
+            # '~'-bumped tombstone a mirror previously stored for it
+            a_ord = F.struct(
+                F.col("a._recv_time").alias("r"), F.col("a._seq").alias("s")
+            )
+            b_ord = F.struct(
+                F.col("b._recv_time").alias("r"), F.col("b._seq").alias("s")
+            )
+            win = (
+                F.when(asha.isNull(), b_ord)
+                .when(bsha.isNull(), a_ord)
+                .otherwise(F.greatest(a_ord, b_ord))
+            )
+            bumped = {
+                "_recv_time": win["r"].alias("_recv_time"),
+                "_seq": F.concat(
+                    F.coalesce(win["s"], F.lit("")),
+                    F.lit(f"~r{restore_bump:08d}"),
+                ).alias("_seq"),
+            }
+            cols = [
+                bumped.get(name, expr)
+                for name, expr in zip(out_cols, cols)
+            ]
         ctype = (
             F.when(bsha.isNull(), F.lit("insert"))
             .when(asha.isNull(), F.lit("delete"))
@@ -1870,6 +1918,72 @@ class LakeTable:
             with os.fdopen(fd, "w") as f:
                 json.dump(tags, f)
             os.replace(tmp, self._tags_path())
+
+    def restore(self, to_version: int | str) -> dict[str, Any]:
+        """Delta ``RESTORE TABLE ... VERSION AS OF`` / Iceberg
+        ``rollback_to_snapshot`` analog: commit a NEW snapshot whose
+        logical state is exactly ``snapshot(to_version)`` — METADATA-ONLY
+        (the old version's files are re-referenced; nothing is rewritten
+        or deleted) and history stays linear, so the bad versions remain
+        readable for forensics until expired. ``to_version`` may be a
+        tag name. The change feed across a restore commit emits the
+        exact state diff back to the old content (its mode routes
+        read_changes to the state-diff path).
+
+        Epoch bookkeeping carries the CURRENT epochs map, not the
+        target's: exactly-once replay protection survives the rollback —
+        a re-delivered batch that committed AFTER the target still
+        no-ops. Re-applying such a batch deliberately needs a fresh
+        epoch id (that is the operator's statement that it is new work).
+
+        ``append_visible`` stays sticky (a restore across the multiset
+        boundary keeps full-row-identity feed semantics); MoR/tombstone
+        flags are the target's — the state IS the target's."""
+        target = self._resolve_version(to_version)
+        versions = self.versions()
+        if not versions:
+            raise FileNotFoundError(
+                f"lake table {self.tenant}.{self.name} not found"
+            )
+        if target not in versions:
+            raise ValueError(
+                f"cannot restore to missing/expired snapshot v{target}"
+            )
+        tgt = self.snapshot(target)
+        while True:
+            snap = self.latest_snapshot()
+            if snap["version"] == target:
+                return {"restored_to": target, "version": target,
+                        "noop": True}
+            try:
+                self._commit(
+                    {
+                        "version": snap["version"] + 1,
+                        "n_buckets": tgt["n_buckets"],
+                        "schema": tgt["schema"],
+                        "files": dict(tgt["files"]),
+                        "epochs": dict(snap["epochs"]),
+                        "epoch_horizon": snap.get("epoch_horizon", 0),
+                        "n_epochs_total": snap.get(
+                            "n_epochs_total", len(snap["epochs"])
+                        ),
+                        "merge_on_read": bool(tgt.get("merge_on_read")),
+                        "has_tombstones": bool(tgt.get("has_tombstones")),
+                        "append_visible": bool(snap.get("append_visible"))
+                        or bool(tgt.get("append_visible")),
+                        "mode": "restore",
+                        "file_stats": tgt.get("file_stats", {}),
+                        "added_files": {},
+                        "stats": {"restored_to": target},
+                    }
+                )
+            except FileExistsError:
+                continue  # lost the version race: re-read latest, retry
+            return {
+                "restored_to": target,
+                "version": snap["version"] + 1,
+                "noop": False,
+            }
 
     # --- CHECK constraints (Delta CHECK / DLT expectation analog) ---------
 

@@ -1,0 +1,142 @@
+"""RESTORE / rollback (plans/lake.py LakeTable.restore) — the Delta
+``RESTORE TABLE ... VERSION AS OF`` / Iceberg ``rollback_to_snapshot``
+analog.
+
+Pinned here:
+- the restored state equals the target version exactly, as a NEW
+  version (history stays linear; the bad versions remain readable);
+- metadata-only: not a single new data directory appears on disk;
+- the change feed across the restore commit emits the exact state diff
+  back to the old content (an upsert undone surfaces as update/delete
+  rows), and a downstream mirror following via apply_changes converges
+  to the restored state;
+- exactly-once survives the rollback: a batch whose epoch committed
+  AFTER the target still no-ops on re-delivery;
+- restore accepts tag names; restore to the current version is a no-op;
+- restoring to an expired snapshot fails loudly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+
+SCHEMA = {"entityid": "TEXT", "level": "NUMERIC", "observedat": "TIMESTAMPTZ"}
+TS = "2024-07-01T00:00:00"
+
+
+def _batch(spark, rows):
+    data = [(f"urn:x:{e}", float(v), TS, "r0", recv, seq)
+            for e, v, recv, seq in rows]
+    return spark.createDataFrame(
+        data,
+        "entityid string, level double, observedat string,"
+        " _row_key string, _recv int, _seq string",
+    ).select(
+        "entityid", "level",
+        F.col("observedat").cast("timestamp").alias("observedat"),
+        "_row_key",
+        F.timestamp_millis(
+            F.lit(1700000000000) + F.col("_recv").cast("long")
+        ).alias("_recv_time"),
+        "_seq",
+    )
+
+
+def _state(spark, t, version=None):
+    return sorted(
+        (r["entityid"], r["level"])
+        for r in t.read(spark, version=version).collect()
+    )
+
+
+def _setup(spark, tmp_path):
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=2).table("t", "gauge")
+    t.upsert(_batch(spark, [(0, 1.0, 0, "000000"), (1, 2.0, 0, "000001")]),
+             SCHEMA, "e1")                                # v1 — good
+    t.upsert(_batch(spark, [(0, 666.0, 1, "000100"),      # bad update
+                            (2, 3.0, 1, "000101")]),      # bad insert
+             SCHEMA, "e2")                                # v2 — bad
+    return t
+
+
+def test_restore_reproduces_target_as_new_version(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    good = _state(spark, t, version=1)
+    out = t.restore(1)
+    assert out == {"restored_to": 1, "version": 3, "noop": False}
+    assert _state(spark, t) == good
+    # history stays linear and the bad version is still readable
+    assert t.versions() == [1, 2, 3]
+    assert ("urn:x:0", 666.0) in _state(spark, t, version=2)
+
+
+def test_restore_is_metadata_only(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    data_dir = os.path.join(t.path, "data")
+    before = sorted(os.listdir(data_dir))
+    t.restore(1)
+    assert sorted(os.listdir(data_dir)) == before
+
+
+def test_change_feed_across_restore_is_exact_diff(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    t.restore(1)
+    rows = {
+        (r["entityid"], r["_change_type"], r["level"])
+        for r in t.read_changes(spark, 2, 3).collect()
+    }
+    # undoing v2: entity 0 reverts to 1.0 (update), entity 2 disappears
+    assert rows == {
+        ("urn:x:0", "update", 1.0),
+        ("urn:x:2", "delete", 3.0),
+    }
+
+
+def test_mirror_converges_to_restored_state(spark, tmp_path):
+    from nifi_ngsild_postgresql_spark.streaming.changefeed import (
+        TablePropagator,
+    )
+
+    t = _setup(spark, tmp_path)
+    dst = LakeCatalog(str(tmp_path / "mirror"), n_buckets=2).table("m", "gauge")
+    prop = TablePropagator(t, dst, str(tmp_path / "ckpt"))
+    prop.run(spark)  # mirror at the bad v2 state
+    assert ("urn:x:0", 666.0) in _state(spark, dst)
+    t.restore(1)
+    prop.run(spark)
+    assert _state(spark, dst) == _state(spark, t) == _state(spark, t, version=1)
+
+
+def test_epoch_protection_survives_rollback(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    t.restore(1)
+    # the bad batch re-delivered under its ORIGINAL epoch: must no-op
+    out = t.upsert(
+        _batch(spark, [(0, 666.0, 1, "000100"), (2, 3.0, 1, "000101")]),
+        SCHEMA, "e2",
+    )
+    assert out == {"skipped_epoch": True}
+    assert _state(spark, t) == _state(spark, t, version=1)
+    # the same content under a NEW epoch is new work and lands
+    t.upsert(
+        _batch(spark, [(0, 666.0, 1, "000100"), (2, 3.0, 1, "000101")]),
+        SCHEMA, "e2-redo",
+    )
+    assert ("urn:x:0", 666.0) in _state(spark, t)
+
+
+def test_restore_by_tag_and_noop_and_expired(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    t.tag("good", 1)
+    assert t.restore("good")["restored_to"] == 1
+    assert t.restore(t.versions()[-1])["noop"]
+    t2 = _setup(spark, tmp_path / "b")
+    t2.upsert(_batch(spark, [(9, 9.0, 2, "000200")]), SCHEMA, "e3")
+    t2.expire_snapshots(keep_last=1, orphan_grace_seconds=0)
+    with pytest.raises(ValueError, match="missing/expired"):
+        t2.restore(1)
