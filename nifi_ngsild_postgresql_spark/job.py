@@ -409,7 +409,11 @@ def main(argv: list[str] | None = None) -> int:
             out["checks"] = table.checks()
         if args.restore_to is not None:
             v = args.restore_to
-            out["restore"] = table.restore(int(v) if v.isdigit() else v)
+            # tags win over the numeric reading: a tag may be all-digits
+            # ('2024'), and restore() resolves tag names itself
+            if v not in table.tags() and v.isdigit():
+                v = int(v)
+            out["restore"] = table.restore(v)
         if not (args.tag or args.drop_tag or args.add_check
                 or args.drop_check or args.restore_to):
             out["compact"] = table.compact(

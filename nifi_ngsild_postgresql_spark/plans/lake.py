@@ -252,9 +252,25 @@ class LakeTable:
             if (m := _SNAPSHOT_RE.match(f))
         )
 
+    # committed manifests are immutable (O_EXCL publish; expiry deletes,
+    # never rewrites), so parsed manifests are cached process-wide keyed
+    # by (path, mtime_ns, size) — change-feed polls re-read O(range)
+    # manifests otherwise (restore detection, fast-path probing). A stat
+    # still runs per access; only the open+parse is saved.
+    _MANIFEST_CACHE: dict[tuple, dict[str, Any]] = {}
+
     def snapshot(self, version: int) -> dict[str, Any]:
-        with open(os.path.join(self.meta_dir, f"v{version:08d}.json")) as f:
-            return json.load(f)
+        path = os.path.join(self.meta_dir, f"v{version:08d}.json")
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+        cached = LakeTable._MANIFEST_CACHE.get(key)
+        if cached is None:
+            with open(path) as f:
+                cached = json.load(f)
+            if len(LakeTable._MANIFEST_CACHE) > 4096:
+                LakeTable._MANIFEST_CACHE.clear()
+            LakeTable._MANIFEST_CACHE[key] = cached
+        return cached
 
     def latest_snapshot(self) -> dict[str, Any] | None:
         versions = self.versions()
@@ -530,7 +546,14 @@ class LakeTable:
         dir (dropped automatically for dirs no longer referenced), so the
         manifest stays the single source for pruning and its size stays
         proportional to the live file-dir count."""
-        merged = dict(snap.get("file_stats", {})) if snap else {}
+        # inner per-dir dicts are copied too: _attach_blooms mutates them
+        # for just-written dirs, and carried dicts may be shared with the
+        # immutable manifest cache (snapshot())
+        merged = (
+            {rel: dict(st) for rel, st in snap.get("file_stats", {}).items()}
+            if snap
+            else {}
+        )
         merged.update(self._collect_stats(new_files))
         live = {p for paths in files.values() for p in paths}
         return {rel: merged[rel] for rel in sorted(live & set(merged))}
@@ -730,38 +753,78 @@ class LakeTable:
                     return self._changes_append(
                         spark, range_snaps, schema, with_meta
                     )
-                return self._changes_fast(
-                    spark, from_version, range_snaps, schema,
-                    include_preimage, with_meta,
+                return self._order_era(
+                    self._changes_fast(
+                        spark, from_version, range_snaps, schema,
+                        include_preimage, with_meta,
+                    ),
+                    versions, to_version, with_meta,
                 )
-        # restore commits in the range: the to-state rows carry their
-        # ORIGINAL (old) LWW order, which an order-carrying downstream
-        # (apply_changes mirrors) would lose against the newer rows the
-        # rollback removed. Emit such ranges with SUPERSEDING order: the
-        # LWW-winner side's order suffixed '~r<to_version>' — newer than
-        # both sides (and than a previously propagated tombstone), still
-        # older than any genuinely new event's fresh _recv_time, and
-        # deterministic so replayed polls stay idempotent. Keyed mode
-        # only (apply_changes rejects multiset targets anyway).
-        restore_bump = (
-            to_version
-            if not append_multiset
-            and any(
-                self.snapshot(v).get("mode") == "restore"
-                for v in range(from_version + 1, to_version + 1)
-                if v in versions
-            )
-            else None
+        return self._order_era(
+            self._changes_diff(
+                spark,
+                from_version,
+                to_version,
+                schema,
+                include_preimage,
+                full_identity=append_multiset,
+                with_meta=with_meta,
+            ),
+            versions, to_version, with_meta and not append_multiset,
         )
-        return self._changes_diff(
-            spark,
-            from_version,
-            to_version,
-            schema,
-            include_preimage,
-            full_identity=append_multiset,
-            with_meta=with_meta,
-            restore_bump=restore_bump,
+
+    def _order_era(
+        self, df: DataFrame, versions: list[int], to_version: int,
+        with_meta: bool,
+    ) -> DataFrame:
+        """Post-restore feed-order lifting. A restore moves table content
+        BACKWARD in LWW order, which an order-carrying mirror
+        (apply_changes) cannot follow: restored rows would lose against
+        the newer rows the rollback removed, and later deletes of
+        restored rows would lose against the lifted rows. So once a
+        table has a restore at-or-below the polled to_version, EVERY
+        emitted row's order enters the restore's era:
+
+        - ``_recv_time`` is lifted to at least the restore's recorded
+          ``recv_ceiling_ms`` (above every pre-restore order a mirror
+          can hold, below nothing that is genuinely newer);
+        - ``_seq`` becomes ``<15-digit unix_millis of the ORIGINAL
+          recv>|<original seq>`` — within the era, lexicographic seq
+          order IS the source's (recv, seq) order, so subsequent
+          updates/deletes/late events keep resolving downstream exactly
+          as they resolve upstream. Tombstone '~' bumps append after
+          the encoding and keep working.
+
+        Deterministic (the ceiling is in the restore manifest), so
+        replayed polls stay idempotent. Identity for never-restored
+        tables and for multiset feeds (apply_changes rejects those)."""
+        if not with_meta:
+            return df
+        ceiling = None
+        for v in versions:
+            if v <= to_version:
+                s = self.snapshot(v)
+                if s.get("mode") == "restore":
+                    cm = s.get("stats", {}).get("recv_ceiling_ms")
+                    if cm:
+                        ceiling = max(ceiling or 0, int(cm))
+        if ceiling is None:
+            return df
+        enc_seq = F.concat(
+            F.lpad(
+                F.coalesce(
+                    F.unix_millis(F.col("_recv_time")), F.lit(0)
+                ).cast("string"),
+                15, "0",
+            ),
+            F.lit("|"),
+            F.coalesce(F.col("_seq"), F.lit("")),
+        )
+        return df.withColumn("_seq", enc_seq).withColumn(
+            "_recv_time",
+            F.greatest(
+                F.col("_recv_time"), F.timestamp_millis(F.lit(ceiling))
+            ),
         )
 
     def _state(self, spark: SparkSession, version: int, schema: dict[str, str]):
@@ -903,7 +966,6 @@ class LakeTable:
         include_preimage: bool = False,
         full_identity: bool = False,
         with_meta: bool = False,
-        restore_bump: int | None = None,
     ) -> DataFrame:
         from .manifest import with_row_sha
 
@@ -934,33 +996,6 @@ class LakeTable:
             F.when(in_to, F.col(f"a.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
             for c in out_cols
         ]
-        if restore_bump is not None and with_meta:
-            # superseding order for restore ranges (see read_changes):
-            # whichever side wins the row's own LWW provides the base
-            # order; the '~r<v>' suffix out-orders that side and any
-            # '~'-bumped tombstone a mirror previously stored for it
-            a_ord = F.struct(
-                F.col("a._recv_time").alias("r"), F.col("a._seq").alias("s")
-            )
-            b_ord = F.struct(
-                F.col("b._recv_time").alias("r"), F.col("b._seq").alias("s")
-            )
-            win = (
-                F.when(asha.isNull(), b_ord)
-                .when(bsha.isNull(), a_ord)
-                .otherwise(F.greatest(a_ord, b_ord))
-            )
-            bumped = {
-                "_recv_time": win["r"].alias("_recv_time"),
-                "_seq": F.concat(
-                    F.coalesce(win["s"], F.lit("")),
-                    F.lit(f"~r{restore_bump:08d}"),
-                ).alias("_seq"),
-            }
-            cols = [
-                bumped.get(name, expr)
-                for name, expr in zip(out_cols, cols)
-            ]
         ctype = (
             F.when(bsha.isNull(), F.lit("insert"))
             .when(asha.isNull(), F.lit("delete"))
@@ -1938,52 +1973,81 @@ class LakeTable:
 
         ``append_visible`` stays sticky (a restore across the multiset
         boundary keeps full-row-identity feed semantics); MoR/tombstone
-        flags are the target's — the state IS the target's."""
+        flags are the target's — the state IS the target's.
+
+        The restore records a ``recv_ceiling_ms`` (wall clock + margin):
+        change-feed emissions at-or-after the restore lift every row's
+        order above this ceiling (see read_changes) so order-carrying
+        mirrors converge to the rollback AND to everything after it.
+        Assumes event ``_recv_time`` never exceeds the restore's wall
+        clock (receive-time semantics; a future-skewed recv would break
+        mirror convergence for that row).
+
+        Runs under the tags lock: expire_snapshots computes its keep-set
+        under the same lock, so a concurrent GC either sees the restore
+        commit (and keeps the re-referenced dirs) or deletes the target
+        first (and the re-check below fails loudly) — never a committed
+        snapshot pointing at removed data."""
         target = self._resolve_version(to_version)
-        versions = self.versions()
-        if not versions:
-            raise FileNotFoundError(
-                f"lake table {self.tenant}.{self.name} not found"
-            )
-        if target not in versions:
-            raise ValueError(
-                f"cannot restore to missing/expired snapshot v{target}"
-            )
-        tgt = self.snapshot(target)
-        while True:
-            snap = self.latest_snapshot()
-            if snap["version"] == target:
-                return {"restored_to": target, "version": target,
-                        "noop": True}
-            try:
-                self._commit(
-                    {
-                        "version": snap["version"] + 1,
-                        "n_buckets": tgt["n_buckets"],
-                        "schema": tgt["schema"],
-                        "files": dict(tgt["files"]),
-                        "epochs": dict(snap["epochs"]),
-                        "epoch_horizon": snap.get("epoch_horizon", 0),
-                        "n_epochs_total": snap.get(
-                            "n_epochs_total", len(snap["epochs"])
-                        ),
-                        "merge_on_read": bool(tgt.get("merge_on_read")),
-                        "has_tombstones": bool(tgt.get("has_tombstones")),
-                        "append_visible": bool(snap.get("append_visible"))
-                        or bool(tgt.get("append_visible")),
-                        "mode": "restore",
-                        "file_stats": tgt.get("file_stats", {}),
-                        "added_files": {},
-                        "stats": {"restored_to": target},
-                    }
-                )
-            except FileExistsError:
-                continue  # lost the version race: re-read latest, retry
-            return {
-                "restored_to": target,
-                "version": snap["version"] + 1,
-                "noop": False,
-            }
+        ceiling_ms = int(time.time() * 1000) + 60_000
+        attempts = 0
+        with self._tags_lock():
+            while True:
+                versions = self.versions()
+                if not versions:
+                    raise FileNotFoundError(
+                        f"lake table {self.tenant}.{self.name} not found"
+                    )
+                if target not in versions:
+                    raise ValueError(
+                        f"cannot restore to missing/expired snapshot v{target}"
+                    )
+                tgt = self.snapshot(target)
+                snap = self.latest_snapshot()
+                if snap["version"] == target:
+                    return {"restored_to": target, "version": target,
+                            "noop": True}
+                try:
+                    self._commit(
+                        {
+                            "version": snap["version"] + 1,
+                            "n_buckets": tgt["n_buckets"],
+                            "schema": tgt["schema"],
+                            "files": dict(tgt["files"]),
+                            "epochs": dict(snap["epochs"]),
+                            "epoch_horizon": snap.get("epoch_horizon", 0),
+                            "n_epochs_total": snap.get(
+                                "n_epochs_total", len(snap["epochs"])
+                            ),
+                            "merge_on_read": bool(tgt.get("merge_on_read")),
+                            "has_tombstones": bool(tgt.get("has_tombstones")),
+                            "append_visible": bool(snap.get("append_visible"))
+                            or bool(tgt.get("append_visible")),
+                            "mode": "restore",
+                            "file_stats": tgt.get("file_stats", {}),
+                            "added_files": {},
+                            "stats": {
+                                "restored_to": target,
+                                "recv_ceiling_ms": ceiling_ms,
+                            },
+                        }
+                    )
+                except FileExistsError:
+                    # lost the version race to a concurrent writer:
+                    # re-read latest and retry, bounded like every other
+                    # write path
+                    attempts += 1
+                    if attempts > COMMIT_MAX_RETRIES:
+                        raise CommitConflictError(
+                            f"{self.tenant}.{self.name}: restore gave up "
+                            f"after {attempts} commit conflicts"
+                        )
+                    continue
+                return {
+                    "restored_to": target,
+                    "version": snap["version"] + 1,
+                    "noop": False,
+                }
 
     # --- CHECK constraints (Delta CHECK / DLT expectation analog) ---------
 
@@ -2068,12 +2132,48 @@ class LakeTable:
         checks = self.checks()
         if not checks:
             return incoming, {}
-        names = list(checks)
+        from pyspark.errors.exceptions.base import AnalysisException
+
+        # a check referencing a column this batch's schema lacks is NOT
+        # APPLICABLE to it (schema evolution: a narrower writer's batch
+        # would otherwise abort on AnalysisException forever — the
+        # pipeline always writes the reconciled full schema, where the
+        # column exists as NULL and SQL NULL-passes semantics apply)
+        applicable = {}
+        for n, spec in checks.items():
+            try:
+                incoming.select(F.expr(spec["expr"]))
+                applicable[n] = spec
+            except AnalysisException as e:
+                if "UNRESOLVED_COLUMN" not in str(e):
+                    raise
+                # narrow writer iff the expression resolves against the
+                # TABLE's full schema; a genuinely unknown column (typo)
+                # still fails loudly
+                full = self.schema() or {}
+                incoming.sparkSession.createDataFrame(
+                    [], table_spark_schema(full)
+                ).select(F.expr(spec["expr"]))  # raises for a typo
+        if not applicable:
+            return incoming, {}
+        # tombstone rows (apply_changes delete batches) are EXEMPT, like
+        # Delta never evaluating CHECKs on deletes: their NULLed payload
+        # would fail boolean-on-NULL predicates such as IS NOT NULL
+        live = (
+            ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+            if TOMBSTONE_COL in incoming.columns
+            else F.lit(True)
+        )
+        names = list(applicable)
         counts = incoming.agg(
             *[
                 F.sum(
                     F.when(
-                        ~F.coalesce(F.expr(checks[n]["expr"]), F.lit(True)), 1
+                        live
+                        & ~F.coalesce(
+                            F.expr(applicable[n]["expr"]), F.lit(True)
+                        ),
+                        1,
                     ).otherwise(0)
                 ).alias(f"c{i}")
                 for i, n in enumerate(names)
@@ -2084,17 +2184,23 @@ class LakeTable:
             for i, n in enumerate(names)
             if counts[f"c{i}"]
         }
-        failing = {n: c for n, c in hit.items() if checks[n]["action"] == "fail"}
+        failing = {
+            n: c for n, c in hit.items() if applicable[n]["action"] == "fail"
+        }
         if failing:
             raise CheckViolationError(f"{self.tenant}.{self.name}", failing)
         stats: dict[str, dict[str, int]] = {}
         for n, c in hit.items():
-            stats.setdefault(checks[n]["action"], {})[n] = c
+            stats.setdefault(applicable[n]["action"], {})[n] = c
         dropped = [
-            checks[n]["expr"] for n in hit if checks[n]["action"] == "drop"
+            applicable[n]["expr"]
+            for n in hit
+            if applicable[n]["action"] == "drop"
         ]
         for expr in dropped:
-            incoming = incoming.filter(F.coalesce(F.expr(expr), F.lit(True)))
+            incoming = incoming.filter(
+                ~live | F.coalesce(F.expr(expr), F.lit(True))
+            )
         return incoming, stats
 
     def _resolve_version(self, version: int | str | None) -> int | None:

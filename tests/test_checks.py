@@ -93,10 +93,52 @@ def test_null_passes_sql_check_semantics(spark, tmp_path):
 
 
 def test_deletes_flow_through_checks(spark, tmp_path):
+    """The REAL delete-through-checks path is apply_changes (WAP
+    publishes, CDC mirrors): tombstone rows are EXEMPT from checks —
+    even a boolean-on-NULL predicate like IS NOT NULL, which their
+    NULLed payload would otherwise fail — so delete propagation into a
+    checked table works. Live rows in the same batch are still gated."""
+    from nifi_ngsild_postgresql_spark.plans.wap import WapSession
+
     t = _table(spark, tmp_path)
-    t.add_check("level_nonneg", "level >= 0")
-    t.delete_where(spark, predicate="level >= 1", strategy="mor")
-    assert t.read(spark).count() == 0
+    t.add_check("level_present", "level IS NOT NULL")
+    # stage a delete of the seeded row + one valid insert, publish: the
+    # tombstone must pass the IS NOT NULL check, the insert must land
+    wap = WapSession(t, "del")
+    wap.stage(_batch(spark, [(0, 1.0, 1, "000100"), (8, 8.0, 1, "000101")]),
+              SCHEMA, "s0")
+    wap.stage_delete(spark, "entityid = 'urn:x:0'")
+    wap.publish(spark)
+    assert {r["entityid"] for r in t.read(spark).collect()} == {"urn:x:8"}
+    # a live NULL-payload row in an apply_changes batch is NOT exempt
+    wap2 = WapSession(t, "bad")
+    wap2.stage(_batch(spark, [(9, None, 2, "000200")]), SCHEMA, "s1")
+    with pytest.raises(CheckViolationError):
+        wap2.publish(spark)
+
+
+def test_check_on_column_missing_from_batch_is_not_applicable(spark, tmp_path):
+    """Schema-evolution interplay: a check referencing a column a
+    NARROWER writer's batch lacks must not abort that batch forever
+    (the pipeline writes the reconciled full schema where the column
+    exists as NULL; a direct API writer with a narrower schema gets
+    not-applicable semantics instead of an AnalysisException loop)."""
+    t = _table(spark, tmp_path)
+    # evolve the table with a new column via a wider writer
+    wide = _batch(spark, [(5, 5.0, 1, "000100")]).withColumn(
+        "unit", F.lit("c")
+    )
+    t.upsert(wide, {**SCHEMA, "unit": "TEXT"}, "e1")
+    t.add_check("unit_short", "length(unit) <= 3")
+    # a narrower writer without 'unit' still lands
+    t.upsert(_batch(spark, [(6, 6.0, 2, "000200")]), SCHEMA, "e2")
+    assert t.read(spark).filter(F.col("entityid") == "urn:x:6").count() == 1
+    # the check still gates writers that DO carry the column
+    bad = _batch(spark, [(7, 7.0, 3, "000300")]).withColumn(
+        "unit", F.lit("toolong")
+    )
+    with pytest.raises(CheckViolationError):
+        t.upsert(bad, {**SCHEMA, "unit": "TEXT"}, "e3")
 
 
 def test_drop_check_reallows(spark, tmp_path):

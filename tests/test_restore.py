@@ -112,6 +112,35 @@ def test_mirror_converges_to_restored_state(spark, tmp_path):
     assert _state(spark, dst) == _state(spark, t) == _state(spark, t, version=1)
 
 
+def test_mirror_follows_changes_after_the_restore(spark, tmp_path):
+    """The order-era design's hard cases: AFTER a rollback propagated,
+    (a) a source-side DELETE of a restored row must still delete it in
+    the mirror (the restored row's lifted order must not shadow the
+    tombstone), and (b) a further source-side UPDATE must land. Both
+    diverged under a naive winner-order bump."""
+    from nifi_ngsild_postgresql_spark.streaming.changefeed import (
+        TablePropagator,
+    )
+
+    t = _setup(spark, tmp_path)
+    dst = LakeCatalog(str(tmp_path / "mirror"), n_buckets=2).table("m", "gauge")
+    prop = TablePropagator(t, dst, str(tmp_path / "ckpt"))
+    prop.run(spark)              # mirror at bad v2
+    t.restore(1)
+    prop.run(spark)              # mirror reverted
+    assert _state(spark, dst) == _state(spark, t)
+    # (a) delete the restored row upstream
+    t.delete_where(spark, predicate="entityid = 'urn:x:0'", strategy="mor")
+    prop.run(spark)
+    assert _state(spark, dst) == _state(spark, t)
+    assert ("urn:x:0", 1.0) not in _state(spark, dst)
+    # (b) a later update of the other restored row
+    t.upsert(_batch(spark, [(1, 7.5, 9, "000900")]), SCHEMA, "e9")
+    prop.run(spark)
+    assert _state(spark, dst) == _state(spark, t)
+    assert ("urn:x:1", 7.5) in _state(spark, dst)
+
+
 def test_epoch_protection_survives_rollback(spark, tmp_path):
     t = _setup(spark, tmp_path)
     t.restore(1)
