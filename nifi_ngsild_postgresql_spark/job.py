@@ -27,6 +27,41 @@ import sys
 import time
 
 
+def _batch_epoch_id(changelog_path: str) -> str:
+    """Epoch id for a CLI WAP stage: sha1 over the batch's IDENTITY —
+    path plus each underlying file's (relative path, size, mtime_ns).
+    Re-running the same unchanged batch replays idempotently; a new file
+    dropped at the same path is new work and gets a new epoch. Non-local
+    URIs (s3://, hdfs://) can't be stat'd here — fall back to path-only
+    and tell the operator the weaker contract applies."""
+    import hashlib
+    import os
+
+    h = hashlib.sha1(changelog_path.encode())
+    if os.path.isfile(changelog_path):
+        st = os.stat(changelog_path)
+        h.update(f"|{st.st_size}|{st.st_mtime_ns}".encode())
+    elif os.path.isdir(changelog_path):
+        for root, dirs, files in os.walk(changelog_path):
+            dirs.sort()
+            for name in sorted(files):
+                if name.startswith((".", "_")):
+                    continue  # _SUCCESS / hidden CRCs aren't content
+                p = os.path.join(root, name)
+                st = os.stat(p)
+                rel = os.path.relpath(p, changelog_path)
+                h.update(f"|{rel}|{st.st_size}|{st.st_mtime_ns}".encode())
+    else:
+        print(
+            f"warning: cannot stat {changelog_path!r} — WAP epoch id is "
+            "path-only; re-delivering DIFFERENT content at this path "
+            "would silently no-op (pass a local path for content-aware "
+            "epochs)",
+            file=sys.stderr,
+        )
+    return h.hexdigest()[:16]
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="ngsild-ingest")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -265,14 +300,14 @@ def main(argv: list[str] | None = None) -> int:
             changelog = read_changelog(spark, args.changelog)
             t0 = time.time()
             # staged (WAP) ingest accumulates several micro-batches under
-            # one wap id, so the epoch must distinguish input batches —
-            # derived from the changelog path, it stays idempotent for a
-            # re-run of the SAME batch while a second batch lands as a
-            # new epoch (a fixed id would silently no-op it)
-            import hashlib
-
+            # one wap id, so the epoch must distinguish input BATCHES, not
+            # input locations: a fixed drop path (/data/batch.parquet)
+            # receiving a second, different file must land as a new epoch,
+            # while a re-run over the same unchanged file stays a no-op.
+            # Hash the files' identity (relpath, size, mtime_ns) alongside
+            # the path (round-4 ADVICE — path-only sha no-op'd batch #2).
             epoch = (
-                "cli-" + hashlib.sha1(args.changelog.encode()).hexdigest()[:12]
+                "cli-" + _batch_epoch_id(args.changelog)
                 if args.wap_id
                 else "cli-0"
             )

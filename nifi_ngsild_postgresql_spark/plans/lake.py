@@ -808,6 +808,13 @@ class LakeTable:
                     cm = s.get("stats", {}).get("recv_ceiling_ms")
                     if cm:
                         ceiling = max(ceiling or 0, int(cm))
+        # the durable ledger covers restores whose snapshot manifest has
+        # been expired out of `versions` (round-4 ADVICE: without it, GC
+        # silently reverted emissions to raw (recv, seq) order and broke
+        # mirror convergence for mirrors holding lifted orders)
+        for e in self.restores():
+            if e["version"] <= to_version and e["recv_ceiling_ms"]:
+                ceiling = max(ceiling or 0, e["recv_ceiling_ms"])
         if ceiling is None:
             return df
         enc_seq = F.concat(
@@ -1892,6 +1899,38 @@ class LakeTable:
     def _tags_path(self) -> str:
         return os.path.join(self.meta_dir, "_tags.json")
 
+    def _restores_path(self) -> str:
+        return os.path.join(self.meta_dir, "_restores.json")
+
+    def restores(self) -> list[dict[str, int]]:
+        """Durable restore ledger: ``[{"version", "recv_ceiling_ms"}, ...]``
+        in commit order. The restore snapshot's manifest also carries the
+        ceiling, but manifests EXPIRE (expire_snapshots keeps keep_last) —
+        the ledger is what lets ``_order_era`` keep lifting feed order
+        after the restore snapshot itself is GC'd, which the mirror-
+        convergence guarantee depends on (round-4 ADVICE). Entries are
+        O(restores ever), a human-scale count."""
+        if not os.path.exists(self._restores_path()):
+            return []
+        with open(self._restores_path()) as f:
+            return [
+                {"version": int(e["version"]),
+                 "recv_ceiling_ms": int(e["recv_ceiling_ms"])}
+                for e in json.load(f)
+            ]
+
+    def _append_restore(self, version: int, recv_ceiling_ms: int) -> None:
+        """Record a restore in the durable ledger (caller holds
+        _tags_lock). Write-temp + atomic replace like the tags file."""
+        entries = self.restores()
+        entries.append(
+            {"version": version, "recv_ceiling_ms": recv_ceiling_ms}
+        )
+        fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(entries, f)
+        os.replace(tmp, self._restores_path())
+
     def tags(self) -> dict[str, int]:
         if not os.path.exists(self._tags_path()):
             return {}
@@ -2043,6 +2082,9 @@ class LakeTable:
                             f"after {attempts} commit conflicts"
                         )
                     continue
+                # durable era record: the manifest's copy expires with
+                # the snapshot; this ledger never does (see restores())
+                self._append_restore(snap["version"] + 1, ceiling_ms)
                 return {
                     "restored_to": target,
                     "version": snap["version"] + 1,

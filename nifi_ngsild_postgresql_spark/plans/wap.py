@@ -115,6 +115,41 @@ class WapSession:
         staged, s_schema = self._staged_state(spark)
         return self._preview_from(spark, staged, s_schema)
 
+    def _apply_drop_checks(self, staged: DataFrame) -> DataFrame:
+        """Evaluate the MAIN table's drop-action CHECK constraints on the
+        staged rows the way publish will: apply_changes routes the batch
+        through ``_validate_checks``, which FILTERS drop-violating rows —
+        so a preview that skipped this would let audits approve rows the
+        published table never exposes (round-4 ADVICE). Mirrors
+        _validate_checks' semantics: violation means the expression is
+        FALSE (NULL passes), tombstones are exempt. Callers align staged
+        to the publish schema first, so a check column the batch lacks
+        evaluates over NULL exactly as it will at publish; an expression
+        that STILL doesn't resolve references a column outside the table
+        entirely — publish's typo probe raises for that, so skipping it
+        here just defers the loud failure to publish."""
+        drops = [
+            spec["expr"]
+            for spec in self.table.checks().values()
+            if spec["action"] == "drop"
+        ]
+        if not drops:
+            return staged
+        from pyspark.errors.exceptions.base import AnalysisException
+
+        live = ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+        for expr in drops:
+            try:
+                staged.select(F.expr(expr))
+            except AnalysisException as e:
+                if "UNRESOLVED_COLUMN" not in str(e):
+                    raise
+                continue
+            staged = staged.filter(
+                ~(live & ~F.coalesce(F.expr(expr), F.lit(True)))
+            )
+        return staged
+
     def _preview_from(
         self, spark: SparkSession, staged: DataFrame, s_schema: dict[str, str]
     ) -> DataFrame:
@@ -122,7 +157,7 @@ class WapSession:
         cols = [*schema, *"_row_key _recv_time _seq".split(), TOMBSTONE_COL]
         main_snap = self.table.latest_snapshot()
         if main_snap is None:
-            combined = staged
+            combined = self._apply_drop_checks(staged)
         else:
             main = self.table.read(spark, with_meta=True).withColumn(
                 TOMBSTONE_COL, F.lit(False)
@@ -132,6 +167,7 @@ class WapSession:
                     main = main.withColumn(c, F.lit(None))
                 if c not in staged.columns:
                     staged = staged.withColumn(c, F.lit(None))
+            staged = self._apply_drop_checks(staged)
             from ..operators.dedup import last_writer_wins
 
             combined = last_writer_wins(
@@ -199,19 +235,35 @@ def fail_if_any(expr: str) -> Callable[[DataFrame], bool]:
     different schemas, so an expression referencing columns a table
     doesn't have is NOT APPLICABLE there and passes (``--fail-if
     "no2 < 0"`` gates the air-quality table without blocking the valve
-    table). A typo'd column name therefore passes everywhere — verify
-    new audits once with ``--action preview`` on the intended table."""
+    table). Applicability is TRACKED (``audit.applied`` counts the
+    tables it resolved against): each not-applicable pass warns on
+    stderr, and ``publish_warehouse`` raises when an expression resolved
+    against NO staged table — a typo'd column can no longer silently
+    disarm the quality gate everywhere (round-4 ADVICE)."""
     from pyspark.errors.exceptions.base import AnalysisException
 
     def audit(df: DataFrame) -> bool:
         try:
-            return df.filter(F.expr(expr)).limit(1).count() == 0
+            ok = df.filter(F.expr(expr)).limit(1).count() == 0
         except AnalysisException as e:
             if "UNRESOLVED_COLUMN" in str(e):
+                import sys
+
+                print(
+                    f"warning: audit {expr!r} references a column this "
+                    "table's publish schema lacks — not applicable here, "
+                    "passing (a typo'd column fails the overall publish "
+                    "if it applies nowhere)",
+                    file=sys.stderr,
+                )
                 return True  # not applicable to this table's schema
             raise
+        audit.applied += 1
+        return ok
 
     audit.__name__ = f"fail_if_any({expr!r})"
+    audit.applied = 0
+    audit.expr = expr
     return audit
 
 
@@ -260,9 +312,29 @@ def publish_warehouse(
     audit rejection raises before any further table lands (tables
     already published in this pass stay published — per-table
     atomicity, the Iceberg WAP contract; rerunning after a fix is safe
-    because each publish is epoch-idempotent)."""
+    because each publish is epoch-idempotent).
+
+    After the pass, any audit that resolved against NO staged table
+    raises ``AuditFailedError``: an expression applicable nowhere is a
+    typo'd (or stale) column name, and letting it pass would leave the
+    quality gate silently open on every table. Tables already published
+    in the pass stay published (per-table atomicity) — the error is the
+    operator's signal to fix the expression and re-gate."""
     results: dict[str, Any] = {}
     for tenant, name in staged_tables(base.warehouse, wap_id):
         session = WapSession(base.table(tenant, name), wap_id)
         results[f"{tenant}.{name}"] = session.publish(spark, audits=audits)
+    if results:
+        never_applied = [
+            getattr(a, "expr", getattr(a, "__name__", "audit"))
+            for a in audits or []
+            if getattr(a, "applied", 1) == 0
+        ]
+        if never_applied:
+            raise AuditFailedError(
+                f"wap {wap_id}: audit expression(s) {never_applied} "
+                "resolved against no staged table — likely a typo'd "
+                "column; the gate did not actually run anywhere "
+                "(already-published tables in this pass stay published)"
+            )
     return results

@@ -1,0 +1,236 @@
+"""Round-4 ADVICE regressions.
+
+1. plans/lake.py — the restore order-era ceiling must survive
+   ``expire_snapshots`` aging the restore snapshot out of the manifest
+   window (durable ``_restores.json`` ledger); without it, change-feed
+   emissions silently reverted to raw (recv, seq) order and mirrors
+   holding lifted orders diverged.
+2. job.py — the CLI WAP epoch id must reflect batch IDENTITY, not just
+   path: a second, different file dropped at the same location is new
+   work, while a re-run over the unchanged file stays idempotent.
+3. plans/wap.py fail_if_any — an audit expression that resolves against
+   NO staged table (typo'd column) must fail the warehouse publish
+   instead of silently disarming the gate everywhere.
+4. plans/wap.py preview — the main table's drop-action CHECK constraints
+   filter staged rows at publish (apply_changes -> _validate_checks), so
+   the audit preview must hide them too: preview == post-publish read
+   even with drop checks active.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+from nifi_ngsild_postgresql_spark.plans.wap import (
+    AuditFailedError,
+    WapSession,
+    fail_if_any,
+    publish_warehouse,
+)
+
+SCHEMA = {"entityid": "TEXT", "level": "NUMERIC", "observedat": "TIMESTAMPTZ"}
+TS = "2024-07-01T00:00:00"
+
+
+def _batch(spark, rows):
+    data = [(f"urn:x:{e}", float(v), TS, "r0", recv, seq)
+            for e, v, recv, seq in rows]
+    return spark.createDataFrame(
+        data,
+        "entityid string, level double, observedat string,"
+        " _row_key string, _recv int, _seq string",
+    ).select(
+        "entityid", "level",
+        F.col("observedat").cast("timestamp").alias("observedat"),
+        "_row_key",
+        F.timestamp_millis(
+            F.lit(1700000000000) + F.col("_recv").cast("long")
+        ).alias("_recv_time"),
+        "_seq",
+    )
+
+
+def _state(spark, t):
+    if t.latest_snapshot() is None:
+        return []
+    return sorted(
+        (r["entityid"], r["level"]) for r in t.read(spark).collect()
+    )
+
+
+# --- 1. order era survives snapshot expiry --------------------------------
+
+
+def test_order_era_survives_snapshot_expiry(spark, tmp_path):
+    from nifi_ngsild_postgresql_spark.streaming.changefeed import (
+        TablePropagator,
+    )
+
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=2).table("t", "gauge")
+    t.upsert(_batch(spark, [(0, 1.0, 0, "000000"), (1, 2.0, 0, "000001")]),
+             SCHEMA, "e1")                                  # v1 good
+    t.upsert(_batch(spark, [(1, 666.0, 1, "000100")]), SCHEMA, "e2")  # v2 bad
+    dst = LakeCatalog(str(tmp_path / "mirror"), n_buckets=2).table("m", "g")
+    prop = TablePropagator(t, dst, str(tmp_path / "ckpt"))
+    prop.run(spark)                      # mirror at bad v2
+    out = t.restore(1)                   # v3 (the restore snapshot)
+    restore_v = out["version"]
+    assert t.restores() and t.restores()[-1]["version"] == restore_v
+    prop.run(spark)                      # mirror reverted, holds LIFTED orders
+    assert _state(spark, dst) == _state(spark, t)
+    # churn enough commits that keep_last ages the restore snapshot out
+    for i in range(5):
+        t.upsert(_batch(spark, [(10 + i, float(i), 10 + i, f"01{i:04d}")]),
+                 SCHEMA, f"churn{i}")
+    prop.run(spark)                      # mirror caught up pre-expiry
+    t.expire_snapshots(keep_last=2, orphan_grace_seconds=0)
+    assert restore_v not in t.versions()  # the manifest copy is GONE
+    # a later upstream update of a restored row: its raw recv is far
+    # below the mirror's lifted order — only the durable ledger makes
+    # the emission enter the era and win downstream
+    t.upsert(_batch(spark, [(1, 7.5, 99, "990000")]), SCHEMA, "late")
+    prop.run(spark)
+    assert ("urn:x:1", 7.5) in _state(spark, dst)
+    assert _state(spark, dst) == _state(spark, t)
+
+
+# --- 2. WAP epoch id carries batch identity --------------------------------
+
+
+def test_batch_epoch_id_tracks_content_not_just_path(tmp_path):
+    from nifi_ngsild_postgresql_spark.job import _batch_epoch_id
+
+    p = tmp_path / "drop" / "batch.parquet"
+    p.parent.mkdir()
+    p.write_bytes(b"batch-one")
+    e1 = _batch_epoch_id(str(p))
+    assert _batch_epoch_id(str(p)) == e1  # re-run of the SAME batch
+    time.sleep(0.01)
+    p.write_bytes(b"batch-two!")          # new content, same path
+    assert _batch_epoch_id(str(p)) != e1
+    # directory form: a new part file changes the id; _SUCCESS doesn't
+    d = tmp_path / "dir.parquet"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"a")
+    e_dir = _batch_epoch_id(str(d))
+    (d / "_SUCCESS").write_bytes(b"")
+    assert _batch_epoch_id(str(d)) == e_dir
+    (d / "part-1.parquet").write_bytes(b"b")
+    assert _batch_epoch_id(str(d)) != e_dir
+
+
+def test_wap_cli_second_batch_at_same_path_lands(spark, tmp_path):
+    """End-to-end: two different batches staged from the SAME drop path
+    under one wap id both reach the published table."""
+    from nifi_ngsild_postgresql_spark.job import _batch_epoch_id
+
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=2).table("t", "gauge")
+    drop = str(tmp_path / "drop.parquet")
+    wap = WapSession(t, "fixedpath")
+    for i, rows in enumerate([[(0, 1.0, 0, "000000")],
+                              [(1, 2.0, 1, "000100")]]):
+        _batch(spark, rows).write.mode("overwrite").parquet(drop)
+        wap.stage(spark.read.parquet(drop), SCHEMA, _batch_epoch_id(drop))
+    wap.publish(spark)
+    assert _state(spark, t) == [("urn:x:0", 1.0), ("urn:x:1", 2.0)]
+
+
+# --- 3. typo'd audit fails the warehouse publish ---------------------------
+
+
+def test_publish_warehouse_rejects_audit_applying_nowhere(spark, tmp_path):
+    base = LakeCatalog(str(tmp_path / "wh"), n_buckets=2)
+    t = base.table("t", "gauge")
+    wap = WapSession(t, "w1")
+    wap.stage(_batch(spark, [(0, 1.0, 0, "000000")]), SCHEMA, "s0")
+    with pytest.raises(AuditFailedError, match="no staged table"):
+        publish_warehouse(
+            spark, base, "w1", audits=[fail_if_any("lvel < 0")]  # typo
+        )
+    # the table itself still published (per-table atomicity, documented)
+    assert _state(spark, t) == [("urn:x:0", 1.0)]
+
+
+def test_publish_warehouse_cross_schema_audit_still_passes(spark, tmp_path):
+    """The legit sharing shape: one audit list over two tables with
+    different schemas — applicable to one of them is enough."""
+    base = LakeCatalog(str(tmp_path / "wh"), n_buckets=2)
+    ta, tb = base.table("t", "air"), base.table("t", "valve")
+    WapSession(ta, "w2").stage(
+        _batch(spark, [(0, 1.0, 0, "000000")]), SCHEMA, "s0"
+    )
+    wb = WapSession(tb, "w2")
+    wb.stage(
+        _batch(spark, [(1, 2.0, 0, "000001")]).withColumnRenamed(
+            "level", "open_pct"
+        ),
+        {"entityid": "TEXT", "open_pct": "NUMERIC",
+         "observedat": "TIMESTAMPTZ"},
+        "s0",
+    )
+    out = publish_warehouse(
+        spark, base, "w2", audits=[fail_if_any("level < 0")]
+    )
+    assert set(out) == {"t.air", "t.valve"}
+    assert _state(spark, ta) == [("urn:x:0", 1.0)]
+
+
+# --- 4. preview respects the main table's drop-action checks ---------------
+
+
+def test_preview_hides_rows_publish_will_drop(spark, tmp_path):
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=2).table("t", "gauge")
+    t.upsert(_batch(spark, [(0, 1.0, 0, "000000")]), SCHEMA, "e0")
+    t.add_check("non_negative", "level >= 0", action="drop")
+    wap = WapSession(t, "dc")
+    wap.stage(
+        _batch(spark, [(1, 5.0, 1, "000100"), (2, -3.0, 1, "000101")]),
+        SCHEMA, "s0",
+    )
+    preview = sorted(
+        (r["entityid"], r["level"]) for r in wap.preview(spark).collect()
+    )
+    # the violating staged row is NOT in the audit surface
+    assert preview == [("urn:x:0", 1.0), ("urn:x:1", 5.0)]
+    # ... and an audit keyed on it therefore passes, matching publish
+    wap.publish(spark, audits=[fail_if_any("level < 0")])
+    assert preview == _state(spark, t)
+
+
+def test_preview_drop_checks_align_missing_columns_and_exempt_tombstones(
+    spark, tmp_path
+):
+    """A drop check over a column the STAGED batch lacks must evaluate
+    over the aligned NULL, exactly as _validate_checks will at publish
+    (here ``unit IS NOT NULL`` on a NULL unit is FALSE -> dropped); a
+    staged tombstone is exempt from checks and its delete still lands."""
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=2).table("t", "gauge")
+    schema2 = {**SCHEMA, "unit": "TEXT"}
+    t.upsert(
+        _batch(spark, [(0, 1.0, 0, "000000"), (1, 2.0, 0, "000001")])
+        .withColumn("unit", F.lit("celsius")),
+        schema2, "e0",
+    )
+    t.add_check("unit_known", "unit IS NOT NULL", action="drop")
+    wap = WapSession(t, "dc2")
+    # staged without a unit column: aligned NULL violates -> dropped
+    wap.stage(_batch(spark, [(2, 9.0, 5, "000500")]), SCHEMA, "s0")
+    # a staged delete of a MAIN row (key known from the main batch):
+    # tombstone payload is NULL everywhere but must be check-exempt
+    wap.stage(
+        _batch(spark, [(1, 2.0, 6, "000600")]).withColumn(
+            "unit", F.lit("celsius")
+        ),
+        schema2, "s1",
+    )
+    wap.stage_delete(spark, "entityid = 'urn:x:1'")
+    preview = sorted(
+        (r["entityid"], r["level"]) for r in wap.preview(spark).collect()
+    )
+    wap.publish(spark)
+    assert preview == _state(spark, t) == [("urn:x:0", 1.0)]
