@@ -52,6 +52,12 @@ HEADLINE = [
     "audio_decode",
     # round 4: real PNG decode (stdlib zlib inflate + de-filter)
     "image_decode",
+    # round 5 (round-4 verdict item 9): longitudinal perf tracking for
+    # the round-4 op families — O(registers) sketch agg, grid-indexed
+    # spatial join, and a full incremental join-view build + refresh
+    "hll_distinct",
+    "geo_grid_join",
+    "join_view",
 ]
 
 
