@@ -47,8 +47,41 @@ def with_row_sha(df: DataFrame, exclude: tuple[str, ...] = ()) -> DataFrame:
 
 
 def table_manifest(df: DataFrame) -> list[str]:
-    """Sorted per-row sha256 list (order-insensitive table fingerprint)."""
+    """Sorted per-row sha256 list (order-insensitive table fingerprint).
+
+    Collects one sha PER ROW to the driver — the golden-comparison form
+    for SMALL tables (tests, row-level diff forensics). Anything that
+    fingerprints at scale (soak harnesses, replay checks over millions
+    of rows) must use :func:`table_fingerprint`, whose driver transfer
+    is five integers regardless of table size (round-4 verdict item 6).
+    """
     return [
         r["_row_sha256"]
         for r in with_row_sha(df).select("_row_sha256").orderBy("_row_sha256").collect()
     ]
+
+
+def table_fingerprint(df: DataFrame) -> dict[str, int]:
+    """Distributed order-insensitive content fingerprint: row count plus
+    bit-xor and modular sum over two independent 60-bit slices of each
+    row's canonical content sha256 — a pure aggregate, so the shuffle is
+    map-side combined and the driver receives O(1) bytes at any scale.
+    Equality of all five fields is overwhelming evidence of multiset
+    equality (a forger needs simultaneous xor AND modular-sum collisions
+    on two independent slices); ``table_manifest`` remains the exact
+    row-list form for small goldens."""
+    shas = with_row_sha(df).select("_row_sha256")
+    a = F.conv(F.substring("_row_sha256", 1, 15), 16, 10).cast("long")
+    b = F.conv(F.substring("_row_sha256", 16, 15), 16, 10).cast("long")
+    row = shas.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "bit_xor(cast(conv(substring(_row_sha256, 1, 15), 16, 10) as long))"
+        ).alias("x1"),
+        F.expr(
+            "bit_xor(cast(conv(substring(_row_sha256, 16, 15), 16, 10) as long))"
+        ).alias("x2"),
+        F.sum(a % 1_000_000_007).alias("s1"),
+        F.sum(b % 1_000_000_007).alias("s2"),
+    ).first()
+    return {k: int(row[k] or 0) for k in ("n", "x1", "x2", "s1", "s2")}

@@ -390,3 +390,34 @@ def test_register_views_skips_snapshotless_husk(spark, tmp_path):
     assert ("t", "husk") in cat.list_tables()
     assert cat.register_views(spark) == ["t_gauge"]
     assert spark.sql("SELECT count(*) AS n FROM t_gauge").first()["n"] == 1
+
+
+def test_table_fingerprint_is_distributed_and_discriminating(spark):
+    """The O(1)-driver fingerprint (plans/manifest.table_fingerprint,
+    round-4 verdict item 6): multiset-equal frames fingerprint equal
+    regardless of row order/partitioning; a single changed cell, a
+    dropped row, and a duplicated row each change it. Agreement with the
+    exact row-list manifest is pinned on the equal case."""
+    from nifi_ngsild_postgresql_spark.plans.manifest import (
+        table_fingerprint,
+        table_manifest,
+    )
+
+    rows = [(f"id{i}", float(i), f"t{i % 3}") for i in range(500)]
+    a = spark.createDataFrame(rows, "k string, v double, tag string")
+    # same multiset, reversed order, different partitioning
+    b = spark.createDataFrame(rows[::-1], "k string, v double, tag string") \
+        .repartition(7)
+    assert table_fingerprint(a) == table_fingerprint(b)
+    assert table_manifest(a) == table_manifest(b)
+    changed = spark.createDataFrame(
+        [("id3", 99.0, "t0") if r[0] == "id3" else r for r in rows],
+        "k string, v double, tag string",
+    )
+    dropped = spark.createDataFrame(rows[:-1], "k string, v double, tag string")
+    duped = spark.createDataFrame(rows + [rows[0]], "k string, v double, tag string")
+    fp = table_fingerprint(a)
+    assert table_fingerprint(changed) != fp
+    assert table_fingerprint(dropped) != fp
+    assert table_fingerprint(duped) != fp       # count catches pure dupes
+    assert fp["n"] == 500
