@@ -178,6 +178,11 @@ PYTEST_ONLY: dict[str, tuple] = {
     # UDF/geo lib) — partial closure of the "geometry algebra beyond
     # Points" gap; concave test polygon so bbox shortcuts can't pass.
     "geo_polygon": (suite.q_geo_polygon, suite.SQL_GEO_POLYGON),
+    # round 5: polygon–polygon INTERSECTS join on the grid substrate
+    # (quad_intersects_ring: containment + proper edge crossings, the
+    # oracle runs the grid-free exact predicate) — closes the "geometry
+    # algebra beyond point predicates" gap for the intersects family
+    "geo_polygon_join": (suite.q_geo_polygon_join, suite.SQL_GEO_POLYGON_JOIN),
     # round 4: mergeable sketches (analytics/sketches.py) — oracle-exact
     # count-min (md5 buckets), integer log-bin histogram quantiles, and
     # a Bloom membership bitmap (hll_distinct rotated into the driver

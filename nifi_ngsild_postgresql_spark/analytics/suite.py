@@ -1437,6 +1437,90 @@ SQL_GEO_GRID_JOIN = _sql_geo_grid_join()
 
 
 # --------------------------------------------------------------------------
+# geo_polygon_join (grid-indexed polygon-INTERSECTS-polygon join)
+# --------------------------------------------------------------------------
+
+
+def q_geo_polygon_join(spark, sf_dir):
+    """Polygon–polygon spatial join on the same grid substrate as
+    geo_grid_join (round-4 verdict item 5): each customer derives a
+    small axis-aligned quad (center + half-edge, all deterministic from
+    c_custkey), each quad keys into its ≤4 bbox grid cells IN-ROW
+    (array_distinct + explode — no shuffle), the regions broadcast
+    their cell cover, and ONE BroadcastHashJoin on cell yields candidate
+    (quad, region) pairs; the exact re-check is the closed-form
+    intersects predicate (functions/geo.py quad_intersects_ring: corner
+    containment + vertex containment + proper edge crossings). The
+    DuckDB oracle runs the grid-FREE exact predicate per region, so
+    parity proves the cell cover is a superset. distinct() collapses
+    quads reached through two cells of the same region — a shuffle
+    bounded by the RESULT size, not the input."""
+    from ..functions.geo import quad_intersects_ring
+
+    c = _t(spark, sf_dir, "customer")
+    quads = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 104729 % 160000) / 1000.0 - 80.0).alias("lat"),
+        ((F.col("c_custkey") * 7919 % 340000) / 1000.0 - 170.0).alias("lon"),
+        ((F.col("c_custkey") % 7) / 10.0 + 0.2).alias("h"),
+    )
+    ix0 = F.floor((F.col("lon") - F.col("h")) / _GRID_DEG)
+    ix1 = F.floor((F.col("lon") + F.col("h")) / _GRID_DEG)
+    iy0 = F.floor((F.col("lat") - F.col("h")) / _GRID_DEG)
+    iy1 = F.floor((F.col("lat") + F.col("h")) / _GRID_DEG)
+
+    def _cell(ix, iy):
+        return (ix + 18) * 18 + (iy + 9)
+
+    quads = quads.withColumn(
+        "cell",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    _cell(ix0, iy0), _cell(ix0, iy1),
+                    _cell(ix1, iy0), _cell(ix1, iy1),
+                )
+            )
+        ),
+    )
+    cells = spark.createDataFrame(
+        [(name, cell) for name, ring in GEO_REGIONS for cell in _grid_cell_cover(ring)],
+        "region string, cell long",
+    )
+    cand = quads.join(F.broadcast(cells), "cell")
+    exact = None
+    for name, ring in GEO_REGIONS:
+        pred = (F.col("region") == name) & quad_intersects_ring(
+            "lat", "lon", "h", ring
+        )
+        exact = pred if exact is None else (exact | pred)
+    return cand.filter(exact).select("c_custkey", "region").distinct()
+
+
+def _sql_geo_polygon_join() -> str:
+    from ..functions.geo import sql_quad_intersects_ring
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT c_custkey, '{name}' AS region FROM quads"
+        f" WHERE {sql_quad_intersects_ring('lat', 'lon', 'h', ring)}"
+        for name, ring in GEO_REGIONS
+    )
+    return f"""
+WITH quads AS (
+  SELECT c_custkey,
+         (c_custkey * 104729 % 160000) / 1000.0 - 80.0 AS lat,
+         (c_custkey * 7919 % 340000) / 1000.0 - 170.0 AS lon,
+         (c_custkey % 7) / 10.0 + 0.2 AS h
+  FROM customer
+)
+{arms}
+"""
+
+
+SQL_GEO_POLYGON_JOIN = _sql_geo_polygon_join()
+
+
+# --------------------------------------------------------------------------
 # funnel_stages (ordered event-sequence conversion)
 # --------------------------------------------------------------------------
 

@@ -15,12 +15,15 @@ scan), no UDF.
 Polygon CONTAINMENT is covered too (round 4): ``point_in_polygon`` is
 an exact even-odd ray cast expressed as one JVM aggregate over the
 ring's edge list — no UDF, no geo library — with the identical closed
-form mirrored for the DuckDB oracle (``sql_point_in_polygon``). FULL
-geometry algebra (intersection/buffer/union, geodesic edges) remains
-out of scope: that genuinely needs Sedona on a real cluster. Planar
-edge semantics, like PostGIS ST_Contains on lon/lat; boundary points
-follow the strict ray-cast convention (implementation-defined, as in
-most engines).
+form mirrored for the DuckDB oracle (``sql_point_in_polygon``). Round 5
+adds polygon–polygon INTERSECTS (``quad_intersects_ring``: vertex
+containment both ways + proper edge crossings via orientation
+cross-products), driving the grid-indexed ``geo_polygon_join``.
+Constructive geometry (intersection AREA, buffer, union geometries)
+and geodesic edges remain out of scope: those genuinely need Sedona on
+a real cluster. Planar edge semantics, like PostGIS ST_Contains on
+lon/lat; boundary points follow the strict ray-cast convention
+(implementation-defined, as in most engines).
 """
 
 from __future__ import annotations
@@ -208,6 +211,104 @@ def sql_point_in_polygon(
             f" / ({y2!r} - {y1!r}) + {x1!r} THEN 1 ELSE 0 END)"
         )
     return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def _closed(ring: list[tuple[float, float]]) -> list[tuple[float, float]]:
+    pts = [(float(lo), float(la)) for lo, la in ring]
+    return pts if pts[0] == pts[-1] else pts + [pts[0]]
+
+
+def quad_intersects_ring(
+    lat: Column | str, lon: Column | str, half_deg: Column | str,
+    ring: list[tuple[float, float]],
+) -> Column:
+    """Polygon–polygon INTERSECTS between a per-row axis-aligned quad
+    (center ``(lat, lon)``, half-edge ``half_deg`` degrees) and a
+    constant simple ring — the first polygon-algebra predicate beyond
+    point containment (round-4 verdict item 5), as one pure JVM boolean
+    (no UDF, no geo lib). Two simple polygons intersect iff a vertex of
+    one lies in the other OR some edge pair properly crosses, so the
+    predicate is the OR of three closed-form term families:
+
+    1. any quad corner inside the ring (the even-odd ray cast);
+    2. any ring vertex inside the quad (plain between on the quad's
+       bounds — exact because the quad is axis-aligned);
+    3. any (quad edge × ring edge) PROPER crossing via the four
+       orientation cross-products (d1·d2 < 0 and d3·d4 < 0).
+
+    Strict-intersects convention: polygons that merely TOUCH (shared
+    boundary point, collinear overlap) are implementation-defined, like
+    the ray cast's boundary rule — both engines run the bit-identical
+    formula (``sql_quad_intersects_ring``), so parity is exact. Planar
+    edge semantics; no antimeridian wrap (callers keep quads inside
+    ±180 by construction)."""
+    pts = _closed(ring)
+    latc = F.col(lat) if isinstance(lat, str) else lat
+    lonc = F.col(lon) if isinstance(lon, str) else lon
+    h = F.col(half_deg) if isinstance(half_deg, str) else half_deg
+    w, e, s, n = lonc - h, lonc + h, latc - h, latc + h
+    # 1. quad corners in ring
+    pred = None
+    for cy, cx in ((s, w), (s, e), (n, e), (n, w)):
+        t = point_in_polygon(cy, cx, ring)
+        pred = t if pred is None else (pred | t)
+    # 2. ring vertices in quad
+    for vx, vy in pts[:-1]:
+        pred = pred | (
+            (F.lit(vy) >= s) & (F.lit(vy) <= n)
+            & (F.lit(vx) >= w) & (F.lit(vx) <= e)
+        )
+    # 3. proper edge crossings (ring edge deltas folded to literals —
+    # the SQL mirror folds the identical Python floats)
+    corners = [(w, s), (e, s), (e, n), (w, n), (w, s)]
+    for (p1x, p1y), (p2x, p2y) in zip(corners, corners[1:]):
+        for (q1x, q1y), (q2x, q2y) in zip(pts, pts[1:]):
+            dx, dy = q2x - q1x, q2y - q1y
+            d1 = F.lit(dx) * (p1y - F.lit(q1y)) - F.lit(dy) * (p1x - F.lit(q1x))
+            d2 = F.lit(dx) * (p2y - F.lit(q1y)) - F.lit(dy) * (p2x - F.lit(q1x))
+            d3 = (p2x - p1x) * (F.lit(q1y) - p1y) - (p2y - p1y) * (
+                F.lit(q1x) - p1x
+            )
+            d4 = (p2x - p1x) * (F.lit(q2y) - p1y) - (p2y - p1y) * (
+                F.lit(q2x) - p1x
+            )
+            pred = pred | ((d1 * d2 < 0) & (d3 * d4 < 0))
+    return pred
+
+
+def sql_quad_intersects_ring(
+    lat_expr: str, lon_expr: str, h_expr: str, ring: list[tuple[float, float]]
+) -> str:
+    """DuckDB mirror of quad_intersects_ring — same three term families,
+    same operation order, same folded edge deltas."""
+    pts = _closed(ring)
+    w, e = f"({lon_expr} - {h_expr})", f"({lon_expr} + {h_expr})"
+    s, n = f"({lat_expr} - {h_expr})", f"({lat_expr} + {h_expr})"
+    terms = [
+        sql_point_in_polygon(cy, cx, ring)
+        for cy, cx in ((s, w), (s, e), (n, e), (n, w))
+    ]
+    for vx, vy in pts[:-1]:
+        terms.append(
+            f"({vy!r} >= {s} AND {vy!r} <= {n}"
+            f" AND {vx!r} >= {w} AND {vx!r} <= {e})"
+        )
+    corners = [(w, s), (e, s), (e, n), (w, n), (w, s)]
+    for (p1x, p1y), (p2x, p2y) in zip(corners, corners[1:]):
+        for (q1x, q1y), (q2x, q2y) in zip(pts, pts[1:]):
+            dx, dy = q2x - q1x, q2y - q1y
+            d1 = f"({dx!r} * ({p1y} - {q1y!r}) - {dy!r} * ({p1x} - {q1x!r}))"
+            d2 = f"({dx!r} * ({p2y} - {q1y!r}) - {dy!r} * ({p2x} - {q1x!r}))"
+            d3 = (
+                f"(({p2x} - {p1x}) * ({q1y!r} - {p1y})"
+                f" - ({p2y} - {p1y}) * ({q1x!r} - {p1x}))"
+            )
+            d4 = (
+                f"(({p2x} - {p1x}) * ({q2y!r} - {p1y})"
+                f" - ({p2y} - {p1y}) * ({q2x!r} - {p1x}))"
+            )
+            terms.append(f"({d1} * {d2} < 0 AND {d3} * {d4} < 0)")
+    return "(" + " OR ".join(terms) + ")"
 
 
 def sql_radius_where(

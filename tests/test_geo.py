@@ -260,3 +260,63 @@ def test_bbox_filter_pushes_down_to_scan(spark):
     plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
     assert "lat" in pushed and "lon" in pushed
+
+
+def test_quad_intersects_ring_term_families(spark):
+    """Polygon–polygon intersects (quad_intersects_ring): one case per
+    term family, plus the concave-notch disjoint case a bbox shortcut
+    gets wrong, each agreed between Spark and the DuckDB mirror.
+
+    ring_t is a tall thin rectangle so the 'knife' case exists: the
+    ring passes vertically THROUGH the quad — no corner of the quad in
+    the ring, no ring vertex in the quad, intersection provable only by
+    proper edge crossings (term family 3)."""
+    import duckdb
+
+    from nifi_ngsild_postgresql_spark.analytics.suite import GEO_POLYGON
+    from nifi_ngsild_postgresql_spark.functions.geo import (
+        quad_intersects_ring,
+        sql_quad_intersects_ring,
+    )
+
+    ship_package(spark)
+    ring_t = [(0.0, 0.0), (1.0, 0.0), (1.0, 10.0), (0.0, 10.0)]
+    # (id, lat, lon, h, ring, want)
+    cases = [
+        (1, 5.0, 0.5, 2.0, ring_t, True),    # knife: edge crossings only
+        (2, 5.0, 0.5, 0.2, ring_t, True),    # quad corners inside ring
+        (3, 0.0, 0.5, 3.0, ring_t, True),    # ring vertices inside quad
+        (4, 5.0, 5.0, 1.0, ring_t, False),   # disjoint east
+        (5, 11.5, 0.5, 1.0, ring_t, False),  # just above the top edge
+        (6, 10.5, 0.5, 1.0, ring_t, True),   # straddles top: vertex-in-quad
+        (7, 48.0, 15.0, 1.0, GEO_POLYGON, True),   # in the concave body
+        (8, 52.0, 5.0, 1.0, GEO_POLYGON, False),   # in the NOTCH: inside
+        #   the polygon's bbox, disjoint from the polygon itself
+        (9, 52.0, 0.3, 1.0, GEO_POLYGON, True),    # crosses the notch wall
+    ]
+    for ring in (ring_t, GEO_POLYGON):
+        sub = [c for c in cases if c[4] is ring]
+        df = spark.createDataFrame(
+            [(i, la, lo, h) for i, la, lo, h, _r, _w in sub],
+            "id long, lat double, lon double, h double",
+        )
+        got = {
+            r["id"]
+            for r in df.filter(
+                quad_intersects_ring("lat", "lon", "h", ring)
+            ).collect()
+        }
+        assert got == {i for i, *_x, w in sub if w}, (ring, got)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE q(id BIGINT, lat DOUBLE, lon DOUBLE, h DOUBLE);"
+            "INSERT INTO q VALUES "
+            + ", ".join(
+                f"({i}, {la!r}, {lo!r}, {h!r})" for i, la, lo, h, _r, _w in sub
+            )
+        )
+        pred = sql_quad_intersects_ring("lat", "lon", "h", ring)
+        sql_ids = {
+            r[0] for r in con.sql(f"SELECT id FROM q WHERE {pred}").fetchall()
+        }
+        assert sql_ids == got, ring

@@ -263,3 +263,18 @@ def test_asof_join_is_joinless_single_shuffle(spark):
     # exactly two keyed exchanges: the reference dedup on (user, ts) and
     # the window partition on user — both linear, no pairwise stage
     assert len(set(re.findall(r"\(\d+\) Exchange", plan))) == 2
+
+
+def test_geo_polygon_join_is_broadcast_hash_join(spark):
+    """The polygon–polygon join must reach candidates through ONE
+    BroadcastHashJoin on the grid cell (the region cell cover is the
+    broadcast side) — never a nested-loop of every quad against every
+    region predicate; the exact intersects re-check stays a JVM filter
+    (no Python stage)."""
+    df = suite.q_geo_polygon_join(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
