@@ -1,0 +1,142 @@
+"""Three-way composition of the round-4 operational features (round-4
+verdict item 8): WAP staging × a concurrent direct ingest × RESTORE
+across the publish. Pinned:
+
+- a batch staged BEFORE a bad direct commit publishes cleanly onto the
+  RESTORED timeline, exactly-once, while a direct ingest races the
+  publish's commit (deterministic interleave via the _commit hook —
+  the optimistic-retry path under a live WAP publish);
+- replaying the crashed publish (same wap id, same staged content)
+  no-ops loudly (skipped_epoch + staging_kept), not silently double;
+- a restore ACROSS the publish keeps the publish's epoch (restore
+  carries CURRENT epochs), so re-publishing the same wap id still
+  no-ops loudly — re-applying rolled-back work requires a NEW wap id,
+  which lands.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.config import IngestConfig
+from nifi_ngsild_postgresql_spark.plans import lake as lake_mod
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+from nifi_ngsild_postgresql_spark.plans.wap import (
+    WapCatalog,
+    WapSession,
+    publish_warehouse,
+)
+from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch
+
+TS = "2024-01-01T00:00:00Z"
+
+
+def _payload(eid, v, ts=TS):
+    return json.dumps(
+        {"id": f"urn:x:{eid}", "type": "Gauge",
+         "level": {"type": "Property", "value": v, "observedAt": ts}}
+    )
+
+
+def _batch(spark, items, seq0=0):
+    rows = [
+        ("t", "p", f"{seq0 + i:06d}", "Gauge", _payload(eid, v, ts))
+        for i, (eid, v, ts) in enumerate(items)
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).withColumn("recv_time", F.timestamp_millis(F.lit(1700000000000 + seq0)))
+
+
+def _interleave(monkeypatch, fire_other):
+    orig = lake_mod.LakeTable._commit
+    state = {"fired": False}
+
+    def racing(self, snapshot):
+        if not state["fired"]:
+            state["fired"] = True
+            fire_other()
+        return orig(self, snapshot)
+
+    monkeypatch.setattr(lake_mod.LakeTable, "_commit", racing)
+    return state
+
+
+def _state(spark, t):
+    return {
+        r["entityid"]: r["level"] for r in t.read(spark).collect()
+    }
+
+
+def test_wap_publish_composes_with_restore_and_concurrent_ingest(
+    spark, tmp_path, monkeypatch
+):
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert", n_buckets=4)
+    ingest_batch(_batch(spark, [(0, 1.0, TS), (1, 2.0, TS)]), cfg, wh, "e-base")
+    base = LakeCatalog(wh, n_buckets=4)
+    t = base.table("t", "gauge")
+    t.tag("good")                                           # pins v1
+    # stage a batch through the UNCHANGED pipeline — invisible
+    ingest_batch(
+        _batch(spark, [(5, 5.0, TS)], seq0=50), cfg, wh, "e-s1",
+        catalog=WapCatalog(base, "nightly"),
+    )
+    assert _state(spark, t) == {"urn:x:0": 1.0, "urn:x:1": 2.0}
+    # a BAD direct commit lands, then the operator rolls it back
+    ingest_batch(_batch(spark, [(1, 666.0, TS)], seq0=60), cfg, wh, "e-bad")
+    t.restore("good")
+    pre_publish_version = t.versions()[-1]
+    # publish onto the RESTORED timeline while a direct ingest races the
+    # publish's first commit attempt (optimistic retry under WAP)
+    fired = _interleave(
+        monkeypatch,
+        lambda: ingest_batch(
+            _batch(spark, [(7, 7.0, TS)], seq0=70), cfg, wh, "e-concurrent"
+        ),
+    )
+    out = publish_warehouse(spark, base, "nightly")
+    assert fired["fired"]
+    assert out["t.gauge"]["rows_written"] >= 1
+    assert not out["t.gauge"].get("skipped_epoch")
+    # restored rows + staged rows + the racing writer's rows, nothing bad
+    assert _state(spark, t) == {
+        "urn:x:0": 1.0, "urn:x:1": 2.0, "urn:x:5": 5.0, "urn:x:7": 7.0
+    }
+    assert {"e-concurrent", "wap-nightly"} <= set(t.latest_snapshot()["epochs"])
+
+    # crashed-publish REPLAY: same wap id, same staged content — loud no-op
+    wap2 = WapSession(t, "nightly")
+    ingest_batch(
+        _batch(spark, [(5, 5.0, TS)], seq0=50), cfg, wh, "e-s1",
+        catalog=WapCatalog(base, "nightly"),
+    )
+    out2 = wap2.publish(spark)
+    assert out2["skipped_epoch"] and out2["staging_kept"]
+    wap2.abort()
+    assert _state(spark, t)["urn:x:5"] == 5.0  # still exactly once
+
+    # RESTORE ACROSS the publish: roll back to the pre-publish version —
+    # the publish's epoch survives (restore carries CURRENT epochs), so
+    # replaying the same wap id no-ops LOUDLY instead of diverging...
+    t.restore(pre_publish_version)
+    assert "urn:x:5" not in _state(spark, t)
+    ingest_batch(
+        _batch(spark, [(5, 5.0, TS)], seq0=50), cfg, wh, "e-s1",
+        catalog=WapCatalog(base, "nightly"),
+    )
+    out3 = WapSession(t, "nightly").publish(spark)
+    assert out3["skipped_epoch"] and out3["staging_kept"]
+    assert "urn:x:5" not in _state(spark, t)
+    WapSession(t, "nightly").abort()
+    # ... and re-applying the rolled-back batch as NEW work (fresh wap
+    # id = the operator's statement that it is new) lands exactly once
+    ingest_batch(
+        _batch(spark, [(5, 5.0, TS)], seq0=50), cfg, wh, "e-s1b",
+        catalog=WapCatalog(base, "nightly-redo"),
+    )
+    out4 = publish_warehouse(spark, base, "nightly-redo")
+    assert out4["t.gauge"]["rows_written"] >= 1
+    assert _state(spark, t)["urn:x:5"] == 5.0
