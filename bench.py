@@ -190,22 +190,31 @@ print("RESULT " + json.dumps({{"tag": {tag!r},
 """
 
 
-def _run_workers(codes: list[str], timeout: int = 1800) -> list[dict]:
+def _run_workers(
+    codes: list[str], timeout: int = 1800, cpusets: list[str] | None = None
+) -> list[dict]:
     """Launch worker scripts CONCURRENTLY (separate JVMs = separate
     simulated executors) and collect their RESULT lines.
+
+    ``cpusets`` (one taskset CPU list per worker, e.g. "0-7") pins each
+    executor JVM + its Python workers to disjoint cores — the isolation
+    experiment that separates scheduler interference from genuinely
+    shared memory bandwidth (round-4 verdict item 4).
 
     stderr goes to an unbuffered temp FILE, not a pipe: Spark's startup
     chatter can exceed the ~64KB pipe buffer and an undrained pipe would
     BLOCK that worker mid-benchmark (inflating the fleet wall time we are
     measuring). Any failure/timeout kills the remaining JVMs."""
     procs, errfiles = [], []
-    for c in codes:
+    for i, c in enumerate(codes):
         ef = tempfile.TemporaryFile(mode="w+")
         errfiles.append(ef)
+        argv = [sys.executable, "-c", c]
+        if cpusets is not None:
+            argv = ["taskset", "-c", cpusets[i]] + argv
         procs.append(
             subprocess.Popen(
-                [sys.executable, "-c", c],
-                stdout=subprocess.PIPE, stderr=ef, text=True,
+                argv, stdout=subprocess.PIPE, stderr=ef, text=True,
             )
         )
     out = []
@@ -232,7 +241,7 @@ def _run_workers(codes: list[str], timeout: int = 1800) -> list[dict]:
     return out
 
 
-def run_scaling_exec(n_events: int = 400_000) -> None:
+def run_scaling_exec(n_events: int = 400_000, pinned: bool = False) -> None:
     """N -> 4N EXECUTOR scaling, simulated the way a real cluster scales:
     executors are separate JVMs, so we compare ONE executor process
     against FOUR CONCURRENT executor processes over the same total input
@@ -260,18 +269,32 @@ def run_scaling_exec(n_events: int = 400_000) -> None:
     results = {}
     trials = 3  # round-3 verdict item 6: best-of-3, not best-of-2
     for exec_cores in (1, 2):
+        # CPU-pinned isolation (round-4 verdict item 4): each executor
+        # (JVM task threads + Python parse workers + GC/JIT threads)
+        # gets a DISJOINT block of 4*exec_cores vCPUs, solo and fleet
+        # alike — scheduler interference is removed; what remains shared
+        # is only the memory subsystem.
+        budget = 4 * exec_cores
+        solo_set = [f"0-{budget - 1}"]
+        fleet_sets = [f"{i * budget}-{(i + 1) * budget - 1}" for i in range(4)]
+        if not pinned:
+            solo_set = fleet_sets = None
         # one executor over the full input (best of N fresh JVMs)
         t1 = min(
             r["sec"]
             for _ in range(trials)
-            for r in _run_workers([_exec_worker_code(exec_cores, shards, "one")])
+            for r in _run_workers(
+                [_exec_worker_code(exec_cores, shards, "one")],
+                cpusets=solo_set,
+            )
         )
         # four concurrent executors, one disjoint shard each: fleet wall
         # time = slowest worker (same total input, 4x the resources)
         t4 = min(
             max(r["sec"] for r in _run_workers(
                 [_exec_worker_code(exec_cores, [sh], f"w{i}")
-                 for i, sh in enumerate(shards)]
+                 for i, sh in enumerate(shards)],
+                cpusets=fleet_sets,
             ))
             for _ in range(trials)
         )
@@ -301,6 +324,31 @@ def run_scaling_exec(n_events: int = 400_000) -> None:
             "have. The separate-JVM construction already removes the\n"
             "allocator/GC sharing; it cannot un-share the DRAM."
         )
+    if pinned:
+        _update_section(
+            os.path.join(REPO, "BENCH", "BASELINE.md"),
+            "## Isolation: CPU-pinned N -> 4N executor scaling",
+            "Round-4 verdict item 4: the same 1-vs-4-executor experiment\n"
+            "with every executor PINNED (taskset) to a disjoint block of\n"
+            f"4×N vCPUs, solo and fleet alike ({n_events}-event input,\n"
+            f"best of {trials}; `bench.py --scaling-exec-pinned`). Pinning\n"
+            "removes scheduler interference between executors; whatever\n"
+            "efficiency loss REMAINS under pinning is attributable to the\n"
+            "genuinely shared memory/page-cache subsystem of this single\n"
+            "box — the isolation evidence for the bandwidth explanation of\n"
+            "the unpinned local[2] figure.\n\n"
+            "| executor size | 1 executor (pinned) | 4 executors (pinned) |"
+            " speedup | N->4N efficiency |\n|---|---|---|---|---|\n"
+            + "".join(
+                f"| local[{c}] | {r['one_executor_sec']} s | "
+                f"{r['four_executors_sec']} s | {r['speedup']}x | "
+                f"**{r['efficiency']}** |\n"
+                for c, r in results.items()
+            ),
+        )
+        print(json.dumps({"scaling_exec_pinned": results}))
+        shutil.rmtree(root, ignore_errors=True)
+        return
     _update_section(
         os.path.join(REPO, "BENCH", "BASELINE.md"),
         "## Headline: N -> 4N executor scaling (separate JVMs)",
@@ -531,6 +579,10 @@ def run_scaling(n_events: int = 500_000) -> None:
 if __name__ == "__main__":
     if "--capacity" in sys.argv:
         run_capacity(int(os.environ.get("BENCH_CAPACITY_EVENTS", "10000000")))
+    elif "--scaling-exec-pinned" in sys.argv:
+        run_scaling_exec(
+            int(os.environ.get("BENCH_SCALING_EVENTS", "400000")), pinned=True
+        )
     elif "--scaling-exec" in sys.argv:
         run_scaling_exec(int(os.environ.get("BENCH_SCALING_EVENTS", "400000")))
     elif "--scaling" in sys.argv:

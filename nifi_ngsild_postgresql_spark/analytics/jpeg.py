@@ -1,0 +1,648 @@
+"""Baseline JPEG (ITU-T T.81 / ISO 10918-1) — REAL decode, stdlib+numpy.
+
+Round-4 verdict item 7: JPEG is the dominant web-corpus image format;
+PNG/WAV/AVI decode were already real, JPEG was the remaining gap. This
+module implements:
+
+- ``decode_jpeg(payload)`` — a genuine baseline sequential decoder:
+  marker walk (SOI/APPn/COM/DQT/DHT/SOF0/DRI/SOS/EOI), Huffman table
+  construction from BITS/HUFFVAL, entropy decode with 0xFF00 byte
+  unstuffing and RSTn restart handling, DC prediction + EXTEND, AC
+  run-length (EOB/ZRL), zigzag → dequantize → separable float IDCT
+  (numpy matrix form), level shift + clamp, chroma upsampling by
+  replication for subsampled scans, JFIF YCbCr→RGB for 3-component
+  images. Progressive (SOF2), arithmetic coding, and 12-bit precision
+  are rejected loudly (``error:...`` status), as are corrupt payloads
+  (bad SOI, truncated scan, Huffman overrun, dimension mismatch).
+- ``encode_baseline_jpeg(...)`` — a spec-valid baseline writer used to
+  SYNTHESIZE test payloads (quantized-coefficient blocks in, proper
+  markers + Huffman entropy stream out, standard Annex K luminance
+  tables, optional 4:2:0 and restart intervals).
+- ``synth_jpeg(doc_id)`` — the oracle-checkable payload: a grayscale
+  image of constant 8×8 tiles whose levels are EVEN numbers from a
+  closed form over doc_id. Constant tiles make the lossy pipeline
+  bit-exact end to end: FDCT of a constant block is DC-only, the DC
+  (8·(v−128), divisible by the quant step 16 because v is even)
+  quantizes and dequantizes without loss, and a DC-only IDCT
+  reconstructs exactly v — so a DuckDB oracle can recompute the decoded
+  pixel statistics (sum, sum of squares, position-weighted checksum)
+  from doc_id alone while the decoder still exercises every real stage
+  (Huffman, dequant, IDCT, crop of padded edge blocks).
+
+The JPEG algorithm and the Annex K tables are public ITU-T/ISO spec
+content. Reference parity note: the reference pipeline stores media
+opaquely; decode parity targets the multimodal brief, not a reference
+operator (SURVEY §2 addendum).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import Any
+
+import numpy as np
+
+# --- spec constants ---------------------------------------------------------
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3 typical luminance Huffman tables (public spec constants)
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+QUANT_FLAT16 = [16] * 64  # flat table: DC step 16 = the exactness knob
+
+# separable IDCT basis: A[u, x] = C(u)/2 * cos((2x+1)uπ/16);
+# spatial = A.T @ coef @ A
+_IDCT_A = np.array(
+    [
+        [
+            (math.sqrt(0.5) if u == 0 else 1.0) / 2.0
+            * math.cos((2 * x + 1) * u * math.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+# --- Huffman ----------------------------------------------------------------
+
+
+def _build_huffman(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value, canonical JPEG code assignment."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _encode_huffman(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) for the encoder side."""
+    return {v: (c, ln) for (ln, c), v in _build_huffman(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+class _BitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy stream")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated entropy stream at 0xFF")
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                # restart marker reached mid-read: the scan is malformed
+                raise ValueError("restart marker inside a coefficient")
+            else:
+                self.marker = nxt
+                raise ValueError("marker inside entropy stream")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid Huffman code")
+
+    def align_restart(self, expected: int) -> None:
+        """Consume padding + the RSTn marker between restart intervals."""
+        self.acc = 0
+        self.n = 0
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated at restart boundary")
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != (
+            0xD0 + (expected & 7)
+        ):
+            raise ValueError("missing/mis-sequenced RST marker")
+        self.pos += 2
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+# --- encoder (payload synthesis) --------------------------------------------
+
+
+def _marker(tag: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, tag, len(body) + 2) + body
+
+
+def encode_baseline_jpeg(
+    width: int,
+    height: int,
+    comp_blocks: list[list[np.ndarray]],
+    quant: list[int] = QUANT_FLAT16,
+    sampling: list[tuple[int, int]] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Spec-valid baseline JPEG from QUANTIZED coefficient blocks.
+
+    ``comp_blocks[c]`` is component c's 8×8 quantized-coefficient blocks
+    in MCU-interleaved order (for 4:2:0 luma: the 2×2 blocks of each MCU
+    consecutively). One flat quant table and the Annex K luminance
+    Huffman pair serve every component (legal: table ids are per-scan
+    bindings). ``sampling`` defaults to 1×1 per component."""
+    ncomp = len(comp_blocks)
+    sampling = sampling or [(1, 1)] * ncomp
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _marker(0xDB, bytes([0]) + bytes(quant[ZIGZAG[i]] for i in range(64)))
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, ncomp))
+    for c in range(ncomp):
+        sh, sv = sampling[c]
+        sof += bytes([c + 1, (sh << 4) | sv, 0])
+    out += _marker(0xC0, bytes(sof))
+    out += _marker(
+        0xC4, bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)
+    )
+    out += _marker(
+        0xC4, bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS)
+    )
+    if restart_interval:
+        out += _marker(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += _marker(0xDA, bytes(sos))
+
+    dc_enc = _encode_huffman(DC_LUM_BITS, DC_LUM_VALS)
+    ac_enc = _encode_huffman(AC_LUM_BITS, AC_LUM_VALS)
+    w = _BitWriter()
+    pred = [0] * ncomp
+    blocks_per_mcu = [sh * sv for sh, sv in sampling]
+    n_mcus = len(comp_blocks[0]) // blocks_per_mcu[0]
+    rst = 0
+    done_in_interval = 0
+    for m in range(n_mcus):
+        if restart_interval and m and done_in_interval == restart_interval:
+            w.flush()
+            w.out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            done_in_interval = 0
+            pred = [0] * ncomp
+        for c in range(ncomp):
+            for b in range(blocks_per_mcu[c]):
+                blk = comp_blocks[c][m * blocks_per_mcu[c] + b]
+                zz = [int(blk.flat[ZIGZAG[i]]) for i in range(64)]
+                diff = zz[0] - pred[c]
+                pred[c] = zz[0]
+                t = _category(diff)
+                code, ln = dc_enc[t]
+                w.write(code, ln)
+                if t:
+                    w.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+                run = 0
+                last_nz = max(
+                    (i for i in range(1, 64) if zz[i]), default=0
+                )
+                for i in range(1, last_nz + 1):
+                    if zz[i] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_enc[0xF0]  # ZRL
+                        w.write(code, ln)
+                        run -= 16
+                    t = _category(zz[i])
+                    code, ln = ac_enc[(run << 4) | t]
+                    w.write(code, ln)
+                    w.write(
+                        zz[i] if zz[i] > 0 else zz[i] + (1 << t) - 1, t
+                    )
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_enc[0x00]  # EOB
+                    w.write(code, ln)
+        done_in_interval += 1
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- the oracle-checkable synthetic payload ----------------------------------
+
+JPEG_SYNTH_A = 2654435761
+JPEG_SYNTH_B = 40503
+JPEG_SYNTH_C = 65537
+
+
+def jpeg_dims(doc_id: int) -> tuple[int, int]:
+    """(width, height) — closed form, mirrored in SQL. Deliberately NOT
+    multiples of 8 so the decoder's padded-edge-block crop is exercised."""
+    return 12 + doc_id % 9, 10 + doc_id % 7
+
+
+def jpeg_tile_value(doc_id: int, bx: int, by: int) -> int:
+    """Even 0..254 level of the constant 8×8 tile at (bx, by)."""
+    return 2 * (
+        (doc_id * JPEG_SYNTH_A + bx * JPEG_SYNTH_B + by * JPEG_SYNTH_C) % 128
+    )
+
+
+def synth_jpeg(doc_id: int) -> bytes:
+    """Grayscale baseline JPEG of constant tiles (exact round-trip; see
+    module docstring)."""
+    width, height = jpeg_dims(doc_id)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            v = jpeg_tile_value(doc_id, bx, by)
+            blk = np.zeros((8, 8), dtype=np.int64)
+            blk[0, 0] = 8 * (v - 128) // QUANT_FLAT16[0]  # exact: v even
+            blocks.append(blk)
+    return encode_baseline_jpeg(width, height, [blocks])
+
+
+# --- decoder -----------------------------------------------------------------
+
+
+def _idct_block(coefs: np.ndarray) -> np.ndarray:
+    """Spatial 8×8 from dequantized coefficients (float separable IDCT),
+    level-shifted and clamped to 0..255."""
+    spatial = _IDCT_A.T @ coefs.astype(np.float64) @ _IDCT_A
+    return np.clip(np.rint(spatial) + 128, 0, 255).astype(np.int64)
+
+
+def decode_jpeg(payload: bytes) -> dict[str, Any]:
+    """Decode a baseline JPEG; returns header fields + exact integer
+    pixel statistics over the (grayscale or luma-converted-RGB-mean —
+    for our oracle payloads, grayscale) channel, or an ``error:...``
+    decode_status for malformed/unsupported input."""
+    try:
+        return _decode_jpeg_strict(payload)
+    except ValueError as e:
+        return {
+            "width": None, "height": None, "n_components": None,
+            "n_pixels": None, "pixel_sum": None, "pixel_sumsq": None,
+            "pixel_checksum": None, "decode_status": f"error:{e}",
+        }
+    except (struct.error, IndexError):
+        return {
+            "width": None, "height": None, "n_components": None,
+            "n_pixels": None, "pixel_sum": None, "pixel_sumsq": None,
+            "pixel_checksum": None, "decode_status": "error:truncated",
+        }
+
+
+def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """(width, height, per-component pixel planes cropped to w×h) —
+    the full-fidelity form for tests and downstream transforms."""
+    data = payload
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated before SOS")
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        tag = data[pos + 1]
+        if tag == 0xD9:
+            raise ValueError("EOI before scan data")
+        (seg_len,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError("truncated segment")
+        pos += 2 + seg_len
+        if tag == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                n = 64 * (2 if pq else 1)
+                raw = body[i:i + n]
+                if len(raw) < n:
+                    raise ValueError("truncated DQT")
+                vals = (
+                    list(struct.unpack(f">{64}H", raw)) if pq
+                    else list(raw)
+                )
+                tbl = [0] * 64
+                for k in range(64):
+                    tbl[ZIGZAG[k]] = vals[k]
+                quant[tq] = tbl
+                i += n
+        elif tag == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1:i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17:i + 17 + nvals])
+                if len(vals) < nvals:
+                    raise ValueError("truncated DHT")
+                (dc_tables if tc == 0 else ac_tables)[th] = _build_huffman(
+                    bits, vals
+                )
+                i += 17 + nvals
+        elif tag == 0xC0 or tag == 0xC1:
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported precision {prec}")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append(
+                    {"id": cid, "sh": samp >> 4, "sv": samp & 15, "tq": tq}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif tag in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                     0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG mode (progressive/etc)")
+        elif tag == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif tag == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for s in range(ns):
+                cs, tt = body[1 + 2 * s], body[2 + 2 * s]
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError("scan references unknown component")
+                scan.append({**comp, "td": tt >> 4, "ta": tt & 15})
+            break
+        # APPn / COM / others: skipped
+    w, h = frame["w"], frame["h"]
+    if not w or not h:
+        raise ValueError("zero dimensions")
+    hmax = max(c["sh"] for c in scan)
+    vmax = max(c["sv"] for c in scan)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("bad sampling factors")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for c in scan:
+        planes.append(
+            np.zeros((mcuy * c["sv"] * 8, mcux * c["sh"] * 8), dtype=np.int64)
+        )
+    reader = _BitReader(data, pos)
+    pred = [0] * len(scan)
+    rst_expected = 0
+    done_in_interval = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            m = my * mcux + mx
+            if restart_interval and m and done_in_interval == restart_interval:
+                reader.align_restart(rst_expected)
+                rst_expected += 1
+                done_in_interval = 0
+                pred = [0] * len(scan)
+            for ci, c in enumerate(scan):
+                if c["td"] not in dc_tables or c["ta"] not in ac_tables:
+                    raise ValueError("scan uses undefined Huffman table")
+                if c["tq"] not in quant:
+                    raise ValueError("component uses undefined quant table")
+                q = quant[c["tq"]]
+                for by in range(c["sv"]):
+                    for bx in range(c["sh"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        t = reader.huff(dc_tables[c["td"]])
+                        diff = _extend(reader.bits(t), t) if t else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff(ac_tables[c["ta"]])
+                            r, t = rs >> 4, rs & 15
+                            if t == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(reader.bits(t), t)
+                            k += 1
+                        coefs = np.zeros((8, 8), dtype=np.int64)
+                        for k in range(64):
+                            coefs.flat[ZIGZAG[k]] = zz[k] * q[ZIGZAG[k]]
+                        px = _idct_block(coefs)
+                        y0 = (my * c["sv"] + by) * 8
+                        x0 = (mx * c["sh"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+            done_in_interval += 1
+    # upsample subsampled components by replication, crop to (h, w)
+    out_planes = []
+    for ci, c in enumerate(scan):
+        p = planes[ci]
+        ry, rx = vmax // c["sv"], hmax // c["sh"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:h, :w])
+    return w, h, out_planes
+
+
+def _decode_jpeg_strict(payload: bytes) -> dict[str, Any]:
+    w, h, planes = decode_jpeg_pixels(payload)
+    gray = planes[0]  # grayscale payloads: the only plane; color: luma
+    idx = np.arange(w * h, dtype=np.int64)
+    flat = gray.reshape(-1)
+    return {
+        "width": w,
+        "height": h,
+        "n_components": len(planes),
+        "n_pixels": int(w * h),
+        "pixel_sum": int(flat.sum()),
+        "pixel_sumsq": int((flat * flat).sum()),
+        "pixel_checksum": int((((idx % 9973) + 1) * flat).sum()),
+        "decode_status": "decoded",
+    }
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
+    """JFIF color conversion (float, rounded, clamped) — for tests and
+    downstream transforms on 3-component decodes."""
+    yf, cbf, crf = (a.astype(np.float64) for a in (y, cb - 128, cr - 128))
+    r = np.clip(np.rint(yf + 1.402 * crf), 0, 255).astype(np.int64)
+    g = np.clip(
+        np.rint(yf - 0.344136 * cbf - 0.714136 * crf), 0, 255
+    ).astype(np.int64)
+    b = np.clip(np.rint(yf + 1.772 * cbf), 0, 255).astype(np.int64)
+    return r, g, b
+
+
+# --- the queries() entry ------------------------------------------------------
+
+JPEG_SCHEMA = (
+    "media_id long, width int, height int, n_components int,"
+    " n_pixels long, pixel_sum long, pixel_sumsq long,"
+    " pixel_checksum long, decode_status string"
+)
+
+
+def build_jpeg_table(spark, sf_dir: str):
+    """(media_id, payload) — one synthetic baseline JPEG per document
+    row, generated inside Arrow batches (the plumbing a real media
+    column flows through)."""
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].values,
+                    "payload": [synth_jpeg(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return d.mapInPandas(gen, "media_id long, payload binary")
+
+
+def q_jpeg_decode(spark, sf_dir: str):
+    """REAL baseline-JPEG decode over binary payloads via mapInPandas:
+    marker walk, Huffman entropy decode, dequant, float IDCT, padded-
+    edge crop — exact pixel statistics oracle-checked against the
+    closed form (constant-tile payloads make the lossy format
+    round-trip bit-exact; see module docstring). Map-only plan: linear
+    in bytes, shuffle-free; the per-payload work is genuinely Python
+    (bit-level Huffman) inside Arrow batches — the same 100 TB shape as
+    the PNG/WAV/AVI decoders."""
+    import pandas as pd
+
+    cols = [
+        "media_id", "width", "height", "n_components", "n_pixels",
+        "pixel_sum", "pixel_sumsq", "pixel_checksum", "decode_status",
+    ]
+
+    def part(it):
+        for pdf in it:
+            recs = []
+            for mid, payload in zip(
+                pdf["media_id"].values, pdf["payload"].values
+            ):
+                rec = {"media_id": int(mid)}
+                rec.update(decode_jpeg(payload))
+                recs.append(rec)
+            yield pd.DataFrame(recs, columns=cols)
+
+    return build_jpeg_table(spark, sf_dir).mapInPandas(part, JPEG_SCHEMA)
+
+
+_SQL_TILE = (
+    f"2 * ((media_id * {JPEG_SYNTH_A} + ((i % width) // 8) * {JPEG_SYNTH_B}"
+    f" + ((i // width) // 8) * {JPEG_SYNTH_C}) % 128)"
+)
+
+SQL_JPEG_DECODE = f"""
+WITH base AS (
+  SELECT doc_id AS media_id,
+         12 + doc_id % 9 AS width,
+         10 + doc_id % 7 AS height
+  FROM documents
+)
+SELECT media_id,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(1 AS INT) AS n_components,
+       CAST(width * height AS BIGINT) AS n_pixels,
+       CAST(list_sum(list_transform(range(0, width * height),
+            i -> {_SQL_TILE})) AS BIGINT) AS pixel_sum,
+       CAST(list_sum(list_transform(range(0, width * height),
+            i -> ({_SQL_TILE}) * ({_SQL_TILE}))) AS BIGINT) AS pixel_sumsq,
+       CAST(list_sum(list_transform(range(0, width * height),
+            i -> ((i % 9973) + 1) * ({_SQL_TILE}))) AS BIGINT) AS pixel_checksum,
+       'decoded' AS decode_status
+FROM base
+"""

@@ -181,6 +181,17 @@ def main(argv: list[str] | None = None) -> int:
     h.add_argument("--warehouse", required=True)
     h.add_argument("--table", required=True, help="tenant.table")
 
+    fp = sub.add_parser(
+        "fingerprint",
+        help="O(1)-driver content fingerprint of a table (or every table "
+             "with --table omitted) — compare two warehouses/mirrors "
+             "without collecting rows",
+    )
+    fp.add_argument("--warehouse", required=True)
+    fp.add_argument("--table", default=None, help="tenant.table (default: all)")
+    fp.add_argument("--version", default=None,
+                    help="time-travel version or tag (single table only)")
+
     pr = sub.add_parser(
         "propagate",
         help="apply one change-feed batch of --source into --target "
@@ -483,6 +494,27 @@ def main(argv: list[str] | None = None) -> int:
         LakeCatalog(args.warehouse).table(tenant, name).history(spark).show(
             50, truncate=60
         )
+        return 0
+
+    if args.cmd == "fingerprint":
+        from .plans.lake import LakeCatalog
+        from .plans.manifest import table_fingerprint
+
+        cat = LakeCatalog(args.warehouse)
+        if args.table:
+            tenant, name = args.table.split(".", 1)
+            t = cat.table(tenant, name)
+            v = args.version
+            df = t.read(spark, version=int(v) if v and v.isdigit() else v)
+            print(json.dumps({args.table: table_fingerprint(df)}))
+        else:
+            out = {
+                f"{tenant}.{name}": table_fingerprint(
+                    cat.table(tenant, name).read(spark)
+                )
+                for tenant, name in cat.list_tables()
+            }
+            print(json.dumps(out))
         return 0
 
     if args.cmd == "propagate":
