@@ -500,3 +500,99 @@ SELECT f.entityid, f.actor, f.event_type, f.value, f.observedat,
        d.dim_tier, d.dim_region
 FROM f JOIN d USING (user_id)
 """
+
+
+def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LakeTable.merge_into`` (Delta MERGE INTO analog) end-to-end:
+    a per-user aggregate lake table receives a content-only source that
+    UPDATES even users with an expression over s.* AND t.*, DELETES the
+    uid % 10 == 0 subset among them, and INSERTS shadow users that
+    don't exist — one epoch-idempotent commit, target read bounded to
+    the source keys' buckets. All arithmetic is exact integers
+    (value scaled ×1000 per row before summing) so the DuckDB oracle —
+    a grid-free FULL OUTER JOIN reproduction of the matched/unmatched
+    routing — matches bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    ship_package(spark)
+    wh = tempfile.mkdtemp(prefix="ngsild_merge_wh_")
+    t = LakeCatalog(wh, n_buckets=4).table("analytics", "usertotals")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = {"entityid": "TEXT", "total_milli": "BIGINT", "n": "BIGINT"}
+    target = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias(
+                "total_milli"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.concat(F.lit("urn:user:"), F.col("user_id")).alias("entityid"),
+            "total_milli", "n",
+            F.lit("r0").alias("_row_key"),
+            F.timestamp_millis(F.lit(1700000000000)).alias("_recv_time"),
+            F.lit("000000").alias("_seq"),
+        )
+    )
+    t.upsert(target, schema, "seed-0")
+    uids = ev.select("user_id").distinct()
+    source = (
+        uids.filter(F.col("user_id") % 2 == 0)
+        .select(
+            F.concat(F.lit("urn:user:"), F.col("user_id")).alias("entityid"),
+            F.col("user_id").cast("long").alias("suid"),
+            (F.col("user_id") * 3).cast("long").alias("total_milli"),
+            F.lit(None).cast("long").alias("n"),
+        )
+        .unionByName(
+            uids.filter(F.col("user_id") % 97 == 0).select(
+                F.concat(
+                    F.lit("urn:user:"), F.col("user_id") + 1000000
+                ).alias("entityid"),
+                (F.col("user_id") + 1000000).cast("long").alias("suid"),
+                ((F.col("user_id") + 1000000) * 3).cast("long").alias(
+                    "total_milli"
+                ),
+                F.lit(None).cast("long").alias("n"),
+            )
+        )
+    )
+    t.merge_into(
+        spark, source, schema, "merge-1",
+        when_matched_delete="s.suid % 10 = 0",
+        when_matched_update={"total_milli": "t.total_milli + s.total_milli"},
+    )
+    df = t.read(spark)
+    return df.select(*sorted(df.columns))
+
+
+SQL_MERGE_INTO = """
+WITH target AS (
+  SELECT 'urn:user:' || user_id AS entityid,
+         CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT)
+           AS total_milli,
+         COUNT(*) AS n
+  FROM events GROUP BY user_id
+),
+src AS (
+  SELECT 'urn:user:' || user_id AS entityid,
+         CAST(user_id AS BIGINT) AS suid,
+         CAST(user_id * 3 AS BIGINT) AS stotal
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 2 = 0)
+  UNION ALL
+  SELECT 'urn:user:' || (user_id + 1000000),
+         CAST(user_id + 1000000 AS BIGINT),
+         CAST((user_id + 1000000) * 3 AS BIGINT)
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0)
+)
+SELECT COALESCE(t.entityid, s.entityid) AS entityid,
+       CASE WHEN t.entityid IS NULL THEN CAST(NULL AS BIGINT)
+            ELSE t.n END AS n,
+       CASE WHEN t.entityid IS NULL THEN s.stotal
+            WHEN s.entityid IS NULL THEN t.total_milli
+            ELSE t.total_milli + s.stotal END AS total_milli
+FROM target t FULL OUTER JOIN src s ON t.entityid = s.entityid
+WHERE NOT (t.entityid IS NOT NULL AND s.entityid IS NOT NULL
+           AND s.suid % 10 = 0)
+"""

@@ -18,8 +18,10 @@ from ..streaming.windows import (
 from .flagship import (
     SQL_CDC_INGEST_FLATTEN,
     SQL_JOIN_VIEW,
+    SQL_MERGE_INTO,
     SQL_SCD2_HISTORY,
     q_join_view,
+    q_merge_into,
     q_scd2_history,
     SQL_CDC_CHANGEFEED,
     SQL_CDC_INGEST_SEMI_FLATTEN,
@@ -172,6 +174,11 @@ PYTEST_ONLY: dict[str, tuple] = {
     # DuckDB oracle checks exact pixel stats + position checksum. The
     # dominant web-corpus image format is now covered like PNG/WAV/AVI.
     "jpeg_decode": (jpeg.q_jpeg_decode, jpeg.SQL_JPEG_DECODE),
+    # round 5: MERGE INTO (Delta analog) — arbitrary source with WHEN
+    # MATCHED update/conditional-delete + WHEN NOT MATCHED insert, one
+    # epoch-idempotent commit, target read bounded to the source keys'
+    # buckets; the oracle reproduces the routing as a FULL OUTER JOIN
+    "merge_into": (q_merge_into, SQL_MERGE_INTO),
     # round 4: the brief's multimodal transform list completed — REAL
     # decode feeding nearest-neighbor resize / every-Nth frame sampling,
     # both oracle-exact integer index maps over the decoded pixels

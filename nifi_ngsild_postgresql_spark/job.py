@@ -181,6 +181,28 @@ def main(argv: list[str] | None = None) -> int:
     h.add_argument("--warehouse", required=True)
     h.add_argument("--table", required=True, help="tenant.table")
 
+    mg = sub.add_parser(
+        "merge",
+        help="MERGE INTO a table from a source parquet (Delta analog): "
+             "WHEN MATCHED update/delete, WHEN NOT MATCHED insert — one "
+             "epoch-idempotent commit reading only the source keys' buckets",
+    )
+    mg.add_argument("--warehouse", required=True)
+    mg.add_argument("--table", required=True, help="tenant.table")
+    mg.add_argument("--source", required=True,
+                    help="parquet path with entityid (+ _row_key) + content")
+    mg.add_argument("--epoch", required=True,
+                    help="idempotency key for this merge")
+    mg.add_argument("--match-condition", default=None,
+                    help="SQL over s.*/t.* refining 'matched'")
+    mg.add_argument("--when-matched-delete", default=None,
+                    help="SQL predicate over s.*/t.*: matching rows delete")
+    mg.add_argument("--set", action="append", default=[],
+                    metavar="COL=EXPR",
+                    help="update expression(s); default: all source columns")
+    mg.add_argument("--no-update", action="store_true")
+    mg.add_argument("--no-insert", action="store_true")
+
     fp = sub.add_parser(
         "fingerprint",
         help="O(1)-driver content fingerprint of a table (or every table "
@@ -494,6 +516,31 @@ def main(argv: list[str] | None = None) -> int:
         LakeCatalog(args.warehouse).table(tenant, name).history(spark).show(
             50, truncate=60
         )
+        return 0
+
+    if args.cmd == "merge":
+        from .plans.lake import LakeCatalog
+
+        tenant, name = args.table.split(".", 1)
+        table = LakeCatalog(args.warehouse).table(tenant, name)
+        source = spark.read.parquet(args.source)
+        schema = table.schema()
+        if schema is None:
+            parser.error("merge target does not exist yet — ingest first "
+                         "(bootstrap-by-merge is the library API's job)")
+        update = (
+            None if args.no_update
+            else (dict(kv.split("=", 1) for kv in args.set)
+                  if args.set else "all")
+        )
+        out = table.merge_into(
+            spark, source, schema, args.epoch,
+            match_condition=args.match_condition,
+            when_matched_delete=args.when_matched_delete,
+            when_matched_update=update,
+            when_not_matched_insert=not args.no_insert,
+        )
+        print(json.dumps(out, default=str))
         return 0
 
     if args.cmd == "fingerprint":

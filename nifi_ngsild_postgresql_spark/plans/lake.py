@@ -1384,6 +1384,202 @@ class LakeTable:
         finally:
             changes.unpersist()
 
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        schema: dict[str, str],
+        epoch_id: str,
+        match_condition: str | None = None,
+        when_matched_update: dict[str, str] | str | None = "all",
+        when_matched_delete: str | None = None,
+        when_not_matched_insert: bool = True,
+    ) -> dict[str, Any]:
+        """Delta ``MERGE INTO`` analog: fold an arbitrary SOURCE frame
+        into the table with WHEN MATCHED / WHEN NOT MATCHED actions —
+        the general upsert-with-conditions DML the reference's
+        append-only sink (and our event-ordered upsert) cannot express.
+
+        ``source`` carries ``entityid`` (+ ``_row_key``, defaulted to
+        ``'r0'``) and content columns; NO meta order — merge is an
+        OPERATOR action like delete_where, so the engine synthesizes a
+        deterministic batch clock: max ``_recv_time`` over the touched
+        buckets' raw rows (tombstones included, so an insert always
+        resurrects a previously deleted key) plus 1 ms. Actions:
+
+        - ``match_condition``: extra SQL predicate over ``s.*``/``t.*``
+          refining "matched" (a key-matched pair failing it is left
+          untouched, like Delta's clause conditions);
+        - ``when_matched_delete``: SQL predicate — matching rows where
+          it holds are deleted (takes precedence over update);
+        - ``when_matched_update``: ``"all"`` (every source column
+          overwrites, missing ones keep target) or {col: SQL expr over
+          ``s.*``/``t.*``} (unspecified columns keep target), or None;
+        - ``when_not_matched_insert``: unmatched source rows insert.
+
+        100 TB shape: the target read is restricted to the hash buckets
+        the source keys live in (``read(buckets=...)`` — the bounded
+        collect is O(n_buckets) bucket ids, never rows), the join is a
+        keyed equi-join inside those buckets, and the write is ONE
+        epoch-idempotent apply_changes commit (O(changed rows)).
+        Multiple source rows for one key raise, like Delta's multiple-
+        match error. Exactly-once per (table, epoch_id); replaying a
+        crashed merge recomputes the identical batch (the clock is a
+        function of table state, which the crash left unchanged)."""
+        if "entityid" not in source.columns:
+            raise ValueError("merge source needs an entityid column")
+        if "_row_key" not in source.columns:
+            source = source.withColumn("_row_key", F.lit("r0"))
+        dup = (
+            source.groupBy("entityid", "_row_key").count()
+            .filter(F.col("count") > 1).limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                "merge source has multiple rows for key "
+                f"({dup[0]['entityid']!r}, {dup[0]['_row_key']!r}) — "
+                "like Delta MERGE, a target row may match at most one "
+                "source row"
+            )
+        snap = self.latest_snapshot()
+        full_schema = {**(self.schema() or {}), **schema}
+        seq = F.lit(f"merge-{epoch_id}")
+        if snap is None:
+            if not when_not_matched_insert:
+                return {"rows_written": 0, "merge_actions": {}}
+            ins = source.select(
+                *[
+                    (F.col(c) if c in source.columns else F.lit(None))
+                    .cast(SPARK_TYPE[t]).alias(c)
+                    for c, t in full_schema.items()
+                ],
+                "_row_key",
+                F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(
+                    "_recv_time"
+                ),
+                seq.alias("_seq"),
+                F.lit("insert").alias("_change_type"),
+            )
+            out = self.apply_changes(ins, full_schema, epoch_id)
+            return {**out, "merge_actions": {"insert": out.get("rows_written", 0)}}
+        nb = snap["n_buckets"]
+        buckets = sorted(
+            int(r["b"])
+            for r in source.select(
+                F.pmod(F.xxhash64(F.col("entityid")), F.lit(nb)).alias("b")
+            ).distinct().collect()
+        )
+        # deterministic batch clock over the touched buckets' RAW rows
+        # (tombstones included: inserts must out-order lurking deletes)
+        rel = [p for b in buckets for p in snap["files"].get(str(b), [])]
+        raw_max = (
+            self._read_files(spark, snap["schema"], rel, with_meta=True)
+            .agg(F.max(F.unix_millis("_recv_time"))).first()[0]
+            if rel else None
+        )
+        clock = (
+            F.timestamp_millis(F.lit(int(raw_max) + 1))
+            if raw_max is not None
+            else F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        )
+        target = self.read(
+            spark, with_meta=True, version=snap["version"], buckets=buckets
+        ).withColumn("__t", F.lit(True))
+        src = source.withColumn("__s", F.lit(True))
+        j = target.alias("t").join(
+            src.alias("s"),
+            (F.col("t.entityid") == F.col("s.entityid"))
+            & (F.col("t._row_key") == F.col("s._row_key")),
+            "full_outer",
+        )
+        matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+        if match_condition:
+            matched = matched & F.coalesce(
+                F.expr(match_condition), F.lit(False)
+            )
+        key = lambda c: F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}"))  # noqa: E731
+        parts = []
+        if when_matched_delete:
+            parts.append(
+                j.filter(
+                    matched
+                    & F.coalesce(F.expr(when_matched_delete), F.lit(False))
+                ).select(
+                    *[
+                        F.col(f"t.{c}").alias(c)
+                        if c in target.columns
+                        else F.lit(None).cast(SPARK_TYPE[t]).alias(c)
+                        for c, t in full_schema.items()
+                    ],
+                    key("_row_key").alias("_row_key"),
+                    clock.alias("_recv_time"),
+                    F.col("t._seq").alias("_seq"),
+                    F.lit("delete").alias("_change_type"),
+                )
+            )
+        if when_matched_update is not None:
+            upd = j.filter(matched)
+            if when_matched_delete:
+                upd = upd.filter(
+                    ~F.coalesce(F.expr(when_matched_delete), F.lit(False))
+                )
+            cols = []
+            for c, t in full_schema.items():
+                typ = SPARK_TYPE[t]
+                if when_matched_update == "all":
+                    e = (
+                        F.col(f"s.{c}") if c in src.columns
+                        else (F.col(f"t.{c}") if c in target.columns
+                              else F.lit(None))
+                    )
+                elif c in when_matched_update:
+                    e = F.expr(when_matched_update[c])
+                else:
+                    e = (
+                        F.col(f"t.{c}") if c in target.columns
+                        else F.lit(None)
+                    )
+                cols.append(e.cast(typ).alias(c))
+            parts.append(
+                upd.select(
+                    *cols,
+                    key("_row_key").alias("_row_key"),
+                    clock.alias("_recv_time"),
+                    seq.alias("_seq"),
+                    F.lit("update").alias("_change_type"),
+                )
+            )
+        if when_not_matched_insert:
+            parts.append(
+                j.filter(F.col("__s").isNotNull() & F.col("__t").isNull())
+                .select(
+                    *[
+                        (F.col(f"s.{c}") if c in src.columns else F.lit(None))
+                        .cast(SPARK_TYPE[t]).alias(c)
+                        for c, t in full_schema.items()
+                    ],
+                    F.col("s._row_key").alias("_row_key"),
+                    clock.alias("_recv_time"),
+                    seq.alias("_seq"),
+                    F.lit("insert").alias("_change_type"),
+                )
+            )
+        if not parts:
+            return {"rows_written": 0, "merge_actions": {}}
+        changes = parts[0]
+        for p in parts[1:]:
+            changes = changes.unionByName(p)
+        changes = changes.persist()
+        try:
+            actions = {
+                r["_change_type"]: r["count"]
+                for r in changes.groupBy("_change_type").count().collect()
+            }
+            out = self.apply_changes(changes, full_schema, epoch_id)
+        finally:
+            changes.unpersist()
+        return {**out, "merge_actions": actions}
+
     def replace_entities(
         self, df: DataFrame, schema: dict[str, str], epoch_id: str
     ) -> dict[str, Any]:

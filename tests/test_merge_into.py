@@ -1,0 +1,210 @@
+"""MERGE INTO (plans/lake.py LakeTable.merge_into) — the Delta
+``MERGE INTO`` analog: arbitrary source frame folded into a keyed lake
+table with WHEN MATCHED (update / conditional delete) and WHEN NOT
+MATCHED (insert) actions, one epoch-idempotent commit.
+
+Pinned here:
+- update-all / update-with-expressions (referencing s.* AND t.*),
+  conditional delete precedence, insert of unmatched rows;
+- match_condition refines "matched" — a key-matched pair failing it is
+  left untouched;
+- an insert RESURRECTS a previously MoR-deleted key (the synthesized
+  batch clock out-orders the lurking tombstone);
+- the target read is bounded to the source keys' hash buckets (spied
+  via the files actually opened);
+- exactly-once: replaying the same (source, epoch) no-ops; a new epoch
+  re-applies;
+- multiple source rows per key raise, like Delta's multiple-match error;
+- merge into an EMPTY table bootstraps via inserts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+
+SCHEMA = {"entityid": "TEXT", "level": "NUMERIC", "unit": "TEXT",
+          "observedat": "TIMESTAMPTZ"}
+TS = "2024-07-01T00:00:00"
+
+
+def _batch(spark, rows):
+    data = [(f"urn:x:{e}", float(v), "c", TS, "r0", recv, seq)
+            for e, v, recv, seq in rows]
+    return spark.createDataFrame(
+        data,
+        "entityid string, level double, unit string, observedat string,"
+        " _row_key string, _recv int, _seq string",
+    ).select(
+        "entityid", "level", "unit",
+        F.col("observedat").cast("timestamp").alias("observedat"),
+        "_row_key",
+        F.timestamp_millis(
+            F.lit(1700000000000) + F.col("_recv").cast("long")
+        ).alias("_recv_time"),
+        "_seq",
+    )
+
+
+def _source(spark, rows):
+    """Content-only source: (eid, level, unit) — no meta order."""
+    return spark.createDataFrame(
+        [(f"urn:x:{e}", float(v), u) for e, v, u in rows],
+        "entityid string, level double, unit string",
+    )
+
+
+def _state(spark, t):
+    if t.latest_snapshot() is None:
+        return {}
+    return {
+        r["entityid"]: (r["level"], r["unit"])
+        for r in t.read(spark).collect()
+    }
+
+
+def _setup(spark, tmp_path, n_buckets=2):
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=n_buckets).table("t", "g")
+    t.upsert(
+        _batch(spark, [(0, 1.0, 0, "000000"), (1, 2.0, 0, "000001"),
+                       (2, 3.0, 0, "000002")]),
+        SCHEMA, "e0",
+    )
+    return t
+
+
+def test_merge_update_insert_delete(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    out = t.merge_into(
+        spark,
+        _source(spark, [(0, 10.0, "f"),    # matched -> update
+                        (1, -1.0, "f"),    # matched + delete predicate
+                        (9, 9.0, "f")]),   # unmatched -> insert
+        SCHEMA, "m1",
+        when_matched_delete="s.level < 0",
+    )
+    assert out["merge_actions"] == {"update": 1, "delete": 1, "insert": 1}
+    assert _state(spark, t) == {
+        "urn:x:0": (10.0, "f"),
+        "urn:x:2": (3.0, "c"),   # untouched
+        "urn:x:9": (9.0, "f"),
+    }
+
+
+def test_merge_update_expressions_and_match_condition(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    t.merge_into(
+        spark,
+        _source(spark, [(0, 5.0, "f"), (1, 5.0, "f"), (2, 5.0, "f")]),
+        SCHEMA, "m1",
+        match_condition="t.level < 3",       # excludes urn:x:2 (level 3)
+        when_matched_update={"level": "t.level + s.level"},
+        when_not_matched_insert=False,
+    )
+    assert _state(spark, t) == {
+        "urn:x:0": (6.0, "c"),   # 1+5; unit kept from target
+        "urn:x:1": (7.0, "c"),   # 2+5
+        "urn:x:2": (3.0, "c"),   # key-matched but condition-false: untouched
+    }
+
+
+def test_merge_insert_resurrects_mor_deleted_key(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    t.delete_where(spark, predicate="entityid = 'urn:x:1'", strategy="mor")
+    assert "urn:x:1" not in _state(spark, t)
+    t.merge_into(spark, _source(spark, [(1, 42.0, "f")]), SCHEMA, "m1")
+    assert _state(spark, t)["urn:x:1"] == (42.0, "f")
+
+
+def test_merge_reads_only_source_buckets(spark, tmp_path):
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=8).table("t", "g")
+    t.upsert(
+        _batch(spark, [(i, float(i), 0, f"{i:06d}") for i in range(64)]),
+        SCHEMA, "e0",
+    )
+    all_buckets = set(t.latest_snapshot()["files"])
+    assert len(all_buckets) == 8
+    seen: list[list[str]] = []
+    orig = t._read_files
+
+    def spy(spark_, schema, rel_paths, **kw):
+        seen.append(list(rel_paths))
+        return orig(spark_, schema, rel_paths, **kw)
+
+    t._read_files = spy
+    try:
+        t.merge_into(spark, _source(spark, [(3, 99.0, "f")]), SCHEMA, "m1")
+    finally:
+        t._read_files = orig
+    expect = {
+        str(r["b"]) for r in spark.createDataFrame(
+            [("urn:x:3",)], "entityid string"
+        ).select(F.pmod(F.xxhash64("entityid"), F.lit(8)).alias("b")).collect()
+    }
+    read_buckets = {
+        seg.split("=", 1)[1]
+        for paths in seen for p in paths for seg in p.split("/")
+        if seg.startswith("_bucket=")
+    }
+    # clock scan + target read + merge write all stay inside the key's
+    # bucket (the write stages into the same bucket it merges)
+    assert read_buckets == expect
+    assert _state(spark, t)["urn:x:3"] == (99.0, "f")
+
+
+def test_merge_is_exactly_once_and_reapplies_under_new_epoch(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    src = _source(spark, [(0, 100.0, "f")])
+    t.merge_into(spark, src, SCHEMA, "m1",
+                 when_matched_update={"level": "t.level + s.level"})
+    assert _state(spark, t)["urn:x:0"] == (101.0, "c")
+    out = t.merge_into(spark, src, SCHEMA, "m1",
+                       when_matched_update={"level": "t.level + s.level"})
+    assert out.get("skipped_epoch")
+    assert _state(spark, t)["urn:x:0"] == (101.0, "c")  # not doubled
+    t.merge_into(spark, src, SCHEMA, "m2",
+                 when_matched_update={"level": "t.level + s.level"})
+    assert _state(spark, t)["urn:x:0"] == (201.0, "c")
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    with pytest.raises(ValueError, match="at most one source row"):
+        t.merge_into(
+            spark, _source(spark, [(0, 1.0, "a"), (0, 2.0, "b")]),
+            SCHEMA, "m1",
+        )
+
+
+def test_merge_bootstraps_empty_table(spark, tmp_path):
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=2).table("t", "fresh")
+    out = t.merge_into(
+        spark, _source(spark, [(5, 5.0, "f")]), SCHEMA, "m0"
+    )
+    assert out["merge_actions"] == {"insert": 1}
+    assert _state(spark, t) == {"urn:x:5": (5.0, "f")}
+
+
+def test_merge_changes_flow_into_downstream_mirror(spark, tmp_path):
+    """Composition: a merge commit is an ordinary apply_changes commit,
+    so a downstream mirror following the change feed converges across
+    merges (update + delete + insert) like any other write."""
+    from nifi_ngsild_postgresql_spark.streaming.changefeed import (
+        TablePropagator,
+    )
+
+    t = _setup(spark, tmp_path)
+    dst = LakeCatalog(str(tmp_path / "mirror"), n_buckets=2).table("m", "g")
+    prop = TablePropagator(t, dst, str(tmp_path / "ckpt"))
+    prop.run(spark)
+    t.merge_into(
+        spark,
+        _source(spark, [(0, 10.0, "f"), (1, -1.0, "f"), (9, 9.0, "f")]),
+        SCHEMA, "m1",
+        when_matched_delete="s.level < 0",
+    )
+    prop.run(spark)
+    assert _state(spark, dst) == _state(spark, t)
+    assert "urn:x:1" not in _state(spark, dst)
