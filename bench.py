@@ -268,6 +268,18 @@ def run_scaling_exec(n_events: int = 400_000, pinned: bool = False) -> None:
 
     results = {}
     trials = 3  # round-3 verdict item 6: best-of-3, not best-of-2
+    if pinned:
+        # all rounds up front: the largest round (exec_cores=2) pins a
+        # fleet of 4 disjoint 8-vCPU blocks = 32 vCPUs; failing here
+        # beats dying mid-benchmark with a half-written results table
+        required = 4 * 4 * 2
+        avail = os.cpu_count() or 0
+        if avail < required:
+            raise SystemExit(
+                f"--scaling-exec-pinned needs {required} vCPUs for "
+                f"disjoint fleet pinning; host has {avail} — run "
+                "unpinned or on a larger host"
+            )
     for exec_cores in (1, 2):
         # CPU-pinned isolation (round-4 verdict item 4): each executor
         # (JVM task threads + Python parse workers + GC/JIT threads)

@@ -450,6 +450,17 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            # T.81 allows baseline images split across several
+            # non-interleaved scans (one SOS per component). This
+            # decoder implements only the single interleaved scan —
+            # decoding just the first scan would return stats over a
+            # subset of components (and a wrong MCU walk for subsampled
+            # frames), so reject loudly like SOF2 instead.
+            if ns != len(frame["comps"]):
+                raise ValueError(
+                    "unsupported JPEG: non-interleaved scan (scan has "
+                    f"{ns} of {len(frame['comps'])} frame components)"
+                )
             scan = []
             for s in range(ns):
                 cs, tt = body[1 + 2 * s], body[2 + 2 * s]

@@ -552,7 +552,11 @@ def main(argv: list[str] | None = None) -> int:
             tenant, name = args.table.split(".", 1)
             t = cat.table(tenant, name)
             v = args.version
-            df = t.read(spark, version=int(v) if v and v.isdigit() else v)
+            # tags win over the numeric reading (same rule as --restore-to
+            # above): a tag may be all-digits ('2024')
+            if v and v not in t.tags() and v.isdigit():
+                v = int(v)
+            df = t.read(spark, version=v)
             print(json.dumps({args.table: table_fingerprint(df)}))
         else:
             out = {

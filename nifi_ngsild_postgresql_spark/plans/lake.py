@@ -1428,8 +1428,38 @@ class LakeTable:
         function of table state, which the crash left unchanged)."""
         if "entityid" not in source.columns:
             raise ValueError("merge source needs an entityid column")
+        # replaying a committed epoch (crash-recovery) must not pay the
+        # full bucket scan + join before apply_changes notices the
+        # no-op — the epoch window answers in O(1) from the manifest
+        if self.has_epoch(epoch_id):
+            return {"skipped_epoch": True, "merge_actions": {}}
         if "_row_key" not in source.columns:
             source = source.withColumn("_row_key", F.lit("r0"))
+        # the source is an ARBITRARY plan (often an aggregate) and feeds
+        # three separate driver actions below (dup-key probe, bucket
+        # distinct, the merge join) — persist it once instead of
+        # recomputing the plan per action
+        source = source.persist()
+        try:
+            return self._merge_into_inner(
+                spark, source, schema, epoch_id, match_condition,
+                when_matched_update, when_matched_delete,
+                when_not_matched_insert,
+            )
+        finally:
+            source.unpersist()
+
+    def _merge_into_inner(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        schema: dict[str, str],
+        epoch_id: str,
+        match_condition: str | None,
+        when_matched_update: dict[str, str] | str | None,
+        when_matched_delete: str | None,
+        when_not_matched_insert: bool,
+    ) -> dict[str, Any]:
         dup = (
             source.groupBy("entityid", "_row_key").count()
             .filter(F.col("count") > 1).limit(1).collect()
@@ -2378,6 +2408,29 @@ class LakeTable:
             checks.pop(name, None)
             self._write_checks(checks)
 
+    @staticmethod
+    def check_live_col(df: DataFrame):
+        """The 'row is live' condition CHECK evaluation uses: tombstone
+        rows (apply_changes delete batches) are EXEMPT, like Delta never
+        evaluating CHECKs on deletes — their NULLed payload would fail
+        boolean-on-NULL predicates such as IS NOT NULL."""
+        return (
+            ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+            if TOMBSTONE_COL in df.columns
+            else F.lit(True)
+        )
+
+    @staticmethod
+    def check_keep_cond(live, expr: str):
+        """SQL CHECK keep-predicate for one drop-action check: keep a row
+        unless it is live AND the expression is FALSE (NULL passes, per
+        PostgreSQL/Delta CHECK semantics). The ONE implementation of the
+        drop rule — _validate_checks (publish time) and WAP previews
+        (audit time) both filter through it, so preview == post-publish
+        stays provable by construction rather than by two hand-mirrored
+        copies."""
+        return ~live | F.coalesce(F.expr(expr), F.lit(True))
+
     def _validate_checks(
         self, incoming: DataFrame
     ) -> tuple[DataFrame, dict[str, dict[str, int]]]:
@@ -2412,14 +2465,7 @@ class LakeTable:
                 ).select(F.expr(spec["expr"]))  # raises for a typo
         if not applicable:
             return incoming, {}
-        # tombstone rows (apply_changes delete batches) are EXEMPT, like
-        # Delta never evaluating CHECKs on deletes: their NULLed payload
-        # would fail boolean-on-NULL predicates such as IS NOT NULL
-        live = (
-            ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
-            if TOMBSTONE_COL in incoming.columns
-            else F.lit(True)
-        )
+        live = self.check_live_col(incoming)
         names = list(applicable)
         counts = incoming.agg(
             *[
@@ -2454,9 +2500,7 @@ class LakeTable:
             if applicable[n]["action"] == "drop"
         ]
         for expr in dropped:
-            incoming = incoming.filter(
-                ~live | F.coalesce(F.expr(expr), F.lit(True))
-            )
+            incoming = incoming.filter(self.check_keep_cond(live, expr))
         return incoming, stats
 
     def _resolve_version(self, version: int | str | None) -> int | None:
@@ -2513,8 +2557,20 @@ class LakeTable:
             kept_refs = _refs(keep)
             expired_refs = _refs(v for v in versions if v not in keep)
             expired = 0
+            ledgered = {e["version"] for e in self.restores()}
             for v in versions:
                 if v not in keep:
+                    s = self.snapshot(v)
+                    # crash window closure: restore() appends to the
+                    # durable ledger AFTER its commit, so a crash between
+                    # the two leaves the ceiling only in this manifest.
+                    # Backfill before deleting it (same lock restore()
+                    # holds) so _order_era never loses an era.
+                    if s.get("mode") == "restore" and v not in ledgered:
+                        cm = s.get("stats", {}).get("recv_ceiling_ms")
+                        if cm:
+                            self._append_restore(v, int(cm))
+                            ledgered.add(v)
                     os.remove(os.path.join(self.meta_dir, f"v{v:08d}.json"))
                     expired += 1
         # --- lock released: data-dir removal only, decided from the

@@ -137,7 +137,11 @@ class WapSession:
             return staged
         from pyspark.errors.exceptions.base import AnalysisException
 
-        live = ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+        # the keep-predicate itself (NULL-passes, tombstone-exempt) is
+        # LakeTable's — ONE implementation shared with _validate_checks,
+        # so publish-side semantics changes can't silently diverge from
+        # the preview
+        live = LakeTable.check_live_col(staged)
         for expr in drops:
             try:
                 staged.select(F.expr(expr))
@@ -145,9 +149,7 @@ class WapSession:
                 if "UNRESOLVED_COLUMN" not in str(e):
                     raise
                 continue
-            staged = staged.filter(
-                ~(live & ~F.coalesce(F.expr(expr), F.lit(True)))
-            )
+            staged = staged.filter(LakeTable.check_keep_cond(live, expr))
         return staged
 
     def _preview_from(
@@ -321,6 +323,14 @@ def publish_warehouse(
     in the pass stay published (per-table atomicity) — the error is the
     operator's signal to fix the expression and re-gate."""
     results: dict[str, Any] = {}
+    # applicability is judged PER PASS: a long-lived audit object reused
+    # across publish_warehouse calls carries a cumulative `applied`
+    # count, so comparing against the count at pass start (not against
+    # zero) keeps the applies-nowhere guard armed on every pass — a
+    # column renamed between passes still trips it
+    applied_at_start = {
+        id(a): getattr(a, "applied", None) for a in audits or []
+    }
     for tenant, name in staged_tables(base.warehouse, wap_id):
         session = WapSession(base.table(tenant, name), wap_id)
         results[f"{tenant}.{name}"] = session.publish(spark, audits=audits)
@@ -328,7 +338,8 @@ def publish_warehouse(
         never_applied = [
             getattr(a, "expr", getattr(a, "__name__", "audit"))
             for a in audits or []
-            if getattr(a, "applied", 1) == 0
+            if applied_at_start[id(a)] is not None
+            and getattr(a, "applied", 0) == applied_at_start[id(a)]
         ]
         if never_applied:
             raise AuditFailedError(
