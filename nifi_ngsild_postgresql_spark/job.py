@@ -213,6 +213,9 @@ def main(argv: list[str] | None = None) -> int:
     fp.add_argument("--table", default=None, help="tenant.table (default: all)")
     fp.add_argument("--version", default=None,
                     help="time-travel version or tag (single table only)")
+    fp.add_argument("--as-of-ms", type=int, default=None,
+                    help="TIMESTAMP AS OF: epoch ms; resolves to the "
+                         "newest snapshot committed at or before it")
 
     pr = sub.add_parser(
         "propagate",
@@ -258,6 +261,25 @@ def main(argv: list[str] | None = None) -> int:
     w.add_argument("--fail-if", action="append", default=[], metavar="EXPR",
                    help="audit: reject publish if ANY previewed row matches "
                         "this Spark SQL boolean; repeatable")
+
+    br = sub.add_parser(
+        "branch",
+        help="Iceberg-style branch refs: fork a writable metadata-only "
+             "branch of a table, list/drop branches, publish a branch's "
+             "changes back (fast-forward or LWW merge)",
+    )
+    br.add_argument("--warehouse", required=True)
+    br.add_argument("--table", required=True, help="tenant.table")
+    br.add_argument("--action",
+                    choices=("create", "list", "drop", "publish"),
+                    required=True)
+    br.add_argument("--name", default=None, help="branch name")
+    br.add_argument("--from-version", default=None,
+                    help="fork point: version number or tag "
+                         "(default: latest)")
+    br.add_argument("--fast-forward-only", action="store_true",
+                    help="publish: refuse if main advanced past the fork "
+                         "point instead of LWW-merging")
 
     d = sub.add_parser(
         "dml", help="predicate DELETE/UPDATE (copy-on-write or merge-on-read)"
@@ -556,7 +578,7 @@ def main(argv: list[str] | None = None) -> int:
             # above): a tag may be all-digits ('2024')
             if v and v not in t.tags() and v.isdigit():
                 v = int(v)
-            df = t.read(spark, version=v)
+            df = t.read(spark, version=v, as_of_ms=args.as_of_ms)
             print(json.dumps({args.table: table_fingerprint(df)}))
         else:
             out = {
@@ -582,6 +604,41 @@ def main(argv: list[str] | None = None) -> int:
             src, dst, args.checkpoint, predicate=args.predicate
         )
         print(json.dumps(prop.run(spark), default=str))
+        return 0
+
+    if args.cmd == "branch":
+        from .plans.lake import LakeCatalog
+
+        tenant, name = args.table.split(".", 1)
+        t = LakeCatalog(args.warehouse).table(tenant, name)
+        if args.action == "list":
+            out = {
+                b: {"fork_version": t.fork_version(b),
+                    "head": (t.branch(b).versions() or [None])[-1]}
+                for b in t.branches()
+            }
+        elif args.action == "create":
+            if not args.name:
+                raise SystemExit("--name required for create")
+            fv = args.from_version
+            if fv and fv not in t.tags() and fv.isdigit():
+                fv = int(fv)
+            b = t.create_branch(args.name, from_version=fv)
+            out = {"created": args.name,
+                   "fork_version": t.fork_version(args.name)}
+        elif args.action == "drop":
+            if not args.name:
+                raise SystemExit("--name required for drop")
+            t.drop_branch(args.name)
+            out = {"dropped": args.name}
+        else:
+            if not args.name:
+                raise SystemExit("--name required for publish")
+            out = t.publish_branch(
+                spark, args.name,
+                fast_forward_only=args.fast_forward_only,
+            )
+        print(json.dumps(out, default=str))
         return 0
 
     if args.cmd == "dml":

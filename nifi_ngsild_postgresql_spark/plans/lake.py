@@ -88,6 +88,10 @@ _COMMIT_DIR_RE = re.compile(r"^c(\d{8})(?:_[0-9a-f]{8})?$")
 # gives up loudly (CommitConflictError) instead of livelocking
 COMMIT_MAX_RETRIES = 5
 
+# branch manifests reference the parent table's data dirs through this
+# prefix (metadata-only forks; see LakeTable.create_branch / _abs_path)
+_PARENT_REF = "@main/"
+
 
 # --- manifest Bloom filters (per-commit-dir point-lookup skipping) --------
 # Same md5-derived layout as analytics/sketches.py q_bloom_membership (all
@@ -241,6 +245,20 @@ class LakeTable:
         self.path = os.path.join(warehouse, tenant, name)
         self.meta_dir = os.path.join(self.path, "_meta")
 
+    def _abs_path(self, rel: str) -> str:
+        """Resolve a manifest-recorded file path. Branch manifests
+        (create_branch) reference the parent table's UNMOVED data dirs
+        through the ``@main/`` prefix — branching is metadata-only, like
+        Iceberg refs over one shared file set. The parent location is
+        structural (branch path is always <parent>/_branches/<name>/
+        table), so handles need no stored pointer."""
+        if rel.startswith(_PARENT_REF):
+            parent = os.path.dirname(
+                os.path.dirname(os.path.dirname(self.path))
+            )
+            return os.path.join(parent, rel[len(_PARENT_REF):])
+        return os.path.join(self.path, rel)
+
     # --- snapshot bookkeeping -------------------------------------------
 
     def versions(self) -> list[int]:
@@ -289,6 +307,12 @@ class LakeTable:
 
     def _commit(self, snapshot: dict[str, Any]) -> None:
         os.makedirs(self.meta_dir, exist_ok=True)
+        # commit wall-clock, recorded once at publish: the basis for
+        # TIMESTAMP AS OF resolution (version_as_of). Informational like
+        # Delta's commit timestamps — readers monotonize at resolution
+        # time, so clock skew between racing writers cannot make time
+        # travel non-deterministic.
+        snapshot.setdefault("committed_at_ms", int(time.time() * 1000))
         path = os.path.join(self.meta_dir, f"v{snapshot['version']:08d}.json")
         # Atomic publish (round-3 ADVICE): streaming json.dump straight
         # into the O_EXCL final path let a peer losing the race — which
@@ -322,10 +346,15 @@ class LakeTable:
         version: int | str | None = None,
         where: dict[str, tuple[Any, Any]] | None = None,
         buckets: list[int] | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
         """Read the table; ``version`` time-travels to a past snapshot
         (every snapshot manifest is immutable, so any committed version
         stays readable until its files are garbage-collected).
+        ``as_of_ms`` is the Delta ``TIMESTAMP AS OF`` form of the same
+        thing — the newest snapshot committed at-or-before that wall
+        instant (see version_as_of); mutually exclusive with
+        ``version``.
 
         ``buckets`` restricts the scan to the given hash buckets — for
         callers that maintain their own key->bucket index (e.g. the join
@@ -352,6 +381,10 @@ class LakeTable:
         columns (entityid, observedat): duplicates of a key always agree
         on those, so pruning can never split a key's duplicates and
         expose a stale LWW loser — filtering on any other column could."""
+        if as_of_ms is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of_ms, not both")
+            version = self.version_as_of(as_of_ms)
         version = self._resolve_version(version)
         snap = self.snapshot(version) if version else self.latest_snapshot()
         if snap is None:
@@ -424,7 +457,7 @@ class LakeTable:
         if not rel_paths:
             df = spark.createDataFrame([], sp_schema)
         else:
-            abs_paths = [os.path.join(self.path, p) for p in rel_paths]
+            abs_paths = [self._abs_path(p) for p in rel_paths]
             # explicit schema => column pruning + NULL for columns added
             # after a file was written (schema evolution)
             df = spark.read.schema(sp_schema).parquet(*abs_paths)
@@ -448,7 +481,7 @@ class LakeTable:
         out: dict[str, dict[str, list]] = {}
         for rels in files.values():
             for rel in rels:
-                d = os.path.join(self.path, rel)
+                d = self._abs_path(rel)
                 if not os.path.isdir(d):
                     continue
                 agg: dict[str, list] = {}
@@ -522,6 +555,7 @@ class LakeTable:
         Driver-side manifest reads only (O(retained versions)); no data
         files are opened."""
         rows = []
+        times = dict(self.commit_times())
         for v in self.versions():
             s = self.snapshot(v)
             stats = s.get("file_stats", {})
@@ -531,6 +565,7 @@ class LakeTable:
             rows.append(
                 (
                     v,
+                    times.get(v),
                     s.get("mode", "unknown"),
                     s["n_buckets"],
                     len(rels),
@@ -547,7 +582,8 @@ class LakeTable:
             )
         return spark.createDataFrame(
             rows,
-            "version int, mode string, n_buckets int, file_dirs int, "
+            "version int, committed_at_ms long, mode string, "
+            "n_buckets int, file_dirs int, "
             "physical_rows long, bytes long, merge_on_read boolean, "
             "has_tombstones boolean, append_visible boolean, "
             "n_columns int, commit_stats string",
@@ -2237,6 +2273,195 @@ class LakeTable:
                 json.dump(tags, f)
             os.replace(tmp, self._tags_path())
 
+    # --- branches (Iceberg branch refs analog) -----------------------------
+
+    def _branches_dir(self) -> str:
+        return os.path.join(self.path, "_branches")
+
+    def branches(self) -> list[str]:
+        d = self._branches_dir()
+        if not os.path.isdir(d):
+            return []
+        # a crash mid-create_branch can leave _meta without _fork.json;
+        # such a stub is invisible (and re-creatable: create_branch would
+        # fail on the leftover manifest — drop_branch clears it)
+        return sorted(
+            b for b in os.listdir(d)
+            if os.path.isdir(os.path.join(d, b, "table", "_meta"))
+            and os.path.exists(self._fork_path(b))
+        )
+
+    def _fork_path(self, name: str) -> str:
+        return os.path.join(self._branches_dir(), name, "_fork.json")
+
+    def fork_version(self, name: str) -> int:
+        with open(self._fork_path(name)) as f:
+            return int(json.load(f)["fork_version"])
+
+    def branch(self, name: str) -> "LakeTable":
+        """Handle to an existing branch — a FULL LakeTable (reads, time
+        travel, every write path, checks, tags, its own change feed)
+        whose initial state is the parent snapshot it forked from.
+        Inherited data is referenced in place (``@main/`` refs); branch
+        commits write under the branch's own directory, so the parent
+        never sees them."""
+        if not os.path.exists(self._fork_path(name)):
+            raise ValueError(
+                f"{self.tenant}.{self.name}: unknown branch {name!r}"
+            )
+        return LakeTable(
+            self._branches_dir(), name, "table",
+            n_buckets=self.default_n_buckets,
+            auto_compact_files=self.auto_compact_files,
+            max_tracked_epochs=self.max_tracked_epochs,
+            stats_cols=self.stats_cols,
+            sort_within_buckets=self.sort_within_buckets,
+            target_bucket_bytes=self.target_bucket_bytes,
+            bloom_cols=self.bloom_cols,
+        )
+
+    def create_branch(
+        self, name: str, from_version: int | str | None = None
+    ) -> "LakeTable":
+        """Fork a writable branch at ``from_version`` (default: latest;
+        tags accepted) — the Iceberg branch-ref pattern: isolated
+        experimentation / backfill / audit-gated development against
+        the production table's real data, METADATA-ONLY (one manifest
+        copied; zero data moved or rewritten, however large the table).
+        CHECK constraints and the restore-era ledger are inherited so
+        branch writes obey the same contracts as main's.
+
+        GC safety, both directions: the fork runs under the parent's
+        tags lock, and the parent's ``expire_snapshots`` keeps every
+        data dir any retained branch manifest still references
+        (branches are first-class GC roots, like tags); the branch's
+        own GC only ever touches branch-local dirs (``@main/`` refs
+        can never match them). 100 TB shape: fork cost is O(manifest),
+        branch reads/writes have exactly main's cost model, and
+        ``publish_branch`` is O(branch changes)."""
+        if "/" in name or name in ("", ".", ".."):
+            raise ValueError(f"bad branch name {name!r}")
+        # branching a branch would need transitive GC-root scanning in
+        # the grandparent's expire_snapshots — refuse rather than leak
+        if os.path.basename(
+            os.path.dirname(os.path.dirname(self.path))
+        ) == "_branches":
+            raise ValueError(
+                "branching a branch is not supported — fork from the "
+                "main table"
+            )
+        import shutil
+
+        with self._tags_lock():
+            versions = self.versions()
+            if not versions:
+                raise FileNotFoundError(
+                    f"lake table {self.tenant}.{self.name} not found"
+                )
+            v = self._resolve_version(from_version)
+            v = versions[-1] if v is None else v
+            if v not in versions:
+                raise ValueError(f"cannot branch from missing snapshot v{v}")
+            if os.path.exists(self._fork_path(name)):
+                raise ValueError(f"branch {name!r} already exists")
+            stub = os.path.join(self._branches_dir(), name)
+            if os.path.isdir(stub):
+                # crash-orphaned half-create (manifest committed, fork
+                # record lost) — invisible to branches(); reclaim it
+                shutil.rmtree(stub)
+            snap = self.snapshot(v)
+            b = LakeTable(
+                self._branches_dir(), name, "table",
+                n_buckets=self.default_n_buckets,
+                auto_compact_files=self.auto_compact_files,
+                max_tracked_epochs=self.max_tracked_epochs,
+                stats_cols=self.stats_cols,
+                sort_within_buckets=self.sort_within_buckets,
+                target_bucket_bytes=self.target_bucket_bytes,
+                bloom_cols=self.bloom_cols,
+            )
+            fork = {
+                **snap,
+                "files": {
+                    bk: [_PARENT_REF + p for p in ps]
+                    for bk, ps in snap["files"].items()
+                },
+                "file_stats": {
+                    _PARENT_REF + r: dict(st)
+                    for r, st in snap.get("file_stats", {}).items()
+                },
+                "added_files": {},
+                "mode": "branch_fork",
+                "stats": {"forked_from": v},
+            }
+            fork.pop("committed_at_ms", None)  # fork gets its own instant
+            b._commit(fork)
+            # inherit the write contracts: CHECK constraints, and the
+            # restore-era ledger (order-carrying mirrors following the
+            # BRANCH feed must see the parent's pre-fork eras too)
+            for side in ("_checks.json", "_restores.json"):
+                src = os.path.join(self.meta_dir, side)
+                if os.path.exists(src):
+                    shutil.copy(src, os.path.join(b.meta_dir, side))
+            with open(self._fork_path(name), "w") as f:
+                json.dump(
+                    {"fork_version": v,
+                     "forked_at_ms": int(time.time() * 1000)}, f
+                )
+        return b
+
+    def drop_branch(self, name: str) -> None:
+        """Delete a branch and its local data. Parent data dirs the
+        branch referenced lose their GC protection (and are reclaimed
+        by the parent's next expire_snapshots if nothing else keeps
+        them) — the Iceberg drop-branch lifecycle."""
+        import shutil
+
+        with self._tags_lock():
+            shutil.rmtree(
+                os.path.join(self._branches_dir(), name), ignore_errors=True
+            )
+
+    def publish_branch(
+        self,
+        spark: SparkSession,
+        name: str,
+        fast_forward_only: bool = False,
+    ) -> dict[str, Any]:
+        """Land a branch's net changes since its fork onto this table as
+        ONE exactly-once commit — the Iceberg fast-forward / Delta
+        branch-merge analog, built on the engine's own CDC loop: the
+        branch change feed (fork → branch head) streamed through
+        ``apply_changes``, so cost is O(branch changes) never O(table),
+        rows keep their LWW order (publishing is order-faithful, like
+        WAP), and replaying a crashed publish no-ops via the epoch
+        ledger (epoch = branch head version; publishing AGAIN after new
+        branch commits gets a new epoch and lands the delta).
+
+        ``fast_forward_only=True`` refuses to publish when this table
+        advanced past the fork point (strict Iceberg fast-forward);
+        default is a MERGE publish — concurrent main commits and the
+        branch delta resolve by the same last-writer-wins the rest of
+        the engine uses."""
+        b = self.branch(name)
+        fork = self.fork_version(name)
+        head = b.versions()[-1]
+        if head == fork:
+            return {"published_rows": 0, "noop": True,
+                    "branch_head": head}
+        if fast_forward_only and self.versions()[-1] != fork:
+            raise CommitConflictError(
+                f"{self.tenant}.{self.name}: advanced past branch "
+                f"{name!r}'s fork point v{fork} — fast-forward refused "
+                "(publish with fast_forward_only=False to LWW-merge)"
+            )
+        changes = b.read_changes(spark, fork, head, with_meta=True)
+        schema = {**(self.schema() or {}), **(b.schema() or {})}
+        out = self.apply_changes(
+            changes, schema, epoch_id=f"branch-{name}-v{head}"
+        )
+        return {**out, "branch_head": head, "fork_version": fork}
+
     def restore(self, to_version: int | str) -> dict[str, Any]:
         """Delta ``RESTORE TABLE ... VERSION AS OF`` / Iceberg
         ``rollback_to_snapshot`` analog: commit a NEW snapshot whose
@@ -2511,6 +2736,45 @@ class LakeTable:
             return tags[version]
         return version
 
+    def commit_times(self) -> list[tuple[int, int]]:
+        """(version, effective commit time ms) per retained snapshot,
+        monotone non-decreasing. The effective time is the running max
+        of the recorded ``committed_at_ms`` — two writers racing with
+        skewed clocks can record out-of-order wall times, and
+        monotonizing at RESOLUTION time (Delta does the same, at commit
+        time) keeps ``version_as_of`` deterministic: later version never
+        maps to an earlier instant. Manifests from before this field
+        existed fall back to the manifest file's mtime."""
+        out: list[tuple[int, int]] = []
+        running = 0
+        for v in self.versions():
+            cm = self.snapshot(v).get("committed_at_ms")
+            if cm is None:
+                try:
+                    cm = int(os.path.getmtime(
+                        os.path.join(self.meta_dir, f"v{v:08d}.json")
+                    ) * 1000)
+                except OSError:
+                    cm = running
+            running = max(running, int(cm))
+            out.append((v, running))
+        return out
+
+    def version_as_of(self, ts_ms: int) -> int:
+        """Delta ``TIMESTAMP AS OF`` / Iceberg snapshot-at-timestamp
+        resolution: the newest retained snapshot committed at-or-before
+        ``ts_ms``. Raises for an instant before the earliest RETAINED
+        snapshot (like Delta: expired history is not silently rounded
+        up to a state that did not exist then)."""
+        eligible = [v for v, t in self.commit_times() if t <= ts_ms]
+        if not eligible:
+            raise ValueError(
+                f"{self.tenant}.{self.name}: no retained snapshot "
+                f"committed at or before {ts_ms} ms — history earlier "
+                "than the retention window, or a pre-creation instant"
+            )
+        return eligible[-1]
+
     def expire_snapshots(
         self, keep_last: int = 8, orphan_grace_seconds: float = 3600.0
     ) -> dict[str, Any]:
@@ -2555,6 +2819,21 @@ class LakeTable:
                 return out
 
             kept_refs = _refs(keep)
+            # branches are GC ROOTS like tags: any parent data dir a
+            # retained branch manifest still references (@main/ refs)
+            # stays live until the branch itself drops it or is dropped.
+            # Same lock as create_branch/drop_branch, so a fork can
+            # never race its referenced dirs away. O(branches ×
+            # retained branch manifests) driver-side JSON reads.
+            for br in self.branches():
+                bt = self.branch(br)
+                for bv in bt.versions():
+                    for paths in bt.snapshot(bv)["files"].values():
+                        kept_refs.update(
+                            p[len(_PARENT_REF):].split("/_bucket=")[0]
+                            for p in paths
+                            if p.startswith(_PARENT_REF)
+                        )
             expired_refs = _refs(v for v in versions if v not in keep)
             expired = 0
             ledgered = {e["version"] for e in self.restores()}

@@ -1,0 +1,233 @@
+"""Branches (plans/lake.py create_branch / branch / publish_branch /
+drop_branch) — the Iceberg branch-refs analog: a writable, metadata-only
+fork of a table for isolated experimentation, backfill, or audit-gated
+development, published back as one exactly-once LWW commit.
+
+Pinned here:
+- forking is metadata-only (zero data dirs created) and fully isolated
+  both ways: branch writes are invisible to main, later main writes are
+  invisible to the branch;
+- a branch is a full LakeTable: upserts, MoR deletes, schema evolution,
+  time travel back to the fork state all work;
+- publish lands exactly the branch's net changes since fork (update /
+  insert / delete), is epoch-idempotent on replay, and publishes again
+  after further branch commits as a new delta;
+- strict fast-forward refuses when main advanced past the fork; the
+  default merge publish resolves concurrent main commits by LWW (a main
+  write to an untouched key survives);
+- branches are GC roots: main's expire_snapshots never reclaims data
+  dirs a live branch still references, and reclaims them after
+  drop_branch;
+- CHECK constraints are inherited at fork;
+- a fresh change-feed consumer on a branch sees the full fork state;
+- nested branches, duplicate names, and unknown branches fail loudly;
+- the branch CLI round-trips create / list / publish / drop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.plans.lake import (
+    CheckViolationError,
+    CommitConflictError,
+    LakeCatalog,
+)
+
+SCHEMA = {"entityid": "TEXT", "level": "NUMERIC", "observedat": "TIMESTAMPTZ"}
+TS = "2024-07-01T00:00:00"
+
+
+def _batch(spark, rows):
+    data = [(f"urn:x:{e}", float(v), TS, "r0", recv, seq)
+            for e, v, recv, seq in rows]
+    return spark.createDataFrame(
+        data,
+        "entityid string, level double, observedat string,"
+        " _row_key string, _recv int, _seq string",
+    ).select(
+        "entityid", "level",
+        F.col("observedat").cast("timestamp").alias("observedat"),
+        "_row_key",
+        F.timestamp_millis(
+            F.lit(1700000000000) + F.col("_recv").cast("long")
+        ).alias("_recv_time"),
+        "_seq",
+    )
+
+
+def _state(spark, t, **kw):
+    return sorted(
+        (r["entityid"], r["level"]) for r in t.read(spark, **kw).collect()
+    )
+
+
+def _data_dirs(t):
+    d = os.path.join(t.path, "data")
+    return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+
+def _setup(spark, tmp_path):
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=2).table("t", "g")
+    t.upsert(_batch(spark, [(0, 1.0, 0, "000000"), (1, 2.0, 0, "000001")]),
+             SCHEMA, "e1")
+    return t
+
+
+def test_fork_is_metadata_only_and_isolated(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    main_dirs = _data_dirs(t)
+    b = t.create_branch("dev")
+    assert _data_dirs(b) == []                      # zero data moved
+    assert _data_dirs(t) == main_dirs               # zero data touched
+    assert _state(spark, b) == _state(spark, t)     # fork state == main
+    # branch write: visible on branch, invisible on main
+    b.upsert(_batch(spark, [(0, 50.0, 1, "000100")]), SCHEMA, "b1")
+    assert _state(spark, b) == [("urn:x:0", 50.0), ("urn:x:1", 2.0)]
+    assert _state(spark, t) == [("urn:x:0", 1.0), ("urn:x:1", 2.0)]
+    # main write after fork: invisible on branch
+    t.upsert(_batch(spark, [(2, 3.0, 1, "000101")]), SCHEMA, "e2")
+    assert ("urn:x:2", 3.0) not in _state(spark, b)
+    # branch time travel back to the fork state
+    fork_v = t.fork_version("dev")
+    assert _state(spark, b, version=fork_v) == [
+        ("urn:x:0", 1.0), ("urn:x:1", 2.0)
+    ]
+    assert t.branches() == ["dev"]
+
+
+def test_publish_fast_forward_and_replay(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    b = t.create_branch("dev")
+    b.upsert(_batch(spark, [(0, 50.0, 1, "000100"),   # update
+                            (9, 9.0, 1, "000101")]),  # insert
+             SCHEMA, "b1")
+    b.delete_where(spark, predicate="entityid = 'urn:x:1'", strategy="mor")
+    out = t.publish_branch(spark, "dev", fast_forward_only=True)
+    assert not out.get("noop")
+    assert _state(spark, t) == [("urn:x:0", 50.0), ("urn:x:9", 9.0)]
+    # replaying the same publish no-ops via the epoch ledger
+    out2 = t.publish_branch(spark, "dev", fast_forward_only=False)
+    assert out2.get("skipped_epoch")
+    assert _state(spark, t) == [("urn:x:0", 50.0), ("urn:x:9", 9.0)]
+    # further branch work publishes as a NEW delta
+    b.upsert(_batch(spark, [(7, 7.0, 2, "000200")]), SCHEMA, "b2")
+    t.publish_branch(spark, "dev")
+    assert ("urn:x:7", 7.0) in _state(spark, t)
+
+
+def test_publish_merge_vs_concurrent_main(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    b = t.create_branch("dev")
+    b.upsert(_batch(spark, [(0, 50.0, 1, "000100")]), SCHEMA, "b1")
+    # main advances past the fork point on a DIFFERENT key
+    t.upsert(_batch(spark, [(1, 20.0, 1, "000101")]), SCHEMA, "e2")
+    with pytest.raises(CommitConflictError, match="fast-forward refused"):
+        t.publish_branch(spark, "dev", fast_forward_only=True)
+    t.publish_branch(spark, "dev")  # LWW merge publish
+    assert _state(spark, t) == [("urn:x:0", 50.0), ("urn:x:1", 20.0)]
+
+
+def test_branches_are_gc_roots(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    b = t.create_branch("dev")
+    fork_state = _state(spark, b)
+    # churn main until the fork-era dirs leave every RETAINED main
+    # manifest (compact rewrites every bucket)
+    t.upsert(_batch(spark, [(0, 9.0, 1, "000100")]), SCHEMA, "e2")
+    t.compact(spark, max_files_per_bucket=0)
+    for i in range(3):
+        t.upsert(_batch(spark, [(0, 10.0 + i, 2 + i, f"{200 + i:06d}")]),
+                 SCHEMA, f"e{3 + i}")
+    out = t.expire_snapshots(keep_last=1)
+    assert out["expired_snapshots"] > 0
+    # the branch still reads its fork state — its @main refs were kept
+    assert _state(spark, b) == fork_state
+    # dropping the branch releases the refs; the next GC reclaims them
+    before = set(_data_dirs(t))
+    t.drop_branch("dev")
+    t.expire_snapshots(keep_last=1, orphan_grace_seconds=0.0)
+    assert set(_data_dirs(t)) < before
+    assert t.branches() == []
+
+
+def test_branch_inherits_checks(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    t.add_check("nonneg", "level >= 0", action="fail")
+    b = t.create_branch("dev")
+    with pytest.raises(CheckViolationError):
+        b.upsert(_batch(spark, [(5, -1.0, 1, "000100")]), SCHEMA, "b1")
+    b.upsert(_batch(spark, [(5, 5.0, 1, "000101")]), SCHEMA, "b2")
+    assert ("urn:x:5", 5.0) in _state(spark, b)
+
+
+def test_branch_change_feed_from_scratch(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    b = t.create_branch("dev")
+    b.upsert(_batch(spark, [(9, 9.0, 1, "000100")]), SCHEMA, "b1")
+    rows = b.read_changes(spark, 0).collect()
+    assert {(r["entityid"], r["level"], r["_change_type"]) for r in rows} == {
+        ("urn:x:0", 1.0, "insert"),
+        ("urn:x:1", 2.0, "insert"),
+        ("urn:x:9", 9.0, "insert"),
+    }
+
+
+def test_branch_schema_evolution_publishes(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    b = t.create_branch("dev")
+    wider = {**SCHEMA, "unit": "TEXT"}
+    b.upsert(
+        _batch(spark, [(9, 9.0, 1, "000100")]).withColumn(
+            "unit", F.lit("celsius")
+        ),
+        wider, "b1",
+    )
+    assert "unit" in b.schema() and "unit" not in (t.schema() or {})
+    t.publish_branch(spark, "dev")
+    assert "unit" in t.schema()
+    got = {r["entityid"]: r["unit"] for r in t.read(spark).collect()}
+    assert got["urn:x:9"] == "celsius" and got["urn:x:0"] is None
+
+
+def test_branch_error_cases(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    b = t.create_branch("dev")
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_branch("dev")
+    with pytest.raises(ValueError, match="unknown branch"):
+        t.branch("nope")
+    with pytest.raises(ValueError, match="branching a branch"):
+        b.create_branch("dev2")
+    with pytest.raises(ValueError, match="bad branch name"):
+        t.create_branch("a/b")
+    assert t.publish_branch(spark, "dev")["noop"]  # nothing to publish
+
+
+def test_branch_cli_roundtrip(spark, tmp_path, capsys):
+    from nifi_ngsild_postgresql_spark.job import main
+
+    t = _setup(spark, tmp_path)
+    wh = str(tmp_path / "wh")
+
+    def run(*argv):
+        assert main(["branch", "--warehouse", wh, "--table", "t.g", *argv]) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert run("--action", "create", "--name", "dev") == {
+        "created": "dev", "fork_version": 1,
+    }
+    t.branch("dev").upsert(
+        _batch(spark, [(9, 9.0, 1, "000100")]), SCHEMA, "b1"
+    )
+    listing = run("--action", "list")
+    assert listing["dev"]["fork_version"] == 1 and listing["dev"]["head"] == 2
+    pub = run("--action", "publish", "--name", "dev", "--fast-forward-only")
+    assert not pub.get("noop")
+    assert ("urn:x:9", 9.0) in _state(spark, t)
+    assert run("--action", "drop", "--name", "dev") == {"dropped": "dev"}
+    assert t.branches() == []

@@ -1,0 +1,119 @@
+"""TIMESTAMP AS OF time travel (plans/lake.py version_as_of /
+read(as_of_ms=...)) — the Delta ``TIMESTAMP AS OF`` / Iceberg
+snapshot-at-timestamp analog over the recorded per-commit wall clock.
+
+Pinned here:
+- an instant between two commits resolves to the earlier snapshot and
+  reads its exact state; an instant after the last commit resolves to
+  the latest;
+- a pre-creation instant raises (expired/never-existed history is not
+  silently rounded up);
+- resolution is monotone under writer clock skew: a LATER version whose
+  recorded wall clock runs EARLIER (two racing writers, skewed clocks)
+  never maps to an earlier instant than its predecessor;
+- manifests that predate the committed_at_ms field resolve via file
+  mtime (upgrade path);
+- version= and as_of_ms= together are rejected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+
+SCHEMA = {"entityid": "TEXT", "level": "NUMERIC", "observedat": "TIMESTAMPTZ"}
+TS = "2024-07-01T00:00:00"
+
+
+def _batch(spark, rows):
+    data = [(f"urn:x:{e}", float(v), TS, "r0", recv, seq)
+            for e, v, recv, seq in rows]
+    return spark.createDataFrame(
+        data,
+        "entityid string, level double, observedat string,"
+        " _row_key string, _recv int, _seq string",
+    ).select(
+        "entityid", "level",
+        F.col("observedat").cast("timestamp").alias("observedat"),
+        "_row_key",
+        F.timestamp_millis(
+            F.lit(1700000000000) + F.col("_recv").cast("long")
+        ).alias("_recv_time"),
+        "_seq",
+    )
+
+
+def _state(spark, t, **kw):
+    return sorted(
+        (r["entityid"], r["level"]) for r in t.read(spark, **kw).collect()
+    )
+
+
+def test_as_of_resolves_between_commits(spark, tmp_path):
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=2).table("t", "g")
+    t.upsert(_batch(spark, [(0, 1.0, 0, "000000")]), SCHEMA, "e1")  # v1
+    time.sleep(0.02)
+    mid = int(time.time() * 1000)
+    time.sleep(0.02)
+    t.upsert(_batch(spark, [(0, 9.0, 1, "000001")]), SCHEMA, "e2")  # v2
+    assert t.version_as_of(mid) == 1
+    assert t.version_as_of(int(time.time() * 1000) + 1000) == 2
+    assert _state(spark, t, as_of_ms=mid) == [("urn:x:0", 1.0)]
+    assert _state(spark, t) == [("urn:x:0", 9.0)]
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        t.version_as_of(1)  # 1970 — before the table existed
+    with pytest.raises(ValueError, match="not both"):
+        t.read(spark, version=1, as_of_ms=mid)
+    # history carries the commit instants, monotone
+    h = {r["version"]: r["committed_at_ms"]
+         for r in t.history(spark).collect()}
+    assert h[1] <= h[2] and h[1] > 0
+
+
+def _rewrite_manifest(t, version, mutate):
+    p = os.path.join(t.meta_dir, f"v{version:08d}.json")
+    with open(p) as f:
+        s = json.load(f)
+    mutate(s)
+    with open(p, "w") as f:
+        json.dump(s, f)
+    # the manifest cache keys on (path, mtime, size) — rewrite invalidates
+
+
+def test_as_of_is_monotone_under_writer_clock_skew(spark, tmp_path):
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=2).table("t", "g")
+    t.upsert(_batch(spark, [(0, 1.0, 0, "000000")]), SCHEMA, "e1")  # v1
+    t.upsert(_batch(spark, [(0, 9.0, 1, "000001")]), SCHEMA, "e2")  # v2
+    v1_ts = t.snapshot(1)["committed_at_ms"]
+    # simulate a skewed second writer: v2 records a wall clock 10 s
+    # BEFORE v1's
+    _rewrite_manifest(
+        t, 2, lambda s: s.__setitem__("committed_at_ms", v1_ts - 10_000)
+    )
+    t2 = LakeCatalog(str(tmp_path / "wh"), n_buckets=2).table("t", "g")
+    times = dict(t2.commit_times())
+    assert times[2] >= times[1]  # monotonized at resolution
+    # at v1's instant the newest snapshot at-or-before is v2 (both
+    # effective times collapse to v1's) — deterministic, never v0
+    assert t2.version_as_of(v1_ts) == 2
+    with pytest.raises(ValueError):
+        t2.version_as_of(v1_ts - 20_000)
+
+
+def test_as_of_mtime_fallback_for_pre_field_manifests(spark, tmp_path):
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=2).table("t", "g")
+    t.upsert(_batch(spark, [(0, 1.0, 0, "000000")]), SCHEMA, "e1")  # v1
+    _rewrite_manifest(t, 1, lambda s: s.pop("committed_at_ms"))
+    time.sleep(0.02)
+    mid = int(time.time() * 1000)
+    time.sleep(0.02)
+    t.upsert(_batch(spark, [(0, 9.0, 1, "000001")]), SCHEMA, "e2")  # v2
+    t2 = LakeCatalog(str(tmp_path / "wh"), n_buckets=2).table("t", "g")
+    assert t2.version_as_of(mid) == 1
+    assert _state(spark, t2, as_of_ms=mid) == [("urn:x:0", 1.0)]
