@@ -1,0 +1,152 @@
+"""Branch compositions — branches driven through the engine's OTHER
+operational features, the interactions no single-feature test covers:
+
+- publish_branch racing a concurrent direct ingest through the
+  optimistic-commit retry (deterministic interleave via the _commit
+  hook): both land, exactly once each;
+- RESTORE across a branch publish: the publish's epoch survives the
+  rollback (restore carries CURRENT epochs), so re-publishing the same
+  branch head no-ops loudly; NEW branch work publishes as a new epoch;
+- a downstream mirror following MAIN's change feed converges through a
+  branch publish exactly as it does through direct writes;
+- MERGE INTO developed ON a branch lands on main only at publish —
+  the isolated-DML-development story the two features compose into;
+- a branch forked from a RESTORED table reads the restored state.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.plans import lake as lake_mod
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+from nifi_ngsild_postgresql_spark.streaming.changefeed import TablePropagator
+
+SCHEMA = {"entityid": "TEXT", "level": "NUMERIC", "observedat": "TIMESTAMPTZ"}
+TS = "2024-07-01T00:00:00"
+
+
+def _batch(spark, rows):
+    data = [(f"urn:x:{e}", float(v), TS, "r0", recv, seq)
+            for e, v, recv, seq in rows]
+    return spark.createDataFrame(
+        data,
+        "entityid string, level double, observedat string,"
+        " _row_key string, _recv int, _seq string",
+    ).select(
+        "entityid", "level",
+        F.col("observedat").cast("timestamp").alias("observedat"),
+        "_row_key",
+        F.timestamp_millis(
+            F.lit(1700000000000) + F.col("_recv").cast("long")
+        ).alias("_recv_time"),
+        "_seq",
+    )
+
+
+def _state(spark, t):
+    return {r["entityid"]: r["level"] for r in t.read(spark).collect()}
+
+
+def _setup(spark, tmp_path):
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=2).table("t", "g")
+    t.upsert(_batch(spark, [(0, 1.0, 0, "000000"), (1, 2.0, 0, "000001")]),
+             SCHEMA, "e1")
+    return t
+
+
+def test_publish_races_concurrent_direct_ingest(spark, tmp_path, monkeypatch):
+    t = _setup(spark, tmp_path)
+    b = t.create_branch("dev")
+    b.upsert(_batch(spark, [(9, 9.0, 1, "000100")]), SCHEMA, "b1")
+    orig = lake_mod.LakeTable._commit
+    state = {"fired": False}
+
+    def racing(self, snapshot):
+        # fire a direct main-table ingest inside the publish's first
+        # commit attempt — the publish must rebase, not lose or double
+        if not state["fired"] and self.path == t.path:
+            state["fired"] = True
+            t2 = LakeCatalog(str(tmp_path / "wh"), n_buckets=2).table("t", "g")
+            monkeypatch.setattr(lake_mod.LakeTable, "_commit", orig)
+            t2.upsert(_batch(spark, [(7, 7.0, 1, "000101")]), SCHEMA, "e2")
+            monkeypatch.setattr(lake_mod.LakeTable, "_commit", racing)
+        return orig(self, snapshot)
+
+    monkeypatch.setattr(lake_mod.LakeTable, "_commit", racing)
+    out = t.publish_branch(spark, "dev")
+    monkeypatch.setattr(lake_mod.LakeTable, "_commit", orig)
+    assert state["fired"] and not out.get("skipped_epoch")
+    assert _state(spark, t) == {
+        "urn:x:0": 1.0, "urn:x:1": 2.0, "urn:x:7": 7.0, "urn:x:9": 9.0,
+    }
+    epochs = set(t.latest_snapshot()["epochs"])
+    assert {"e2", "branch-dev-v2"} <= epochs
+
+
+def test_restore_across_branch_publish_keeps_epoch(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    pre = t.versions()[-1]
+    b = t.create_branch("dev")
+    b.upsert(_batch(spark, [(9, 9.0, 1, "000100")]), SCHEMA, "b1")
+    t.publish_branch(spark, "dev")
+    assert _state(spark, t)["urn:x:9"] == 9.0
+    # roll main back across the publish — the publish's epoch is CARRIED
+    t.restore(pre)
+    assert "urn:x:9" not in _state(spark, t)
+    out = t.publish_branch(spark, "dev")     # same branch head: replay
+    assert out["skipped_epoch"]               # loud no-op, not a double
+    assert "urn:x:9" not in _state(spark, t)
+    # NEW branch work is a new epoch and lands on the restored timeline
+    b.upsert(_batch(spark, [(8, 8.0, 2, "000200")]), SCHEMA, "b2")
+    out2 = t.publish_branch(spark, "dev")
+    assert not out2.get("skipped_epoch")
+    got = _state(spark, t)
+    # the new publish's feed delta carries BOTH branch rows (the branch
+    # head moved, so its fork→head changes include e9 again)
+    assert got["urn:x:8"] == 8.0 and got["urn:x:9"] == 9.0
+
+
+def test_mirror_follows_main_through_branch_publish(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    mirror = LakeCatalog(str(tmp_path / "mwh"), n_buckets=2).table("m", "g")
+    prop = TablePropagator(t, mirror, str(tmp_path / "ckpt"))
+    prop.run(spark)
+    assert _state(spark, mirror) == _state(spark, t)
+    b = t.create_branch("dev")
+    b.upsert(_batch(spark, [(0, 50.0, 1, "000100")]), SCHEMA, "b1")
+    b.delete_where(spark, predicate="entityid = 'urn:x:1'", strategy="mor")
+    prop.run(spark)  # branch work invisible on main: mirror unchanged
+    assert _state(spark, mirror) == {"urn:x:0": 1.0, "urn:x:1": 2.0}
+    t.publish_branch(spark, "dev")
+    prop.run(spark)
+    assert _state(spark, mirror) == _state(spark, t) == {"urn:x:0": 50.0}
+
+
+def test_merge_into_on_branch_lands_at_publish(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    b = t.create_branch("dev")
+    src = spark.createDataFrame(
+        [("urn:x:0", 100.0), ("urn:x:5", 5.0)],
+        "entityid string, level double",
+    )
+    out = b.merge_into(spark, src, SCHEMA, "m1")
+    assert out["merge_actions"] == {"update": 1, "insert": 1}
+    assert _state(spark, t) == {"urn:x:0": 1.0, "urn:x:1": 2.0}  # isolated
+    t.publish_branch(spark, "dev")
+    assert _state(spark, t) == {
+        "urn:x:0": 100.0, "urn:x:1": 2.0, "urn:x:5": 5.0,
+    }
+
+
+def test_branch_from_restored_table_reads_restored_state(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    good = t.versions()[-1]
+    t.upsert(_batch(spark, [(1, 666.0, 1, "000100")]), SCHEMA, "e-bad")
+    t.restore(good)
+    b = t.create_branch("dev")
+    assert _state(spark, b) == {"urn:x:0": 1.0, "urn:x:1": 2.0}
+    # and the bad version stays reachable through the branch's parent
+    # history, not the branch (fork state is a clean slate)
+    assert b.versions() == [t.versions()[-1]]
