@@ -596,3 +596,90 @@ FROM target t FULL OUTER JOIN src s ON t.entityid = s.entityid
 WHERE NOT (t.entityid IS NOT NULL AND s.entityid IS NOT NULL
            AND s.suid % 10 = 0)
 """
+
+
+def q_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch lifecycle end-to-end (``create_branch`` →  branch DML →
+    concurrent main write → LWW-merge ``publish_branch``): a per-user
+    aggregate table forks a branch that UPDATES every uid%3==0 user
+    (total_milli → uid*7, n → -1) then MoR-DELETES every uid%5==1 user;
+    meanwhile MAIN concurrently inserts shadow users (uid%11==0, id
+    offset +2000000). The merge publish lands the branch's net delta
+    exactly once alongside the concurrent rows. All arithmetic exact
+    integers; the DuckDB oracle is the closed-form final state (CASE
+    routing + delete filter + shadow union)."""
+    from pyspark.sql import functions as F
+
+    ship_package(spark)
+    wh = tempfile.mkdtemp(prefix="ngsild_branchpub_wh_")
+    t = LakeCatalog(wh, n_buckets=4).table("analytics", "usertotals")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = {"entityid": "TEXT", "total_milli": "BIGINT", "n": "BIGINT"}
+    r0 = F.timestamp_millis(F.lit(1700000000000))
+    r1 = F.timestamp_millis(F.lit(1700000001000))
+    base = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias(
+                "total_milli"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.concat(F.lit("urn:user:"), F.col("user_id")).alias("entityid"),
+            "total_milli", "n",
+            F.lit("r0").alias("_row_key"), r0.alias("_recv_time"),
+            F.lit("000000").alias("_seq"),
+        )
+    )
+    t.upsert(base, schema, "seed-0")
+    b = t.create_branch("dev")
+    uids = ev.select("user_id").distinct()
+    upd = uids.filter(F.col("user_id") % 3 == 0).select(
+        F.concat(F.lit("urn:user:"), F.col("user_id")).alias("entityid"),
+        (F.col("user_id") * 7).cast("long").alias("total_milli"),
+        F.lit(-1).cast("long").alias("n"),
+        F.lit("r0").alias("_row_key"), r1.alias("_recv_time"),
+        F.lit("000001").alias("_seq"),
+    )
+    b.upsert(upd, schema, "b-upd")
+    b.delete_where(
+        spark,
+        predicate="CAST(SUBSTR(entityid, 10) AS BIGINT) % 5 = 1",
+        strategy="mor",
+    )
+    shadows = uids.filter(F.col("user_id") % 11 == 0).select(
+        F.concat(
+            F.lit("urn:user:"), F.col("user_id") + 2000000
+        ).alias("entityid"),
+        F.col("user_id").cast("long").alias("total_milli"),
+        F.lit(1).cast("long").alias("n"),
+        F.lit("r0").alias("_row_key"), r1.alias("_recv_time"),
+        F.lit("000002").alias("_seq"),
+    )
+    t.upsert(shadows, schema, "main-shadow")  # main advanced past fork
+    t.publish_branch(spark, "dev")            # LWW merge publish
+    df = t.read(spark)
+    return df.select(*sorted(df.columns))
+
+
+SQL_BRANCH_PUBLISH = """
+WITH base AS (
+  SELECT user_id AS uid,
+         'urn:user:' || user_id AS entityid,
+         CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT)
+           AS total_milli,
+         COUNT(*) AS n
+  FROM events GROUP BY user_id
+)
+SELECT entityid,
+       CASE WHEN uid % 3 = 0 THEN CAST(-1 AS BIGINT) ELSE n END AS n,
+       CASE WHEN uid % 3 = 0 THEN CAST(uid * 7 AS BIGINT)
+            ELSE total_milli END AS total_milli
+FROM base WHERE uid % 5 <> 1
+UNION ALL
+SELECT 'urn:user:' || (uid + 2000000) AS entityid,
+       CAST(1 AS BIGINT) AS n,
+       CAST(uid AS BIGINT) AS total_milli
+FROM (SELECT DISTINCT user_id AS uid FROM events WHERE user_id % 11 = 0)
+"""

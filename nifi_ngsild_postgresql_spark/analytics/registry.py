@@ -16,10 +16,12 @@ from ..streaming.windows import (
     q_stream_interval_join_outer,
 )
 from .flagship import (
+    SQL_BRANCH_PUBLISH,
     SQL_CDC_INGEST_FLATTEN,
     SQL_JOIN_VIEW,
     SQL_MERGE_INTO,
     SQL_SCD2_HISTORY,
+    q_branch_publish,
     q_join_view,
     q_merge_into,
     q_scd2_history,
@@ -179,6 +181,12 @@ PYTEST_ONLY: dict[str, tuple] = {
     # epoch-idempotent commit, target read bounded to the source keys'
     # buckets; the oracle reproduces the routing as a FULL OUTER JOIN
     "merge_into": (q_merge_into, SQL_MERGE_INTO),
+    # round 5: BRANCHES (Iceberg branch-refs analog) — metadata-only
+    # fork, branch-side update + MoR delete, a concurrent main insert,
+    # then an LWW-merge publish_branch; the oracle is the closed-form
+    # final state, so parity proves fork isolation + exactly-once
+    # publish + merge semantics in one case
+    "branch_publish": (q_branch_publish, SQL_BRANCH_PUBLISH),
     # round 4: the brief's multimodal transform list completed — REAL
     # decode feeding nearest-neighbor resize / every-Nth frame sampling,
     # both oracle-exact integer index maps over the decoded pixels

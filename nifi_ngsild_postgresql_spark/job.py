@@ -280,6 +280,10 @@ def main(argv: list[str] | None = None) -> int:
     br.add_argument("--fast-forward-only", action="store_true",
                     help="publish: refuse if main advanced past the fork "
                          "point instead of LWW-merging")
+    br.add_argument("--fail-if", action="append", default=[], metavar="EXPR",
+                    help="publish: audit the BRANCH state first — reject "
+                         "if ANY row matches this Spark SQL boolean; "
+                         "repeatable (Iceberg audit-branch pattern)")
 
     d = sub.add_parser(
         "dml", help="predicate DELETE/UPDATE (copy-on-write or merge-on-read)"
@@ -634,9 +638,12 @@ def main(argv: list[str] | None = None) -> int:
         else:
             if not args.name:
                 raise SystemExit("--name required for publish")
+            from .plans.wap import fail_if_any
+
             out = t.publish_branch(
                 spark, args.name,
                 fast_forward_only=args.fast_forward_only,
+                audits=[fail_if_any(e) for e in args.fail_if] or None,
             )
         print(json.dumps(out, default=str))
         return 0

@@ -2427,6 +2427,7 @@ class LakeTable:
         spark: SparkSession,
         name: str,
         fast_forward_only: bool = False,
+        audits: list | None = None,
     ) -> dict[str, Any]:
         """Land a branch's net changes since its fork onto this table as
         ONE exactly-once commit — the Iceberg fast-forward / Delta
@@ -2442,7 +2443,13 @@ class LakeTable:
         advanced past the fork point (strict Iceberg fast-forward);
         default is a MERGE publish — concurrent main commits and the
         branch delta resolve by the same last-writer-wins the rest of
-        the engine uses."""
+        the engine uses.
+
+        ``audits`` (WAP-style callables, e.g. plans/wap.py
+        ``fail_if_any``) run over the BRANCH HEAD state before anything
+        lands — the Iceberg audit-branch pattern (write to a branch,
+        audit the branch, fast-forward main): a falsy audit raises and
+        main is untouched, the branch surviving for inspection/fix."""
         b = self.branch(name)
         fork = self.fork_version(name)
         head = b.versions()[-1]
@@ -2455,6 +2462,21 @@ class LakeTable:
                 f"{name!r}'s fork point v{fork} — fast-forward refused "
                 "(publish with fast_forward_only=False to LWW-merge)"
             )
+        if audits:
+            from .wap import AuditFailedError
+
+            preview = b.read(spark).persist()
+            try:
+                for i, audit in enumerate(audits):
+                    if not audit(preview):
+                        raise AuditFailedError(
+                            f"branch {name!r}: audit #{i} "
+                            f"({getattr(audit, '__name__', 'audit')}) "
+                            "rejected the branch state — nothing "
+                            "published, branch kept"
+                        )
+            finally:
+                preview.unpersist()
         changes = b.read_changes(spark, fork, head, with_meta=True)
         schema = {**(self.schema() or {}), **(b.schema() or {})}
         out = self.apply_changes(

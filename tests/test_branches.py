@@ -194,6 +194,25 @@ def test_branch_schema_evolution_publishes(spark, tmp_path):
     assert got["urn:x:9"] == "celsius" and got["urn:x:0"] is None
 
 
+def test_audit_gated_publish(spark, tmp_path):
+    """Iceberg audit-branch pattern: write to a branch, audit the
+    branch state, publish only when the audits pass."""
+    from nifi_ngsild_postgresql_spark.plans.wap import (
+        AuditFailedError, fail_if_any,
+    )
+
+    t = _setup(spark, tmp_path)
+    b = t.create_branch("dev")
+    b.upsert(_batch(spark, [(9, -9.0, 1, "000100")]), SCHEMA, "b1")
+    with pytest.raises(AuditFailedError, match="rejected the branch"):
+        t.publish_branch(spark, "dev", audits=[fail_if_any("level < 0")])
+    assert ("urn:x:9", -9.0) not in _state(spark, t)  # main untouched
+    assert ("urn:x:9", -9.0) in _state(spark, b)      # branch kept
+    b.upsert(_batch(spark, [(9, 9.0, 2, "000200")]), SCHEMA, "b2")  # fix
+    t.publish_branch(spark, "dev", audits=[fail_if_any("level < 0")])
+    assert ("urn:x:9", 9.0) in _state(spark, t)
+
+
 def test_branch_error_cases(spark, tmp_path):
     t = _setup(spark, tmp_path)
     b = t.create_branch("dev")
