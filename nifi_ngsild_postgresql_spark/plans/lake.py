@@ -888,12 +888,21 @@ class LakeTable:
             ),
         )
 
-    def _state(self, spark: SparkSession, version: int, schema: dict[str, str]):
-        """A snapshot's logical state projected to ``schema`` (meta kept)."""
+    def _state(
+        self,
+        spark: SparkSession,
+        version: int,
+        schema: dict[str, str],
+        buckets: list[int] | None = None,
+    ):
+        """A snapshot's logical state projected to ``schema`` (meta kept);
+        ``buckets`` restricts to a bucket subset (always LWW-safe — a
+        key's versions live in one bucket)."""
         if version == 0:
             return spark.createDataFrame([], table_spark_schema(schema))
         return self._align(
-            self.read(spark, with_meta=True, version=version), schema
+            self.read(spark, with_meta=True, version=version, buckets=buckets),
+            schema,
         )
 
     def _changes_fast(
@@ -1030,12 +1039,35 @@ class LakeTable:
     ) -> DataFrame:
         from .manifest import with_row_sha
 
+        # exact bucket pruning: a key lives in ONE bucket (hash(entityid)
+        # % n_buckets), so with the bucket count unchanged across the
+        # range, a bucket whose manifest file list is IDENTICAL on both
+        # endpoints has identical state — only differing buckets can
+        # contribute feed rows. This turns the state-diff fallback from
+        # O(table) into O(touched buckets): a CoW commit, a branch
+        # publish, or a restore over a 10^4-bucket table diffs only the
+        # buckets it actually rewrote. Rebucketing in the range disables
+        # the prune (bucket identity not comparable) — full diff, still
+        # exact.
+        buckets = None
+        if from_version > 0:
+            fs = self.snapshot(from_version)
+            ts = self.snapshot(to_version)
+            if fs["n_buckets"] == ts["n_buckets"]:
+                buckets = [
+                    int(bk)
+                    for bk in set(fs["files"]) | set(ts["files"])
+                    if set(fs["files"].get(bk, []))
+                    != set(ts["files"].get(bk, []))
+                ]
         meta = tuple(META_COLS)
         a = with_row_sha(
-            self._state(spark, to_version, schema), exclude=meta
+            self._state(spark, to_version, schema, buckets=buckets),
+            exclude=meta,
         ).alias("a")
         b = with_row_sha(
-            self._state(spark, from_version, schema), exclude=meta
+            self._state(spark, from_version, schema, buckets=buckets),
+            exclude=meta,
         ).alias("b")
         asha, bsha = F.col("a._row_sha256"), F.col("b._row_sha256")
         # multiset tables (full_identity) pair rows on full row identity

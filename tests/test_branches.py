@@ -194,6 +194,50 @@ def test_branch_schema_evolution_publishes(spark, tmp_path):
     assert got["urn:x:9"] == "celsius" and got["urn:x:0"] is None
 
 
+def test_publish_reads_changes_not_the_table(spark, tmp_path):
+    """Publish cost is O(branch changes): with append-shaped branch
+    commits, the publish's feed read touches the branch COMMIT dirs and
+    only the fork-state buckets the changed keys live in — never the
+    untouched rest of the table."""
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=8).table("t", "g")
+    t.upsert(
+        _batch(spark, [(i, float(i), 0, f"{i:06d}") for i in range(64)]),
+        SCHEMA, "e0",
+    )
+    assert len(t.latest_snapshot()["files"]) == 8
+    b = t.create_branch("dev")
+    b.upsert(_batch(spark, [(3, 99.0, 1, "000100")]), SCHEMA, "b1")
+    seen: list[str] = []
+    from nifi_ngsild_postgresql_spark.plans.lake import LakeTable
+
+    orig_rf = LakeTable._read_files
+
+    def spy(self, spark_, schema, rel_paths, **kw):
+        # publish_branch opens its OWN branch handle — spy at class
+        # level, keyed by the branch path
+        if self.path == b.path:
+            seen.extend(rel_paths)
+        return orig_rf(self, spark_, schema, rel_paths, **kw)
+
+    LakeTable._read_files = spy
+    try:
+        t.publish_branch(spark, "dev")
+    finally:
+        LakeTable._read_files = orig_rf
+    expect = {
+        str(r["b"]) for r in spark.createDataFrame(
+            [("urn:x:3",)], "entityid string"
+        ).select(F.pmod(F.xxhash64("entityid"), F.lit(8)).alias("b")).collect()
+    }
+    fork_buckets_read = {
+        seg.split("=", 1)[1]
+        for p in seen if p.startswith("@main/")
+        for seg in p.split("/") if seg.startswith("_bucket=")
+    }
+    assert fork_buckets_read == expect  # 1 of 8 fork buckets, not all
+    assert ("urn:x:3", 99.0) in _state(spark, t)
+
+
 def test_audit_gated_publish(spark, tmp_path):
     """Iceberg audit-branch pattern: write to a branch, audit the
     branch state, publish only when the audits pass."""

@@ -1,0 +1,100 @@
+"""Bucket-pruned state diff (plans/lake.py _changes_diff): the
+change-feed's exact fallback restricts BOTH endpoint state reads to
+buckets whose manifest file lists differ — O(touched buckets), never
+O(table). Pinned here:
+
+- a CoW upsert touching one of eight buckets diffs exactly that bucket
+  (file-spy on both endpoint reads) and still emits the exact change;
+- a rebucketing commit in the range DISABLES the prune (bucket identity
+  not comparable) and the diff stays exact;
+- the pruned diff emits nothing for a content-invariant compaction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog, LakeTable
+
+SCHEMA = {"entityid": "TEXT", "level": "NUMERIC", "observedat": "TIMESTAMPTZ"}
+TS = "2024-07-01T00:00:00"
+
+
+def _batch(spark, rows):
+    data = [(f"urn:x:{e}", float(v), TS, "r0", recv, seq)
+            for e, v, recv, seq in rows]
+    return spark.createDataFrame(
+        data,
+        "entityid string, level double, observedat string,"
+        " _row_key string, _recv int, _seq string",
+    ).select(
+        "entityid", "level",
+        F.col("observedat").cast("timestamp").alias("observedat"),
+        "_row_key",
+        F.timestamp_millis(
+            F.lit(1700000000000) + F.col("_recv").cast("long")
+        ).alias("_recv_time"),
+        "_seq",
+    )
+
+
+def _spy(monkeypatch, match_path):
+    seen: list[str] = []
+    orig = LakeTable._read_files
+
+    def spy(self, spark_, schema, rel_paths, **kw):
+        if self.path == match_path:
+            seen.extend(rel_paths)
+        return orig(self, spark_, schema, rel_paths, **kw)
+
+    monkeypatch.setattr(LakeTable, "_read_files", spy)
+    return seen
+
+
+def _buckets_of(paths):
+    return {
+        seg.split("=", 1)[1]
+        for p in paths for seg in p.split("/")
+        if seg.startswith("_bucket=")
+    }
+
+
+def test_cow_diff_reads_only_differing_buckets(spark, tmp_path, monkeypatch):
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=8).table("t", "g")
+    t.upsert(
+        _batch(spark, [(i, float(i), 0, f"{i:06d}") for i in range(64)]),
+        SCHEMA, "e0",
+    )                                                         # v1
+    assert len(t.latest_snapshot()["files"]) == 8
+    t.upsert(_batch(spark, [(3, 99.0, 1, "000100")]), SCHEMA, "e1")  # v2 CoW
+    seen = _spy(monkeypatch, t.path)
+    rows = t.read_changes(spark, 1, 2, force_diff=True).collect()
+    expect = {
+        str(r["b"]) for r in spark.createDataFrame(
+            [("urn:x:3",)], "entityid string"
+        ).select(F.pmod(F.xxhash64("entityid"), F.lit(8)).alias("b")).collect()
+    }
+    assert _buckets_of(seen) == expect          # 1 of 8, both endpoints
+    assert [(r["entityid"], r["level"], r["_change_type"])
+            for r in rows] == [("urn:x:3", 99.0, "update")]
+
+
+def test_rebucket_in_range_disables_prune_and_stays_exact(spark, tmp_path):
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=4).table("t", "g")
+    t.upsert(
+        _batch(spark, [(i, float(i), 0, f"{i:06d}") for i in range(16)]),
+        SCHEMA, "e0",
+    )                                                         # v1
+    t.compact(spark, max_files_per_bucket=0, rebucket_to=8)   # v2
+    t.upsert(_batch(spark, [(3, 99.0, 1, "000100")]), SCHEMA, "e1")  # v3
+    rows = t.read_changes(spark, 1, 3).collect()
+    assert [(r["entityid"], r["level"], r["_change_type"])
+            for r in rows] == [("urn:x:3", 99.0, "update")]
+
+
+def test_pruned_diff_still_silent_on_compaction(spark, tmp_path):
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=4).table("t", "g")
+    t.upsert(_batch(spark, [(0, 1.0, 0, "000000")]), SCHEMA, "e0")   # v1
+    t.upsert(_batch(spark, [(1, 2.0, 1, "000001")]), SCHEMA, "e1")   # v2
+    t.compact(spark, max_files_per_bucket=0)                          # v3
+    assert t.read_changes(spark, 2, 3, force_diff=True).count() == 0
