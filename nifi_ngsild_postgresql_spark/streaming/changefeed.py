@@ -259,17 +259,35 @@ def aggregate_deltas(changes: DataFrame, value_col: str) -> DataFrame:
         .when(F.col("_change_type") == "delete", -1)
         .otherwise(0)
     )
+    val = F.col(value_col)
+    # MIN/MAX are not self-maintainable under retraction (removing the
+    # current extreme needs a look at the remaining group) — but the
+    # delta frame can say exactly WHEN that happens: add_min/add_max
+    # tighten the stored extremes for free, and rem_min/rem_max flag the
+    # groups whose stored extreme was retracted (MaterializedAggregate
+    # re-reads only those groups, bucket-bounded)
     return changes.groupBy("entityid").agg(
         F.sum(cnt).alias("d_count"),
-        F.sum(sign * F.coalesce(F.col(value_col), F.lit(0.0))).alias("d_sum"),
+        F.sum(sign * F.coalesce(val, F.lit(0.0))).alias("d_sum"),
+        F.min(F.when(add, val)).alias("add_min"),
+        F.max(F.when(add, val)).alias("add_max"),
+        F.min(F.when(~add, val)).alias("rem_min"),
+        F.max(F.when(~add, val)).alias("rem_max"),
     )
 
 
 class MaterializedAggregate:
-    """A maintained per-entity (count, sum) view over a lake table —
-    incremental view maintenance as an operational object: after the
-    first hydration it NEVER rescans the base table; each refresh folds
-    one change range's aggregate_deltas into the previous state.
+    """A maintained per-entity (count, sum, min, max) view over a lake
+    table — incremental view maintenance as an operational object: after
+    the first hydration it never rescans the base table wholesale; each
+    refresh folds one change range's aggregate_deltas into the previous
+    state. COUNT/SUM are self-maintainable; MIN/MAX are maintained
+    exactly with the textbook bounded-recompute: additions tighten the
+    stored extremes in the delta fold, and ONLY groups whose stored
+    extreme was retracted (rem_min ≤ stored min or rem_max ≥ stored max)
+    are re-read from the base table — restricted to their hash buckets
+    and semi-joined to the affected keys, so the repair is O(affected
+    groups' buckets), never O(table).
 
     Crash consistency without transactions: state for feed version v is
     written to ``agg-v{v}/`` BEFORE the consumer checkpoint advances,
@@ -293,7 +311,9 @@ class MaterializedAggregate:
         v = self.consumer.position()
         if v == 0:
             return spark.createDataFrame(
-                [], "entityid string, n_rows long, sum_value double"
+                [],
+                "entityid string, n_rows long, sum_value double,"
+                " min_value double, max_value double",
             )
         return spark.read.parquet(self._state_path(v))
 
@@ -310,7 +330,10 @@ class MaterializedAggregate:
             self.value_col,
         )
         prev = self.read(spark)
-        merged = (
+        # least/greatest skip NULLs, so a fresh group's extremes are the
+        # batch's own add_min/add_max; retraction of a stored extreme
+        # flags the group for the exact bounded repair below
+        folded = (
             prev.join(deltas, "entityid", "full_outer")
             .select(
                 "entityid",
@@ -322,18 +345,67 @@ class MaterializedAggregate:
                     F.coalesce(F.col("sum_value"), F.lit(0.0))
                     + F.coalesce(F.col("d_sum"), F.lit(0.0))
                 ).alias("sum_value"),
+                F.least("min_value", "add_min").alias("min_value"),
+                F.greatest("max_value", "add_max").alias("max_value"),
+                F.coalesce(
+                    (F.col("rem_min") <= F.col("min_value"))
+                    | (F.col("rem_max") >= F.col("max_value")),
+                    F.lit(False),
+                ).alias("_dirty"),
             )
             .filter(F.col("n_rows") > 0)
+            .persist()
         )
-        from pyspark.sql import Observation
+        try:
+            dirty = folded.filter(F.col("_dirty")).select(
+                "entityid", "n_rows", "sum_value"
+            )
+            snap = self.table.snapshot(v1)
+            nb = snap["n_buckets"]
+            # bucket ids of the dirty groups: a bounded collect
+            # (O(n_buckets) distinct values), same shape as merge_into's
+            dirty_buckets = sorted(
+                int(r["b"])
+                for r in dirty.select(
+                    F.pmod(
+                        F.xxhash64(F.col("entityid")), F.lit(nb)
+                    ).alias("b")
+                ).distinct().collect()
+            )
+            clean = folded.filter(~F.col("_dirty")).drop("_dirty")
+            if dirty_buckets:
+                exact = (
+                    self.table.read(
+                        spark, version=v1, buckets=dirty_buckets
+                    )
+                    .join(dirty.select("entityid"), "entityid", "left_semi")
+                    .groupBy("entityid")
+                    .agg(
+                        F.min(self.value_col).alias("min_value"),
+                        F.max(self.value_col).alias("max_value"),
+                    )
+                )
+                merged = clean.unionByName(
+                    dirty.join(exact, "entityid", "left")
+                    .select(
+                        "entityid", "n_rows", "sum_value",
+                        "min_value", "max_value",
+                    )
+                )
+            else:
+                merged = clean
+            from pyspark.sql import Observation
 
-        obs = Observation()
-        # count rides the write (Observation): recomputing `merged` after
-        # the prune below would lazily re-read the deleted old state
-        merged.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
-            "overwrite"
-        ).parquet(self._state_path(v1))
-        rows = int(obs.get["rows"])
+            obs = Observation()
+            # count rides the write (Observation): recomputing `merged`
+            # after the prune below would lazily re-read the deleted old
+            # state
+            merged.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+                "overwrite"
+            ).parquet(self._state_path(v1))
+            rows = int(obs.get["rows"])
+        finally:
+            folded.unpersist()
         self.consumer._commit(v1)
         # prune state versions strictly below the COMMITTED position — if
         # the commit itself failed, the checkpointed state must survive so
