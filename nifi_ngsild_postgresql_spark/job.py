@@ -585,9 +585,15 @@ def main(argv: list[str] | None = None) -> int:
             df = t.read(spark, version=v, as_of_ms=args.as_of_ms)
             print(json.dumps({args.table: table_fingerprint(df)}))
         else:
+            # --as-of-ms applies warehouse-wide (a wall instant is
+            # well-defined across tables); a table with no snapshot at
+            # that instant fails loudly rather than silently reading
+            # current state
             out = {
                 f"{tenant}.{name}": table_fingerprint(
-                    cat.table(tenant, name).read(spark)
+                    cat.table(tenant, name).read(
+                        spark, as_of_ms=args.as_of_ms
+                    )
                 )
                 for tenant, name in cat.list_tables()
             }

@@ -2330,17 +2330,13 @@ class LakeTable:
         with open(self._fork_path(name)) as f:
             return int(json.load(f)["fork_version"])
 
-    def branch(self, name: str) -> "LakeTable":
-        """Handle to an existing branch — a FULL LakeTable (reads, time
-        travel, every write path, checks, tags, its own change feed)
-        whose initial state is the parent snapshot it forked from.
-        Inherited data is referenced in place (``@main/`` refs); branch
-        commits write under the branch's own directory, so the parent
-        never sees them."""
-        if not os.path.exists(self._fork_path(name)):
-            raise ValueError(
-                f"{self.tenant}.{self.name}: unknown branch {name!r}"
-            )
+    def _fork_record(self, name: str) -> dict[str, int]:
+        with open(self._fork_path(name)) as f:
+            return json.load(f)
+
+    def _branch_handle(self, name: str) -> "LakeTable":
+        """The branch LakeTable construction, shared by branch() and
+        create_branch() so the two can never drift configs."""
         return LakeTable(
             self._branches_dir(), name, "table",
             n_buckets=self.default_n_buckets,
@@ -2351,6 +2347,25 @@ class LakeTable:
             target_bucket_bytes=self.target_bucket_bytes,
             bloom_cols=self.bloom_cols,
         )
+
+    @staticmethod
+    def _check_branch_name(name: str) -> None:
+        if "/" in name or name in ("", ".", ".."):
+            raise ValueError(f"bad branch name {name!r}")
+
+    def branch(self, name: str) -> "LakeTable":
+        """Handle to an existing branch — a FULL LakeTable (reads, time
+        travel, every write path, checks, tags, its own change feed)
+        whose initial state is the parent snapshot it forked from.
+        Inherited data is referenced in place (``@main/`` refs); branch
+        commits write under the branch's own directory, so the parent
+        never sees them."""
+        self._check_branch_name(name)
+        if not os.path.exists(self._fork_path(name)):
+            raise ValueError(
+                f"{self.tenant}.{self.name}: unknown branch {name!r}"
+            )
+        return self._branch_handle(name)
 
     def create_branch(
         self, name: str, from_version: int | str | None = None
@@ -2371,8 +2386,7 @@ class LakeTable:
         can never match them). 100 TB shape: fork cost is O(manifest),
         branch reads/writes have exactly main's cost model, and
         ``publish_branch`` is O(branch changes)."""
-        if "/" in name or name in ("", ".", ".."):
-            raise ValueError(f"bad branch name {name!r}")
+        self._check_branch_name(name)
         # branching a branch would need transitive GC-root scanning in
         # the grandparent's expire_snapshots — refuse rather than leak
         if os.path.basename(
@@ -2402,16 +2416,7 @@ class LakeTable:
                 # record lost) — invisible to branches(); reclaim it
                 shutil.rmtree(stub)
             snap = self.snapshot(v)
-            b = LakeTable(
-                self._branches_dir(), name, "table",
-                n_buckets=self.default_n_buckets,
-                auto_compact_files=self.auto_compact_files,
-                max_tracked_epochs=self.max_tracked_epochs,
-                stats_cols=self.stats_cols,
-                sort_within_buckets=self.sort_within_buckets,
-                target_bucket_bytes=self.target_bucket_bytes,
-                bloom_cols=self.bloom_cols,
-            )
+            b = self._branch_handle(name)
             fork = {
                 **snap,
                 "files": {
@@ -2428,6 +2433,11 @@ class LakeTable:
             }
             fork.pop("committed_at_ms", None)  # fork gets its own instant
             b._commit(fork)
+            # pin the fork snapshot against the BRANCH's own GC: without
+            # it, 8+ branch commits plus a routine b.expire_snapshots()
+            # age the fork manifest out and publish_branch's change
+            # range (fork → head) becomes unreconstructible forever
+            b.tag("fork", v)
             # inherit the write contracts: CHECK constraints, and the
             # restore-era ledger (order-carrying mirrors following the
             # BRANCH feed must see the parent's pre-fork eras too)
@@ -2447,6 +2457,7 @@ class LakeTable:
         branch referenced lose their GC protection (and are reclaimed
         by the parent's next expire_snapshots if nothing else keeps
         them) — the Iceberg drop-branch lifecycle."""
+        self._check_branch_name(name)  # '..'/'' would rmtree OUTSIDE
         import shutil
 
         with self._tags_lock():
@@ -2511,8 +2522,14 @@ class LakeTable:
                 preview.unpersist()
         changes = b.read_changes(spark, fork, head, with_meta=True)
         schema = {**(self.schema() or {}), **(b.schema() or {})}
+        # the epoch id carries the branch INCARNATION (forked_at_ms):
+        # dropping and recreating a same-named branch, then publishing
+        # at a coinciding head version, must not hit the old
+        # incarnation's ledger entry and silently skip different content
+        incarnation = self._fork_record(name).get("forked_at_ms", 0)
         out = self.apply_changes(
-            changes, schema, epoch_id=f"branch-{name}-v{head}"
+            changes, schema,
+            epoch_id=f"branch-{name}-{incarnation}-v{head}",
         )
         return {**out, "branch_head": head, "fork_version": fork}
 
@@ -2882,7 +2899,15 @@ class LakeTable:
             for br in self.branches():
                 bt = self.branch(br)
                 for bv in bt.versions():
-                    for paths in bt.snapshot(bv)["files"].values():
+                    try:
+                        bs = bt.snapshot(bv)
+                    except FileNotFoundError:
+                        # a concurrent BRANCH-side expire_snapshots
+                        # (its own lock file, not ours) deleted this
+                        # manifest between listdir and open — its refs
+                        # were expiring on the branch too; skip it
+                        continue
+                    for paths in bs["files"].values():
                         kept_refs.update(
                             p[len(_PARENT_REF):].split("/_bucket=")[0]
                             for p in paths

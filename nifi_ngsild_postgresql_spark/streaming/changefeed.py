@@ -308,6 +308,8 @@ class MaterializedAggregate:
         return os.path.join(self.state_dir, f"agg-v{version:08d}")
 
     def read(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql import functions as F
+
         v = self.consumer.position()
         if v == 0:
             return spark.createDataFrame(
@@ -315,7 +317,16 @@ class MaterializedAggregate:
                 "entityid string, n_rows long, sum_value double,"
                 " min_value double, max_value double",
             )
-        return spark.read.parquet(self._state_path(v))
+        df = spark.read.parquet(self._state_path(v))
+        # upgrade path: state checkpointed by the (count, sum)-only
+        # format lacks the extreme columns — surface them as NULL; the
+        # refresh fold flags NULL-extreme live groups dirty, so the
+        # first post-upgrade refresh repairs them exactly (bounded to
+        # their buckets) instead of crashing on UNRESOLVED_COLUMN
+        for c in ("min_value", "max_value"):
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast("double"))
+        return df
 
     def refresh(self, spark: SparkSession) -> dict[str, Any]:
         from pyspark.sql import functions as F
@@ -333,25 +344,34 @@ class MaterializedAggregate:
         # least/greatest skip NULLs, so a fresh group's extremes are the
         # batch's own add_min/add_max; retraction of a stored extreme
         # flags the group for the exact bounded repair below
+        n_expr = F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(
+            F.col("d_count"), F.lit(0)
+        )
+        cand_min = F.least("min_value", "add_min")
+        cand_max = F.greatest("max_value", "add_max")
+        # dirty = a stored extreme was retracted, OR the folded extreme
+        # is NULL for a live group (pre-upgrade state rows surface with
+        # NULL extremes — repaired exactly on the first refresh; a group
+        # whose values are genuinely all NULL re-repairs each refresh,
+        # the harmless degenerate case)
+        dirty = F.coalesce(
+            (F.col("rem_min") <= F.col("min_value"))
+            | (F.col("rem_max") >= F.col("max_value")),
+            F.lit(False),
+        ) | (cand_min.isNull() & F.col("min_value").isNull()
+             & F.col("n_rows").isNotNull())
         folded = (
             prev.join(deltas, "entityid", "full_outer")
             .select(
                 "entityid",
-                (
-                    F.coalesce(F.col("n_rows"), F.lit(0))
-                    + F.coalesce(F.col("d_count"), F.lit(0))
-                ).alias("n_rows"),
+                n_expr.alias("n_rows"),
                 (
                     F.coalesce(F.col("sum_value"), F.lit(0.0))
                     + F.coalesce(F.col("d_sum"), F.lit(0.0))
                 ).alias("sum_value"),
-                F.least("min_value", "add_min").alias("min_value"),
-                F.greatest("max_value", "add_max").alias("max_value"),
-                F.coalesce(
-                    (F.col("rem_min") <= F.col("min_value"))
-                    | (F.col("rem_max") >= F.col("max_value")),
-                    F.lit(False),
-                ).alias("_dirty"),
+                cand_min.alias("min_value"),
+                cand_max.alias("max_value"),
+                dirty.alias("_dirty"),
             )
             .filter(F.col("n_rows") > 0)
             .persist()

@@ -271,6 +271,57 @@ def test_branch_error_cases(spark, tmp_path):
     assert t.publish_branch(spark, "dev")["noop"]  # nothing to publish
 
 
+def test_drop_branch_validates_name(spark, tmp_path):
+    """'..' or '' would rmtree OUTSIDE the branches dir — up to the
+    whole table (review finding)."""
+    t = _setup(spark, tmp_path)
+    t.create_branch("dev")
+    for bad in ("..", "", ".", "a/b"):
+        with pytest.raises(ValueError, match="bad branch name"):
+            t.drop_branch(bad)
+    assert t.read(spark).count() == 2 and t.branches() == ["dev"]
+
+
+def test_fork_survives_branch_gc(spark, tmp_path):
+    """The fork snapshot is pinned (tagged) against the BRANCH's own
+    expire_snapshots — without the pin, 8+ branch commits plus routine
+    GC aged it out and publish_branch became permanently impossible."""
+    t = _setup(spark, tmp_path)
+    b = t.create_branch("dev")
+    fork = t.fork_version("dev")
+    for i in range(10):
+        b.upsert(
+            _batch(spark, [(9, float(i), 1 + i, f"{100 + i:06d}")]),
+            SCHEMA, f"b{i}",
+        )
+    b.expire_snapshots(keep_last=2)
+    assert fork in b.versions()          # pinned
+    out = t.publish_branch(spark, "dev")  # range fork→head reconstructible
+    assert not out.get("noop")
+    assert ("urn:x:9", 9.0) in _state(spark, t)
+
+
+def test_recreated_branch_publishes_fresh_content(spark, tmp_path):
+    """Epoch ids carry the branch INCARNATION: drop + recreate a
+    same-named branch, publish at a coinciding head version — the new
+    content must land, not hit the old incarnation's ledger entry."""
+    import time as _time
+
+    t = _setup(spark, tmp_path)
+    b = t.create_branch("dev")
+    b.upsert(_batch(spark, [(9, 9.0, 1, "000100")]), SCHEMA, "b1")
+    t.publish_branch(spark, "dev")
+    t.drop_branch("dev")
+    _time.sleep(0.002)  # distinct forked_at_ms
+    b2 = t.create_branch("dev", from_version=1)
+    b2.upsert(_batch(spark, [(8, 8.0, 2, "000200")]), SCHEMA, "c1")
+    # same head version number as the first incarnation's publish
+    assert b2.versions()[-1] == 2
+    out = t.publish_branch(spark, "dev")
+    assert not out.get("skipped_epoch")
+    assert ("urn:x:8", 8.0) in _state(spark, t)
+
+
 def test_branch_cli_roundtrip(spark, tmp_path, capsys):
     from nifi_ngsild_postgresql_spark.job import main
 

@@ -97,6 +97,34 @@ def test_minmax_tracks_full_reaggregation(spark, tmp_path):
     assert _materialized(spark, view) == _recomputed(spark, t)
 
 
+def test_state_upgrade_from_count_sum_format(spark, tmp_path):
+    """State checkpointed by the previous (count, sum)-only format
+    upgrades in place: NULL-extreme live groups are flagged dirty and
+    repaired exactly on the first post-upgrade refresh — no crash, no
+    wipe-and-rehydrate (review finding)."""
+    import os
+    import shutil
+
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=4).table("t", "g")
+    view = MaterializedAggregate(t, str(tmp_path / "view"), "level")
+    t.upsert_mor(
+        _batch(spark, [(0, "a", 5.0, 0, "000000"), (0, "b", 9.0, 0, "000001"),
+                       (1, "a", 3.0, 0, "000002")]),
+        SCHEMA, "e0",
+    )
+    view.refresh(spark)
+    # rewrite the checkpointed state in the OLD 3-column format
+    p = view._state_path(view.consumer.position())
+    old = view.read(spark).select("entityid", "n_rows", "sum_value").toPandas()
+    shutil.rmtree(p)
+    os.makedirs(p)
+    old.to_parquet(os.path.join(p, "part-00000.parquet"), index=False)
+    # a refresh over new changes must repair, not crash
+    t.upsert_mor(_batch(spark, [(2, "a", 7.0, 1, "000100")]), SCHEMA, "e1")
+    view.refresh(spark)
+    assert _materialized(spark, view) == _recomputed(spark, t)
+
+
 def test_repair_reads_are_bounded(spark, tmp_path, monkeypatch):
     t = LakeCatalog(str(tmp_path / "wh"), n_buckets=8).table("t", "g")
     view = MaterializedAggregate(t, str(tmp_path / "view"), "level")
