@@ -96,6 +96,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="stage the batch invisibly under this write-audit-"
                         "publish id instead of committing (land it with the"
                         " `wap` subcommand after audits pass)")
+    i.add_argument("--branch", default=None,
+                   help="ingest into this BRANCH of every table (forked at "
+                        "the current head on first touch) instead of main; "
+                        "land it with `branch --action publish`")
 
     s = sub.add_parser("show")
     s.add_argument("--warehouse", required=True)
@@ -334,20 +338,29 @@ def main(argv: list[str] | None = None) -> int:
             export_sysattrs=args.sysattrs,
         )
         catalog = None
-        if args.wap_id:
-            from .plans.lake import LakeCatalog
-            from .plans.wap import WapCatalog
+        if args.wap_id and args.branch:
+            parser.error("--wap-id and --branch are mutually exclusive")
+        if args.wap_id or args.branch:
+            from .plans.lake import BranchCatalog, LakeCatalog
 
-            catalog = WapCatalog(
-                LakeCatalog(
-                    args.warehouse, n_buckets=cfg.n_buckets,
-                    target_bucket_bytes=cfg.target_bucket_bytes,
-                ),
-                args.wap_id,
+            base = LakeCatalog(
+                args.warehouse, n_buckets=cfg.n_buckets,
+                target_bucket_bytes=cfg.target_bucket_bytes,
             )
+            if args.wap_id:
+                from .plans.wap import WapCatalog
+
+                catalog = WapCatalog(base, args.wap_id)
+            else:
+                catalog = BranchCatalog(base, args.branch)
         if args.stream:
             if args.wap_id:
                 parser.error("--wap-id is batch-only (stage, audit, publish)")
+            if args.branch:
+                parser.error(
+                    "--branch is batch-only here; stream to main and fork, "
+                    "or drive batches via availableNow"
+                )
             if not args.checkpoint:
                 parser.error("--stream requires --checkpoint")
             query = run_stream(
@@ -358,18 +371,18 @@ def main(argv: list[str] | None = None) -> int:
         else:
             changelog = read_changelog(spark, args.changelog)
             t0 = time.time()
-            # staged (WAP) ingest accumulates several micro-batches under
-            # one wap id, so the epoch must distinguish input BATCHES, not
-            # input locations: a fixed drop path (/data/batch.parquet)
+            # The epoch must distinguish input BATCHES, not input
+            # locations: a fixed drop path (/data/batch.parquet)
             # receiving a second, different file must land as a new epoch,
             # while a re-run over the same unchanged file stays a no-op.
             # Hash the files' identity (relpath, size, mtime_ns) alongside
             # the path (round-4 ADVICE — path-only sha no-op'd batch #2).
-            epoch = (
-                "cli-" + _batch_epoch_id(args.changelog)
-                if args.wap_id
-                else "cli-0"
-            )
+            # This applies to EVERY batch ingest, not just WAP stages: a
+            # fixed "cli-0" here silently dropped the second distinct
+            # batch a CLI user ever delivered to a table (the branch
+            # ingest smoke exposed it — the branch inherits main's epoch
+            # ledger at fork, so batch #2 looked like a replay).
+            epoch = "cli-" + _batch_epoch_id(args.changelog)
             lineage = ingest_batch(
                 changelog, cfg, args.warehouse, epoch_id=epoch,
                 catalog=catalog,

@@ -2533,6 +2533,15 @@ class LakeTable:
         )
         return {**out, "branch_head": head, "fork_version": fork}
 
+    def branch_or_create(self, name: str) -> "LakeTable":
+        """Branch handle, forking at the current head if the branch
+        doesn't exist yet — the idempotent form BranchCatalog uses so a
+        multi-batch ingest run targets one branch without a separate
+        create step."""
+        if os.path.exists(self._fork_path(name)):
+            return self.branch(name)
+        return self.create_branch(name)
+
     def restore(self, to_version: int | str) -> dict[str, Any]:
         """Delta ``RESTORE TABLE ... VERSION AS OF`` / Iceberg
         ``rollback_to_snapshot`` analog: commit a NEW snapshot whose
@@ -3288,6 +3297,28 @@ class LakeTable:
         ):
             factor *= 2
         return min(n_buckets * factor, self.MAX_AUTO_BUCKETS)
+
+
+class BranchCatalog:
+    """Route the UNCHANGED ingest pipeline into a BRANCH of every table —
+    the same sink-swap boundary the SQL sink and WapCatalog use
+    (``ingest_batch(..., catalog=...)``): ``table(tenant, name)``
+    returns the named branch of the base catalog's table, forked at the
+    current head on first touch. A whole multi-table ingest run then
+    lands invisibly on branch ``name`` and goes live table by table via
+    ``publish_branch`` (optionally audit-gated) — WAP with readable
+    intermediate states, time travel, and multi-batch history.
+
+    A table with NO main snapshot yet cannot be branched (nothing to
+    fork) — ingest its first batch to main (or through WAP) first; the
+    fork raises loudly rather than inventing an empty parent."""
+
+    def __init__(self, base: "LakeCatalog", branch: str):
+        self.base = base
+        self.branch = branch
+
+    def table(self, tenant: str, name: str) -> LakeTable:
+        return self.base.table(tenant, name).branch_or_create(self.branch)
 
 
 class LakeCatalog:

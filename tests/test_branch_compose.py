@@ -143,6 +143,107 @@ def test_merge_into_on_branch_lands_at_publish(spark, tmp_path):
     }
 
 
+def test_pipeline_ingests_into_a_branch(spark, tmp_path):
+    """BranchCatalog routes the UNCHANGED ingest pipeline into a branch
+    (the WapCatalog sink-swap shape): a multi-batch ingest run lands
+    invisibly on the branch, publishes exactly once, and replaying the
+    ingested epoch against the branch still no-ops."""
+    import json as _json
+
+    from nifi_ngsild_postgresql_spark.config import IngestConfig
+    from nifi_ngsild_postgresql_spark.plans.lake import BranchCatalog
+    from nifi_ngsild_postgresql_spark.streaming.pipeline import ingest_batch
+
+    def _events(items, seq0=0):
+        rows = [
+            ("t", "p", f"{seq0 + i:06d}", "Gauge", _json.dumps(
+                {"id": f"urn:x:{eid}", "type": "Gauge",
+                 "level": {"type": "Property", "value": v,
+                           "observedAt": "2024-01-01T00:00:00Z"}}
+            ))
+            for i, (eid, v) in enumerate(items)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "repo string, path string, commit string, lang string,"
+            " content string",
+        ).withColumn(
+            "recv_time", F.timestamp_millis(F.lit(1700000000000 + seq0))
+        )
+
+    wh = str(tmp_path / "wh")
+    cfg = IngestConfig(write_mode="upsert", n_buckets=4)
+    ingest_batch(_events([(0, 1.0), (1, 2.0)]), cfg, wh, "e-base")
+    base = LakeCatalog(wh, n_buckets=4)
+    t = base.table("t", "gauge")
+    bc = BranchCatalog(base, "nightly")
+    ingest_batch(_events([(0, 5.0), (7, 7.0)], seq0=10), cfg, wh, "e-b1",
+                 catalog=bc)
+    ingest_batch(_events([(8, 8.0)], seq0=20), cfg, wh, "e-b2", catalog=bc)
+    # branch-invisible to main readers
+    assert _state(spark, t) == {"urn:x:0": 1.0, "urn:x:1": 2.0}
+    # replaying a branch-ingested epoch no-ops against the branch
+    ingest_batch(_events([(0, 5.0), (7, 7.0)], seq0=10), cfg, wh, "e-b1",
+                 catalog=bc)
+    b = t.branch("nightly")
+    assert _state(spark, b) == {
+        "urn:x:0": 5.0, "urn:x:1": 2.0, "urn:x:7": 7.0, "urn:x:8": 8.0,
+    }
+    t.publish_branch(spark, "nightly")
+    assert _state(spark, t) == _state(spark, b)
+
+
+def test_cli_second_distinct_batch_lands(spark, tmp_path, capsys):
+    """The CLI epoch id tracks batch CONTENT for every ingest, not only
+    WAP stages: a second, different file delivered at the same drop path
+    lands as a new epoch (a fixed per-invocation id silently dropped
+    batch #2 — the branch-ingest smoke exposed it, since a branch
+    inherits main's epoch ledger at fork); re-running the unchanged
+    file stays a no-op."""
+    import json as _json
+
+    from nifi_ngsild_postgresql_spark.job import main
+
+    drop = str(tmp_path / "drop.parquet")
+    wh = str(tmp_path / "wh")
+
+    def _write(items, seq0):
+        rows = [
+            ("t", "p", f"{seq0 + i:06d}", "Gauge", _json.dumps(
+                {"id": f"urn:x:{eid}", "type": "Gauge",
+                 "level": {"type": "Property", "value": v,
+                           "observedAt": "2024-01-01T00:00:00Z"}}
+            ))
+            for i, (eid, v) in enumerate(items)
+        ]
+        spark.createDataFrame(
+            rows,
+            "repo string, path string, commit string, lang string,"
+            " content string",
+        ).withColumn(
+            "recv_time", F.timestamp_millis(F.lit(1700000000000 + seq0))
+        ).coalesce(1).write.mode("overwrite").parquet(drop)
+
+    def _ingest():
+        assert main(["ingest", "--changelog", drop, "--warehouse", wh]) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    _write([("a", 1.0)], seq0=0)
+    first = _ingest()
+    assert first["tables"]["t.gauge"]["rows_written"] == 1
+    replay = _ingest()  # same unchanged file: idempotent no-op
+    assert replay["tables"]["t.gauge"] == {"skipped_epoch": True}
+    _write([("b", 2.0)], seq0=10)  # same drop path, new file (new mtime)
+    second = _ingest()
+    assert second["epoch_id"] != first["epoch_id"]
+    assert second["tables"]["t.gauge"]["rows_written"] == 1
+    got = {
+        r["entityid"]: r["level"]
+        for r in LakeCatalog(wh).table("t", "gauge").read(spark).collect()
+    }
+    assert got == {"urn:x:a": 1.0, "urn:x:b": 2.0}
+
+
 def test_branch_from_restored_table_reads_restored_state(spark, tmp_path):
     t = _setup(spark, tmp_path)
     good = t.versions()[-1]
