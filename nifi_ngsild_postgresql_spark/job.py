@@ -600,17 +600,24 @@ def main(argv: list[str] | None = None) -> int:
         else:
             # --as-of-ms applies warehouse-wide (a wall instant is
             # well-defined across tables); a table with no snapshot at
-            # that instant fails loudly rather than silently reading
-            # current state
-            out = {
-                f"{tenant}.{name}": table_fingerprint(
-                    cat.table(tenant, name).read(
-                        spark, as_of_ms=args.as_of_ms
+            # that instant gets an explicit per-table error entry —
+            # loud, but one table created AFTER the instant must not
+            # abort the fingerprints of the 49 that did exist
+            out = {}
+            failed = False
+            for tenant, name in cat.list_tables():
+                key = f"{tenant}.{name}"
+                try:
+                    out[key] = table_fingerprint(
+                        cat.table(tenant, name).read(
+                            spark, as_of_ms=args.as_of_ms
+                        )
                     )
-                )
-                for tenant, name in cat.list_tables()
-            }
+                except ValueError as e:
+                    out[key] = {"error": str(e)}
+                    failed = True
             print(json.dumps(out))
+            return 1 if failed else 0
         return 0
 
     if args.cmd == "propagate":

@@ -2282,7 +2282,20 @@ class LakeTable:
         accepts the name, and ``expire_snapshots`` never GCs a tagged
         snapshot or its files — the audit/repro pin for "the table as
         training run X saw it". Read-modify-write under _tags_lock,
-        published via write-temp + atomic replace."""
+        published via write-temp + atomic replace.
+
+        On a BRANCH handle the name ``fork`` is reserved: it pins the
+        fork snapshot against the branch's own GC, and repointing or
+        dropping it would make ``publish_branch``'s change range
+        unreconstructible once ``expire_snapshots`` runs."""
+        if name == "fork" and self._is_branch():
+            raise ValueError(
+                "tag name 'fork' is reserved on branches — it pins the "
+                "fork snapshot the publish change-range needs"
+            )
+        return self._tag_unchecked(name, version)
+
+    def _tag_unchecked(self, name: str, version: int | None = None) -> int:
         with self._tags_lock():
             if version is None:
                 version = self.versions()[-1]
@@ -2297,6 +2310,11 @@ class LakeTable:
             return version
 
     def drop_tag(self, name: str) -> None:
+        if name == "fork" and self._is_branch():
+            raise ValueError(
+                "tag name 'fork' is reserved on branches — dropping it "
+                "would let GC expire the fork snapshot"
+            )
         with self._tags_lock():
             tags = self.tags()
             tags.pop(name, None)
@@ -2353,6 +2371,14 @@ class LakeTable:
         if "/" in name or name in ("", ".", ".."):
             raise ValueError(f"bad branch name {name!r}")
 
+    def _is_branch(self) -> bool:
+        """True when this handle IS a branch (lives under a parent's
+        ``_branches`` dir) — the same probe create_branch uses to refuse
+        branch-of-branch."""
+        return os.path.basename(
+            os.path.dirname(os.path.dirname(self.path))
+        ) == "_branches"
+
     def branch(self, name: str) -> "LakeTable":
         """Handle to an existing branch — a FULL LakeTable (reads, time
         travel, every write path, checks, tags, its own change feed)
@@ -2365,7 +2391,17 @@ class LakeTable:
             raise ValueError(
                 f"{self.tenant}.{self.name}: unknown branch {name!r}"
             )
-        return self._branch_handle(name)
+        b = self._branch_handle(name)
+        # retrofit the fork pin for branches created before the pin
+        # existed (the fix alone protected only NEW branches): if the
+        # fork manifest is still retained, tag it now so the branch's
+        # next expire_snapshots can't age it out and strand
+        # publish_branch's change range
+        if "fork" not in b.tags():
+            fork = self.fork_version(name)
+            if fork in b.versions():
+                b._tag_unchecked("fork", fork)
+        return b
 
     def create_branch(
         self, name: str, from_version: int | str | None = None
@@ -2436,8 +2472,9 @@ class LakeTable:
             # pin the fork snapshot against the BRANCH's own GC: without
             # it, 8+ branch commits plus a routine b.expire_snapshots()
             # age the fork manifest out and publish_branch's change
-            # range (fork → head) becomes unreconstructible forever
-            b.tag("fork", v)
+            # range (fork → head) becomes unreconstructible forever.
+            # (_tag_unchecked: 'fork' is reserved against user mutation)
+            b._tag_unchecked("fork", v)
             # inherit the write contracts: CHECK constraints, and the
             # restore-era ledger (order-carrying mirrors following the
             # BRANCH feed must see the parent's pre-fork eras too)
@@ -2445,10 +2482,17 @@ class LakeTable:
                 src = os.path.join(self.meta_dir, side)
                 if os.path.exists(src):
                     shutil.copy(src, os.path.join(b.meta_dir, side))
+            import uuid
+
             with open(self._fork_path(name), "w") as f:
+                # incarnation: a collision-free token naming THIS fork —
+                # drop + recreate of a same-named branch within one
+                # millisecond made forked_at_ms collide, re-opening the
+                # stale-ledger skip it was added to prevent
                 json.dump(
                     {"fork_version": v,
-                     "forked_at_ms": int(time.time() * 1000)}, f
+                     "forked_at_ms": int(time.time() * 1000),
+                     "incarnation": uuid.uuid4().hex[:12]}, f
                 )
         return b
 
@@ -2461,9 +2505,16 @@ class LakeTable:
         import shutil
 
         with self._tags_lock():
-            shutil.rmtree(
-                os.path.join(self._branches_dir(), name), ignore_errors=True
-            )
+            d = os.path.join(self._branches_dir(), name)
+            if not os.path.isdir(d):
+                # a typo'd drop must not succeed silently while the real
+                # branch keeps pinning parent data dirs as a GC root
+                raise ValueError(
+                    f"{self.tenant}.{self.name}: unknown branch {name!r}"
+                )
+            # crash-orphaned half-creates (dir without _fork.json) are
+            # still reclaimable here; real rmtree failures propagate
+            shutil.rmtree(d)
 
     def publish_branch(
         self,
@@ -2494,7 +2545,12 @@ class LakeTable:
         audit the branch, fast-forward main): a falsy audit raises and
         main is untouched, the branch surviving for inspection/fix."""
         b = self.branch(name)
-        fork = self.fork_version(name)
+        # ONE read of the fork record: fork point and incarnation must
+        # come from the same snapshot of the file, or a concurrent
+        # drop+recreate between two reads stamps the old incarnation's
+        # change set with the new incarnation's epoch id
+        rec = self._fork_record(name)
+        fork = int(rec["fork_version"])
         head = b.versions()[-1]
         if head == fork:
             return {"published_rows": 0, "noop": True,
@@ -2522,15 +2578,20 @@ class LakeTable:
                 preview.unpersist()
         changes = b.read_changes(spark, fork, head, with_meta=True)
         schema = {**(self.schema() or {}), **(b.schema() or {})}
-        # the epoch id carries the branch INCARNATION (forked_at_ms):
+        # the epoch id carries the branch INCARNATION (a uuid token;
+        # forked_at_ms for records written before the token existed):
         # dropping and recreating a same-named branch, then publishing
         # at a coinciding head version, must not hit the old
-        # incarnation's ledger entry and silently skip different content
-        incarnation = self._fork_record(name).get("forked_at_ms", 0)
-        out = self.apply_changes(
-            changes, schema,
-            epoch_id=f"branch-{name}-{incarnation}-v{head}",
+        # incarnation's ledger entry and silently skip different
+        # content. Records from before incarnations existed at all keep
+        # the original id format, so a publish ledgered pre-upgrade
+        # still no-ops on replay instead of double-applying.
+        inc = rec.get("incarnation", rec.get("forked_at_ms"))
+        epoch = (
+            f"branch-{name}-{inc}-v{head}" if inc is not None
+            else f"branch-{name}-v{head}"
         )
+        out = self.apply_changes(changes, schema, epoch_id=epoch)
         return {**out, "branch_head": head, "fork_version": fork}
 
     def branch_or_create(self, name: str) -> "LakeTable":

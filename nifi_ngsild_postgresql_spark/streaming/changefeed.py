@@ -349,17 +349,20 @@ class MaterializedAggregate:
         )
         cand_min = F.least("min_value", "add_min")
         cand_max = F.greatest("max_value", "add_max")
-        # dirty = a stored extreme was retracted, OR the folded extreme
-        # is NULL for a live group (pre-upgrade state rows surface with
-        # NULL extremes — repaired exactly on the first refresh; a group
-        # whose values are genuinely all NULL re-repairs each refresh,
-        # the harmless degenerate case)
+        # dirty = a stored extreme was retracted, OR the STORED extreme
+        # is NULL for a pre-existing group (pre-upgrade state rows
+        # surface with NULL extremes — repaired exactly on the first
+        # refresh). The upgrade term must test the stored column, not
+        # the folded candidate: a pre-upgrade group that receives an add
+        # in the first post-upgrade batch gets a non-NULL cand_min from
+        # that batch alone, which is NOT its true historical minimum. A
+        # group whose values are genuinely all NULL re-repairs each
+        # refresh — the harmless degenerate case.
         dirty = F.coalesce(
             (F.col("rem_min") <= F.col("min_value"))
             | (F.col("rem_max") >= F.col("max_value")),
             F.lit(False),
-        ) | (cand_min.isNull() & F.col("min_value").isNull()
-             & F.col("n_rows").isNotNull())
+        ) | (F.col("min_value").isNull() & F.col("n_rows").isNotNull())
         folded = (
             prev.join(deltas, "entityid", "full_outer")
             .select(

@@ -302,17 +302,16 @@ def test_fork_survives_branch_gc(spark, tmp_path):
 
 
 def test_recreated_branch_publishes_fresh_content(spark, tmp_path):
-    """Epoch ids carry the branch INCARNATION: drop + recreate a
-    same-named branch, publish at a coinciding head version — the new
-    content must land, not hit the old incarnation's ledger entry."""
-    import time as _time
-
+    """Epoch ids carry the branch INCARNATION (a uuid token — NOT the
+    millisecond fork clock, which collides under back-to-back
+    drop+recreate): drop + recreate a same-named branch, publish at a
+    coinciding head version — the new content must land, not hit the
+    old incarnation's ledger entry."""
     t = _setup(spark, tmp_path)
     b = t.create_branch("dev")
     b.upsert(_batch(spark, [(9, 9.0, 1, "000100")]), SCHEMA, "b1")
     t.publish_branch(spark, "dev")
     t.drop_branch("dev")
-    _time.sleep(0.002)  # distinct forked_at_ms
     b2 = t.create_branch("dev", from_version=1)
     b2.upsert(_batch(spark, [(8, 8.0, 2, "000200")]), SCHEMA, "c1")
     # same head version number as the first incarnation's publish
@@ -320,6 +319,77 @@ def test_recreated_branch_publishes_fresh_content(spark, tmp_path):
     out = t.publish_branch(spark, "dev")
     assert not out.get("skipped_epoch")
     assert ("urn:x:8", 8.0) in _state(spark, t)
+
+
+def test_fork_tag_is_reserved_on_branches(spark, tmp_path):
+    """b.tag('fork') (repoints to head) or b.drop_tag('fork') would
+    silently unpin the fork snapshot; the next branch GC then strands
+    publish_branch forever — the name is reserved on branch handles
+    (review finding). Plain tables keep the name free."""
+    t = _setup(spark, tmp_path)
+    b = t.create_branch("dev")
+    b.upsert(_batch(spark, [(9, 9.0, 1, "000100")]), SCHEMA, "b1")
+    with pytest.raises(ValueError, match="reserved"):
+        b.tag("fork")
+    with pytest.raises(ValueError, match="reserved"):
+        b.drop_tag("fork")
+    assert b.tags()["fork"] == t.fork_version("dev")
+    t.tag("fork")  # not a branch: no reservation
+    assert t.tags()["fork"] == t.versions()[-1]
+
+
+def test_branch_handle_retrofits_missing_fork_pin(spark, tmp_path):
+    """Branches created before the fork pin existed have no 'fork' tag;
+    acquiring a handle retrofits the pin (while the fork manifest is
+    still retained) so their next GC can't strand publish_branch
+    (review finding: the fix alone only protected NEW branches)."""
+    t = _setup(spark, tmp_path)
+    b = t.create_branch("dev")
+    fork = t.fork_version("dev")
+    # simulate the pre-pin on-disk layout: wipe the branch's tags file
+    os.unlink(b._tags_path())
+    assert "fork" not in b.tags()
+    b2 = t.branch("dev")
+    assert b2.tags()["fork"] == fork
+    for i in range(10):
+        b2.upsert(
+            _batch(spark, [(9, float(i), 1 + i, f"{100 + i:06d}")]),
+            SCHEMA, f"b{i}",
+        )
+    b2.expire_snapshots(keep_last=2)
+    assert fork in b2.versions()
+    assert not t.publish_branch(spark, "dev").get("noop")
+
+
+def test_drop_unknown_branch_raises(spark, tmp_path):
+    """A typo'd drop must not succeed silently while the real branch
+    keeps pinning parent data dirs as a GC root (review finding)."""
+    t = _setup(spark, tmp_path)
+    t.create_branch("dev")
+    with pytest.raises(ValueError, match="unknown branch"):
+        t.drop_branch("dve")
+    assert t.branches() == ["dev"]
+
+
+def test_legacy_fork_record_keeps_legacy_epoch_format(spark, tmp_path):
+    """A fork record written before incarnations existed produces the
+    ORIGINAL epoch id format, so a publish ledgered pre-upgrade still
+    no-ops on replay instead of double-applying (review finding: the
+    format change broke exactly-once across the upgrade boundary)."""
+    t = _setup(spark, tmp_path)
+    b = t.create_branch("dev")
+    b.upsert(_batch(spark, [(9, 9.0, 1, "000100")]), SCHEMA, "b1")
+    # rewrite the fork record in the pre-upgrade shape
+    with open(t._fork_path("dev")) as f:
+        rec = json.load(f)
+    with open(t._fork_path("dev"), "w") as f:
+        json.dump({"fork_version": rec["fork_version"]}, f)
+    head = b.versions()[-1]
+    out = t.publish_branch(spark, "dev")
+    assert not out.get("skipped_epoch")
+    assert f"branch-dev-v{head}" in t.snapshot(t.versions()[-1])["epochs"]
+    # replaying the same publish (same legacy record) no-ops
+    assert t.publish_branch(spark, "dev")["skipped_epoch"]
 
 
 def test_branch_cli_roundtrip(spark, tmp_path, capsys):

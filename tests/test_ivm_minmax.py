@@ -119,10 +119,20 @@ def test_state_upgrade_from_count_sum_format(spark, tmp_path):
     shutil.rmtree(p)
     os.makedirs(p)
     old.to_parquet(os.path.join(p, "part-00000.parquet"), index=False)
-    # a refresh over new changes must repair, not crash
-    t.upsert_mor(_batch(spark, [(2, "a", 7.0, 1, "000100")]), SCHEMA, "e1")
+    # a refresh over new changes must repair, not crash. The batch adds
+    # BOTH a brand-new group AND a row into pre-upgrade group 0 whose
+    # value (6.0) lies strictly inside its stored range (5.0..9.0): a
+    # dirty term that tests the folded candidate instead of the STORED
+    # extreme sees group 0's non-NULL cand and skips the repair,
+    # leaving min=max=6.0 forever (review finding, round 5 pass 3)
+    t.upsert_mor(
+        _batch(spark, [(2, "a", 7.0, 1, "000100"),
+                       (0, "c", 6.0, 1, "000101")]),
+        SCHEMA, "e1",
+    )
     view.refresh(spark)
     assert _materialized(spark, view) == _recomputed(spark, t)
+    assert _materialized(spark, view)["urn:x:0"] == (3, 20.0, 5.0, 9.0)
 
 
 def test_repair_reads_are_bounded(spark, tmp_path, monkeypatch):

@@ -152,6 +152,40 @@ def test_merge_replay_skips_before_any_scan(spark, tmp_path):
 # --- 5: fingerprint CLI resolves all-digit tags ----------------------------
 
 
+def test_fingerprint_warehouse_asof_survives_newer_table(
+    spark, tmp_path, capsys
+):
+    """Warehouse-wide `fingerprint --as-of-ms` must not abort entirely
+    because ONE table postdates the instant: tables that existed get
+    fingerprints, the newer table gets an explicit error entry, and the
+    exit code flags the partial result (review finding)."""
+    import time
+
+    from nifi_ngsild_postgresql_spark.job import main
+    from nifi_ngsild_postgresql_spark.plans.manifest import table_fingerprint
+
+    wh = str(tmp_path / "wh")
+    cat = LakeCatalog(wh, n_buckets=2)
+    old = cat.table("t", "old")
+    old.upsert(_batch(spark, [(0, 1.0, 0, "000000")]), SCHEMA, "e1")
+    instant = int(time.time() * 1000) + 60_000  # after old, before new
+    new = cat.table("t", "new")
+    new.upsert(_batch(spark, [(1, 2.0, 0, "000001")]), SCHEMA, "e2")
+    # force the new table's only commit PAST the instant
+    meta = os.path.join(new.meta_dir, "v00000001.json")
+    with open(meta) as f:
+        snap = json.load(f)
+    snap["committed_at_ms"] = instant + 60_000
+    with open(meta, "w") as f:
+        json.dump(snap, f)
+    assert main(
+        ["fingerprint", "--warehouse", wh, "--as-of-ms", str(instant)]
+    ) == 1
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["t.old"] == table_fingerprint(old.read(spark))
+    assert "error" in got["t.new"]
+
+
 def test_fingerprint_cli_all_digit_tag_wins_over_version(
     spark, tmp_path, capsys
 ):
