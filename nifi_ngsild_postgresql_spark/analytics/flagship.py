@@ -313,6 +313,46 @@ SELECT sha256({canon}) AS row_sha FROM final_state
 SQL_REPLAY_MANIFEST = _oracle_manifest()
 
 
+def q_ddl_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column DDL (plans/lake.py rename_column /
+    drop_column — the Delta column-mapping analog) oracle-checked over
+    the full flagship table: ingest everything, RENAME
+    ``score_purchase`` → ``purchase_score`` and DROP ``action_error``
+    (both O(manifest), zero bytes rewritten), then COMPACT — the rewrite
+    must route the logical columns through the frozen physical names —
+    and read the final state. The DuckDB oracle is the flagship
+    final-state query with the same alias/projection applied, so parity
+    proves reads, colmap projection, and the post-DDL rewrite all agree
+    at sf scale. Reference note: the reference only ADDs columns
+    (PostgreSQLTransformer.java:474-507); this is the S5 extension."""
+    ship_package(spark)
+    warehouse = tempfile.mkdtemp(prefix="ngsild_ddl_wh_")
+    changelog = changelog_from_events(spark, sf_dir)
+    cfg = IngestConfig(write_mode="upsert", isolate_table_failures=False)
+    ingest_batch(changelog, cfg, warehouse, epoch_id="ddl-0")
+    table = LakeCatalog(warehouse).table("analytics", "useractivity")
+    table.rename_column("score_purchase", "purchase_score")
+    table.drop_column("action_error")
+    # full compaction rewrites every bucket THROUGH the colmap (logical
+    # read → physical write): the strongest end-to-end check that no
+    # path re-materializes the dropped column or loses the renamed one
+    table.compact(spark, max_files_per_bucket=0)
+    df = table.read(spark)
+    return df.select(*sorted(df.columns))
+
+
+def _oracle_ddl() -> str:
+    return f"""
+WITH final_state AS ({_oracle_cdc()})
+SELECT * EXCLUDE (score_purchase, action_error),
+       score_purchase AS purchase_score
+FROM final_state
+"""
+
+
+SQL_DDL_RENAME_DROP = _oracle_ddl()
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC engine driven end-to-end THREE epochs deep with an SCD
     Type-2 history (streaming/scd.py) following the table's change feed:

@@ -18,10 +18,12 @@ from ..streaming.windows import (
 from .flagship import (
     SQL_BRANCH_PUBLISH,
     SQL_CDC_INGEST_FLATTEN,
+    SQL_DDL_RENAME_DROP,
     SQL_JOIN_VIEW,
     SQL_MERGE_INTO,
     SQL_SCD2_HISTORY,
     q_branch_publish,
+    q_ddl_rename_drop,
     q_join_view,
     q_merge_into,
     q_scd2_history,
@@ -187,6 +189,12 @@ PYTEST_ONLY: dict[str, tuple] = {
     # final state, so parity proves fork isolation + exactly-once
     # publish + merge semantics in one case
     "branch_publish": (q_branch_publish, SQL_BRANCH_PUBLISH),
+    # round 5: metadata-only RENAME/DROP COLUMN (Delta column-mapping
+    # analog — frozen physical names + manifest colmap; plans/lake.py
+    # rename_column/drop_column) over the full flagship table, with a
+    # post-DDL full compaction routing the rewrite through the colmap;
+    # the oracle is the flagship final state re-projected the same way
+    "ddl_rename_drop": (q_ddl_rename_drop, SQL_DDL_RENAME_DROP),
     # round 4: the brief's multimodal transform list completed — REAL
     # decode feeding nearest-neighbor resize / every-Nth frame sampling,
     # both oracle-exact integer index maps over the decoded pixels

@@ -289,6 +289,17 @@ def main(argv: list[str] | None = None) -> int:
                          "if ANY row matches this Spark SQL boolean; "
                          "repeatable (Iceberg audit-branch pattern)")
 
+    dd = sub.add_parser(
+        "ddl",
+        help="metadata-only column DDL (Delta column-mapping analog): "
+             "rename/drop a column with zero bytes rewritten",
+    )
+    dd.add_argument("--warehouse", required=True)
+    dd.add_argument("--table", required=True, help="tenant.table")
+    dd.add_argument("--action", choices=("rename", "drop"), required=True)
+    dd.add_argument("--column", required=True, help="logical column name")
+    dd.add_argument("--to", default=None, help="rename only: new name")
+
     d = sub.add_parser(
         "dml", help="predicate DELETE/UPDATE (copy-on-write or merge-on-read)"
     )
@@ -672,6 +683,22 @@ def main(argv: list[str] | None = None) -> int:
                 audits=[fail_if_any(e) for e in args.fail_if] or None,
             )
         print(json.dumps(out, default=str))
+        return 0
+
+    if args.cmd == "ddl":
+        from .plans.lake import LakeCatalog
+
+        tenant, name = args.table.split(".", 1)
+        table = LakeCatalog(args.warehouse).table(tenant, name)
+        if args.action == "rename":
+            if not args.to:
+                parser.error("rename requires --to NEW_NAME")
+            out = table.rename_column(args.column, args.to)
+        else:
+            if args.to:
+                parser.error("--to is rename-only")
+            out = table.drop_column(args.column)
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "dml":

@@ -347,6 +347,7 @@ class LakeTable:
         where: dict[str, tuple[Any, Any]] | None = None,
         buckets: list[int] | None = None,
         as_of_ms: int | None = None,
+        _project: tuple[dict[str, str], dict[str, str]] | None = None,
     ) -> DataFrame:
         """Read the table; ``version`` time-travels to a past snapshot
         (every snapshot manifest is immutable, so any committed version
@@ -380,7 +381,16 @@ class LakeTable:
         merge-on-read snapshot ``where`` is restricted to the key-derived
         columns (entityid, observedat): duplicates of a key always agree
         on those, so pruning can never split a key's duplicates and
-        expose a stale LWW loser — filtering on any other column could."""
+        expose a stale LWW loser — filtering on any other column could.
+
+        ``_project`` (internal, change-feed state reads) is a
+        (schema, colmap) pair that overrides the snapshot's own logical
+        view: physical names are frozen at column creation, so a LATER
+        snapshot's (schema, colmap) validly projects an EARLIER
+        snapshot's files — how the state diff compares two versions
+        across a rename/drop without either side re-aliasing. Mutually
+        exclusive with ``where`` (whose bounds validate against the
+        snapshot's own schema)."""
         if as_of_ms is not None:
             if version is not None:
                 raise ValueError("pass version OR as_of_ms, not both")
@@ -412,9 +422,15 @@ class LakeTable:
             else:
                 rel_paths = pruned
         has_tomb = bool(snap.get("has_tombstones"))
+        if _project is not None:
+            if where:
+                raise ValueError("_project and where are mutually exclusive")
+            proj_schema, proj_colmap = _project
+        else:
+            proj_schema, proj_colmap = snap["schema"], snap.get("colmap", {})
         df = self._read_files(
-            spark, snap["schema"], rel_paths, with_meta=True,
-            with_tombstone=has_tomb,
+            spark, proj_schema, rel_paths, with_meta=True,
+            with_tombstone=has_tomb, colmap=proj_colmap,
         )
         if where:
             # safe on tombstones: MoR scans (has_tombstones implies MoR)
@@ -450,8 +466,28 @@ class LakeTable:
         rel_paths: list[str],
         with_meta: bool,
         with_tombstone: bool = False,
+        colmap: dict[str, str] | None = None,
     ) -> DataFrame:
+        """Scan ``rel_paths`` projected to the LOGICAL ``schema``.
+
+        ``colmap`` maps logical column → the PHYSICAL name data files
+        store it under (column mapping: rename/drop are manifest edits,
+        files are never rewritten — the Delta column-mapping / Iceberg
+        column-id analog, see rename_column). Physical names are frozen
+        at column creation, so one colmap is valid for files of EVERY
+        snapshot — callers pass the colmap of the snapshot whose schema
+        they project to. Meta/tombstone columns are never mapped."""
+        mapped = {
+            c: p for c, p in (colmap or {}).items() if c in schema and p != c
+        }
         sp_schema = table_spark_schema(schema, with_meta=True)
+        if mapped:
+            sp_schema = T.StructType(
+                [
+                    T.StructField(mapped.get(f.name, f.name), f.dataType, True)
+                    for f in sp_schema.fields
+                ]
+            )
         if with_tombstone:
             sp_schema = sp_schema.add(TOMBSTONE_COL, T.BooleanType(), True)
         if not rel_paths:
@@ -461,6 +497,12 @@ class LakeTable:
             # explicit schema => column pruning + NULL for columns added
             # after a file was written (schema evolution)
             df = spark.read.schema(sp_schema).parquet(*abs_paths)
+        if mapped:
+            df = df.select(
+                *[F.col(mapped.get(c, c)).alias(c) for c in schema],
+                *META_COLS,
+                *((TOMBSTONE_COL,) if with_tombstone else ()),
+            )
         if not with_meta:
             df = df.drop(*META_COLS)
         return df
@@ -611,6 +653,22 @@ class LakeTable:
         merged.update(self._collect_stats(new_files))
         live = {p for paths in files.values() for p in paths}
         return {rel: merged[rel] for rel in sorted(live & set(merged))}
+
+    @staticmethod
+    def _ddl_meta(base: dict[str, Any] | None) -> dict[str, Any]:
+        """Column-mapping state a derived commit carries forward verbatim
+        (sparse: absent keys mean identity mapping / nothing retired).
+        ``colmap`` maps logical → frozen physical column names (renames);
+        ``retired_cols`` lists physical names dropped columns once used —
+        a re-added logical name must never reuse one, or un-rewritten
+        files would resurrect the dropped column's old data."""
+        out: dict[str, Any] = {}
+        if base:
+            if base.get("colmap"):
+                out["colmap"] = dict(base["colmap"])
+            if base.get("retired_cols"):
+                out["retired_cols"] = list(base["retired_cols"])
+        return out
 
     def _prune_files(
         self,
@@ -894,14 +952,23 @@ class LakeTable:
         version: int,
         schema: dict[str, str],
         buckets: list[int] | None = None,
+        colmap: dict[str, str] | None = None,
     ):
         """A snapshot's logical state projected to ``schema`` (meta kept);
         ``buckets`` restricts to a bucket subset (always LWW-safe — a
-        key's versions live in one bucket)."""
+        key's versions live in one bucket). ``schema``/``colmap`` are the
+        diff's TO-version view: physical names are stable, so projecting
+        an older version's files through the newer colmap reads a
+        renamed column's old data under its new logical name (and a
+        dropped column simply isn't projected) — the state diff then
+        correctly emits NOTHING for a pure rename/drop commit."""
         if version == 0:
             return spark.createDataFrame([], table_spark_schema(schema))
         return self._align(
-            self.read(spark, with_meta=True, version=version, buckets=buckets),
+            self.read(
+                spark, with_meta=True, version=version, buckets=buckets,
+                _project=(schema, colmap or {}),
+            ),
             schema,
         )
 
@@ -938,11 +1005,19 @@ class LakeTable:
                 if d.startswith("_bucket="):
                     rel.append(f"{commit_rel}/{d}")
                     touched.add(d.split("=", 1)[1])
-        new = last_writer_wins(self._read_files(spark, schema, rel, with_meta=True))
+        # project BOTH sides through the to-version's colmap: physical
+        # names are stable, so the from-state's files read a renamed
+        # column's data under the current logical name
+        to_colmap = range_snaps[-1].get("colmap", {})
+        new = last_writer_wins(
+            self._read_files(spark, schema, rel, with_meta=True, colmap=to_colmap)
+        )
         new = with_row_sha(new, exclude=tuple(META_COLS))
         from_snap = self.snapshot(from_version)
         old_rel = [p for b in sorted(touched) for p in from_snap["files"].get(b, [])]
-        old = self._read_files(spark, schema, old_rel, with_meta=True)
+        old = self._read_files(
+            spark, schema, old_rel, with_meta=True, colmap=to_colmap
+        )
         if from_snap.get("merge_on_read"):
             old = last_writer_wins(old)
         old = with_row_sha(old, exclude=tuple(META_COLS)).select(
@@ -1021,7 +1096,10 @@ class LakeTable:
             for d in sorted(os.listdir(cdir)):
                 if d.startswith("_bucket="):
                     rel.append(f"{commit_rel}/{d}")
-        rows = self._read_files(spark, schema, rel, with_meta=with_meta)
+        rows = self._read_files(
+            spark, schema, rel, with_meta=with_meta,
+            colmap=range_snaps[-1].get("colmap", {}),
+        )
         meta = list(META_COLS) if with_meta else []
         return rows.select(
             *schema, *meta, F.lit("insert").alias("_change_type")
@@ -1061,12 +1139,15 @@ class LakeTable:
                     != set(ts["files"].get(bk, []))
                 ]
         meta = tuple(META_COLS)
+        to_colmap = self.snapshot(to_version).get("colmap", {})
         a = with_row_sha(
-            self._state(spark, to_version, schema, buckets=buckets),
+            self._state(spark, to_version, schema, buckets=buckets,
+                        colmap=to_colmap),
             exclude=meta,
         ).alias("a")
         b = with_row_sha(
-            self._state(spark, from_version, schema, buckets=buckets),
+            self._state(spark, from_version, schema, buckets=buckets,
+                        colmap=to_colmap),
             exclude=meta,
         ).alias("b")
         asha, bsha = F.col("a._row_sha256"), F.col("b._row_sha256")
@@ -1193,10 +1274,19 @@ class LakeTable:
         schema: dict[str, str],
         n_buckets: int,
         cluster_expr=None,
+        colmap: dict[str, str] | None = None,
     ) -> tuple[dict[str, list[str]], int, dict[str, dict[str, str]]]:
         """Write df (wide + meta cols, already carrying _bucket); returns
         {bucket: [relative path]} for the buckets present and the row count
         (captured via Observation — no extra read-back job).
+
+        ``colmap`` (logical → physical, see rename_column) renames mapped
+        columns to their frozen PHYSICAL names as the final projection
+        before the parquet write, so data files always store physical
+        names regardless of how often the logical schema was renamed.
+        Sort/stats/bloom columns are DDL-protected (identity-mapped), so
+        the in-flight sort above and the footer-stats collection below
+        stay on stable names.
 
         The commit directory carries a per-attempt random token so (a) two
         concurrent writers planning the same version number never collide
@@ -1229,6 +1319,14 @@ class LakeTable:
             sort_cols = [c for c in self.sort_within_buckets if c in df.columns]
             if sort_cols:
                 out = out.sortWithinPartitions("_bucket", *sort_cols)
+        mapped = {
+            c: p for c, p in (colmap or {}).items()
+            if c in df.columns and p != c
+        }
+        if mapped:
+            out = out.select(
+                *[F.col(c).alias(mapped.get(c, c)) for c in out.columns]
+            )
         (
             out.observe(obs, F.count(F.lit(1)).alias("rows"))
             .write.mode("error")
@@ -1571,7 +1669,10 @@ class LakeTable:
         # (tombstones included: inserts must out-order lurking deletes)
         rel = [p for b in buckets for p in snap["files"].get(str(b), [])]
         raw_max = (
-            self._read_files(spark, snap["schema"], rel, with_meta=True)
+            self._read_files(
+                spark, snap["schema"], rel, with_meta=True,
+                colmap=snap.get("colmap"),
+            )
             .agg(F.max(F.unix_millis("_recv_time"))).first()[0]
             if rel else None
         )
@@ -1734,7 +1835,7 @@ class LakeTable:
         has_tomb = bool(snap.get("has_tombstones"))
         df = self._read_files(
             spark, snap["schema"], rel_paths, with_meta=True,
-            with_tombstone=has_tomb,
+            with_tombstone=has_tomb, colmap=snap.get("colmap"),
         )
         if snap.get("merge_on_read"):
             # materialize the read-time LWW for the compacted buckets
@@ -1754,7 +1855,8 @@ class LakeTable:
         )
         cluster_expr = self._zorder_expr(df, zorder_by) if zorder_by else None
         new_files, rows, blooms = self._write_data(
-            df, version, snap["schema"], n_buckets, cluster_expr=cluster_expr
+            df, version, snap["schema"], n_buckets, cluster_expr=cluster_expr,
+            colmap=snap.get("colmap"),
         )
         files = dict(snap["files"])
         for b in to_compact:
@@ -1783,6 +1885,7 @@ class LakeTable:
                     "file_stats": file_stats,
                     "added_files": new_files,
                     "stats": {"compacted_rows": rows},
+                    **self._ddl_meta(snap),
                 }
             )
         except FileExistsError:
@@ -1905,7 +2008,8 @@ class LakeTable:
         rel_paths = [p for paths in touched.values() for p in paths]
         has_tomb = bool(snap.get("has_tombstones"))
         df = self._read_files(
-            spark, schema, rel_paths, with_meta=True, with_tombstone=has_tomb
+            spark, schema, rel_paths, with_meta=True, with_tombstone=has_tomb,
+            colmap=snap.get("colmap"),
         )
         if snap.get("merge_on_read"):
             from ..operators.dedup import last_writer_wins
@@ -1965,7 +2069,7 @@ class LakeTable:
             F.pmod(F.xxhash64(F.col("entityid")), F.lit(n_buckets)),
         )
         new_files, n_rows, blooms = self._write_data(
-            out, version, schema, n_buckets
+            out, version, schema, n_buckets, colmap=snap.get("colmap")
         )
         if n_rows == 0:
             # pruning found candidate dirs but the exact condition matched
@@ -1999,6 +2103,7 @@ class LakeTable:
                     "file_stats": file_stats,
                     "added_files": new_files,
                     "stats": {"matched": n_rows},
+                    **self._ddl_meta(snap),
                 }
             )
         except FileExistsError:
@@ -2102,7 +2207,8 @@ class LakeTable:
         rel_paths = [p for paths in touched.values() for p in paths]
         has_tomb = bool(snap.get("has_tombstones"))
         df = self._read_files(
-            spark, schema, rel_paths, with_meta=True, with_tombstone=has_tomb
+            spark, schema, rel_paths, with_meta=True, with_tombstone=has_tomb,
+            colmap=snap.get("colmap"),
         )
         if snap.get("merge_on_read"):
             # resolve LWW BEFORE evaluating the condition: the predicate
@@ -2153,7 +2259,7 @@ class LakeTable:
                 F.pmod(F.xxhash64(F.col("entityid")), F.lit(n_buckets)),
             )
             new_files, rows_written, blooms = self._write_data(
-                out, version, schema, n_buckets
+                out, version, schema, n_buckets, colmap=snap.get("colmap")
             )
         finally:
             df.unpersist()
@@ -2185,6 +2291,7 @@ class LakeTable:
                     "file_stats": file_stats,
                     "added_files": new_files,
                     "stats": {"matched": matched, "rows_written": rows_written},
+                    **self._ddl_meta(snap),
                 }
             )
         except FileExistsError:
@@ -2576,6 +2683,24 @@ class LakeTable:
                         )
             finally:
                 preview.unpersist()
+        # DDL fence: a rename/drop on either side since the fork makes
+        # the LWW-merge publish ambiguous (the feed's logical names no
+        # longer mean the same columns on both sides; apply_changes'
+        # schema union would resurrect renamed-away names with stale
+        # values). Refuse loudly — run the same DDL on the other side
+        # (or re-fork) first. Column ADDs remain freely mergeable.
+        main_snap = self.latest_snapshot() or {}
+        head_snap = b.latest_snapshot() or {}
+        if (main_snap.get("colmap") or {}) != (
+            head_snap.get("colmap") or {}
+        ) or set(main_snap.get("retired_cols") or []) != set(
+            head_snap.get("retired_cols") or []
+        ):
+            raise ValueError(
+                f"{self.tenant}.{self.name}: branch {name!r} and main "
+                "diverged by column DDL (rename/drop) since the fork — "
+                "apply the same DDL to both sides, then publish"
+            )
         changes = b.read_changes(spark, fork, head, with_meta=True)
         schema = {**(self.schema() or {}), **(b.schema() or {})}
         # the epoch id carries the branch INCARNATION (a uuid token;
@@ -2679,6 +2804,27 @@ class LakeTable:
                                 "restored_to": target,
                                 "recv_ceiling_ms": ceiling_ms,
                             },
+                            # schema is the target's, so the colmap must
+                            # be too; retired physicals stay a MONOTONE
+                            # union — names used in the rolled-back era
+                            # must never be handed out again (a later
+                            # restore could re-reference those files)
+                            **(
+                                {"colmap": dict(tgt["colmap"])}
+                                if tgt.get("colmap")
+                                else {}
+                            ),
+                            **(
+                                {
+                                    "retired_cols": sorted(
+                                        set(snap.get("retired_cols", []))
+                                        | set(tgt.get("retired_cols", []))
+                                    )
+                                }
+                                if snap.get("retired_cols")
+                                or tgt.get("retired_cols")
+                                else {}
+                            ),
                         }
                     )
                 except FileExistsError:
@@ -2700,6 +2846,222 @@ class LakeTable:
                     "version": snap["version"] + 1,
                     "noop": False,
                 }
+
+    # --- column-mapping DDL: RENAME / DROP COLUMN (metadata-only) ---------
+    #
+    # The Delta column-mapping / Iceberg column-id analog over parquet
+    # files this engine never rewrites for DDL: data files store a
+    # column's PHYSICAL name, frozen when the column is first written;
+    # the manifest's sparse ``colmap`` (logical → physical) is the only
+    # thing a rename edits, and ``retired_cols`` records the physicals of
+    # dropped columns so a re-added logical name gets a FRESH physical
+    # instead of resurrecting old bytes (_apply's assignment rule).
+    # Reference parity note: the reference NEVER renames or drops
+    # (T-XFORM only ever emits ADD COLUMN, PostgreSQLTransformer.java
+    # :474-507); this extends the DDL executor (SURVEY §2 S5) with the
+    # other two ALTERs a lakehouse user expects, at O(manifest) cost.
+
+    def _ddl_protected(self) -> set[str]:
+        """Columns the engine's own machinery addresses by name — key
+        derivation, write-time sort, footer stats, bloom indexes, meta.
+        Keeping them identity-mapped keeps every internal fast path on
+        stable names; renaming them is refused, not remapped."""
+        return (
+            {"entityid"}
+            | set(META_COLS)
+            | {TOMBSTONE_COL}
+            | set(self.stats_cols)
+            | set(self.sort_within_buckets)
+            | set(self.bloom_cols)
+        )
+
+    def _ddl_check_refs(self, column: str) -> None:
+        """Refuse DDL on a column a registered CHECK references: the
+        constraint would silently stop applying (_validate_checks treats
+        an unresolvable expression as a narrow writer) — the same
+        silently-open-gate failure mode the WAP audits guard against.
+        Resolution uses Spark's own analyzer when a session is live
+        (exact); otherwise a word-boundary scan (conservative: may refuse
+        a string-literal mention, never misses a real reference)."""
+        checks = self.checks()
+        if not checks:
+            return
+        spark = SparkSession.getActiveSession()
+        schema = self.schema() or {}
+        for name, spec in checks.items():
+            refers = False
+            if spark is not None and column in schema:
+                probe_full = spark.createDataFrame(
+                    [], table_spark_schema(schema)
+                )
+                without = {c: t for c, t in schema.items() if c != column}
+                probe_less = spark.createDataFrame(
+                    [], table_spark_schema(without)
+                )
+                try:
+                    probe_full.select(F.expr(spec["expr"]))
+                    resolved_full = True
+                except Exception:
+                    resolved_full = False
+                try:
+                    probe_less.select(F.expr(spec["expr"]))
+                    resolved_less = True
+                except Exception:
+                    resolved_less = False
+                refers = resolved_full and not resolved_less
+            else:
+                import re
+
+                refers = bool(
+                    re.search(
+                        rf"(?<![A-Za-z0-9_]){re.escape(column)}(?![A-Za-z0-9_])",
+                        spec["expr"],
+                    )
+                )
+            if refers:
+                raise ValueError(
+                    f"{self.tenant}.{self.name}: CHECK {name!r} references "
+                    f"column {column!r} — drop or rewrite the check first"
+                )
+
+    def _ddl_commit(self, mutate, mode: str) -> dict[str, Any]:
+        """Shared optimistic-retry loop for metadata-only DDL commits:
+        ``mutate(latest)`` returns (schema', colmap', retired', stats) or
+        raises. Files/epochs/flags carry forward verbatim — the commit
+        changes HOW the same bytes are projected, never which bytes."""
+        attempts = 0
+        while True:
+            snap = self.latest_snapshot()
+            if snap is None:
+                raise FileNotFoundError(
+                    f"lake table {self.tenant}.{self.name} not found"
+                )
+            schema, colmap, retired, stats = mutate(snap)
+            try:
+                self._commit(
+                    {
+                        "version": snap["version"] + 1,
+                        "n_buckets": snap["n_buckets"],
+                        "schema": schema,
+                        "files": dict(snap["files"]),
+                        "epochs": dict(snap["epochs"]),
+                        "epoch_horizon": snap.get("epoch_horizon", 0),
+                        "n_epochs_total": snap.get(
+                            "n_epochs_total", len(snap["epochs"])
+                        ),
+                        "merge_on_read": bool(snap.get("merge_on_read")),
+                        "has_tombstones": bool(snap.get("has_tombstones")),
+                        "append_visible": bool(snap.get("append_visible")),
+                        "mode": mode,
+                        "file_stats": snap.get("file_stats", {}),
+                        "added_files": {},
+                        "stats": stats,
+                        **({"colmap": colmap} if colmap else {}),
+                        **({"retired_cols": sorted(retired)} if retired else {}),
+                    }
+                )
+            except FileExistsError:
+                attempts += 1
+                if attempts > COMMIT_MAX_RETRIES:
+                    raise CommitConflictError(
+                        f"{self.tenant}.{self.name}: {mode} gave up after "
+                        f"{attempts} commit conflicts"
+                    )
+                continue
+            return {
+                "version": snap["version"] + 1,
+                "mode": mode,
+                **stats,
+            }
+
+    def rename_column(self, old: str, new: str) -> dict[str, Any]:
+        """ALTER TABLE RENAME COLUMN — METADATA-ONLY (one manifest
+        commit; zero bytes rewritten however large the table). Reads of
+        ANY version keep working: each snapshot's colmap projects its
+        files' frozen physical names to that snapshot's logical names,
+        so time travel to a pre-rename version shows the old name and
+        the live table the new one. The change feed emits NOTHING for
+        the rename commit itself (Delta CDF parity) and emits the NEW
+        name for ranges that cross it; mirrors do not auto-follow DDL —
+        apply the same rename on the mirror (publish_branch refuses a
+        DDL-diverged branch for the same reason).
+
+        Caveat for ingest-driven tables: the pipeline derives column
+        names from entity attributes, so a still-arriving attribute
+        re-creates the OLD logical name as a fresh new column. Renames
+        suit curated/derived tables whose writers use the new name."""
+        from ..functions.names import MAX_NAME_LEN
+
+        if not new or len(new) > MAX_NAME_LEN:
+            raise ValueError(
+                f"bad column name {new!r} (1..{MAX_NAME_LEN} chars)"
+            )
+        if new.startswith("_"):
+            raise ValueError(
+                f"column names starting with '_' are reserved, got {new!r}"
+            )
+        protected = self._ddl_protected()
+        if old in protected or new in protected:
+            raise ValueError(
+                f"cannot rename {old!r} -> {new!r}: engine-addressed "
+                f"columns {sorted(protected & {old, new})} are immutable"
+            )
+        self._ddl_check_refs(old)
+
+        def mutate(snap):
+            schema = snap["schema"]
+            if old not in schema:
+                raise ValueError(f"unknown column {old!r}")
+            if new in schema:
+                raise ValueError(f"column {new!r} already exists")
+            colmap = dict(snap.get("colmap", {}))
+            colmap[new] = colmap.pop(old, old)
+            if colmap[new] == new:
+                del colmap[new]  # renamed back to its physical name
+            schema2 = {
+                (new if c == old else c): t for c, t in schema.items()
+            }
+            return (
+                schema2,
+                colmap,
+                list(snap.get("retired_cols", [])),
+                {"renamed_from": old, "renamed_to": new},
+            )
+
+        return self._ddl_commit(mutate, "rename_column")
+
+    def drop_column(self, column: str) -> dict[str, Any]:
+        """ALTER TABLE DROP COLUMN — METADATA-ONLY. The column's frozen
+        physical name joins ``retired_cols`` permanently: a later ADD of
+        the same logical name gets a fresh physical (_apply), so the
+        dropped data stays invisible in un-rewritten files (readable
+        only via time travel to pre-drop versions, exactly like Delta
+        column mapping). The drop commit emits nothing on the change
+        feed; a range crossing it simply stops carrying the column."""
+        protected = self._ddl_protected()
+        if column in protected:
+            raise ValueError(
+                f"cannot drop engine-addressed column {column!r}"
+            )
+        self._ddl_check_refs(column)
+
+        def mutate(snap):
+            schema = snap["schema"]
+            if column not in schema:
+                raise ValueError(f"unknown column {column!r}")
+            colmap = dict(snap.get("colmap", {}))
+            physical = colmap.pop(column, column)
+            retired = set(snap.get("retired_cols", []))
+            retired.add(physical)
+            schema2 = {c: t for c, t in schema.items() if c != column}
+            return (
+                schema2,
+                colmap,
+                retired,
+                {"dropped": column, "retired_physical": physical},
+            )
+
+        return self._ddl_commit(mutate, "drop_column")
 
     # --- CHECK constraints (Delta CHECK / DLT expectation analog) ---------
 
@@ -3066,6 +3428,20 @@ class LakeTable:
         recompute."""
         if latest["n_buckets"] != n_buckets:
             return False
+        # any DDL that landed since we planned (rename/drop: colmap or
+        # retired set changed, or a column we staged data for vanished)
+        # invalidates both our written physical names and our fresh-name
+        # freshness decisions — full recompute, never a rebase
+        if (latest.get("colmap") or {}) != (
+            (snap.get("colmap") if snap else None) or {}
+        ):
+            return False
+        if set(latest.get("retired_cols") or []) != set(
+            (snap.get("retired_cols") if snap else None) or []
+        ):
+            return False
+        if any(c not in latest["schema"] for c in schema):
+            return False
         for col, typ in latest["schema"].items():
             if schema.get(col, typ) != typ:
                 return False
@@ -3107,6 +3483,27 @@ class LakeTable:
         old_files: dict[str, list[str]] = dict(snap["files"]) if snap else {}
         spark = df.sparkSession
 
+        # column mapping: assign frozen PHYSICAL names to columns new in
+        # this commit. A logical name whose candidate physical is already
+        # in use — the physical of a live column (so a re-added name
+        # can't alias a renamed-away column's data) or retired by a drop
+        # (so it can't resurrect the dropped column's bytes in old files)
+        # — gets a fresh versioned physical instead of the identity.
+        colmap = dict(snap.get("colmap", {})) if snap else {}
+        if snap:
+            used_physical = {
+                colmap.get(c, c) for c in snap["schema"]
+            } | set(snap.get("retired_cols", []))
+            for c in schema:
+                if c in snap["schema"] or c in colmap:
+                    continue
+                if c in used_physical:
+                    phys = f"{c}__c{version}"
+                    while phys in used_physical:
+                        phys += "_"
+                    colmap[c] = phys
+                    used_physical.add(phys)
+
         bucket_expr = F.pmod(F.xxhash64(F.col("entityid")), F.lit(n_buckets)).alias(
             "_bucket"
         )
@@ -3145,9 +3542,13 @@ class LakeTable:
                     p for b in touched_buckets for p in old_files.get(b, [])
                 ]
                 has_tomb = bool(snap and snap.get("has_tombstones"))
+                # the commit colmap (snap's + this commit's fresh
+                # assignments): a re-added column's fresh physical reads
+                # as NULL from old files instead of resurrecting the
+                # retired physical that shares its logical name
                 old = self._read_files(
                     spark, schema, touched_old, with_meta=True,
-                    with_tombstone=has_tomb,
+                    with_tombstone=has_tomb, colmap=colmap,
                 ).withColumn("_bucket", bucket_expr)
                 if has_tomb:
                     # live incoming rows vs stored tombstones: same LWW
@@ -3183,7 +3584,7 @@ class LakeTable:
                 to_write = combined
 
         new_files, rows_written, blooms = self._write_data(
-            to_write, version, schema, n_buckets
+            to_write, version, schema, n_buckets, colmap=colmap
         )
 
         # --- optimistic commit (Iceberg-style): publish against the
@@ -3264,6 +3665,16 @@ class LakeTable:
                         # committed version)
                         "added_files": new_files,
                         "stats": {"last_rows_written": rows_written},
+                        # colmap = snap's + this commit's fresh physical
+                        # assignments; sound under rebase because
+                        # _can_rebase requires base's colmap/retired to
+                        # equal snap's (any concurrent DDL → recompute)
+                        **({"colmap": colmap} if colmap else {}),
+                        **(
+                            {"retired_cols": list(base["retired_cols"])}
+                            if base and base.get("retired_cols")
+                            else {}
+                        ),
                     }
                 )
                 break

@@ -68,8 +68,11 @@ def reconcile(
     Returns (final_schema, new_columns): ``final_schema`` covers the union
     of live and inferred columns — live columns keep their type, inferred
     columns not yet live are appended (the ADD COLUMNS diff, XFORM:474-507).
-    Live columns absent from this batch stay in the schema (lake tables
-    never drop columns).
+    Live columns absent from this batch stay in the schema (ingest
+    never drops columns — only explicit DDL does, plans/lake.py
+    drop_column; an attribute arriving after its column was dropped or
+    renamed re-creates the logical name as a NEW column with a fresh
+    physical, by design).
     """
     if not existing:
         return dict(inferred), dict(inferred)

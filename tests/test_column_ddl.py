@@ -1,0 +1,342 @@
+"""Metadata-only RENAME / DROP COLUMN (plans/lake.py rename_column /
+drop_column) — the Delta column-mapping / Iceberg column-id analog.
+
+Data files store a column's PHYSICAL name, frozen at first write; the
+manifest's sparse ``colmap`` (logical → physical) plus ``retired_cols``
+(physicals of dropped columns) are the only things DDL edits. Reference
+parity note: the reference only ever ADDs columns (T-XFORM,
+PostgreSQLTransformer.java:474-507); this extends S5's DDL executor
+with the other two ALTERs at O(manifest) cost.
+
+Pinned here:
+- rename/drop are metadata-only: zero data dirs created, file map
+  byte-identical across the DDL commit;
+- reads of any version project through THAT version's colmap (time
+  travel to a pre-rename snapshot shows the old name);
+- writes after a rename land under the ORIGINAL physical name (checked
+  against the raw parquet footers), so one colmap serves all files;
+- a re-added logical name gets a FRESH physical — dropped data never
+  resurrects through un-rewritten files, through the CoW merge of old
+  buckets, or through compaction;
+- the change feed emits NOTHING for the DDL commit itself (Delta CDF
+  parity) and current logical names for ranges crossing it;
+- DML (update_where / delete_where, MoR + CoW), merge_into, compaction,
+  and restore all compose with an active colmap;
+- publish_branch refuses a DDL-diverged branch (fence), and allows it
+  again once both sides agree;
+- engine-addressed columns (keys, meta, stats/sort/bloom) and
+  CHECK-referenced columns are refused loudly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+
+SCHEMA = {
+    "entityid": "TEXT",
+    "observedat": "TIMESTAMPTZ",
+    "temp": "NUMERIC",
+    "city": "TEXT",
+}
+TS = "2024-07-01T00:00:00"
+
+
+def _batch(spark, rows, value_col="temp"):
+    data = [
+        (f"urn:x:{e}", float(v), c, TS, "r0", recv, seq)
+        for e, v, c, recv, seq in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        f"entityid string, {value_col} double, city string,"
+        " observedat string, _row_key string, _recv int, _seq string",
+    ).select(
+        "entityid", value_col, "city",
+        F.col("observedat").cast("timestamp").alias("observedat"),
+        "_row_key",
+        F.timestamp_millis(
+            F.lit(1700000000000) + F.col("_recv").cast("long")
+        ).alias("_recv_time"),
+        "_seq",
+    )
+
+
+def _setup(spark, tmp_path, name="t"):
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=2).table("ten", name)
+    t.upsert(
+        _batch(spark, [(0, 1.0, "nice", 0, "s0"), (1, 2.0, "paris", 0, "s1")]),
+        SCHEMA,
+        "e1",
+    )
+    return t
+
+
+RENAMED = {
+    "entityid": "TEXT",
+    "observedat": "TIMESTAMPTZ",
+    "temperature": "NUMERIC",
+    "city": "TEXT",
+}
+
+
+def _data_dirs(t):
+    d = os.path.join(t.path, "data")
+    return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+
+def _state(spark, t, col, **kw):
+    return sorted(
+        (r["entityid"], r[col], r["city"])
+        for r in t.read(spark, **kw).collect()
+    )
+
+
+def test_rename_is_metadata_only(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    v1 = t.versions()[-1]
+    dirs_before = _data_dirs(t)
+    out = t.rename_column("temp", "temperature")
+    assert out["mode"] == "rename_column"
+    assert _data_dirs(t) == dirs_before  # zero bytes written
+    assert t.latest_snapshot()["files"] == t.snapshot(v1)["files"]
+    got = _state(spark, t, "temperature")
+    assert got == [("urn:x:0", 1.0, "nice"), ("urn:x:1", 2.0, "paris")]
+    # time travel: the pre-rename snapshot keeps its own logical view
+    old = t.read(spark, version=v1)
+    assert "temp" in old.columns and "temperature" not in old.columns
+
+
+def test_writes_after_rename_use_frozen_physical(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    t.rename_column("temp", "temperature")
+    t.upsert(
+        _batch(spark, [(2, 3.0, "rome", 1, "s2")], value_col="temperature"),
+        RENAMED,
+        "e2",
+    )
+    # the new commit's parquet stores the PHYSICAL name 'temp'
+    added = t.latest_snapshot()["added_files"]
+    rel = next(iter(next(iter(added.values()))))
+    d = os.path.join(t.path, rel)
+    fn = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+    names = pq.ParquetFile(os.path.join(d, fn)).schema_arrow.names
+    assert "temp" in names and "temperature" not in names
+    got = _state(spark, t, "temperature")
+    assert got == [
+        ("urn:x:0", 1.0, "nice"),
+        ("urn:x:1", 2.0, "paris"),
+        ("urn:x:2", 3.0, "rome"),
+    ]
+
+
+def test_feed_across_rename(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    v1 = t.versions()[-1]
+    t.rename_column("temp", "temperature")
+    # the rename commit alone emits nothing (Delta CDF parity)
+    assert t.read_changes(spark, v1).count() == 0
+    t.upsert(
+        _batch(spark, [(2, 3.0, "rome", 1, "s2")], value_col="temperature"),
+        RENAMED,
+        "e2",
+    )
+    rows = t.read_changes(spark, v1).collect()
+    assert len(rows) == 1
+    assert rows[0]["entityid"] == "urn:x:2"
+    assert rows[0]["temperature"] == 3.0
+    assert rows[0]["_change_type"] == "insert"
+    # an UPDATE of pre-rename data surfaces under the new name with the
+    # old stored value as preimage
+    v2 = t.versions()[-1]
+    t.upsert(
+        _batch(spark, [(0, 9.0, "nice", 2, "s3")], value_col="temperature"),
+        RENAMED,
+        "e3",
+    )
+    ch = t.read_changes(spark, v2, include_preimage=True).collect()
+    by_type = {r["_change_type"]: r for r in ch}
+    assert by_type["update"]["temperature"] == 9.0
+    assert by_type["update_preimage"]["temperature"] == 1.0
+
+
+def test_drop_then_readd_never_resurrects(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    v1 = t.versions()[-1]
+    t.drop_column("city")
+    assert "city" not in t.read(spark).columns
+    # time travel still shows the dropped column
+    assert "city" in t.read(spark, version=v1).columns
+    # re-add the same logical name via ordinary schema evolution: the
+    # CoW upsert merges OLD bucket files — their retired 'city' bytes
+    # must read as NULL, not leak into the re-added column
+    t.upsert(
+        _batch(spark, [(0, 1.0, "NEW", 1, "s2")]),
+        SCHEMA,
+        "e2",
+    )
+    got = {r["entityid"]: r["city"] for r in t.read(spark).collect()}
+    assert got == {"urn:x:0": "NEW", "urn:x:1": None}
+    cm = t.latest_snapshot()["colmap"]
+    assert cm["city"] != "city"
+    assert "city" in t.latest_snapshot()["retired_cols"]
+    # compaction rewrites through the same colmap — still no resurrection
+    t.compact(spark, max_files_per_bucket=0)
+    got2 = {r["entityid"]: r["city"] for r in t.read(spark).collect()}
+    assert got2 == got
+
+
+def test_rename_back_compacts_colmap(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    t.rename_column("temp", "temperature")
+    assert t.latest_snapshot()["colmap"] == {"temperature": "temp"}
+    t.rename_column("temperature", "temp")
+    assert not t.latest_snapshot().get("colmap")
+    assert _state(spark, t, "temp") == [
+        ("urn:x:0", 1.0, "nice"),
+        ("urn:x:1", 2.0, "paris"),
+    ]
+
+
+def test_dml_and_merge_compose_with_colmap(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    t.rename_column("temp", "temperature")
+    # CoW UPDATE addressing the logical name
+    out = t.update_where(
+        spark, set={"temperature": "temperature + 10"},
+        predicate="entityid = 'urn:x:0'",
+    )
+    assert out["matched"] == 1
+    # MoR DELETE on the other key
+    out = t.delete_where(
+        spark, predicate="entityid = 'urn:x:1'", strategy="mor"
+    )
+    assert out["matched"] == 1
+    assert _state(spark, t, "temperature") == [("urn:x:0", 11.0, "nice")]
+    # MERGE INTO with an update condition on the renamed column
+    src = _batch(
+        spark, [(0, 100.0, "nice", 5, "s9")], value_col="temperature"
+    ).withColumn("_change_type", F.lit("update"))
+    out = t.merge_into(
+        spark, src.drop("_change_type"), RENAMED, "m1",
+        when_matched_update="all", when_not_matched_insert=True,
+    )
+    assert out["merge_actions"].get("update") == 1
+    assert _state(spark, t, "temperature") == [("urn:x:0", 100.0, "nice")]
+
+
+def test_where_read_and_mor_after_rename(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    t.rename_column("temp", "temperature")
+    t.upsert_mor(
+        _batch(spark, [(0, 7.0, "nice", 3, "s4")], value_col="temperature"),
+        RENAMED,
+        "e2",
+    )
+    # MoR read resolves LWW across files written before AND after the
+    # rename (both store physical 'temp')
+    got = _state(spark, t, "temperature")
+    assert got == [("urn:x:0", 7.0, "nice"), ("urn:x:1", 2.0, "paris")]
+    # residual range filter on the renamed logical name
+    hot = t.read(spark, where={"entityid": ("urn:x:0", "urn:x:0")})
+    assert [r["temperature"] for r in hot.collect()] == [7.0]
+
+
+def test_restore_across_ddl(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    v1 = t.versions()[-1]
+    t.rename_column("temp", "temperature")
+    t.drop_column("city")
+    t.restore(v1)
+    cols = t.read(spark).columns
+    assert "temp" in cols and "city" in cols and "temperature" not in cols
+    assert _state(spark, t, "temp") == [
+        ("urn:x:0", 1.0, "nice"),
+        ("urn:x:1", 2.0, "paris"),
+    ]
+    # retired physicals stay retired after the rollback (monotone union)
+    assert "city" in t.latest_snapshot()["retired_cols"]
+
+
+def test_branch_publish_fence_on_ddl(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    b = t.create_branch("dev")
+    b.rename_column("temp", "temperature")
+    b.upsert(
+        _batch(spark, [(2, 3.0, "rome", 1, "s2")], value_col="temperature"),
+        RENAMED,
+        "b1",
+    )
+    with pytest.raises(ValueError, match="diverged by column DDL"):
+        t.publish_branch(spark, "dev")
+    # same DDL on main closes the divergence; publish lands the delta
+    t.rename_column("temp", "temperature")
+    out = t.publish_branch(spark, "dev")
+    assert not out.get("noop")
+    got = _state(spark, t, "temperature")
+    assert ("urn:x:2", 3.0, "rome") in got
+
+
+def test_ddl_guards(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    with pytest.raises(ValueError, match="immutable"):
+        t.rename_column("entityid", "x")
+    with pytest.raises(ValueError, match="immutable"):
+        t.rename_column("temp", "observedat")
+    with pytest.raises(ValueError, match="engine-addressed"):
+        t.drop_column("observedat")
+    with pytest.raises(ValueError, match="unknown column"):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("temp", "city")
+    with pytest.raises(ValueError, match="reserved"):
+        t.rename_column("temp", "_sneaky")
+    t.add_check("cold", "temp > -100", action="warn")
+    with pytest.raises(ValueError, match="CHECK 'cold' references"):
+        t.drop_column("temp")
+    with pytest.raises(ValueError, match="CHECK 'cold' references"):
+        t.rename_column("temp", "temperature")
+    t.drop_check("cold")
+    t.rename_column("temp", "temperature")  # now allowed
+
+
+def test_bloom_column_is_protected(spark, tmp_path):
+    t = LakeCatalog(str(tmp_path / "wh2"), n_buckets=2).table("ten", "b")
+    t.bloom_cols = ("city",)
+    t.upsert(
+        _batch(spark, [(0, 1.0, "nice", 0, "s0")]), SCHEMA, "e1"
+    )
+    with pytest.raises(ValueError, match="immutable"):
+        t.rename_column("city", "town")
+    with pytest.raises(ValueError, match="engine-addressed"):
+        t.drop_column("city")
+
+
+def test_mirror_follows_renamed_feed(spark, tmp_path):
+    """TablePropagator keeps converging when the SAME rename is applied
+    to source and mirror (DDL does not auto-propagate — documented)."""
+    from nifi_ngsild_postgresql_spark.streaming.changefeed import (
+        TablePropagator,
+    )
+
+    t = _setup(spark, tmp_path)
+    cat = LakeCatalog(str(tmp_path / "wh"), n_buckets=2)
+    m = cat.table("ten", "mirror")
+    prop = TablePropagator(t, m, str(tmp_path / "ckpt"))
+    prop.run(spark)  # hydrate pre-rename
+    t.rename_column("temp", "temperature")
+    m.rename_column("temp", "temperature")
+    t.upsert(
+        _batch(spark, [(0, 9.0, "nice", 2, "s3")], value_col="temperature"),
+        RENAMED,
+        "e2",
+    )
+    prop.run(spark)
+    assert _state(spark, m, "temperature") == _state(
+        spark, t, "temperature"
+    )
