@@ -476,7 +476,10 @@ class LakeTable:
         column-id analog, see rename_column). Physical names are frozen
         at column creation, so one colmap is valid for files of EVERY
         snapshot — callers pass the colmap of the snapshot whose schema
-        they project to. Meta/tombstone columns are never mapped."""
+        they project to. A ``None`` physical projects the column as NULL
+        without touching the files (the change feed uses it when a
+        column id is not representable in the scanned files at the
+        projected type). Meta/tombstone columns are never mapped."""
         mapped = {
             c: p for c, p in (colmap or {}).items() if c in schema and p != c
         }
@@ -486,6 +489,7 @@ class LakeTable:
                 [
                     T.StructField(mapped.get(f.name, f.name), f.dataType, True)
                     for f in sp_schema.fields
+                    if mapped.get(f.name, f.name) is not None
                 ]
             )
         if with_tombstone:
@@ -499,7 +503,14 @@ class LakeTable:
             df = spark.read.schema(sp_schema).parquet(*abs_paths)
         if mapped:
             df = df.select(
-                *[F.col(mapped.get(c, c)).alias(c) for c in schema],
+                *[
+                    (
+                        F.lit(None).cast(SPARK_TYPE[schema[c]])
+                        if mapped.get(c, c) is None
+                        else F.col(mapped.get(c, c))
+                    ).alias(c)
+                    for c in schema
+                ],
                 *META_COLS,
                 *((TOMBSTONE_COL,) if with_tombstone else ()),
             )
@@ -528,6 +539,14 @@ class LakeTable:
                     continue
                 agg: dict[str, list] = {}
                 complete: set[str] = set(self.stats_cols)
+                # per-column NULL counts (needed by truncate_before: a
+                # dir may only be metadata-dropped when provably free of
+                # NULL rows, which SQL DELETE semantics keep). A column
+                # absent from a file counts every row as NULL (schema
+                # evolution); a row group not reporting null_count makes
+                # the column's count unknowable for this dir.
+                nulls: dict[str, int] = {c: 0 for c in self.stats_cols}
+                nulls_known: set[str] = set(self.stats_cols)
                 n_bytes = 0
                 n_rows = 0
                 for fn in sorted(os.listdir(d)):
@@ -539,13 +558,22 @@ class LakeTable:
                     for g in range(md.num_row_groups):
                         rg = md.row_group(g)
                         seen: set[str] = set()
+                        present: set[str] = set()
                         for ci in range(rg.num_columns):
                             col = rg.column(ci)
                             name = col.path_in_schema
                             if name not in self.stats_cols:
                                 continue
+                            present.add(name)
                             st = col.statistics
-                            if st is None or not st.has_min_max:
+                            if st is None:
+                                nulls_known.discard(name)
+                                continue
+                            if st.null_count is None:
+                                nulls_known.discard(name)
+                            else:
+                                nulls[name] += st.null_count
+                            if not st.has_min_max:
                                 continue
                             mn, mx = _canon_stat(st.min), _canon_stat(st.max)
                             if name in agg:
@@ -554,8 +582,13 @@ class LakeTable:
                             else:
                                 agg[name] = [mn, mx]
                             seen.add(name)
+                        for c in set(self.stats_cols) - present:
+                            nulls[c] += rg.num_rows
                         complete &= seen
                 stats = {c: agg[c] for c in sorted(complete & set(agg))}
+                known = sorted(nulls_known & set(self.stats_cols))
+                if known:
+                    stats["_nulls"] = {c: nulls[c] for c in known}
                 # dir byte size rides the stats entry ("_bytes" — never a
                 # column name: encoded identifiers can't start with '_'):
                 # the auto-rebucket trigger reads it from the manifest at
@@ -655,19 +688,55 @@ class LakeTable:
         return {rel: merged[rel] for rel in sorted(live & set(merged))}
 
     @staticmethod
-    def _ddl_meta(base: dict[str, Any] | None) -> dict[str, Any]:
-        """Column-mapping state a derived commit carries forward verbatim
-        (sparse: absent keys mean identity mapping / nothing retired).
+    def _ddl_diverged(a: dict[str, Any], b: dict[str, Any]) -> bool:
+        """Did the column-mapping DDL state change between two snapshots
+        (or a snapshot and a captured expectation)? The ONE comparison
+        the optimistic-commit rebase guard, the branch-publish fence and
+        apply_changes' DDL pin all share."""
+        return (a.get("colmap") or {}) != (b.get("colmap") or {}) or set(
+            a.get("retired_cols") or []
+        ) != set(b.get("retired_cols") or [])
+
+    def _ddl_meta(
+        self,
+        base: dict[str, Any] | None,
+        colmap: dict[str, str] | None = None,
+        retired: list[str] | set[str] | None = None,
+    ) -> dict[str, Any]:
+        """Column-mapping + engine-column state for a new commit (sparse:
+        absent keys mean identity mapping / nothing retired).
         ``colmap`` maps logical → frozen physical column names (renames);
         ``retired_cols`` lists physical names dropped columns once used —
         a re-added logical name must never reuse one, or un-rewritten
-        files would resurrect the dropped column's old data."""
+        files would resurrect the dropped column's old data. Both carry
+        forward from ``base`` unless overridden. ``engine_cols`` is the
+        MONOTONE union of every writer's engine-addressed columns
+        (stats/sort/bloom) ever recorded — persisted so a differently-
+        configured handle (e.g. the CLI, which doesn't know a
+        deployment's bloom_cols) still refuses DDL on them."""
+        cm = (
+            dict(colmap)
+            if colmap is not None
+            else (dict(base.get("colmap", {})) if base else {})
+        )
+        rt = set(
+            retired
+            if retired is not None
+            else ((base.get("retired_cols") or []) if base else [])
+        )
+        eng = set(base.get("engine_cols") or []) if base else set()
+        eng |= (
+            set(self.stats_cols)
+            | set(self.sort_within_buckets)
+            | set(self.bloom_cols)
+        )
         out: dict[str, Any] = {}
-        if base:
-            if base.get("colmap"):
-                out["colmap"] = dict(base["colmap"])
-            if base.get("retired_cols"):
-                out["retired_cols"] = list(base["retired_cols"])
+        if cm:
+            out["colmap"] = cm
+        if rt:
+            out["retired_cols"] = sorted(rt)
+        if eng:
+            out["engine_cols"] = sorted(eng)
         return out
 
     def _prune_files(
@@ -1140,6 +1209,34 @@ class LakeTable:
                 ]
         meta = tuple(META_COLS)
         to_colmap = self.snapshot(to_version).get("colmap", {})
+        # from-side effective colmap — per to-logical column c:
+        # - c existed in the FROM schema → use FROM's own mapping for c
+        #   (logical continuity). When the column id is unchanged this
+        #   equals the to-mapping; when the id CHANGED under the same
+        #   logical name (drop + re-add, or a restore regressing the
+        #   colmap past a re-add), it reads the values the from-version's
+        #   readers — and therefore every feed-following mirror —
+        #   actually held, so retractions/preimages carry the TRUE old
+        #   values instead of misreading a different column id's bytes;
+        # - c is new to the TO schema → use TO's mapping (a rename's
+        #   physical reads the old data → rename stays feed-silent; a
+        #   genuine add's physical is absent from old files → NULL).
+        if from_version > 0:
+            fsnap = self.snapshot(from_version)
+            fschema, fcm = fsnap["schema"], fsnap.get("colmap", {})
+            from_colmap = {
+                # a type-changing re-add (drop NUMERIC c, re-add TEXT c)
+                # can't read the old physical at the new type — project
+                # NULL rather than fail the scan (physical=None)
+                c: (
+                    (fcm.get(c, c) if fschema[c] == schema[c] else None)
+                    if c in fschema
+                    else to_colmap.get(c, c)
+                )
+                for c in schema
+            }
+        else:
+            from_colmap = to_colmap
         a = with_row_sha(
             self._state(spark, to_version, schema, buckets=buckets,
                         colmap=to_colmap),
@@ -1147,7 +1244,7 @@ class LakeTable:
         ).alias("a")
         b = with_row_sha(
             self._state(spark, from_version, schema, buckets=buckets,
-                        colmap=to_colmap),
+                        colmap=from_colmap),
             exclude=meta,
         ).alias("b")
         asha, bsha = F.col("a._row_sha256"), F.col("b._row_sha256")
@@ -1299,6 +1396,16 @@ class LakeTable:
 
         from pyspark.sql import Observation
 
+        # annotated int64 timestamps, never INT96: parquet writes INT96
+        # without comparable column statistics, which would blind every
+        # stats consumer (manifest min/max skipping, truncate_before's
+        # metadata drops, auto-rebucket sizing) on any session that
+        # didn't come through session.get_spark. Runtime-settable, so
+        # the engine enforces it at its own write boundary.
+        spark = df.sparkSession
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         commit_rel = f"data/c{version:08d}_{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.path, commit_rel)
         obs = Observation()
@@ -1473,7 +1580,11 @@ class LakeTable:
         return self._apply(df, schema, epoch_id, mode="upsert_mor")
 
     def apply_changes(
-        self, changes: DataFrame, schema: dict[str, str], epoch_id: str
+        self,
+        changes: DataFrame,
+        schema: dict[str, str],
+        epoch_id: str,
+        require_ddl_state: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         """Apply a change-feed batch to THIS table — the Delta Live
         Tables ``APPLY CHANGES INTO`` analog, closing the CDC loop
@@ -1496,7 +1607,14 @@ class LakeTable:
 
         Exactly-once per (table, epoch_id) like every other write; use
         the upstream ``(table, from_version, to_version)`` as the epoch
-        id to make each polled range idempotent."""
+        id to make each polled range idempotent.
+
+        ``require_ddl_state`` pins the commit to a captured snapshot's
+        column-mapping state: if a rename/drop lands on this table
+        between the caller's validation and the commit (including via a
+        conflict recompute), the apply aborts with CommitConflictError
+        instead of silently re-adding renamed-away columns through the
+        schema union — publish_branch's fence rides this."""
         for c in ("_change_type", *META_COLS):
             if c not in changes.columns:
                 raise ValueError(
@@ -1546,7 +1664,10 @@ class LakeTable:
         else:
             combined = post
         try:
-            return self._apply(combined, schema, epoch_id, mode="apply_changes")
+            return self._apply(
+                combined, schema, epoch_id, mode="apply_changes",
+                require_ddl_state=require_ddl_state,
+            )
         finally:
             changes.unpersist()
 
@@ -2313,6 +2434,184 @@ class LakeTable:
             "version": version,
         }
 
+    # --- retention: metadata-only time truncation --------------------------
+
+    def truncate_before(
+        self,
+        spark: SparkSession,
+        cutoff,
+        column: str = "observedat",
+        _attempt: int = 0,
+    ) -> dict[str, Any]:
+        """Retention sweep — delete every row with ``column`` strictly
+        below ``cutoff`` at the cost of the PARTITION-DROP analog, not a
+        table rewrite: commit dirs whose manifest stats PROVE max(col) <
+        cutoff (and zero NULLs — SQL DELETE keeps NULL rows) are dropped
+        from the manifest with zero I/O; only dirs STRADDLING the cutoff
+        (or lacking stats/null counts) are rewritten, with the exact
+        filter. With time-sorted ingest, old epochs' dirs sit entirely
+        below the cutoff, so steady-state retention on a 100 TB table is
+        ~O(manifest) plus one boundary-dir rewrite — vs delete_where's
+        rewrite of every bucket the range intersects.
+
+        Only ``observedat`` is legal: it's key-derived (``_row_key``
+        encodes it at flatten time), so every LWW duplicate and every
+        tombstone of a row agrees on it — per-DIR filtering can never
+        split a key's duplicate chain, making the sweep exact on
+        merge-on-read state without resolving it (duplicate structure
+        and surviving tombstones pass through verbatim). The change feed
+        reports the sweep as exact ``delete`` rows via the state-diff
+        path (Iceberg ``expire``-style drops are CDF-silent there;
+        ours is a logical DELETE and must not be).
+
+        Dropped dirs stay referenced by OLDER manifests, so time travel
+        to pre-sweep versions keeps working until expire_snapshots ages
+        them out — the usual lifecycle, nothing special."""
+        import datetime
+
+        if column != "observedat":
+            raise ValueError(
+                "truncate_before supports the key-derived time column "
+                f"'observedat' only, got {column!r} (any other column "
+                "can disagree across a key's LWW duplicates — use "
+                "delete_where)"
+            )
+        if isinstance(cutoff, str):
+            cutoff = datetime.datetime.fromisoformat(
+                cutoff.replace("Z", "+00:00")
+            )
+        if not isinstance(cutoff, datetime.datetime):
+            raise ValueError(f"cutoff must be a datetime/ISO string, got {cutoff!r}")
+        canon_cut = _canon_stat(cutoff)
+        snap = self.latest_snapshot()
+        if snap is None:
+            return {"dropped_dirs": 0, "rewritten_dirs": 0}
+        if column not in snap["schema"]:
+            raise ValueError(f"unknown column {column!r}")
+        stats = snap.get("file_stats", {})
+        dropped: set[str] = set()
+        straddle: set[str] = set()
+        for paths in snap["files"].values():
+            for rel in paths:
+                s = stats.get(rel, {})
+                rng = s.get(column)
+                if rng is None:
+                    straddle.add(rel)  # no stats — rewrite, stay exact
+                    continue
+                mn, mx = rng
+                nulls = s.get("_nulls", {}).get(column)
+                if mx < canon_cut and nulls == 0:
+                    dropped.add(rel)  # provably all-below, NULL-free
+                elif mn >= canon_cut:
+                    # provably nothing below the cutoff; NULL rows are
+                    # kept by DELETE semantics, so unknown null counts
+                    # never force a rewrite of an otherwise-clean dir
+                    continue
+                else:
+                    straddle.add(rel)
+        if not dropped and not straddle:
+            return {"dropped_dirs": 0, "rewritten_dirs": 0, "noop": True}
+        version = snap["version"] + 1
+        n_buckets = snap["n_buckets"]
+        new_files: dict[str, list[str]] = {}
+        rows_written = 0
+        blooms: dict[str, dict[str, str]] = {}
+        if straddle:
+            has_tomb = bool(snap.get("has_tombstones"))
+            df = self._read_files(
+                spark, snap["schema"], sorted(straddle), with_meta=True,
+                with_tombstone=has_tomb, colmap=snap.get("colmap"),
+            )
+            typ = SPARK_TYPE[snap["schema"][column]]
+            keep = F.coalesce(
+                F.col(column) >= F.lit(cutoff).cast(typ), F.lit(True)
+            )
+            out = df.filter(keep).withColumn(
+                "_bucket",
+                F.pmod(F.xxhash64(F.col("entityid")), F.lit(n_buckets)),
+            )
+            new_files, rows_written, blooms = self._write_data(
+                out, version, snap["schema"], n_buckets,
+                colmap=snap.get("colmap"),
+            )
+            if rows_written == 0:
+                self._drop_staged(new_files)
+                new_files, blooms = {}, {}
+        gone = dropped | straddle
+        files: dict[str, list[str]] = {}
+        for b, paths in snap["files"].items():
+            kept = [p for p in paths if p not in gone]
+            kept += new_files.get(b, [])
+            if kept:
+                files[b] = kept
+        for b, paths in new_files.items():
+            files.setdefault(b, paths)
+        file_stats = self._carry_stats(snap, files, new_files)
+        self._attach_blooms(file_stats, blooms)
+        # exact physical-row accounting from footer counts (dropped dirs
+        # never opened); None when a pre-round-4 manifest lacks _rows
+        known = all(
+            "_rows" in stats.get(rel, {}) for rel in gone
+        )
+        rows_deleted = (
+            sum(stats[rel]["_rows"] for rel in gone) - rows_written
+            if known
+            else None
+        )
+        try:
+            self._commit(
+                {
+                    "version": version,
+                    "n_buckets": n_buckets,
+                    "schema": snap["schema"],
+                    "files": files,
+                    "epochs": dict(snap["epochs"]),
+                    "epoch_horizon": snap.get("epoch_horizon", 0),
+                    "n_epochs_total": snap.get(
+                        "n_epochs_total", len(snap["epochs"])
+                    ),
+                    # content-faithful filter: duplicate structure and
+                    # surviving tombstones pass through, flags unchanged
+                    "merge_on_read": bool(snap.get("merge_on_read")),
+                    "has_tombstones": bool(snap.get("has_tombstones")),
+                    "append_visible": bool(snap.get("append_visible")),
+                    "mode": "truncate",
+                    "file_stats": file_stats,
+                    "added_files": new_files,
+                    "stats": {
+                        "cutoff": canon_cut,
+                        "dropped_dirs": len(dropped),
+                        "rewritten_dirs": len(straddle),
+                        **(
+                            {"rows_deleted": rows_deleted}
+                            if rows_deleted is not None
+                            else {}
+                        ),
+                    },
+                    **self._ddl_meta(snap),
+                }
+            )
+        except FileExistsError:
+            # stats-based decisions are stale against the winner — drop
+            # the staged rewrite and re-plan, bounded like every write
+            self._drop_staged(new_files)
+            if _attempt >= COMMIT_MAX_RETRIES:
+                raise CommitConflictError(
+                    f"truncate_before on {self.tenant}.{self.name} lost "
+                    f"the commit race {COMMIT_MAX_RETRIES + 1} times"
+                )
+            return self.truncate_before(
+                spark, cutoff, column=column, _attempt=_attempt + 1
+            )
+        out_stats = {
+            "dropped_dirs": len(dropped),
+            "rewritten_dirs": len(straddle),
+            "version": version,
+        }
+        if rows_deleted is not None:
+            out_stats["rows_deleted"] = rows_deleted
+        return out_stats
+
     # --- named snapshot refs (Iceberg tags) -------------------------------
 
     def _tags_path(self) -> str:
@@ -2688,14 +2987,13 @@ class LakeTable:
         # longer mean the same columns on both sides; apply_changes'
         # schema union would resurrect renamed-away names with stale
         # values). Refuse loudly — run the same DDL on the other side
-        # (or re-fork) first. Column ADDs remain freely mergeable.
+        # (or re-fork) first. Column ADDs remain freely mergeable. The
+        # captured main state is also PINNED through the apply
+        # (require_ddl_state), so a rename landing on main between this
+        # check and the commit aborts instead of bypassing the fence.
         main_snap = self.latest_snapshot() or {}
         head_snap = b.latest_snapshot() or {}
-        if (main_snap.get("colmap") or {}) != (
-            head_snap.get("colmap") or {}
-        ) or set(main_snap.get("retired_cols") or []) != set(
-            head_snap.get("retired_cols") or []
-        ):
+        if self._ddl_diverged(main_snap, head_snap):
             raise ValueError(
                 f"{self.tenant}.{self.name}: branch {name!r} and main "
                 "diverged by column DDL (rename/drop) since the fork — "
@@ -2716,7 +3014,9 @@ class LakeTable:
             f"branch-{name}-{inc}-v{head}" if inc is not None
             else f"branch-{name}-v{head}"
         )
-        out = self.apply_changes(changes, schema, epoch_id=epoch)
+        out = self.apply_changes(
+            changes, schema, epoch_id=epoch, require_ddl_state=main_snap
+        )
         return {**out, "branch_head": head, "fork_version": fork}
 
     def branch_or_create(self, name: str) -> "LakeTable":
@@ -2809,21 +3109,11 @@ class LakeTable:
                             # union — names used in the rolled-back era
                             # must never be handed out again (a later
                             # restore could re-reference those files)
-                            **(
-                                {"colmap": dict(tgt["colmap"])}
-                                if tgt.get("colmap")
-                                else {}
-                            ),
-                            **(
-                                {
-                                    "retired_cols": sorted(
-                                        set(snap.get("retired_cols", []))
-                                        | set(tgt.get("retired_cols", []))
-                                    )
-                                }
-                                if snap.get("retired_cols")
-                                or tgt.get("retired_cols")
-                                else {}
+                            **self._ddl_meta(
+                                snap,
+                                colmap=tgt.get("colmap", {}),
+                                retired=set(snap.get("retired_cols") or [])
+                                | set(tgt.get("retired_cols") or []),
                             ),
                         }
                     )
@@ -2865,7 +3155,12 @@ class LakeTable:
         """Columns the engine's own machinery addresses by name — key
         derivation, write-time sort, footer stats, bloom indexes, meta.
         Keeping them identity-mapped keeps every internal fast path on
-        stable names; renaming them is refused, not remapped."""
+        stable names; renaming them is refused, not remapped. Includes
+        the manifest's persisted ``engine_cols`` (the monotone union of
+        every writer's configured sets), so a differently-configured
+        handle — the CLI ddl command, which doesn't know a deployment's
+        bloom_cols — cannot silently de-index a column."""
+        snap = self.latest_snapshot() or {}
         return (
             {"entityid"}
             | set(META_COLS)
@@ -2873,6 +3168,7 @@ class LakeTable:
             | set(self.stats_cols)
             | set(self.sort_within_buckets)
             | set(self.bloom_cols)
+            | set(snap.get("engine_cols") or [])
         )
 
     def _ddl_check_refs(self, column: str) -> None:
@@ -2956,8 +3252,7 @@ class LakeTable:
                         "file_stats": snap.get("file_stats", {}),
                         "added_files": {},
                         "stats": stats,
-                        **({"colmap": colmap} if colmap else {}),
-                        **({"retired_cols": sorted(retired)} if retired else {}),
+                        **self._ddl_meta(snap, colmap=colmap, retired=retired),
                     }
                 )
             except FileExistsError:
@@ -2992,13 +3287,19 @@ class LakeTable:
         suit curated/derived tables whose writers use the new name."""
         from ..functions.names import MAX_NAME_LEN
 
-        if not new or len(new) > MAX_NAME_LEN:
+        # same character family encode_pg produces for every
+        # ingest-derived column ([a-z0-9_], non-underscore start): a dot
+        # or backtick would break F.col resolution on every later write,
+        # an upper-case variant would collide under Spark's default
+        # case-insensitive resolver
+        if (
+            not new
+            or len(new) > MAX_NAME_LEN
+            or not re.fullmatch(r"[a-z0-9][a-z0-9_]*", new)
+        ):
             raise ValueError(
-                f"bad column name {new!r} (1..{MAX_NAME_LEN} chars)"
-            )
-        if new.startswith("_"):
-            raise ValueError(
-                f"column names starting with '_' are reserved, got {new!r}"
+                f"bad column name {new!r} (want [a-z0-9][a-z0-9_]*, "
+                f"max {MAX_NAME_LEN} chars; '_' prefix is reserved)"
             )
         protected = self._ddl_protected()
         if old in protected or new in protected:
@@ -3012,7 +3313,9 @@ class LakeTable:
             schema = snap["schema"]
             if old not in schema:
                 raise ValueError(f"unknown column {old!r}")
-            if new in schema:
+            # case-insensitive: Spark's default resolver would make a
+            # case-variant pair ambiguous on every later reference
+            if any(c.lower() == new for c in schema if c != old):
                 raise ValueError(f"column {new!r} already exists")
             colmap = dict(snap.get("colmap", {}))
             colmap[new] = colmap.pop(old, old)
@@ -3432,13 +3735,7 @@ class LakeTable:
         # retired set changed, or a column we staged data for vanished)
         # invalidates both our written physical names and our fresh-name
         # freshness decisions — full recompute, never a rebase
-        if (latest.get("colmap") or {}) != (
-            (snap.get("colmap") if snap else None) or {}
-        ):
-            return False
-        if set(latest.get("retired_cols") or []) != set(
-            (snap.get("retired_cols") if snap else None) or []
-        ):
+        if self._ddl_diverged(latest, snap or {}):
             return False
         if any(c not in latest["schema"] for c in schema):
             return False
@@ -3474,10 +3771,24 @@ class LakeTable:
         _attempt: int = 0,
         _rebases: int = 0,
         _recomputes: int = 0,
+        require_ddl_state: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         snap = self.latest_snapshot()
         if snap and epoch_id in snap["epochs"]:
             return {"skipped_epoch": True}
+        # DDL pin (apply_changes docstring): the caller validated against
+        # a captured column-mapping state — if DDL landed since, the
+        # batch's logical names may no longer mean the same columns.
+        # Re-checked on every recompute re-entry, and rebases can't skip
+        # it (_can_rebase refuses any colmap/retired change), so the
+        # check-to-commit window is fully closed.
+        if require_ddl_state is not None and self._ddl_diverged(
+            snap or {}, require_ddl_state
+        ):
+            raise CommitConflictError(
+                f"{self.tenant}.{self.name}: column DDL landed during the "
+                f"publish of epoch {epoch_id} — re-validate and re-run"
+            )
         version = (snap["version"] + 1) if snap else 1
         n_buckets = snap["n_buckets"] if snap else self.default_n_buckets
         old_files: dict[str, list[str]] = dict(snap["files"]) if snap else {}
@@ -3669,12 +3980,7 @@ class LakeTable:
                         # assignments; sound under rebase because
                         # _can_rebase requires base's colmap/retired to
                         # equal snap's (any concurrent DDL → recompute)
-                        **({"colmap": colmap} if colmap else {}),
-                        **(
-                            {"retired_cols": list(base["retired_cols"])}
-                            if base and base.get("retired_cols")
-                            else {}
-                        ),
+                        **self._ddl_meta(base, colmap=colmap),
                     }
                 )
                 break
@@ -3704,6 +4010,7 @@ class LakeTable:
                     _attempt=_attempt,
                     _rebases=_rebases,
                     _recomputes=_recomputes + 1,
+                    require_ddl_state=require_ddl_state,
                 )
         stats = {
             "rows_written": rows_written,

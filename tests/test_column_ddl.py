@@ -340,3 +340,146 @@ def test_mirror_follows_renamed_feed(spark, tmp_path):
     assert _state(spark, m, "temperature") == _state(
         spark, t, "temperature"
     )
+
+
+# --- review-fix regressions (round-5 code review of the DDL batch) -----
+
+
+def test_feed_preimages_across_drop_readd(spark, tmp_path):
+    """A feed range crossing drop + re-add of the SAME logical name must
+    carry the TRUE old values (what from-version readers — and so every
+    mirror — held), not the new column id's bytes misread from old
+    files: the from-state projects through the FROM version's own
+    mapping for logically-shared columns."""
+    t = _setup(spark, tmp_path)
+    v1 = t.versions()[-1]
+    t.drop_column("temp")
+    t.upsert(_batch(spark, [(0, 9.0, "nice", 5, "s9")]), SCHEMA, "e2")
+    ch = t.read_changes(spark, v1, include_preimage=True).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    pre = {r["entityid"]: r["temp"] for r in by_type["update_preimage"]}
+    post = {r["entityid"]: r["temp"] for r in by_type["update"]}
+    # urn:x:0's preimage is its ORIGINAL temp (old column id's value as
+    # v1 readers saw it), postimage the re-added column's value
+    assert pre["urn:x:0"] == 1.0
+    assert post["urn:x:0"] == 9.0
+    # urn:x:1 changed too (its temp went 2.0 -> NULL when the column id
+    # changed): preimage 2.0, postimage NULL
+    assert pre["urn:x:1"] == 2.0
+    assert post["urn:x:1"] is None
+
+
+def test_feed_across_restore_regressing_colmap(spark, tmp_path):
+    """Restore regresses the colmap to the target's; a feed range from a
+    post-re-add version to the restore must RETRACT the re-added values
+    (true preimages), not silently compare the wrong column id."""
+    t = _setup(spark, tmp_path)
+    v1 = t.versions()[-1]
+    t.drop_column("temp")
+    t.upsert(_batch(spark, [(0, 9.0, "nice", 5, "s9")]), SCHEMA, "e2")
+    v3 = t.versions()[-1]
+    t.restore(v1)
+    ch = t.read_changes(spark, v3, include_preimage=True).collect()
+    pre = {
+        r["entityid"]: r["temp"]
+        for r in ch
+        if r["_change_type"] == "update_preimage"
+    }
+    post = {
+        r["entityid"]: r["temp"] for r in ch if r["_change_type"] == "update"
+    }
+    assert pre["urn:x:0"] == 9.0  # the value mirrors held
+    assert post["urn:x:0"] == 1.0  # back to the v1 state
+    # a mirror following the feed converges to the restored state
+    from nifi_ngsild_postgresql_spark.streaming.changefeed import (
+        TablePropagator,
+    )
+
+    cat = LakeCatalog(str(tmp_path / "wh"), n_buckets=2)
+    m = cat.table("ten", "m2")
+    prop = TablePropagator(t, m, str(tmp_path / "ck2"))
+    prop.run(spark)
+    assert _state(spark, m, "temp") == _state(spark, t, "temp")
+
+
+def test_feed_type_changing_readd_projects_null(spark, tmp_path):
+    """drop NUMERIC c + re-add TEXT c: the from-state can't read the old
+    physical at the new type — it projects NULL (preimage NULL) instead
+    of failing the parquet scan."""
+    t = _setup(spark, tmp_path)
+    v1 = t.versions()[-1]
+    t.drop_column("temp")
+    text_schema = dict(SCHEMA, temp="TEXT")
+    df = _batch(spark, [(0, 9.0, "nice", 5, "s9")]).withColumn(
+        "temp", F.lit("hot")
+    )
+    t.upsert(df, text_schema, "e2")
+    ch = t.read_changes(spark, v1, include_preimage=True).collect()
+    pre = {
+        r["entityid"]: r["temp"]
+        for r in ch
+        if r["_change_type"] == "update_preimage"
+    }
+    assert pre["urn:x:0"] is None  # unrepresentable at the new type
+    post = {
+        r["entityid"]: r["temp"] for r in ch if r["_change_type"] == "update"
+    }
+    assert post["urn:x:0"] == "hot"
+
+
+def test_rename_rejects_unsafe_names(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    for bad in ("temp.c", "temp`c", "CITY", "Temp", "", "_x", "a b"):
+        with pytest.raises(ValueError):
+            t.rename_column("temp", bad)
+    # case-variant of an existing column is a collision even when the
+    # exact string differs only by case upstream
+    t2 = LakeCatalog(str(tmp_path / "whc"), n_buckets=2).table("ten", "c")
+    t2.upsert(
+        _batch(spark, [(0, 1.0, "nice", 0, "s0")]),
+        dict(SCHEMA, CITY2="TEXT"),
+        "e1",
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        t2.rename_column("temp", "city2")
+
+
+def test_persisted_engine_cols_protect_across_handles(spark, tmp_path):
+    """A default-configured handle (the CLI) must refuse DDL on a column
+    another deployment's catalog uses for blooms: the engine columns are
+    persisted in the manifest, not just the constructor."""
+    cat = LakeCatalog(str(tmp_path / "whb"), n_buckets=2)
+    t = cat.table("ten", "b")
+    t.bloom_cols = ("city",)
+    t.upsert(_batch(spark, [(0, 1.0, "nice", 0, "s0")]), SCHEMA, "e1")
+    assert "city" in (t.latest_snapshot().get("engine_cols") or [])
+    plain = LakeCatalog(str(tmp_path / "whb"), n_buckets=2).table("ten", "b")
+    assert plain.bloom_cols == ()  # the CLI's view
+    with pytest.raises(ValueError, match="immutable"):
+        plain.rename_column("city", "town")
+    with pytest.raises(ValueError, match="engine-addressed"):
+        plain.drop_column("city")
+
+
+def test_apply_changes_ddl_pin_closes_fence_window(spark, tmp_path):
+    """publish_branch validates DDL parity, then applies — a rename
+    landing in between must abort the apply (require_ddl_state), not
+    resurrect the renamed-away column through the schema union."""
+    from nifi_ngsild_postgresql_spark.plans.lake import CommitConflictError
+
+    t = _setup(spark, tmp_path)
+    captured = t.latest_snapshot()  # the fence's validation snapshot
+    changes = (
+        _batch(spark, [(7, 7.0, "oslo", 9, "s7")])
+        .withColumn("_change_type", F.lit("insert"))
+    )
+    t.rename_column("temp", "temperature")  # DDL lands "during" publish
+    with pytest.raises(CommitConflictError, match="DDL landed"):
+        t.apply_changes(changes, SCHEMA, "pinned-1",
+                        require_ddl_state=captured)
+    # without the pin the apply still works (ordinary consumers)
+    t.rename_column("temperature", "temp")
+    out = t.apply_changes(changes, SCHEMA, "pinned-2")
+    assert out.get("rows_written") == 1

@@ -56,9 +56,13 @@ def test_manifest_carries_footer_stats(spark, tmp_path):
     all_dirs = {p for paths in snap["files"].values() for p in paths}
     assert set(stats) == all_dirs  # every live dir has stats
     for s in stats.values():
-        # round 3: dir byte size rides the stats entry (auto-rebucket)
-        assert set(s) == {"entityid", "observedat", "_bytes", "_rows"}
+        # round 3: dir byte size rides the stats entry (auto-rebucket);
+        # round 5: per-column null counts (truncate_before's proof that
+        # a metadata-dropped dir holds no NULL rows SQL DELETE would keep)
+        assert set(s) == {"entityid", "observedat", "_bytes", "_rows",
+                          "_nulls"}
         assert s["_bytes"] > 0 and s["_rows"] > 0
+        assert s["_nulls"] == {"entityid": 0, "observedat": 0}
         mn, mx = s["observedat"]
         assert mn <= mx and mn.startswith("2024-")
 

@@ -1,0 +1,247 @@
+"""Retention sweep (plans/lake.py truncate_before) — the partition-drop
+analog for a bucket-clustered table: delete every row with observedat
+strictly below a cutoff by DROPPING provably-expired commit dirs from
+the manifest (zero I/O; manifest `_nulls` counts prove a dropped dir is
+NULL-free, since SQL DELETE keeps NULL rows) and REWRITING only the
+dirs that straddle the cutoff.
+
+Pinned here:
+- fully-expired dirs leave the manifest with zero new data dirs (the
+  metadata-only fast path) and a file-spy proves the dropped dirs are
+  never opened;
+- straddling dirs are rewritten with the exact filter: result equals
+  delete_where's row-exact CoW sweep, boundary rows (== cutoff) and
+  NULL-observedat rows survive;
+- MoR duplicate structure and tombstones pass through the sweep
+  verbatim (content-faithful filter, flags preserved);
+- the change feed reports the sweep as exact `delete` rows and a mirror
+  following the feed converges;
+- time travel to pre-sweep versions still reads the dropped dirs until
+  GC; expire_snapshots reclaims them after the window;
+- composes with column mapping (sweep after a rename);
+- a second sweep at the same cutoff is a no-op.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+
+SCHEMA = {"entityid": "TEXT", "level": "NUMERIC", "observedat": "TIMESTAMPTZ"}
+
+
+def _batch(spark, rows):
+    """rows: (entity, level, iso_ts_or_None, recv, seq)"""
+    data = [
+        (f"urn:x:{e}", float(v), ts, f"urn:x:{e}|{ts}", recv, seq)
+        for e, v, ts, recv, seq in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "entityid string, level double, observedat string,"
+        " _row_key string, _recv int, _seq string",
+    ).select(
+        "entityid", "level",
+        F.col("observedat").cast("timestamp").alias("observedat"),
+        "_row_key",
+        F.timestamp_millis(
+            F.lit(1700000000000) + F.col("_recv").cast("long")
+        ).alias("_recv_time"),
+        "_seq",
+    )
+
+
+JAN, FEB, MAR = (
+    "2024-01-15T00:00:00", "2024-02-15T00:00:00", "2024-03-15T00:00:00"
+)
+CUT = "2024-02-01T00:00:00"
+
+
+def _setup(spark, tmp_path, name="t", mode="append"):
+    """Three epochs with disjoint months (no auto-compact so each stays
+    its own commit dir): Jan / Feb / Mar."""
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=2).table("ten", name)
+    t.auto_compact_files = None
+    w = t.append if mode == "append" else t.upsert
+    w(_batch(spark, [(0, 1.0, JAN, 0, "s0"), (1, 2.0, JAN, 0, "s1")]),
+      SCHEMA, "e-jan")
+    w(_batch(spark, [(2, 3.0, FEB, 1, "s2"), (3, 4.0, FEB, 1, "s3")]),
+      SCHEMA, "e-feb")
+    w(_batch(spark, [(4, 5.0, MAR, 2, "s4"), (5, 6.0, MAR, 2, "s5")]),
+      SCHEMA, "e-mar")
+    return t
+
+
+def _data_dirs(t):
+    d = os.path.join(t.path, "data")
+    return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+
+def _ids(spark, t, **kw):
+    return sorted(r["entityid"] for r in t.read(spark, **kw).collect())
+
+
+def test_expired_dirs_drop_metadata_only(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    pre_version = t.versions()[-1]
+    dirs_before = _data_dirs(t)
+    out = t.truncate_before(spark, CUT)
+    # the Jan epoch's dirs are provably expired: dropped with ZERO new
+    # data dirs written
+    assert out["rewritten_dirs"] == 0
+    assert out["dropped_dirs"] > 0
+    assert out["rows_deleted"] == 2
+    assert _data_dirs(t) == dirs_before
+    assert _ids(spark, t) == [f"urn:x:{i}" for i in (2, 3, 4, 5)]
+    # time travel to the pre-sweep snapshot still reads everything
+    assert len(_ids(spark, t, version=pre_version)) == 6
+    # idempotent: same cutoff again is a no-op
+    again = t.truncate_before(spark, CUT)
+    assert again.get("noop")
+
+
+def test_dropped_dirs_never_opened(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    opened: list[str] = []
+    orig = type(t)._read_files
+
+    def spy(self, sp, schema, rel_paths, *a, **kw):
+        opened.extend(rel_paths)
+        return orig(self, sp, schema, rel_paths, *a, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(type(t), "_read_files", spy):
+        t.truncate_before(spark, CUT)
+    assert opened == []  # pure metadata sweep: no scan at all
+
+
+def test_straddling_dir_rewritten_exactly(spark, tmp_path):
+    """One commit dir spans the cutoff: only it is rewritten; boundary
+    (== cutoff) and NULL-observedat rows survive, matching delete_where
+    semantics row for row."""
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=2).table("ten", "s")
+    t.auto_compact_files = None
+    t.append(
+        _batch(spark, [
+            (0, 1.0, JAN, 0, "s0"),
+            (1, 2.0, CUT, 0, "s1"),      # exactly at the cutoff: kept
+            (2, 3.0, MAR, 0, "s2"),
+            (3, 4.0, None, 0, "s3"),     # NULL observedat: kept (SQL)
+        ]),
+        SCHEMA, "e0",
+    )
+    out = t.truncate_before(spark, CUT)
+    assert out["dropped_dirs"] == 0
+    assert out["rewritten_dirs"] > 0
+    assert out["rows_deleted"] == 1
+    assert _ids(spark, t) == ["urn:x:1", "urn:x:2", "urn:x:3"]
+
+
+def test_matches_delete_where_on_mor_state(spark, tmp_path):
+    """On merge-on-read state with duplicates and a tombstone, the sweep
+    exposes exactly the state delete_where(cow) produces — duplicate
+    structure passes through, surviving tombstones keep working."""
+    import json
+
+    def build(name):
+        t = LakeCatalog(str(tmp_path / "wh"), n_buckets=2).table("ten", name)
+        t.auto_compact_files = None
+        t.upsert_mor(
+            _batch(spark, [(0, 1.0, JAN, 0, "s0"), (1, 2.0, MAR, 0, "s1")]),
+            SCHEMA, "e0",
+        )
+        # duplicate versions of both keys, later order
+        t.upsert_mor(
+            _batch(spark, [(0, 9.0, JAN, 1, "s6"), (1, 8.0, MAR, 1, "s7")]),
+            SCHEMA, "e1",
+        )
+        # tombstone a third key that stays above the cutoff
+        t.upsert_mor(
+            _batch(spark, [(2, 7.0, FEB, 2, "s8")]), SCHEMA, "e2"
+        )
+        t.delete_where(spark, predicate="entityid = 'urn:x:2'",
+                       strategy="mor")
+        return t
+
+    a, b = build("a"), build("b")
+    a.truncate_before(spark, CUT)
+    b.delete_where(spark, where={"observedat": (None, CUT)},
+                   predicate=f"observedat < timestamp'{CUT.replace('T',' ')}'")
+    # NOTE: delete_where's where-bound is inclusive, so drive b by the
+    # exact strict predicate only
+    rows_a = sorted(
+        (r["entityid"], r["level"])
+        for r in a.read(spark).collect()
+    )
+    assert rows_a == [("urn:x:1", 8.0)]
+    rows_b = sorted(
+        (r["entityid"], r["level"]) for r in b.read(spark).collect()
+    )
+    assert rows_a == rows_b
+    # MoR flags survived the sweep (content-faithful pass-through)
+    assert a.latest_snapshot()["merge_on_read"]
+    assert json.dumps(a.latest_snapshot()["stats"])  # serializable
+
+
+def test_feed_reports_sweep_as_deletes_and_mirror_converges(spark, tmp_path):
+    from nifi_ngsild_postgresql_spark.streaming.changefeed import (
+        TablePropagator,
+    )
+
+    t = _setup(spark, tmp_path, mode="upsert")
+    cat = LakeCatalog(str(tmp_path / "wh"), n_buckets=2)
+    m = cat.table("ten", "mirror")
+    prop = TablePropagator(t, m, str(tmp_path / "ckpt"))
+    prop.run(spark)  # hydrate
+    v = t.versions()[-1]
+    t.truncate_before(spark, CUT)
+    ch = t.read_changes(spark, v).collect()
+    assert sorted(r["entityid"] for r in ch) == ["urn:x:0", "urn:x:1"]
+    assert {r["_change_type"] for r in ch} == {"delete"}
+    prop.run(spark)
+    assert _ids(spark, m) == _ids(spark, t)
+
+
+def test_truncate_after_rename_composes_with_colmap(spark, tmp_path):
+    t = _setup(spark, tmp_path, mode="upsert")
+    t.rename_column("level", "reading")
+    # make the Feb dir straddle by adding a Jan row to it? simpler: the
+    # Jan epoch drops metadata-only, then rewrite path is exercised via
+    # a mixed batch
+    # post-rename batches address the column by its NEW logical name
+    t.upsert(
+        _batch(spark, [(6, 7.0, JAN, 3, "s6"), (7, 8.0, MAR, 3, "s7")])
+        .withColumnRenamed("level", "reading"),
+        {**{k: v for k, v in SCHEMA.items() if k != "level"},
+         "reading": "NUMERIC"},
+        "e-mix",
+    )
+    out = t.truncate_before(spark, CUT)
+    assert out["rewritten_dirs"] > 0  # the mixed dir straddles
+    got = {r["entityid"]: r["reading"] for r in t.read(spark).collect()}
+    assert "urn:x:6" not in got and got["urn:x:7"] == 8.0
+    assert _ids(spark, t) == [f"urn:x:{i}" for i in (2, 3, 4, 5, 7)]
+
+
+def test_gc_reclaims_dropped_dirs_after_window(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    before = set(_data_dirs(t))
+    t.truncate_before(spark, CUT)
+    # age every snapshot except the newest out of the window
+    t.expire_snapshots(keep_last=1, orphan_grace_seconds=0.0)
+    after = set(_data_dirs(t))
+    assert after < before  # the expired Jan dirs are gone from disk
+    assert _ids(spark, t) == [f"urn:x:{i}" for i in (2, 3, 4, 5)]
+
+
+def test_guards(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    with pytest.raises(ValueError, match="observedat"):
+        t.truncate_before(spark, CUT, column="level")
+    with pytest.raises(ValueError, match="cutoff must be"):
+        t.truncate_before(spark, 12345)
