@@ -353,6 +353,48 @@ FROM final_state
 SQL_DDL_RENAME_DROP = _oracle_ddl()
 
 
+TRUNCATE_CUTOFF = "2024-01-16T00:00:00"
+
+
+def q_truncate_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention sweep end-to-end (plans/lake.py truncate_before — the
+    partition-drop analog): the flagship ingest lands in TWO time-split
+    merge-on-read epochs (days 1-15, then 16-31), so the first epoch's
+    commit dirs hold only pre-cutoff rows and the manifest's footer
+    stats PROVE it — truncate_before drops them with zero I/O and
+    rewrites nothing (both epochs are cleanly on one side of the
+    cutoff). The DuckDB oracle is the flagship final state restricted
+    to ``ts >= cutoff``: parity proves the sweep is an exact logical
+    DELETE over merge-on-read state (duplicate chains never split —
+    observedat is key-derived), not a lossy file-level approximation.
+    Reference note: the reference ages out rows with external SQL
+    (DELETE FROM ... WHERE observedat < ...); this is that operation at
+    manifest cost."""
+    ship_package(spark)
+    warehouse = tempfile.mkdtemp(prefix="ngsild_trunc_wh_")
+    changelog = changelog_from_events(spark, sf_dir)
+    cfg = IngestConfig(write_mode="upsert_mor", isolate_table_failures=False)
+    from pyspark.sql import functions as F
+
+    early = changelog.filter(F.dayofmonth("recv_time") <= 15)
+    late = changelog.filter(F.dayofmonth("recv_time") > 15)
+    ingest_batch(early, cfg, warehouse, epoch_id="trunc-0")
+    ingest_batch(late, cfg, warehouse, epoch_id="trunc-1")
+    table = LakeCatalog(warehouse).table("analytics", "useractivity")
+    out = table.truncate_before(spark, TRUNCATE_CUTOFF)
+    # the early epoch must leave the manifest METADATA-ONLY: a rewrite
+    # here means the stats-proof path regressed to delete_where cost
+    assert out["rewritten_dirs"] == 0, out
+    assert out["dropped_dirs"] > 0, out
+    df = table.read(spark)
+    return df.select(*sorted(df.columns))
+
+
+SQL_TRUNCATE_RETENTION = _oracle_cdc(
+    f"WHERE ts >= TIMESTAMP '{TRUNCATE_CUTOFF.replace('T', ' ')}'"
+)
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC engine driven end-to-end THREE epochs deep with an SCD
     Type-2 history (streaming/scd.py) following the table's change feed:

@@ -22,6 +22,8 @@ from .flagship import (
     SQL_JOIN_VIEW,
     SQL_MERGE_INTO,
     SQL_SCD2_HISTORY,
+    SQL_TRUNCATE_RETENTION,
+    q_truncate_retention,
     q_branch_publish,
     q_ddl_rename_drop,
     q_join_view,
@@ -195,6 +197,15 @@ PYTEST_ONLY: dict[str, tuple] = {
     # post-DDL full compaction routing the rewrite through the colmap;
     # the oracle is the flagship final state re-projected the same way
     "ddl_rename_drop": (q_ddl_rename_drop, SQL_DDL_RENAME_DROP),
+    # round 5: retention sweep (plans/lake.py truncate_before — the
+    # partition-drop analog): time-split MoR ingest, then delete
+    # everything below a cutoff at manifest cost — provably-expired
+    # dirs drop metadata-only (the query asserts rewritten_dirs == 0);
+    # the oracle is the flagship final state restricted to ts >= cutoff
+    "truncate_retention": (
+        q_truncate_retention,
+        SQL_TRUNCATE_RETENTION,
+    ),
     # round 4: the brief's multimodal transform list completed — REAL
     # decode feeding nearest-neighbor resize / every-Nth frame sampling,
     # both oracle-exact integer index maps over the decoded pixels

@@ -300,6 +300,18 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--column", required=True, help="logical column name")
     dd.add_argument("--to", default=None, help="rename only: new name")
 
+    tr = sub.add_parser(
+        "truncate",
+        help="retention sweep: delete rows with observedat < CUTOFF at "
+             "partition-drop cost — provably-expired commit dirs leave "
+             "the manifest with zero I/O, only cutoff-straddling dirs "
+             "are rewritten",
+    )
+    tr.add_argument("--warehouse", required=True)
+    tr.add_argument("--table", required=True, help="tenant.table")
+    tr.add_argument("--before", required=True,
+                    help="ISO-8601 cutoff; rows strictly below are deleted")
+
     d = sub.add_parser(
         "dml", help="predicate DELETE/UPDATE (copy-on-write or merge-on-read)"
     )
@@ -699,6 +711,14 @@ def main(argv: list[str] | None = None) -> int:
                 parser.error("--to is rename-only")
             out = table.drop_column(args.column)
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "truncate":
+        from .plans.lake import LakeCatalog
+
+        tenant, name = args.table.split(".", 1)
+        table = LakeCatalog(args.warehouse).table(tenant, name)
+        print(json.dumps(table.truncate_before(spark, args.before)))
         return 0
 
     if args.cmd == "dml":
