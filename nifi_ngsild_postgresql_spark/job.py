@@ -300,6 +300,22 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--column", required=True, help="logical column name")
     dd.add_argument("--to", default=None, help="rename only: new name")
 
+    cl = sub.add_parser(
+        "clone",
+        help="shallow (zero-copy) table clone — Delta CLONE analog: one "
+             "manifest copied with @t: refs, fork pinned on the source "
+             "by a self-healing GC tag; --action drop/detach manage the "
+             "clone lifecycle",
+    )
+    cl.add_argument("--warehouse", required=True)
+    cl.add_argument("--table", required=True,
+                    help="tenant.table (source for create, the clone "
+                         "itself for drop/detach)")
+    cl.add_argument("--action", choices=("create", "drop", "detach"),
+                    default="create")
+    cl.add_argument("--to", default=None,
+                    help="create only: destination tenant.table")
+
     tr = sub.add_parser(
         "truncate",
         help="retention sweep: delete rows with observedat < CUTOFF at "
@@ -711,6 +727,23 @@ def main(argv: list[str] | None = None) -> int:
                 parser.error("--to is rename-only")
             out = table.drop_column(args.column)
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "clone":
+        from .plans.lake import LakeCatalog
+
+        cat = LakeCatalog(args.warehouse)
+        tenant, name = args.table.split(".", 1)
+        if args.action == "create":
+            if not args.to:
+                parser.error("clone --action create requires --to DST")
+            c = cat.clone(args.table, args.to)
+            print(json.dumps(c.clone_origin()))
+        elif args.action == "drop":
+            cat.table(tenant, name).drop_clone()
+            print(json.dumps({"dropped": args.table}))
+        else:
+            print(json.dumps(cat.table(tenant, name).detach_clone()))
         return 0
 
     if args.cmd == "truncate":

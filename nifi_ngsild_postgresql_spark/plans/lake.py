@@ -91,6 +91,9 @@ COMMIT_MAX_RETRIES = 5
 # branch manifests reference the parent table's data dirs through this
 # prefix (metadata-only forks; see LakeTable.create_branch / _abs_path)
 _PARENT_REF = "@main/"
+# cross-table file refs: "@t:tenant.name/<rel>" resolves against the
+# WAREHOUSE root (shallow clones; see LakeTable.clone_to / _abs_path)
+_TABLE_REF = "@t:"
 
 
 # --- manifest Bloom filters (per-commit-dir point-lookup skipping) --------
@@ -257,6 +260,21 @@ class LakeTable:
                 os.path.dirname(os.path.dirname(self.path))
             )
             return os.path.join(parent, rel[len(_PARENT_REF):])
+        if rel.startswith(_TABLE_REF):
+            # shallow-clone ref (clone_to): "@t:tenant.name/<rel>"
+            # resolves against the warehouse root. On a BRANCH handle
+            # (branch-of-clone: create_branch passes @t: refs through
+            # untouched) the stored warehouse points inside _branches/ —
+            # derive the real root from the parent table's location.
+            ref, rest = rel[len(_TABLE_REF):].split("/", 1)
+            src_tenant, src_name = ref.split(".", 1)
+            table_path = self.path
+            if self._is_branch():
+                table_path = os.path.dirname(
+                    os.path.dirname(os.path.dirname(self.path))
+                )
+            wh = os.path.dirname(os.path.dirname(table_path))
+            return os.path.join(wh, src_tenant, src_name, rest)
         return os.path.join(self.path, rel)
 
     # --- snapshot bookkeeping -------------------------------------------
@@ -2699,21 +2717,34 @@ class LakeTable:
                 "tag name 'fork' is reserved on branches — it pins the "
                 "fork snapshot the publish change-range needs"
             )
+        if name.startswith("clone:"):
+            raise ValueError(
+                "tag names starting with 'clone:' are reserved for "
+                "shallow-clone GC pins (clone_to) — expire_snapshots "
+                "self-heals them and would drop a user tag in that "
+                "namespace"
+            )
         return self._tag_unchecked(name, version)
 
     def _tag_unchecked(self, name: str, version: int | None = None) -> int:
         with self._tags_lock():
-            if version is None:
-                version = self.versions()[-1]
-            if version not in self.versions():
-                raise ValueError(f"cannot tag missing snapshot v{version}")
-            tags = self.tags()
-            tags[name] = version
-            fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".tmp")
-            with os.fdopen(fd, "w") as f:
-                json.dump(tags, f)
-            os.replace(tmp, self._tags_path())
-            return version
+            return self._tag_locked(name, version)
+
+    def _tag_locked(self, name: str, version: int | None = None) -> int:
+        """Tag write body — caller MUST hold _tags_lock (clone_to pins
+        under its already-held lock; everything else comes through
+        _tag_unchecked)."""
+        if version is None:
+            version = self.versions()[-1]
+        if version not in self.versions():
+            raise ValueError(f"cannot tag missing snapshot v{version}")
+        tags = self.tags()
+        tags[name] = version
+        fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(tags, f)
+        os.replace(tmp, self._tags_path())
+        return version
 
     def drop_tag(self, name: str) -> None:
         if name == "fork" and self._is_branch():
@@ -2721,6 +2752,15 @@ class LakeTable:
                 "tag name 'fork' is reserved on branches — dropping it "
                 "would let GC expire the fork snapshot"
             )
+        if name.startswith("clone:"):
+            raise ValueError(
+                "clone GC pins are managed by drop_clone/detach_clone "
+                "(and self-heal at expire_snapshots) — dropping one by "
+                "hand would let the source GC tear a live clone's reads"
+            )
+        self._drop_tag_unchecked(name)
+
+    def _drop_tag_unchecked(self, name: str) -> None:
         with self._tags_lock():
             tags = self.tags()
             tags.pop(name, None)
@@ -2861,12 +2901,20 @@ class LakeTable:
             b = self._branch_handle(name)
             fork = {
                 **snap,
+                # @t: refs (clone_to) pass through UNPREFIXED: they are
+                # warehouse-rooted, not parent-rooted, and _abs_path
+                # resolves them branch-aware — branch-of-clone works
                 "files": {
-                    bk: [_PARENT_REF + p for p in ps]
+                    bk: [
+                        p if p.startswith(_TABLE_REF) else _PARENT_REF + p
+                        for p in ps
+                    ]
                     for bk, ps in snap["files"].items()
                 },
                 "file_stats": {
-                    _PARENT_REF + r: dict(st)
+                    (
+                        r if r.startswith(_TABLE_REF) else _PARENT_REF + r
+                    ): dict(st)
                     for r, st in snap.get("file_stats", {}).items()
                 },
                 "added_files": {},
@@ -3027,6 +3075,239 @@ class LakeTable:
         if os.path.exists(self._fork_path(name)):
             return self.branch(name)
         return self.create_branch(name)
+
+    # --- shallow clones (Delta CLONE analog) -------------------------------
+
+    def _clone_meta_path(self) -> str:
+        return os.path.join(self.meta_dir, "_clone.json")
+
+    def _clone_tag(self, tenant: str, name: str, incarnation: str) -> str:
+        """Reserved source-side tag name pinning a clone's fork snapshot.
+        The name CARRIES the clone's identity so expire_snapshots can
+        self-heal: a tag whose clone no longer exists (or was replaced by
+        a different incarnation at the same address) is dropped, not kept
+        forever."""
+        return f"clone:{tenant}.{name}:{incarnation}"
+
+    def clone_to(self, tenant: str, name: str) -> "LakeTable":
+        """Shallow (zero-copy) clone — the Delta ``CREATE TABLE ...
+        SHALLOW CLONE src`` analog: a NEW first-class table at
+        ``tenant.name`` whose initial state is this table's latest
+        snapshot, created by copying ONE manifest with every file path
+        rewritten to a ``@t:src_tenant.src_name/`` warehouse-rooted ref —
+        zero data moved at any table size. The clone is a full LakeTable
+        (reads, every write path, DDL, branches, its own change feed);
+        its commits write under its OWN directory, so neither side ever
+        sees the other's writes. CHECK constraints and the restore-era
+        ledger are inherited.
+
+        GC safety — where Delta documents "VACUUM on the source breaks
+        shallow clones", ours does not: the fork snapshot is pinned on
+        the SOURCE by a reserved ``clone:…`` tag (tags are GC roots, and
+        a clone can never reference source files outside its fork
+        snapshot), taken under the source's tags lock so the fork can't
+        race expire_snapshots. The pin self-heals: source GC drops the
+        tag when the clone is gone (rm -rf'd without drop_clone), and
+        ``detach_clone`` releases it early once compaction has localized
+        every ref. Epoch bookkeeping is inherited, so a re-delivered
+        upstream batch no-ops on the clone exactly as it would have on
+        the source.
+
+        Refused on branch handles (clone from the main table) and on
+        tables whose latest snapshot itself carries refs (a clone or
+        fork that hasn't been compacted): transitive ref chains would
+        need cross-table GC scanning — compact or detach first."""
+        import shutil
+        import uuid
+
+        if self._is_branch():
+            raise ValueError(
+                "cloning a branch is not supported — publish it or clone "
+                "the main table"
+            )
+        if "/" in tenant or "/" in name or not tenant or not name:
+            raise ValueError(f"bad clone address {tenant!r}.{name!r}")
+        with self._tags_lock():
+            versions = self.versions()
+            if not versions:
+                raise FileNotFoundError(
+                    f"lake table {self.tenant}.{self.name} not found"
+                )
+            v = versions[-1]
+            snap = self.snapshot(v)
+            if any(
+                p.startswith((_PARENT_REF, _TABLE_REF))
+                for paths in snap["files"].values()
+                for p in paths
+            ):
+                raise ValueError(
+                    f"{self.tenant}.{self.name}: latest snapshot still "
+                    "references another table's files — compact() (or "
+                    "detach_clone) before cloning a clone"
+                )
+            dst = LakeTable(
+                self.warehouse, tenant, name,
+                n_buckets=self.default_n_buckets,
+                auto_compact_files=self.auto_compact_files,
+                max_tracked_epochs=self.max_tracked_epochs,
+                stats_cols=self.stats_cols,
+                sort_within_buckets=self.sort_within_buckets,
+                target_bucket_bytes=self.target_bucket_bytes,
+                bloom_cols=self.bloom_cols,
+            )
+            if dst.versions() or os.path.isdir(dst.meta_dir):
+                raise ValueError(f"table {tenant}.{name} already exists")
+            incarnation = uuid.uuid4().hex[:12]
+            ref = _TABLE_REF + f"{self.tenant}.{self.name}/"
+            fork = {
+                **snap,
+                "files": {
+                    bk: [ref + p for p in ps]
+                    for bk, ps in snap["files"].items()
+                },
+                "file_stats": {
+                    ref + r: dict(st)
+                    for r, st in snap.get("file_stats", {}).items()
+                },
+                "added_files": {},
+                "mode": "clone_fork",
+                "stats": {"cloned_from": f"{self.tenant}.{self.name}@{v}"},
+            }
+            fork.pop("committed_at_ms", None)  # clone gets its own instant
+            # pin BEFORE the clone manifest exists: if we crash between
+            # the two, the orphan tag self-heals at the next source GC
+            # (_tag_locked: we already hold our own tags lock)
+            self._tag_locked(
+                self._clone_tag(tenant, name, incarnation), v
+            )
+            dst._commit(fork)
+            for side in ("_checks.json", "_restores.json"):
+                src = os.path.join(self.meta_dir, side)
+                if os.path.exists(src):
+                    shutil.copy(src, os.path.join(dst.meta_dir, side))
+            with open(dst._clone_meta_path(), "w") as f:
+                json.dump(
+                    {
+                        "source": [self.tenant, self.name],
+                        "fork_version": v,
+                        "incarnation": incarnation,
+                    },
+                    f,
+                )
+        return dst
+
+    def clone_origin(self) -> dict[str, Any] | None:
+        """This table's clone record (source, fork_version, incarnation),
+        or None when it isn't an attached clone."""
+        if not os.path.exists(self._clone_meta_path()):
+            return None
+        with open(self._clone_meta_path()) as f:
+            return json.load(f)
+
+    def _source_handle(self, origin: dict[str, Any]) -> "LakeTable":
+        src_tenant, src_name = origin["source"]
+        return LakeTable(self.warehouse, src_tenant, src_name)
+
+    def detach_clone(self) -> dict[str, Any]:
+        """Release the source-side GC pin once this clone is
+        self-contained: every retained manifest (and every branch
+        manifest) must be free of ``@t:`` refs — i.e. compaction /
+        rewrites have localized all data, or ref-carrying snapshots have
+        been expired. Refuses loudly otherwise: dropping the pin while a
+        readable snapshot still references source files would let the
+        source's GC tear those reads. After detach the table is an
+        ordinary LakeTable (clone_to from it works again)."""
+        origin = self.clone_origin()
+        if origin is None:
+            raise ValueError(
+                f"{self.tenant}.{self.name} is not an attached clone"
+            )
+        holders = [
+            f"v{v}"
+            for v in self.versions()
+            if any(
+                p.startswith(_TABLE_REF)
+                for paths in self.snapshot(v)["files"].values()
+                for p in paths
+            )
+        ]
+        for br in self.branches():
+            bt = self.branch(br)
+            holders += [
+                f"branch {br} v{bv}"
+                for bv in bt.versions()
+                if any(
+                    p.startswith(_TABLE_REF)
+                    for paths in bt.snapshot(bv)["files"].values()
+                    for p in paths
+                )
+            ]
+        if holders:
+            raise ValueError(
+                f"{self.tenant}.{self.name}: still references source "
+                f"files from {len(holders)} snapshot(s) "
+                f"({', '.join(holders[:5])}{'…' if len(holders) > 5 else ''})"
+                " — compact() and expire_snapshots() first"
+            )
+        src = self._source_handle(origin)
+        # source dropped entirely -> nothing pins anything (and taking
+        # the tags lock would materialize a husk _meta dir there)
+        if os.path.isdir(src.meta_dir):
+            src._drop_tag_unchecked(
+                src._clone_tag(self.tenant, self.name, origin["incarnation"])
+            )
+        os.remove(self._clone_meta_path())
+        return {"detached_from": f"{src.tenant}.{src.name}"}
+
+    def drop_clone(self) -> None:
+        """Delete this clone (its directory, branches and all) and
+        release the source-side GC pin in one step — the counterpart of
+        clone_to. A plain ``rm -rf`` works too; the orphaned pin then
+        self-heals at the source's next expire_snapshots."""
+        import shutil
+
+        origin = self.clone_origin()
+        if origin is None:
+            raise ValueError(
+                f"{self.tenant}.{self.name} is not an attached clone"
+            )
+        src = self._source_handle(origin)
+        if os.path.isdir(src.meta_dir):
+            src._drop_tag_unchecked(
+                src._clone_tag(self.tenant, self.name, origin["incarnation"])
+            )
+        shutil.rmtree(self.path)
+
+    def _heal_clone_tags(self, tags: dict[str, int]) -> dict[str, int]:
+        """Drop ``clone:…`` pins whose clone no longer exists at the
+        recorded address with the recorded incarnation (rm -rf'd, or
+        dropped and re-created). Called by expire_snapshots under
+        _tags_lock; returns the healed mapping (also persisted when it
+        changed)."""
+        healed = dict(tags)
+        for tname in list(tags):
+            if not tname.startswith("clone:"):
+                continue
+            try:
+                _, addr, incarnation = tname.split(":", 2)
+                c_tenant, c_name = addr.split(".", 1)
+            except ValueError:
+                continue  # not ours — never drop a user's tag
+            c = LakeTable(self.warehouse, c_tenant, c_name)
+            origin = c.clone_origin()
+            if (
+                origin is not None
+                and origin.get("incarnation") == incarnation
+                and origin.get("source") == [self.tenant, self.name]
+            ):
+                continue  # live clone — keep the pin
+            del healed[tname]
+        if healed != tags:
+            fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(healed, f)
+            os.replace(tmp, self._tags_path())
+        return healed
 
     def restore(self, to_version: int | str) -> dict[str, Any]:
         """Delta ``RESTORE TABLE ... VERSION AS OF`` / Iceberg
@@ -3614,7 +3895,10 @@ class LakeTable:
             versions = self.versions()
             if not versions:
                 return {"expired_snapshots": 0, "removed_dirs": 0}
-            tagged = set(self.tags().values())
+            # clone pins whose clone is gone self-heal first (same lock
+            # clone_to takes, so a concurrent clone either lands its pin
+            # before this read or serializes after the whole keep-set)
+            tagged = set(self._heal_clone_tags(self.tags()).values())
             keep = sorted(set(versions[-keep_last:]) | (tagged & set(versions)))
 
             def _refs(vs) -> set[str]:
@@ -4131,6 +4415,15 @@ class LakeCatalog:
             target_bucket_bytes=self.target_bucket_bytes,
             bloom_cols=self.bloom_cols,
         )
+
+    def clone(
+        self, src: str, dst: str
+    ) -> LakeTable:
+        """Shallow-clone ``src`` ("tenant.name") to ``dst`` — see
+        LakeTable.clone_to."""
+        s_tenant, s_name = src.split(".", 1)
+        d_tenant, d_name = dst.split(".", 1)
+        return self.table(s_tenant, s_name).clone_to(d_tenant, d_name)
 
     def register_views(
         self, spark: SparkSession, prefix: str = ""

@@ -1,0 +1,253 @@
+"""Shallow clones (plans/lake.py clone_to / drop_clone / detach_clone) —
+the Delta ``CREATE TABLE ... SHALLOW CLONE`` analog: a zero-copy,
+first-class table whose initial state is the source's latest snapshot,
+referencing the source's data dirs in place via warehouse-rooted
+``@t:tenant.name/`` refs.
+
+Pinned here:
+- cloning is metadata-only (zero data dirs created under the clone) and
+  fully isolated both ways: clone writes are invisible to the source,
+  later source writes are invisible to the clone;
+- GC safety where Delta documents breakage ("VACUUM on the source breaks
+  shallow clones"): the fork snapshot is pinned on the source by a
+  reserved ``clone:…`` tag, so the source's expire_snapshots keeps every
+  dir the clone references — and reclaims them after drop_clone;
+- the pin SELF-HEALS: a clone removed with rm -rf (no drop_clone) stops
+  pinning at the source's next expire_snapshots;
+- detach_clone refuses while any retained clone/branch snapshot still
+  holds ``@t:`` refs, succeeds after compaction + expiry localize the
+  data, and re-enables clone-of-clone;
+- a clone is a full LakeTable: upserts, change feed from the fork,
+  truncate_before (source files never touched), inherited epochs
+  (replayed source batches no-op), branch-of-clone (@t: refs resolve
+  branch-aware);
+- guards: cloning a branch, cloning onto an existing table, cloning an
+  attached (uncompacted) clone, user tags in the ``clone:`` namespace,
+  and hand-dropping a pin all refuse loudly.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+
+SCHEMA = {"entityid": "TEXT", "level": "NUMERIC", "observedat": "TIMESTAMPTZ"}
+TS = "2024-07-01T00:00:00"
+
+
+def _batch(spark, rows):
+    data = [(f"urn:x:{e}", float(v), TS, f"urn:x:{e}|{TS}", recv, seq)
+            for e, v, recv, seq in rows]
+    return spark.createDataFrame(
+        data,
+        "entityid string, level double, observedat string,"
+        " _row_key string, _recv int, _seq string",
+    ).select(
+        "entityid", "level",
+        F.col("observedat").cast("timestamp").alias("observedat"),
+        "_row_key",
+        F.timestamp_millis(
+            F.lit(1700000000000) + F.col("_recv").cast("long")
+        ).alias("_recv_time"),
+        "_seq",
+    )
+
+
+def _state(spark, t, **kw):
+    return sorted(
+        (r["entityid"], r["level"]) for r in t.read(spark, **kw).collect()
+    )
+
+
+def _data_dirs(t):
+    d = os.path.join(t.path, "data")
+    return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+
+def _setup(spark, tmp_path):
+    cat = LakeCatalog(str(tmp_path / "wh"), n_buckets=2)
+    t = cat.table("t", "src")
+    t.upsert(_batch(spark, [(0, 1.0, 0, "s0"), (1, 2.0, 0, "s1")]),
+             SCHEMA, "e1")
+    return cat, t
+
+
+def test_clone_is_metadata_only_and_reads_equal(spark, tmp_path):
+    cat, t = _setup(spark, tmp_path)
+    c = t.clone_to("t", "dst")
+    assert _data_dirs(c) == []  # zero data dirs under the clone
+    assert _state(spark, c) == _state(spark, t)
+    # the fork manifest references the source through @t: refs
+    snap = c.latest_snapshot()
+    assert all(
+        p.startswith("@t:t.src/")
+        for paths in snap["files"].values()
+        for p in paths
+    )
+    # pinned on the source under the reserved namespace
+    (pin,) = [k for k in t.tags() if k.startswith("clone:")]
+    assert pin.startswith("clone:t.dst:")
+    assert t.tags()[pin] == snap["version"]
+
+
+def test_two_way_isolation(spark, tmp_path):
+    cat, t = _setup(spark, tmp_path)
+    c = t.clone_to("t", "dst")
+    c.upsert(_batch(spark, [(0, 9.0, 1, "s2")]), SCHEMA, "c1")
+    t.upsert(_batch(spark, [(2, 3.0, 1, "s3")]), SCHEMA, "e2")
+    assert _state(spark, c) == [("urn:x:0", 9.0), ("urn:x:1", 2.0)]
+    assert _state(spark, t) == [
+        ("urn:x:0", 1.0), ("urn:x:1", 2.0), ("urn:x:2", 3.0)
+    ]
+
+
+def test_source_gc_keeps_cloned_dirs_then_reclaims_on_drop(spark, tmp_path):
+    cat, t = _setup(spark, tmp_path)
+    c = t.clone_to("t", "dst")
+    fork_state = _state(spark, c)
+    # source rewrites its buckets several times past the fork
+    for i in range(3):
+        t.upsert(_batch(spark, [(0, 10.0 + i, 2 + i, f"s{4 + i}")]),
+                 SCHEMA, f"e{3 + i}")
+    out = t.expire_snapshots(keep_last=1, orphan_grace_seconds=0.0)
+    assert out["expired_snapshots"] > 0
+    # the clone still reads its fork state — the pin kept the dirs
+    assert _state(spark, c) == fork_state
+    pinned_dirs = set(_data_dirs(t))
+    c.drop_clone()
+    assert not os.path.isdir(c.path)
+    assert not any(k.startswith("clone:") for k in t.tags())
+    t.expire_snapshots(keep_last=1, orphan_grace_seconds=0.0)
+    assert set(_data_dirs(t)) < pinned_dirs  # fork dirs reclaimed
+
+
+def test_pin_self_heals_after_rm_rf(spark, tmp_path):
+    cat, t = _setup(spark, tmp_path)
+    c = t.clone_to("t", "dst")
+    t.upsert(_batch(spark, [(0, 9.0, 1, "s2")]), SCHEMA, "e2")
+    shutil.rmtree(c.path)  # no drop_clone — the rude path
+    t.expire_snapshots(keep_last=1, orphan_grace_seconds=0.0)
+    assert not any(k.startswith("clone:") for k in t.tags())
+    # and a same-address RE-clone gets its own incarnation + fresh pin
+    c2 = t.clone_to("t", "dst")
+    assert _state(spark, c2) == _state(spark, t)
+
+
+def test_detach_refuses_then_succeeds_after_localize(spark, tmp_path):
+    cat, t = _setup(spark, tmp_path)
+    c = t.clone_to("t", "dst")
+    with pytest.raises(ValueError, match="references source files"):
+        c.detach_clone()
+    c.compact(spark, max_files_per_bucket=0)  # localize every ref
+    # the ref-carrying fork manifest is still retained
+    with pytest.raises(ValueError, match="references source files"):
+        c.detach_clone()
+    c.expire_snapshots(keep_last=1, orphan_grace_seconds=0.0)
+    out = c.detach_clone()
+    assert out == {"detached_from": "t.src"}
+    assert c.clone_origin() is None
+    assert not any(k.startswith("clone:") for k in t.tags())
+    # source GC can now reclaim rewritten dirs; the detached clone
+    # keeps reading its own localized copies
+    st = _state(spark, c)
+    t.upsert(_batch(spark, [(0, 9.0, 1, "s2")]), SCHEMA, "e2")
+    t.expire_snapshots(keep_last=1, orphan_grace_seconds=0.0)
+    assert _state(spark, c) == st
+    # a detached clone is an ordinary table again: clone-of-clone works
+    cc = c.clone_to("t", "dst2")
+    assert _state(spark, cc) == st
+
+
+def test_clone_change_feed_and_epoch_inheritance(spark, tmp_path):
+    cat, t = _setup(spark, tmp_path)
+    c = t.clone_to("t", "dst")
+    fork_v = c.latest_snapshot()["version"]
+    # replayed SOURCE epoch no-ops on the clone (ledger inherited)
+    out = c.upsert(_batch(spark, [(0, 1.0, 0, "s0")]), SCHEMA, "e1")
+    assert out.get("skipped_epoch")
+    c.upsert(_batch(spark, [(2, 5.0, 1, "s9")]), SCHEMA, "c1")
+    ch = c.read_changes(spark, fork_v).collect()
+    assert sorted(r["entityid"] for r in ch) == ["urn:x:2"]
+    assert {r["_change_type"] for r in ch} == {"insert"}
+
+
+def test_truncate_on_clone_never_touches_source(spark, tmp_path):
+    cat, t = _setup(spark, tmp_path)
+    c = t.clone_to("t", "dst")
+    src_dirs = set(_data_dirs(t))
+    out = c.truncate_before(spark, "2024-08-01T00:00:00")
+    # everything is below the cutoff: pure metadata drop on the clone
+    assert out["rewritten_dirs"] == 0 and out["dropped_dirs"] > 0
+    assert _state(spark, c) == []
+    assert set(_data_dirs(t)) == src_dirs  # source bytes untouched
+    assert _state(spark, t) == [("urn:x:0", 1.0), ("urn:x:1", 2.0)]
+
+
+def test_branch_of_clone_resolves_refs(spark, tmp_path):
+    cat, t = _setup(spark, tmp_path)
+    c = t.clone_to("t", "dst")
+    b = c.create_branch("dev")
+    # the branch reads through pass-through @t: refs (branch-aware
+    # _abs_path), and branch writes stay branch-local
+    assert _state(spark, b) == _state(spark, t)
+    b.upsert(_batch(spark, [(0, 7.0, 1, "s8")]), SCHEMA, "b1")
+    assert _state(spark, b) == [("urn:x:0", 7.0), ("urn:x:1", 2.0)]
+    assert _state(spark, c) == _state(spark, t)
+    c.publish_branch(spark, "dev")
+    assert _state(spark, c) == [("urn:x:0", 7.0), ("urn:x:1", 2.0)]
+    assert _state(spark, t) == [("urn:x:0", 1.0), ("urn:x:1", 2.0)]
+
+
+def test_guards(spark, tmp_path):
+    cat, t = _setup(spark, tmp_path)
+    b = t.create_branch("dev")
+    with pytest.raises(ValueError, match="cloning a branch"):
+        b.clone_to("t", "x")
+    c = t.clone_to("t", "dst")
+    with pytest.raises(ValueError, match="already exists"):
+        t.clone_to("t", "dst")
+    with pytest.raises(ValueError, match="compact"):
+        c.clone_to("t", "dst2")  # attached clone still carries refs
+    with pytest.raises(ValueError, match="reserved"):
+        t.tag("clone:t.dst:deadbeef")
+    (pin,) = [k for k in t.tags() if k.startswith("clone:")]
+    with pytest.raises(ValueError, match="drop_clone/detach_clone"):
+        t.drop_tag(pin)
+    with pytest.raises(ValueError, match="not an attached clone"):
+        t.detach_clone()
+    with pytest.raises(ValueError, match="bad clone address"):
+        t.clone_to("", "x")
+
+
+def test_clone_cli_roundtrip(spark, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    cat, t = _setup(spark, tmp_path)
+    wh = str(tmp_path / "wh")
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "nifi_ngsild_postgresql_spark.job",
+             *argv],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return _json.loads(r.stdout.strip().splitlines()[-1])
+
+    out = run("clone", "--warehouse", wh, "--table", "t.src",
+              "--to", "t.dst")
+    assert out["source"] == ["t", "src"]
+    c = cat.table("t", "dst")
+    assert _state(spark, c) == _state(spark, t)
+    out = run("clone", "--warehouse", wh, "--table", "t.dst",
+              "--action", "drop")
+    assert out == {"dropped": "t.dst"}
+    assert not os.path.isdir(c.path)
+    assert not any(k.startswith("clone:") for k in t.tags())
