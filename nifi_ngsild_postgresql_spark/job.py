@@ -27,20 +27,42 @@ import sys
 import time
 
 
+def _coerce_version(table, v):
+    """Shared --version/--restore-to/--from-version reading: TAGS WIN
+    over the numeric interpretation (a tag may be all-digits, '2024');
+    only an untagged all-digit string is a version number."""
+    if v and v not in table.tags() and v.isdigit():
+        return int(v)
+    return v
+
+
+def _file_digest(h, path: str) -> None:
+    with open(path, "rb") as f:
+        while chunk := f.read(1 << 20):
+            h.update(chunk)
+
+
 def _batch_epoch_id(changelog_path: str) -> str:
-    """Epoch id for a CLI WAP stage: sha1 over the batch's IDENTITY —
-    path plus each underlying file's (relative path, size, mtime_ns).
-    Re-running the same unchanged batch replays idempotently; a new file
-    dropped at the same path is new work and gets a new epoch. Non-local
-    URIs (s3://, hdfs://) can't be stat'd here — fall back to path-only
-    and tell the operator the weaker contract applies."""
+    """Epoch id for a CLI batch ingest: sha1 over the batch's CONTENT —
+    path plus each underlying file's (relative path, size, bytes).
+    Re-delivering the same bytes replays idempotently EVEN when an
+    at-least-once delivery system re-uploaded them (fresh mtime — an
+    mtime-keyed id would double-append on append-mode tables); a
+    different file dropped at the same path is new work and gets a new
+    epoch. The digest costs one streaming read of the batch on the
+    driver — the price of an exact identity; callers with a cheaper
+    out-of-band identity pass an explicit epoch id through the library
+    API instead. Non-local URIs (s3://, hdfs://) can't be read here —
+    fall back to path-only and tell the operator the weaker contract
+    applies."""
     import hashlib
     import os
 
     h = hashlib.sha1(changelog_path.encode())
     if os.path.isfile(changelog_path):
         st = os.stat(changelog_path)
-        h.update(f"|{st.st_size}|{st.st_mtime_ns}".encode())
+        h.update(f"|{st.st_size}|".encode())
+        _file_digest(h, changelog_path)
     elif os.path.isdir(changelog_path):
         for root, dirs, files in os.walk(changelog_path):
             dirs.sort()
@@ -50,7 +72,8 @@ def _batch_epoch_id(changelog_path: str) -> str:
                 p = os.path.join(root, name)
                 st = os.stat(p)
                 rel = os.path.relpath(p, changelog_path)
-                h.update(f"|{rel}|{st.st_size}|{st.st_mtime_ns}".encode())
+                h.update(f"|{rel}|{st.st_size}|".encode())
+                _file_digest(h, p)
     else:
         print(
             f"warning: cannot stat {changelog_path!r} — WAP epoch id is "
@@ -554,12 +577,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.add_check or args.drop_check:
             out["checks"] = table.checks()
         if args.restore_to is not None:
-            v = args.restore_to
-            # tags win over the numeric reading: a tag may be all-digits
-            # ('2024'), and restore() resolves tag names itself
-            if v not in table.tags() and v.isdigit():
-                v = int(v)
-            out["restore"] = table.restore(v)
+            out["restore"] = table.restore(
+                _coerce_version(table, args.restore_to)
+            )
         if not (args.tag or args.drop_tag or args.add_check
                 or args.drop_check or args.restore_to):
             out["compact"] = table.compact(
@@ -626,17 +646,25 @@ def main(argv: list[str] | None = None) -> int:
         from .plans.manifest import table_fingerprint
 
         cat = LakeCatalog(args.warehouse)
+        if args.version and args.as_of_ms:
+            parser.error("--version and --as-of-ms are mutually exclusive")
         if args.table:
             tenant, name = args.table.split(".", 1)
             t = cat.table(tenant, name)
-            v = args.version
-            # tags win over the numeric reading (same rule as --restore-to
-            # above): a tag may be all-digits ('2024')
-            if v and v not in t.tags() and v.isdigit():
-                v = int(v)
-            df = t.read(spark, version=v, as_of_ms=args.as_of_ms)
+            df = t.read(
+                spark,
+                version=_coerce_version(t, args.version),
+                as_of_ms=args.as_of_ms,
+            )
             print(json.dumps({args.table: table_fingerprint(df)}))
         else:
+            if args.version:
+                # per-table version numbers aren't comparable across a
+                # warehouse; a pinned cross-table instant is --as-of-ms
+                parser.error(
+                    "--version needs --table (use --as-of-ms for a "
+                    "warehouse-wide instant)"
+                )
             # --as-of-ms applies warehouse-wide (a wall instant is
             # well-defined across tables); a table with no snapshot at
             # that instant gets an explicit per-table error entry —
@@ -652,7 +680,9 @@ def main(argv: list[str] | None = None) -> int:
                             spark, as_of_ms=args.as_of_ms
                         )
                     )
-                except ValueError as e:
+                except (ValueError, FileNotFoundError) as e:
+                    # FileNotFoundError: a manifest-less husk dir (crashed
+                    # first commit) must not abort the healthy tables
                     out[key] = {"error": str(e)}
                     failed = True
             print(json.dumps(out))
@@ -689,10 +719,10 @@ def main(argv: list[str] | None = None) -> int:
         elif args.action == "create":
             if not args.name:
                 raise SystemExit("--name required for create")
-            fv = args.from_version
-            if fv and fv not in t.tags() and fv.isdigit():
-                fv = int(fv)
-            b = t.create_branch(args.name, from_version=fv)
+            b = t.create_branch(
+                args.name,
+                from_version=_coerce_version(t, args.from_version),
+            )
             out = {"created": args.name,
                    "fork_version": t.fork_version(args.name)}
         elif args.action == "drop":

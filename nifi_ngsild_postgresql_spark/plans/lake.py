@@ -1603,6 +1603,7 @@ class LakeTable:
         schema: dict[str, str],
         epoch_id: str,
         require_ddl_state: dict[str, Any] | None = None,
+        require_head_version: int | None = None,
     ) -> dict[str, Any]:
         """Apply a change-feed batch to THIS table — the Delta Live
         Tables ``APPLY CHANGES INTO`` analog, closing the CDC loop
@@ -1685,6 +1686,7 @@ class LakeTable:
             return self._apply(
                 combined, schema, epoch_id, mode="apply_changes",
                 require_ddl_state=require_ddl_state,
+                require_head_version=require_head_version,
             )
         finally:
             changes.unpersist()
@@ -1765,6 +1767,16 @@ class LakeTable:
         when_matched_delete: str | None,
         when_not_matched_insert: bool,
     ) -> dict[str, Any]:
+        if (
+            source.filter(
+                F.col("entityid").isNull() | F.col("_row_key").isNull()
+            ).limit(1).count()
+        ):
+            raise ValueError(
+                "merge source has a NULL entityid/_row_key — merge keys "
+                "must be non-null (a NULL key can never match a target "
+                "row and has no bucket)"
+            )
         dup = (
             source.groupBy("entityid", "_row_key").count()
             .filter(F.col("count") > 1).limit(1).collect()
@@ -1778,6 +1790,16 @@ class LakeTable:
             )
         snap = self.latest_snapshot()
         full_schema = {**(self.schema() or {}), **schema}
+        # an unresolvable assignment target is an ERROR like Delta's,
+        # never a silent no-op (the column loop below would simply skip
+        # a typo'd key)
+        if isinstance(when_matched_update, dict):
+            bad = sorted(set(when_matched_update) - set(full_schema))
+            if bad:
+                raise ValueError(
+                    f"when_matched_update assigns unknown column(s) "
+                    f"{bad} — table columns are {sorted(full_schema)}"
+                )
         seq = F.lit(f"merge-{epoch_id}")
         if snap is None:
             if not when_not_matched_insert:
@@ -3063,7 +3085,12 @@ class LakeTable:
             else f"branch-{name}-v{head}"
         )
         out = self.apply_changes(
-            changes, schema, epoch_id=epoch, require_ddl_state=main_snap
+            changes, schema, epoch_id=epoch, require_ddl_state=main_snap,
+            # fast-forward is a guarantee about the COMMIT, not the
+            # pre-audit check: pin the head through the apply so a main
+            # commit landing during the (long) audit window aborts the
+            # publish instead of silently degrading it to an LWW merge
+            require_head_version=fork if fast_forward_only else None,
         )
         return {**out, "branch_head": head, "fork_version": fork}
 
@@ -3465,16 +3492,17 @@ class LakeTable:
             return
         spark = SparkSession.getActiveSession()
         schema = self.schema() or {}
+        probe_full = probe_less = None
+        if spark is not None and column in schema:
+            # loop-invariant: both probes depend only on (schema, column)
+            probe_full = spark.createDataFrame([], table_spark_schema(schema))
+            without = {c: t for c, t in schema.items() if c != column}
+            probe_less = spark.createDataFrame(
+                [], table_spark_schema(without)
+            )
         for name, spec in checks.items():
             refers = False
-            if spark is not None and column in schema:
-                probe_full = spark.createDataFrame(
-                    [], table_spark_schema(schema)
-                )
-                without = {c: t for c, t in schema.items() if c != column}
-                probe_less = spark.createDataFrame(
-                    [], table_spark_schema(without)
-                )
+            if probe_full is not None:
                 try:
                     probe_full.select(F.expr(spec["expr"]))
                     resolved_full = True
@@ -4056,10 +4084,25 @@ class LakeTable:
         _rebases: int = 0,
         _recomputes: int = 0,
         require_ddl_state: dict[str, Any] | None = None,
+        require_head_version: int | None = None,
     ) -> dict[str, Any]:
         snap = self.latest_snapshot()
         if snap and epoch_id in snap["epochs"]:
             return {"skipped_epoch": True}
+        # head pin (publish_branch fast_forward_only): the caller's
+        # guarantee is "commit applies to THIS head, or not at all" —
+        # checked here AND on every conflict (rebases would silently
+        # land the batch on an advanced head, the exact outcome the
+        # caller promised to refuse)
+        if require_head_version is not None and (
+            snap["version"] if snap else 0
+        ) != require_head_version:
+            raise CommitConflictError(
+                f"{self.tenant}.{self.name}: head moved to "
+                f"v{snap['version'] if snap else 0} (pinned "
+                f"v{require_head_version}) before epoch {epoch_id} "
+                "could commit"
+            )
         # DDL pin (apply_changes docstring): the caller validated against
         # a captured column-mapping state — if DDL landed since, the
         # batch's logical names may no longer mean the same columns.
@@ -4281,6 +4324,15 @@ class LakeTable:
                     # another writer landed OUR epoch — exactly-once holds
                     self._drop_staged(new_files)
                     return {"skipped_epoch": True}
+                if require_head_version is not None:
+                    # pinned commits never rebase or recompute: the head
+                    # they were promised is gone
+                    self._drop_staged(new_files)
+                    raise CommitConflictError(
+                        f"{self.tenant}.{self.name}: head moved past "
+                        f"pinned v{require_head_version} during the "
+                        f"commit of epoch {epoch_id}"
+                    )
                 if self._can_rebase(mode, snap, latest, new_files, commit_schema, n_buckets):
                     _rebases += 1
                     base = latest
@@ -4295,6 +4347,7 @@ class LakeTable:
                     _rebases=_rebases,
                     _recomputes=_recomputes + 1,
                     require_ddl_state=require_ddl_state,
+                    require_head_version=require_head_version,
                 )
         stats = {
             "rows_written": rows_written,

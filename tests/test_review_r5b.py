@@ -1,0 +1,160 @@
+"""Round-5 session-2 code-review regressions: merge_into source
+validation (typo'd assignment targets, NULL keys), the fast-forward
+publish head pin (a main commit landing inside the audit window must
+abort a fast_forward_only publish, never degrade it to an LWW merge),
+content-hashed CLI batch epoch ids (byte-identical redelivery with a
+fresh mtime replays idempotently), and the whole-warehouse fingerprint
+surviving a manifest-less husk table dir."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.plans.lake import (
+    CommitConflictError,
+    LakeCatalog,
+)
+
+SCHEMA = {"entityid": "TEXT", "level": "NUMERIC", "observedat": "TIMESTAMPTZ"}
+TS = "2024-07-01T00:00:00"
+
+
+def _batch(spark, rows):
+    data = [(f"urn:x:{e}", float(v), TS, f"urn:x:{e}|{TS}", recv, seq)
+            for e, v, recv, seq in rows]
+    return spark.createDataFrame(
+        data,
+        "entityid string, level double, observedat string,"
+        " _row_key string, _recv int, _seq string",
+    ).select(
+        "entityid", "level",
+        F.col("observedat").cast("timestamp").alias("observedat"),
+        "_row_key",
+        F.timestamp_millis(
+            F.lit(1700000000000) + F.col("_recv").cast("long")
+        ).alias("_recv_time"),
+        "_seq",
+    )
+
+
+def _setup(spark, tmp_path):
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=2).table("t", "g")
+    t.upsert(_batch(spark, [(0, 1.0, 0, "s0"), (1, 2.0, 0, "s1")]),
+             SCHEMA, "e1")
+    return t
+
+
+def test_merge_rejects_unknown_update_column(spark, tmp_path):
+    """A typo'd when_matched_update target is an ERROR like Delta's,
+    never a silently-committed no-op update."""
+    t = _setup(spark, tmp_path)
+    src = spark.createDataFrame([("urn:x:0",)], "entityid string")
+    with pytest.raises(ValueError, match="unknown column.*levle"):
+        t.merge_into(
+            spark, src, SCHEMA, "m1",
+            when_matched_update={"levle": "t.level + 1"},
+        )
+    # nothing committed — the guard fired before any epoch landed
+    assert not t.has_epoch("m1")
+
+
+def test_merge_rejects_null_keys(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    src = spark.createDataFrame(
+        [("urn:x:0", 5.0), (None, 6.0)], "entityid string, level double"
+    )
+    with pytest.raises(ValueError, match="NULL entityid"):
+        t.merge_into(spark, src, SCHEMA, "m2")
+
+
+def test_fast_forward_pin_holds_through_audit_window(spark, tmp_path):
+    """fast_forward_only is a guarantee about the COMMIT: a main commit
+    landing while the audits run must abort the publish (head pin in
+    apply_changes), not silently degrade it to an LWW merge."""
+    t = _setup(spark, tmp_path)
+    t.create_branch("dev")
+    b = t.branch("dev")
+    b.upsert(_batch(spark, [(0, 9.0, 1, "s2")]), SCHEMA, "b1")
+
+    def sneaky_audit(preview):
+        # a concurrent writer lands on main INSIDE the audit window
+        t.upsert(_batch(spark, [(2, 3.0, 1, "s3")]), SCHEMA, "e2")
+        return True
+
+    with pytest.raises(CommitConflictError, match="head moved"):
+        t.publish_branch(
+            spark, "dev", fast_forward_only=True, audits=[sneaky_audit]
+        )
+    # main kept ONLY the concurrent write — no branch row leaked through
+    got = {r["entityid"]: r["level"] for r in t.read(spark).collect()}
+    assert got == {"urn:x:0": 1.0, "urn:x:1": 2.0, "urn:x:2": 3.0}
+    # the merge publish (default) still lands afterwards
+    t.publish_branch(spark, "dev")
+    got = {r["entityid"]: r["level"] for r in t.read(spark).collect()}
+    assert got == {"urn:x:0": 9.0, "urn:x:1": 2.0, "urn:x:2": 3.0}
+
+
+def test_batch_epoch_id_is_content_keyed(tmp_path):
+    """Same bytes, fresh mtime -> SAME epoch (at-least-once redelivery
+    replays idempotently); different bytes at the same path -> new
+    epoch (the round-4 fix stays closed)."""
+    from nifi_ngsild_postgresql_spark.job import _batch_epoch_id
+
+    p = str(tmp_path / "batch.json")
+    with open(p, "w") as f:
+        f.write('{"a": 1}')
+    e1 = _batch_epoch_id(p)
+    os.utime(p, ns=(1, 1))  # redelivered: same bytes, different mtime
+    assert _batch_epoch_id(p) == e1
+    with open(p, "w") as f:
+        f.write('{"a": 2}')  # same size, different bytes
+    assert _batch_epoch_id(p) != e1
+    # directories: content-keyed per file, _SUCCESS/hidden ignored
+    d = tmp_path / "dir"
+    d.mkdir()
+    (d / "part-0").write_text("x")
+    (d / "_SUCCESS").write_text("")
+    e3 = _batch_epoch_id(str(d))
+    os.utime(d / "part-0", ns=(1, 1))
+    assert _batch_epoch_id(str(d)) == e3
+    (d / "part-0").write_text("y")
+    assert _batch_epoch_id(str(d)) != e3
+
+
+def test_fingerprint_warehouse_survives_husk_table(spark, tmp_path):
+    """A manifest-less husk dir (crashed first commit: _meta exists, no
+    v*.json) gets an error ENTRY; the healthy tables still print."""
+    import json as _json
+    import subprocess
+    import sys
+
+    t = _setup(spark, tmp_path)
+    wh = str(tmp_path / "wh")
+    os.makedirs(os.path.join(wh, "t", "husk", "_meta"))
+    r = subprocess.run(
+        [sys.executable, "-m", "nifi_ngsild_postgresql_spark.job",
+         "fingerprint", "--warehouse", wh],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 1, r.stderr[-2000:]  # loud about the husk...
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert "error" in out["t.husk"]
+    assert out["t.g"]["n"] == 2  # ...but the healthy table printed
+
+
+def test_fingerprint_version_without_table_refuses(spark, tmp_path):
+    import subprocess
+    import sys
+
+    _setup(spark, tmp_path)
+    r = subprocess.run(
+        [sys.executable, "-m", "nifi_ngsild_postgresql_spark.job",
+         "fingerprint", "--warehouse", str(tmp_path / "wh"),
+         "--version", "1"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 2
+    assert "--version needs --table" in r.stderr
