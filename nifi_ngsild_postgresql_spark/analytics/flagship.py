@@ -745,6 +745,99 @@ def q_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(*sorted(df.columns))
 
 
+def q_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow-clone lifecycle end-to-end (plans/lake.py ``clone_to``):
+    the per-user aggregate table is zero-copy cloned, the CLONE updates
+    every uid%3==0 user (total_milli → uid*7, n → -1) then MoR-deletes
+    every uid%5==1 user, while the SOURCE concurrently inserts shadow
+    users and then runs ``expire_snapshots(keep_last=1)`` — the GC pass
+    that breaks shallow clones in Delta and must NOT break ours (the
+    ``clone:`` pin keeps every dir the clone references). Returns the
+    clone's final state; the DuckDB oracle is the closed-form divergent
+    state WITHOUT the shadows — parity proves the zero-copy fork read
+    the source state, clone writes landed, source writes stayed
+    invisible, and source GC tore nothing."""
+    from pyspark.sql import functions as F
+
+    ship_package(spark)
+    wh = tempfile.mkdtemp(prefix="ngsild_clone_wh_")
+    t = LakeCatalog(wh, n_buckets=4).table("analytics", "usertotals")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = {"entityid": "TEXT", "total_milli": "BIGINT", "n": "BIGINT"}
+    r0 = F.timestamp_millis(F.lit(1700000000000))
+    r1 = F.timestamp_millis(F.lit(1700000001000))
+    base = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias(
+                "total_milli"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.concat(F.lit("urn:user:"), F.col("user_id")).alias("entityid"),
+            "total_milli", "n",
+            F.lit("r0").alias("_row_key"), r0.alias("_recv_time"),
+            F.lit("000000").alias("_seq"),
+        )
+    )
+    t.upsert(base, schema, "seed-0")
+    c = t.clone_to("analytics", "usertotals_dev")
+    uids = ev.select("user_id").distinct()
+    upd = uids.filter(F.col("user_id") % 3 == 0).select(
+        F.concat(F.lit("urn:user:"), F.col("user_id")).alias("entityid"),
+        (F.col("user_id") * 7).cast("long").alias("total_milli"),
+        F.lit(-1).cast("long").alias("n"),
+        F.lit("r0").alias("_row_key"), r1.alias("_recv_time"),
+        F.lit("000001").alias("_seq"),
+    )
+    c.upsert(upd, schema, "c-upd")
+    c.delete_where(
+        spark,
+        predicate="CAST(SUBSTR(entityid, 10) AS BIGINT) % 5 = 1",
+        strategy="mor",
+    )
+    shadows = uids.filter(F.col("user_id") % 11 == 0).select(
+        F.concat(
+            F.lit("urn:user:"), F.col("user_id") + 2000000
+        ).alias("entityid"),
+        F.col("user_id").cast("long").alias("total_milli"),
+        F.lit(1).cast("long").alias("n"),
+        F.lit("r0").alias("_row_key"), r1.alias("_recv_time"),
+        F.lit("000002").alias("_seq"),
+    )
+    # source diverges across TWO epochs so keep_last=1 has an untagged
+    # intermediate snapshot to expire (the fork snapshot itself is
+    # pinned by the clone tag and must survive)
+    t.upsert(shadows.filter(F.col("total_milli") % 2 == 0), schema,
+             "src-shadow-even")
+    t.upsert(shadows.filter(F.col("total_milli") % 2 == 1), schema,
+             "src-shadow-odd")
+    # the Delta-breaking step: source GC past the fork — the clone pin
+    # must keep every dir the clone still references
+    out = t.expire_snapshots(keep_last=1, orphan_grace_seconds=0.0)
+    assert out["expired_snapshots"] >= 1, out
+    df = c.read(spark)
+    return df.select(*sorted(df.columns))
+
+
+SQL_CLONE_DIVERGENCE = """
+WITH base AS (
+  SELECT user_id AS uid,
+         'urn:user:' || user_id AS entityid,
+         CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT)
+           AS total_milli,
+         COUNT(*) AS n
+  FROM events GROUP BY user_id
+)
+SELECT entityid,
+       CASE WHEN uid % 3 = 0 THEN CAST(-1 AS BIGINT) ELSE n END AS n,
+       CASE WHEN uid % 3 = 0 THEN CAST(uid * 7 AS BIGINT)
+            ELSE total_milli END AS total_milli
+FROM base WHERE uid % 5 <> 1
+"""
+
+
 SQL_BRANCH_PUBLISH = """
 WITH base AS (
   SELECT user_id AS uid,

@@ -24,6 +24,8 @@ from .flagship import (
     SQL_SCD2_HISTORY,
     SQL_TRUNCATE_RETENTION,
     q_truncate_retention,
+    SQL_CLONE_DIVERGENCE,
+    q_clone_divergence,
     q_branch_publish,
     q_ddl_rename_drop,
     q_join_view,
@@ -197,6 +199,12 @@ PYTEST_ONLY: dict[str, tuple] = {
     # post-DDL full compaction routing the rewrite through the colmap;
     # the oracle is the flagship final state re-projected the same way
     "ddl_rename_drop": (q_ddl_rename_drop, SQL_DDL_RENAME_DROP),
+    # round 5: shallow clone lifecycle (plans/lake.py clone_to) — the
+    # zero-copy fork diverges (clone update + MoR delete vs source
+    # shadow inserts), then the source runs the GC pass that breaks
+    # Delta shallow clones; the oracle is the closed-form divergent
+    # state, so parity proves fork/isolation/pin in one case
+    "clone_divergence": (q_clone_divergence, SQL_CLONE_DIVERGENCE),
     # round 5: retention sweep (plans/lake.py truncate_before — the
     # partition-drop analog): time-split MoR ingest, then delete
     # everything below a cutoff at manifest cost — provably-expired
