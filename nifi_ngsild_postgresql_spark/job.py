@@ -174,6 +174,9 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--table", required=True, help="tenant.table")
     m.add_argument("--max-files-per-bucket", type=int, default=8)
     m.add_argument("--rebucket-to", type=int, default=None)
+    m.add_argument("--bin-pack-bytes", type=int, default=None,
+                   help="Iceberg bin-pack analog: merge only files below"
+                        " this byte size, keep larger files in place")
     m.add_argument("--zorder-by", default=None,
                    help="comma-separated columns: full clustering rewrite "
                         "(Delta OPTIMIZE ZORDER analog)")
@@ -589,6 +592,7 @@ def main(argv: list[str] | None = None) -> int:
                 zorder_by=(
                     args.zorder_by.split(",") if args.zorder_by else None
                 ),
+                bin_pack_bytes=args.bin_pack_bytes,
             )
         if args.expire_keep_last:
             out["expire"] = table.expire_snapshots(

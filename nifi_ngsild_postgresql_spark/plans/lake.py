@@ -1954,6 +1954,7 @@ class LakeTable:
         max_files_per_bucket: int = 4,
         rebucket_to: int | None = None,
         zorder_by: list[str] | None = None,
+        bin_pack_bytes: int | None = None,
         _attempt: int = 0,
     ) -> dict[str, Any]:
         """Small-file compaction: rewrite every bucket whose manifest lists
@@ -1973,16 +1974,44 @@ class LakeTable:
         bit-interleaved clustering sort (_zorder_expr) instead of the
         default time sort — multi-dimensional data skipping for tables
         filtered on more than one column. Implies a full rewrite so the
-        clustering is uniform; content-invariant like rebucketing."""
+        clustering is uniform; content-invariant like rebucketing.
+
+        ``bin_pack_bytes`` is the Iceberg ``rewrite_data_files``
+        bin-pack analog: instead of rewriting WHOLE buckets, merge only
+        the files whose manifest-tracked byte size is below the
+        threshold, keeping every larger file in place — write
+        amplification is O(small files), so routine maintenance on a
+        mostly-compacted 100 TB table stops re-copying its settled
+        bulk. Sound on merge-on-read state because the within-subset
+        LWW winner still shadows everything it beat in the KEPT files;
+        tombstones pass through VERBATIM (materializing one whose
+        victim lives in a kept file would resurrect that victim), so
+        the merge_on_read/has_tombstones flags stay sticky — only a
+        whole-bucket compaction materializes."""
         snap = self.latest_snapshot()
         if snap is None:
             return {"compacted_buckets": 0}
         n_buckets = snap["n_buckets"]
+        bin_pack = bin_pack_bytes is not None
+        kept_files: dict[str, list[str]] = {}
         if rebucket_to is not None and rebucket_to != n_buckets:
             n_buckets = rebucket_to
             to_compact = dict(snap["files"])  # full rewrite
         elif zorder_by:
             to_compact = dict(snap["files"])  # full rewrite for uniformity
+        elif bin_pack:
+            fstats = snap.get("file_stats", {})
+            to_compact = {}
+            for b, paths in snap["files"].items():
+                # a dir with no recorded byte size (pre-round-3
+                # manifest) counts as small: more I/O, never wrong
+                small = [
+                    p for p in paths
+                    if fstats.get(p, {}).get("_bytes", -1) < bin_pack_bytes
+                ]
+                if len(small) >= 2:  # merging one file is a pure copy
+                    to_compact[b] = small
+                    kept_files[b] = [p for p in paths if p not in small]
         else:
             to_compact = {
                 b: paths
@@ -1999,14 +2028,18 @@ class LakeTable:
             with_tombstone=has_tomb, colmap=snap.get("colmap"),
         )
         if snap.get("merge_on_read"):
-            # materialize the read-time LWW for the compacted buckets
-            # (keys never cross buckets, so per-bucket resolution is total)
+            # materialize the read-time LWW for the compacted subset
+            # (keys never cross buckets; for bin-pack the within-subset
+            # winner still shadows whatever it beat in kept files, and
+            # a tombstone winner rides through as a row)
             from ..operators.dedup import last_writer_wins
 
             df = last_writer_wins(df)
-        if has_tomb:
+        if has_tomb and not bin_pack:
             # materialize the deletes for the compacted buckets: spent
-            # tombstones do not survive the rewrite
+            # tombstones do not survive the WHOLE-bucket rewrite. Never
+            # for bin-pack — a dropped tombstone whose victim lives in
+            # a kept file would resurrect that victim.
             df = df.filter(
                 ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
             ).drop(TOMBSTONE_COL)
@@ -2021,14 +2054,18 @@ class LakeTable:
         )
         files = dict(snap["files"])
         for b in to_compact:
-            files.pop(b, None)
+            # bin-pack keeps the bucket's large files in place (zero
+            # I/O on them: their manifest entries and stats carry over)
+            files[b] = list(kept_files.get(b, ()))
         for b, paths in new_files.items():
-            files[b] = paths
+            files[b] = files.get(b, []) + paths
+        files = {b: ps for b, ps in files.items() if ps}
         file_stats = self._carry_stats(snap, files, new_files)
         self._attach_blooms(file_stats, blooms)
         # a compaction covering every bucket leaves only unique rows:
-        # the table is read-optimized again
-        full = set(to_compact) == set(snap["files"])
+        # the table is read-optimized again (bin-pack never qualifies —
+        # kept files may still hold duplicates/tombstone victims)
+        full = set(to_compact) == set(snap["files"]) and not bin_pack
         try:
             self._commit(
                 {
@@ -2062,6 +2099,7 @@ class LakeTable:
                 max_files_per_bucket=max_files_per_bucket,
                 rebucket_to=rebucket_to,
                 zorder_by=zorder_by,
+                bin_pack_bytes=bin_pack_bytes,
                 _attempt=_attempt + 1,
             )
         return {"compacted_buckets": len(to_compact), "rows": rows, "version": version}

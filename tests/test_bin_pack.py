@@ -1,0 +1,176 @@
+"""Bin-packing compaction (plans/lake.py compact(bin_pack_bytes=) — the
+Iceberg ``rewrite_data_files`` bin-pack analog): merge only the files
+below a byte threshold, keep every larger file IN PLACE, so routine
+small-file maintenance stops re-copying a bucket's settled bulk.
+
+Pinned here:
+- only small files are read (file-spy) and the kept large file's
+  manifest entry + stats survive VERBATIM — zero I/O on the bulk;
+- content identity: state before == after, including on merge-on-read
+  duplicates (within-subset LWW is globally sound);
+- tombstone safety: a tombstone in a small file whose VICTIM lives in a
+  kept large file passes through the pack verbatim — the delete still
+  holds after (the whole-bucket rewrite would have materialized it;
+  bin-pack must not);
+- flags stay sticky (merge_on_read / has_tombstones) because kept files
+  may still hold duplicates; a later whole-bucket compaction
+  materializes as before;
+- the change feed across a bin-pack commit is silent (logical no-op);
+- the CLI flag routes through maintain.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+
+SCHEMA = {"entityid": "TEXT", "level": "NUMERIC", "observedat": "TIMESTAMPTZ"}
+TS = "2024-07-01T00:00:00"
+
+
+def _batch(spark, rows, pad=""):
+    data = [(f"urn:x:{e}", float(v), TS, f"urn:x:{e}|{TS}", recv, seq, pad)
+            for e, v, recv, seq in rows]
+    return spark.createDataFrame(
+        data,
+        "entityid string, level double, observedat string,"
+        " _row_key string, _recv int, _seq string, pad string",
+    ).select(
+        "entityid", "level",
+        F.col("observedat").cast("timestamp").alias("observedat"),
+        "pad",
+        "_row_key",
+        F.timestamp_millis(
+            F.lit(1700000000000) + F.col("_recv").cast("long")
+        ).alias("_recv_time"),
+        "_seq",
+    )
+
+
+FULL = {**SCHEMA, "pad": "TEXT"}
+
+
+def _state(spark, t):
+    return sorted(
+        (r["entityid"], r["level"]) for r in t.read(spark).collect()
+    )
+
+
+def _setup(spark, tmp_path, mode="append"):
+    """One BIG dir (padded rows) + three small dirs, single bucket so
+    packing decisions are intra-bucket."""
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=1).table("ten", "t")
+    t.auto_compact_files = None
+    w = getattr(t, mode if mode != "append" else "append")
+    w(_batch(spark, [(i, float(i), 0, f"s{i}") for i in range(20)],
+             pad="x" * 20000), FULL, "e-big")
+    for j in range(3):
+        w(_batch(spark, [(100 + j, 1.0, 1 + j, f"t{j}")]), FULL,
+          f"e-small-{j}")
+    return t
+
+
+def test_bin_pack_touches_only_small_files(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    snap0 = t.latest_snapshot()
+    sizes = {p: s["_bytes"] for p, s in snap0["file_stats"].items()}
+    big = max(sizes, key=sizes.get)
+    before = _state(spark, t)
+
+    opened: list[str] = []
+    orig = type(t)._read_files
+
+    def spy(self, sp, schema, rel_paths, *a, **kw):
+        opened.extend(rel_paths)
+        return orig(self, sp, schema, rel_paths, *a, **kw)
+
+    import unittest.mock as mock
+
+    threshold = sizes[big]  # strictly-below: the big dir is excluded
+    with mock.patch.object(type(t), "_read_files", spy):
+        out = t.compact(spark, bin_pack_bytes=threshold)
+    assert out["compacted_buckets"] == 1
+    assert big not in opened  # the bulk was never read
+    assert len(opened) == 3
+    snap1 = t.latest_snapshot()
+    # the kept file's manifest entry and stats survive verbatim
+    assert big in {p for ps in snap1["files"].values() for p in ps}
+    assert snap1["file_stats"][big] == snap0["file_stats"][big]
+    # 4 dirs -> big + 1 packed
+    assert sum(len(ps) for ps in snap1["files"].values()) == 2
+    assert _state(spark, t) == before
+    # feed-silent: a logical no-op commit
+    ch = t.read_changes(spark, snap0["version"]).collect()
+    assert ch == []
+
+
+def test_bin_pack_is_lww_sound_on_mor(spark, tmp_path):
+    """Duplicate chains split across small files + a kept file: the
+    within-subset LWW winner still shadows the kept copy at read."""
+    t = _setup(spark, tmp_path, mode="upsert_mor")
+    # small updates to key 0 (whose original lives in the big dir)
+    t.upsert_mor(_batch(spark, [(0, 50.0, 9, "z1")]), FULL, "e-upd1")
+    t.upsert_mor(_batch(spark, [(0, 60.0, 10, "z2")]), FULL, "e-upd2")
+    before = _state(spark, t)
+    assert ("urn:x:0", 60.0) in before
+    snap0 = t.latest_snapshot()
+    sizes = {p: s["_bytes"] for p, s in snap0["file_stats"].items()}
+    t.compact(spark, bin_pack_bytes=max(sizes.values()))
+    snap1 = t.latest_snapshot()
+    assert snap1.get("merge_on_read")  # sticky — kept file has the loser
+    assert _state(spark, t) == before
+    # whole-bucket compaction afterwards still materializes fully
+    t.compact(spark, max_files_per_bucket=0)
+    assert not t.latest_snapshot().get("merge_on_read")
+    assert _state(spark, t) == before
+
+
+def test_bin_pack_keeps_tombstone_shadowing_kept_victim(spark, tmp_path):
+    """A MoR delete tombstone (small dir) whose victim sits in the KEPT
+    big dir must survive the pack — materializing it would resurrect
+    the victim."""
+    # CoW upserts consolidate on every write, so build the layout
+    # explicitly: one big dir, then TWO small MoR tombstone dirs whose
+    # victims live in the (kept) big dir
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=1).table("ten", "t")
+    t.auto_compact_files = None
+    t.upsert(_batch(spark, [(i, float(i), 0, f"s{i}") for i in range(20)],
+                    pad="x" * 20000), FULL, "e-big")
+    t.delete_where(spark, predicate="entityid = 'urn:x:5'", strategy="mor")
+    t.delete_where(spark, predicate="entityid = 'urn:x:6'", strategy="mor")
+    before = _state(spark, t)
+    assert ("urn:x:5", 5.0) not in before
+    assert ("urn:x:6", 6.0) not in before
+    snap0 = t.latest_snapshot()
+    sizes = {p: s["_bytes"] for p, s in snap0["file_stats"].items()}
+    t.compact(spark, bin_pack_bytes=max(sizes.values()))
+    snap1 = t.latest_snapshot()
+    assert snap1.get("has_tombstones")  # the tombstone rode through
+    assert _state(spark, t) == before  # delete still holds
+    # and the delete survives a subsequent full materialization too
+    t.compact(spark, max_files_per_bucket=0)
+    assert _state(spark, t) == before
+    assert not t.latest_snapshot().get("has_tombstones")
+
+
+def test_bin_pack_cli(spark, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    t = _setup(spark, tmp_path)
+    snap0 = t.latest_snapshot()
+    sizes = {p: s["_bytes"] for p, s in snap0["file_stats"].items()}
+    r = subprocess.run(
+        [sys.executable, "-m", "nifi_ngsild_postgresql_spark.job",
+         "maintain", "--warehouse", str(tmp_path / "wh"),
+         "--table", "ten.t", "--max-files-per-bucket", "999",
+         "--bin-pack-bytes", str(max(sizes.values()))],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["compact"]["compacted_buckets"] == 1
