@@ -341,6 +341,10 @@ def main(argv: list[str] | None = None) -> int:
                     default="create")
     cl.add_argument("--to", default=None,
                     help="create only: destination tenant.table")
+    cl.add_argument("--deep", action="store_true",
+                    help="create only: DEEP clone (physical copy, no "
+                         "source pin; may take an attached clone as "
+                         "source)")
 
     tr = sub.add_parser(
         "truncate",
@@ -771,8 +775,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.action == "create":
             if not args.to:
                 parser.error("clone --action create requires --to DST")
-            c = cat.clone(args.table, args.to)
-            print(json.dumps(c.clone_origin()))
+            c = cat.clone(args.table, args.to, deep=args.deep)
+            print(json.dumps(
+                c.clone_origin()
+                or {"deep_cloned": args.table, "to": args.to}
+            ))
         elif args.action == "drop":
             cat.table(tenant, name).drop_clone()
             print(json.dumps({"dropped": args.table}))

@@ -3154,7 +3154,9 @@ class LakeTable:
         forever."""
         return f"clone:{tenant}.{name}:{incarnation}"
 
-    def clone_to(self, tenant: str, name: str) -> "LakeTable":
+    def clone_to(
+        self, tenant: str, name: str, deep: bool = False
+    ) -> "LakeTable":
         """Shallow (zero-copy) clone — the Delta ``CREATE TABLE ...
         SHALLOW CLONE src`` analog: a NEW first-class table at
         ``tenant.name`` whose initial state is this table's latest
@@ -3181,7 +3183,15 @@ class LakeTable:
         Refused on branch handles (clone from the main table) and on
         tables whose latest snapshot itself carries refs (a clone or
         fork that hasn't been compacted): transitive ref chains would
-        need cross-table GC scanning — compact or detach first."""
+        need cross-table GC scanning — compact or detach first.
+
+        ``deep=True`` is the Delta DEEP CLONE: every referenced commit
+        dir is physically COPIED into the new table (O(data) I/O), the
+        manifest carries plain local paths, and no source-side pin or
+        lifecycle exists — the result is an ordinary independent table
+        from birth. Deep clones MAY take an attached shallow clone as
+        their source (refs resolve during the copy), so deep-cloning is
+        also the cross-address materialization path."""
         import shutil
         import uuid
 
@@ -3200,15 +3210,16 @@ class LakeTable:
                 )
             v = versions[-1]
             snap = self.snapshot(v)
-            if any(
+            if not deep and any(
                 p.startswith((_PARENT_REF, _TABLE_REF))
                 for paths in snap["files"].values()
                 for p in paths
             ):
                 raise ValueError(
                     f"{self.tenant}.{self.name}: latest snapshot still "
-                    "references another table's files — compact() (or "
-                    "detach_clone) before cloning a clone"
+                    "references another table's files — compact() / "
+                    "detach_clone before shallow-cloning a clone, or "
+                    "clone deep=True (refs resolve during the copy)"
                 )
             dst = LakeTable(
                 self.warehouse, tenant, name,
@@ -3222,6 +3233,8 @@ class LakeTable:
             )
             if dst.versions() or os.path.isdir(dst.meta_dir):
                 raise ValueError(f"table {tenant}.{name} already exists")
+            if deep:
+                return self._deep_clone_locked(snap, v, dst)
             incarnation = uuid.uuid4().hex[:12]
             ref = _TABLE_REF + f"{self.tenant}.{self.name}/"
             fork = {
@@ -3259,6 +3272,59 @@ class LakeTable:
                     },
                     f,
                 )
+        return dst
+
+    def _deep_clone_locked(
+        self, snap: dict[str, Any], v: int, dst: "LakeTable"
+    ) -> "LakeTable":
+        """Deep-clone body (caller holds OUR tags lock, so the copied
+        dirs can't be GC'd out from under the copy — the lock
+        expire_snapshots' keep-set computation takes). Commit dirs are
+        copied at commit-dir granularity under their original names
+        (random per-attempt tokens make cross-table collisions
+        impossible); ref'd dirs (@t:/@main:) resolve through _abs_path,
+        so an attached clone deep-clones into a self-contained table."""
+        import shutil
+
+        def local_rel(rel: str) -> str:
+            if rel.startswith(_TABLE_REF):
+                return rel[len(_TABLE_REF):].split("/", 1)[1]
+            if rel.startswith(_PARENT_REF):
+                return rel[len(_PARENT_REF):]
+            return rel
+
+        copied: set[str] = set()
+        for paths in snap["files"].values():
+            for rel in paths:
+                src_dir = self._abs_path(rel).split("/_bucket=")[0]
+                dst_dir = os.path.join(
+                    dst.path, local_rel(rel).split("/_bucket=")[0]
+                )
+                if dst_dir in copied:
+                    continue
+                copied.add(dst_dir)
+                shutil.copytree(src_dir, dst_dir)
+        fork = {
+            **snap,
+            "files": {
+                bk: [local_rel(p) for p in ps]
+                for bk, ps in snap["files"].items()
+            },
+            "file_stats": {
+                local_rel(r): dict(st)
+                for r, st in snap.get("file_stats", {}).items()
+            },
+            "added_files": {},
+            "mode": "clone_deep",
+            "stats": {"cloned_from": f"{self.tenant}.{self.name}@{v}",
+                      "copied_dirs": len(copied)},
+        }
+        fork.pop("committed_at_ms", None)
+        dst._commit(fork)
+        for side in ("_checks.json", "_restores.json"):
+            src = os.path.join(self.meta_dir, side)
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(dst.meta_dir, side))
         return dst
 
     def clone_origin(self) -> dict[str, Any] | None:
@@ -4508,13 +4574,16 @@ class LakeCatalog:
         )
 
     def clone(
-        self, src: str, dst: str
+        self, src: str, dst: str, deep: bool = False
     ) -> LakeTable:
-        """Shallow-clone ``src`` ("tenant.name") to ``dst`` — see
+        """Clone ``src`` ("tenant.name") to ``dst`` — shallow by
+        default, physical copy with ``deep=True``; see
         LakeTable.clone_to."""
         s_tenant, s_name = src.split(".", 1)
         d_tenant, d_name = dst.split(".", 1)
-        return self.table(s_tenant, s_name).clone_to(d_tenant, d_name)
+        return self.table(s_tenant, s_name).clone_to(
+            d_tenant, d_name, deep=deep
+        )
 
     def register_views(
         self, spark: SparkSession, prefix: str = ""

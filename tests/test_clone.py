@@ -251,3 +251,43 @@ def test_clone_cli_roundtrip(spark, tmp_path):
     assert out == {"dropped": "t.dst"}
     assert not os.path.isdir(c.path)
     assert not any(k.startswith("clone:") for k in t.tags())
+
+
+def test_deep_clone_is_independent_from_birth(spark, tmp_path):
+    cat, t = _setup(spark, tmp_path)
+    d = t.clone_to("t", "deep", deep=True)
+    assert d.clone_origin() is None  # no lifecycle — ordinary table
+    assert not any(k.startswith("clone:") for k in t.tags())  # no pin
+    assert _data_dirs(d) != []  # physical copy
+    assert _state(spark, d) == _state(spark, t)
+    # source GC/drop can't touch it
+    t.upsert(_batch(spark, [(0, 9.0, 1, "s2")]), SCHEMA, "e2")
+    t.expire_snapshots(keep_last=1, orphan_grace_seconds=0.0)
+    assert _state(spark, d) == [("urn:x:0", 1.0), ("urn:x:1", 2.0)]
+    # epochs inherited: the replayed source batch still no-ops
+    assert d.upsert(
+        _batch(spark, [(0, 1.0, 0, "s0")]), SCHEMA, "e1"
+    ).get("skipped_epoch")
+
+
+def test_deep_clone_materializes_an_attached_clone(spark, tmp_path):
+    """Deep-cloning an ATTACHED shallow clone resolves its @t: refs
+    during the copy — the cross-address materialization path."""
+    cat, t = _setup(spark, tmp_path)
+    c = t.clone_to("t", "shallow")
+    c.upsert(_batch(spark, [(2, 5.0, 1, "s9")]), SCHEMA, "c1")
+    d = c.clone_to("t", "deep", deep=True)
+    snap = d.latest_snapshot()
+    assert not any(
+        p.startswith("@")
+        for paths in snap["files"].values()
+        for p in paths
+    )
+    assert _state(spark, d) == _state(spark, c)
+    # fully self-contained: the shallow clone AND the source can go
+    c.drop_clone()
+    t.upsert(_batch(spark, [(0, 9.0, 2, "s3")]), SCHEMA, "e2")
+    t.expire_snapshots(keep_last=1, orphan_grace_seconds=0.0)
+    assert _state(spark, d) == [
+        ("urn:x:0", 1.0), ("urn:x:1", 2.0), ("urn:x:2", 5.0)
+    ]
