@@ -174,6 +174,13 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--table", required=True, help="tenant.table")
     m.add_argument("--max-files-per-bucket", type=int, default=8)
     m.add_argument("--rebucket-to", type=int, default=None)
+    m.add_argument("--set-retention-days", type=float, default=None,
+                   help="persist a retention policy: rows older than N "
+                        "days (by observedat) are swept when maintenance "
+                        "applies it")
+    m.add_argument("--apply-retention", action="store_true",
+                   help="run the persisted retention policy "
+                        "(truncate_before at manifest cost)")
     m.add_argument("--bin-pack-bytes", type=int, default=None,
                    help="Iceberg bin-pack analog: merge only files below"
                         " this byte size, keep larger files in place")
@@ -587,8 +594,14 @@ def main(argv: list[str] | None = None) -> int:
             out["restore"] = table.restore(
                 _coerce_version(table, args.restore_to)
             )
+        if args.set_retention_days is not None:
+            out["retention"] = table.set_retention(args.set_retention_days)
+        if args.apply_retention:
+            out["retention_sweep"] = table.apply_retention(spark)
         if not (args.tag or args.drop_tag or args.add_check
-                or args.drop_check or args.restore_to):
+                or args.drop_check or args.restore_to
+                or args.set_retention_days is not None
+                or args.apply_retention):
             out["compact"] = table.compact(
                 spark,
                 max_files_per_bucket=args.max_files_per_bucket,

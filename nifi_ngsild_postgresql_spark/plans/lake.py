@@ -2690,6 +2690,64 @@ class LakeTable:
             out_stats["rows_deleted"] = rows_deleted
         return out_stats
 
+    # --- table-owned retention policy --------------------------------------
+
+    def _retention_path(self) -> str:
+        return os.path.join(self.meta_dir, "_retention.json")
+
+    def retention(self) -> dict[str, Any] | None:
+        """The persisted retention policy ({"column", "keep_days"}) or
+        None. Policy, not mechanism: apply_retention turns it into a
+        truncate_before cutoff when maintenance runs."""
+        if not os.path.exists(self._retention_path()):
+            return None
+        with open(self._retention_path()) as f:
+            return json.load(f)
+
+    def set_retention(self, keep_days: float) -> dict[str, Any]:
+        """Persist a retention policy on the TABLE (the Delta
+        `delta.logRetentionDuration`-style table-property pattern, but
+        for DATA): rows older than ``keep_days`` (by ``observedat``, the
+        only column truncate_before supports) are swept whenever
+        maintenance applies the policy — the table owns its ageing rule
+        instead of an external cron owning a DELETE statement. Inherited
+        by branches and clones like CHECK constraints (each side then
+        ages independently)."""
+        if not (isinstance(keep_days, (int, float)) and keep_days > 0):
+            raise ValueError(f"keep_days must be > 0, got {keep_days!r}")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        pol = {"column": "observedat", "keep_days": float(keep_days)}
+        fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(pol, f)
+        os.replace(tmp, self._retention_path())
+        return pol
+
+    def clear_retention(self) -> None:
+        if os.path.exists(self._retention_path()):
+            os.remove(self._retention_path())
+
+    def apply_retention(
+        self, spark: SparkSession, now_ms: int | None = None
+    ) -> dict[str, Any]:
+        """Run the persisted policy: truncate_before(now - keep_days).
+        ``now_ms`` pins the clock for tests/replayable maintenance runs;
+        production maintenance passes wall time. No policy → no-op (so
+        maintenance can call this unconditionally)."""
+        import datetime
+
+        pol = self.retention()
+        if pol is None:
+            return {"skipped": True, "reason": "no retention policy"}
+        if now_ms is None:
+            now_ms = int(time.time() * 1000)
+        cutoff_ms = now_ms - int(pol["keep_days"] * 86_400_000)
+        cutoff = datetime.datetime.fromtimestamp(
+            cutoff_ms / 1000.0, tz=datetime.timezone.utc
+        ).replace(tzinfo=None)
+        out = self.truncate_before(spark, cutoff, column=pol["column"])
+        return {**out, "cutoff": cutoff.isoformat()}
+
     # --- named snapshot refs (Iceberg tags) -------------------------------
 
     def _tags_path(self) -> str:
@@ -2992,7 +3050,7 @@ class LakeTable:
             # inherit the write contracts: CHECK constraints, and the
             # restore-era ledger (order-carrying mirrors following the
             # BRANCH feed must see the parent's pre-fork eras too)
-            for side in ("_checks.json", "_restores.json"):
+            for side in ("_checks.json", "_restores.json", "_retention.json"):
                 src = os.path.join(self.meta_dir, side)
                 if os.path.exists(src):
                     shutil.copy(src, os.path.join(b.meta_dir, side))
@@ -3259,7 +3317,7 @@ class LakeTable:
                 self._clone_tag(tenant, name, incarnation), v
             )
             dst._commit(fork)
-            for side in ("_checks.json", "_restores.json"):
+            for side in ("_checks.json", "_restores.json", "_retention.json"):
                 src = os.path.join(self.meta_dir, side)
                 if os.path.exists(src):
                     shutil.copy(src, os.path.join(dst.meta_dir, side))
@@ -3321,7 +3379,7 @@ class LakeTable:
         }
         fork.pop("committed_at_ms", None)
         dst._commit(fork)
-        for side in ("_checks.json", "_restores.json"):
+        for side in ("_checks.json", "_restores.json", "_retention.json"):
             src = os.path.join(self.meta_dir, side)
             if os.path.exists(src):
                 shutil.copy(src, os.path.join(dst.meta_dir, side))

@@ -245,3 +245,65 @@ def test_guards(spark, tmp_path):
         t.truncate_before(spark, CUT, column="level")
     with pytest.raises(ValueError, match="cutoff must be"):
         t.truncate_before(spark, 12345)
+
+
+# --- table-owned retention policy (set_retention / apply_retention) ----
+
+
+def test_retention_policy_sweeps_and_is_idempotent(spark, tmp_path):
+    import datetime
+
+    t = _setup(spark, tmp_path)
+    t.set_retention(keep_days=30.0)
+    # pinned clock: 2024-03-01 -> cutoff 2024-01-31 (Jan expires)
+    now_ms = int(
+        datetime.datetime(
+            2024, 3, 1, tzinfo=datetime.timezone.utc
+        ).timestamp() * 1000
+    )
+    out = t.apply_retention(spark, now_ms=now_ms)
+    assert out["dropped_dirs"] > 0 and out["rewritten_dirs"] == 0
+    assert out["cutoff"] == "2024-01-31T00:00:00"
+    assert _ids(spark, t) == [f"urn:x:{i}" for i in (2, 3, 4, 5)]
+    # re-applying at the same clock is a no-op
+    again = t.apply_retention(spark, now_ms=now_ms)
+    assert again.get("noop")
+    # no policy -> explicit skip, safe to call unconditionally
+    t.clear_retention()
+    assert t.apply_retention(spark, now_ms=now_ms).get("skipped")
+
+
+def test_retention_policy_inherited_by_clone_and_branch(spark, tmp_path):
+    t = _setup(spark, tmp_path)
+    t.set_retention(keep_days=7.0)
+    assert t.clone_to("ten", "c").retention() == t.retention()
+    assert t.create_branch("dev").retention() == t.retention()
+
+
+def test_retention_guards_and_cli(spark, tmp_path):
+    import datetime
+    import json as _json
+    import subprocess
+    import sys
+
+    t = _setup(spark, tmp_path)
+    with pytest.raises(ValueError, match="keep_days"):
+        t.set_retention(0)
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "nifi_ngsild_postgresql_spark.job",
+             "maintain", "--warehouse", str(tmp_path / "wh"),
+             "--table", "ten.t", *argv],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return _json.loads(r.stdout.strip().splitlines()[-1])
+
+    out = run("--set-retention-days", "30")
+    assert out["retention"]["keep_days"] == 30.0
+    # wall-clock apply: everything in the table is from 2024 and long
+    # past any 30-day window measured from the real clock
+    out = run("--apply-retention")
+    assert out["retention_sweep"]["dropped_dirs"] > 0
+    assert _ids(spark, t) == []
