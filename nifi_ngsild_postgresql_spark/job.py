@@ -598,7 +598,17 @@ def main(argv: list[str] | None = None) -> int:
             out["retention"] = table.set_retention(args.set_retention_days)
         if args.apply_retention:
             out["retention_sweep"] = table.apply_retention(spark)
-        if not (args.tag or args.drop_tag or args.add_check
+        # compact runs when ANY compaction-shaping flag was passed
+        # explicitly (a combined nightly `--apply-retention
+        # --bin-pack-bytes N` must not silently drop the pack), or when
+        # no exclusive-op flag narrowed the invocation
+        wants_compact = (
+            args.bin_pack_bytes is not None
+            or args.rebucket_to is not None
+            or args.zorder_by
+        )
+        if wants_compact or not (
+                args.tag or args.drop_tag or args.add_check
                 or args.drop_check or args.restore_to
                 or args.set_retention_days is not None
                 or args.apply_retention):

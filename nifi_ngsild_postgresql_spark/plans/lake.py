@@ -1992,14 +1992,20 @@ class LakeTable:
         if snap is None:
             return {"compacted_buckets": 0}
         n_buckets = snap["n_buckets"]
-        bin_pack = bin_pack_bytes is not None
+        # keyed to the planning branch TAKEN, not the argument: a
+        # rebucket/zorder call that also passed bin_pack_bytes is a full
+        # rewrite and must materialize like one (tombstones spent, flags
+        # cleared) — leaving them sticky would pay 100% rewrite I/O yet
+        # keep the table merge-on-read
+        bin_pack = False
         kept_files: dict[str, list[str]] = {}
         if rebucket_to is not None and rebucket_to != n_buckets:
             n_buckets = rebucket_to
             to_compact = dict(snap["files"])  # full rewrite
         elif zorder_by:
             to_compact = dict(snap["files"])  # full rewrite for uniformity
-        elif bin_pack:
+        elif bin_pack_bytes is not None:
+            bin_pack = True
             fstats = snap.get("file_stats", {})
             to_compact = {}
             for b, paths in snap["files"].items():
@@ -2715,6 +2721,14 @@ class LakeTable:
         ages independently)."""
         if not (isinstance(keep_days, (int, float)) and keep_days > 0):
             raise ValueError(f"keep_days must be > 0, got {keep_days!r}")
+        schema = self.schema()
+        if schema is not None and "observedat" not in schema:
+            # reject at SET time, not at every maintenance run forever
+            raise ValueError(
+                f"{self.tenant}.{self.name} has no 'observedat' column — "
+                "retention sweeps only the key-derived time column "
+                "(truncate_before)"
+            )
         os.makedirs(self.meta_dir, exist_ok=True)
         pol = {"column": "observedat", "keep_days": float(keep_days)}
         fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".tmp")
@@ -2739,6 +2753,16 @@ class LakeTable:
         pol = self.retention()
         if pol is None:
             return {"skipped": True, "reason": "no retention policy"}
+        schema = self.schema()
+        if schema is not None and pol["column"] not in schema:
+            # a policy set before the first snapshot on a table that
+            # then materialized without the column: maintenance calls
+            # this unconditionally, so skip LOUDLY rather than turn
+            # every future run into a hard failure
+            return {
+                "skipped": True,
+                "reason": f"column {pol['column']!r} not in schema",
+            }
         if now_ms is None:
             now_ms = int(time.time() * 1000)
         cutoff_ms = now_ms - int(pol["keep_days"] * 86_400_000)
@@ -2835,12 +2859,12 @@ class LakeTable:
                 "tag name 'fork' is reserved on branches — it pins the "
                 "fork snapshot the publish change-range needs"
             )
-        if name.startswith("clone:"):
+        if name.startswith(("clone:", "deepclone:")):
             raise ValueError(
-                "tag names starting with 'clone:' are reserved for "
-                "shallow-clone GC pins (clone_to) — expire_snapshots "
-                "self-heals them and would drop a user tag in that "
-                "namespace"
+                "tag names starting with 'clone:'/'deepclone:' are "
+                "reserved for clone GC pins (clone_to) — "
+                "expire_snapshots self-heals them and would drop a user "
+                "tag in that namespace"
             )
         return self._tag_unchecked(name, version)
 
@@ -2870,11 +2894,12 @@ class LakeTable:
                 "tag name 'fork' is reserved on branches — dropping it "
                 "would let GC expire the fork snapshot"
             )
-        if name.startswith("clone:"):
+        if name.startswith(("clone:", "deepclone:")):
             raise ValueError(
-                "clone GC pins are managed by drop_clone/detach_clone "
-                "(and self-heal at expire_snapshots) — dropping one by "
-                "hand would let the source GC tear a live clone's reads"
+                "clone GC pins are managed by the clone lifecycle (and "
+                "self-heal at expire_snapshots) — dropping one by hand "
+                "would let the source GC tear a live clone's reads or "
+                "an in-flight deep copy"
             )
         self._drop_tag_unchecked(name)
 
@@ -3291,11 +3316,48 @@ class LakeTable:
             )
             if dst.versions() or os.path.isdir(dst.meta_dir):
                 raise ValueError(f"table {tenant}.{name} already exists")
+            if os.path.isdir(dst.path):
+                # a crashed deep clone leaves copied data with NO _meta —
+                # never a committed table (every commit creates _meta
+                # first); reclaim it so the address isn't wedged forever
+                shutil.rmtree(dst.path)
             if deep:
-                return self._deep_clone_locked(snap, v, dst)
-            incarnation = uuid.uuid4().hex[:12]
-            ref = _TABLE_REF + f"{self.tenant}.{self.name}/"
-            fork = {
+                # O(data) copy must NOT run under our tags lock (the
+                # round-3 expire fix moved long work out of it): pin the
+                # fork snapshot with a time-stamped deepclone: tag while
+                # still locked, release, copy, commit, drop the pin. A
+                # crash mid-copy self-heals: _heal_clone_tags drops
+                # deepclone: pins whose destination never committed once
+                # they age past the in-flight grace window.
+                pin = (
+                    f"deepclone:{tenant}.{name}:"
+                    f"{int(time.time() * 1000)}"
+                )
+                self._tag_locked(pin, v)
+            else:
+                incarnation = uuid.uuid4().hex[:12]
+            if not deep:
+                self._shallow_clone_locked(snap, v, dst, incarnation)
+        if deep:
+            try:
+                return self._deep_clone_copy(snap, v, dst)
+            finally:
+                self._drop_tag_unchecked(pin)
+        return dst
+
+    def _shallow_clone_locked(
+        self,
+        snap: dict[str, Any],
+        v: int,
+        dst: "LakeTable",
+        incarnation: str,
+    ) -> None:
+        """Shallow-clone body — caller (clone_to) holds OUR tags lock."""
+        import shutil
+
+        tenant, name = dst.tenant, dst.name
+        ref = _TABLE_REF + f"{self.tenant}.{self.name}/"
+        fork = {
                 **snap,
                 "files": {
                     bk: [ref + p for p in ps]
@@ -3309,39 +3371,42 @@ class LakeTable:
                 "mode": "clone_fork",
                 "stats": {"cloned_from": f"{self.tenant}.{self.name}@{v}"},
             }
-            fork.pop("committed_at_ms", None)  # clone gets its own instant
-            # pin BEFORE the clone manifest exists: if we crash between
-            # the two, the orphan tag self-heals at the next source GC
-            # (_tag_locked: we already hold our own tags lock)
-            self._tag_locked(
-                self._clone_tag(tenant, name, incarnation), v
+        fork.pop("committed_at_ms", None)  # clone gets its own instant
+        # pin BEFORE the clone manifest exists: if we crash between
+        # the two, the orphan tag self-heals at the next source GC
+        # (_tag_locked: we already hold our own tags lock)
+        self._tag_locked(
+            self._clone_tag(tenant, name, incarnation), v
+        )
+        dst._commit(fork)
+        for side in ("_checks.json", "_restores.json", "_retention.json"):
+            src = os.path.join(self.meta_dir, side)
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(dst.meta_dir, side))
+        with open(dst._clone_meta_path(), "w") as f:
+            json.dump(
+                {
+                    "source": [self.tenant, self.name],
+                    "fork_version": v,
+                    "incarnation": incarnation,
+                },
+                f,
             )
-            dst._commit(fork)
-            for side in ("_checks.json", "_restores.json", "_retention.json"):
-                src = os.path.join(self.meta_dir, side)
-                if os.path.exists(src):
-                    shutil.copy(src, os.path.join(dst.meta_dir, side))
-            with open(dst._clone_meta_path(), "w") as f:
-                json.dump(
-                    {
-                        "source": [self.tenant, self.name],
-                        "fork_version": v,
-                        "incarnation": incarnation,
-                    },
-                    f,
-                )
-        return dst
 
-    def _deep_clone_locked(
+    def _deep_clone_copy(
         self, snap: dict[str, Any], v: int, dst: "LakeTable"
     ) -> "LakeTable":
-        """Deep-clone body (caller holds OUR tags lock, so the copied
-        dirs can't be GC'd out from under the copy — the lock
-        expire_snapshots' keep-set computation takes). Commit dirs are
-        copied at commit-dir granularity under their original names
-        (random per-attempt tokens make cross-table collisions
-        impossible); ref'd dirs (@t:/@main:) resolve through _abs_path,
-        so an attached clone deep-clones into a self-contained table."""
+        """Deep-clone body — runs OUTSIDE any lock; the caller holds a
+        time-stamped ``deepclone:`` pin on the fork snapshot, so the
+        copied dirs can't be GC'd mid-copy however long it takes.
+        Copies at the REFERENCED ``_bucket=`` path granularity (a
+        commit-dir-level copy would resurrect buckets the snapshot no
+        longer references — e.g. rows a retention sweep dropped — as
+        permanently unreclaimable bytes in the clone); ref'd paths
+        (@t:/@main) resolve through _abs_path, so an attached clone
+        deep-clones into a self-contained table. Any failure removes
+        the partial destination so the address is immediately
+        retryable."""
         import shutil
 
         def local_rel(rel: str) -> str:
@@ -3351,38 +3416,43 @@ class LakeTable:
                 return rel[len(_PARENT_REF):]
             return rel
 
-        copied: set[str] = set()
-        for paths in snap["files"].values():
-            for rel in paths:
-                src_dir = self._abs_path(rel).split("/_bucket=")[0]
-                dst_dir = os.path.join(
-                    dst.path, local_rel(rel).split("/_bucket=")[0]
-                )
-                if dst_dir in copied:
-                    continue
-                copied.add(dst_dir)
-                shutil.copytree(src_dir, dst_dir)
-        fork = {
-            **snap,
-            "files": {
-                bk: [local_rel(p) for p in ps]
-                for bk, ps in snap["files"].items()
-            },
-            "file_stats": {
-                local_rel(r): dict(st)
-                for r, st in snap.get("file_stats", {}).items()
-            },
-            "added_files": {},
-            "mode": "clone_deep",
-            "stats": {"cloned_from": f"{self.tenant}.{self.name}@{v}",
-                      "copied_dirs": len(copied)},
-        }
-        fork.pop("committed_at_ms", None)
-        dst._commit(fork)
-        for side in ("_checks.json", "_restores.json", "_retention.json"):
-            src = os.path.join(self.meta_dir, side)
-            if os.path.exists(src):
-                shutil.copy(src, os.path.join(dst.meta_dir, side))
+        try:
+            copied: set[str] = set()
+            for paths in snap["files"].values():
+                for rel in paths:
+                    dst_rel = local_rel(rel)
+                    if dst_rel in copied:
+                        continue
+                    copied.add(dst_rel)
+                    dst_dir = os.path.join(dst.path, dst_rel)
+                    os.makedirs(os.path.dirname(dst_dir), exist_ok=True)
+                    shutil.copytree(self._abs_path(rel), dst_dir)
+            fork = {
+                **snap,
+                "files": {
+                    bk: [local_rel(p) for p in ps]
+                    for bk, ps in snap["files"].items()
+                },
+                "file_stats": {
+                    local_rel(r): dict(st)
+                    for r, st in snap.get("file_stats", {}).items()
+                },
+                "added_files": {},
+                "mode": "clone_deep",
+                "stats": {"cloned_from": f"{self.tenant}.{self.name}@{v}",
+                          "copied_dirs": len(copied)},
+            }
+            fork.pop("committed_at_ms", None)
+            dst._commit(fork)
+            for side in (
+                "_checks.json", "_restores.json", "_retention.json"
+            ):
+                src = os.path.join(self.meta_dir, side)
+                if os.path.exists(src):
+                    shutil.copy(src, os.path.join(dst.meta_dir, side))
+        except BaseException:
+            shutil.rmtree(dst.path, ignore_errors=True)
+            raise
         return dst
 
     def clone_origin(self) -> dict[str, Any] | None:
@@ -3475,6 +3545,22 @@ class LakeTable:
         changed)."""
         healed = dict(tags)
         for tname in list(tags):
+            if tname.startswith("deepclone:"):
+                # in-flight deep-copy pin: healed once the destination
+                # either committed (the copier's finally failed) or the
+                # copy is provably dead (no manifest after the grace
+                # window — mirrors expire's orphan_grace default)
+                try:
+                    _, addr, t_ms = tname.split(":", 2)
+                    c_tenant, c_name = addr.split(".", 1)
+                    age_s = time.time() - int(t_ms) / 1000.0
+                except ValueError:
+                    continue
+                c = LakeTable(self.warehouse, c_tenant, c_name)
+                if not c.versions() and age_s < 3600.0:
+                    continue  # plausibly still copying — keep the pin
+                del healed[tname]
+                continue
             if not tname.startswith("clone:"):
                 continue
             try:

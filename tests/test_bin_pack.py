@@ -174,3 +174,44 @@ def test_bin_pack_cli(spark, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     out = _json.loads(r.stdout.strip().splitlines()[-1])
     assert out["compact"]["compacted_buckets"] == 1
+
+
+def test_rebucket_with_bin_pack_arg_still_materializes(spark, tmp_path):
+    """compact(rebucket_to=, bin_pack_bytes=) takes the full-rewrite
+    branch: it must materialize (flags cleared), not keep MoR sticky."""
+    t = _setup(spark, tmp_path, mode="upsert_mor")
+    assert t.latest_snapshot().get("merge_on_read")
+    before = _state(spark, t)
+    t.compact(spark, rebucket_to=2, bin_pack_bytes=10**9)
+    snap = t.latest_snapshot()
+    assert snap["n_buckets"] == 2
+    assert not snap.get("merge_on_read")  # full rewrite materialized
+    assert _state(spark, t) == before
+
+
+def test_maintain_combined_retention_and_bin_pack(spark, tmp_path):
+    """One nightly invocation: --apply-retention AND --bin-pack-bytes
+    must run BOTH (the pack was silently dropped before)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    t = _setup(spark, tmp_path)
+    t.set_retention(keep_days=10000.0)  # nothing old enough to sweep
+    sizes = {
+        p: s["_bytes"]
+        for p, s in t.latest_snapshot()["file_stats"].items()
+    }
+    r = subprocess.run(
+        [sys.executable, "-m", "nifi_ngsild_postgresql_spark.job",
+         "maintain", "--warehouse", str(tmp_path / "wh"),
+         "--table", "ten.t", "--apply-retention",
+         "--bin-pack-bytes", str(max(sizes.values()))],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["retention_sweep"].get("noop") or (
+        out["retention_sweep"]["dropped_dirs"] == 0
+    )
+    assert out["compact"]["compacted_buckets"] == 1  # the pack RAN

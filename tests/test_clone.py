@@ -216,7 +216,7 @@ def test_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="reserved"):
         t.tag("clone:t.dst:deadbeef")
     (pin,) = [k for k in t.tags() if k.startswith("clone:")]
-    with pytest.raises(ValueError, match="drop_clone/detach_clone"):
+    with pytest.raises(ValueError, match="clone lifecycle"):
         t.drop_tag(pin)
     with pytest.raises(ValueError, match="not an attached clone"):
         t.detach_clone()
@@ -291,3 +291,57 @@ def test_deep_clone_materializes_an_attached_clone(spark, tmp_path):
     assert _state(spark, d) == [
         ("urn:x:0", 1.0), ("urn:x:1", 2.0), ("urn:x:2", 5.0)
     ]
+
+
+def test_deep_clone_crash_husk_is_reclaimed_and_pin_lifecycle(
+    spark, tmp_path
+):
+    cat, t = _setup(spark, tmp_path)
+    # simulate a crashed deep copy: data landed, no _meta committed
+    husk = os.path.join(str(tmp_path / "wh"), "t", "deep", "data", "junk")
+    os.makedirs(husk)
+    d = t.clone_to("t", "deep", deep=True)  # retry reclaims the husk
+    assert _state(spark, d) == _state(spark, t)
+    assert not os.path.isdir(husk)
+    # the in-flight pin was dropped after the copy committed
+    assert not any(k.startswith("deepclone:") for k in t.tags())
+    # a STALE in-flight pin (crashed copier, grace expired) self-heals
+    with t._tags_lock():
+        t._tag_locked("deepclone:t.gone:1000", t.versions()[-1])
+    t.expire_snapshots(keep_last=8, orphan_grace_seconds=0.0)
+    assert not any(k.startswith("deepclone:") for k in t.tags())
+    # reserved namespace refused to users both ways
+    with pytest.raises(ValueError, match="reserved"):
+        t.tag("deepclone:t.x:123")
+    with pytest.raises(ValueError, match="clone GC pins"):
+        t.drop_tag("deepclone:t.x:123")
+
+
+def test_deep_clone_skips_unreferenced_buckets(spark, tmp_path):
+    """A retention sweep drops rows; a later deep clone must not copy
+    the dropped buckets' bytes back to life (referenced-path
+    granularity, not commit-dir granularity)."""
+    cat, t = _setup(spark, tmp_path)
+    # make the two entities land in DIFFERENT buckets of one commit dir
+    # is not guaranteed — instead sweep everything below a cutoff that
+    # splits commits: append a second, newer commit then truncate
+    t.append(
+        _batch(spark, [(7, 9.0, 1, "s7")])
+        .withColumn("observedat", F.lit("2024-09-01").cast("timestamp")),
+        SCHEMA, "e-new",
+    )
+    t.truncate_before(spark, "2024-08-01T00:00:00")
+    live = {
+        p for ps in t.latest_snapshot()["files"].values() for p in ps
+    }
+    d = t.clone_to("t", "deep", deep=True)
+    copied = {
+        os.path.join(dp, f)[len(d.path) + 1:]
+        for dp, _dn, fs in os.walk(os.path.join(d.path, "data"))
+        for f in fs
+    }
+    copied_dirs = {c.split("/_bucket=")[0] + "/_bucket=" +
+                   c.split("/_bucket=")[1].split("/")[0]
+                   for c in copied if "/_bucket=" in c}
+    assert copied_dirs == live  # exactly the referenced paths, no more
+    assert _state(spark, d) == _state(spark, t)

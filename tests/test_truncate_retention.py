@@ -307,3 +307,35 @@ def test_retention_guards_and_cli(spark, tmp_path):
     out = run("--apply-retention")
     assert out["retention_sweep"]["dropped_dirs"] > 0
     assert _ids(spark, t) == []
+
+
+def test_set_retention_refuses_without_observedat(spark, tmp_path):
+    t = LakeCatalog(str(tmp_path / "wh"), n_buckets=1).table("ten", "x")
+    t.append(
+        spark.createDataFrame(
+            [("urn:x:0", "r0")], "entityid string, _row_key string"
+        ).select(
+            "entityid", "_row_key",
+            F.timestamp_millis(F.lit(1700000000000)).alias("_recv_time"),
+            F.lit("s0").alias("_seq"),
+        ),
+        {"entityid": "TEXT"}, "e0",
+    )
+    with pytest.raises(ValueError, match="observedat"):
+        t.set_retention(30)
+    # a policy that predates a column-less materialization skips loudly
+    # instead of failing every maintenance run forever
+    t2 = LakeCatalog(str(tmp_path / "wh"), n_buckets=1).table("ten", "y")
+    t2.set_retention(30)  # no snapshot yet: allowed
+    t2.append(
+        spark.createDataFrame(
+            [("urn:x:0", "r0")], "entityid string, _row_key string"
+        ).select(
+            "entityid", "_row_key",
+            F.timestamp_millis(F.lit(1700000000000)).alias("_recv_time"),
+            F.lit("s0").alias("_seq"),
+        ),
+        {"entityid": "TEXT"}, "e0",
+    )
+    out = t2.apply_retention(spark)
+    assert out.get("skipped") and "observedat" in out["reason"]
