@@ -1,0 +1,128 @@
+"""Round-5 lifecycle composition: the new table-lifecycle features
+(shallow/deep clone, retention policy, bin-pack compaction, branches,
+GC) driven TOGETHER through one realistic flow, asserting the
+invariants each pairwise test pins still hold when everything runs on
+the same table:
+
+  seed (time-ordered MoR epochs) → set_retention → shallow clone →
+  branch on the clone → branch write → publish → apply_retention on the
+  clone (metadata drop of expired SOURCE-ref dirs, source untouched) →
+  bin-pack the clone (pack small local dirs, keep the big source ref) →
+  source GC (pin keeps what the clone still references) → deep-clone
+  the attached clone (materialize) → drop the shallow clone → source GC
+  reclaims → the deep clone still reads everything.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
+
+SCHEMA = {"entityid": "TEXT", "level": "NUMERIC", "observedat": "TIMESTAMPTZ"}
+JAN, FEB, MAR = (
+    "2024-01-15T00:00:00", "2024-02-15T00:00:00", "2024-03-15T00:00:00"
+)
+
+
+def _batch(spark, rows):
+    data = [(f"urn:x:{e}", float(v), ts, f"urn:x:{e}|{ts}", recv, seq)
+            for e, v, ts, recv, seq in rows]
+    return spark.createDataFrame(
+        data,
+        "entityid string, level double, observedat string,"
+        " _row_key string, _recv int, _seq string",
+    ).select(
+        "entityid", "level",
+        F.col("observedat").cast("timestamp").alias("observedat"),
+        "_row_key",
+        F.timestamp_millis(
+            F.lit(1700000000000) + F.col("_recv").cast("long")
+        ).alias("_recv_time"),
+        "_seq",
+    )
+
+
+def _state(spark, t):
+    return sorted(
+        (r["entityid"], r["level"]) for r in t.read(spark).collect()
+    )
+
+
+def _dirs(t):
+    d = os.path.join(t.path, "data")
+    return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+
+def test_lifecycle_composition(spark, tmp_path):
+    import datetime
+
+    cat = LakeCatalog(str(tmp_path / "wh"), n_buckets=1)
+    t = cat.table("ten", "src")
+    t.auto_compact_files = None
+    # time-ordered MoR epochs: Jan / Feb / Mar
+    t.upsert_mor(_batch(spark, [(0, 1.0, JAN, 0, "s0"),
+                                (1, 2.0, JAN, 0, "s1")]), SCHEMA, "e-jan")
+    t.upsert_mor(_batch(spark, [(2, 3.0, FEB, 1, "s2")]), SCHEMA, "e-feb")
+    t.upsert_mor(_batch(spark, [(3, 4.0, MAR, 2, "s3")]), SCHEMA, "e-mar")
+    t.set_retention(keep_days=45.0)
+
+    # shallow clone inherits data, epochs, AND the retention policy
+    c = t.clone_to("ten", "dev")
+    assert c.retention() == t.retention()
+    assert _dirs(c) == []
+
+    # branch on the clone; branch write lands via publish
+    b = c.create_branch("exp")
+    b.upsert_mor(_batch(spark, [(4, 9.0, MAR, 3, "s4")]), SCHEMA, "b-1")
+    c.publish_branch(spark, "exp")
+    assert ("urn:x:4", 9.0) in _state(spark, c)
+    assert ("urn:x:4", 9.0) not in _state(spark, t)  # isolation held
+
+    # retention applies on the CLONE at a pinned clock: Jan (< Feb 15
+    # cutoff) drops metadata-only even though those dirs are SOURCE refs
+    now_ms = int(datetime.datetime(
+        2024, 3, 31, tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    src_dirs_before = set(_dirs(t))
+    out = c.apply_retention(spark, now_ms=now_ms)
+    assert out["dropped_dirs"] > 0 and out["rewritten_dirs"] == 0
+    assert set(_dirs(t)) == src_dirs_before  # source bytes untouched
+    assert _state(spark, c) == [
+        ("urn:x:2", 3.0), ("urn:x:3", 4.0), ("urn:x:4", 9.0)
+    ]
+    # ...and the SOURCE still reads everything (policy applied per side)
+    assert len(_state(spark, t)) == 4
+
+    # bin-pack the clone: pack its small LOCAL dirs, keep source refs
+    snap = c.latest_snapshot()
+    sizes = {p: s.get("_bytes", 0) for p, s in snap["file_stats"].items()}
+    local_small = [p for p in sizes if not p.startswith("@")]
+    if len(local_small) >= 2:
+        before = _state(spark, c)
+        c.compact(spark, bin_pack_bytes=max(sizes.values()) + 1)
+        assert _state(spark, c) == before
+
+    # source GC: the pin keeps every dir the clone still references
+    t.upsert(_batch(spark, [(0, 8.0, MAR, 9, "s9")]), SCHEMA, "e-new")
+    t.expire_snapshots(keep_last=1, orphan_grace_seconds=0.0)
+    assert _state(spark, c) == [
+        ("urn:x:2", 3.0), ("urn:x:3", 4.0), ("urn:x:4", 9.0)
+    ]
+
+    # materialize: deep-clone the ATTACHED clone, then drop it
+    d = c.clone_to("ten", "gold", deep=True)
+    assert d.clone_origin() is None
+    c.drop_clone()
+    t.expire_snapshots(keep_last=1, orphan_grace_seconds=0.0)
+    assert not any(k.startswith("clone:") for k in t.tags())
+    assert _state(spark, d) == [
+        ("urn:x:2", 3.0), ("urn:x:3", 4.0), ("urn:x:4", 9.0)
+    ]
+    # the deep clone is fully local — no refs anywhere in its manifest
+    assert not any(
+        p.startswith("@")
+        for ps in d.latest_snapshot()["files"].values()
+        for p in ps
+    )
