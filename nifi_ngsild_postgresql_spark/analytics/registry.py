@@ -231,6 +231,11 @@ PYTEST_ONLY: dict[str, tuple] = {
     # oracle runs the grid-free exact predicate) — closes the "geometry
     # algebra beyond point predicates" gap for the intersects family
     "geo_polygon_join": (suite.q_geo_polygon_join, suite.SQL_GEO_POLYGON_JOIN),
+    # round 5: distance-to-polygon (ST_Distance analog — the geometry
+    # family's first non-boolean measure; shared Python-precomputed
+    # edge constants make the Spark and DuckDB double chains literally
+    # identical, so parity is hash-exact)
+    "geo_distance": (suite.q_geo_distance, suite.SQL_GEO_DISTANCE),
     # round 4: mergeable sketches (analytics/sketches.py) — oracle-exact
     # count-min (md5 buckets), integer log-bin histogram quantiles, and
     # a Bloom membership bitmap (hll_distinct rotated into the driver

@@ -1520,6 +1520,57 @@ WITH quads AS (
 SQL_GEO_POLYGON_JOIN = _sql_geo_polygon_join()
 
 
+def q_geo_distance(spark, sf_dir):
+    """Distance-to-polygon (functions/geo.py distance_to_ring — the
+    ST_Distance(point, polygon) analog, extending the geometry family
+    past boolean predicates): per customer point, the planar distance
+    in degrees to the concave GEO_POLYGON (0.0 inside), filtered to a
+    5-degree collar so the result exercises inside (exact zero), near
+    (projection onto an edge interior), and corner (clamp at t=0/1)
+    cases. One JVM expression chain per row; the DuckDB oracle runs the
+    literally identical IEEE double chain (shared Python-precomputed
+    edge constants), so the hash compare is exact on the doubles."""
+    from ..functions.geo import distance_to_ring
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        (
+            (F.col("c_custkey") * 104729 % 170000) / 1000.0 - 85.0
+        ).alias("lat"),
+        (
+            (F.col("c_custkey") * 7919 % 360000) / 1000.0 - 180.0
+        ).alias("lon"),
+    )
+    return (
+        pts.withColumn(
+            "dist_deg", distance_to_ring("lat", "lon", GEO_POLYGON)
+        )
+        .filter(F.col("dist_deg") < 5.0)
+        .select("c_custkey", "lat", "lon", "dist_deg")
+    )
+
+
+def _sql_geo_distance() -> str:
+    from ..functions.geo import sql_distance_to_ring
+
+    dist = sql_distance_to_ring("lat", "lon", GEO_POLYGON)
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 104729 % 170000) / 1000.0 - 85.0 AS lat,
+         (c_custkey * 7919 % 360000) / 1000.0 - 180.0 AS lon
+  FROM customer
+)
+SELECT c_custkey, lat, lon, {dist} AS dist_deg
+FROM pts
+WHERE {dist} < 5.0
+"""
+
+
+SQL_GEO_DISTANCE = _sql_geo_distance()
+
+
 # --------------------------------------------------------------------------
 # funnel_stages (ordered event-sequence conversion)
 # --------------------------------------------------------------------------

@@ -339,3 +339,81 @@ def sql_radius_where(
         f"{lat_expr} BETWEEN {lat_min!r} AND {lat_max!r}"
         f" AND ({lon_pred}) AND {dist} <= {radius_km!r}"
     )
+
+
+def distance_to_ring(
+    lat: Column | str, lon: Column | str, ring: list[tuple[float, float]]
+) -> Column:
+    """Planar distance (degrees) from (lat, lon) to a polygon ring:
+    0.0 when the even-odd ray cast says INSIDE, else the minimum
+    point-to-segment distance over the ring's edges — the
+    ``ST_Distance(point, polygon)`` analog (PostGIS reference parity
+    note in SCALE.md), as one pure JVM fold, no UDF.
+
+    Per-edge constants (dx, dy, |edge|² and the closed point list) are
+    precomputed in PYTHON and embedded as literals, and degenerate
+    zero-length edges are dropped from the edge list itself — so the
+    Spark expression and the DuckDB mirror (sql_distance_to_ring) run
+    LITERALLY the same IEEE double chain: project the point onto the
+    edge (t clamped to [0,1]), take the squared distance to the clamped
+    foot, MIN over edges (exact for doubles — min never rounds), one
+    final sqrt. Planar degrees like the ray cast — small polygons, or a
+    Sedona swap for geodesic exactness."""
+    latc = F.col(lat) if isinstance(lat, str) else lat
+    lonc = F.col(lon) if isinstance(lon, str) else lon
+    d2 = None
+    for (x1, y1), (x2, y2), dx, dy, len2 in _ring_edges(ring):
+        t = F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.lit(1.0),
+                ((lonc - F.lit(x1)) * F.lit(dx)
+                 + (latc - F.lit(y1)) * F.lit(dy)) / F.lit(len2),
+            ),
+        )
+        ex = lonc - (F.lit(x1) + t * F.lit(dx))
+        ey = latc - (F.lit(y1) + t * F.lit(dy))
+        term = ex * ex + ey * ey
+        d2 = term if d2 is None else F.least(d2, term)
+    return F.when(
+        point_in_polygon(latc, lonc, ring), F.lit(0.0)
+    ).otherwise(F.sqrt(d2))
+
+
+def sql_distance_to_ring(
+    lat_expr: str, lon_expr: str, ring: list[tuple[float, float]]
+) -> str:
+    """DuckDB mirror of distance_to_ring — same precomputed edge
+    constants, same clamp/project/min/sqrt chain, same inside rule."""
+    terms = []
+    for (x1, y1), (_x2, _y2), dx, dy, len2 in _ring_edges(ring):
+        t = (
+            f"GREATEST(0.0, LEAST(1.0, (({lon_expr} - {x1!r}) * {dx!r}"
+            f" + ({lat_expr} - {y1!r}) * {dy!r}) / {len2!r}))"
+        )
+        # ex*ex, not POWER(ex, 2): pow() is not guaranteed bit-identical
+        # to multiplication, and parity here is hash-exact on doubles
+        ex = f"({lon_expr} - ({x1!r} + {t} * {dx!r}))"
+        ey = f"({lat_expr} - ({y1!r} + {t} * {dy!r}))"
+        terms.append(f"({ex} * {ex} + {ey} * {ey})")
+    inside = sql_point_in_polygon(lat_expr, lon_expr, ring)
+    return (
+        f"(CASE WHEN {inside} THEN 0.0"
+        f" ELSE SQRT(LEAST({', '.join(terms)})) END)"
+    )
+
+
+def _ring_edges(ring: list[tuple[float, float]]):
+    """Closed edge list with Python-precomputed (dx, dy, |edge|²);
+    zero-length edges dropped (their endpoints are covered by the
+    neighboring edges' clamped projections)."""
+    pts = _closed(ring)
+    out = []
+    for (x1, y1), (x2, y2) in zip(pts, pts[1:]):
+        dx, dy = x2 - x1, y2 - y1
+        len2 = dx * dx + dy * dy
+        if len2 > 0.0:
+            out.append(((x1, y1), (x2, y2), dx, dy, len2))
+    if not out:
+        raise ValueError("ring has no non-degenerate edges")
+    return out

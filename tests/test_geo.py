@@ -320,3 +320,59 @@ def test_quad_intersects_ring_term_families(spark):
             r[0] for r in con.sql(f"SELECT id FROM q WHERE {pred}").fetchall()
         }
         assert sql_ids == got, ring
+
+
+def test_distance_to_ring_known_geometry(spark):
+    """Unit square (0,0)-(1,1): exact distances for inside (0), edge
+    projection (t in the open interval), and corner clamp (t pinned to
+    an endpoint) — plus the DuckDB mirror running the same chain."""
+    import duckdb
+
+    from nifi_ngsild_postgresql_spark.functions.geo import (
+        distance_to_ring,
+        sql_distance_to_ring,
+    )
+
+    square = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    # (lat, lon, expected): inside -> 0; due west of the left edge -> 1;
+    # diagonal off the (0,0) corner -> 5 (3-4-5 triangle); on the
+    # boundary midpoint -> ray cast says outside-or-inside per even-odd,
+    # but distance is 0 either way
+    pts = [
+        (0.5, 0.5, 0.0),
+        (0.5, -1.0, 1.0),
+        (-3.0, -4.0, 5.0),
+        (2.0, 0.5, 1.0),
+    ]
+    df = spark.createDataFrame(
+        [(la, lo) for la, lo, _e in pts], "lat double, lon double"
+    ).withColumn("d", distance_to_ring("lat", "lon", square))
+    got = [r["d"] for r in df.collect()]
+    assert got == [e for _la, _lo, e in pts]
+    # DuckDB mirror: same chain, same values
+    sql = sql_distance_to_ring("lat", "lon", square)
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT " + sql + " FROM (VALUES "
+        + ", ".join(f"({la!r}, {lo!r})" for la, lo, _e in pts)
+        + ") AS t(lat, lon)"
+    ).fetchall()
+    assert [r[0] for r in rows] == [e for _la, _lo, e in pts]
+
+
+def test_distance_to_ring_degenerate_edges(spark):
+    from nifi_ngsild_postgresql_spark.functions.geo import (
+        _ring_edges,
+        distance_to_ring,
+    )
+    import pytest as _pytest
+
+    # duplicated vertex: the zero-length edge is dropped, distance holds
+    ring = [(0.0, 0.0), (1.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    assert len(_ring_edges(ring)) == 4
+    df = spark.createDataFrame([(0.5, -1.0)], "lat double, lon double")
+    assert df.select(
+        distance_to_ring("lat", "lon", ring).alias("d")
+    ).first()["d"] == 1.0
+    with _pytest.raises(ValueError, match="no non-degenerate"):
+        _ring_edges([(2.0, 2.0), (2.0, 2.0)])
