@@ -7,7 +7,7 @@ Spark-specific plumbing) and get the driver's rows-only check.
 
 from __future__ import annotations
 
-from . import advanced, corpus, incremental, jpeg, sketches, suite
+from . import advanced, corpus, gif, incremental, jpeg, sketches, suite
 from ..streaming.sessionize import SQL_SESSIONIZE, q_sessionize
 from ..streaming.windows import (
     SQL_STREAM_INTERVAL_JOIN,
@@ -182,6 +182,12 @@ PYTEST_ONLY: dict[str, tuple] = {
     # DuckDB oracle checks exact pixel stats + position checksum. The
     # dominant web-corpus image format is now covered like PNG/WAV/AVI.
     "jpeg_decode": (jpeg.q_jpeg_decode, jpeg.SQL_JPEG_DECODE),
+    # round 5: REAL GIF decode (analytics/gif.py — container walk,
+    # variable-width LZW with table growth/reset, sub-block reassembly,
+    # 4-pass interlace restore, palette resolution; lossless format ->
+    # closed-form oracle is exact). With PNG/JPEG/GIF/WAV/AVI the
+    # stdlib-decodable web-format family is closed.
+    "gif_decode": (gif.q_gif_decode, gif.SQL_GIF_DECODE),
     # round 5: MERGE INTO (Delta analog) — arbitrary source with WHEN
     # MATCHED update/conditional-delete + WHEN NOT MATCHED insert, one
     # epoch-idempotent commit, target read bounded to the source keys'

@@ -1,0 +1,90 @@
+"""REAL GIF decode (analytics/gif.py) — the LZW member of the decoder
+family. Pinned here: bit-exact encode→decode roundtrips (lossless)
+including interlaced payloads and LZW code-width growth to 12 bits with
+a 4096-entry table reset; the KwKwK first-use case; corrupt payloads
+(signature, truncation, out-of-range codes, pixel-count mismatch,
+missing trailer) error loudly instead of returning wrong pixels;
+multi-frame payloads count frames; the Spark query's stats match the
+direct decode."""
+
+from __future__ import annotations
+
+import pytest
+
+from nifi_ngsild_postgresql_spark.analytics.gif import (
+    GRAY_PALETTE,
+    decode_gif,
+    decode_gif_pixels,
+    encode_gif,
+    lzw_decode,
+    lzw_encode,
+    synth_gif,
+    synth_pixels,
+)
+
+
+def test_roundtrip_bit_exact_incl_interlace():
+    for did in list(range(10)) + [127, 9999]:
+        w, h, vals = synth_pixels(did)
+        gw, gh, got, n_frames = decode_gif_pixels(synth_gif(did))
+        assert (gw, gh, n_frames) == (w, h, 1)
+        assert got == vals  # lossless, interlace restored (did%3==0)
+
+
+def test_lzw_width_growth_and_table_reset():
+    big = [(i * 7 + (i >> 5)) % 256 for i in range(200 * 150)]
+    enc = lzw_encode(big, 8)
+    assert len(enc) < len(big) // 2  # genuinely compressing
+    assert lzw_decode(enc, 8, len(big)) == big
+
+
+def test_lzw_kwkwk_case():
+    # "aaaa..." forces the code==len(table) first-use branch immediately
+    run = [5] * 50
+    assert lzw_decode(lzw_encode(run, 4), 4, 50) == run
+
+
+def test_corrupt_payloads_error_loudly():
+    p = synth_gif(7)
+    assert decode_gif(b"BMP" + p[3:])["decode_status"].startswith("error:")
+    assert decode_gif(p[:12])["decode_status"].startswith("error:")
+    assert decode_gif(p[:-2])["decode_status"].startswith("error:")
+    w, h, vals = synth_pixels(7)
+    # declared dimensions disagree with the LZW payload length
+    lied = encode_gif(vals, w, h, GRAY_PALETTE)
+    lied = lied.replace(
+        (w).to_bytes(2, "little") + (h).to_bytes(2, "little"),
+        (w + 1).to_bytes(2, "little") + (h).to_bytes(2, "little"),
+    )
+    assert decode_gif(lied)["decode_status"].startswith("error:")
+    with pytest.raises(ValueError, match="out of palette"):
+        lzw_encode([300], 8)
+
+
+def test_multi_frame_counts():
+    w, h, vals = synth_pixels(4)
+    one = encode_gif(vals, w, h, GRAY_PALETTE)
+    # splice a second image block before the trailer
+    body = one[:-1]  # drop trailer
+    second = one[13 + 3 * 256:-1]  # image block (descriptor..terminator)
+    two = body + second + b"\x3b"
+    dw, dh, got, n_frames = decode_gif_pixels(two)
+    assert n_frames == 2
+    assert got == vals  # first frame decoded
+
+
+def test_spark_query_matches_direct_decode(spark):
+    from nifi_ngsild_postgresql_spark.analytics.gif import q_gif_decode
+
+    rows = {
+        r["media_id"]: r
+        for r in q_gif_decode(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert len(rows) > 0
+    for did in list(rows)[:5]:
+        direct = decode_gif(synth_gif(int(did)))
+        r = rows[did]
+        assert r["decode_status"] == "decoded"
+        for k in ("width", "height", "n_pixels", "pixel_sum",
+                  "pixel_sumsq", "pixel_checksum"):
+            assert r[k] == direct[k], (did, k)
