@@ -111,6 +111,13 @@ def lzw_encode(indexes: list[int], min_code_size: int) -> bytes:
         prefix = (k,)
     if prefix:
         bw.write(table[prefix], width)
+        # the decoder APPENDS an entry for this final data code too —
+        # if that append lands exactly on a 2^width boundary it grows
+        # its read width before consuming EOI, so the encoder must
+        # mirror the growth here or EOI is written at a stale width
+        # (byte-aligned streams then starve the decoder)
+        if next_code == (1 << width) and width < 12:
+            width += 1
     bw.write(end, width)
     return bw.flush()
 

@@ -1234,6 +1234,29 @@ GEO_CENTER_LON = 2.3522
 GEO_RADIUS_KM = 2000.0
 
 
+
+def _geo_pts(c):
+    """Shared customer→(lat, lon) point synthesis for every geo query —
+    ONE definition mirrored by SQL_GEO_PTS_CTE, so the Spark and oracle
+    distributions can never drift apart per query."""
+    return c.select(
+        "c_custkey",
+        (
+            (F.col("c_custkey") * 104729 % 170000) / 1000.0 - 85.0
+        ).alias("lat"),
+        (
+            (F.col("c_custkey") * 7919 % 360000) / 1000.0 - 180.0
+        ).alias("lon"),
+    )
+
+
+SQL_GEO_PTS_CTE = """pts AS (
+  SELECT c_custkey,
+         (c_custkey * 104729 % 170000) / 1000.0 - 85.0 AS lat,
+         (c_custkey * 7919 % 360000) / 1000.0 - 180.0 AS lon
+  FROM customer
+)"""
+
 def q_geo_radius(spark, sf_dir):
     """Great-circle radius query over GeoProperty-style lon/lat double
     columns (the shape the reference materializes for Point geometries,
@@ -1246,15 +1269,7 @@ def q_geo_radius(spark, sf_dir):
     from ..functions.geo import within_radius
 
     c = _t(spark, sf_dir, "customer")
-    pts = c.select(
-        "c_custkey",
-        (
-            (F.col("c_custkey") * 104729 % 170000) / 1000.0 - 85.0
-        ).alias("lat"),
-        (
-            (F.col("c_custkey") * 7919 % 360000) / 1000.0 - 180.0
-        ).alias("lon"),
-    )
+    pts = _geo_pts(c)
     return within_radius(
         pts, "lat", "lon", GEO_CENTER_LAT, GEO_CENTER_LON, GEO_RADIUS_KM
     )
@@ -1275,12 +1290,7 @@ def _sql_geo_radius() -> str:
         "lat", "lon", GEO_CENTER_LAT, GEO_CENTER_LON, GEO_RADIUS_KM
     )
     return f"""
-WITH pts AS (
-  SELECT c_custkey,
-         (c_custkey * 104729 % 170000) / 1000.0 - 85.0 AS lat,
-         (c_custkey * 7919 % 360000) / 1000.0 - 180.0 AS lon
-  FROM customer
-)
+WITH {SQL_GEO_PTS_CTE}
 SELECT c_custkey, lat, lon, {dist} AS dist_km
 FROM pts
 WHERE {where}
@@ -1309,15 +1319,7 @@ def q_geo_polygon(spark, sf_dir):
     from ..functions.geo import point_in_polygon
 
     c = _t(spark, sf_dir, "customer")
-    pts = c.select(
-        "c_custkey",
-        (
-            (F.col("c_custkey") * 104729 % 170000) / 1000.0 - 85.0
-        ).alias("lat"),
-        (
-            (F.col("c_custkey") * 7919 % 360000) / 1000.0 - 180.0
-        ).alias("lon"),
-    )
+    pts = _geo_pts(c)
     return pts.filter(point_in_polygon("lat", "lon", GEO_POLYGON)).select(
         "c_custkey", "lat", "lon"
     )
@@ -1328,12 +1330,7 @@ def _sql_geo_polygon() -> str:
 
     pred = sql_point_in_polygon("lat", "lon", GEO_POLYGON)
     return f"""
-WITH pts AS (
-  SELECT c_custkey,
-         (c_custkey * 104729 % 170000) / 1000.0 - 85.0 AS lat,
-         (c_custkey * 7919 % 360000) / 1000.0 - 180.0 AS lon
-  FROM customer
-)
+WITH {SQL_GEO_PTS_CTE}
 SELECT c_custkey, lat, lon FROM pts WHERE {pred}
 """
 
@@ -1393,11 +1390,7 @@ def q_geo_grid_join(spark, sf_dir):
     from ..functions.geo import point_in_polygon
 
     c = _t(spark, sf_dir, "customer")
-    pts = c.select(
-        "c_custkey",
-        ((F.col("c_custkey") * 104729 % 170000) / 1000.0 - 85.0).alias("lat"),
-        ((F.col("c_custkey") * 7919 % 360000) / 1000.0 - 180.0).alias("lon"),
-    ).withColumn(
+    pts = _geo_pts(c).withColumn(
         "cell",
         (F.floor(F.col("lon") / _GRID_DEG) + 18) * 18
         + (F.floor(F.col("lat") / _GRID_DEG) + 9),
@@ -1423,12 +1416,7 @@ def _sql_geo_grid_join() -> str:
         for name, ring in GEO_REGIONS
     )
     return f"""
-WITH pts AS (
-  SELECT c_custkey,
-         (c_custkey * 104729 % 170000) / 1000.0 - 85.0 AS lat,
-         (c_custkey * 7919 % 360000) / 1000.0 - 180.0 AS lon
-  FROM customer
-)
+WITH {SQL_GEO_PTS_CTE}
 {arms}
 """
 
@@ -1533,15 +1521,7 @@ def q_geo_distance(spark, sf_dir):
     from ..functions.geo import distance_to_ring
 
     c = _t(spark, sf_dir, "customer")
-    pts = c.select(
-        "c_custkey",
-        (
-            (F.col("c_custkey") * 104729 % 170000) / 1000.0 - 85.0
-        ).alias("lat"),
-        (
-            (F.col("c_custkey") * 7919 % 360000) / 1000.0 - 180.0
-        ).alias("lon"),
-    )
+    pts = _geo_pts(c)
     return (
         pts.withColumn(
             "dist_deg", distance_to_ring("lat", "lon", GEO_POLYGON)
@@ -1556,12 +1536,7 @@ def _sql_geo_distance() -> str:
 
     dist = sql_distance_to_ring("lat", "lon", GEO_POLYGON)
     return f"""
-WITH pts AS (
-  SELECT c_custkey,
-         (c_custkey * 104729 % 170000) / 1000.0 - 85.0 AS lat,
-         (c_custkey * 7919 % 360000) / 1000.0 - 180.0 AS lon
-  FROM customer
-)
+WITH {SQL_GEO_PTS_CTE}
 SELECT c_custkey, lat, lon, {dist} AS dist_deg
 FROM pts
 WHERE {dist} < 5.0

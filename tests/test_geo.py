@@ -334,15 +334,16 @@ def test_distance_to_ring_known_geometry(spark):
     )
 
     square = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
-    # (lat, lon, expected): inside -> 0; due west of the left edge -> 1;
-    # diagonal off the (0,0) corner -> 5 (3-4-5 triangle); on the
-    # boundary midpoint -> ray cast says outside-or-inside per even-odd,
-    # but distance is 0 either way
+    # (lat, lon, expected) — the boundary point pins the documented
+    # guarantee that ring points are distance 0 regardless of the
+    # even-odd boundary verdict (segment projection hits them exactly)
     pts = [
-        (0.5, 0.5, 0.0),
-        (0.5, -1.0, 1.0),
-        (-3.0, -4.0, 5.0),
-        (2.0, 0.5, 1.0),
+        (0.5, 0.5, 0.0),     # inside
+        (0.5, -1.0, 1.0),    # due west of the left edge (t interior)
+        (-3.0, -4.0, 5.0),   # off the (0,0) corner: 3-4-5 clamp at t=0
+        (2.0, 0.5, 1.0),     # due north of the top edge
+        (0.0, 0.5, 0.0),     # ON the bottom edge: 0 whatever the
+                             # even-odd boundary verdict says
     ]
     df = spark.createDataFrame(
         [(la, lo) for la, lo, _e in pts], "lat double, lon double"

@@ -21,21 +21,22 @@ from pyspark.sql import functions as F
 
 from nifi_ngsild_postgresql_spark.plans.lake import LakeCatalog
 
-SCHEMA = {"entityid": "TEXT", "level": "NUMERIC", "observedat": "TIMESTAMPTZ"}
+SCHEMA = {"entityid": "TEXT", "level": "NUMERIC", "note": "TEXT",
+          "observedat": "TIMESTAMPTZ"}
 JAN, FEB, MAR = (
     "2024-01-15T00:00:00", "2024-02-15T00:00:00", "2024-03-15T00:00:00"
 )
 
 
-def _batch(spark, rows):
-    data = [(f"urn:x:{e}", float(v), ts, f"urn:x:{e}|{ts}", recv, seq)
+def _batch(spark, rows, note=""):
+    data = [(f"urn:x:{e}", float(v), note, ts, f"urn:x:{e}|{ts}", recv, seq)
             for e, v, ts, recv, seq in rows]
     return spark.createDataFrame(
         data,
-        "entityid string, level double, observedat string,"
+        "entityid string, level double, note string, observedat string,"
         " _row_key string, _recv int, _seq string",
     ).select(
-        "entityid", "level",
+        "entityid", "level", "note",
         F.col("observedat").cast("timestamp").alias("observedat"),
         "_row_key",
         F.timestamp_millis(
@@ -63,10 +64,17 @@ def test_lifecycle_composition(spark, tmp_path):
     t = cat.table("ten", "src")
     t.auto_compact_files = None
     # time-ordered MoR epochs: Jan / Feb / Mar
+    # seed epochs carry a fat note column so the SOURCE dirs are
+    # clearly bigger than any later clone-local write (the bin-pack
+    # threshold below must separate the two populations)
+    pad = "x" * 40000
     t.upsert_mor(_batch(spark, [(0, 1.0, JAN, 0, "s0"),
-                                (1, 2.0, JAN, 0, "s1")]), SCHEMA, "e-jan")
-    t.upsert_mor(_batch(spark, [(2, 3.0, FEB, 1, "s2")]), SCHEMA, "e-feb")
-    t.upsert_mor(_batch(spark, [(3, 4.0, MAR, 2, "s3")]), SCHEMA, "e-mar")
+                                (1, 2.0, JAN, 0, "s1")], note=pad),
+                 SCHEMA, "e-jan")
+    t.upsert_mor(_batch(spark, [(2, 3.0, FEB, 1, "s2")], note=pad),
+                 SCHEMA, "e-feb")
+    t.upsert_mor(_batch(spark, [(3, 4.0, MAR, 2, "s3")], note=pad),
+                 SCHEMA, "e-mar")
     t.set_retention(keep_days=45.0)
 
     # shallow clone inherits data, epochs, AND the retention policy
@@ -95,20 +103,32 @@ def test_lifecycle_composition(spark, tmp_path):
     # ...and the SOURCE still reads everything (policy applied per side)
     assert len(_state(spark, t)) == 4
 
-    # bin-pack the clone: pack its small LOCAL dirs, keep source refs
+    # bin-pack the clone: a second clone-local epoch gives it TWO small
+    # local dirs; the threshold sits strictly between the local sizes
+    # and the (bigger, padded) source-ref dirs so the pack merges the
+    # local pair and keeps every @t: ref in place
+    c.upsert_mor(_batch(spark, [(5, 7.0, MAR, 4, "s5")]), SCHEMA, "c-2")
     snap = c.latest_snapshot()
     sizes = {p: s.get("_bytes", 0) for p, s in snap["file_stats"].items()}
-    local_small = [p for p in sizes if not p.startswith("@")]
-    if len(local_small) >= 2:
-        before = _state(spark, c)
-        c.compact(spark, bin_pack_bytes=max(sizes.values()) + 1)
-        assert _state(spark, c) == before
+    local = [p for p in sizes if not p.startswith("@")]
+    refs = [p for p in sizes if p.startswith("@")]
+    assert len(local) >= 2 and refs  # the composition is real
+    threshold = max(sizes[p] for p in local) + 1
+    assert threshold <= min(sizes[p] for p in refs), sizes
+    before = _state(spark, c)
+    out = c.compact(spark, bin_pack_bytes=threshold)
+    assert out["compacted_buckets"] >= 1  # the pack RAN
+    snap2 = c.latest_snapshot()
+    live = {p for ps in snap2["files"].values() for p in ps}
+    assert set(refs) <= live  # every source ref survived in place
+    assert _state(spark, c) == before
 
     # source GC: the pin keeps every dir the clone still references
     t.upsert(_batch(spark, [(0, 8.0, MAR, 9, "s9")]), SCHEMA, "e-new")
     t.expire_snapshots(keep_last=1, orphan_grace_seconds=0.0)
     assert _state(spark, c) == [
-        ("urn:x:2", 3.0), ("urn:x:3", 4.0), ("urn:x:4", 9.0)
+        ("urn:x:2", 3.0), ("urn:x:3", 4.0), ("urn:x:4", 9.0),
+        ("urn:x:5", 7.0)
     ]
 
     # materialize: deep-clone the ATTACHED clone, then drop it
@@ -118,7 +138,8 @@ def test_lifecycle_composition(spark, tmp_path):
     t.expire_snapshots(keep_last=1, orphan_grace_seconds=0.0)
     assert not any(k.startswith("clone:") for k in t.tags())
     assert _state(spark, d) == [
-        ("urn:x:2", 3.0), ("urn:x:3", 4.0), ("urn:x:4", 9.0)
+        ("urn:x:2", 3.0), ("urn:x:3", 4.0), ("urn:x:4", 9.0),
+        ("urn:x:5", 7.0)
     ]
     # the deep clone is fully local — no refs anywhere in its manifest
     assert not any(
