@@ -58,6 +58,11 @@ HEADLINE = [
     "hll_distinct",
     "geo_grid_join",
     "join_view",
+    # round 5 (late): the LZW decoder and the geometry family's first
+    # non-boolean measure — both map-only/filter shapes, tracked so
+    # future rounds see their regressions
+    "gif_decode",
+    "geo_distance",
 ]
 
 
