@@ -544,3 +544,183 @@ FROM sh s JOIN eval_sh e ON s.sh = e.sh
 WHERE s.doc_id % {DECON_EVAL_MOD} <> 0
 GROUP BY s.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# pii_scrub — PII redaction, the pre-training privacy pass
+# --------------------------------------------------------------------------
+# A web-scale training pipeline scrubs emails / IPs / card numbers /
+# phone numbers before anything else touches the text (the reference
+# stores raw NGSI-LD payloads into PostgreSQL and leaves redaction to
+# downstream SQL; here it is a first-class narrow operator). The
+# synthetic corpus contains no natural PII, so each doc gets a
+# DETERMINISTIC PII tail derived from doc_id with integer arithmetic —
+# built identically in Spark and DuckDB, making the regex work real and
+# the oracle exact. All four regexes avoid engine-divergent classes
+# (no \s, no lookaround): Java regex and RE2 agree on every match.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_CARD = r"\b\d{13,16}\b"
+PII_PHONE = r"\b\d{3}-\d{3,4}-\d{4}\b"
+
+
+def _pii_augmented(d: DataFrame) -> DataFrame:
+    """documents + the deterministic PII tail (column ``aug``)."""
+    i = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    tail = F.concat(
+        F.lit(" contact u"), s(i), F.lit("@mail"), s(i % 7),
+        F.lit(".example.com call 555-"), s(100 + i % 900),
+        F.lit("-"), s(1000 + i % 9000),
+        F.lit(" from 10."), s(i % 250), F.lit("."), s((i * 7) % 250),
+        F.lit("."), s(i % 200),
+        F.lit(" card "), s(F.lit(4000000000000000) + i % 999999999),
+    )
+    return d.select("doc_id", F.concat(F.col("text"), tail).alias("aug"))
+
+
+_PII_SQL_AUG = (
+    "text || ' contact u' || CAST(doc_id AS VARCHAR)"
+    " || '@mail' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.example.com call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)"
+    " || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+    " || ' from 10.' || CAST(doc_id % 250 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 7) % 250 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || ' card ' || CAST(4000000000000000 + doc_id % 999999999 AS VARCHAR)"
+)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents: emails -> <EMAIL>, IPv4 -> <IP>,
+    13-16-digit card runs -> <CARD>, phone patterns -> <PHONE>, applied
+    in that fixed order (each count is taken on the previous stage's
+    output, so overlapping-class ambiguity cannot arise). Returns
+    per-doc redaction counts plus the md5 + length of the scrubbed
+    text — the invariant a downstream stage would verify. Scale shape:
+    pure JVM regex projection, narrow, no shuffle; at 100 TB this is
+    the same embarrassingly-parallel scan as quality_score."""
+    d = _pii_augmented(_t(spark, sf_dir, "documents"))
+
+    def cnt(col, pat):
+        return F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("long")
+
+    s0 = F.col("aug")
+    s1 = F.regexp_replace(s0, PII_EMAIL, "<EMAIL>")
+    s2 = F.regexp_replace(s1, PII_IP, "<IP>")
+    s3 = F.regexp_replace(s2, PII_CARD, "<CARD>")
+    s4 = F.regexp_replace(s3, PII_PHONE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        cnt(s0, PII_EMAIL).alias("n_email"),
+        cnt(s1, PII_IP).alias("n_ip"),
+        cnt(s2, PII_CARD).alias("n_card"),
+        cnt(s3, PII_PHONE).alias("n_phone"),
+        F.md5(s4).alias("scrub_sha"),
+        F.length(s4).cast("long").alias("scrub_len"),
+    )
+
+
+SQL_PII_SCRUB = (
+    """
+WITH aug AS (
+  SELECT doc_id, """
+    + _PII_SQL_AUG
+    + """ AS aug FROM documents
+), st AS (
+  SELECT doc_id, aug AS s0,
+         regexp_replace(aug, '"""
+    + PII_EMAIL
+    + r"""', '<EMAIL>', 'g') AS s1
+  FROM aug
+), st2 AS (
+  SELECT *, regexp_replace(s1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS s2 FROM st
+), st3 AS (
+  SELECT *, regexp_replace(s2, '\b\d{13,16}\b', '<CARD>', 'g') AS s3 FROM st2
+), st4 AS (
+  SELECT *, regexp_replace(s3, '\b\d{3}-\d{3,4}-\d{4}\b', '<PHONE>', 'g') AS s4 FROM st3
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(s0, '"""
+    + PII_EMAIL
+    + r"""')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(s1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(s2, '\b\d{13,16}\b')) AS BIGINT) AS n_card,
+       CAST(len(regexp_extract_all(s3, '\b\d{3}-\d{3,4}-\d{4}\b')) AS BIGINT) AS n_phone,
+       md5(s4) AS scrub_sha,
+       CAST(length(s4) AS BIGINT) AS scrub_len
+FROM st4
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# domain_stats — URL extraction + per-domain aggregation
+# --------------------------------------------------------------------------
+# The CommonCrawl-style provenance signal: which domains does the corpus
+# draw from, with how many documents and links each. URLs are injected
+# deterministically (same construction both engines) since the synthetic
+# text has none; the operator itself — regex extract-all, explode, keyed
+# aggregate — is exactly what runs on real crawl text.
+
+DOMAIN_URL_RE = r"https?://[A-Za-z0-9.-]+[A-Za-z0-9/._-]*"
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus stats: explode every URL in every document,
+    key by domain. Scale shape: in-row extract_all (narrow) then ONE
+    keyed aggregation; domains are heavy-tailed but partial aggregation
+    absorbs the head map-side — the same hot-key story as LWW dedup."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" see https://site"), s(i % 13),
+        F.lit(".example.org/p/"), s(i),
+        F.lit(" and http://m"), s(i % 5), F.lit(".example.net/x"),
+    )
+    urls = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(aug, F.lit(DOMAIN_URL_RE), 0)).alias(
+            "url"
+        ),
+    )
+    dom = urls.select(
+        "doc_id",
+        F.regexp_extract("url", r"^https?://([A-Za-z0-9.-]+)", 1).alias(
+            "domain"
+        ),
+        F.length("url").alias("url_len"),
+    )
+    return dom.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("url_len").cast("long").alias("sum_url_len"),
+    )
+
+
+SQL_DOMAIN_STATS = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' see https://site' || CAST(doc_id % 13 AS VARCHAR)
+              || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+              || ' and http://m' || CAST(doc_id % 5 AS VARCHAR)
+              || '.example.net/x' AS aug
+  FROM documents
+), urls AS (
+  SELECT doc_id, unnest(regexp_extract_all(aug, 'https?://[A-Za-z0-9.-]+[A-Za-z0-9/._-]*')) AS url
+  FROM aug
+), dom AS (
+  SELECT doc_id, regexp_extract(url, '^https?://([A-Za-z0-9.-]+)', 1) AS domain,
+         length(url) AS url_len
+  FROM urls
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(url_len) AS BIGINT) AS sum_url_len
+FROM dom
+GROUP BY domain
+"""

@@ -252,6 +252,15 @@ PYTEST_ONLY: dict[str, tuple] = {
     # between fact epochs exercises BOTH maintenance paths; the oracle
     # recomputes the final inner join from the raw events
     "join_view": (q_join_view, SQL_JOIN_VIEW),
+    # round 5 (late): the pre-training privacy + provenance passes —
+    # PII redaction (ordered regex pipeline, per-doc counts + scrub
+    # sha; narrow JVM scan) and per-domain URL stats (extract-all ->
+    # explode -> one keyed agg with map-side combine absorbing the
+    # heavy-tailed domain head). Synthetic corpus carries no natural
+    # PII/URLs, so both engines build the SAME deterministic doc_id-
+    # derived spans before the operator runs (see corpus.py).
+    "pii_scrub": (corpus.q_pii_scrub, corpus.SQL_PII_SCRUB),
+    "domain_stats": (corpus.q_domain_stats, corpus.SQL_DOMAIN_STATS),
 }
 
 

@@ -157,3 +157,85 @@ def test_pack_sequences_guards_driver_collect(spark, monkeypatch):
     monkeypatch.setattr(corpus, "PACK_MAX_PREFIX_BUCKETS", 1)
     with pytest.raises(ValueError, match="doc_bucket"):
         corpus.q_pack_sequences(spark, SF_DIR)
+
+
+def test_pii_scrub_crafted_spans(spark, tmp_path):
+    """Crafted real-shaped PII pins detection beyond the oracle (both
+    engines share the injection, so a regex that matched nothing would
+    still be parity-green): a doc with one of each PII class counts 2
+    per class (crafted + injected tail); a clean doc counts exactly the
+    injected 1 per class; and the scrubbed text of the clean doc hashes
+    identically to the hand-redacted expectation."""
+    import hashlib
+
+    import pandas as pd
+
+    crafted = (
+        "write bob.smith+x@corp.io from 192.168.0.1 "
+        "card 4111111111111111 call 555-867-5309 ok"
+    )
+    pdf = pd.DataFrame(
+        {"doc_id": [3, 10], "text": [crafted, "plain words only"]}
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in corpus.q_pii_scrub(spark, str(tmp_path)).collect()
+    }
+    assert (
+        rows[3]["n_email"],
+        rows[3]["n_ip"],
+        rows[3]["n_card"],
+        rows[3]["n_phone"],
+    ) == (2, 2, 2, 2)
+    assert (
+        rows[10]["n_email"],
+        rows[10]["n_ip"],
+        rows[10]["n_card"],
+        rows[10]["n_phone"],
+    ) == (1, 1, 1, 1)
+    # hand-redact doc 10: tail is deterministic from doc_id=10
+    tail = (
+        " contact u10@mail3.example.com call 555-110-1010"
+        " from 10.10.70.10 card 4000000000000010"
+    )
+    expected = "plain words only" + tail
+    expected = expected.replace("u10@mail3.example.com", "<EMAIL>")
+    expected = expected.replace("10.10.70.10", "<IP>")
+    expected = expected.replace("4000000000000010", "<CARD>")
+    expected = expected.replace("555-110-1010", "<PHONE>")
+    assert rows[10]["scrub_len"] == len(expected)
+    assert (
+        rows[10]["scrub_sha"]
+        == hashlib.md5(expected.encode()).hexdigest()
+    )
+
+
+def test_domain_stats_counts(spark, tmp_path):
+    """Two docs sharing site0 (doc_id % 13 == 0) roll up into one domain
+    row with n_docs=2, while their m-domains differ; a crafted in-text
+    URL joins the injected ones."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 13],
+            "text": ["see https://crafted.example.com/a ok", "words"],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {
+        r["domain"]: r
+        for r in corpus.q_domain_stats(spark, str(tmp_path)).collect()
+    }
+    assert rows["site0.example.org"]["n_docs"] == 2
+    assert rows["site0.example.org"]["n_urls"] == 2
+    assert rows["crafted.example.com"]["n_docs"] == 1
+    # doc 0 -> m0, doc 13 -> m3: the m-domains stay per-doc
+    assert rows["m0.example.net"]["n_docs"] == 1
+    assert rows["m3.example.net"]["n_docs"] == 1
+    assert sum(r["n_urls"] for r in rows.values()) == 5

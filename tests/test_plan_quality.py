@@ -278,3 +278,26 @@ def test_geo_polygon_join_is_broadcast_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
+
+
+def test_pii_and_domain_plans_are_jvm_narrow(spark):
+    """pii_scrub is a pure narrow JVM regex projection (zero exchanges,
+    zero Python stages); domain_stats reaches exactly ONE keyed exchange
+    (the per-domain aggregate, partial-agg combined map-side) and never
+    leaves the JVM."""
+    from nifi_ngsild_postgresql_spark.analytics import corpus
+
+    scrub = corpus.q_pii_scrub(spark, SF_DIR)
+    plan = scrub._jdf.queryExecution().executedPlan().toString()
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, f"pii_scrub: Python stage {marker}"
+    assert "Exchange" not in plan, "pii_scrub must stay shuffle-free"
+
+    dom = corpus.q_domain_stats(spark, SF_DIR)
+    dplan = dom._jdf.queryExecution().executedPlan().toString()
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in dplan, f"domain_stats: Python stage {marker}"
+    # countDistinct rewrites to a two-phase agg: distinct expand + final
+    # — both keyed by domain; no join, no cartesian
+    assert "CartesianProduct" not in dplan
+    assert "partial" in dplan.lower(), "map-side combine missing"
