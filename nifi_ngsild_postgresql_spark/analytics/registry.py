@@ -261,6 +261,12 @@ PYTEST_ONLY: dict[str, tuple] = {
     # derived spans before the operator runs (see corpus.py).
     "pii_scrub": (corpus.q_pii_scrub, corpus.SQL_PII_SCRUB),
     "domain_stats": (corpus.q_domain_stats, corpus.SQL_DOMAIN_STATS),
+    # round 5 (late): KMV sketch set ALGEBRA — the distinct-count
+    # question HLL can't answer (|A ∩ B|): k-minimum-values sketches
+    # per customer population, merged union sketch, intersection from
+    # the merged sketch's survivor split. O(k) downstream state, same
+    # oracle-exact md5 hash algebra as the HLL/bloom rows.
+    "kmv_set_ops": (sketches.q_kmv_set_ops, sketches.SQL_KMV_SET_OPS),
 }
 
 

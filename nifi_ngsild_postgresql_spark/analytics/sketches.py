@@ -541,3 +541,152 @@ GROUP BY p.probe_key
 
 
 SQL_BLOOM_MEMBERSHIP = _sql_bloom_membership()
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch — distinct-count SET ALGEBRA
+# --------------------------------------------------------------------------
+# HLL answers |A| per group; it cannot answer |A ∩ B|. The KMV sketch
+# can: keep the k smallest distinct hash values per set — a uniform
+# sample of the hashed universe — and (a) estimate |S| from the kth
+# minimum (density argument: k-1 points landed below h_k, so
+# |S| ≈ (k-1)·M/h_k over hash space M), (b) estimate any set-algebra
+# combination from how the merged sketch's survivors split between the
+# inputs. Mergeable: the k smallest of (k smallest of A) ∪ (k smallest
+# of B) IS the union's KMV sketch, exactly.
+#
+# Scale shape: building a sketch scans its input once (the distinct is
+# one keyed shuffle with map-side combine — the same cost exact distinct
+# pays on its INPUT side); every downstream set operation then runs on
+# O(k) rows, so a library of per-partition/per-day sketches answers
+# overlap questions with no re-scan (the DataSketches deployment model).
+# The k-smallest selection is TakeOrderedAndProject: per-partition
+# top-k, single tiny merge.
+
+KMV_K = 64
+_KMV_NUMER = float((KMV_K - 1) * (1 << 60))  # (k-1)·M, exact in double
+
+
+def _kmv_hash(col: str):
+    """Same 60-bit md5-derived integer hash the HLL/bloom sketches use."""
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = KMV_K) -> DataFrame:
+    """The k smallest distinct hashes of ``col`` — column ``h``."""
+    return df.select(_kmv_hash(col).alias("h")).distinct().orderBy("h").limit(k)
+
+
+def _kmv_est(k_col: str, hk_col: str):
+    """|S| estimate: exact count while the sketch is unsaturated, else
+    the kth-minimum density estimator — identical CASE on both engines."""
+    return (
+        F.when(F.col(k_col) < KMV_K, F.col(k_col).cast("double"))
+        .otherwise(F.lit(_KMV_NUMER) / F.col(hk_col).cast("double"))
+    )
+
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-set overlap between order priorities, KMV-sketched:
+    A = distinct custkeys with '1-URGENT' orders, B = with '2-HIGH'.
+    Returns one row: est_a/est_b/est_union/est_intersect plus the exact
+    sketch occupancies. The exact intersection needs a shuffle of every
+    custkey; the sketch algebra runs on 3×k = 192 rows."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sa = kmv_sketch(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT"), "o_custkey"
+    )
+    sb = kmv_sketch(
+        orders.filter(F.col("o_orderpriority") == "2-HIGH"), "o_custkey"
+    )
+    su = sa.union(sb).distinct().orderBy("h").limit(KMV_K)
+
+    def stats(s: DataFrame, tag: str) -> DataFrame:
+        return s.agg(
+            F.count(F.lit(1)).alias(f"k_{tag}"),
+            F.max("h").alias(f"hk_{tag}"),
+        )
+
+    shared = (
+        su.join(sa, "h", "left_semi")
+        .join(sb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    row = (
+        stats(sa, "a")
+        .crossJoin(stats(sb, "b"))
+        .crossJoin(stats(su, "u"))
+        .crossJoin(shared)
+    )
+    est_u = _kmv_est("k_u", "hk_u")
+    return row.select(
+        F.round(_kmv_est("k_a", "hk_a"), 4).alias("est_a"),
+        F.round(_kmv_est("k_b", "hk_b"), 4).alias("est_b"),
+        F.round(est_u, 4).alias("est_union"),
+        F.round(
+            (F.col("n_shared").cast("double") / F.col("k_u").cast("double"))
+            * est_u,
+            4,
+        ).alias("est_intersect"),
+        F.col("k_a").cast("long").alias("k_a"),
+        F.col("k_b").cast("long").alias("k_b"),
+        F.col("k_u").cast("long").alias("k_u"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+    )
+
+
+def _sql_kmv_h(expr: str) -> str:
+    return (
+        "CAST(list_sum(list_transform(range(1, 16), "
+        "i -> (CAST(strpos('0123456789abcdef', "
+        f"substr(md5({expr}), i, 1)) AS BIGINT) - 1) "
+        "<< (4 * (15 - i)))) AS BIGINT)"
+    )
+
+
+def _sql_kmv_set_ops() -> str:
+    h = _sql_kmv_h("CAST(o_custkey AS VARCHAR)")
+
+    def est(k, hk):
+        return (
+            f"CASE WHEN {k} < {KMV_K} THEN CAST({k} AS DOUBLE) "
+            f"ELSE {_KMV_NUMER!r} / CAST({hk} AS DOUBLE) END"
+        )
+
+    est_u = est("k_u", "hk_u")
+    return f"""
+WITH sa AS (
+  SELECT DISTINCT {h} AS h FROM orders
+  WHERE o_orderpriority = '1-URGENT' ORDER BY h LIMIT {KMV_K}
+), sb AS (
+  SELECT DISTINCT {h} AS h FROM orders
+  WHERE o_orderpriority = '2-HIGH' ORDER BY h LIMIT {KMV_K}
+), su AS (
+  SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+  ORDER BY h LIMIT {KMV_K}
+), st AS (
+  SELECT (SELECT COUNT(*) FROM sa) AS k_a,
+         (SELECT MAX(h) FROM sa) AS hk_a,
+         (SELECT COUNT(*) FROM sb) AS k_b,
+         (SELECT MAX(h) FROM sb) AS hk_b,
+         (SELECT COUNT(*) FROM su) AS k_u,
+         (SELECT MAX(h) FROM su) AS hk_u,
+         (SELECT COUNT(*) FROM su
+          JOIN sa USING (h) JOIN sb USING (h)) AS n_shared
+)
+SELECT ROUND({est("k_a", "hk_a")}, 4) AS est_a,
+       ROUND({est("k_b", "hk_b")}, 4) AS est_b,
+       ROUND({est_u}, 4) AS est_union,
+       ROUND((CAST(n_shared AS DOUBLE) / CAST(k_u AS DOUBLE)) * ({est_u}), 4)
+         AS est_intersect,
+       CAST(k_a AS BIGINT) AS k_a,
+       CAST(k_b AS BIGINT) AS k_b,
+       CAST(k_u AS BIGINT) AS k_u,
+       CAST(n_shared AS BIGINT) AS n_shared
+FROM st
+"""
+
+
+SQL_KMV_SET_OPS = _sql_kmv_set_ops()

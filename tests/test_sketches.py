@@ -305,3 +305,74 @@ def test_bloom_bitmaps_or_merge(spark):
         .collect()
     )
     assert merged == sorted(tuple(r) for r in bitmap(orders).collect())
+
+
+# --------------------------------------------------------------------------
+# KMV set algebra
+# --------------------------------------------------------------------------
+
+def test_kmv_estimates_track_exact_set_sizes(spark):
+    """k=64 gives sigma ~ 1/sqrt(62) ~ 12.7%; |A|, |B|, |A∪B| and the
+    intersection estimate must land within 3.5 sigma of the exact
+    values (intersection tolerance widened: its error compounds the
+    union estimate with the k_u-sample split)."""
+    sf = "/root/testdata/sf0.01"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    a = set(
+        r[0]
+        for r in orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    )
+    b = set(
+        r[0]
+        for r in orders.filter(F.col("o_orderpriority") == "2-HIGH")
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    )
+    row = sketches.q_kmv_set_ops(spark, sf).collect()[0]
+    tol = 3.5 / math.sqrt(sketches.KMV_K - 2)
+    assert abs(row["est_a"] - len(a)) <= tol * len(a)
+    assert abs(row["est_b"] - len(b)) <= tol * len(b)
+    assert abs(row["est_union"] - len(a | b)) <= tol * len(a | b)
+    inter = len(a & b)
+    assert abs(row["est_intersect"] - inter) <= 2 * tol * max(inter, 1)
+    # saturated sketches at this SF: the estimator branch is live
+    assert row["k_a"] == sketches.KMV_K and row["k_b"] == sketches.KMV_K
+
+
+def test_kmv_sketch_merge_is_exact(spark):
+    """Mergeability pin: the k smallest of (sketch(A) ∪ sketch(B))
+    equals sketch(A ∪ B) built from the raw union input — EXACT hash-set
+    equality, the property that lets per-partition sketches fold without
+    re-scanning data."""
+    sf = "/root/testdata/sf0.01"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    fa = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    fb = orders.filter(F.col("o_orderpriority") == "2-HIGH")
+    sa = sketches.kmv_sketch(fa, "o_custkey")
+    sb = sketches.kmv_sketch(fb, "o_custkey")
+    merged = sorted(
+        r[0]
+        for r in sa.union(sb)
+        .distinct()
+        .orderBy("h")
+        .limit(sketches.KMV_K)
+        .collect()
+    )
+    direct = sorted(
+        r[0] for r in sketches.kmv_sketch(fa.union(fb), "o_custkey").collect()
+    )
+    assert merged == direct
+
+
+def test_kmv_topk_is_take_ordered(spark):
+    """The k-smallest selection must compile to TakeOrderedAndProject
+    (per-partition partial top-k, single bounded merge), never a global
+    sort of the distinct hash set."""
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    plan = _exec_plan(sketches.kmv_sketch(orders, "o_custkey"))
+    assert "TakeOrderedAndProject" in plan
