@@ -63,6 +63,11 @@ HEADLINE = [
     # future rounds see their regressions
     "gif_decode",
     "geo_distance",
+    # round 5 (late): privacy/provenance text passes + KMV set algebra
+    # — all sub-second; tracked for longitudinal regression visibility
+    "pii_scrub",
+    "domain_stats",
+    "kmv_set_ops",
 ]
 
 
