@@ -124,20 +124,21 @@ def run_bench(sf_dir: str = SF_DIR, cpus: str = CPUS) -> dict:
     # compilation that a real deployment amortizes over millions of
     # micro-batches. Measured on this box: first sf0.1 ingest 8-12s,
     # every subsequent one 5.2-5.5s.
-    # join_view's registry callable builds a full two-table lake fixture
-    # (two epochs of ingest + dim churn) before the op under test; a
-    # deployed view pays that build ONCE, so the bench times only the
-    # steady-state increment — one fact epoch folded into the view + the
-    # view read (flagship.join_view_bench_trial) — over an untimed
-    # per-trial rebuild of the fixture.
+    # Fixture-heavy flagships (a registry callable that builds a full
+    # lake fixture before the op under test) get a trial override that
+    # rebuilds the fixture UNTIMED and times only the steady-state
+    # operation a deployment pays per micro-batch. join_view: one fact
+    # epoch folded into the materialized view + the view read.
     from nifi_ngsild_postgresql_spark.analytics import flagship
+
+    trial_overrides = {"join_view": flagship.join_view_bench_trial}
 
     for name in HEADLINE:
         best = None
         trials = 3
         for _trial in range(trials):
-            if name == "join_view":
-                dt = flagship.join_view_bench_trial(spark, sf_dir)
+            if name in trial_overrides:
+                dt = trial_overrides[name](spark, sf_dir)
             else:
                 t0 = time.time()
                 df = qs[name](spark, sf_dir)

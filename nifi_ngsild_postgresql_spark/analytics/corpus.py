@@ -622,32 +622,29 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one interpolation site per regex constant (patterns contain {m,n}
+# quantifiers, so .format/f-strings are avoided on purpose): editing a
+# PII_* constant can never desync the Spark and DuckDB sides
 SQL_PII_SCRUB = (
     """
 WITH aug AS (
-  SELECT doc_id, """
-    + _PII_SQL_AUG
-    + """ AS aug FROM documents
+  SELECT doc_id, """ + _PII_SQL_AUG + """ AS aug FROM documents
 ), st AS (
   SELECT doc_id, aug AS s0,
-         regexp_replace(aug, '"""
-    + PII_EMAIL
-    + r"""', '<EMAIL>', 'g') AS s1
+         regexp_replace(aug, '""" + PII_EMAIL + """', '<EMAIL>', 'g') AS s1
   FROM aug
 ), st2 AS (
-  SELECT *, regexp_replace(s1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS s2 FROM st
+  SELECT *, regexp_replace(s1, '""" + PII_IP + """', '<IP>', 'g') AS s2 FROM st
 ), st3 AS (
-  SELECT *, regexp_replace(s2, '\b\d{13,16}\b', '<CARD>', 'g') AS s3 FROM st2
+  SELECT *, regexp_replace(s2, '""" + PII_CARD + """', '<CARD>', 'g') AS s3 FROM st2
 ), st4 AS (
-  SELECT *, regexp_replace(s3, '\b\d{3}-\d{3,4}-\d{4}\b', '<PHONE>', 'g') AS s4 FROM st3
+  SELECT *, regexp_replace(s3, '""" + PII_PHONE + """', '<PHONE>', 'g') AS s4 FROM st3
 )
 SELECT doc_id,
-       CAST(len(regexp_extract_all(s0, '"""
-    + PII_EMAIL
-    + r"""')) AS BIGINT) AS n_email,
-       CAST(len(regexp_extract_all(s1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
-       CAST(len(regexp_extract_all(s2, '\b\d{13,16}\b')) AS BIGINT) AS n_card,
-       CAST(len(regexp_extract_all(s3, '\b\d{3}-\d{3,4}-\d{4}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(s0, '""" + PII_EMAIL + """')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(s1, '""" + PII_IP + """')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(s2, '""" + PII_CARD + """')) AS BIGINT) AS n_card,
+       CAST(len(regexp_extract_all(s3, '""" + PII_PHONE + """')) AS BIGINT) AS n_phone,
        md5(s4) AS scrub_sha,
        CAST(length(s4) AS BIGINT) AS scrub_len
 FROM st4
@@ -669,9 +666,11 @@ DOMAIN_URL_RE = r"https?://[A-Za-z0-9.-]+[A-Za-z0-9/._-]*"
 
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain corpus stats: explode every URL in every document,
-    key by domain. Scale shape: in-row extract_all (narrow) then ONE
-    keyed aggregation; domains are heavy-tailed but partial aggregation
-    absorbs the head map-side — the same hot-key story as LWW dedup."""
+    key by domain. Scale shape: in-row extract_all (narrow), then the
+    countDistinct rewrite's TWO keyed exchanges — distinct-expand on
+    (domain, doc_id), final on domain — both with partial aggregation
+    absorbing the heavy-tailed domain head map-side (the same hot-key
+    story as LWW dedup); plan-gated to exactly two exchanges."""
     d = _t(spark, sf_dir, "documents")
     i = F.col("doc_id")
     s = lambda e: e.cast("string")  # noqa: E731

@@ -595,13 +595,20 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch occupancies. The exact intersection needs a shuffle of every
     custkey; the sketch algebra runs on 3×k = 192 rows."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # The downstream algebra references each sketch several times
+    # (stats + union + both semi-joins); persist and materialize the
+    # O(k)-row sketches so each input side is scanned exactly ONCE —
+    # the whole point of the sketch model. The caches are <= 64 rows
+    # each and evictable; they are deliberately left to LRU.
     sa = kmv_sketch(
         orders.filter(F.col("o_orderpriority") == "1-URGENT"), "o_custkey"
-    )
+    ).persist()
     sb = kmv_sketch(
         orders.filter(F.col("o_orderpriority") == "2-HIGH"), "o_custkey"
-    )
-    su = sa.union(sb).distinct().orderBy("h").limit(KMV_K)
+    ).persist()
+    sa.count(), sb.count()
+    su = sa.union(sb).distinct().orderBy("h").limit(KMV_K).persist()
+    su.count()
 
     def stats(s: DataFrame, tag: str) -> DataFrame:
         return s.agg(

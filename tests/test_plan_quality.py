@@ -282,9 +282,10 @@ def test_geo_polygon_join_is_broadcast_hash_join(spark):
 
 def test_pii_and_domain_plans_are_jvm_narrow(spark):
     """pii_scrub is a pure narrow JVM regex projection (zero exchanges,
-    zero Python stages); domain_stats reaches exactly ONE keyed exchange
-    (the per-domain aggregate, partial-agg combined map-side) and never
-    leaves the JVM."""
+    zero Python stages); domain_stats compiles to the countDistinct
+    rewrite's EXACTLY TWO keyed exchanges — distinct-expand on
+    (domain, doc_id), then final on domain — with map-side partial
+    aggregation, never leaving the JVM."""
     from nifi_ngsild_postgresql_spark.analytics import corpus
 
     scrub = corpus.q_pii_scrub(spark, SF_DIR)
@@ -297,7 +298,7 @@ def test_pii_and_domain_plans_are_jvm_narrow(spark):
     dplan = dom._jdf.queryExecution().executedPlan().toString()
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in dplan, f"domain_stats: Python stage {marker}"
-    # countDistinct rewrites to a two-phase agg: distinct expand + final
-    # — both keyed by domain; no join, no cartesian
     assert "CartesianProduct" not in dplan
+    n_exchanges = dplan.count("Exchange hashpartitioning")
+    assert n_exchanges == 2, f"expected 2 keyed exchanges, saw {n_exchanges}"
     assert "partial" in dplan.lower(), "map-side combine missing"
