@@ -68,6 +68,10 @@ HEADLINE = [
     "pii_scrub",
     "domain_stats",
     "kmv_set_ops",
+    # round 5 (late): the one genuinely-Python corpus pass (NFC via a
+    # single vectorized Arrow stage) — tracked as the package's
+    # reference mapInPandas-cost datapoint
+    "normalize_text",
 ]
 
 

@@ -723,3 +723,83 @@ SELECT domain,
 FROM dom
 GROUP BY domain
 """
+
+
+# --------------------------------------------------------------------------
+# normalize_text — Unicode NFC canonicalization (C4/CCNet text hygiene)
+# --------------------------------------------------------------------------
+# Spark has no built-in Unicode normalization, so this is the package's
+# canonical example of the brief's UDF rule: a genuinely-Python step run
+# as ONE vectorized Arrow stage (pandas .str.normalize — ICU-grade NFC
+# over whole batches), never per-row Python. NFC output is pinned by the
+# Unicode standard, so DuckDB's utf8proc-backed nfc_normalize agrees
+# byte-for-byte with Python's unicodedata and the oracle is exact. The
+# ASCII synthetic corpus is NFC-stable, so each doc gets a deterministic
+# tail — docs with doc_id % 3 != 0 a combining sequence (e + U+0301,
+# changed by NFC), the rest plain ASCII — exercising both branches of
+# the `changed` flag in both engines.
+
+NORM_MARK_MOD = 3
+# explicit escapes so no editor/tool can silently precompose the pair
+NORM_COMBINING = "e\u0301"  # LATIN SMALL E + COMBINING ACUTE -> NFC U+00E9
+
+
+def _nfc_partition(pdf_iter):
+    import unicodedata  # noqa: F401 — via pandas .str.normalize
+
+    import pandas as pd
+
+    for pdf in pdf_iter:
+        norm = pdf["aug"].str.normalize("NFC")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "norm": norm,
+                "changed": norm != pdf["aug"],
+            }
+        )
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC-normalize every document; per doc the normalized length, md5
+    and whether normalization changed the text. Scale shape: one
+    mapInPandas stage (Arrow-batched, linear, shuffle-free); md5/length
+    run JVM-side on the normalized column."""
+    from ..session import ship_package
+
+    ship_package(spark)
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    # the combining sequence is a PYTHON string literal on both sides
+    # (Spark's char()/chr() is ASCII-mod-256, NOT a codepoint function)
+    tail = F.when(i % NORM_MARK_MOD != 0, F.lit(NORM_COMBINING)).otherwise(
+        F.lit("ea")
+    )
+    aug = d.select("doc_id", F.concat(F.col("text"), F.lit(" nfc:"), tail).alias("aug"))
+    normed = aug.mapInPandas(
+        _nfc_partition, schema="doc_id long, norm string, changed boolean"
+    )
+    return normed.select(
+        "doc_id",
+        F.md5("norm").alias("norm_sha"),
+        F.length("norm").cast("long").alias("norm_len"),
+        "changed",
+    )
+
+
+SQL_NORMALIZE_TEXT = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' nfc:' ||
+         CASE WHEN doc_id % {NORM_MARK_MOD} <> 0 THEN '{NORM_COMBINING}'
+              ELSE 'ea' END AS aug
+  FROM documents
+), n AS (
+  SELECT doc_id, nfc_normalize(aug) AS norm, aug FROM aug
+)
+SELECT doc_id,
+       md5(norm) AS norm_sha,
+       CAST(length(norm) AS BIGINT) AS norm_len,
+       norm <> aug AS changed
+FROM n
+"""

@@ -267,6 +267,11 @@ PYTEST_ONLY: dict[str, tuple] = {
     # the merged sketch's survivor split. O(k) downstream state, same
     # oracle-exact md5 hash algebra as the HLL/bloom rows.
     "kmv_set_ops": (sketches.q_kmv_set_ops, sketches.SQL_KMV_SET_OPS),
+    # round 5 (late): Unicode NFC canonicalization — the one corpus op
+    # that GENUINELY needs Python (Spark has no built-in normalization):
+    # one vectorized Arrow mapInPandas stage, md5/length JVM-side, NFC
+    # output standard-pinned so DuckDB's utf8proc mirror is exact.
+    "normalize_text": (corpus.q_normalize_text, corpus.SQL_NORMALIZE_TEXT),
 }
 
 

@@ -239,3 +239,49 @@ def test_domain_stats_counts(spark, tmp_path):
     assert rows["m0.example.net"]["n_docs"] == 1
     assert rows["m3.example.net"]["n_docs"] == 1
     assert sum(r["n_urls"] for r in rows.values()) == 5
+
+
+def test_normalize_text_nfc_semantics(spark, tmp_path):
+    """Crafted Unicode pins NFC beyond the oracle: a decomposed
+    combining pair precomposes (length shrinks by 1, changed=True), an
+    already-NFC doc passes through unchanged except for the injected
+    tail, and the md5 equals the hand-normalized expectation."""
+    import hashlib
+    import unicodedata
+
+    import pandas as pd
+
+    decomposed = "cafe" + "e\u0301" + " end"  # doc 1 -> tail adds pair
+    stable = "plain ascii"                      # doc 3 -> 3%3==0, 'ea' tail
+    pdf = pd.DataFrame({"doc_id": [1, 3], "text": [decomposed, stable]})
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in corpus.q_normalize_text(spark, str(tmp_path)).collect()
+    }
+    aug1 = decomposed + " nfc:" + corpus.NORM_COMBINING
+    norm1 = unicodedata.normalize("NFC", aug1)
+    assert rows[1]["changed"] is True
+    # two combining pairs (in-text + tail) each collapse to one char
+    assert rows[1]["norm_len"] == len(aug1) - 2
+    assert rows[1]["norm_sha"] == hashlib.md5(norm1.encode()).hexdigest()
+
+    aug3 = stable + " nfc:ea"
+    assert rows[3]["changed"] is False
+    assert rows[3]["norm_len"] == len(aug3)
+    assert rows[3]["norm_sha"] == hashlib.md5(aug3.encode()).hexdigest()
+
+
+def test_normalize_text_plan_is_single_arrow_stage(spark):
+    """Exactly one mapInPandas (Arrow) stage, zero exchanges — the
+    sanctioned shape for a genuinely-Python text pass."""
+    from nifi_ngsild_postgresql_spark.session import ship_package
+
+    ship_package(spark)
+    df = corpus.q_normalize_text(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
