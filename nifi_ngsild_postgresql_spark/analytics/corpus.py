@@ -803,3 +803,85 @@ SELECT doc_id,
        norm <> aug AS changed
 FROM n
 """
+
+
+# --------------------------------------------------------------------------
+# unigram_surprisal — the CCNet/KenLM perplexity-filter shape
+# --------------------------------------------------------------------------
+# CCNet ranks documents by language-model perplexity and keeps the
+# fluent head. The distributable core of that filter is: train a unigram
+# LM on the corpus itself (token -> count / total), then score each doc
+# by its mean token surprisal -ln p(token). Determinism across engines:
+# each token's surprisal is quantized to an exact BIGINT (micro-nats)
+# BEFORE any aggregation, so the per-doc sum is integer-exact and
+# fold-order-free; the only float ops are the shared c/total division,
+# one ln over identical doubles, and the final division — the same
+# contract the HLL estimator uses for its single log.
+
+SURPRISAL_SCALE = 1_000_000  # micro-nats per token
+
+
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal (micro-nat-exact): explode
+    tokens, count per token (keyed agg with map-side combine), join each
+    token occurrence back to its corpus count, integer-sum per doc.
+    Scale shape: two keyed aggs + one token-keyed equi-join; the vocab
+    frame is count-bounded (heavy tail folds into counts map-side), so
+    on a real corpus the join side is broadcastable up to vocab size —
+    here it stays a key-equality shuffle join, plan-gated against
+    cartesians. The final score is one double division of two exact
+    integers, rounded to 4."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens("text")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    q = counts.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(
+            -F.log(F.col("c").cast("double") / F.col("total").cast("double"))
+            * SURPRISAL_SCALE
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    return (
+        toks.join(q, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("q").alias("sum_q"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.col("sum_q").cast("double")
+                / (F.col("n_tokens").cast("double") * SURPRISAL_SCALE),
+                4,
+            ).alias("mean_surprisal_nats"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+SQL_UNIGRAM_SURPRISAL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS total FROM counts
+), q AS (
+  SELECT tok,
+         CAST(ROUND(-ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+                    * {SURPRISAL_SCALE}) AS BIGINT) AS q
+  FROM counts, tot
+)
+SELECT t.doc_id,
+       ROUND(CAST(SUM(q.q) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * {SURPRISAL_SCALE}), 4)
+         AS mean_surprisal_nats,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM toks t JOIN q ON t.tok = q.tok
+GROUP BY t.doc_id
+"""

@@ -272,6 +272,13 @@ PYTEST_ONLY: dict[str, tuple] = {
     # one vectorized Arrow mapInPandas stage, md5/length JVM-side, NFC
     # output standard-pinned so DuckDB's utf8proc mirror is exact.
     "normalize_text": (corpus.q_normalize_text, corpus.SQL_NORMALIZE_TEXT),
+    # round 5 (late): the CCNet perplexity-filter shape — per-doc mean
+    # unigram surprisal, micro-nat-quantized to exact integers before
+    # aggregation so the fold is order-free on both engines.
+    "unigram_surprisal": (
+        corpus.q_unigram_surprisal,
+        corpus.SQL_UNIGRAM_SURPRISAL,
+    ),
 }
 
 

@@ -285,3 +285,48 @@ def test_normalize_text_plan_is_single_arrow_stage(spark):
     assert plan.count("MapInPandas") == 1
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_unigram_surprisal_planted_corpus(spark, tmp_path):
+    """Hand-computed LM on a planted corpus: tokens {a:4, b:1} over 5
+    total -> p(a)=0.8, p(b)=0.2; doc 1 = 'a a a' scores -ln(0.8);
+    doc 2 = 'a b' scores (-ln 0.8 - ln 0.2)/2 — matched through the
+    same micro-nat quantization the operator uses."""
+    import math
+
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["a a a", "a b"]})
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in corpus.q_unigram_surprisal(spark, str(tmp_path)).collect()
+    }
+    qa = round(-math.log(4 / 5) * corpus.SURPRISAL_SCALE)
+    qb = round(-math.log(1 / 5) * corpus.SURPRISAL_SCALE)
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["mean_surprisal_nats"] == round(
+        (3 * qa) / (3 * corpus.SURPRISAL_SCALE), 4
+    )
+    assert rows[2]["n_tokens"] == 2
+    assert rows[2]["mean_surprisal_nats"] == round(
+        (qa + qb) / (2 * corpus.SURPRISAL_SCALE), 4
+    )
+    # rarer-token doc is more surprising
+    assert (
+        rows[2]["mean_surprisal_nats"] > rows[1]["mean_surprisal_nats"]
+    )
+
+
+def test_unigram_surprisal_plan_shape(spark):
+    """JVM-only; the only nested-loop is the intentional 1-row
+    corpus-total broadcast; the token join is key-equality."""
+    ship_package(spark)
+    df = corpus.q_unigram_surprisal(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, marker
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row total
