@@ -72,6 +72,10 @@ HEADLINE = [
     # single vectorized Arrow stage) — tracked as the package's
     # reference mapInPandas-cost datapoint
     "normalize_text",
+    # round 5 (late): the perplexity-filter shape (explode + two keyed
+    # aggs + token-keyed join) — the suite's reference datapoint for
+    # the token-explode join family
+    "unigram_surprisal",
 ]
 
 
