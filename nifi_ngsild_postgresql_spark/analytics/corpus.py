@@ -592,6 +592,17 @@ _PII_SQL_AUG = (
 )
 
 
+def _pii_chain(col):
+    """The ordered redaction chain, shared by q_pii_scrub and the
+    composed corpus pipeline: (s1, s2, s3, s4) after email/IP/card/phone
+    replacement respectively."""
+    s1 = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    s2 = F.regexp_replace(s1, PII_IP, "<IP>")
+    s3 = F.regexp_replace(s2, PII_CARD, "<CARD>")
+    s4 = F.regexp_replace(s3, PII_PHONE, "<PHONE>")
+    return s1, s2, s3, s4
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over documents: emails -> <EMAIL>, IPv4 -> <IP>,
     13-16-digit card runs -> <CARD>, phone patterns -> <PHONE>, applied
@@ -607,10 +618,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("long")
 
     s0 = F.col("aug")
-    s1 = F.regexp_replace(s0, PII_EMAIL, "<EMAIL>")
-    s2 = F.regexp_replace(s1, PII_IP, "<IP>")
-    s3 = F.regexp_replace(s2, PII_CARD, "<CARD>")
-    s4 = F.regexp_replace(s3, PII_PHONE, "<PHONE>")
+    s1, s2, s3, s4 = _pii_chain(s0)
     return d.select(
         "doc_id",
         cnt(s0, PII_EMAIL).alias("n_email"),
@@ -884,4 +892,108 @@ SELECT t.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens
 FROM toks t JOIN q ON t.tok = q.tok
 GROUP BY t.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus_pipeline — the stages composed end-to-end, one oracle
+# --------------------------------------------------------------------------
+# The inventory above is not just a catalog of isolated operators: this
+# case runs scrub -> normalize -> quality-filter -> chunk as ONE lazy
+# Spark plan (JVM regex chain, the single Arrow NFC stage, a narrow
+# filter, in-row chunk explode — still zero wide shuffles end-to-end)
+# and one DuckDB CTE chain mirrors the whole composition, pinning that
+# the stages agree not only individually but THROUGH each other's
+# outputs — a user's actual pipeline, not a benchmark favor.
+
+PIPE_MIN_TOKENS = 40  # quality gate: drop short docs post-normalization
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-scrub every document, NFC-normalize the scrubbed text (with
+    the deterministic combining-tail injection exercising real
+    normalization), drop docs under PIPE_MIN_TOKENS tokens, and chunk
+    the survivors into CHUNK_WINDOW/CHUNK_STRIDE training chunks. One
+    row per chunk: (doc_id, chunk_id, chunk_tokens, chunk_sha)."""
+    from ..session import ship_package
+
+    ship_package(spark)
+    d = _pii_augmented(_t(spark, sf_dir, "documents"))
+    _s1, _s2, _s3, s4 = _pii_chain(F.col("aug"))
+    i = F.col("doc_id")
+    tail = F.when(i % NORM_MARK_MOD != 0, F.lit(NORM_COMBINING)).otherwise(
+        F.lit("ea")
+    )
+    aug2 = d.select("doc_id", F.concat(s4, F.lit(" "), tail).alias("aug"))
+    normed = aug2.mapInPandas(
+        _nfc_partition, schema="doc_id long, norm string, changed boolean"
+    )
+    toks = (
+        normed.select("doc_id", _tokens("norm").alias("toks"))
+        .withColumn("n_tokens", F.size("toks"))
+        .filter(F.col("n_tokens") >= PIPE_MIN_TOKENS)
+    )
+    n = F.col("n_tokens")
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - CHUNK_WINDOW, F.lit(0)) + CHUNK_STRIDE - 1)
+        / CHUNK_STRIDE
+    ).cast("int")
+    chunks = toks.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.slice(
+            "toks", F.col("chunk_id") * CHUNK_STRIDE + 1, F.lit(CHUNK_WINDOW)
+        ).alias("ctoks"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size("ctoks").cast("long").alias("chunk_tokens"),
+        F.md5(F.array_join("ctoks", " ")).alias("chunk_sha"),
+    )
+
+
+SQL_CORPUS_PIPELINE = f"""
+WITH aug AS (
+  SELECT doc_id, {_PII_SQL_AUG} AS aug FROM documents
+), scrub AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             aug, '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_IP}', '<IP>', 'g'),
+             '{PII_CARD}', '<CARD>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g') AS s4
+  FROM aug
+), aug2 AS (
+  SELECT doc_id,
+         s4 || ' ' ||
+         CASE WHEN doc_id % {NORM_MARK_MOD} <> 0 THEN '{NORM_COMBINING}'
+              ELSE 'ea' END AS a2
+  FROM scrub
+), toks AS (
+  SELECT doc_id,
+         list_filter(string_split(nfc_normalize(a2), ' '), t -> t <> '')
+           AS toks
+  FROM aug2
+), kept AS (
+  SELECT doc_id, toks, len(toks) AS n FROM toks
+  WHERE len(toks) >= {PIPE_MIN_TOKENS}
+), chunks AS (
+  SELECT doc_id,
+         CAST(unnest(range(0,
+           1 + (greatest(n - {CHUNK_WINDOW}, 0) + {CHUNK_STRIDE} - 1)
+               // {CHUNK_STRIDE})) AS INT) AS chunk_id,
+         toks, n
+  FROM kept
+)
+SELECT doc_id, chunk_id,
+       CAST(len(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                 least(chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW}, n)))
+            AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                 least(chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW}, n)), ' '))
+         AS chunk_sha
+FROM chunks
 """

@@ -279,6 +279,11 @@ PYTEST_ONLY: dict[str, tuple] = {
         corpus.q_unigram_surprisal,
         corpus.SQL_UNIGRAM_SURPRISAL,
     ),
+    # round 5 (late): the corpus stages COMPOSED end-to-end (scrub ->
+    # NFC normalize -> quality filter -> chunk) as one Spark plan and
+    # one mirroring DuckDB CTE chain — parity through each other's
+    # outputs, not just per-op.
+    "corpus_pipeline": (corpus.q_corpus_pipeline, corpus.SQL_CORPUS_PIPELINE),
 }
 
 

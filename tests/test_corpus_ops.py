@@ -330,3 +330,65 @@ def test_unigram_surprisal_plan_shape(spark):
         assert marker not in plan, marker
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row total
+
+
+def test_corpus_pipeline_composes_stages(spark, tmp_path):
+    """The composed pipeline on crafted docs, checked against a
+    hand-run of the same four stages in plain Python: PII inside the
+    text is redacted BEFORE chunking (the chunk sha proves it), the
+    combining tail is normalized, and a short doc is dropped by the
+    quality gate."""
+    import hashlib
+    import unicodedata
+
+    import pandas as pd
+
+    long_text = ("tok " * 60).strip() + " mail bob@x.io end"
+    short_text = "tiny doc"
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 3], "text": [long_text, short_text]}
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = corpus.q_corpus_pipeline(spark, str(tmp_path)).collect()
+    assert {r["doc_id"] for r in rows} == {1}  # short doc dropped
+
+    # hand-run the chain for doc 1 (tail arithmetic from doc_id=1)
+    import re
+
+    aug = (
+        long_text
+        + " contact u1@mail1.example.com call 555-101-1001"
+        + " from 10.1.7.1 card 4000000000000001"
+    )
+    s = re.sub(corpus.PII_EMAIL, "<EMAIL>", aug)
+    s = re.sub(corpus.PII_IP, "<IP>", s)
+    s = re.sub(corpus.PII_CARD, "<CARD>", s)
+    s = re.sub(corpus.PII_PHONE, "<PHONE>", s)
+    s = unicodedata.normalize("NFC", s + " " + corpus.NORM_COMBINING)
+    toks = [t for t in s.split(" ") if t]
+    assert len(toks) >= corpus.PIPE_MIN_TOKENS
+    expect = {}
+    cid = 0
+    while True:
+        frag = toks[cid * corpus.CHUNK_STRIDE:][: corpus.CHUNK_WINDOW]
+        expect[cid] = hashlib.md5(" ".join(frag).encode()).hexdigest()
+        if cid * corpus.CHUNK_STRIDE + corpus.CHUNK_WINDOW >= len(toks):
+            break
+        cid += 1
+    got = {r["chunk_id"]: r["chunk_sha"] for r in rows}
+    assert got == expect
+    # redaction really happened pre-chunk: no raw email survives
+    assert "bob@x.io" not in " ".join(toks) and "<EMAIL>" in toks
+
+
+def test_corpus_pipeline_plan_is_narrow(spark):
+    """End-to-end the composition stays embarrassingly parallel: one
+    Arrow stage, zero exchanges, no join."""
+    ship_package(spark)
+    df = corpus.q_corpus_pipeline(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+    assert "Join" not in plan
