@@ -76,6 +76,9 @@ HEADLINE = [
     # aggs + token-keyed join) — the suite's reference datapoint for
     # the token-explode join family
     "unigram_surprisal",
+    # round 5 (late): the composed scrub->normalize->filter->chunk
+    # pipeline — tracks the cost of the stages THROUGH each other
+    "corpus_pipeline",
 ]
 
 
