@@ -53,6 +53,29 @@ def _tokens(col: str):
 # --------------------------------------------------------------------------
 
 
+def _chunk_cols(toks_df, window: int = CHUNK_WINDOW, stride: int = CHUNK_STRIDE):
+    """Shared chunk-explode: (doc_id, toks, n_tokens) -> one row per
+    chunk with (doc_id, chunk_id, ctoks). n_chunks = 1 + ceil(max(0,
+    n - window) / stride), trailing partial chunk kept — used by BOTH
+    q_chunk_text and the composed pipeline so the chunking rule can
+    never desync between them."""
+    n = F.col("n_tokens")
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - window, F.lit(0)) + stride - 1) / stride
+    ).cast("int")
+    return (
+        toks_df.filter(n > 0)
+        .withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.slice(
+                "toks", F.col("chunk_id") * stride + 1, F.lit(window)
+            ).alias("ctoks"),
+        )
+    )
+
+
 def q_chunk_text(
     spark: SparkSession,
     sf_dir: str,
@@ -69,21 +92,7 @@ def q_chunk_text(
     toks = d.select("doc_id", _tokens("text").alias("toks")).withColumn(
         "n_tokens", F.size("toks")
     )
-    n = F.col("n_tokens")
-    n_chunks = F.lit(1) + F.floor(
-        (F.greatest(n - window, F.lit(0)) + stride - 1) / stride
-    ).cast("int")
-    chunks = (
-        toks.filter(n > 0)
-        .withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
-        .select(
-            "doc_id",
-            F.col("chunk_id").cast("int").alias("chunk_id"),
-            F.slice(
-                "toks", F.col("chunk_id") * stride + 1, F.lit(window)
-            ).alias("ctoks"),
-        )
-    )
+    chunks = _chunk_cols(toks, window, stride)
     return chunks.select(
         "doc_id",
         "chunk_id",
@@ -92,27 +101,36 @@ def q_chunk_text(
     )
 
 
+
+def _sql_chunks_cte(src: str) -> str:
+    """chunks CTE over a source CTE with (doc_id, toks, n) — the SQL
+    mirror of _chunk_cols, shared by SQL_CHUNK_TEXT and the pipeline."""
+    return f"""chunks AS (
+  SELECT doc_id,
+         CAST(unnest(range(0,
+           1 + (greatest(n - {CHUNK_WINDOW}, 0) + {CHUNK_STRIDE} - 1)
+               // {CHUNK_STRIDE})) AS INT) AS chunk_id,
+         toks, n
+  FROM {src}
+)"""
+
+
+_SQL_CHUNK_SLICE = (
+    f"list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1, "
+    f"least(chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW}, n))"
+)
+
+
 SQL_CHUNK_TEXT = f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
   FROM documents
 ), sized AS (
   SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0
-), chunks AS (
-  SELECT doc_id,
-         CAST(unnest(range(0,
-           1 + (greatest(n - {CHUNK_WINDOW}, 0) + {CHUNK_STRIDE} - 1)
-               // {CHUNK_STRIDE})) AS INT) AS chunk_id,
-         toks, n
-  FROM sized
-)
+), {_sql_chunks_cte("sized")}
 SELECT doc_id, chunk_id,
-       CAST(len(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
-                 least(chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW}, n)))
-            AS BIGINT) AS chunk_tokens,
-       array_to_string(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
-                 least(chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW}, n)), ' ')
-         AS chunk_text
+       CAST(len({_SQL_CHUNK_SLICE}) AS BIGINT) AS chunk_tokens,
+       array_to_string({_SQL_CHUNK_SLICE}, ' ') AS chunk_text
 FROM chunks
 """
 
@@ -630,9 +648,12 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# one interpolation site per regex constant (patterns contain {m,n}
-# quantifiers, so .format/f-strings are avoided on purpose): editing a
-# PII_* constant can never desync the Spark and DuckDB sides
+# one interpolation site per regex constant, so editing a PII_* constant
+# can never desync the Spark and DuckDB sides. Interpolating the
+# CONSTANTS through an f-string is fine (SQL_CORPUS_PIPELINE does);
+# what must never happen is writing a regex literal with {m,n}
+# quantifier braces INSIDE an f-string/.format template — hence plain
+# concatenation here, where the patterns sit next to SQL text
 SQL_PII_SCRUB = (
     """
 WITH aug AS (
@@ -765,6 +786,17 @@ def _nfc_partition(pdf_iter):
                 "norm": norm,
                 "changed": norm != pdf["aug"],
             }
+        )
+
+
+def _nfc_norm_only(pdf_iter):
+    """Pipeline variant of _nfc_partition: yields only (doc_id, norm) —
+    no changed-flag string comparison, no extra Arrow column."""
+    import pandas as pd
+
+    for pdf in pdf_iter:
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "norm": pdf["aug"].str.normalize("NFC")}
         )
 
 
@@ -926,27 +958,14 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug2 = d.select("doc_id", F.concat(s4, F.lit(" "), tail).alias("aug"))
     normed = aug2.mapInPandas(
-        _nfc_partition, schema="doc_id long, norm string, changed boolean"
+        _nfc_norm_only, schema="doc_id long, norm string"
     )
     toks = (
         normed.select("doc_id", _tokens("norm").alias("toks"))
         .withColumn("n_tokens", F.size("toks"))
         .filter(F.col("n_tokens") >= PIPE_MIN_TOKENS)
     )
-    n = F.col("n_tokens")
-    n_chunks = F.lit(1) + F.floor(
-        (F.greatest(n - CHUNK_WINDOW, F.lit(0)) + CHUNK_STRIDE - 1)
-        / CHUNK_STRIDE
-    ).cast("int")
-    chunks = toks.withColumn(
-        "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
-    ).select(
-        "doc_id",
-        F.col("chunk_id").cast("int").alias("chunk_id"),
-        F.slice(
-            "toks", F.col("chunk_id") * CHUNK_STRIDE + 1, F.lit(CHUNK_WINDOW)
-        ).alias("ctoks"),
-    )
+    chunks = _chunk_cols(toks)
     return chunks.select(
         "doc_id",
         "chunk_id",
@@ -980,20 +999,9 @@ WITH aug AS (
 ), kept AS (
   SELECT doc_id, toks, len(toks) AS n FROM toks
   WHERE len(toks) >= {PIPE_MIN_TOKENS}
-), chunks AS (
-  SELECT doc_id,
-         CAST(unnest(range(0,
-           1 + (greatest(n - {CHUNK_WINDOW}, 0) + {CHUNK_STRIDE} - 1)
-               // {CHUNK_STRIDE})) AS INT) AS chunk_id,
-         toks, n
-  FROM kept
-)
+), {_sql_chunks_cte("kept")}
 SELECT doc_id, chunk_id,
-       CAST(len(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
-                 least(chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW}, n)))
-            AS BIGINT) AS chunk_tokens,
-       md5(array_to_string(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
-                 least(chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW}, n)), ' '))
-         AS chunk_sha
+       CAST(len({_SQL_CHUNK_SLICE}) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string({_SQL_CHUNK_SLICE}, ' ')) AS chunk_sha
 FROM chunks
 """
