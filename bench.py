@@ -79,6 +79,11 @@ HEADLINE = [
     # round 5 (late): the composed scrub->normalize->filter->chunk
     # pipeline — tracks the cost of the stages THROUGH each other
     "corpus_pipeline",
+    # round 5 (late): ExactSubstr duplicated-span signal — tracked as
+    # the char-gram explode family's reference datapoint (the 1/8
+    # content filter must keep the exchange small; a regression here
+    # means the filter stopped running before the shuffle)
+    "substring_dedup",
 ]
 
 

@@ -307,6 +307,110 @@ FROM per_doc p LEFT JOIN boiler b ON p.doc_id = b.doc_id
 
 
 # --------------------------------------------------------------------------
+# substring_dedup (ExactSubstr-style duplicated-span signal)
+# --------------------------------------------------------------------------
+
+SUBSTR_ANCHOR_LEN = 24  # chars per anchor gram
+# Content-defined anchor selection: keep a gram iff the first hex digit
+# of md5(gram) is in this set (P = 2/16 = 1/8). Selection depends only
+# on gram CONTENT, never on its offset, so two documents sharing a long
+# exact span select the SAME anchors inside it regardless of alignment —
+# the winnowing property that a fixed-stride sample of positions lacks.
+SUBSTR_SELECT_HEX = ("0", "1")
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring signal per document — the ExactSubstr
+    dedup stage ("Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022) re-shaped for Spark: instead of a global
+    suffix array, every char-level L-gram is generated in-row and a
+    content-defined 1/8 subset (md5 prefix) is kept as anchors; an
+    anchor seen in >= 2 documents marks duplicated content. Returns
+    per-doc (n_anchors, dup_anchors, dup_frac) — the span-level repair
+    (cutting the duplicated region) keys off the same anchor table.
+
+    Scale shape: gram generation is a narrow in-row transform (O(chars)
+    rows before the 1/8 content filter, applied BEFORE the distinct so
+    the only wide ops — one distinct + one groupBy(gram) — see an 8x
+    smaller, partially map-side-combined exchange); the dup-anchor set
+    is rejoined by key equality (NOT broadcast: at 100 TB the duplicated
+    set is unbounded, unlike boilerplate's frequent set). Everything is
+    whole-stage-codegen; md5 on both engines hashes UTF-8 bytes to the
+    same lowercase hex, and counts stay exact integers with one double
+    division, so DuckDB reproduces results bit-for-bit.
+
+    Reference parity: the reference dedups change STATEMENTS, not
+    payload spans (PGSQL processor batches, covered by lww_dedup);
+    this operator is part of the training-data family SURVEY §6 adds.
+    """
+    ln = SUBSTR_ANCHOR_LEN
+    d = _t(spark, sf_dir, "documents")
+    base = d.filter(F.length("text") >= ln).select("doc_id", "text")
+    anchors = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {ln - 1}),"
+                    f" i -> substring(text, i, {ln}))"
+                )
+            ).alias("gram"),
+        )
+        .filter(F.substring(F.md5(F.col("gram")), 1, 1).isin(*SUBSTR_SELECT_HEX))
+        .distinct()
+    )
+    dup = (
+        anchors.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    per_doc = anchors.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_anchors"))
+    dups = (
+        anchors.join(dup, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_anchors"))
+    )
+    return per_doc.join(dups, "doc_id", "left").select(
+        "doc_id",
+        "n_anchors",
+        F.coalesce("dup_anchors", F.lit(0)).cast("long").alias("dup_anchors"),
+        (
+            F.coalesce("dup_anchors", F.lit(0)).cast("double")
+            / F.col("n_anchors").cast("double")
+        ).alias("dup_frac"),
+    )
+
+
+SQL_SUBSTRING_DEDUP = f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE length(text) >= {SUBSTR_ANCHOR_LEN}
+), pos AS (
+  SELECT doc_id, text, CAST(unnest(range(1, n - {SUBSTR_ANCHOR_LEN - 2})) AS INT) AS s
+  FROM base
+), anchors AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, substring(text, s, {SUBSTR_ANCHOR_LEN}) AS gram FROM pos
+  ) WHERE substring(md5(gram), 1, 1) IN ('{SUBSTR_SELECT_HEX[0]}', '{SUBSTR_SELECT_HEX[1]}')
+), dup AS (
+  SELECT gram FROM anchors GROUP BY gram HAVING COUNT(*) >= 2
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_anchors FROM anchors GROUP BY doc_id
+), dups AS (
+  SELECT a.doc_id, COUNT(*) AS dup_anchors
+  FROM anchors a JOIN dup USING (gram) GROUP BY a.doc_id
+)
+SELECT p.doc_id,
+       CAST(p.n_anchors AS BIGINT) AS n_anchors,
+       CAST(COALESCE(d.dup_anchors, 0) AS BIGINT) AS dup_anchors,
+       CAST(COALESCE(d.dup_anchors, 0) AS DOUBLE) / CAST(p.n_anchors AS DOUBLE)
+         AS dup_frac
+FROM per_doc p LEFT JOIN dups d USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # term_search (inverted-index shape)
 # --------------------------------------------------------------------------
 

@@ -288,6 +288,13 @@ PYTEST_ONLY: dict[str, tuple] = {
     # the composed corpus pipeline; test_names pins the encoder's
     # semantics independently of the oracle.
     "encode_identifiers": (suite.q_encode_identifiers, suite.SQL_ENCODE_IDENTIFIERS),
+    # round 5 (late): ExactSubstr-style duplicated-span signal — the
+    # dedup family's char-level member (exact rows, MinHash/SimHash/
+    # embedding near-dup, n-gram Jaccard already present). Content-
+    # defined md5 anchor selection makes detection alignment-independent
+    # without a suffix array; one distinct + one keyed agg, both over a
+    # 1/8-filtered gram table.
+    "substring_dedup": (corpus.q_substring_dedup, corpus.SQL_SUBSTRING_DEDUP),
 }
 
 

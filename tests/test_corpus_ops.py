@@ -92,6 +92,7 @@ def test_corpus_plans_stay_jvm(spark):
         "chunk": corpus.q_chunk_text,
         "repetition": corpus.q_repetition_score,
         "boiler": corpus.q_boilerplate_shingles,
+        "substring_dedup": corpus.q_substring_dedup,
     }.items():
         plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
@@ -211,6 +212,63 @@ def test_pii_scrub_crafted_spans(spark, tmp_path):
         rows[10]["scrub_sha"]
         == hashlib.md5(expected.encode()).hexdigest()
     )
+
+
+def _substr_anchors(text: str) -> set[str]:
+    """Pure-Python mirror of the operator's anchor rule: all L-char
+    grams whose md5 hex starts with a selected digit, deduped per doc."""
+    import hashlib
+
+    ln = corpus.SUBSTR_ANCHOR_LEN
+    return {
+        text[i : i + ln]
+        for i in range(len(text) - ln + 1)
+        if hashlib.md5(text[i : i + ln].encode()).hexdigest()[0]
+        in corpus.SUBSTR_SELECT_HEX
+    }
+
+
+def test_substring_dedup_planted_spans(spark, tmp_path):
+    """A 200-char span planted in two documents at DIFFERENT offsets is
+    detected (content-defined anchors are alignment-independent — a
+    fixed-stride position sample would miss the shifted copy), unique
+    documents score zero, and every per-doc count equals a pure-Python
+    replica of the anchor rule."""
+    import pandas as pd
+
+    span = " ".join(f"shared{i:03d}" for i in range(20))  # 199 chars
+    docs = {
+        1: "alpha " * 40 + "solo one ends here....",
+        2: "omega " * 40 + "solo two ends here....",
+        3: "left pad block " * 7 + span + " tail-three " * 5,
+        4: "x" * 53 + span + "q" * 31,  # span at a shifted, odd offset
+    }
+    pdf = pd.DataFrame(
+        {"doc_id": list(docs), "text": [docs[k] for k in docs]}
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in corpus.q_substring_dedup(spark, str(tmp_path)).collect()
+    }
+    anchors = {k: _substr_anchors(t) for k, t in docs.items()}
+    from collections import Counter
+
+    freq = Counter(g for s in anchors.values() for g in s)
+    for k in docs:
+        exp_dup = sum(1 for g in anchors[k] if freq[g] >= 2)
+        assert rows[k]["n_anchors"] == len(anchors[k]), k
+        assert rows[k]["dup_anchors"] == exp_dup, k
+        assert rows[k]["dup_frac"] == exp_dup / len(anchors[k]), k
+    # the planted span IS detected in both copies despite the offset
+    # shift, and the unique docs stay clean (docs 1/2 self-repeat
+    # internally — 'alpha alpha' grams — but repeat in ONE doc only)
+    assert rows[3]["dup_anchors"] > 0 and rows[4]["dup_anchors"] > 0
+    assert rows[1]["dup_anchors"] == 0 and rows[2]["dup_anchors"] == 0
+    shared = anchors[3] & anchors[4]
+    assert shared, "planted span produced no shared anchors"
 
 
 def test_domain_stats_counts(spark, tmp_path):
