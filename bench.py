@@ -84,6 +84,10 @@ HEADLINE = [
     # content filter must keep the exchange small; a regression here
     # means the filter stopped running before the shuffle)
     "substring_dedup",
+    # round 5 (late): the top-K-per-group shape — tracked so a Spark
+    # upgrade that stops planning WindowGroupLimit shows up as a wall
+    # regression here (the plan gate catches it structurally too)
+    "quota_sample",
 ]
 
 

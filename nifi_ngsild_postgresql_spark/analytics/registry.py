@@ -295,6 +295,11 @@ PYTEST_ONLY: dict[str, tuple] = {
     # without a suffix array; one distinct + one keyed agg, both over a
     # 1/8-filtered gram table.
     "substring_dedup": (corpus.q_substring_dedup, corpus.SQL_SUBSTRING_DEDUP),
+    # round 5 (late): the cap-based rebalancing shape (per-source
+    # contribution quota via deterministic hash rank) — complements the
+    # fraction-based stratified_sample; WindowGroupLimit keeps the
+    # exchange O(groups x K).
+    "quota_sample": (suite.q_quota_sample, suite.SQL_QUOTA_SAMPLE),
 }
 
 

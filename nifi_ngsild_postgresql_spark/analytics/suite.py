@@ -486,6 +486,53 @@ WHERE bucket < ({_SQL_RATE_CASE})
 """
 
 
+QUOTA_CAP = 10  # max documents kept per source
+
+
+def q_quota_sample(spark, sf_dir):
+    """Per-source quota cap — the OTHER training-data rebalancing shape:
+    where stratified_sample keeps a FRACTION per stratum (a narrow
+    filter), this keeps at most QUOTA_CAP documents per source — the
+    per-domain contribution cap crawl corpora apply so one mirror-heavy
+    site cannot dominate a training mix. Selection is the QUOTA_CAP
+    lexicographically-smallest md5(doc_id) per source: deterministic
+    across engines, runs, and repartitioning (rand() or input order
+    would be neither).
+
+    Scale shape: the canonical top-K-per-group plan — ONE hash exchange
+    on the group key feeding a rank window; Spark plans a WindowGroupLimit
+    (since 3.5) so each map task keeps only K rows per group before the
+    shuffle, making the exchange O(groups x K), not O(rows). A
+    pathologically hot single source is still one partition's sort of
+    its surviving K candidates per upstream task — bounded; for known
+    mega-domains compose with stratified_sample's hash filter as a
+    pre-prune."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(key)
+    return (
+        d.select("doc_id", "source", key.alias("hk"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= QUOTA_CAP)
+        .select("doc_id", "source", "rk")
+    )
+
+
+SQL_QUOTA_SAMPLE = f"""
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR))
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= {QUOTA_CAP}
+"""
+
+
 def _spark_tokens(d):
     return d.select(
         "doc_id", "lang",

@@ -174,6 +174,37 @@ def test_stratified_sample_deterministic_and_rate_bounded(spark):
     assert 0.05 <= kept_en / total_en <= 0.50  # 25% target, binomial slack
 
 
+def test_quota_sample_cap_binds_and_matches_hash_rank(spark):
+    """The per-source quota keeps exactly min(cap, group size) documents
+    per source, and the kept set equals a pure-Python replica of the
+    rank rule (the cap smallest md5(doc_id) per source) — i.e. the
+    selection is content-determined, not order- or partitioning-
+    determined."""
+    import collections
+    import hashlib
+
+    from nifi_ngsild_postgresql_spark.analytics import suite
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    by_source: dict[str, list] = collections.defaultdict(list)
+    for r in docs:
+        by_source[r["source"]].append(r["doc_id"])
+    expected = {}
+    for src, ids in by_source.items():
+        ranked = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        for rk, doc_id in enumerate(ranked[: suite.QUOTA_CAP], start=1):
+            expected[doc_id] = (src, rk)
+    rows = suite.q_quota_sample(spark, SF_DIR).collect()
+    got = {r["doc_id"]: (r["source"], r["rk"]) for r in rows}
+    assert got == expected
+    counts = collections.Counter(src for src, _rk in got.values())
+    for src, ids in by_source.items():
+        assert counts[src] == min(suite.QUOTA_CAP, len(ids)), src
+    assert any(len(ids) > suite.QUOTA_CAP for ids in by_source.values()), (
+        "cap never binds at this SF — test is vacuous"
+    )
+
+
 def test_kmeans_improves_cost_and_covers_all_vectors(spark):
     """Lloyd iterations must actually move: the final within-cluster
     squared-distance total is well below the initial assignment's

@@ -137,6 +137,21 @@ def test_stratified_sample_is_shuffle_free(spark):
     assert "PushedFilters:" in plan  # still a plain parquet scan
 
 
+def test_quota_sample_plan_is_group_limited(spark):
+    """The per-source quota cap must plan as top-K-per-group: a partial
+    WindowGroupLimit BEFORE the single hash exchange (so each map task
+    ships at most K rows per group — O(groups x K) shuffle, never
+    O(rows)) and a final one after it. A plain Window + Filter plan
+    (no group limit) would sort and shuffle every row at 100 TB."""
+    plan = _plan(suite.q_quota_sample(spark, SF_DIR))
+    tree = plan.split("\n\n", 1)[0]  # the indented tree (node names once)
+    assert tree.count("WindowGroupLimit") == 2, tree
+    assert tree.count("Exchange") == 1, tree
+    # the partial group limit sits BELOW the exchange (map side)
+    assert tree.index("Exchange") < tree.rindex("WindowGroupLimit"), tree
+    assert "CartesianProduct" not in plan
+
+
 def test_knn_join_exact_broadcast_side_is_bounded(spark):
     """knn_join_exact (the pytest-only recall baseline; the GREEN
     knn_join entry is the LSH composition since round 4) must be fed by
