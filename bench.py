@@ -88,6 +88,10 @@ HEADLINE = [
     # upgrade that stops planning WindowGroupLimit shows up as a wall
     # regression here (the plan gate catches it structurally too)
     "quota_sample",
+    # round 5 (late): the O(vocab) tokenizer-training shape — two keyed
+    # aggs + TakeOrderedAndProject; tracked as the vocab-weighted
+    # aggregation family's reference datapoint
+    "bpe_pair_stats",
 ]
 
 

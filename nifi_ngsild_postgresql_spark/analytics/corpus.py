@@ -411,6 +411,68 @@ FROM per_doc p LEFT JOIN dups d USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# bpe_pair_stats (tokenizer-training first-merge statistics)
+# --------------------------------------------------------------------------
+
+BPE_TOPK = 20  # merge candidates returned
+
+
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first round of BPE tokenizer training: corpus-wide adjacent
+    character-pair frequencies, whose argmax is the first merge rule.
+    Counted the way real BPE trainers do it — over the DISTINCT-word
+    vocabulary weighted by word frequency, never over raw tokens: the
+    word-count aggregation (map-side combined, so the Zipf head
+    collapses per partition) reduces the corpus to O(vocab) rows, and
+    the in-row pair explode + pair aggregation then cost O(vocab x
+    word_len) regardless of corpus size. Top-K by a TOTAL order
+    (freq desc, pair asc) so the returned set is engine-deterministic
+    even with frequency ties at the cutoff; Spark plans it as
+    TakeOrderedAndProject — no global sort.
+
+    Intra-word multiplicity counts ('aaa' contributes 'aa' twice), the
+    standard BPE occurrence count. Exact integers end-to-end."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(_tokens("text")).alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = vocab.select(
+        "wc",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("pair"))
+        .limit(BPE_TOPK)
+    )
+
+
+SQL_BPE_PAIR_STATS = f"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, COUNT(*) AS wc FROM words GROUP BY w HAVING length(w) >= 2
+), pairs AS (
+  SELECT wc,
+         unnest(list_transform(range(1, length(w)),
+                i -> substring(w, CAST(i AS INT), 2))) AS pair
+  FROM vocab
+)
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS freq
+FROM pairs GROUP BY pair
+ORDER BY freq DESC, pair
+LIMIT {BPE_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
 # term_search (inverted-index shape)
 # --------------------------------------------------------------------------
 

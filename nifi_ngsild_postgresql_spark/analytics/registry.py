@@ -300,6 +300,10 @@ PYTEST_ONLY: dict[str, tuple] = {
     # fraction-based stratified_sample; WindowGroupLimit keeps the
     # exchange O(groups x K).
     "quota_sample": (suite.q_quota_sample, suite.SQL_QUOTA_SAMPLE),
+    # round 5 (late): BPE first-merge pair statistics — tokenizer
+    # training's opening step, counted over the distinct-word vocab
+    # weighted by word frequency so cost is O(vocab), not O(corpus).
+    "bpe_pair_stats": (corpus.q_bpe_pair_stats, corpus.SQL_BPE_PAIR_STATS),
 }
 
 

@@ -93,6 +93,7 @@ def test_corpus_plans_stay_jvm(spark):
         "repetition": corpus.q_repetition_score,
         "boiler": corpus.q_boilerplate_shingles,
         "substring_dedup": corpus.q_substring_dedup,
+        "bpe_pair_stats": corpus.q_bpe_pair_stats,
     }.items():
         plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
@@ -269,6 +270,56 @@ def test_substring_dedup_planted_spans(spark, tmp_path):
     assert rows[1]["dup_anchors"] == 0 and rows[2]["dup_anchors"] == 0
     shared = anchors[3] & anchors[4]
     assert shared, "planted span produced no shared anchors"
+
+
+def test_bpe_pair_stats_hand_computed(spark, tmp_path):
+    """The classic BPE training example pins the whole formula —
+    vocabulary weighting, intra-word multiplicity, and the total
+    (freq desc, pair asc) tie order: on {low x3, lower x2, newest x4,
+    widest x1} the first merge must be 'we' (6), and the full ranking
+    is hand-computable."""
+    import pandas as pd
+
+    text = " ".join(["low"] * 3 + ["lower"] * 2 + ["newest"] * 4 + ["widest"])
+    pdf = pd.DataFrame({"doc_id": [1], "text": [text]})
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = [
+        (r["pair"], r["freq"])
+        for r in corpus.q_bpe_pair_stats(spark, str(tmp_path)).collect()
+    ]
+    assert rows == [
+        ("we", 6),
+        ("es", 5), ("lo", 5), ("ow", 5), ("st", 5),
+        ("ew", 4), ("ne", 4),
+        ("er", 2),
+        ("de", 1), ("id", 1), ("wi", 1),
+    ]
+    # 'aaa'-style intra-word multiplicity: one word, pair counted twice
+    pdf2 = pd.DataFrame({"doc_id": [1], "text": ["aaa"]})
+    spark.createDataFrame(pdf2).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows2 = [
+        (r["pair"], r["freq"])
+        for r in corpus.q_bpe_pair_stats(spark, str(tmp_path)).collect()
+    ]
+    assert rows2 == [("aa", 2)]
+
+
+def test_bpe_pair_stats_plan_takes_ordered_topk(spark):
+    """Top-K must plan as TakeOrderedAndProject (heap per partition +
+    driver merge of K rows) — a global Sort before the limit would
+    shuffle the whole pair table at scale."""
+    ship_package(spark)
+    plan = (
+        corpus.q_bpe_pair_stats(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_domain_stats_counts(spark, tmp_path):
