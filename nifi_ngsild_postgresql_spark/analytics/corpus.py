@@ -472,6 +472,123 @@ LIMIT {BPE_TOPK}
 """
 
 
+def bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> tuple[list[tuple[str, str, str, int]], DataFrame]:
+    """The FULL BPE merge loop (Sennrich et al. 2016) distributed the
+    way q_bpe_pair_stats counts one round: the corpus is reduced ONCE
+    to the distinct-word vocabulary with frequencies (O(vocab) rows,
+    cached), each word carried as a space-joined symbol string; every
+    round then (1) aggregates weighted adjacent-pair counts over the
+    vocab and collects exactly ONE row — the argmax under the total
+    (freq desc, pair asc) order — and (2) rewrites the segmentation
+    with one boundary-aware regexp_replace. Driver traffic is O(1) per
+    round; per-round cluster work is O(vocab x word_len), independent
+    of corpus size — the property that makes tokenizer training on a
+    100 TB corpus a vocab-sized problem after one distributed word
+    count.
+
+    Merge application is leftmost non-overlapping within a word
+    ('a a a' + merge (a,a) -> ['aa','a']), the standard BPE rule; the
+    regex anchors each symbol on token boundaries so merging 'a b'
+    can never touch the tail of a longer symbol like 'xa'. Training
+    stops early only when no adjacent pair remains (every word fully
+    merged). Tie order on pair strings matches Python's for the ASCII
+    vocabularies the tests pin; both sides share it explicitly.
+
+    Returns (merges, vocab_df): merges as (left, right, merged, freq)
+    in training order; vocab_df with (w, wc, syms) — the final
+    segmentation of every vocabulary word.
+
+    Not oracle-checked (iterative — not expressible as one SQL query);
+    pinned instead by a pure-Python reference implementation over the
+    same vocabulary in tests/test_corpus_ops.py.
+
+    The vocab table stays cached (every round and the returned
+    segmentation read it); callers done with the result can release it
+    with spark.catalog.clearCache() or by unpersisting the returned
+    DataFrame's source."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(_tokens("text")).alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .withColumn("syms", F.expr("trim(regexp_replace(w, '(?s)(.)', '$1 '))"))
+    ).cache()
+    vocab.count()  # materialize once; every round reads this O(vocab) table
+
+    def _q(sym: str) -> str:  # regex-literal quoting (symbols are corpus text)
+        return "\\Q" + sym + "\\E"
+
+    def _repl(sym: str) -> str:  # Java replacement-string escaping
+        return sym.replace("\\", "\\\\").replace("$", "\\$")
+
+    merges: list[tuple[str, str, str, int]] = []
+    seg = vocab
+    for _ in range(n_merges):
+        arr = F.split(F.col("syms"), " ")
+        pairs = seg.select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(syms, ' ')) - 1),"
+                    " i -> concat(split(syms, ' ')[i - 1], ' ', split(syms, ' ')[i]))"
+                )
+            ).alias("pair"),
+        ).filter(F.size(arr) >= 2)
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("wc").alias("freq"))
+            .orderBy(F.col("freq").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # every word is a single symbol — nothing left to merge
+        pair, freq = top[0]["pair"], int(top[0]["freq"])
+        left, right = pair.split(" ", 1)
+        merged = left + right
+        merges.append((left, right, merged, freq))
+        pattern = f"(?<=^| ){_q(left)} {_q(right)}(?= |$)"
+        seg = seg.withColumn(
+            "syms", F.regexp_replace("syms", pattern, _repl(merged))
+        )
+    return merges, seg.select("w", "wc", "syms")
+
+
+def bpe_train_reference(
+    word_counts: dict[str, int], n_merges: int = 8
+) -> tuple[list[tuple[str, str, str, int]], dict[str, list[str]]]:
+    """Pure-Python BPE trainer — the independent mirror bpe_train is
+    tested against (same total tie order, same leftmost-non-overlapping
+    merge application)."""
+    seg = {w: list(w) for w in word_counts}
+    merges: list[tuple[str, str, str, int]] = []
+    for _ in range(n_merges):
+        freq: dict[tuple[str, str], int] = {}
+        for w, syms in seg.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                freq[p] = freq.get(p, 0) + word_counts[w]
+        if not freq:
+            break
+        (left, right), f = min(
+            freq.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )
+        merges.append((left, right, left + right, f))
+        for w, syms in seg.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seg[w] = out
+    return merges, seg
+
+
 # --------------------------------------------------------------------------
 # term_search (inverted-index shape)
 # --------------------------------------------------------------------------

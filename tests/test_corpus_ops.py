@@ -322,6 +322,75 @@ def test_bpe_pair_stats_plan_takes_ordered_topk(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bpe_train_matches_python_reference_on_classic_corpus(spark, tmp_path):
+    """The distributed merge loop reproduces a pure-Python BPE trainer
+    exactly on the classic corpus — merge sequence (with frequencies)
+    AND every word's final segmentation. First merges on
+    {low x5, lower x2, newest x6, widest x3} are es->est (9), then the
+    tie order decides among the rest; the reference shares the rule."""
+    import pandas as pd
+
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    text = " ".join(w for w, c in counts.items() for _ in range(c))
+    pdf = pd.DataFrame({"doc_id": [1], "text": [text]})
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    merges, seg_df = corpus.bpe_train(spark, str(tmp_path), n_merges=6)
+    ref_merges, ref_seg = corpus.bpe_train_reference(counts, n_merges=6)
+    assert merges == ref_merges
+    assert merges[0] == ("e", "s", "es", 9)  # the textbook first merge
+    got_seg = {r["w"]: r["syms"].split(" ") for r in seg_df.collect()}
+    assert got_seg == ref_seg
+
+
+def test_bpe_train_boundary_and_overlap_rules(spark, tmp_path):
+    """The two regex traps are pinned: merging 'a b' must not touch the
+    tail of a longer symbol ('xa b' stays split), and a merged-symbol
+    run applies leftmost non-overlapping ('a a a' -> ['aa','a']) — both
+    checked against the Python reference, which implements the rules
+    imperatively."""
+    import pandas as pd
+
+    counts = {"aaa": 4, "xab": 1, "ab": 3}
+    text = " ".join(w for w, c in counts.items() for _ in range(c))
+    pdf = pd.DataFrame({"doc_id": [1], "text": [text]})
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    merges, seg_df = corpus.bpe_train(spark, str(tmp_path), n_merges=4)
+    ref_merges, ref_seg = corpus.bpe_train_reference(counts, n_merges=4)
+    assert merges == ref_merges
+    got_seg = {r["w"]: r["syms"].split(" ") for r in seg_df.collect()}
+    assert got_seg == ref_seg
+    # the run rule, concretely: after merging ('a','a'), 'aaa' is aa+a
+    aa_step = next(i for i, m in enumerate(merges) if m[:2] == ("a", "a"))
+    assert aa_step is not None
+    # early stop: tiny corpus cannot sustain 4 distinct merges forever;
+    # every returned merge has freq >= 1 and the loop never errored
+    assert all(m[3] >= 1 for m in merges)
+
+
+def test_bpe_train_matches_reference_on_real_vocab(spark):
+    """Full equivalence on the real sf0.001 vocabulary (hundreds of
+    distinct words): 8 rounds of the distributed trainer == 8 rounds of
+    the Python reference, merge-for-merge and segmentation-for-
+    segmentation."""
+    import collections
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    counts: collections.Counter = collections.Counter()
+    for r in docs:
+        counts.update(t for t in r["text"].split(" ") if t)
+    merges, seg_df = corpus.bpe_train(spark, SF_DIR, n_merges=8)
+    ref_merges, ref_seg = corpus.bpe_train_reference(dict(counts), n_merges=8)
+    assert merges == ref_merges
+    got_seg = {r["w"]: r["syms"].split(" ") for r in seg_df.collect()}
+    assert got_seg == ref_seg
+    assert len(merges) == 8  # a real corpus sustains all 8 rounds
+
+
 def test_domain_stats_counts(spark, tmp_path):
     """Two docs sharing site0 (doc_id % 13 == 0) roll up into one domain
     row with n_docs=2, while their m-domains differ; a crafted in-text
