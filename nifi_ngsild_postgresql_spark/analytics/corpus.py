@@ -346,16 +346,20 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln = SUBSTR_ANCHOR_LEN
     d = _t(spark, sf_dir, "documents")
     base = d.filter(F.length("text") >= ln).select("doc_id", "text")
+    # Positions are exploded FIRST and the gram cut per generated row —
+    # generate -> project -> filter pipeline inside one codegen stage,
+    # so peak per-row memory stays O(doc), never the O(25 x doc) a
+    # materialized transform() gram array would buffer (a 50 MB crawl
+    # page must not allocate a gigabyte-scale array in one task).
     anchors = (
         base.select(
             "doc_id",
+            "text",
             F.explode(
-                F.expr(
-                    f"transform(sequence(1, length(text) - {ln - 1}),"
-                    f" i -> substring(text, i, {ln}))"
-                )
-            ).alias("gram"),
+                F.expr(f"sequence(1, length(text) - {ln - 1})")
+            ).alias("s"),
         )
+        .select("doc_id", F.expr(f"substring(text, s, {ln})").alias("gram"))
         .filter(F.substring(F.md5(F.col("gram")), 1, 1).isin(*SUBSTR_SELECT_HEX))
         .distinct()
     )
@@ -392,7 +396,7 @@ WITH base AS (
 ), anchors AS (
   SELECT DISTINCT doc_id, gram FROM (
     SELECT doc_id, substring(text, s, {SUBSTR_ANCHOR_LEN}) AS gram FROM pos
-  ) WHERE substring(md5(gram), 1, 1) IN ('{SUBSTR_SELECT_HEX[0]}', '{SUBSTR_SELECT_HEX[1]}')
+  ) WHERE substring(md5(gram), 1, 1) IN ({", ".join(f"'{h}'" for h in SUBSTR_SELECT_HEX)})
 ), dup AS (
   SELECT gram FROM anchors GROUP BY gram HAVING COUNT(*) >= 2
 ), per_doc AS (
@@ -517,8 +521,12 @@ def bpe_train(
     ).cache()
     vocab.count()  # materialize once; every round reads this O(vocab) table
 
-    def _q(sym: str) -> str:  # regex-literal quoting (symbols are corpus text)
-        return "\\Q" + sym + "\\E"
+    def _q(sym: str) -> str:
+        """Regex-literal quoting by per-char escaping — robust where
+        \\Q...\\E is not: a symbol containing the literal sequence \\E
+        (code/LaTeX corpora produce them once backslash merges happen)
+        would terminate a quote block early and leak raw regex."""
+        return "".join(c if c.isalnum() else "\\" + c for c in sym)
 
     def _repl(sym: str) -> str:  # Java replacement-string escaping
         return sym.replace("\\", "\\\\").replace("$", "\\$")
@@ -526,16 +534,22 @@ def bpe_train(
     merges: list[tuple[str, str, str, int]] = []
     seg = vocab
     for _ in range(n_merges):
-        arr = F.split(F.col("syms"), " ")
-        pairs = seg.select(
+        # project the split ONCE: a bound array column, so the pair
+        # lambda is linear per word (re-splitting inside the HOF lambda
+        # would re-scan the string per element — quadratic), and
+        # single-symbol words are dropped BEFORE the explode.
+        arred = seg.select(
+            "wc", F.split(F.col("syms"), " ").alias("arr")
+        ).filter(F.size(F.col("arr")) >= 2)
+        pairs = arred.select(
             "wc",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(split(syms, ' ')) - 1),"
-                    " i -> concat(split(syms, ' ')[i - 1], ' ', split(syms, ' ')[i]))"
+                    "transform(sequence(1, size(arr) - 1),"
+                    " i -> concat(arr[i - 1], ' ', arr[i]))"
                 )
             ).alias("pair"),
-        ).filter(F.size(arr) >= 2)
+        )
         top = (
             pairs.groupBy("pair")
             .agg(F.sum("wc").alias("freq"))
@@ -550,9 +564,15 @@ def bpe_train(
         merged = left + right
         merges.append((left, right, merged, freq))
         pattern = f"(?<=^| ){_q(left)} {_q(right)}(?= |$)"
+        # localCheckpoint truncates the lineage each round: without it,
+        # round r re-executes all r prior regexp_replace passes (O(N^2)
+        # total work) and the chained plan depth eventually blows up
+        # Catalyst — the classic iterative-algorithm trap. With it,
+        # every round is one replace over the previous round's
+        # materialized O(vocab) blocks.
         seg = seg.withColumn(
             "syms", F.regexp_replace("syms", pattern, _repl(merged))
-        )
+        ).localCheckpoint()
     return merges, seg.select("w", "wc", "syms")
 
 

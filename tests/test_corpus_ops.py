@@ -364,11 +364,23 @@ def test_bpe_train_boundary_and_overlap_rules(spark, tmp_path):
     got_seg = {r["w"]: r["syms"].split(" ") for r in seg_df.collect()}
     assert got_seg == ref_seg
     # the run rule, concretely: after merging ('a','a'), 'aaa' is aa+a
-    aa_step = next(i for i, m in enumerate(merges) if m[:2] == ("a", "a"))
-    assert aa_step is not None
+    assert any(m[:2] == ("a", "a") for m in merges)
     # early stop: tiny corpus cannot sustain 4 distinct merges forever;
     # every returned merge has freq >= 1 and the loop never errored
     assert all(m[3] >= 1 for m in merges)
+    # regex-metachar symbols (code-corpus tokens): '.', '+', '\' and
+    # '$' must be escaped as literals in both pattern and replacement
+    counts2 = {"a.b": 4, "a.c": 3, "x+\\y": 2, "$$z": 2}
+    text2 = " ".join(w for w, c in counts2.items() for _ in range(c))
+    pdf2 = pd.DataFrame({"doc_id": [1], "text": [text2]})
+    spark.createDataFrame(pdf2).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    merges2, seg_df2 = corpus.bpe_train(spark, str(tmp_path), n_merges=5)
+    ref_merges2, ref_seg2 = corpus.bpe_train_reference(counts2, n_merges=5)
+    assert merges2 == ref_merges2
+    got2 = {r["w"]: r["syms"].split(" ") for r in seg_df2.collect()}
+    assert got2 == ref_seg2
 
 
 def test_bpe_train_matches_reference_on_real_vocab(spark):
