@@ -476,6 +476,18 @@ LIMIT {BPE_TOPK}
 """
 
 
+def _bpe_q(sym: str) -> str:
+    """Regex-literal quoting by per-char escaping — robust where
+    \\Q...\\E is not: a symbol containing the literal sequence \\E
+    (code/LaTeX corpora produce them once backslash merges happen)
+    would terminate a quote block early and leak raw regex."""
+    return "".join(c if c.isalnum() else "\\" + c for c in sym)
+
+
+def _bpe_repl(sym: str) -> str:  # Java replacement-string escaping
+    return sym.replace("\\", "\\\\").replace("$", "\\$")
+
+
 def bpe_train(
     spark: SparkSession, sf_dir: str, n_merges: int = 8
 ) -> tuple[list[tuple[str, str, str, int]], DataFrame]:
@@ -521,16 +533,6 @@ def bpe_train(
     ).cache()
     vocab.count()  # materialize once; every round reads this O(vocab) table
 
-    def _q(sym: str) -> str:
-        """Regex-literal quoting by per-char escaping — robust where
-        \\Q...\\E is not: a symbol containing the literal sequence \\E
-        (code/LaTeX corpora produce them once backslash merges happen)
-        would terminate a quote block early and leak raw regex."""
-        return "".join(c if c.isalnum() else "\\" + c for c in sym)
-
-    def _repl(sym: str) -> str:  # Java replacement-string escaping
-        return sym.replace("\\", "\\\\").replace("$", "\\$")
-
     merges: list[tuple[str, str, str, int]] = []
     seg = vocab
     for _ in range(n_merges):
@@ -563,7 +565,7 @@ def bpe_train(
         left, right = pair.split(" ", 1)
         merged = left + right
         merges.append((left, right, merged, freq))
-        pattern = f"(?<=^| ){_q(left)} {_q(right)}(?= |$)"
+        pattern = f"(?<=^| ){_bpe_q(left)} {_bpe_q(right)}(?= |$)"
         # localCheckpoint truncates the lineage each round: without it,
         # round r re-executes all r prior regexp_replace passes (O(N^2)
         # total work) and the chained plan depth eventually blows up
@@ -571,9 +573,50 @@ def bpe_train(
         # every round is one replace over the previous round's
         # materialized O(vocab) blocks.
         seg = seg.withColumn(
-            "syms", F.regexp_replace("syms", pattern, _repl(merged))
+            "syms", F.regexp_replace("syms", pattern, _bpe_repl(merged))
         ).localCheckpoint()
     return merges, seg.select("w", "wc", "syms")
+
+
+def bpe_encode(
+    spark: SparkSession,
+    sf_dir: str,
+    merges: list[tuple[str, str, str, int]],
+) -> DataFrame:
+    """Tokenize the corpus with a trained merge list — the inference
+    half of the BPE story. The expensive part (N chained boundary-aware
+    regexp passes, same quoting/boundary rules as bpe_train so
+    encode(train(corpus)) is self-consistent) runs over the
+    DISTINCT-WORD vocabulary only, exactly like training: regex work is
+    O(vocab x N merges) however large the corpus, and per-document
+    token counts come back through a key-equality join of the
+    O(doc x distinct-words) word-count table against the encoded vocab
+    — all map-side-combinable keyed aggs, no per-occurrence regex.
+
+    Returns (doc_id, n_words, n_tokens) for every document with at
+    least one token — the numbers a training pipeline feeds into
+    packing/budgeting once it tokenizes with the trained vocab."""
+    d = _t(spark, sf_dir, "documents")
+    doc_words = (
+        d.select("doc_id", F.explode(_tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    col = F.expr("trim(regexp_replace(w, '(?s)(.)', '$1 '))")
+    for left, right, merged, _freq in merges:
+        pattern = f"(?<=^| ){_bpe_q(left)} {_bpe_q(right)}(?= |$)"
+        col = F.regexp_replace(col, pattern, _bpe_repl(merged))
+    vocab = doc_words.select("w").distinct().select(
+        "w", F.size(F.split(col, " ")).cast("long").alias("wt")
+    )
+    return (
+        doc_words.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("wt")).cast("long").alias("n_tokens"),
+        )
+    )
 
 
 def bpe_train_reference(

@@ -383,6 +383,40 @@ def test_bpe_train_boundary_and_overlap_rules(spark, tmp_path):
     assert got2 == ref_seg2
 
 
+def test_bpe_encode_counts_match_reference_segmentation(spark, tmp_path):
+    """encode(train(corpus)) self-consistency: per-document token
+    counts under the trained merges equal counting the Python
+    reference's final segmentation word-by-word — including metachar
+    words and a doc that shares only SOME vocabulary."""
+    import pandas as pd
+
+    texts = {
+        1: "low low lower newest newest newest a.b a.b",
+        2: "widest newest low x+\\y",
+        3: "a.b a.b a.b lower",
+    }
+    pdf = pd.DataFrame({"doc_id": list(texts), "text": [texts[k] for k in texts]})
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    merges, _seg = corpus.bpe_train(spark, str(tmp_path), n_merges=5)
+    rows = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in corpus.bpe_encode(spark, str(tmp_path), merges).collect()
+    }
+    import collections
+
+    counts: collections.Counter = collections.Counter()
+    for t in texts.values():
+        counts.update(w for w in t.split(" ") if w)
+    ref_merges, ref_seg = corpus.bpe_train_reference(dict(counts), n_merges=5)
+    assert merges == ref_merges
+    for doc_id, t in texts.items():
+        words = [w for w in t.split(" ") if w]
+        exp_tokens = sum(len(ref_seg[w]) for w in words)
+        assert rows[doc_id] == (len(words), exp_tokens), doc_id
+
+
 def test_bpe_train_matches_reference_on_real_vocab(spark):
     """Full equivalence on the real sf0.001 vocabulary (hundreds of
     distinct words): 8 rounds of the distributed trainer == 8 rounds of
