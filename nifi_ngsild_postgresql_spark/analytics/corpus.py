@@ -489,7 +489,10 @@ def _bpe_repl(sym: str) -> str:  # Java replacement-string escaping
 
 
 def bpe_train(
-    spark: SparkSession, sf_dir: str, n_merges: int = 8
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = 8,
+    docs: DataFrame | None = None,
 ) -> tuple[list[tuple[str, str, str, int]], DataFrame]:
     """The FULL BPE merge loop (Sennrich et al. 2016) distributed the
     way q_bpe_pair_stats counts one round: the corpus is reduced ONCE
@@ -523,8 +526,12 @@ def bpe_train(
     The vocab table stays cached (every round and the returned
     segmentation read it); callers done with the result can release it
     with spark.catalog.clearCache() or by unpersisting the returned
-    DataFrame's source."""
-    d = _t(spark, sf_dir, "documents")
+    DataFrame's source.
+
+    ``docs`` overrides the corpus (any frame with a ``text`` column —
+    e.g. a quota-capped or filtered subset); default reads
+    ``sf_dir/documents.parquet``."""
+    d = docs if docs is not None else _t(spark, sf_dir, "documents")
     words = d.select(F.explode(_tokens("text")).alias("w"))
     vocab = (
         words.groupBy("w")
@@ -582,6 +589,7 @@ def bpe_encode(
     spark: SparkSession,
     sf_dir: str,
     merges: list[tuple[str, str, str, int]],
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize the corpus with a trained merge list — the inference
     half of the BPE story. The expensive part (N chained boundary-aware
@@ -595,8 +603,12 @@ def bpe_encode(
 
     Returns (doc_id, n_words, n_tokens) for every document with at
     least one token — the numbers a training pipeline feeds into
-    packing/budgeting once it tokenizes with the trained vocab."""
-    d = _t(spark, sf_dir, "documents")
+    packing/budgeting once it tokenizes with the trained vocab.
+
+    ``docs`` overrides the corpus (any frame with ``doc_id``/``text``),
+    matching bpe_train's override so train and encode can run on the
+    same filtered subset."""
+    d = docs if docs is not None else _t(spark, sf_dir, "documents")
     doc_words = (
         d.select("doc_id", F.explode(_tokens("text")).alias("w"))
         .groupBy("doc_id", "w")

@@ -417,6 +417,59 @@ def test_bpe_encode_counts_match_reference_segmentation(spark, tmp_path):
         assert rows[doc_id] == (len(words), exp_tokens), doc_id
 
 
+def test_tokenizer_pipeline_composes_quota_train_encode(spark):
+    """The late-round-5 family composes end-to-end on real data: the
+    per-source quota cap picks the corpus subset, BPE trains on ONLY
+    that subset, the same subset is encoded with the trained merges,
+    and the resulting corpus token budget — the number a packing stage
+    would consume — equals a pure-Python replica of the whole chain
+    (hash-rank cap -> reference trainer -> reference segmentation)."""
+    import collections
+    import hashlib
+
+    from nifi_ngsild_postgresql_spark.analytics import suite
+
+    ship_package(spark)
+    kept_ids = {
+        r["doc_id"] for r in suite.q_quota_sample(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    kept = docs.filter(docs.doc_id.isin(*[int(i) for i in kept_ids]))
+    merges, _seg = corpus.bpe_train(spark, SF_DIR, n_merges=6, docs=kept)
+    enc = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in corpus.bpe_encode(spark, SF_DIR, merges, docs=kept).collect()
+    }
+
+    # pure-Python replica of the full chain
+    all_rows = docs.collect()
+    by_source: dict[str, list] = collections.defaultdict(list)
+    for r in all_rows:
+        by_source[r["source"]].append(r["doc_id"])
+    ref_kept = set()
+    for ids in by_source.values():
+        ranked = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        ref_kept.update(ranked[: suite.QUOTA_CAP])
+    assert kept_ids == ref_kept
+    texts = {r["doc_id"]: r["text"] for r in all_rows if r["doc_id"] in ref_kept}
+    counts: collections.Counter = collections.Counter()
+    for t in texts.values():
+        counts.update(w for w in t.split(" ") if w)
+    ref_merges, ref_seg = corpus.bpe_train_reference(dict(counts), n_merges=6)
+    assert merges == ref_merges
+    exp = {
+        doc_id: (
+            len([w for w in t.split(" ") if w]),
+            sum(len(ref_seg[w]) for w in t.split(" ") if w),
+        )
+        for doc_id, t in texts.items()
+        if any(w for w in t.split(" "))
+    }
+    assert enc == exp
+    # the budget a packing stage would consume, end to end
+    assert sum(n for _w, n in enc.values()) == sum(n for _w, n in exp.values())
+
+
 def test_bpe_train_matches_reference_on_real_vocab(spark):
     """Full equivalence on the real sf0.001 vocabulary (hundreds of
     distinct words): 8 rounds of the distributed trainer == 8 rounds of
