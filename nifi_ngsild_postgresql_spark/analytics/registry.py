@@ -11,8 +11,10 @@ from . import advanced, corpus, gif, incremental, jpeg, sketches, suite
 from ..streaming.sessionize import SQL_SESSIONIZE, q_sessionize
 from ..streaming.windows import (
     SQL_STREAM_INTERVAL_JOIN,
+    SQL_STREAM_INTERVAL_JOIN_FULL,
     SQL_STREAM_INTERVAL_JOIN_OUTER,
     q_stream_interval_join,
+    q_stream_interval_join_full,
     q_stream_interval_join_outer,
 )
 from .flagship import (
@@ -304,6 +306,15 @@ PYTEST_ONLY: dict[str, tuple] = {
     # training's opening step, counted over the distinct-word vocab
     # weighted by word frequency so cost is O(vocab), not O(corpus).
     "bpe_pair_stats": (corpus.q_bpe_pair_stats, corpus.SQL_BPE_PAIR_STATS),
+    # round 5 (late): FULL OUTER stream-stream interval join — the
+    # completeness proof in both directions (unconverted clicks AND
+    # unattributed/organic purchases emit null-sided rows when the
+    # watermark proves no partner can arrive). Batch twin checked here;
+    # streamed==batch + watermark emission pinned in test_stream_join.
+    "stream_interval_join_full": (
+        q_stream_interval_join_full,
+        SQL_STREAM_INTERVAL_JOIN_FULL,
+    ),
 }
 
 

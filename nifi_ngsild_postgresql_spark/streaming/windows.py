@@ -156,6 +156,69 @@ def interval_join_stream_left(events_stream, watermark: str = "4 hours"):
     )
 
 
+def _finish_attribution_full(joined):
+    """Full-outer projection: user_id must survive on BOTH null sides,
+    so it is coalesced from whichever side of the join exists."""
+    return joined.select(
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        "click_id", "purchase_id",
+        "click_ts", "purchase_ts", "purchase_value",
+    )
+
+
+def interval_join_batch_full(events) -> "DataFrame":
+    """FULL OUTER attribution: every click (with NULL purchase columns
+    if unconverted) AND every purchase (with NULL click columns if
+    unattributed — organic conversions, the rows a marketing pipeline
+    reports as 'no known touchpoint'). Same keyed equi-join plan."""
+    clicks, purchases = _attribution_sides(events)
+    return _finish_attribution_full(
+        clicks.join(purchases, F.expr(_ATTRIBUTION_COND), "full")
+    )
+
+
+def interval_join_stream_full(events_stream, watermark: str = "4 hours"):
+    """FULL OUTER stream-stream attribution join — the completeness
+    proof now runs in BOTH directions: an unconverted click's NULL-
+    purchase row is emitted when the watermark passes
+    click_ts + ATTRIBUTION_WINDOW, and an unattributed purchase's
+    NULL-click row when it passes purchase_ts (no click at or before
+    the purchase inside the window can still arrive). State stays the
+    same O(horizon) buffer as the inner form — the outer variants
+    change only WHEN unmatched rows leave it (evict + emit, not just
+    evict). Pinned by test_full_outer_emits_both_null_sides."""
+    clicks, purchases = _attribution_sides(events_stream)
+    return _finish_attribution_full(
+        clicks.withWatermark("click_ts", watermark).join(
+            purchases.withWatermark("purchase_ts", watermark),
+            F.expr(_ATTRIBUTION_COND),
+            "fullOuter",
+        )
+    )
+
+
+def q_stream_interval_join_full(spark, sf_dir: str):
+    """Registry entry (PYTEST_ONLY): batch twin of the full-outer form —
+    unconverted clicks AND unattributed purchases all survive."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return interval_join_batch_full(events)
+
+
+SQL_STREAM_INTERVAL_JOIN_FULL = """
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 2 HOUR
+"""
+
+
 def q_stream_interval_join_outer(spark, sf_dir: str):
     """Registry entry (PYTEST_ONLY): batch twin of the left-outer form —
     every click row survives, converted or not."""

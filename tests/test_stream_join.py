@@ -155,6 +155,113 @@ def test_batch_left_outer_keeps_unconverted_clicks(spark):
     assert out == {(1, 2), (3, None)}
 
 
+def test_batch_full_outer_keeps_both_unmatched_sides(spark):
+    from nifi_ngsild_postgresql_spark.streaming.windows import (
+        interval_join_batch_full,
+    )
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "click", 0.0),
+        (2, 1, "2024-01-01 11:30:00", "purchase", 9.5),
+        # user 2: click with NO purchase in window (out-of-window buy)
+        (3, 2, "2024-01-01 10:00:00", "click", 0.0),
+        (4, 2, "2024-01-01 13:00:00", "purchase", 5.0),  # 3h later
+        # user 3: purchase with NO click at all — organic conversion
+        (5, 3, "2024-01-01 10:30:00", "purchase", 7.0),
+    ]
+    out = interval_join_batch_full(_events(spark, rows)).collect()
+    got = {(r["click_id"], r["purchase_id"]) for r in out}
+    assert got == {(1, 2), (3, None), (None, 4), (None, 5)}
+    # user_id survives on BOTH null sides (coalesced projection)
+    by_pair = {(r["click_id"], r["purchase_id"]): r for r in out}
+    assert by_pair[(3, None)]["user_id"] == 2
+    assert by_pair[(None, 5)]["user_id"] == 3
+
+
+def test_full_outer_emits_both_null_sides(spark, tmp_path):
+    """Full-outer stream-stream: the watermark completeness proof runs
+    in BOTH directions — an unconverted click emits (click, NULL) and
+    an organic purchase emits (NULL, purchase), each only after the
+    watermark proves no partner can still arrive; matched rows equal
+    the batch full join."""
+    from nifi_ngsild_postgresql_spark.streaming.windows import (
+        interval_join_batch_full,
+        interval_join_stream_full,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def write(rows):
+        _events(spark, rows).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = (
+            interval_join_stream_full(stream, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    out_schema = (
+        "user_id long, click_id long, purchase_id long,"
+        " click_ts timestamp, purchase_ts timestamp, purchase_value double"
+    )
+
+    def result():
+        return {
+            (r["click_id"], r["purchase_id"])
+            for r in spark.read.schema(out_schema).parquet(out_dir).collect()
+        }
+
+    batch1 = [
+        (1, 1, "2024-01-01 10:00:00", "click", 0.0),   # converts
+        (2, 1, "2024-01-01 10:30:00", "purchase", 3.0),
+        (3, 2, "2024-01-01 10:00:00", "click", 0.0),   # never converts
+        (4, 3, "2024-01-01 10:15:00", "purchase", 7.0),  # organic buy
+    ]
+    write(batch1)
+    run_once()
+    # neither unmatched row may be emitted before its deadline passes
+    first = result()
+    assert (3, None) not in first
+    assert (None, 4) not in first
+    assert (1, 2) in first
+
+    # drive BOTH sides' watermarks far past every deadline; two runs so
+    # the raised watermark's eviction round actually executes
+    write([
+        (5, 98, "2024-01-01 16:00:00", "click", 0.0),
+        (6, 99, "2024-01-01 16:00:00", "purchase", 1.0),
+    ])
+    run_once()
+    write([
+        (7, 98, "2024-01-01 21:00:00", "click", 0.0),
+        (8, 99, "2024-01-01 21:00:00", "purchase", 1.0),
+    ])
+    run_once()
+    write([
+        (9, 98, "2024-01-02 05:00:00", "click", 0.0),
+        (10, 99, "2024-01-02 05:00:00", "purchase", 1.0),
+    ])
+    run_once()
+
+    got = result()
+    assert (3, None) in got, got          # unconverted click emitted
+    assert (None, 4) in got, got          # organic purchase emitted
+    # every batch1 row's fate matches the batch full join
+    batch_pairs = {
+        (r["click_id"], r["purchase_id"])
+        for r in interval_join_batch_full(_events(spark, batch1)).collect()
+    }
+    assert batch_pairs <= got, (batch_pairs, got)
+
+
 def test_left_outer_emits_null_after_watermark(spark, tmp_path):
     """A click with no converting purchase must be emitted with NULL
     purchase columns — but ONLY once the watermark passes
