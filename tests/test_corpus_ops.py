@@ -466,8 +466,6 @@ def test_tokenizer_pipeline_composes_quota_train_encode(spark):
         if any(w for w in t.split(" "))
     }
     assert enc == exp
-    # the budget a packing stage would consume, end to end
-    assert sum(n for _w, n in enc.values()) == sum(n for _w, n in exp.values())
 
 
 def test_bpe_train_matches_reference_on_real_vocab(spark):

@@ -233,8 +233,10 @@ def test_full_outer_emits_both_null_sides(spark, tmp_path):
     assert (None, 4) not in first
     assert (1, 2) in first
 
-    # drive BOTH sides' watermarks far past every deadline; two runs so
-    # the raised watermark's eviction round actually executes
+    # drive BOTH sides' watermarks past every batch1 deadline (latest is
+    # click 3's 12:00): the 16:00 batch raises the max event time, the
+    # 21:00 batch's state round then runs with watermark 15:00 and
+    # evicts + emits the overdue null-sided rows
     write([
         (5, 98, "2024-01-01 16:00:00", "click", 0.0),
         (6, 99, "2024-01-01 16:00:00", "purchase", 1.0),
@@ -245,21 +247,28 @@ def test_full_outer_emits_both_null_sides(spark, tmp_path):
         (8, 99, "2024-01-01 21:00:00", "purchase", 1.0),
     ])
     run_once()
-    write([
-        (9, 98, "2024-01-02 05:00:00", "click", 0.0),
-        (10, 99, "2024-01-02 05:00:00", "purchase", 1.0),
-    ])
-    run_once()
 
-    got = result()
-    assert (3, None) in got, got          # unconverted click emitted
-    assert (None, 4) in got, got          # organic purchase emitted
-    # every batch1 row's fate matches the batch full join
-    batch_pairs = {
+    # STRICT parity on the batch1 universe: restrict the streamed rows
+    # to batch1's event ids and demand exact multiset equality with the
+    # batch full join — catches spurious pairs AND duplicate emission,
+    # not just missing rows (the watermark-driver rows 5-8 are excluded
+    # by id; their own fates are still in flight by design).
+    import collections
+
+    out_schema_rows = spark.read.schema(out_schema).parquet(out_dir).collect()
+    b1_clicks, b1_purchases = {1, 3}, {2, 4}
+    streamed = collections.Counter(
+        (r["click_id"], r["purchase_id"])
+        for r in out_schema_rows
+        if r["click_id"] in b1_clicks or r["purchase_id"] in b1_purchases
+    )
+    batch_pairs = collections.Counter(
         (r["click_id"], r["purchase_id"])
         for r in interval_join_batch_full(_events(spark, batch1)).collect()
-    }
-    assert batch_pairs <= got, (batch_pairs, got)
+    )
+    assert streamed == batch_pairs, (streamed, batch_pairs)
+    assert (3, None) in streamed          # unconverted click emitted
+    assert (None, 4) in streamed          # organic purchase emitted
 
 
 def test_left_outer_emits_null_after_watermark(spark, tmp_path):
