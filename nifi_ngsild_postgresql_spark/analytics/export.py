@@ -1,0 +1,190 @@
+"""Training-data EXPORT stage — the last mile between a cleaned corpus
+and the trainer's data loader, as first-class oracle-checked operators:
+
+- shard_export   : deterministic balanced sharding + within-shard order
+                   (the "global shuffle" every pretraining run needs,
+                   without ever materializing a global sort: shard
+                   assignment and within-shard position both derive
+                   from md5(doc_id), so the export is reproducible
+                   across runs, engines, partitioning, and cluster
+                   size — rand() is none of those).
+- mixture_sample : target-mixture resampling by language (the DoReMi /
+                   multilingual-upsampling shape): each language gets
+                   floor(weight * N) slots; docs fill whole epochs
+                   (n_copies = slots div n_lang) plus a deterministic
+                   md5-ranked remainder. Downsampling (slots < n_lang)
+                   and upsampling (slots > n_lang, low-resource
+                   repetition) fall out of the same integer formula.
+
+Determinism contract (shared with suite.py / corpus.py): ordering keys
+are md5 hex strings, shard ids come from one hex digit, and ALL mixture
+arithmetic is exact int64 (weights are tenths; targets use integer
+div), so DuckDB reproduces every row bit-for-bit.
+
+Scale shapes (100 TB):
+- shard_export is ONE hash exchange on shard_id feeding a per-shard
+  sort — the minimal physical work any deterministic global shuffle
+  must do. Shards are hash-balanced by construction (+-sqrt skew), and
+  N_SHARDS is chosen so one shard ~ one output file (thousands at
+  100 TB; 8 here). No global sort, no driver state.
+- mixture_sample is ONE hash exchange on lang reused by both window
+  functions (rank + per-lang count share the partitioning), plus a
+  broadcast of the 1-row corpus total. Languages are low-cardinality
+  so per-partition sorts are the cost — the same bound as any
+  per-stratum ranking; compose with quota_sample's WindowGroupLimit
+  pattern if a stratum must be capped first.
+
+Reference anchor: the reference engine ends at the typed PostgreSQL
+table (PostgreSQLConnector.java:1 stores; no export stage exists there)
+— these operators are the forward path a 100 TB training corpus needs
+after the reference's ingest/clean semantics have run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_SHARDS = 8          # one hex digit % 8 — swap for thousands at scale
+SHARD_SEED = "shard-seed-1|"   # versioned: bump to re-shuffle an export
+MIX_SEED = "mix-seed-1|"
+
+# target language mixture in TENTHS (exact integers end-to-end):
+# en is downsampled (corpus ~43%), zh upsampled (corpus ~15%) — the
+# remainder split evenly — so BOTH directions of the resampler are
+# exercised on the synthetic corpus, not just the easy downsample.
+MIX_TENTHS = {"en": 2, "zh": 3, "de": 2, "es": 2, "fr": 1}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# shard_export
+# --------------------------------------------------------------------------
+
+
+def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced shard assignment + within-shard position.
+
+    shard_id = first md5 hex digit of the seeded doc key, mod N_SHARDS;
+    pos      = 1-based rank of the key within the shard.
+    n_tokens rides along so a loader can budget without re-reading text.
+
+    The plan is the minimal deterministic global shuffle: one hash
+    exchange on shard_id, one sort per shard (the order the export file
+    is written in). At 100 TB: N_SHARDS in the thousands, each shard a
+    writer task — `df.repartition(N_SHARDS, "shard_id").sortWithin
+    Partitions("hk")` streams straight to parquet with no global sort.
+    """
+    d = _t(spark, sf_dir, "documents")
+    hk = F.md5(F.concat(F.lit(SHARD_SEED), F.col("doc_id").cast("string")))
+    shard = (F.conv(F.substring(hk, 1, 1), 16, 10).cast("long") % N_SHARDS)
+    w = Window.partitionBy("shard_id").orderBy("hk", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.filter(F.split("text", " "), lambda t: t != "")).cast(
+                "long"
+            ).alias("n_tokens"),
+            hk.alias("hk"),
+            shard.alias("shard_id"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard_id", "pos", "n_tokens")
+    )
+
+
+SQL_SHARD_EXPORT = f"""
+SELECT doc_id, shard_id, CAST(pos AS BIGINT) AS pos, n_tokens FROM (
+  SELECT doc_id, shard_id,
+         ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY hk, doc_id) AS pos,
+         n_tokens
+  FROM (
+    SELECT doc_id,
+           CAST(length(list_filter(string_split(text, ' '), t -> t <> ''))
+                AS BIGINT) AS n_tokens,
+           md5('{SHARD_SEED}' || CAST(doc_id AS VARCHAR)) AS hk,
+           (CAST(strpos('0123456789abcdef',
+                 substr(md5('{SHARD_SEED}' || CAST(doc_id AS VARCHAR)), 1, 1))
+                 AS BIGINT) - 1) % {N_SHARDS} AS shard_id
+    FROM documents
+  )
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# mixture_sample
+# --------------------------------------------------------------------------
+
+
+def _mix_tenths_case():
+    """CASE expression text mapping lang -> weight tenths (shared shape
+    between the Spark expr and the DuckDB oracle so both engines run
+    literally the same arithmetic)."""
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_TENTHS.items())
+    return f"CASE lang {whens} ELSE 0 END"
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the corpus to the target language mixture, emitting how
+    many COPIES of each kept document the mix contains.
+
+    slots_lang = (tenths_lang * N) div 10        (exact int64)
+    n_copies   = slots div n_lang  (+1 for the md5-ranked first
+                 slots mod n_lang docs)
+    Rows with n_copies = 0 (the unlucky tail of a downsampled language)
+    are dropped — the output IS the mix manifest a loader consumes.
+
+    Up- and down-sampling are the same formula: en (over-represented)
+    gets slots < n so n_copies is 0/1; zh (upsampled) gets slots > n so
+    every doc repeats with the remainder spread deterministically.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(F.concat(F.lit(MIX_SEED), F.col("doc_id").cast("string"))).alias("hk"),
+    )
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    by_lang = Window.partitionBy("lang")
+    ranked = (
+        d.crossJoin(F.broadcast(total))
+        .withColumn("rk", F.row_number().over(by_lang.orderBy("hk", "doc_id")).cast("long"))
+        .withColumn("n_lang", F.count(F.lit(1)).over(by_lang))
+        .withColumn("slots", F.expr(f"({_mix_tenths_case()}) * n_total div 10"))
+    )
+    return (
+        ranked.withColumn(
+            "n_copies",
+            (
+                F.expr("slots div n_lang")
+                + F.when(F.col("rk") <= F.expr("slots % n_lang"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).cast("long"),
+        )
+        .filter(F.col("n_copies") > 0)
+        .select("doc_id", "lang", "n_copies")
+    )
+
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('{MIX_SEED}' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang,
+         (({_mix_tenths_case()}) * (SELECT COUNT(*) FROM documents)) // 10 AS slots
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(slots // n_lang
+            + CASE WHEN rk <= slots % n_lang THEN 1 ELSE 0 END AS BIGINT)
+       AS n_copies
+FROM ranked
+WHERE slots // n_lang + CASE WHEN rk <= slots % n_lang THEN 1 ELSE 0 END > 0
+"""

@@ -7,7 +7,7 @@ Spark-specific plumbing) and get the driver's rows-only check.
 
 from __future__ import annotations
 
-from . import advanced, corpus, gif, incremental, jpeg, sketches, suite
+from . import advanced, corpus, export, gif, incremental, jpeg, sketches, suite
 from ..streaming.sessionize import SQL_SESSIONIZE, q_sessionize
 from ..streaming.windows import (
     SQL_STREAM_INTERVAL_JOIN,
@@ -297,6 +297,14 @@ PYTEST_ONLY: dict[str, tuple] = {
     # without a suffix array; one distinct + one keyed agg, both over a
     # 1/8-filtered gram table.
     "substring_dedup": (corpus.q_substring_dedup, corpus.SQL_SUBSTRING_DEDUP),
+    # round 5 (late): the EXPORT stage (analytics/export.py) — the last
+    # mile between a cleaned corpus and the trainer's loader:
+    # deterministic balanced sharding (the reproducible global shuffle;
+    # one hash exchange + per-shard sort) and target-language mixture
+    # resampling (DoReMi/multilingual-upsampling shape; exact-int copy
+    # counts cover up- AND down-sampling in one formula).
+    "shard_export": (export.q_shard_export, export.SQL_SHARD_EXPORT),
+    "mixture_sample": (export.q_mixture_sample, export.SQL_MIXTURE_SAMPLE),
     # round 5 (late): the cap-based rebalancing shape (per-source
     # contribution quota via deterministic hash rank) — complements the
     # fraction-based stratified_sample; WindowGroupLimit keeps the

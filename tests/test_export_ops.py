@@ -1,0 +1,106 @@
+"""Export-stage operators (analytics/export.py) — semantics + the plan
+shapes that make them 100 TB-safe.
+
+shard_export: deterministic balanced sharding; ONE hash exchange on
+shard_id, per-shard sort, no global sort.
+mixture_sample: exact-integer target mixture; BOTH window functions
+(rank, per-lang count) reuse one lang exchange; the corpus total rides
+in on a 1-row broadcast.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.analytics import export
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --------------------------------------------------------------------------
+# shard_export
+# --------------------------------------------------------------------------
+
+
+def test_shard_export_is_balanced_dense_and_deterministic(spark):
+    rows = export.q_shard_export(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert len(rows) == docs.count()  # every doc lands exactly once
+    assert len({r.doc_id for r in rows}) == len(rows)
+
+    by_shard = Counter(r.shard_id for r in rows)
+    assert set(by_shard) <= set(range(export.N_SHARDS))
+    # hash balance: no shard more than 2x the mean (loose, but any
+    # systematic skew — e.g. modulo bias — lands far above this)
+    mean = len(rows) / export.N_SHARDS
+    assert max(by_shard.values()) < 2 * mean
+
+    # positions are dense 1..n per shard (a loader seeks by position)
+    for sid, n in by_shard.items():
+        pos = sorted(r.pos for r in rows if r.shard_id == sid)
+        assert pos == list(range(1, n + 1))
+
+    # rerun-identical (reproducible export is the whole point)
+    again = export.q_shard_export(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_shard_export_plan_single_exchange_no_global_sort(spark):
+    plan = _executed(export.q_shard_export(spark, SF_DIR))
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+    # exactly one hash exchange (on shard_id) and NO range exchange —
+    # a global sort would show Exchange rangepartitioning
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
+
+
+# --------------------------------------------------------------------------
+# mixture_sample
+# --------------------------------------------------------------------------
+
+
+def test_mixture_sample_hits_exact_integer_targets(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_total = docs.count()
+    n_by_lang = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+
+    rows = export.q_mixture_sample(spark, SF_DIR).collect()
+    copies = Counter()
+    for r in rows:
+        assert r.n_copies >= 1  # zero-copy rows must be filtered out
+        copies[r.lang] += r.n_copies
+
+    for lang, tenths in export.MIX_TENTHS.items():
+        slots = (tenths * n_total) // 10
+        if lang in n_by_lang:
+            # the mix contains EXACTLY floor(w*N) copies of each language
+            assert copies[lang] == slots, (lang, copies[lang], slots)
+
+    # upsampled language repeats docs; downsampled keeps <= 1 copy each
+    zh = [r for r in rows if r.lang == "zh"]
+    en = [r for r in rows if r.lang == "en"]
+    if n_by_lang.get("zh", 0) * 10 < 3 * n_total:
+        assert any(r.n_copies >= 2 for r in zh)
+    if n_by_lang.get("en", 0) * 10 > 2 * n_total:
+        assert all(r.n_copies == 1 for r in en)
+        assert len(en) < n_by_lang["en"]
+
+
+def test_mixture_sample_plan_one_lang_exchange_plus_broadcast(spark):
+    plan = _executed(export.q_mixture_sample(spark, SF_DIR))
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+    # the 1-row total joins via broadcast, never a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # both windows (row_number + count) share ONE lang exchange; the
+    # only other hash exchange is the single-row total's aggregation
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == 1, f"expected 1 keyed exchange, saw {n_hash}"
