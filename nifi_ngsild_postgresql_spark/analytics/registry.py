@@ -7,7 +7,7 @@ Spark-specific plumbing) and get the driver's rows-only check.
 
 from __future__ import annotations
 
-from . import advanced, corpus, export, gif, incremental, jpeg, sketches, suite
+from . import advanced, corpus, export, gif, incremental, jpeg, sketches, suite, warc
 from ..streaming.sessionize import SQL_SESSIONIZE, q_sessionize
 from ..streaming.windows import (
     SQL_STREAM_INTERVAL_JOIN,
@@ -305,6 +305,13 @@ PYTEST_ONLY: dict[str, tuple] = {
     # counts cover up- AND down-sampling in one formula).
     "shard_export": (export.q_shard_export, export.SQL_SHARD_EXPORT),
     "mixture_sample": (export.q_mixture_sample, export.SQL_MIXTURE_SAMPLE),
+    # round 5 (late): WARC web-archive ingest (analytics/warc.py) — the
+    # Common Crawl front door: per-record gzip member walk, header
+    # parse, Content-Length framing validation, all real stdlib zlib;
+    # segments synthesized deterministically from documents so the
+    # closed-form oracle proves the parser recovered exactly what the
+    # generator framed (URL, record order, byte length, payload md5).
+    "warc_ingest": (warc.q_warc_ingest, warc.SQL_WARC_INGEST),
     # round 5 (late): the cap-based rebalancing shape (per-source
     # contribution quota via deterministic hash rank) — complements the
     # fraction-based stratified_sample; WindowGroupLimit keeps the

@@ -1,0 +1,94 @@
+"""WARC web-archive ingest (analytics/warc.py) — real member-walk
+parsing pinned against hand-built and corrupted segments."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from nifi_ngsild_postgresql_spark.analytics import warc
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _gz(raw: bytes) -> bytes:
+    co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    return co.compress(raw) + co.flush()
+
+
+def test_parse_roundtrips_multi_member_segment():
+    blob = warc.build_warc_record(7, "hello world") + warc.build_warc_record(
+        123, "héllo wörld"  # multi-byte UTF-8: Content-Length counts BYTES
+    )
+    recs = warc.parse_warc_file(blob)
+    assert [r["doc_id"] for r in recs] == [7, 123]
+    assert [r["rec_pos"] for r in recs] == [1, 2]
+    assert recs[0]["content_length"] == len(b"hello world")
+    assert recs[1]["content_length"] == len("héllo wörld".encode("utf-8"))
+    assert all(r["warc_type"] == "response" for r in recs)
+    assert recs[0]["url"] == warc.WARC_URL_PREFIX + "7"
+
+
+def test_parse_rejects_framing_and_container_corruption():
+    good = warc.build_warc_record(1, "abc")
+
+    # truncated gzip member
+    with pytest.raises(ValueError, match="truncated|bad gzip"):
+        warc.parse_warc_file(good[:-5])
+
+    # Content-Length lies (payload shorter than declared)
+    lying = _gz(
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x/1\r\nContent-Length: 10\r\n\r\n"
+        b"abc\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="framing"):
+        warc.parse_warc_file(lying)
+
+    # missing mandatory header
+    headless = _gz(
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="warc-target-uri"):
+        warc.parse_warc_file(headless)
+
+    # wrong version line
+    vers = _gz(
+        b"WARC/9.9\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x/1\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="version"):
+        warc.parse_warc_file(vers)
+
+    # garbage after a valid member = bad next member, not silent success
+    with pytest.raises(ValueError, match="bad gzip"):
+        warc.parse_warc_file(good + b"\x00garbage")
+
+
+def test_corrupt_segment_yields_error_row_not_job_failure(spark):
+    files = warc.build_warc_files(spark, SF_DIR)
+    # corrupt ONE segment's payload; the rest must parse normally
+    import pandas as pd
+
+    pdf = files.toPandas().sort_values("file_id")
+    n_records = int(pdf["n_records"].sum())
+    pdf.loc[pdf.index[0], "payload"] = pdf["payload"].iloc[0][:-3]
+    broken = spark.createDataFrame(pdf[["file_id", "payload"]])
+    out = warc.parse_warc_table(broken).toPandas()
+    errs = out[out["status"] != "ok"]
+    assert len(errs) == 1 and errs["doc_id"].isna().all()
+    assert (out["status"] == "ok").sum() < n_records  # lost only that segment
+    assert set(out.loc[out["status"] == "ok", "file_id"]) == set(
+        pdf["file_id"]
+    ) - set(errs["file_id"])
+
+
+def test_warc_parse_stage_is_linear_no_extra_exchange(spark):
+    """The parse itself must add NO shuffle: the only exchange in the
+    end-to-end fixture plan is the fixture assembly's groupBy(file_id)
+    (which production replaces with a binaryFile scan)."""
+    df = warc.q_warc_ingest(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
