@@ -1,0 +1,115 @@
+"""HTML main-text extraction — the step between the WARC front door
+(analytics/warc.py) and every text-side corpus operator: strip markup,
+drop script/style/nav/footer boilerplate blocks, unescape entities,
+normalize whitespace. The trafilatura/jusText-shaped pass a web corpus
+runs on ~100% of its bytes — so it must be JVM-side, and here it is:
+ONE narrow chain of regexp_replace/replace expressions, zero Python,
+zero exchanges (whole-stage codegen end to end).
+
+Extraction order is load-bearing and pinned by tests: script/style
+bodies may contain bare ``<`` (e.g. ``if (x<3)``), so block removal
+MUST run before the generic tag strip — a naive tag-only stripper
+corrupts everything from the first comparison operator to the next
+``>``. The regex subset used ((?s) inline flag, non-greedy ``.*?``,
+``[^>]`` classes — NO backreferences) is deliberately common to Java
+regex and RE2, so the DuckDB oracle runs literally the same patterns.
+
+Fixture contract (same as the media decoders and warc.py): synthetic
+docs carry no HTML, so the page is BUILT deterministically from each
+doc row — title from doc_id, script with a bare ``<``, nav/footer
+boilerplate, entity-bearing trailer — and the closed-form oracle
+computes the expected extraction directly from documents. Parity
+proves the pipeline inverts the generator exactly (md5 of the cleaned
+text, char length, token count).
+
+Scale shape (100 TB): narrow map over the parsed WARC payloads — no
+shuffle, no UDF, fully fused into whatever scan precedes it; regex
+cost is linear in page bytes. Compose: warc_ingest -> html_extract ->
+langid/quality/dedup/mixture/shard_export.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# page template around the document text (generator side; the oracle
+# inverts it closed-form). The script body's bare "<" is the trap that
+# forces block-removal-before-tag-strip ordering.
+_PAGE_PRE = (
+    '<html><head><title>Doc {id}</title>'
+    '<script type="text/javascript">if (x<3) { y=1; }</script>'
+    '<style>p { color: #000; }</style></head>'
+    '<body><nav>Home &amp; <a href="/l">Links</a></nav><p>'
+)
+_PAGE_POST = (
+    "</p><p>Tom &amp; Jerry &lt;3</p>"
+    "<footer>contact &copy; example</footer></body></html>"
+)
+
+# block-removal patterns — Java-regex AND RE2 compatible (no backrefs)
+_BLOCK_PATTERNS = (
+    r"(?s)<script[^>]*>.*?</script>",
+    r"(?s)<style[^>]*>.*?</style>",
+    r"(?s)<nav[^>]*>.*?</nav>",
+    r"(?s)<footer[^>]*>.*?</footer>",
+)
+_TAG_PATTERN = r"<[^>]+>"
+_ENTITIES = (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&nbsp;", " "))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def build_page(doc_id_col, text_col):
+    """Deterministic synthetic page for a doc row (Spark expression)."""
+    head, tail = _PAGE_PRE.split("{id}")
+    return F.concat(F.lit(head), doc_id_col.cast("string"), F.lit(tail), text_col, F.lit(_PAGE_POST))
+
+
+def extract_text(col):
+    """The extraction chain over an HTML string column — pure JVM."""
+    out = col
+    for pat in _BLOCK_PATTERNS:
+        out = F.regexp_replace(out, pat, " ")
+    out = F.regexp_replace(out, _TAG_PATTERN, " ")
+    for ent, ch in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the page, extract the main text, emit verification columns
+    (md5 over UTF-8 bytes, char length, token count)."""
+    d = _t(spark, sf_dir, "documents")
+    clean = extract_text(build_page(F.col("doc_id"), F.col("text")))
+    return d.select(
+        "doc_id",
+        F.md5(clean.cast("binary")).alias("clean_md5"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.size(F.filter(F.split(clean, " "), lambda t: t != "")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+
+
+# Closed-form oracle: expected extraction = title text + document text +
+# the unescaped trailer (nav/footer/script/style blocks gone). The same
+# whitespace collapse is applied so the form is robust to any spacing
+# in the source text.
+SQL_HTML_EXTRACT = r"""
+WITH expected AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text || ' Tom & Jerry <3',
+           '\s+', ' ', 'g')) AS clean
+  FROM documents
+)
+SELECT doc_id,
+       md5(clean) AS clean_md5,
+       CAST(length(clean) AS BIGINT) AS clean_len,
+       CAST(length(list_filter(string_split(clean, ' '), t -> t <> ''))
+            AS BIGINT) AS n_tokens
+FROM expected
+"""

@@ -7,7 +7,18 @@ Spark-specific plumbing) and get the driver's rows-only check.
 
 from __future__ import annotations
 
-from . import advanced, corpus, export, gif, incremental, jpeg, sketches, suite, warc
+from . import (
+    advanced,
+    corpus,
+    export,
+    gif,
+    html,
+    incremental,
+    jpeg,
+    sketches,
+    suite,
+    warc,
+)
 from ..streaming.sessionize import SQL_SESSIONIZE, q_sessionize
 from ..streaming.windows import (
     SQL_STREAM_INTERVAL_JOIN,
@@ -312,6 +323,13 @@ PYTEST_ONLY: dict[str, tuple] = {
     # closed-form oracle proves the parser recovered exactly what the
     # generator framed (URL, record order, byte length, payload md5).
     "warc_ingest": (warc.q_warc_ingest, warc.SQL_WARC_INGEST),
+    # round 5 (late): HTML main-text extraction (analytics/html.py) —
+    # the trafilatura-shaped pass between the WARC front door and every
+    # text operator: block removal BEFORE tag strip (script bodies carry
+    # bare '<'), entity unescape, whitespace normalization — one narrow
+    # JVM regex chain, RE2-compatible so the oracle runs the SAME
+    # patterns; closed-form expected text proves exact inversion.
+    "html_extract": (html.q_html_extract, html.SQL_HTML_EXTRACT),
     # round 5 (late): the cap-based rebalancing shape (per-source
     # contribution quota via deterministic hash rank) — complements the
     # fraction-based stratified_sample; WindowGroupLimit keeps the

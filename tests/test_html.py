@@ -1,0 +1,69 @@
+"""HTML main-text extraction (analytics/html.py) — inversion, the
+block-before-tag ordering trap, and the JVM-narrow plan gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.analytics import html
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_extraction_inverts_generator_exactly(spark):
+    df = spark.createDataFrame(
+        [(7, "alpha beta gamma"), (8, "solo")], "doc_id long, text string"
+    )
+    out = (
+        df.select(
+            "doc_id",
+            html.extract_text(
+                html.build_page(F.col("doc_id"), F.col("text"))
+            ).alias("clean"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert out[0].clean == "Doc 7 alpha beta gamma Tom & Jerry <3"
+    assert out[1].clean == "Doc 8 solo Tom & Jerry <3"
+
+
+def test_block_removal_before_tag_strip_is_load_bearing(spark):
+    """A tag-only stripper eats from the script's bare '<' to the next
+    '>' — pin that the naive order corrupts and ours doesn't."""
+    df = spark.createDataFrame([(1, "body text")], "doc_id long, text string")
+    page = html.build_page(F.col("doc_id"), F.col("text"))
+    naive = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(page, html._TAG_PATTERN, " "), r"\s+", " "
+        )
+    )
+    row = df.select(
+        html.extract_text(page).alias("good"), naive.alias("bad")
+    ).first()
+    assert "y=1" in row.bad or "if (x" in row.bad  # script guts leak through
+    assert "y=1" not in row.good and "if (x" not in row.good
+    assert row.good.startswith("Doc 1 body text")
+
+
+def test_whitespace_collapse_and_entities(spark):
+    df = spark.createDataFrame([(2, "a  b\tc")], "doc_id long, text string")
+    row = df.select(
+        html.extract_text(
+            html.build_page(F.col("doc_id"), F.col("text"))
+        ).alias("clean")
+    ).first()
+    # internal runs collapse to single spaces; entities unescaped once
+    assert row.clean == "Doc 2 a b c Tom & Jerry <3"
+
+
+def test_html_extract_plan_is_jvm_narrow(spark):
+    plan = (
+        html.q_html_extract(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+    assert "Exchange" not in plan, "extraction must stay shuffle-free"
