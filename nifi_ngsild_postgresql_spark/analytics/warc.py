@@ -62,6 +62,7 @@ PARSED_SCHEMA = (
     "file_id long, rec_pos long, doc_id long, url string, warc_type string, "
     "content_length long, payload_md5 string, status string"
 )
+PARSED_SCHEMA_TEXT = PARSED_SCHEMA + ", payload_text string"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -97,6 +98,16 @@ def build_warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas over the file key — the write-side twin of the
     parse's per-segment linearity."""
 
+    return build_warc_files_from(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def build_warc_files_from(d: DataFrame) -> DataFrame:
+    """Frame an arbitrary (doc_id, text) frame into .warc.gz segments —
+    the composition hook: the web-pipeline test frames HTML PAGES here
+    (text = the built page), exercising the crawl path end to end."""
+
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
         blob = b"".join(
@@ -111,13 +122,11 @@ def build_warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    d = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
+    return (
+        d.select("doc_id", "text")
         .withColumn("file_id", F.expr(f"doc_id div {WARC_FILE_RECORDS}"))
-    )
-    return d.groupBy("file_id").applyInPandas(
-        assemble, "file_id long, payload binary, n_records int"
+        .groupBy("file_id")
+        .applyInPandas(assemble, "file_id long, payload binary, n_records int")
     )
 
 
@@ -126,7 +135,7 @@ def build_warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def parse_warc_file(payload: bytes) -> list[dict]:
+def parse_warc_file(payload: bytes, include_text: bool = False) -> list[dict]:
     """Walk the gzip members of one ``.warc.gz`` segment and parse each
     WARC record. Strict: short/overlong Content-Length, a missing
     mandatory header, a bad version line, a truncated member, or a
@@ -173,53 +182,55 @@ def parse_warc_file(payload: bytes) -> list[dict]:
             if uri.startswith(WARC_URL_PREFIX) and uri[len(WARC_URL_PREFIX) :].isdigit()
             else None
         )
-        out.append(
-            {
-                "rec_pos": len(out) + 1,
-                "doc_id": doc_id,
-                "url": uri,
-                "warc_type": headers["warc-type"],
-                "content_length": n,
-                "payload_md5": hashlib.md5(content).hexdigest(),
-                "status": "ok",
-            }
-        )
+        rec = {
+            "rec_pos": len(out) + 1,
+            "doc_id": doc_id,
+            "url": uri,
+            "warc_type": headers["warc-type"],
+            "content_length": n,
+            "payload_md5": hashlib.md5(content).hexdigest(),
+            "status": "ok",
+        }
+        if include_text:
+            rec["payload_text"] = content.decode("utf-8")
+        out.append(rec)
         pos += 1
     return out
 
 
-def _parse_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _make_parse_partition(include_text: bool):
     cols = [
         "file_id", "rec_pos", "doc_id", "url", "warc_type",
         "content_length", "payload_md5", "status",
-    ]
-    for pdf in it:
-        recs = []
-        for fid, payload in zip(pdf["file_id"].values, pdf["payload"].values):
-            try:
-                for rec in parse_warc_file(bytes(payload)):
-                    recs.append({"file_id": int(fid), **rec})
-            except ValueError as exc:  # corrupt segment is data, not a bug
-                recs.append(
-                    {
-                        "file_id": int(fid),
-                        "rec_pos": None,
-                        "doc_id": None,
-                        "url": None,
-                        "warc_type": None,
-                        "content_length": None,
-                        "payload_md5": None,
-                        "status": f"error: {exc}",
-                    }
-                )
-        yield pd.DataFrame(recs, columns=cols)
+    ] + (["payload_text"] if include_text else [])
+
+    def _parse_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for fid, payload in zip(pdf["file_id"].values, pdf["payload"].values):
+                try:
+                    for rec in parse_warc_file(
+                        bytes(payload), include_text=include_text
+                    ):
+                        recs.append({"file_id": int(fid), **rec})
+                except ValueError as exc:  # corrupt segment is data, not a bug
+                    recs.append(
+                        {c: None for c in cols}
+                        | {"file_id": int(fid), "status": f"error: {exc}"}
+                    )
+            yield pd.DataFrame(recs, columns=cols)
+
+    return _parse_partition
 
 
-def parse_warc_table(files: DataFrame) -> DataFrame:
+def parse_warc_table(files: DataFrame, include_text: bool = False) -> DataFrame:
     """Segment table (file_id, payload) -> one parsed row per record
-    (plus one error row per corrupt segment). Linear, shuffle-free."""
+    (plus one error row per corrupt segment). Linear, shuffle-free.
+    ``include_text`` additionally decodes the payload as UTF-8 text —
+    the downstream-processing form (html_extract consumes it)."""
     return files.select("file_id", "payload").mapInPandas(
-        _parse_partition, PARSED_SCHEMA
+        _make_parse_partition(include_text),
+        PARSED_SCHEMA_TEXT if include_text else PARSED_SCHEMA,
     )
 
 

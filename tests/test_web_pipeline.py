@@ -1,0 +1,60 @@
+"""The crawl path composed end to end: build HTML pages, frame them
+into .warc.gz segments, parse the segments back, extract the main
+text, and feed the corpus metrics — asserting the round-trip equals
+the direct (un-framed) path row for row. This is the 100 TB web-corpus
+build shape: binaryFile segments -> warc parse -> html extract ->
+langid/quality/dedup/mixture/shard export, with only the two
+byte-level stages in Python."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.analytics import html, warc
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_warc_roundtrip_of_html_pages_matches_direct_path(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    # crawl path: page -> WARC segments -> parse -> extract
+    pages = docs.select(
+        "doc_id",
+        html.build_page(F.col("doc_id"), F.col("text")).alias("text"),
+    )
+    segments = warc.build_warc_files_from(pages)
+    parsed = warc.parse_warc_table(segments, include_text=True)
+    assert parsed.filter(F.col("status") != "ok").count() == 0
+    crawl = parsed.select(
+        "doc_id",
+        F.md5(html.extract_text(F.col("payload_text")).cast("binary")).alias(
+            "clean_md5"
+        ),
+    )
+
+    # direct path: the oracle-checked html_extract query
+    direct = html.q_html_extract(spark, SF_DIR).select("doc_id", "clean_md5")
+
+    assert crawl.count() == docs.count()
+    assert direct.join(crawl, ["doc_id", "clean_md5"]).count() == docs.count()
+
+
+def test_warc_content_length_counts_page_bytes_not_chars(spark):
+    """Multi-byte page text (zh docs) must frame by BYTES — a char-count
+    Content-Length would corrupt every following record in the member."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    zh = docs.filter(F.col("lang") == "zh").limit(12).select("doc_id", "text")
+    if zh.count() == 0:
+        return  # corpus variant without zh — nothing to pin
+    pages = zh.select(
+        "doc_id", html.build_page(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    parsed = warc.parse_warc_table(
+        warc.build_warc_files_from(pages), include_text=True
+    ).collect()
+    assert all(r.status == "ok" for r in parsed)
+    for r in parsed:
+        assert r.content_length == len(r.payload_text.encode("utf-8"))
