@@ -92,6 +92,14 @@ HEADLINE = [
     # aggs + TakeOrderedAndProject; tracked as the vocab-weighted
     # aggregation family's reference datapoint
     "bpe_pair_stats",
+    # round 5 (late): the crawl front door + the export tail — WARC
+    # member-walk parse (the OTHER mapInPandas cost datapoint, byte-level
+    # container work), JVM-narrow HTML extraction, the deterministic
+    # shard shuffle, and exact-int mixture resampling
+    "warc_ingest",
+    "html_extract",
+    "shard_export",
+    "mixture_sample",
 ]
 
 
