@@ -17,6 +17,7 @@ from . import (
     jpeg,
     sketches,
     suite,
+    urls,
     warc,
 )
 from ..streaming.sessionize import SQL_SESSIONIZE, q_sessionize
@@ -330,6 +331,11 @@ PYTEST_ONLY: dict[str, tuple] = {
     # JVM regex chain, RE2-compatible so the oracle runs the SAME
     # patterns; closed-form expected text proves exact inversion.
     "html_extract": (html.q_html_extract, html.SQL_HTML_EXTRACT),
+    # round 5 (late): URL canonicalization (analytics/urls.py) — the
+    # precursor every URL-keyed op needs (url dedup, domain quotas,
+    # provenance); RFC-conscious (path case preserved, only scheme/host
+    # lowered), closed-form oracle over a deterministically messy url.
+    "url_canonicalize": (urls.q_url_canonicalize, urls.SQL_URL_CANONICALIZE),
     # round 5 (late): the cap-based rebalancing shape (per-source
     # contribution quota via deterministic hash rank) — complements the
     # fraction-based stratified_sample; WindowGroupLimit keeps the

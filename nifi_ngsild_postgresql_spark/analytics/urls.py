@@ -1,0 +1,129 @@
+"""URL canonicalization — the precursor to every URL-keyed operation a
+web corpus runs (URL-level dedup, per-domain quotas, robots scoping,
+provenance joins). Crawls see the same page under many spellings:
+case-shifted scheme/host, explicit default ports, dot-segments,
+shuffled query parameters, tracking params, fragments. Canonicalizing
+before keying is what makes `lww_dedup`/`quota_sample`/`domain_stats`
+mean what they claim on real crawl data.
+
+The chain is ONE narrow JVM expression pipeline (regexp_extract /
+regexp_replace / array ops — no UDF, no shuffle):
+
+  1. strip the fragment (#…) — never sent to the server
+  2. lowercase scheme and host — and ONLY those: the path stays
+     case-sensitive per RFC 3986 (a classic over-normalization bug,
+     pinned by test)
+  3. drop the scheme's default port (:443 https / :80 http)
+  4. collapse dot-segments (/./ and one-level /a/../) — bounded fixed
+     passes, sufficient for the ≤2 levels real URLs carry; a deeper
+     chain leaves residue rather than corrupting (documented)
+  5. drop tracking params (utm_*), sort the remainder byte-wise, and
+     rebuild the query (empty → no '?')
+
+Fixture contract (same as warc.py/html.py): synthetic docs carry no
+URLs, so a deterministically MESSY url is built from doc_id — case
+noise, default ports, dot-segments, out-of-order + utm params, a
+fragment — and the closed-form DuckDB oracle computes the expected
+canonical form directly. Parity proves the chain normalizes exactly
+(not merely idempotently).
+
+Scale shape (100 TB): narrow map, fused into the scan; feeds the
+url-keyed groupBy/dedup that follows. No exchange of its own.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def build_messy_url(doc_id):
+    """Deterministic messy URL for a doc row (Spark expression side)."""
+    scheme = F.when(doc_id % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("HTTP"))
+    port = F.when(doc_id % 2 == 0, F.lit(":443")).otherwise(F.lit(":80"))
+    dots = F.when(doc_id % 3 == 0, F.lit("/c/../d")).otherwise(F.lit(""))
+    extra = F.when(doc_id % 4 == 0, F.lit("&b=2")).otherwise(F.lit(""))
+    return F.concat(
+        scheme,
+        F.lit("://WWW.Example"),
+        (doc_id % 5).cast("string"),
+        F.lit(".COM"),
+        port,
+        F.lit("/A/./b"),
+        dots,
+        F.lit("/?z=1&utm_source=track"),
+        extra,
+        F.lit("&a="),
+        (doc_id % 7).cast("string"),
+        F.lit("#sec"),
+        doc_id.cast("string"),
+    )
+
+
+def canonicalize_url(url):
+    """The canonicalization chain over a URL string column — pure JVM."""
+    u = F.regexp_replace(url, r"#.*$", "")  # 1. fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1))
+    host = F.when(
+        scheme == "https", F.regexp_replace(hostport, r":443$", "")
+    ).otherwise(F.regexp_replace(hostport, r":80$", ""))
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(/[^?]*)", 1)
+    for _ in range(2):  # bounded passes: ≤2 levels of ./ and ../
+        path = F.regexp_replace(path, r"/\./", "/")
+        path = F.regexp_replace(path, r"/[^/.][^/]*/\.\./", "/")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda t: (t != "") & ~t.startswith("utm_"),
+        )
+    )
+    qcanon = F.array_join(params, "&")
+    return (
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
+        ).alias("url_canon"),
+        host.alias("host"),
+        F.size(params).cast("long").alias("n_params"),
+    )
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    canon, host, n_params = canonicalize_url(build_messy_url(F.col("doc_id")))
+    return d.select("doc_id", canon, host, n_params)
+
+
+# Closed-form oracle: the expected canonical URL derives straight from
+# the generation parameters — scheme/host lowercased, default port
+# gone, '/A/./b[/c/../d]/' -> '/A/b[/d]/' (path case PRESERVED),
+# fragment gone, utm dropped, params byte-sorted.
+SQL_URL_CANONICALIZE = """
+WITH parts AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END AS scheme,
+         'www.example' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS host,
+         '/A/b' || CASE WHEN doc_id % 3 = 0 THEN '/d' ELSE '' END || '/' AS path,
+         list_sort(
+           ['z=1', 'a=' || CAST(doc_id % 7 AS VARCHAR)]
+           || CASE WHEN doc_id % 4 = 0 THEN ['b=2'] ELSE [] END
+         ) AS params
+  FROM documents
+)
+SELECT doc_id,
+       scheme || '://' || host || path || '?' ||
+         array_to_string(params, '&') AS url_canon,
+       host,
+       CAST(length(params) AS BIGINT) AS n_params
+FROM parts
+"""

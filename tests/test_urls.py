@@ -1,0 +1,67 @@
+"""URL canonicalization (analytics/urls.py) — hand-pinned cases and
+the RFC traps (path case preserved, non-default port kept)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.analytics import urls
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _canon(spark, url: str):
+    df = spark.createDataFrame([(url,)], "url string")
+    canon, host, n_params = urls.canonicalize_url(F.col("url"))
+    return df.select(canon, host, n_params).first()
+
+
+def test_hand_pinned_canonical_forms(spark):
+    r = _canon(
+        spark,
+        "HTTPS://WWW.Site.COM:443/Dir/./Page?utm_source=x&z=1&a=2#frag",
+    )
+    assert r.url_canon == "https://www.site.com/Dir/Page?a=2&z=1"
+    assert r.host == "www.site.com" and r.n_params == 2
+
+    # http default port; dot-segment one level up
+    r = _canon(spark, "http://EXAMPLE.org:80/a/b/../c")
+    assert r.url_canon == "http://example.org/a/c"
+
+    # no query at all -> no '?'
+    r = _canon(spark, "https://x.io/p#only-fragment")
+    assert r.url_canon == "https://x.io/p"
+
+    # bare host -> '/' path
+    r = _canon(spark, "https://x.io")
+    assert r.url_canon == "https://x.io/"
+
+
+def test_rfc_traps(spark):
+    # path case is PRESERVED (only scheme+host lowercase)
+    r = _canon(spark, "HTTP://Host.Net/CaseSensitive/PATH")
+    assert r.url_canon == "http://host.net/CaseSensitive/PATH"
+
+    # NON-default port survives
+    r = _canon(spark, "https://host.net:8443/x")
+    assert r.url_canon == "https://host.net:8443/x"
+    assert r.host == "host.net:8443"
+
+    # :80 is only default for http — https keeps it
+    r = _canon(spark, "https://host.net:80/x")
+    assert r.url_canon == "https://host.net:80/x"
+
+    # all params tracking -> query disappears entirely
+    r = _canon(spark, "https://h.co/p?utm_a=1&utm_b=2")
+    assert r.url_canon == "https://h.co/p" and r.n_params == 0
+
+
+def test_canonicalization_is_idempotent_and_plan_narrow(spark):
+    df = urls.q_url_canonicalize(spark, SF_DIR)
+    canon2, _, _ = urls.canonicalize_url(F.col("url_canon"))
+    both = df.select("url_canon", canon2.alias("url_canon2"))
+    assert both.filter(F.col("url_canon") != F.col("url_canon2")).count() == 0
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "Exchange"):
+        assert marker not in plan
