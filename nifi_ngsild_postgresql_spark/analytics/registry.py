@@ -15,6 +15,7 @@ from . import (
     html,
     incremental,
     jpeg,
+    robots,
     sketches,
     suite,
     urls,
@@ -336,6 +337,12 @@ PYTEST_ONLY: dict[str, tuple] = {
     # provenance); RFC-conscious (path case preserved, only scheme/host
     # lowered), closed-form oracle over a deterministically messy url.
     "url_canonicalize": (urls.q_url_canonicalize, urls.SQL_URL_CANONICALIZE),
+    # round 5 (late): robots exclusion filtering (analytics/robots.py) —
+    # longest-match-wins Allow/Disallow over canonicalized URLs; rules
+    # fold to a per-host array, BROADCAST to the URL side, verdict is an
+    # in-row array_max fold — zero exchanges on the 100 TB side; oracle
+    # picks the winner with an independent window-rank formulation.
+    "robots_filter": (robots.q_robots_filter, robots.SQL_ROBOTS_FILTER),
     # round 5 (late): the cap-based rebalancing shape (per-source
     # contribution quota via deterministic hash rank) — complements the
     # fraction-based stratified_sample; WindowGroupLimit keeps the

@@ -1,0 +1,145 @@
+"""Robots exclusion filtering — the crawl-policy gate between URL
+canonicalization and fetching/keeping a page. Google-documented
+semantics (longest-match-wins): of all Allow/Disallow prefixes that
+match the URL's path, the LONGEST pattern decides; ties break toward
+Allow; a URL matching no rule is allowed.
+
+The scale-right shape is the point. Rules are per-host and tiny; URLs
+are the 100 TB side. So the plan must never shuffle URLs:
+
+  1. one keyed agg folds the rules table to (host, array<rule>) —
+     O(rules), negligible;
+  2. a BROADCAST hash join attaches each URL's rule array by host;
+  3. the longest-match verdict is an IN-ROW array fold — filter to
+     matching prefixes, transform to (rank, allow, rule) structs with
+     rank = 2*len(prefix) + is_allow, array_max picks the winner
+     (struct comparison is field-ordered, so rank dominates and the
+     +is_allow term IS the tie-break-toward-allow).
+
+Zero exchanges on the URL side (plan-gated), no per-URL groupBy — the
+naive formulation (join rules, groupBy url, max_by) would shuffle the
+corpus once for nothing.
+
+Fixture contract (same family as urls.py/warc.py/html.py): hosts and
+paths come from the url_canonicalize chain (composing the two ops),
+and the per-host rule set is generated deterministically so the DuckDB
+oracle can rebuild rules + urls closed-form and pick the winner with
+an independent formulation (window rank, not array fold). Rules are
+laid out so every host sees a different allow/disallow mix and both
+verdicts occur.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .urls import build_messy_url, canonicalize_url
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def build_robots_rules(spark: SparkSession) -> DataFrame:
+    """(host, prefix, is_allow) — deterministic per-host robots rules
+    over the 5 synthetic hosts: '/' allow baseline everywhere, plus a
+    varying mix of '/A/b/d' disallow (even k), '/A/b' allow (k%3==0),
+    '/A' disallow (k%3==1)."""
+    k = spark.range(0, 5).select(F.col("id").alias("k"))
+    host = F.concat(F.lit("www.example"), F.col("k").cast("string"), F.lit(".com"))
+
+    def rule(frame, prefix: str, allow: bool):
+        return frame.select(
+            host.alias("host"),
+            F.lit(prefix).alias("prefix"),
+            F.lit(allow).alias("is_allow"),
+        )
+
+    return (
+        rule(k.filter(F.col("k") % 2 == 0), "/A/b/d", False)
+        .unionAll(rule(k.filter(F.col("k") % 3 == 0), "/A/b", True))
+        .unionAll(rule(k.filter(F.col("k") % 3 == 1), "/A", False))
+        .unionAll(rule(k, "/", True))
+    )
+
+
+def apply_robots(urls_df: DataFrame, rules: DataFrame) -> DataFrame:
+    """urls (…, host, path) × rules (host, prefix, is_allow) →
+    (…, allowed, rule) via broadcast + in-row longest-match fold."""
+    by_host = rules.groupBy("host").agg(
+        F.collect_list(F.struct("prefix", "is_allow")).alias("rules")
+    )
+    joined = urls_df.join(F.broadcast(by_host), "host", "left")
+    matching = F.filter(
+        F.col("rules"), lambda r: F.col("path").startswith(r["prefix"])
+    )
+    winner = F.array_max(
+        F.transform(
+            matching,
+            lambda r: F.struct(
+                (F.length(r["prefix"]) * 2 + r["is_allow"].cast("int")).alias(
+                    "rank"
+                ),
+                r["is_allow"].alias("allow"),
+                r["prefix"].alias("rule"),
+            ),
+        )
+    )
+    return joined.withColumn("w", winner).select(
+        *[c for c in urls_df.columns],
+        F.coalesce(F.col("w.allow"), F.lit(True)).alias("allowed"),
+        F.col("w.rule").alias("rule"),
+    )
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    canon, host, _n = canonicalize_url(build_messy_url(F.col("doc_id")))
+    urls_df = d.select("doc_id", canon, host).select(
+        "doc_id",
+        "host",
+        F.regexp_extract("url_canon", r"^[a-z]+://[^/]+(/[^?]*)", 1).alias("path"),
+    )
+    return apply_robots(urls_df, build_robots_rules(spark)).select(
+        "doc_id", "host", "path", "allowed", "rule"
+    )
+
+
+# Independent-formulation oracle: rebuild urls + rules closed-form and
+# pick the winner with a window rank (longest prefix, allow on ties)
+# instead of the array fold.
+SQL_ROBOTS_FILTER = """
+WITH ks AS (SELECT k FROM range(0, 5) t(k)),
+rules AS (
+  SELECT 'www.example' || CAST(k AS VARCHAR) || '.com' AS host,
+         '/A/b/d' AS prefix, FALSE AS is_allow FROM ks WHERE k % 2 = 0
+  UNION ALL
+  SELECT 'www.example' || CAST(k AS VARCHAR) || '.com', '/A/b', TRUE
+  FROM ks WHERE k % 3 = 0
+  UNION ALL
+  SELECT 'www.example' || CAST(k AS VARCHAR) || '.com', '/A', FALSE
+  FROM ks WHERE k % 3 = 1
+  UNION ALL
+  SELECT 'www.example' || CAST(k AS VARCHAR) || '.com', '/', TRUE FROM ks
+),
+urls AS (
+  SELECT doc_id,
+         'www.example' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS host,
+         '/A/b' || CASE WHEN doc_id % 3 = 0 THEN '/d' ELSE '' END || '/' AS path
+  FROM documents
+),
+matched AS (
+  SELECT u.doc_id, u.host, u.path, r.is_allow, r.prefix,
+         ROW_NUMBER() OVER (
+           PARTITION BY u.doc_id
+           ORDER BY length(r.prefix) DESC, CAST(r.is_allow AS INT) DESC
+         ) AS rn
+  FROM urls u
+  JOIN rules r
+    ON u.host = r.host
+   AND substr(u.path, 1, length(r.prefix)) = r.prefix
+)
+SELECT doc_id, host, path, is_allow AS allowed, prefix AS rule
+FROM matched WHERE rn = 1
+"""

@@ -1,0 +1,83 @@
+"""Robots exclusion filtering (analytics/robots.py) — longest-match
+semantics hand-pinned, no-rule default, and the no-URL-shuffle plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.analytics import robots
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _verdicts(spark, url_rows, rule_rows):
+    urls_df = spark.createDataFrame(
+        url_rows, "doc_id long, host string, path string"
+    )
+    rules = spark.createDataFrame(
+        rule_rows, "host string, prefix string, is_allow boolean"
+    )
+    return {
+        r.doc_id: (r.allowed, r.rule)
+        for r in robots.apply_robots(urls_df, rules).collect()
+    }
+
+
+def test_longest_match_wins_and_allow_breaks_ties(spark):
+    rules = [
+        ("h", "/", True),
+        ("h", "/private", False),
+        ("h", "/private/public", True),
+    ]
+    v = _verdicts(
+        spark,
+        [
+            (1, "h", "/private/secret"),     # '/private' beats '/'
+            (2, "h", "/private/public/x"),   # allow is longest -> allowed
+            (3, "h", "/open/page"),          # only '/' matches
+        ],
+        rules,
+    )
+    assert v[1] == (False, "/private")
+    assert v[2] == (True, "/private/public")
+    assert v[3] == (True, "/")
+
+    # tie at equal length: allow wins (Google semantics)
+    v = _verdicts(
+        spark,
+        [(4, "h", "/abc/x")],
+        [("h", "/abc", False), ("h", "/abc", True)],
+    )
+    assert v[4] == (True, "/abc")
+
+
+def test_no_matching_rule_and_unknown_host_default_allow(spark):
+    v = _verdicts(
+        spark,
+        [(1, "h", "/x"), (2, "elsewhere", "/x")],
+        [("h", "/y", False)],
+    )
+    assert v[1] == (True, None)   # rules exist, none match the path
+    assert v[2] == (True, None)   # host absent from the rules table
+
+
+def test_robots_corpus_run_has_both_verdicts_and_composes(spark):
+    out = robots.q_robots_filter(spark, SF_DIR)
+    rows = out.collect()
+    verdicts = {r.allowed for r in rows}
+    assert verdicts == {True, False}
+    # disallowed rows always name the winning disallow prefix
+    assert all(r.rule is not None and not r.allowed or r.allowed for r in rows)
+    assert all(r.rule is not None for r in rows if not r.allowed)
+
+
+def test_robots_plan_never_shuffles_the_url_side(spark):
+    df = robots.q_robots_filter(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # the only exchange is the tiny rules-side groupBy(host) fold (+ its
+    # broadcast); the URL side must reach the join exchange-free, and
+    # there is no per-URL aggregation anywhere
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == 1, f"expected 1 (rules-side) exchange, saw {n_hash}"
