@@ -1,0 +1,151 @@
+"""Crawl-graph authority scoring (PageRank) — the link-structure signal
+a web-corpus pipeline uses for crawl prioritization and per-document
+quality weighting (the reference stores crawled entities row-by-row,
+XFORM pipeline; ranking WHICH pages matter is the web-scale question
+that sits on top of that store).
+
+The synthetic corpus carries no hyperlinks, so the link graph derives
+closed-form from ``doc_id`` — each document emits exactly ``FANOUT = 3``
+out-edges shaped like a real web graph:
+
+  - a HUB link ``doc_id mod 16`` (portals/homepages: 16 vertices
+    collect ~N/16 in-edges each — the skewed-key head every real link
+    graph has),
+  - a linear scatter ``(7*doc_id + 1) mod N`` (uniform background),
+  - a quadratic scatter ``(doc_id^2 + 3) mod N`` (non-uniform
+    in-degree tail: quadratic residues repeat, others get nothing).
+
+The DuckDB oracle regenerates the SAME graph, making parity a proof of
+the *iteration algebra*, not the fixture — and because in-degree is
+skewed, ranks genuinely spread (hubs ≫ background ≫ orphans); a
+constant-output bug cannot pass.
+
+Two choices make the oracle hash-exact rather than approximately-equal:
+
+- **Exact integer arithmetic.** Ranks are BIGINTs scaled by
+  ``SCALE = 10^12``; the damping update is
+  ``rank' = (15*SCALE) div (100*N) + (85 * sum(contrib)) div 100``
+  with per-edge ``contrib = rank div FANOUT``. Every operation is
+  integer multiply/divide/mod — no float drift between engines, no
+  tolerance window in the comparison.
+- **Fixed iteration count** (``ITERS = 4``), not a convergence test:
+  both engines run literally the same unrolled recurrence.
+
+Spark shape — the textbook rank×edges JOIN disappears entirely:
+
+  1. edges are generated *in-row* from each rank row (an ``explode``
+     over ``FANOUT`` precomputed dst/contrib structs) — the 100 TB edge
+     table is never materialized, never shuffled;
+  2. one ``groupBy(dst).sum`` per iteration is the ONLY exchange —
+     map-side partial aggregation collapses each hub's ~N/16 in-edges
+     to one partial PER MAP TASK before the wire, so the skewed head
+     costs O(tasks), not O(in-degree), at the reducer;
+  3. a zero-contribution row per vertex rides the same union, so
+     vertices with no in-edges (non-residues of the quadratic scatter)
+     keep their base rank WITHOUT a join against the vertex list.
+
+Scale shape (100 TB): per iteration, one hash exchange keyed on dst
+with partial aggregation — state is O(vertices), never O(edges); plan
+depth grows linearly with ITERS (at cluster scale you would persist
+each iteration's rank table to cut lineage — documented divergence, the
+4-iteration chained plan is well inside Catalyst's comfort zone).
+Plan-gated in tests/test_graph.py: zero joins, exactly ITERS hash
+exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+FANOUT = 3
+ITERS = 4
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pagerank(vertices: DataFrame, n: int, iters: int = ITERS) -> DataFrame:
+    """Exact-integer PageRank over the closed-form doc_id link graph.
+
+    ``vertices`` must carry a ``doc_id`` column with values 0..n-1;
+    ``n`` is the vertex count (a bounded driver scalar — the one
+    aggregate this operator collects).
+    """
+    base = (15 * SCALE) // (100 * n)
+    r = vertices.select(
+        F.col("doc_id").alias("v"),
+        F.lit(SCALE // n).cast("long").alias("rank"),
+    )
+    for _ in range(iters):
+        # in-row edge generation: FANOUT (dst, contrib) structs per
+        # vertex plus the keep-alive zero row — no edge table, no join
+        dsts = [
+            F.col("v") % 16,  # hub head
+            (F.col("v") * 7 + 1) % n,  # linear background
+            (F.col("v") * F.col("v") + 3) % n,  # quadratic tail
+        ]
+        out = F.array(
+            *[
+                F.struct(
+                    dst.cast("long").alias("dst"),
+                    F.expr(f"rank div {FANOUT}").cast("long").alias("c"),
+                )
+                for dst in dsts
+            ],
+            F.struct(F.col("v").alias("dst"), F.lit(0).cast("long").alias("c")),
+        )
+        contrib = r.select(F.explode(out).alias("e")).select("e.dst", "e.c")
+        r = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("csum"))
+            .select(
+                F.col("dst").alias("v"),
+                (F.lit(base) + F.expr("(85 * csum) div 100")).cast("long").alias("rank"),
+            )
+        )
+    return r
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()  # bounded scalar (vertex count), not an O(rows) collect
+    out = pagerank(d, n)
+    return out.select(F.col("v").alias("doc_id"), F.col("rank").alias("pagerank"))
+
+
+def _sql_iteration(prev: str, cur: str) -> str:
+    """One unrolled iteration of the identical integer recurrence."""
+    return f"""
+{cur}_c AS (
+  SELECT dst, SUM(c) AS csum FROM (
+    SELECT {prev}.v % 16 AS dst, {prev}.rank // {FANOUT} AS c FROM {prev}
+    UNION ALL
+    SELECT ({prev}.v * 7 + 1) % nn.n, {prev}.rank // {FANOUT} FROM {prev}, nn
+    UNION ALL
+    SELECT ({prev}.v * {prev}.v + 3) % nn.n, {prev}.rank // {FANOUT}
+    FROM {prev}, nn
+    UNION ALL
+    SELECT v AS dst, CAST(0 AS BIGINT) AS c FROM {prev}
+  ) GROUP BY dst
+),
+{cur} AS (
+  SELECT dst AS v,
+         (15 * {SCALE} // (100 * nn.n)) + (85 * csum) // 100 AS rank
+  FROM {cur}_c, nn
+)"""
+
+
+SQL_PAGERANK = (
+    f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+r0 AS (
+  SELECT doc_id AS v, {SCALE} // nn.n AS rank FROM documents, nn
+),"""
+    + ",".join(_sql_iteration(f"r{i}", f"r{i + 1}") for i in range(ITERS))
+    + f"""
+SELECT v AS doc_id, CAST(rank AS BIGINT) AS pagerank FROM r{ITERS}
+"""
+)

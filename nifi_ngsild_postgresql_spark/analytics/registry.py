@@ -12,6 +12,7 @@ from . import (
     corpus,
     export,
     gif,
+    graph,
     html,
     incremental,
     jpeg,
@@ -361,6 +362,13 @@ PYTEST_ONLY: dict[str, tuple] = {
         q_stream_interval_join_full,
         SQL_STREAM_INTERVAL_JOIN_FULL,
     ),
+    # round 5 (late): crawl-graph PageRank (analytics/graph.py) — the
+    # link-structure authority signal for crawl prioritization / quality
+    # weighting. Joinless: edges generate in-row from doc_id (hub +
+    # linear + quadratic scatter), ONE keyed exchange per iteration;
+    # exact-integer damping algebra so the unrolled DuckDB recurrence
+    # matches hash-exactly.
+    "pagerank": (graph.q_pagerank, graph.SQL_PAGERANK),
 }
 
 

@@ -1,0 +1,85 @@
+"""Crawl-graph PageRank (analytics/graph.py) — exact-integer iteration
+algebra pinned against a pure-Python reference, web-shaped rank spread
+(hubs ≫ background ≫ orphans), mass conservation bounds, and the
+joinless one-exchange-per-iteration plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.analytics import graph
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_pagerank(n: int, iters: int = graph.ITERS):
+    """Independent scalar reference of the identical integer recurrence."""
+    base = (15 * graph.SCALE) // (100 * n)
+    r = [graph.SCALE // n] * n
+    for _ in range(iters):
+        acc = [0] * n
+        for v in range(n):
+            c = r[v] // graph.FANOUT
+            for d in (v % 16, (7 * v + 1) % n, (v * v + 3) % n):
+                acc[d] += c
+        r = [base + (85 * a) // 100 for a in acc]
+    return r
+
+
+def test_matches_scalar_reference(spark):
+    got = {
+        r.doc_id: r.pagerank
+        for r in graph.q_pagerank(spark, SF_DIR).collect()
+    }
+    n = len(got)
+    want = _py_pagerank(n)
+    assert got == {v: want[v] for v in range(n)}
+
+
+def test_rank_spread_is_web_shaped(spark):
+    rows = graph.q_pagerank(spark, SF_DIR).collect()
+    n = len(rows)
+    ranks = {r.doc_id: r.pagerank for r in rows}
+    uniform = graph.SCALE // n
+    # the 16 hub vertices each collect ~n/16 in-edges: far above uniform
+    # (individual non-hubs can still spike if the quadratic scatter
+    # piles onto them, so the claim is min-hub vs uniform and mean-vs-
+    # mean, not a strict total order)
+    hubs = [ranks[v] for v in range(16)]
+    rest = [ranks[v] for v in range(16, n)]
+    assert min(hubs) > 3 * uniform
+    assert sum(hubs) / len(hubs) > 5 * (sum(rest) / len(rest))
+    # quadratic non-residues received only the damping base at every step
+    base = (15 * graph.SCALE) // (100 * n)
+    assert min(ranks.values()) < uniform  # orphans decay below uniform
+    assert min(ranks.values()) >= base
+
+
+def test_mass_is_conserved_within_truncation(spark):
+    rows = graph.q_pagerank(spark, SF_DIR).collect()
+    n = len(rows)
+    total = sum(r.pagerank for r in rows)
+    # every integer division truncates downward, so total mass only
+    # leaks (never inflates): SCALE is an upper bound, and per iteration
+    # the leak is < n*(FANOUT + 100 + 100) ≈ tiny vs SCALE
+    assert total <= graph.SCALE
+    assert total > graph.SCALE * 95 // 100
+
+
+def test_plan_is_joinless_one_exchange_per_iteration(spark):
+    df = graph.q_pagerank(spark, SF_DIR)
+    jvm = df.sparkSession._jvm
+    plan = jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the textbook rank-times-edges join must NOT exist at any iteration
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # exactly one hash exchange per iteration, each fed by a partial agg
+    import re
+
+    assert len(set(re.findall(r"\(\d+\) Exchange", plan))) == graph.ITERS
+    assert "partial_sum" in plan
+    # no Python in the loop: edge generation is pure JVM expressions
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
