@@ -98,6 +98,11 @@ HEADLINE = [
     # shard shuffle, and exact-int mixture resampling
     "warc_ingest",
     "html_extract",
+    # round 5 (late): the iterative-graph shape — 4 chained keyed
+    # exchanges (one per PageRank iteration, joinless in-row edge
+    # generation); tracked as the suite's multi-round iteration-cost
+    # datapoint
+    "pagerank",
     "shard_export",
     "mixture_sample",
 ]

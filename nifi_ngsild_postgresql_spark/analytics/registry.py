@@ -19,6 +19,7 @@ from . import (
     robots,
     sketches,
     suite,
+    timeseries,
     urls,
     warc,
 )
@@ -369,6 +370,28 @@ PYTEST_ONLY: dict[str, tuple] = {
     # exact-integer damping algebra so the unrolled DuckDB recurrence
     # matches hash-exactly.
     "pagerank": (graph.q_pagerank, graph.SQL_PAGERANK),
+    # round 5 (late): time-bucket gap-fill + LOCF (analytics/
+    # timeseries.py) — the TimescaleDB time_bucket_gapfill/locf shape
+    # over the reference's temporal-store domain; JOINLESS densify
+    # (sequence-explode candidates ride a union into the merge agg),
+    # exact decimal sums, per-series bounds, provenance flag.
+    "gapfill_locf": (timeseries.q_gapfill_locf, timeseries.SQL_GAPFILL_LOCF),
+    # round 5 (late): cohort retention matrix — users cohorted by first
+    # qualifying-purchase week, one distinct-user agg per (cohort,
+    # offset) cell; joinless (min window over user, no self-join),
+    # predicate pushed to the scan, O(weeks²) output.
+    "cohort_retention": (
+        timeseries.q_cohort_retention,
+        timeseries.SQL_COHORT_RETENTION,
+    ),
+    # round 5 (late): Markov next-event transition matrix — the
+    # sequence-mining shape (user-journey / next-action analysis);
+    # lead window + one pair agg + window-sum denominator on the tiny
+    # pair table; exact BIGINT counts, O(|types|²) output.
+    "event_transitions": (
+        timeseries.q_event_transitions,
+        timeseries.SQL_EVENT_TRANSITIONS,
+    ),
 }
 
 

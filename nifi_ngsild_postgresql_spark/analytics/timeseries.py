@@ -1,0 +1,232 @@
+"""Time-bucket gap-fill + last-observation-carried-forward — the
+temporal-regularization operator every store of NGSI-LD temporal
+entities gets asked for (the reference's PostgreSQL tables are exactly
+what TimescaleDB's ``time_bucket_gapfill``/``locf`` serve; reference
+rows carry ``observedat`` per instance, ROWS §R1/R8 in SURVEY.md §2).
+Sensors report irregularly; dashboards and models want a dense regular
+grid with explicit "this value is interpolated" provenance.
+
+Semantics (per user series, over ``events``):
+
+  1. bucket events into UTC days (``unix_seconds div 86400`` — exact
+     integer, identical in both engines);
+  2. per (user, day): event count and exact DECIMAL(18,2) value sum
+     (the sessionize idiom — float sums are fold-order-dependent and
+     can never hash-match across engines);
+  3. densify each user's series over [min observed day, max observed
+     day] — per-series bounds, the ``time_bucket_gapfill`` contract;
+  4. gap days get ``n_events = 0``, ``sum_value = NULL``, and a
+     ``locf_value`` carried from the last observed day (``last(...,
+     ignorenulls)`` running window), plus a ``filled`` provenance flag.
+
+Spark shape — JOINLESS densification: generated gap candidates
+(``explode(sequence(d0, d1))`` — in-row, no calendar table) ride a
+UNION into the same keyed aggregation that merges them with observed
+buckets (``sum`` absorbs the zero rows, ``max`` picks the real sum over
+NULL), so the dense grid costs one extra exchange instead of an
+outer join against a generated dimension.
+
+Scale shape (100 TB): four keyed exchanges, all linear — (user, day)
+pre-aggregation with map-side combine (the raw-event reducer), user
+bounds, (user, day) merge, user-ordered LOCF window. State is
+O(users × active days), never O(events), after the first combine. The
+one guard a real deployment adds: clamp ``d1 - d0`` (a sensor silent
+for years would explode a million-day array per row) — at day grain
+even a 30-year series is ~11k array elements, in-row and bounded, so
+the clamp is policy, not survival (documented, not implemented).
+Plan-gated in tests/test_timeseries.py: zero joins, ≤4 exchanges, no
+Python stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def gapfill_locf(events: DataFrame) -> DataFrame:
+    """Dense per-user day grid with LOCF over (user_id, ts, value)."""
+    agg = events.groupBy(
+        "user_id", F.expr("unix_timestamp(ts) div 86400").alias("day_idx")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+    )
+    bounds = agg.groupBy("user_id").agg(
+        F.min("day_idx").alias("d0"), F.max("day_idx").alias("d1")
+    )
+    gaps = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day_idx"),
+        F.lit(0).cast("long").alias("n_events"),
+        F.lit(None).cast("decimal(28,2)").alias("v"),
+    )
+    merged = (
+        agg.select("user_id", "day_idx", "n_events", F.col("v").cast("decimal(28,2)"))
+        .unionByName(gaps)
+        .groupBy("user_id", "day_idx")
+        .agg(F.sum("n_events").alias("n_events"), F.max("v").alias("v"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return merged.select(
+        "user_id",
+        "day_idx",
+        "n_events",
+        F.col("v").cast("double").alias("sum_value"),
+        F.last("v", ignorenulls=True).over(w).cast("double").alias("locf_value"),
+        F.col("v").isNull().alias("filled"),
+    )
+
+
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gapfill_locf(_t(spark, sf_dir, "events"))
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    are cohorted by their first-activity week; each later active week
+    contributes to that cohort's retention curve.
+
+    Joinless: the cohort assignment is a ``min`` window over the user
+    partition (no self-join of events against a first-activity table),
+    then one distinct-user aggregation per (cohort_week, week_offset)
+    cell. Three linear keyed exchanges — user window, distinct expand,
+    final cell agg — and the output is O(weeks²) cells regardless of
+    event volume. Exact integers end-to-end (week = unix div 604800).
+
+    "Qualifying activity" is a high-value purchase — the predicate
+    pushes to the parquet scan (plan-gated), so the window only ever
+    sees the thin qualifying slice, and the fixture genuinely produces
+    multiple cohorts with decaying retention (an unfiltered feed would
+    collapse to one perfectly-retained cohort).
+    """
+    week = F.expr("unix_timestamp(ts) div 604800")
+    w = Window.partitionBy("user_id")
+    per_event = (
+        events.filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select("user_id", week.alias("week_idx"))
+        .withColumn("cohort_week", F.min("week_idx").over(w))
+    )
+    return (
+        per_event.groupBy(
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+SQL_COHORT_RETENTION = """
+WITH per_event AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week_idx,
+         MIN(CAST(floor(epoch(ts) / 604800) AS BIGINT))
+           OVER (PARTITION BY user_id) AS cohort_week
+  FROM events
+  WHERE event_type = 'purchase' AND value > 150
+)
+SELECT cohort_week, week_idx - cohort_week AS week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM per_event
+GROUP BY 1, 2
+"""
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Markov next-event transition matrix — the sequence-mining shape
+    behind user-journey analysis and next-action prediction: for each
+    (from_type → to_type) pair, how often does one event type follow
+    another within a user's stream?
+
+    Joinless, three linear keyed exchanges: a ``lead`` window over the
+    user stream pairs each event with its successor, one keyed agg
+    counts pairs, and the per-from-type denominator is a window sum
+    over the (tiny) pair table — never a second pass over events.
+    Counts are exact BIGINTs; ``prob`` is the one division, performed
+    on identical integers in both engines so the doubles match bitwise.
+    Output is O(|types|²) regardless of event volume.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    wf = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_pair",
+        F.sum("n_pair").over(wf).alias("n_from"),
+        (
+            F.col("n_pair").cast("double") / F.sum("n_pair").over(wf).cast("double")
+        ).alias("prob"),
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT from_type, to_type, COUNT(*) AS n_pair FROM (
+    SELECT user_id, event_type AS from_type,
+           LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+    FROM events
+  ) WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_pair,
+       CAST(SUM(n_pair) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+       CAST(n_pair AS DOUBLE)
+         / CAST(SUM(n_pair) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+FROM pairs
+"""
+
+
+SQL_GAPFILL_LOCF = """
+WITH agg AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+         COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, MIN(day_idx) AS d0, MAX(day_idx) AS d1 FROM agg GROUP BY 1
+), gaps AS (
+  SELECT user_id, UNNEST(generate_series(d0, d1)) AS day_idx,
+         CAST(0 AS BIGINT) AS n_events, CAST(NULL AS DECIMAL(28,2)) AS v
+  FROM bounds
+), merged AS (
+  SELECT user_id, day_idx, SUM(n_events) AS n_events, MAX(v) AS v FROM (
+    SELECT user_id, day_idx, n_events, CAST(v AS DECIMAL(28,2)) AS v FROM agg
+    UNION ALL
+    SELECT user_id, day_idx, n_events, v FROM gaps
+  ) GROUP BY 1, 2
+)
+SELECT user_id, day_idx, CAST(n_events AS BIGINT) AS n_events,
+       CAST(v AS DOUBLE) AS sum_value,
+       CAST(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS locf_value,
+       v IS NULL AS filled
+FROM merged
+"""

@@ -1,0 +1,182 @@
+"""Gap-fill + LOCF (analytics/timeseries.py) — hand-pinned densify/
+carry-forward semantics, non-vacuous gaps on the corpus, and the
+joinless ≤4-exchange plan."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from nifi_ngsild_postgresql_spark.analytics import timeseries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(spark, events):
+    df = spark.createDataFrame(
+        events, "user_id long, ts timestamp, value double"
+    )
+    return {
+        (r.user_id, r.day_idx): r
+        for r in timeseries.gapfill_locf(df).collect()
+    }
+
+
+def test_gap_days_are_filled_with_locf(spark):
+    d = datetime
+    got = _rows(
+        spark,
+        [
+            # user 1: days 0 and 3 observed -> days 1,2 are gaps
+            (1, d(1970, 1, 1, 5, 0, 0), 10.0),
+            (1, d(1970, 1, 1, 6, 0, 0), 2.5),
+            (1, d(1970, 1, 4, 9, 0, 0), 7.0),
+            # user 2: single day -> no gaps, series of length 1
+            (2, d(1970, 1, 2, 1, 0, 0), 1.0),
+        ],
+    )
+    assert set(got) == {(1, 0), (1, 1), (1, 2), (1, 3), (2, 1)}
+    assert (got[(1, 0)].n_events, got[(1, 0)].sum_value) == (2, 12.5)
+    for day in (1, 2):
+        r = got[(1, day)]
+        assert (r.n_events, r.sum_value, r.filled) == (0, None, True)
+        assert r.locf_value == 12.5  # carried from day 0
+    assert got[(1, 3)].filled is False and got[(1, 3)].locf_value == 7.0
+    assert got[(2, 1)].n_events == 1 and got[(2, 1)].filled is False
+
+
+def test_densify_is_per_series_not_global(spark):
+    d = datetime
+    got = _rows(
+        spark,
+        [
+            (1, d(1970, 1, 1), 1.0),  # user 1 lives on day 0 only
+            (2, d(1970, 1, 10), 2.0),  # user 2 on day 9 only
+        ],
+    )
+    # no cross-user calendar smearing: 2 rows total, no day 1..8 filler
+    assert set(got) == {(1, 0), (2, 9)}
+    assert not any(r.filled for r in got.values())
+
+
+def test_corpus_gaps_are_non_vacuous(spark):
+    df = timeseries.q_gapfill_locf(spark, SF_DIR)
+    agg = df.agg(
+        F.sum(F.col("filled").cast("long")).alias("gaps"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert agg.gaps > 0  # the fixture genuinely exercises the fill path
+    assert agg.n > agg.gaps
+    # every filled row carries forward a real observation
+    bad = df.filter(F.col("filled") & F.col("locf_value").isNull()).count()
+    assert bad == 0
+
+
+def test_plan_is_joinless_and_bounded(spark):
+    import re
+
+    df = timeseries.q_gapfill_locf(spark, SF_DIR)
+    plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan  # densification is union+agg, not outer join
+    assert len(set(re.findall(r"\(\d+\) Exchange", plan))) <= 4
+    assert "partial_count" in plan or "partial_sum" in plan
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+
+
+def test_cohort_retention_hand_case(spark):
+    d = datetime
+    df = spark.createDataFrame(
+        [
+            # user 1 first qualifies in week 0, returns week 2
+            (1, d(1970, 1, 2), "purchase", 200.0),
+            (1, d(1970, 1, 16), "purchase", 300.0),
+            # user 2 qualifies in week 0 only (later events don't qualify)
+            (2, d(1970, 1, 3), "purchase", 151.0),
+            (2, d(1970, 1, 17), "view", 500.0),
+            (2, d(1970, 1, 17), "purchase", 149.0),
+            # user 3 first qualifies in week 1
+            (3, d(1970, 1, 9), "purchase", 180.0),
+            # user 4 never qualifies -> absent entirely
+            (4, d(1970, 1, 2), "view", 999.0),
+        ],
+        "user_id long, ts timestamp, event_type string, value double",
+    )
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in timeseries.cohort_retention(df).collect()
+    }
+    assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1}
+
+
+def test_cohort_retention_corpus_shape(spark):
+    rows = timeseries.q_cohort_retention(spark, SF_DIR).collect()
+    cohorts = {}
+    for r in rows:
+        cohorts.setdefault(r.cohort_week, {})[r.week_offset] = r.n_users
+    assert len(cohorts) > 1  # multiple cohorts, not one global blob
+    for offs in cohorts.values():
+        assert 0 in offs  # every cohort includes its own birth week
+        # retention never exceeds the cohort's size at offset 0
+        assert max(offs.values()) == offs[0] or offs[0] >= max(
+            v for k, v in offs.items() if k > 0
+        )
+
+
+def test_cohort_plan_pushes_predicate_and_is_joinless(spark):
+    df = timeseries.q_cohort_retention(spark, SF_DIR)
+    plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan
+    assert "PushedFilters:" in plan
+    assert "event_type" in plan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_event_transitions_hand_case(spark):
+    d = datetime
+    df = spark.createDataFrame(
+        [
+            # user 1: A -> B -> A  (pairs: A->B, B->A)
+            (1, d(1970, 1, 1, 1), 1, "A"),
+            (1, d(1970, 1, 1, 2), 2, "B"),
+            (1, d(1970, 1, 1, 3), 3, "A"),
+            # user 2: A -> B       (pair: A->B; no cross-user A<-B pair)
+            (2, d(1970, 1, 1, 4), 4, "A"),
+            (2, d(1970, 1, 1, 5), 5, "B"),
+            # user 3: single event -> contributes nothing
+            (3, d(1970, 1, 1, 6), 6, "C"),
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n_pair, r.n_from, r.prob)
+        for r in timeseries.event_transitions(df).collect()
+    }
+    assert got == {("A", "B"): (2, 2, 1.0), ("B", "A"): (1, 1, 1.0)}
+
+
+def test_event_transitions_rows_are_distributions(spark):
+    rows = timeseries.q_event_transitions(spark, SF_DIR).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    assert len(by_from) >= 2
+    for rs in by_from.values():
+        n_from = rs[0].n_from
+        assert all(r.n_from == n_from for r in rs)
+        assert sum(r.n_pair for r in rs) == n_from
+        assert abs(sum(r.prob for r in rs) - 1.0) < 1e-9
+
+
+def test_event_transitions_plan_is_joinless(spark):
+    df = timeseries.q_event_transitions(spark, SF_DIR)
+    plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
