@@ -1,0 +1,189 @@
+"""Table profiling + exact outlier gating — the data-quality operators
+an ingest engine is asked for the moment tables exist (the reference's
+PostgreSQL targets get exactly this via ANALYZE / pg_stats; its dynamic
+DDL (DBADAPTER §C1-C8 in SURVEY.md §2) creates the tables, and the
+first operational question is "what landed — null rates, cardinality,
+ranges?").
+
+``table_profile`` — one-pass per-column statistics:
+
+  For each profiled column: total rows, null count, EXACT distinct
+  count, min and max. Spark shape: a single global aggregation carrying
+  every column's aggregates at once — the multi-``count(distinct)``
+  plans through ONE Expand (row multiplied by k columns, then two
+  partial-agg rounds), i.e. one shuffle of pre-aggregated expansion,
+  never k table scans — then an in-row ``stack`` unpivots the 1-row
+  frame to one row per column. Numeric min/max stay typed doubles
+  (pass-through values, no formatting ambiguity across engines);
+  string min/max stay strings; each row NULLs the other family.
+
+  Scale shape (100 TB): the Expand multiplies rows by k before the
+  partial aggregation absorbs them per task, so wire cost is
+  O(distinct values × k), not O(rows × k); the final agg is a
+  singleton but receives only per-partition partials. This is the
+  textbook exact-profile plan — when distincts themselves explode,
+  the engine's HLL sketch (analytics/sketches.py) is the documented
+  fallback at 2% error and O(64 registers) wire cost.
+
+``value_outliers`` — per-entity exact variance gate (anomaly /
+robust-filtering shape; the training-data use is dropping feature
+outliers before they skew a model):
+
+  Flag events whose deviation from their user's mean exceeds K sigma,
+  WITHOUT ever forming a float mean or variance: quantize value to
+  cents (DECIMAL(18,2) — the sessionize idiom), then per user compute
+  n, s1 = sum(c), s2 = sum(c^2) via ONE keyed window, and test
+
+      (n*c - s1)^2  >  K^2 * (n*s2 - s1^2)
+
+  — the sigma test multiplied through by n^2 so both sides are exact
+  integers (DECIMAL(38,0) in Spark, HUGEINT in DuckDB); the boolean
+  matches hash-exactly with no tolerance. Single-event users have both
+  sides 0 → never outliers. One keyed exchange, output O(events).
+
+  Scale note: the squared terms need ~2×(digits(c) + digits(n))
+  digits; DECIMAL(38,0) holds cent-quantized telemetry to ~10^6 events
+  per entity at ~10^7 cents — beyond that a real deployment rescales
+  the quantization unit per entity class (documented, not needed at
+  any test SF).
+
+Both plan-gated in tests/test_profile.py: zero joins, zero Python
+stages; profile's Expand is asserted present (proving the single-pass
+multi-distinct plan), outliers' plan is a single keyed window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+NUM_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+STR_COLS = ("l_returnflag", "l_linestatus")
+
+
+def table_profile(lineitem: DataFrame) -> DataFrame:
+    """Exact per-column profile of lineitem in one aggregation pass."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in NUM_COLS + STR_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    one = lineitem.agg(*aggs)
+
+    def _row(c: str, numeric: bool) -> str:
+        min_num = f"CAST(`{c}__min` AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        max_num = f"CAST(`{c}__max` AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        min_str = "CAST(NULL AS STRING)" if numeric else f"`{c}__min`"
+        max_str = "CAST(NULL AS STRING)" if numeric else f"`{c}__max`"
+        return (
+            f"'{c}', n_rows - `{c}__nn`, `{c}__nd`, "
+            f"{min_num}, {max_num}, {min_str}, {max_str}"
+        )
+
+    rows = [(c, True) for c in NUM_COLS] + [(c, False) for c in STR_COLS]
+    stack = ", ".join(_row(c, num) for c, num in rows)
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(rows)}, {stack}) AS "
+        "(col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)",
+    ).select(
+        "col_name", "n_rows", "n_null", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str",
+    )
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table_profile(_t(spark, sf_dir, "lineitem"))
+
+
+def _profile_row_sql(c: str, numeric: bool) -> str:
+    min_num = f"CAST(min_{c} AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+    max_num = f"CAST(max_{c} AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+    min_str = "CAST(NULL AS VARCHAR)" if numeric else f"min_{c}"
+    max_str = "CAST(NULL AS VARCHAR)" if numeric else f"max_{c}"
+    return (
+        f"SELECT '{c}' AS col_name, n_rows, n_rows - nn_{c} AS n_null, "
+        f"nd_{c} AS n_distinct, {min_num} AS min_num, {max_num} AS max_num, "
+        f"{min_str} AS min_str, {max_str} AS max_str FROM one"
+    )
+
+
+SQL_TABLE_PROFILE = (
+    "WITH one AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    + ", ".join(
+        f"CAST(COUNT({c}) AS BIGINT) AS nn_{c}, "
+        f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}, "
+        f"MIN({c}) AS min_{c}, MAX({c}) AS max_{c}"
+        for c in NUM_COLS + STR_COLS
+    )
+    + " FROM lineitem)\n"
+    + "\nUNION ALL\n".join(
+        [_profile_row_sql(c, True) for c in NUM_COLS]
+        + [_profile_row_sql(c, False) for c in STR_COLS]
+    )
+)
+
+
+OUTLIER_K = 2  # flag beyond K sigma
+
+
+def value_outliers(events: DataFrame) -> DataFrame:
+    """Per-user exact K-sigma outlier flag over event values."""
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+    w = Window.partitionBy("user_id")
+    df = events.select(
+        "event_id",
+        "user_id",
+        "value",
+        cents.alias("c"),
+    ).select(
+        "event_id",
+        "user_id",
+        "value",
+        "c",
+        F.count("*").over(w).cast("decimal(38,0)").alias("n"),
+        F.sum("c").over(w).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(w).cast("decimal(38,0)").alias("s2"),
+    )
+    dev = F.col("n") * F.col("c") - F.col("s1")
+    lhs = dev * dev
+    rhs = F.lit(OUTLIER_K * OUTLIER_K).cast("decimal(38,0)") * (
+        F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    )
+    return df.select(
+        "event_id",
+        "user_id",
+        "value",
+        (lhs > rhs).alias("is_outlier"),
+    )
+
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_outliers(_t(spark, sf_dir, "events"))
+
+
+SQL_VALUE_OUTLIERS = f"""
+WITH base AS (
+  SELECT event_id, user_id, value,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS c
+  FROM events
+), stats AS (
+  SELECT event_id, user_id, value, c,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS HUGEINT) AS n,
+         CAST(SUM(c) OVER (PARTITION BY user_id) AS HUGEINT) AS s1,
+         CAST(SUM(c * c) OVER (PARTITION BY user_id) AS HUGEINT) AS s2
+  FROM base
+)
+SELECT event_id, user_id, value,
+       (n * c - s1) * (n * c - s1)
+         > {OUTLIER_K * OUTLIER_K} * (n * s2 - s1 * s1) AS is_outlier
+FROM stats
+"""

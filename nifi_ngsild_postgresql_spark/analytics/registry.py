@@ -16,6 +16,7 @@ from . import (
     html,
     incremental,
     jpeg,
+    profile,
     robots,
     sketches,
     suite,
@@ -392,6 +393,17 @@ PYTEST_ONLY: dict[str, tuple] = {
         timeseries.q_event_transitions,
         timeseries.SQL_EVENT_TRANSITIONS,
     ),
+    # round 5 (late): table profiling (analytics/profile.py) — the
+    # ANALYZE/pg_stats shape: exact per-column null/distinct/min/max
+    # in ONE pass (multi-count-distinct via a single Expand, one scan,
+    # plan-gated), in-row stack unpivot; HLL is the documented fallback
+    # when exact distincts explode.
+    "table_profile": (profile.q_table_profile, profile.SQL_TABLE_PROFILE),
+    # round 5 (late): per-entity exact K-sigma outlier gate — the
+    # anomaly/robust-filtering shape with the sigma test multiplied
+    # through by n^2 so both sides are exact integers (DECIMAL(38,0)
+    # vs HUGEINT); one keyed window, no tolerance anywhere.
+    "value_outliers": (profile.q_value_outliers, profile.SQL_VALUE_OUTLIERS),
 }
 
 

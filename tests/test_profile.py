@@ -1,0 +1,129 @@
+"""Table profiling + exact outlier gate (analytics/profile.py) —
+hand-pinned stats/flags, corpus sanity, and the single-pass / joinless
+plan gates (profile must go through ONE Expand, outliers through one
+keyed window, neither through a join or a Python stage)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from nifi_ngsild_postgresql_spark.analytics import profile
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df):
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_table_profile_hand_case(spark):
+    d = datetime
+    df = spark.createDataFrame(
+        [
+            (1.0, 10.0, 0.1, "A", "X", d(1970, 1, 1)),
+            (2.0, 10.0, None, "A", "Y", d(1970, 1, 2)),
+            (2.0, 30.0, 0.3, "B", None, d(1970, 1, 3)),
+        ],
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    got = {r.col_name: r for r in profile.table_profile(df).collect()}
+    assert set(got) == set(profile.NUM_COLS) | set(profile.STR_COLS)
+    q = got["l_quantity"]
+    assert (q.n_rows, q.n_null, q.n_distinct) == (3, 0, 2)
+    assert (q.min_num, q.max_num) == (1.0, 2.0)
+    assert q.min_str is None and q.max_str is None
+    disc = got["l_discount"]
+    assert (disc.n_null, disc.n_distinct) == (1, 2)  # NULL not a distinct
+    ls = got["l_linestatus"]
+    assert (ls.n_null, ls.n_distinct) == (1, 2)
+    assert (ls.min_str, ls.max_str) == ("X", "Y")
+    assert ls.min_num is None and ls.max_num is None
+
+
+def test_table_profile_corpus_invariants(spark):
+    rows = profile.q_table_profile(spark, SF_DIR).collect()
+    assert len(rows) == len(profile.NUM_COLS) + len(profile.STR_COLS)
+    n_rows = rows[0].n_rows
+    for r in rows:
+        assert r.n_rows == n_rows  # one consistent table count
+        assert 0 <= r.n_null <= n_rows
+        assert 1 <= r.n_distinct <= n_rows
+        if r.col_name in profile.NUM_COLS:
+            assert r.min_num is not None and r.min_num <= r.max_num
+        else:
+            assert r.min_str is not None and r.min_str <= r.max_str
+
+
+def test_table_profile_plan_is_single_pass(spark):
+    import re
+
+    plan = _plan(profile.q_table_profile(spark, SF_DIR))
+    assert "Join" not in plan
+    # the multi-count(distinct) must plan through Expand — one scan,
+    # not one scan per profiled column
+    assert "Expand" in plan
+    assert len(set(re.findall(r"\(\d+\) Scan parquet", plan))) == 1
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+
+
+def test_value_outliers_hand_case(spark):
+    d = datetime
+    df = spark.createDataFrame(
+        [
+            # user 1: nine 10.00s and one 100.00 -> only the spike flags
+            *[(i, d(1970, 1, 1, i), 1, 10.0) for i in range(9)],
+            (9, d(1970, 1, 1, 10), 1, 100.0),
+            # user 2: constant series -> variance 0, nothing flags
+            (10, d(1970, 1, 1, 1), 2, 5.0),
+            (11, d(1970, 1, 1, 2), 2, 5.0),
+            # user 3: single event -> 0 > 0 is false, never an outlier
+            (12, d(1970, 1, 1, 1), 3, 1e6),
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    got = {r.event_id: r.is_outlier for r in profile.value_outliers(df).collect()}
+    assert got[9] is True
+    assert all(got[i] is False for i in range(9))
+    assert got[10] is False and got[11] is False and got[12] is False
+
+
+def test_value_outliers_exactness_boundary(spark):
+    # four zeros + one spike x: the spike sits at EXACTLY 2 sigma
+    # ((n*c-s1)^2 = 16x^2 = K^2*(n*s2-s1^2)), so the strict > must not
+    # flag it — only exact integer algebra gets this boundary right;
+    # any float formulation would flip on rounding noise
+    d = datetime
+    df = spark.createDataFrame(
+        [
+            *[(i, d(1970, 1, 1, i + 1), 1, 0.0) for i in range(4)],
+            (4, d(1970, 1, 1, 5), 1, 77.31),
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    got = {r.event_id: r.is_outlier for r in profile.value_outliers(df).collect()}
+    assert got == {i: False for i in range(5)}
+
+
+def test_value_outliers_corpus_rate(spark):
+    rows = profile.q_value_outliers(spark, SF_DIR).collect()
+    n = len(rows)
+    flagged = sum(1 for r in rows if r.is_outlier)
+    assert n > 0 and 0 < flagged < n  # non-vacuous, non-degenerate
+    # Chebyshev at K=2: at most 1/4 of any distribution beyond 2 sigma
+    assert flagged <= n / 4 + len({r.user_id for r in rows})
+
+
+def test_value_outliers_plan_is_one_keyed_window(spark):
+    import re
+
+    df = profile.q_value_outliers(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert len(set(re.findall(r"\(\d+\) Exchange", plan))) == 1
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
