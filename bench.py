@@ -105,6 +105,12 @@ HEADLINE = [
     "pagerank",
     "shard_export",
     "mixture_sample",
+    # round 5 (late): the densify-without-a-calendar-join shape (union
+    # into one merge agg + LOCF window) and the context-model upgrade
+    # of the perplexity filter (in-row transitions, window-sum
+    # denominator, one scoring join)
+    "gapfill_locf",
+    "bigram_surprisal",
 ]
 
 

@@ -24,7 +24,7 @@ over exact integer counts, so DuckDB reproduces results bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 CHUNK_WINDOW = 32  # tokens per training chunk
@@ -1362,4 +1362,115 @@ SELECT doc_id, chunk_id,
        CAST(len({_SQL_CHUNK_SLICE}) AS BIGINT) AS chunk_tokens,
        md5(array_to_string({_SQL_CHUNK_SLICE}, ' ')) AS chunk_sha
 FROM chunks
+"""
+
+
+# --------------------------------------------------------------------------
+# bigram_surprisal — the perplexity filter upgraded to a context model
+# --------------------------------------------------------------------------
+
+
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean BIGRAM surprisal — the unigram perplexity
+    filter (``q_unigram_surprisal`` above) upgraded to a conditional
+    context model: score each within-doc transition by
+    ``-ln p(w_i | w_{i-1})`` where ``p = c(w0,w1) / c_ctx(w0)``, both
+    counts trained on the corpus itself (so every scored bigram exists
+    and no smoothing term is needed — the KenLM/CCNet shape with the
+    LM and the filter sharing a corpus).
+
+    Exactness contract (same as unigram): counts are exact BIGINTs;
+    the per-DISTINCT-bigram probability is one division of identical
+    doubles followed by ONE ``ln`` (the HLL contract) quantized to
+    exact micro-nats BEFORE any aggregation, so per-doc sums are
+    integer-exact and fold-order-free on both engines; the final mean
+    is one division + round(4).
+
+    Spark shape, joinless until the single scoring join: transitions
+    generate IN-ROW (``transform(sequence(...))`` over the token
+    array — never a self-join of a positions table), one keyed agg
+    with map-side combine produces bigram counts, and the context
+    denominator is a window SUM over that (count-bounded) bigram
+    table — never a second pass over the corpus. The scoring join is
+    key-equality on (w0,w1); on a real corpus the bigram-vocab side is
+    count-bounded and broadcastable. Docs with <2 tokens carry no
+    transitions and are absent (inner-join semantics), matching the
+    oracle. Plan-gated: no cartesian, no Python stages.
+    """
+    d = _t(spark, sf_dir, "documents")
+    pairs = (
+        d.select("doc_id", _tokens("text").alias("ts"))
+        .filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1), "
+                    "i -> struct(element_at(ts, i) AS w0, "
+                    "element_at(ts, i + 1) AS w1))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w0", "p.w1")
+    )
+    wb = Window.partitionBy("w0")
+    q = (
+        pairs.groupBy("w0", "w1")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .select(
+            "w0",
+            "w1",
+            F.round(
+                -F.log(
+                    F.col("cb").cast("double")
+                    / F.sum("cb").over(wb).cast("double")
+                )
+                * SURPRISAL_SCALE
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return (
+        pairs.join(q, ["w0", "w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("q").alias("sum_q"),
+            F.count(F.lit(1)).alias("n_transitions"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.col("sum_q").cast("double")
+                / (F.col("n_transitions").cast("double") * SURPRISAL_SCALE),
+                4,
+            ).alias("mean_surprisal_nats"),
+            F.col("n_transitions").cast("long").alias("n_transitions"),
+        )
+    )
+
+
+SQL_BIGRAM_SURPRISAL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+), pairs AS (
+  SELECT doc_id, ts[i] AS w0, ts[i + 1] AS w1
+  FROM toks, UNNEST(range(1, len(ts))) AS u(i)
+  WHERE len(ts) >= 2
+), q AS (
+  SELECT w0, w1,
+         CAST(ROUND(-ln(CAST(cb AS DOUBLE)
+                        / CAST(SUM(cb) OVER (PARTITION BY w0) AS DOUBLE))
+                    * {SURPRISAL_SCALE}) AS BIGINT) AS q
+  FROM (SELECT w0, w1, COUNT(*) AS cb FROM pairs GROUP BY 1, 2)
+)
+SELECT p.doc_id,
+       ROUND(CAST(SUM(q.q) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * {SURPRISAL_SCALE}), 4)
+         AS mean_surprisal_nats,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM pairs p JOIN q ON p.w0 = q.w0 AND p.w1 = q.w1
+GROUP BY p.doc_id
 """

@@ -404,6 +404,12 @@ PYTEST_ONLY: dict[str, tuple] = {
     # through by n^2 so both sides are exact integers (DECIMAL(38,0)
     # vs HUGEINT); one keyed window, no tolerance anywhere.
     "value_outliers": (profile.q_value_outliers, profile.SQL_VALUE_OUTLIERS),
+    # round 5 (late): bigram surprisal — the unigram perplexity filter
+    # upgraded to a conditional context model (p(w1|w0) trained on the
+    # corpus itself); in-row transition generation, window-sum context
+    # denominator over the count-bounded bigram table, micro-nat
+    # quantization before aggregation (the HLL ln contract).
+    "bigram_surprisal": (corpus.q_bigram_surprisal, corpus.SQL_BIGRAM_SURPRISAL),
 }
 
 

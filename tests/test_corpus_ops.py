@@ -667,3 +667,71 @@ def test_corpus_pipeline_plan_is_narrow(spark):
     assert plan.count("MapInPandas") == 1
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_bigram_surprisal_planted_corpus(spark, tmp_path):
+    """Hand-computed conditional LM: corpus transitions a->b (x2),
+    a->a (x1), b->a (x1) -> p(b|a)=2/3, p(a|a)=1/3, p(a|b)=1.
+    doc 1 = 'a a b' scores (q(a|a)+q(b|a))/2; doc 2 = 'a b a' scores
+    (q(b|a)+q(a|b))/2; doc 3 = single token -> absent."""
+    import math
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["a a b", "a b a", "z"]}
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in corpus.q_bigram_surprisal(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {1, 2}  # the 1-token doc carries no transitions
+    q_b_a = round(-math.log(2 / 3) * corpus.SURPRISAL_SCALE)
+    q_a_a = round(-math.log(1 / 3) * corpus.SURPRISAL_SCALE)
+    q_a_b = round(-math.log(1 / 1) * corpus.SURPRISAL_SCALE)  # == 0
+    assert rows[1]["n_transitions"] == 2
+    assert rows[1]["mean_surprisal_nats"] == round(
+        (q_a_a + q_b_a) / (2 * corpus.SURPRISAL_SCALE), 4
+    )
+    assert rows[2]["n_transitions"] == 2
+    assert rows[2]["mean_surprisal_nats"] == round(
+        (q_b_a + q_a_b) / (2 * corpus.SURPRISAL_SCALE), 4
+    )
+    # the doc spending a transition on the rarer continuation (a|a)
+    # is more surprising than the one riding the deterministic b->a
+    assert rows[1]["mean_surprisal_nats"] > rows[2]["mean_surprisal_nats"]
+
+
+def test_bigram_beats_unigram_on_predictable_sequences(spark, tmp_path):
+    """The reason to upgrade the filter: a doc that cycles through a
+    fixed word order is maximally predictable to the bigram model
+    (every transition deterministic -> surprisal 0) while the unigram
+    model still charges full token entropy."""
+    import pandas as pd
+
+    text = " ".join(["x y z"] * 20)
+    pdf = pd.DataFrame({"doc_id": [1], "text": [text]})
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    bi = corpus.q_bigram_surprisal(spark, str(tmp_path)).collect()[0]
+    uni = corpus.q_unigram_surprisal(spark, str(tmp_path)).collect()[0]
+    assert bi["mean_surprisal_nats"] == 0.0  # every transition forced
+    assert uni["mean_surprisal_nats"] > 1.0  # ~ln(3) per token
+
+
+def test_bigram_surprisal_plan_shape(spark):
+    """Joinless until the single (w0,w1) scoring join: transitions
+    generate in-row, the context denominator is a window over the
+    bigram table (no second corpus pass), no cartesian, JVM-only."""
+    ship_package(spark)
+    df = corpus.q_bigram_surprisal(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, marker
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
