@@ -410,6 +410,12 @@ PYTEST_ONLY: dict[str, tuple] = {
     # denominator over the count-bounded bigram table, micro-nat
     # quantization before aggregation (the HLL ln contract).
     "bigram_surprisal": (corpus.q_bigram_surprisal, corpus.SQL_BIGRAM_SURPRISAL),
+    # round 5 (late): multi-grain ROLLUP — the hypertable/continuous-
+    # aggregate shape: (type, day) + per-type + grand total in ONE
+    # Expand-based pass, grouping_id disambiguating rolled-up NULLs,
+    # exact decimal sums; wire cost O(groups x grains) not
+    # O(rows x grains).
+    "rollup_report": (timeseries.q_rollup_report, timeseries.SQL_ROLLUP_REPORT),
 }
 
 

@@ -230,3 +230,59 @@ SELECT user_id, day_idx, CAST(n_events AS BIGINT) AS n_events,
        v IS NULL AS filled
 FROM merged
 """
+
+
+def rollup_report(events: DataFrame) -> DataFrame:
+    """Multi-grain rollup — the hypertable/continuous-aggregate shape
+    (TimescaleDB serves the reference's temporal tables exactly this):
+    per-(event_type, day), per-event_type, and grand-total aggregates
+    in ONE pass via ``ROLLUP`` — Spark plans it through a single Expand
+    (each row multiplied by the 3 grouping sets, then map-side partial
+    aggregation absorbs the expansion before the one keyed exchange),
+    never one scan per grain.
+
+    ``grouping_id()`` (bit set = column aggregated away) disambiguates
+    a real NULL key from a rolled-up one — both engines implement the
+    same SQL-standard bitmask so it rides the hash check directly.
+    Sums are exact DECIMAL(18,2) (the sessionize idiom), cast to
+    double only at the output boundary.
+
+    Scale shape (100 TB): wire cost is O(distinct groups × grains),
+    not O(rows × grains) — the partial agg folds each grain per task;
+    output is O(types × days). Plan-gated: one scan, Expand present,
+    one exchange, joinless, Python-free.
+    """
+    day = F.expr("unix_timestamp(ts) div 86400").alias("day_idx")
+    return (
+        events.select("event_type", day, F.col("value").cast("decimal(18,2)").alias("v"))
+        .rollup("event_type", "day_idx")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").alias("sv"),
+        )
+        .select(
+            "event_type",
+            "day_idx",
+            "gid",
+            "n_events",
+            F.col("sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollup_report(_t(spark, sf_dir, "events"))
+
+
+SQL_ROLLUP_REPORT = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+       CAST(GROUPING(event_type,
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS BIGINT)
+         AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT))
+"""

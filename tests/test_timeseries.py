@@ -180,3 +180,59 @@ def test_event_transitions_plan_is_joinless(spark):
     assert "Join" not in plan
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
+
+
+def test_rollup_report_hand_case(spark):
+    d = datetime
+    df = spark.createDataFrame(
+        [
+            ("A", d(1970, 1, 1, 1), 1.50),
+            ("A", d(1970, 1, 1, 2), 2.00),
+            ("A", d(1970, 1, 2, 1), 4.00),
+            ("B", d(1970, 1, 1, 3), 8.00),
+        ],
+        "event_type string, ts timestamp, value double",
+    )
+    got = {
+        (r.event_type, r.day_idx, r.gid): (r.n_events, r.sum_value)
+        for r in timeseries.rollup_report(df).collect()
+    }
+    assert got == {
+        # finest grain (gid 0: nothing rolled up)
+        ("A", 0, 0): (2, 3.5),
+        ("A", 1, 0): (1, 4.0),
+        ("B", 0, 0): (1, 8.0),
+        # per-type subtotal (gid 1: day rolled up)
+        ("A", None, 1): (3, 7.5),
+        ("B", None, 1): (1, 8.0),
+        # grand total (gid 3: both rolled up)
+        (None, None, 3): (4, 15.5),
+    }
+
+
+def test_rollup_grand_total_consistency(spark):
+    rows = timeseries.q_rollup_report(spark, SF_DIR).collect()
+    fine = [r for r in rows if r.gid == 0]
+    subs = [r for r in rows if r.gid == 1]
+    total = [r for r in rows if r.gid == 3]
+    assert len(total) == 1
+    assert sum(r.n_events for r in fine) == total[0].n_events
+    assert sum(r.n_events for r in subs) == total[0].n_events
+    # exact-decimal sums re-aggregate without drift at every grain
+    assert round(sum(r.sum_value for r in fine), 2) == total[0].sum_value
+    assert round(sum(r.sum_value for r in subs), 2) == total[0].sum_value
+
+
+def test_rollup_plan_is_one_pass(spark):
+    import re
+
+    df = timeseries.q_rollup_report(spark, SF_DIR)
+    plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan
+    assert "Expand" in plan  # all three grains from one scan
+    assert len(set(re.findall(r"\(\d+\) Scan parquet", plan))) == 1
+    assert len(set(re.findall(r"\(\d+\) Exchange", plan))) == 1
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
