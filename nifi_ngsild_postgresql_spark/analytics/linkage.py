@@ -1,0 +1,93 @@
+"""Blocked fuzzy record linkage — the entity-resolution shape that
+complements the dedup family (suite.py's MinHash/SimHash find
+*resemblance*; linkage finds *typo-level* edits two token-set methods
+are blind to — a transposed character changes every shingle containing
+it but costs edit distance 1).
+
+``fuzzy_pairs`` (over ``documents``): generate candidate pairs by
+BLOCKING on (source, lang) — the standard ER move that keeps the pair
+space O(sum of block-size²) instead of O(n²) — then score each in-block
+pair with the EXACT Levenshtein distance of the two docs' fixed-length
+prefixes, and flag matches under a threshold.
+
+Exactness: Levenshtein with unit insert/delete/substitute costs is one
+canonical integer recurrence — Spark's ``levenshtein`` and DuckDB's
+``levenshtein`` implement the same definition, so distances (and the
+match flag) ride the hash check with no tolerance. The prefix cap
+(PREFIX_CHARS) bounds the O(m·n) DP cost per pair by a constant —
+full-text edit distance over 100 TB pairs is never attempted (the
+substring_dedup / MinHash family is the scale path for long-content
+similarity; this op is for short keys: names, titles, URLs, prefixes).
+
+Spark shape: ONE key-equality self-join on the block key (plan-gated:
+no cartesian / no broadcast-nested-loop), ``doc_id_a < doc_id_b``
+de-dups the pair space in the join condition so Catalyst keeps it an
+equi-join with a residual filter. Scale shape (100 TB): wire cost is
+two shuffles of the slim (block, id, prefix) projection; skewed blocks
+are the known ER hazard — the mitigation (salting the hot block and
+re-merging, exactly suite.py's LWW salt idiom) is documented policy;
+at every test SF blocks are near-uniform.
+
+Output is every in-block pair with its distance (non-vacuous at any
+corpus), plus ``is_match`` at MATCH_THRESHOLD for the gate semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PREFIX_CHARS = 32
+MATCH_THRESHOLD = 12
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def fuzzy_pairs(documents: DataFrame) -> DataFrame:
+    """All blocked candidate pairs with exact prefix edit distance."""
+    slim = documents.select(
+        "source",
+        "lang",
+        F.col("doc_id"),
+        F.substring("text", 1, PREFIX_CHARS).alias("pfx"),
+    )
+    a = slim.select(
+        "source", "lang",
+        F.col("doc_id").alias("doc_id_a"), F.col("pfx").alias("pfx_a"),
+    )
+    b = slim.select(
+        "source", "lang",
+        F.col("doc_id").alias("doc_id_b"), F.col("pfx").alias("pfx_b"),
+    )
+    return (
+        a.join(b, ["source", "lang"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            "source",
+            "lang",
+            "doc_id_a",
+            "doc_id_b",
+            F.levenshtein("pfx_a", "pfx_b").alias("dist"),
+        )
+        .withColumn("is_match", F.col("dist") <= MATCH_THRESHOLD)
+    )
+
+
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fuzzy_pairs(_t(spark, sf_dir, "documents"))
+
+
+SQL_FUZZY_PAIRS = f"""
+WITH slim AS (
+  SELECT source, lang, doc_id, substring(text, 1, {PREFIX_CHARS}) AS pfx
+  FROM documents
+)
+SELECT a.source, a.lang,
+       a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS dist,
+       levenshtein(a.pfx, b.pfx) <= {MATCH_THRESHOLD} AS is_match
+FROM slim a JOIN slim b
+  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+"""

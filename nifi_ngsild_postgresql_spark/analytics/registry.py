@@ -16,6 +16,7 @@ from . import (
     html,
     incremental,
     jpeg,
+    linkage,
     profile,
     robots,
     sketches,
@@ -416,6 +417,12 @@ PYTEST_ONLY: dict[str, tuple] = {
     # exact decimal sums; wire cost O(groups x grains) not
     # O(rows x grains).
     "rollup_report": (timeseries.q_rollup_report, timeseries.SQL_ROLLUP_REPORT),
+    # round 5 (late): blocked fuzzy record linkage — entity resolution
+    # via (source,lang) blocking + EXACT prefix Levenshtein (identical
+    # integer recurrence in both engines, no tolerance); one
+    # key-equality self-join, pair space O(sum block^2) never O(n^2),
+    # DP cost bounded by the prefix cap.
+    "fuzzy_pairs": (linkage.q_fuzzy_pairs, linkage.SQL_FUZZY_PAIRS),
 }
 
 

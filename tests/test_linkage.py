@@ -1,0 +1,101 @@
+"""Blocked fuzzy linkage (analytics/linkage.py) — hand-pinned edit
+distances, block isolation, the exact pair-space size, and the
+equi-join (never cartesian) plan gate."""
+
+from __future__ import annotations
+
+from nifi_ngsild_postgresql_spark.analytics import linkage
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_fuzzy_pairs_hand_distances(spark):
+    got = {
+        (r.doc_id_a, r.doc_id_b): (r.dist, r.is_match)
+        for r in linkage.fuzzy_pairs(
+            _df(
+                spark,
+                [
+                    (1, "the quick brown fox", "en", "s1"),
+                    (2, "the quick brown fix", "en", "s1"),  # 1 sub
+                    (3, "the quick brown fox", "en", "s1"),  # exact dup
+                    (4, "completely different text here!!", "en", "s1"),
+                ],
+            )
+        ).collect()
+    }
+    assert got[(1, 2)] == (1, True)  # one substitution
+    assert got[(1, 3)] == (0, True)  # exact duplicate prefix
+    assert got[(2, 3)] == (1, True)
+    assert got[(1, 4)][0] > linkage.MATCH_THRESHOLD
+    assert got[(1, 4)][1] is False
+    assert len(got) == 6  # C(4,2), a < b exactly once per pair
+
+
+def test_fuzzy_pairs_respect_blocks(spark):
+    # identical texts in different blocks must never pair
+    rows = linkage.fuzzy_pairs(
+        _df(
+            spark,
+            [
+                (1, "same text", "en", "s1"),
+                (2, "same text", "en", "s2"),  # other source
+                (3, "same text", "de", "s1"),  # other lang
+                (4, "same text", "en", "s1"),  # only this one pairs with 1
+            ],
+        )
+    ).collect()
+    assert {(r.doc_id_a, r.doc_id_b) for r in rows} == {(1, 4)}
+    assert rows[0].dist == 0 and rows[0].is_match is True
+
+
+def test_fuzzy_pairs_prefix_cap_bounds_the_dp(spark):
+    # long texts identical in the first PREFIX_CHARS chars are distance
+    # 0 even if wildly different after: the cap is the documented
+    # bounded-cost contract, not an accident
+    pfx = "x" * linkage.PREFIX_CHARS
+    rows = linkage.fuzzy_pairs(
+        _df(
+            spark,
+            [
+                (1, pfx + " then one tail", "en", "s1"),
+                (2, pfx + " a completely different tail!!!", "en", "s1"),
+            ],
+        )
+    ).collect()
+    assert rows[0].dist == 0
+
+
+def test_fuzzy_pairs_corpus_pair_space(spark):
+    import math
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    blocks = docs.groupBy("source", "lang").count().collect()
+    expected = sum(math.comb(b["count"], 2) for b in blocks)
+    rows = linkage.q_fuzzy_pairs(spark, SF_DIR).collect()
+    assert len(rows) == expected  # blocking bounds the pair space
+    assert expected < 0.02 * math.comb(docs.count(), 2)  # vs all-pairs
+    # non-vacuous on the corpus: both flag values occur
+    assert any(r.is_match for r in rows)
+    assert any(not r.is_match for r in rows)
+    assert all(0 <= r.dist <= linkage.PREFIX_CHARS for r in rows)
+
+
+def test_fuzzy_pairs_plan_is_equi_join(spark):
+    df = linkage.q_fuzzy_pairs(spark, SF_DIR)
+    plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
