@@ -423,6 +423,15 @@ PYTEST_ONLY: dict[str, tuple] = {
     # key-equality self-join, pair space O(sum block^2) never O(n^2),
     # DP cost bounded by the prefix cap.
     "fuzzy_pairs": (linkage.q_fuzzy_pairs, linkage.SQL_FUZZY_PAIRS),
+    # round 5 (late): weekly growth accounting — the flow twin of the
+    # cohort_retention stock view: new/retained/resurrected/churned per
+    # week from one distinct reduction + one lag/lead window per user
+    # stream (never a week-over-week self-join); churn rides the same
+    # window as a generated (week+1) row. Output O(weeks).
+    "growth_accounting": (
+        timeseries.q_growth_accounting,
+        timeseries.SQL_GROWTH_ACCOUNTING,
+    ),
 }
 
 

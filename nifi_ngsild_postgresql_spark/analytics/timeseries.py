@@ -286,3 +286,80 @@ SELECT event_type,
 FROM events
 GROUP BY ROLLUP (event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT))
 """
+
+
+def growth_accounting(events: DataFrame) -> DataFrame:
+    """Weekly growth accounting — the user-flow decomposition behind
+    every activation dashboard (and the flow twin of the stock view in
+    ``cohort_retention`` above): each active (user, week) is classified
+    as NEW (first-ever week), RETAINED (also active the week before) or
+    RESURRECTED (returning after a gap), and each inactive transition
+    charges a CHURN to the week after the user's last activity.
+
+    Joinless: one distinct (user, week) reduction, then a single lag/
+    lead window per user stream decides every classification — never a
+    self-join of week-over-week activity tables. Churn rides the SAME
+    window (lead) as a generated (week+1) row through the final union'd
+    keyed agg. Exact integers end-to-end; the final per-week exchange
+    carries O(users × active weeks) pre-counted rows.
+
+    Scale shape (100 TB): three linear keyed exchanges (distinct,
+    user window, week agg), each with map-side combine; output is
+    O(weeks). A year-long 10^9-user feed keeps the window state at one
+    (user, week) stream per user — the distinct reduction already
+    collapsed event volume.
+    """
+    week = F.expr("unix_timestamp(ts) div 604800")
+    uw = events.select("user_id", week.alias("w")).distinct()
+    win = Window.partitionBy("user_id").orderBy("w")
+    classified = uw.select(
+        "user_id",
+        "w",
+        F.lag("w").over(win).alias("prev_w"),
+        F.lead("w").over(win).alias("next_w"),
+    )
+    active = classified.select(
+        F.col("w").alias("week_idx"),
+        F.when(F.col("prev_w").isNull(), "new")
+        .when(F.col("prev_w") == F.col("w") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("kind"),
+    )
+    churned = classified.filter(
+        F.col("next_w").isNull() | (F.col("next_w") > F.col("w") + 1)
+    ).select((F.col("w") + 1).alias("week_idx"), F.lit("churned").alias("kind"))
+    return (
+        active.unionByName(churned)
+        .groupBy("week_idx", "kind")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return growth_accounting(_t(spark, sf_dir, "events"))
+
+
+SQL_GROWTH_ACCOUNTING = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w
+  FROM events
+), classified AS (
+  SELECT user_id, w,
+         LAG(w)  OVER (PARTITION BY user_id ORDER BY w) AS prev_w,
+         LEAD(w) OVER (PARTITION BY user_id ORDER BY w) AS next_w
+  FROM uw
+), flows AS (
+  SELECT w AS week_idx,
+         CASE WHEN prev_w IS NULL THEN 'new'
+              WHEN prev_w = w - 1 THEN 'retained'
+              ELSE 'resurrected' END AS kind
+  FROM classified
+  UNION ALL
+  SELECT w + 1 AS week_idx, 'churned' AS kind
+  FROM classified
+  WHERE next_w IS NULL OR next_w > w + 1
+)
+SELECT week_idx, kind, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM flows GROUP BY 1, 2
+"""

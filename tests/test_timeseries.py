@@ -236,3 +236,62 @@ def test_rollup_plan_is_one_pass(spark):
     assert len(set(re.findall(r"\(\d+\) Exchange", plan))) == 1
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
+
+
+def test_growth_accounting_hand_case(spark):
+    d = datetime
+    # weeks (epoch): week 0 = Jan 1-7 1970, week 1 = Jan 8-14, ...
+    df = spark.createDataFrame(
+        [
+            # user 1: weeks 0,1 then gone -> new@0, retained@1, churned@2
+            (1, d(1970, 1, 2), 1.0),
+            (1, d(1970, 1, 9), 1.0),
+            # user 2: week 0, gap, week 2 -> new@0, churned@1,
+            # resurrected@2, churned@3
+            (2, d(1970, 1, 3), 1.0),
+            (2, d(1970, 1, 16), 1.0),
+            # two events same user same week count once (distinct)
+            (2, d(1970, 1, 17), 1.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        (r.week_idx, r.kind): r.n_users
+        for r in timeseries.growth_accounting(df).collect()
+    }
+    assert got == {
+        (0, "new"): 2,
+        (1, "retained"): 1,
+        (1, "churned"): 1,
+        (2, "resurrected"): 1,
+        (2, "churned"): 1,
+        (3, "churned"): 1,
+    }
+
+
+def test_growth_accounting_flow_conservation(spark):
+    # stock-flow identity on the corpus: actives(w) = new + retained +
+    # resurrected at w, and actives(w) - retained(w+1) = churn charged
+    # to w+1 (every active user either retains next week or churns)
+    rows = timeseries.q_growth_accounting(spark, SF_DIR).collect()
+    by_week = {}
+    for r in rows:
+        by_week.setdefault(r.week_idx, {})[r.kind] = r.n_users
+    weeks = sorted(w for w, k in by_week.items() if set(k) - {"churned"})
+    assert len(weeks) >= 3
+    for w in weeks:
+        k = by_week[w]
+        active = k.get("new", 0) + k.get("retained", 0) + k.get("resurrected", 0)
+        nxt = by_week.get(w + 1, {})
+        assert active == nxt.get("retained", 0) + nxt.get("churned", 0)
+
+
+def test_growth_accounting_plan_is_joinless(spark):
+    df = timeseries.q_growth_accounting(spark, SF_DIR)
+    plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan
+    assert "Window" in plan
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
