@@ -432,6 +432,12 @@ PYTEST_ONLY: dict[str, tuple] = {
         timeseries.q_growth_accounting,
         timeseries.SQL_GROWTH_ACCOUNTING,
     ),
+    # round 5 (late): weighted sampling without replacement (A-ES) —
+    # the third rebalancing shape (fraction / count-cap / weight-mass):
+    # key = ln(u)/w from the md5 hash-uniform idiom, top-K via
+    # TakeOrderedAndProject (per-task heaps, never a global sort);
+    # deterministic across engines, runs, and repartitioning.
+    "weighted_sample": (suite.q_weighted_sample, suite.SQL_WEIGHTED_SAMPLE),
 }
 
 

@@ -533,6 +533,52 @@ WHERE rk <= {QUOTA_CAP}
 """
 
 
+WEIGHTED_K = 50  # weighted-sample size
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Weight-proportional sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES) — the THIRD rebalancing shape: stratified keeps a
+    fraction per stratum, quota caps a count per group, this one draws
+    K documents with probability proportional to a weight (here
+    ``n_chars`` — the "sample by token mass" move training mixes use so
+    selection pressure follows content volume, not document count).
+
+    A-ES: each row gets key = ln(u) / w for a uniform u in (0,1];
+    the K largest keys ARE a weighted sample without replacement —
+    one scan + one top-K, no sequential passes, no rejection loops,
+    which is what makes the textbook algorithm distributed-friendly.
+    u derives from md5(doc_id) (the stratified_sample idiom), so the
+    sample is deterministic across engines, runs, and repartitioning;
+    ln runs ONCE per row over identical doubles (the HLL contract) and
+    the key is rounded to 10 decimals before comparison on both
+    engines. Spark plans the top-K as TakeOrderedAndProject — per-task
+    K-row heaps, O(tasks x K) to the driver, never a full sort.
+    """
+    d = _t(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    u = (h + 1).cast("double") / F.lit(4294967296.0)
+    key = F.round(F.log(u) / F.col("n_chars").cast("double"), 10)
+    return (
+        d.select("doc_id", "n_chars", key.alias("aes_key"))
+        .orderBy(F.desc("aes_key"), "doc_id")
+        .limit(WEIGHTED_K)
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, n_chars,
+       ROUND(ln(CAST({_SQL_HEX8_TO_INT} + 1 AS DOUBLE) / 4294967296.0)
+             / CAST(n_chars AS DOUBLE), 10) AS aes_key
+FROM documents
+ORDER BY aes_key DESC, doc_id
+LIMIT {WEIGHTED_K}
+"""
+
+
 def _spark_tokens(d):
     return d.select(
         "doc_id", "lang",

@@ -735,3 +735,49 @@ def test_bigram_surprisal_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_weighted_sample_key_matches_pure_python_replica(spark):
+    """The A-ES key is pinned against a from-scratch replica: md5 hex8
+    -> uniform in (0,1] -> ln(u)/w rounded to 10 — any drift in the
+    hash slice, the +1, the 2^32 divisor, or the rounding breaks this."""
+    import hashlib
+    import math
+
+    from nifi_ngsild_postgresql_spark.analytics import suite
+
+    rows = suite.q_weighted_sample(spark, SF_DIR).collect()
+    assert len(rows) == suite.WEIGHTED_K
+    assert len({r.doc_id for r in rows}) == suite.WEIGHTED_K  # w/o replacement
+    for r in rows[:5]:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 4294967296.0
+        assert r.aes_key == round(math.log(u) / r.n_chars, 10)
+
+
+def test_weighted_sample_prefers_heavy_documents(spark):
+    """The point of weighting: selection pressure follows content mass.
+    On this corpus the deterministic draw's mean n_chars exceeds the
+    corpus mean (pinned — the draw is reproducible by construction)."""
+    from nifi_ngsild_postgresql_spark.analytics import suite
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus_mean = d.agg({"n_chars": "avg"}).collect()[0][0]
+    sel = suite.q_weighted_sample(spark, SF_DIR).collect()
+    sel_mean = sum(r.n_chars for r in sel) / len(sel)
+    assert sel_mean > corpus_mean
+
+
+def test_weighted_sample_plan_is_takeordered(spark):
+    """orderBy+limit must plan as TakeOrderedAndProject — per-task
+    K-row heaps, never a full global sort of the corpus."""
+    from nifi_ngsild_postgresql_spark.analytics import suite
+
+    df = suite.q_weighted_sample(spark, SF_DIR)
+    plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
