@@ -438,6 +438,12 @@ PYTEST_ONLY: dict[str, tuple] = {
     # TakeOrderedAndProject (per-task heaps, never a global sort);
     # deterministic across engines, runs, and repartitioning.
     "weighted_sample": (suite.q_weighted_sample, suite.SQL_WEIGHTED_SAMPLE),
+    # round 5 (late): canonical-copy selection — the step after cluster
+    # resolution real dedup ships: keep the highest-n_chars copy per
+    # duplicate cluster (iterative label propagation composed with one
+    # quality window; oracle re-derives BOTH stages independently —
+    # the corpus_pipeline composition pattern).
+    "canonical_docs": (suite.q_canonical_docs, suite.SQL_CANONICAL_DOCS),
 }
 
 

@@ -1318,6 +1318,57 @@ LEFT JOIN (
 """
 
 
+def q_canonical_docs(spark, sf_dir):
+    """Canonical-copy selection — the step AFTER cluster resolution
+    that real dedup pipelines actually ship: inside each duplicate
+    cluster keep the HIGHEST-QUALITY copy (here: most content,
+    ``n_chars``; doc_id breaks ties), not the arbitrary min-id the
+    plain ``keep`` flag marks. Mirrors of a page differ in boilerplate
+    and truncation — keeping the longest copy preserves the most
+    signal for training.
+
+    Composition contract: this runs the FULL iterative label
+    propagation (``q_dedup_clusters`` above) and then ONE quality
+    window over its output — and the DuckDB oracle re-derives the
+    clusters through its recursive CTE and re-picks representatives
+    independently, so the two stages are verified THROUGH each other,
+    not just individually (the corpus_pipeline pattern).
+
+    Scale shape: adds one keyed window over O(docs) to the cluster
+    cost (label propagation, O(E) per round); singleton clusters ride
+    the same window (rank 1 of 1) — no special-casing branch."""
+    from pyspark.sql import Window
+
+    labels = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster")
+    meta = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    return (
+        labels.join(meta, "doc_id")
+        .withColumn("qrank", F.row_number().over(w).cast("long"))
+        .select(
+            "doc_id",
+            "cluster",
+            "n_chars",
+            (F.col("qrank") == 1).alias("keep"),
+        )
+    )
+
+
+SQL_CANONICAL_DOCS = f"""
+WITH clusters AS ({SQL_DEDUP_CLUSTERS})
+SELECT doc_id, cluster, n_chars, qrank = 1 AS keep FROM (
+  SELECT c.doc_id, c.cluster, d.n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.cluster
+           ORDER BY d.n_chars DESC, c.doc_id
+         ) AS qrank
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+)
+"""
+
+
 # --------------------------------------------------------------------------
 # geo radius query (functions/geo.py predicates, round 3)
 # --------------------------------------------------------------------------

@@ -1,0 +1,66 @@
+"""Canonical-copy selection (suite.q_canonical_docs) — the composed
+dedup stage: cluster resolution + keep-the-best-copy. Pins that the
+QUALITY criterion (max n_chars) genuinely diverges from the plain
+min-id keep flag, on both a planted corpus and the real one."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from nifi_ngsild_postgresql_spark.analytics import suite
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_planted_cluster_keeps_longest_not_min_id(spark, tmp_path):
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = pd.DataFrame(
+        {
+            # doc 1 and doc 2 share every shingle of doc 1 (2 is a
+            # superset) -> same MinHash bands -> one cluster; doc 2 is
+            # LONGER so it must be the survivor even though 1 < 2
+            "doc_id": [1, 2, 3],
+            "text": [base, base + " extra trailing signal", "totally unrelated words here"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(base), len(base) + 22, 28],
+        }
+    )
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {r.doc_id: r for r in suite.q_canonical_docs(spark, str(tmp_path)).collect()}
+    assert rows[1].cluster == rows[2].cluster == 1  # min-id labels the cluster
+    assert rows[2].keep is True  # ...but the LONGER copy survives
+    assert rows[1].keep is False
+    assert rows[3].keep is True  # singleton keeps itself
+
+
+def test_corpus_selection_diverges_from_min_id_and_is_exact(spark):
+    rows = suite.q_canonical_docs(spark, SF_DIR).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    multi = [v for v in by_cluster.values() if len(v) > 1]
+    assert len(multi) > 0  # the fixture genuinely clusters
+    for members in by_cluster.values():
+        keeps = [r for r in members if r.keep]
+        assert len(keeps) == 1  # exactly one survivor per cluster
+        best = max(members, key=lambda r: (r.n_chars, -r.doc_id))
+        assert keeps[0].doc_id == best.doc_id
+    # the reason this op exists: on this corpus the quality choice
+    # differs from the plain min-id keep for at least one cluster
+    assert any(
+        min(r.doc_id for r in v) != next(r.doc_id for r in v if r.keep)
+        for v in multi
+    )
+
+
+def test_every_document_appears_exactly_once(spark):
+    rows = suite.q_canonical_docs(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
