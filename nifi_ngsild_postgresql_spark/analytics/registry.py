@@ -444,6 +444,12 @@ PYTEST_ONLY: dict[str, tuple] = {
     # quality window; oracle re-derives BOTH stages independently —
     # the corpus_pipeline composition pattern).
     "canonical_docs": (suite.q_canonical_docs, suite.SQL_CANONICAL_DOCS),
+    # round 5 (late): distributed Gram matrix X'X — the building block
+    # of distributed linear models (normal equations, covariance/PCA):
+    # in-row upper-triangle products, map-side partial sums, ONE
+    # exchange of O(tasks x dim^2) partials; DECIMAL(38,0) internal
+    # sums, exact vs a NumPy BLAS replica.
+    "gram_matrix": (suite.q_gram_matrix, suite.SQL_GRAM_MATRIX),
 }
 
 

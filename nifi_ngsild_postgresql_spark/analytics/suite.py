@@ -904,6 +904,67 @@ _SQL_INT_COSINE = """
 """
 
 
+EMB_DIM = 64  # embeddings table vector width
+
+
+def q_gram_matrix(spark, sf_dir):
+    """Distributed Gram matrix X'X over the quantized embedding table —
+    the building block of every distributed linear model (normal-
+    equation linear/ridge regression, PCA's covariance step, whitening):
+    for every dimension pair i <= j, sum over all vectors of
+    q[i] * q[j].
+
+    Spark shape — the map-side-combined partial-Gram pattern: each row
+    generates its EMB_DIM*(EMB_DIM+1)/2 upper-triangle products IN-ROW
+    (flatten/transform over index sequences, JVM-only), and the hash
+    aggregation's partial step folds them per task, so the exchange
+    carries O(tasks x dim^2) partial sums — never O(rows x dim^2).
+    That per-partition-partial-then-merge is exactly how distributed
+    linear regression computes X'X at any scale; solving the resulting
+    dim x dim system is driver-side by design (dim^2 values, not
+    O(rows)).
+
+    Exactness: quantized int products summed in DECIMAL(38,0) (a
+    10^9-vector corpus at ~10^5-scale components needs ~10^19+ —
+    past BIGINT), cast to BIGINT at the output boundary where this
+    corpus' sums comfortably fit; DuckDB mirrors via HUGEINT. Output is
+    O(dim^2) rows regardless of vector count."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(quantized_embedding(F.col("embedding")).alias("q"))
+    pairs = q.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, {EMB_DIM - 1}), i ->"
+                f" transform(sequence(i, {EMB_DIM - 1}), j ->"
+                " struct(i AS i, j AS j,"
+                " element_at(q, i + 1) * element_at(q, j + 1) AS p))))"
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.p")
+    return (
+        pairs.groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("s"))
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            F.col("s").cast("long").alias("xx_sum"),
+        )
+    )
+
+
+SQL_GRAM_MATRIX = f"""
+WITH q AS (
+  SELECT {_SQL_QVEC.format(col="embedding")} AS q FROM embeddings
+)
+SELECT CAST(t1.i AS BIGINT) AS i, CAST(t2.j AS BIGINT) AS j,
+       CAST(SUM(q[t1.i + 1] * q[t2.j + 1]) AS BIGINT) AS xx_sum
+FROM q, UNNEST(range(0, {EMB_DIM})) AS t1(i),
+        UNNEST(range(0, {EMB_DIM})) AS t2(j)
+WHERE t2.j >= t1.i
+GROUP BY 1, 2
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k over the embedding column vs the query
     vector (vec_id 0) — the ANN correctness baseline. Exact integer

@@ -502,3 +502,55 @@ def test_video_frame_sample_keeps_even_frames_only():
     assert out["pixel_checksum"] != c0 + c1  # wrong frame pair detectable
     bad = advanced.sample_avi_frames(advanced.synth_avi(doc_id)[:-9])
     assert bad["decode_status"].startswith("error")
+
+
+def test_gram_matrix_equals_numpy_replica(spark):
+    """Full-matrix pin against NumPy: quantize identically, X'X via
+    BLAS, compare all dim*(dim+1)/2 entries exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from nifi_ngsild_postgresql_spark.analytics import suite
+
+    rows = suite.q_gram_matrix(spark, SF_DIR).collect()
+    d = suite.EMB_DIM
+    assert len(rows) == d * (d + 1) // 2
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    q = np.round(
+        np.stack(emb.embedding.values).astype(np.float64) * suite.EMB_QUANT
+    ).astype(np.int64)
+    gram = q.T @ q
+    for r in rows:
+        assert gram[r.i, r.j] == r.xx_sum, (r.i, r.j)
+
+
+def test_gram_matrix_is_positive_semidefinite_shaped(spark):
+    """Structural invariants any true Gram matrix satisfies: nonneg
+    diagonal and Cauchy-Schwarz on every off-diagonal entry."""
+    from nifi_ngsild_postgresql_spark.analytics import suite
+
+    g = {(r.i, r.j): r.xx_sum for r in suite.q_gram_matrix(spark, SF_DIR).collect()}
+    for (i, j), v in g.items():
+        if i == j:
+            assert v >= 0
+        else:
+            assert v * v <= g[(i, i)] * g[(j, j)]
+
+
+def test_gram_matrix_plan_is_partial_agg_no_joins(spark):
+    """The partial-Gram pattern: in-row pair products, map-side partial
+    sums, ONE exchange of O(tasks x dim^2) partials — no join, no
+    Python stage."""
+    import re
+
+    from nifi_ngsild_postgresql_spark.analytics import suite
+
+    df = suite.q_gram_matrix(spark, SF_DIR)
+    plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan
+    assert "partial_sum" in plan
+    assert len(set(re.findall(r"\(\d+\) Exchange", plan))) == 1
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
