@@ -149,3 +149,119 @@ r0 AS (
 SELECT v AS doc_id, CAST(rank AS BIGINT) AS pagerank FROM r{ITERS}
 """
 )
+
+
+def triangle_count(vertices: DataFrame, n: int) -> DataFrame:
+    """Per-vertex triangle counts over the same closed-form crawl graph
+    — the local-clustering signal (link farms and template networks
+    show up as dense triangle neighborhoods; organic link structure is
+    triangle-sparse), and the second classic distributed-graph shape
+    after PageRank's iteration: triangle counting is inherently
+    edge-RELATIONAL, so unlike the joinless rank loop it must join —
+    the design question is bounding those joins.
+
+    Compact-forward with degree orientation, all joins key-equality:
+
+      1. materialize the DISTINCT undirected edge set (FANOUT*n rows
+         before dedup — O(E), the honest cost of a relational graph
+         op);
+      2. orient every edge from its lower-degree endpoint to the
+         higher (ties by id): the orientation is acyclic, so each
+         triangle is counted EXACTLY once — from its unique vertex
+         that out-reaches the other two — and, the scale point, every
+         vertex's ORIENTED out-degree is O(sqrt(E)) regardless of its
+         raw in-degree, so the hub head (~n/16 in-edges) cannot
+         explode the wedge join: wedges generate from the low-degree
+         side by construction;
+      3. wedges = oriented self-join on the shared source (t1 < t2
+         de-dups the pair); closing-edge check = ONE equi-join of
+         (t1, t2) against the canonical (a < b) edge set — never an
+         OR-condition join (which would degrade to nested-loop).
+
+    Exact integers end-to-end; per-vertex counts via exploding each
+    triangle's three corners through one keyed agg. Plan-gated: every
+    join a hash/sort-merge equi-join, no cartesian, no Python."""
+    v = vertices.select(F.col("doc_id").cast("long").alias("id"))
+    raw = v.select(
+        F.explode(
+            F.array(
+                F.expr("id % 16"),
+                F.expr(f"(7 * id + 1) % {n}"),
+                F.expr(f"(id * id + 3) % {n}"),
+            )
+        ).alias("b"),
+        F.col("id").alias("a"),
+    ).filter(F.col("a") != F.col("b"))
+    e = raw.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("s"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("t"),
+        )
+    )
+    w1 = o.select(F.col("s"), F.col("t").alias("t1"))
+    w2 = o.select(F.col("s"), F.col("t").alias("t2"))
+    wedges = w1.join(w2, "s").filter(F.col("t1") < F.col("t2"))
+    tri = wedges.join(
+        e, (e.a == F.col("t1")) & (e.b == F.col("t2"))
+    ).select("s", "t1", "t2")
+    return (
+        tri.select(F.explode(F.array("s", "t1", "t2")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # bounded driver scalar, same contract as pagerank
+    return triangle_count(docs, n)
+
+
+SQL_TRIANGLE_COUNT = """
+WITH v AS (SELECT doc_id AS id FROM documents),
+raw AS (
+  SELECT id AS a, id % 16 AS b FROM v
+  UNION ALL SELECT id, (7 * id + 1) % (SELECT COUNT(*) FROM v) FROM v
+  UNION ALL SELECT id, (id * id + 3) % (SELECT COUNT(*) FROM v) FROM v
+),
+e AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+  FROM raw WHERE a <> b
+),
+deg AS (
+  SELECT x AS v, COUNT(*) AS d
+  FROM (SELECT a AS x FROM e UNION ALL SELECT b FROM e) GROUP BY 1
+),
+o AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+              THEN e.a ELSE e.b END AS s,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+              THEN e.b ELSE e.a END AS t
+  FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+),
+tri AS (
+  SELECT w1.s AS s, w1.t AS t1, w2.t AS t2
+  FROM o w1 JOIN o w2 ON w1.s = w2.s AND w1.t < w2.t
+  JOIN e ON e.a = w1.t AND e.b = w2.t
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+  SELECT s AS doc_id FROM tri
+  UNION ALL SELECT t1 FROM tri
+  UNION ALL SELECT t2 FROM tri
+) GROUP BY 1
+"""

@@ -450,6 +450,11 @@ PYTEST_ONLY: dict[str, tuple] = {
     # exchange of O(tasks x dim^2) partials; DECIMAL(38,0) internal
     # sums, exact vs a NumPy BLAS replica.
     "gram_matrix": (suite.q_gram_matrix, suite.SQL_GRAM_MATRIX),
+    # round 5 (late): per-vertex triangle counts on the crawl graph —
+    # the second classic graph shape (local clustering / link-farm
+    # signal): degree-oriented compact-forward, every join
+    # key-equality, oriented out-degree O(sqrt(E)) bounds the hub head.
+    "triangle_count": (graph.q_triangle_count, graph.SQL_TRIANGLE_COUNT),
 }
 
 

@@ -83,3 +83,66 @@ def test_plan_is_joinless_one_exchange_per_iteration(spark):
     assert "partial_sum" in plan
     # no Python in the loop: edge generation is pure JVM expressions
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def _brute_triangles(n):
+    """From-scratch triangle reference: build the closed-form graph's
+    adjacency and intersect neighbor sets."""
+    adj = {i: set() for i in range(n)}
+    for i in range(n):
+        for j in (i % 16, (7 * i + 1) % n, (i * i + 3) % n):
+            if i != j:
+                adj[i].add(j)
+                adj[j].add(i)
+    per_vertex = {i: 0 for i in range(n)}
+    total = 0
+    for a in range(n):
+        for b in adj[a]:
+            if b <= a:
+                continue
+            common = adj[a] & adj[b]
+            for c in common:
+                if c > b:
+                    total += 1
+                    per_vertex[a] += 1
+                    per_vertex[b] += 1
+                    per_vertex[c] += 1
+    return total, {k: v for k, v in per_vertex.items() if v}
+
+
+def test_triangle_count_matches_bruteforce_replica(spark, tmp_path):
+    import pandas as pd
+
+    n = 60
+    pdf = pd.DataFrame({"doc_id": range(n), "text": ["x"] * n})
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.doc_id: r.n_triangles
+        for r in graph.q_triangle_count(spark, str(tmp_path)).collect()
+    }
+    total, expected = _brute_triangles(n)
+    assert got == expected
+    assert sum(got.values()) == 3 * total  # each triangle has 3 corners
+
+
+def test_triangle_count_corpus_identities(spark):
+    rows = graph.q_triangle_count(spark, SF_DIR).collect()
+    assert len(rows) > 0  # the crawl graph genuinely closes triangles
+    s = sum(r.n_triangles for r in rows)
+    assert s % 3 == 0  # corner-incidence identity
+    total, expected = _brute_triangles(500)
+    assert s == 3 * total
+    assert {r.doc_id: r.n_triangles for r in rows} == expected
+
+
+def test_triangle_count_plan_has_only_equi_joins(spark):
+    df = graph.q_triangle_count(spark, SF_DIR)
+    plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # the OR-join trap
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
