@@ -455,6 +455,15 @@ PYTEST_ONLY: dict[str, tuple] = {
     # signal): degree-oriented compact-forward, every join
     # key-equality, oriented out-degree O(sqrt(E)) bounds the hub head.
     "triangle_count": (graph.q_triangle_count, graph.SQL_TRIANGLE_COUNT),
+    # round 5 (late): time-weighted average — TimescaleDB's time_weight
+    # over the reference's sensor-telemetry domain: locf step-function
+    # integral in exact cents x MICROSECONDS (second-granularity time
+    # functions disagree across engines on sub-second stamps),
+    # DECIMAL(38,0) sums, one lead window + one keyed agg.
+    "time_weighted_avg": (
+        timeseries.q_time_weighted_avg,
+        timeseries.SQL_TIME_WEIGHTED_AVG,
+    ),
 }
 
 

@@ -363,3 +363,83 @@ WITH uw AS (
 SELECT week_idx, kind, CAST(COUNT(*) AS BIGINT) AS n_users
 FROM flows GROUP BY 1, 2
 """
+
+
+def time_weighted_avg(events: DataFrame) -> DataFrame:
+    """Per-user time-weighted average — TimescaleDB's ``time_weight``
+    shape, and the statistically honest mean for irregular telemetry
+    (the reference's domain): a sensor that reports every second while
+    idle and once an hour under load would drag a row-mean toward the
+    idle value; weighting each reading by how long it HELD (locf step
+    function) removes the reporting-rate bias.
+
+    Semantics: within each user's (ts, event_id)-ordered stream, each
+    reading holds from its timestamp to the next reading's; the last
+    reading holds for zero time (closed-open integral over the observed
+    span — series with one reading have no span and are absent, the
+    time_weight contract). twa = Σ value_i·(t_{i+1}−t_i) / (t_n−t_0).
+
+    Exactness: value in cents (DECIMAL(18,2)·100 — the sessionize
+    idiom), time in exact integer MICROSECONDS (unix_micros /
+    epoch_us — second-granularity functions disagree across engines on
+    sub-second timestamps: Spark truncates, DuckDB rounds), the
+    integral Σ cents·micros summed in DECIMAL(38,0) — a century-long
+    span at 10^7 cents is ~10^22 per term, past BIGINT but inside 38
+    digits — so both engines carry the exact same integer and the ONE
+    closing division produces bitwise-equal doubles.
+
+    Spark shape: one lead window per user stream + one keyed agg —
+    two linear exchanges, state O(rows in flight) per partition,
+    output O(users)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+    stepped = events.select(
+        "user_id",
+        cents.alias("c"),
+        # ts is TIMESTAMP_NTZ; the cast is the NTZ->UTC reinterpretation
+        # (session timezone is pinned UTC), matching DuckDB's epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.lead(F.unix_micros(F.col("ts").cast("timestamp"))).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("c") * (F.col("t_next") - F.col("t")).cast("decimal(38,0)")
+            ).alias("integral"),
+            F.sum((F.col("t_next") - F.col("t")).cast("decimal(38,0)")).alias(
+                "span_s"
+            ),
+        )
+        .select(
+            "user_id",
+            (
+                F.col("integral").cast("double")
+                / (F.col("span_s").cast("double") * 100.0)
+            ).alias("twa_value"),
+            F.col("span_s").cast("long").alias("span_us"),
+        )
+    )
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return time_weighted_avg(_t(spark, sf_dir, "events"))
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH stepped AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS c,
+         epoch_us(ts) AS t,
+         LEAD(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(c * (t_next - t)) AS DOUBLE)
+         / (CAST(SUM(t_next - t) AS DOUBLE) * 100.0) AS twa_value,
+       CAST(SUM(t_next - t) AS BIGINT) AS span_us
+FROM stepped
+WHERE t_next IS NOT NULL
+GROUP BY user_id
+"""

@@ -295,3 +295,51 @@ def test_growth_accounting_plan_is_joinless(spark):
     assert "Window" in plan
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
+
+
+def test_time_weighted_avg_hand_case(spark):
+    d = datetime
+    # user 1: value 10 holds 30s, value 40 holds 10s, final reading
+    # holds 0s -> twa = (10*30 + 40*10)/40 = 17.5 (row-mean would say
+    # (10+40+99)/3 = 49.67 — the reporting-rate bias this op removes)
+    df = spark.createDataFrame(
+        [
+            (1, d(1970, 1, 1, 0, 0, 0), 1, 10.0),
+            (2, d(1970, 1, 1, 0, 0, 30), 1, 40.0),
+            (3, d(1970, 1, 1, 0, 0, 40), 1, 99.0),
+            # user 2: single reading -> no span -> absent
+            (4, d(1970, 1, 1), 2, 5.0),
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    rows = {r.user_id: r for r in timeseries.time_weighted_avg(df).collect()}
+    assert set(rows) == {1}
+    assert rows[1].twa_value == 17.5
+    assert rows[1].span_us == 40_000_000
+
+
+def test_time_weighted_avg_constant_series_equals_value(spark):
+    d = datetime
+    df = spark.createDataFrame(
+        [(i, d(1970, 1, 1, 0, i), 1, 7.25) for i in range(5)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    rows = timeseries.time_weighted_avg(df).collect()
+    assert rows[0].twa_value == 7.25  # weighting a constant is identity
+
+
+def test_time_weighted_avg_corpus_bounds_and_plan(spark):
+    df = timeseries.q_time_weighted_avg(spark, SF_DIR)
+    rows = df.collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    for r in rows:
+        assert lo <= r.twa_value <= hi  # a weighted mean stays in range
+        assert r.span_us > 0
+    plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan
+    assert "Window" in plan
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
