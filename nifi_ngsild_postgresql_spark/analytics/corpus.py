@@ -1474,3 +1474,109 @@ SELECT p.doc_id,
 FROM pairs p JOIN q ON p.w0 = q.w0 AND p.w1 = q.w1
 GROUP BY p.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# pmi_cooccur — the embedding-training preprocessing shape
+# --------------------------------------------------------------------------
+
+PMI_WINDOW = 2  # co-occurrence half-window (tokens to the right)
+PMI_MIN_COUNT = 5  # drop pairs rarer than this (the word2vec min_count)
+
+
+def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over token co-occurrence — the
+    preprocessing that sits under every classical embedding pipeline
+    (word2vec's sampling distribution, GloVe's co-occurrence matrix,
+    PMI-SVD embeddings): which token pairs appear together within a
+    ±PMI_WINDOW window more often than chance?
+
+    One pair table carries everything: co-occurrence pairs generate
+    IN-ROW from each doc's token array (outer index stops at size-2 and
+    the inner sequence runs i+1..min(i+W, size-1), so no descending-
+    sequence edge case and no positions self-join), unordered pairs
+    canonicalized lexicographically, ONE keyed agg counts them; both
+    marginals come from windows OVER that (count-bounded) pair table
+    and the grand total from a 1-row broadcast — the corpus is never
+    re-scanned. PMI = ln(c_ab·T / (m_a·m_b)) with the numerator and
+    denominator assembled as exact DECIMAL(38,0) integers, ONE division
+    of identical doubles, ONE ln (the HLL contract), quantized to
+    micro-nats. ``PMI_MIN_COUNT`` prunes the long tail BEFORE the ln —
+    the word2vec min_count move, and what keeps output O(frequent
+    pairs) instead of O(all pairs) at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(_tokens("text").alias("toks"))
+    pair_arr = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            f"flatten(transform(sequence(0, size(toks) - 2), i ->"
+            f" transform(sequence(i + 1, least(i + {PMI_WINDOW}, size(toks) - 1)),"
+            " j -> struct(least(toks[i], toks[j]) AS a,"
+            " greatest(toks[i], toks[j]) AS b))))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<a:string,b:string>>"))
+    pairs = (
+        toks.select(F.explode(pair_arr).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    total = pairs.agg(F.sum("c_ab").alias("t_pairs"))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    scored = (
+        pairs.withColumn("m_a", F.sum("c_ab").over(wa))
+        .withColumn("m_b", F.sum("c_ab").over(wb))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (
+                        F.col("c_ab").cast("decimal(38,0)")
+                        * F.col("t_pairs").cast("decimal(38,0)")
+                    ).cast("double")
+                    / (
+                        F.col("m_a").cast("decimal(38,0)")
+                        * F.col("m_b").cast("decimal(38,0)")
+                    ).cast("double")
+                )
+                * SURPRISAL_SCALE
+            )
+            .cast("long")
+            .alias("pmi_micro_nats"),
+        )
+    )
+    return scored
+
+
+SQL_PMI_COOCCUR = f"""
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+), rawp AS (
+  SELECT least(ts[i], ts[j]) AS a, greatest(ts[i], ts[j]) AS b
+  FROM toks,
+       UNNEST(range(1, len(ts))) AS u(i),
+       UNNEST(range(2, len(ts) + 1)) AS v(j)
+  WHERE len(ts) >= 2 AND j > i AND j <= i + {PMI_WINDOW}
+), pairs AS (
+  SELECT a, b, COUNT(*) AS c_ab FROM rawp GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(c_ab) AS HUGEINT) AS t_pairs FROM pairs
+), marg AS (
+  SELECT a, b, c_ab,
+         CAST(SUM(c_ab) OVER (PARTITION BY a) AS HUGEINT) AS m_a,
+         CAST(SUM(c_ab) OVER (PARTITION BY b) AS HUGEINT) AS m_b
+  FROM pairs
+)
+SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(ROUND(ln(CAST(CAST(c_ab AS HUGEINT) * t_pairs AS DOUBLE)
+                     / CAST(m_a * m_b AS DOUBLE))
+                  * {SURPRISAL_SCALE}) AS BIGINT) AS pmi_micro_nats
+FROM marg, tot
+WHERE c_ab >= {PMI_MIN_COUNT}
+"""

@@ -464,6 +464,12 @@ PYTEST_ONLY: dict[str, tuple] = {
         timeseries.q_time_weighted_avg,
         timeseries.SQL_TIME_WEIGHTED_AVG,
     ),
+    # round 5 (late): PMI co-occurrence — the embedding-training
+    # preprocessing shape (word2vec sampling / GloVe matrix / PMI-SVD):
+    # in-row windowed pair generation, marginals as windows over the
+    # count-bounded pair table, min-count prune BEFORE the single ln,
+    # micro-nat quantization.
+    "pmi_cooccur": (corpus.q_pmi_cooccur, corpus.SQL_PMI_COOCCUR),
 }
 
 

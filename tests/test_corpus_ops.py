@@ -781,3 +781,80 @@ def test_weighted_sample_plan_is_takeordered(spark):
     assert "Join" not in plan
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
+
+
+def test_pmi_cooccur_hand_semantics(spark, tmp_path):
+    """Planted corpus pinning window semantics, the min-count gate, and
+    PMI sign: 'north pole' always co-occur (strong positive), 'x'/'y'
+    are spread independently (PMI near zero or negative)."""
+    import math
+
+    import pandas as pd
+
+    from nifi_ngsild_postgresql_spark.analytics import corpus
+
+    docs = ["north pole x", "north pole y", "north pole x y",
+            "north pole q3", "north pole q4", "north pole",
+            "x q1 y", "y q2 x"]
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {
+        (r.a, r.b): r for r in corpus.q_pmi_cooccur(spark, str(tmp_path)).collect()
+    }
+    # window is +-PMI_WINDOW: in 'north pole x', pairs are
+    # (north,pole), (north,x), (pole,x) — never beyond 2 positions
+    assert ("north", "pole") in rows
+    np_row = rows[("north", "pole")]
+    assert np_row.c_ab == 6
+    assert np_row.pmi_micro_nats > 0  # together more than chance
+    # every surviving pair meets the min-count gate
+    assert all(r.c_ab >= corpus.PMI_MIN_COUNT for r in rows.values())
+    # replica of the exact scoring for the (north, pole) cell
+    c_ab, m_a, m_b = 3, sum(
+        r.c_ab for (a, _), r in rows.items() if a == "north"
+    ), sum(r.c_ab for (_, b), r in rows.items() if b == "pole")
+    # marginals computed pre-filter inside the op — recompute from a
+    # full-pair replica instead
+    toks = [d.split() for d in docs]
+    from collections import Counter
+
+    cnt = Counter()
+    for ts in toks:
+        for i in range(len(ts) - 1):
+            for j in range(i + 1, min(i + corpus.PMI_WINDOW, len(ts) - 1) + 1):
+                cnt[tuple(sorted((ts[i], ts[j])))] += 1
+    t_pairs = sum(cnt.values())
+    m_a = sum(v for (a, _), v in cnt.items() if a == "north")
+    m_b = sum(v for (_, b), v in cnt.items() if b == "pole")
+    expect = round(
+        math.log((cnt[("north", "pole")] * t_pairs) / (m_a * m_b))
+        * corpus.SURPRISAL_SCALE
+    )
+    assert np_row.pmi_micro_nats == expect
+
+
+def test_pmi_cooccur_plan_shape(spark):
+    """JVM-only; the only nested-loop is the 1-row total broadcast
+    (the unigram_surprisal contract); marginals are windows over the
+    pair table, never a second corpus scan."""
+    import re
+
+    from nifi_ngsild_postgresql_spark.analytics import corpus
+    from nifi_ngsild_postgresql_spark.session import ship_package
+
+    ship_package(spark)
+    df = corpus.q_pmi_cooccur(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, marker
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    fmt = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the 1-row grand total re-derives the pair table -> a second scan
+    # of the same narrow projection (the unigram_surprisal structure; a
+    # deployment caches the pair table). Two scans, never more.
+    assert len(set(re.findall(r"\(\d+\) Scan parquet", fmt))) <= 2
