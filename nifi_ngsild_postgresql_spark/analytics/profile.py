@@ -187,3 +187,88 @@ SELECT event_id, user_id, value,
          > {OUTLIER_K * OUTLIER_K} * (n * s2 - s1 * s1) AS is_outlier
 FROM stats
 """
+
+
+WINSOR_LO_PCT = 5  # clip below the exact p05 order statistic
+WINSOR_HI_PCT = 95  # and above the exact p95
+
+
+def winsorize(events: DataFrame) -> DataFrame:
+    """Per-entity winsorization at EXACT order statistics — the feature
+    clipping step that runs between ``value_outliers`` (detect) and
+    model training (a heavy tail skews normalization even after
+    outliers are flagged): clamp each value into [p05, p95] of its
+    user's series, where pXX is the k-th smallest value with
+    k = ceil(pct·n/100) — the exact order statistic, not an
+    interpolated percentile (interpolation conventions differ across
+    engines; an order statistic is a value that EXISTS in the data and
+    is convention-free).
+
+    Joinless: ONE keyed window computes rank (ties broken by event_id
+    — harmless: tied values at the boundary produce the same order
+    statistic regardless of tie order), n, and both boundary values as
+    conditional window-MAXes (CASE WHEN rank = k THEN c END) — the
+    per-user threshold never leaves the partition, no agg+join-back.
+    k is exact integer ceil via (pct·n + 99) div 100. Values ride as
+    cents (the sessionize idiom); the clip is integer least/greatest;
+    /100.0 at the boundary restores the double exactly.
+
+    Scale: one exchange on user_id, state O(partition), output
+    O(events)."""
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    wo = Window.partitionBy("user_id").orderBy("c", "event_id")
+    wall = Window.partitionBy("user_id")
+    ranked = events.select(
+        "event_id", "user_id", "value", cents.alias("c")
+    ).select(
+        "event_id",
+        "user_id",
+        "value",
+        "c",
+        F.row_number().over(wo).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    k_lo = F.expr(f"CAST(({WINSOR_LO_PCT} * n + 99) div 100 AS INT)")
+    k_hi = F.expr(f"CAST(({WINSOR_HI_PCT} * n + 99) div 100 AS INT)")
+    lo = F.max(F.when(F.col("rk") == k_lo, F.col("c"))).over(wall)
+    hi = F.max(F.when(F.col("rk") == k_hi, F.col("c"))).over(wall)
+    return ranked.select(
+        "event_id",
+        "user_id",
+        "value",
+        (
+            F.greatest(lo, F.least(hi, F.col("c"))).cast("double") / 100.0
+        ).alias("clipped_value"),
+        (F.col("c") < lo).alias("clipped_low"),
+        (F.col("c") > hi).alias("clipped_high"),
+    )
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winsorize(_t(spark, sf_dir, "events"))
+
+
+SQL_WINSORIZE = f"""
+WITH ranked AS (
+  SELECT event_id, user_id, value,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+                    event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), bounded AS (
+  SELECT event_id, user_id, value, c,
+         MAX(CASE WHEN rk = ({WINSOR_LO_PCT} * n + 99) // 100
+                  THEN c END) OVER (PARTITION BY user_id) AS lo,
+         MAX(CASE WHEN rk = ({WINSOR_HI_PCT} * n + 99) // 100
+                  THEN c END) OVER (PARTITION BY user_id) AS hi
+  FROM ranked
+)
+SELECT event_id, user_id, value,
+       CAST(greatest(lo, least(hi, c)) AS DOUBLE) / 100.0 AS clipped_value,
+       c < lo AS clipped_low,
+       c > hi AS clipped_high
+FROM bounded
+"""

@@ -470,6 +470,12 @@ PYTEST_ONLY: dict[str, tuple] = {
     # count-bounded pair table, min-count prune BEFORE the single ln,
     # micro-nat quantization.
     "pmi_cooccur": (corpus.q_pmi_cooccur, corpus.SQL_PMI_COOCCUR),
+    # round 5 (late): per-entity winsorization at EXACT order
+    # statistics (convention-free, unlike interpolated percentiles):
+    # rank + conditional window-MAX thresholds inside ONE keyed
+    # partition — no agg+join-back; integer ceil k = (pct*n+99) div
+    # 100, cents clip via least/greatest.
+    "winsorize": (profile.q_winsorize, profile.SQL_WINSORIZE),
 }
 
 

@@ -127,3 +127,47 @@ def test_value_outliers_plan_is_one_keyed_window(spark):
     assert len(set(re.findall(r"\(\d+\) Exchange", plan))) == 1
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
+
+
+def test_winsorize_hand_case(spark):
+    d = datetime
+    # user 1: values 1..20 -> n=20, k_lo = ceil(1) = 1 -> lo = 1.00,
+    # k_hi = ceil(19) = 19 -> hi = 19.00; only the 20.00 clips high
+    df = spark.createDataFrame(
+        [(i, d(1970, 1, 1, 0, i), 1, float(i)) for i in range(1, 21)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    got = {r.event_id: r for r in profile.winsorize(df).collect()}
+    assert got[20].clipped_high is True and got[20].clipped_value == 19.0
+    assert got[1].clipped_low is False  # rank-1 value IS the p05 bound
+    assert all(
+        not got[i].clipped_low and not got[i].clipped_high for i in range(1, 20)
+    )
+    assert all(got[i].clipped_value == float(i) for i in range(1, 20))
+
+
+def test_winsorize_corpus_invariants(spark):
+    rows = profile.q_winsorize(spark, SF_DIR).collect()
+    n = len(rows)
+    lo = sum(1 for r in rows if r.clipped_low)
+    hi = sum(1 for r in rows if r.clipped_high)
+    assert 0 < lo and 0 < hi  # non-vacuous both ways
+    # at most pct% clips on each side (order-statistic guarantee)
+    assert lo <= n * profile.WINSOR_LO_PCT / 100 + 1
+    assert hi <= n * (100 - profile.WINSOR_HI_PCT) / 100 + 1
+    for r in rows:
+        if not r.clipped_low and not r.clipped_high:
+            assert r.clipped_value == r.value
+
+
+def test_winsorize_plan_is_one_keyed_exchange(spark):
+    import re
+
+    df = profile.q_winsorize(spark, SF_DIR)
+    plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan  # thresholds never leave the partition
+    assert len(set(re.findall(r"\(\d+\) Exchange", plan))) == 1
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
