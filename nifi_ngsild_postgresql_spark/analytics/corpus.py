@@ -1580,3 +1580,226 @@ SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
 FROM marg, tot
 WHERE c_ab >= {PMI_MIN_COUNT}
 """
+
+
+# --------------------------------------------------------------------------
+# perplexity_buckets — the CCNet head/middle/tail corpus partition
+# --------------------------------------------------------------------------
+# CCNet's defining output is not the perplexity score itself (that is
+# unigram_surprisal above) but the PARTITION built from it: within each
+# language, documents are ranked by language-model perplexity and split
+# into three equal tiers — "head" (lowest perplexity, most Wikipedia-
+# like) feeds high-quality training mixes, "middle" general mixes,
+# "tail" is usually dropped. This op materializes that partition with
+# the exact tier rule `tier = 1 + ((rank-1) * 3) div n` (sizes differ by
+# at most 1, remainder tiers lead), deterministic under ties via the
+# doc_id tie-break.
+#
+# Scale shape: the scoring reuses unigram_surprisal's two keyed aggs +
+# one token-keyed equi-join; the tiering here is a per-language
+# row_number window — exact, and fine while any single language fits a
+# sort (CCNet itself shards per language). At 100 TB the deployed
+# variant replaces the window with per-language tercile CUTOFFS
+# (exact order statistic, the winsorize machinery in
+# analytics/timeseries.py, or approx_percentile) broadcast back as a
+# range predicate — same tiers up to cutoff ties, no global sort. The
+# window form is kept here because it IS the oracle-exact definition.
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(_tokens("text")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    q = counts.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(
+            -F.log(F.col("c").cast("double") / F.col("total").cast("double"))
+            * SURPRISAL_SCALE
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    scored = (
+        toks.join(q, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("q").alias("sum_q"), F.count(F.lit(1)).alias("n_tokens"))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.col("sum_q").cast("double")
+                / (F.col("n_tokens").cast("double") * SURPRISAL_SCALE),
+                4,
+            ).alias("mean_surprisal_nats"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("mean_surprisal_nats").asc(), F.col("doc_id").asc()
+    )
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "mean_surprisal_nats",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "mean_surprisal_nats",
+        F.expr(
+            "CASE 1 + ((r - 1) * 3) DIV n WHEN 1 THEN 'head' "
+            "WHEN 2 THEN 'middle' ELSE 'tail' END"
+        ).alias("bucket"),
+    )
+
+
+SQL_PERPLEXITY_BUCKETS = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS total FROM counts
+), q AS (
+  SELECT tok,
+         CAST(ROUND(-ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+                    * {SURPRISAL_SCALE}) AS BIGINT) AS q
+  FROM counts, tot
+), scored AS (
+  SELECT t.doc_id, t.lang,
+         ROUND(CAST(SUM(q.q) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * {SURPRISAL_SCALE}), 4)
+           AS mean_surprisal_nats
+  FROM toks t JOIN q ON t.tok = q.tok
+  GROUP BY t.doc_id, t.lang
+), ranked AS (
+  SELECT doc_id, lang, mean_surprisal_nats,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY mean_surprisal_nats ASC, doc_id ASC) AS r,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+)
+SELECT doc_id, lang, mean_surprisal_nats,
+       CASE 1 + ((r - 1) * 3) // n WHEN 1 THEN 'head'
+            WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ranked
+"""
+
+
+# --------------------------------------------------------------------------
+# classifier_score — fastText-style hashed linear classifier INFERENCE
+# --------------------------------------------------------------------------
+# The model-based quality filter (FineWeb-Edu, fastText language/quality
+# classifiers, toxicity gates) is a distinct pipeline shape from the
+# heuristic scores above: a TRAINED model applied to every document.
+# The Spark-native inference pattern: the model is a small table
+# (feature-bucket -> weight) BROADCAST to every executor; features are
+# generated in-row (unigrams + word-bigrams, fastText wordNgrams=2,
+# hashed into N_CLF_BUCKETS by the same portable md5 bucket both
+# engines compute); one key-equality join against the broadcast weights
+# and one keyed agg produce the per-doc logit. No per-row Python, no
+# model server round-trip — inference IS the dataflow.
+#
+# The weight table here is a deterministic stand-in for trained
+# parameters (integer milli-logits derived from the bucket id via a
+# Knuth multiplicative hash) — the OP under test is the inference
+# plumbing, which is identical whatever the weights say. The score stays
+# an exact-integer sum until one final double division (the shared
+# determinism contract), so the DuckDB oracle is hash-exact. The logit
+# (not a sigmoid) is returned: monotone in the probability, and free of
+# cross-engine libm exp() ulp risk.
+#
+# Scale: feature explode is in-row and linear; the weight table is
+# O(N_CLF_BUCKETS) and broadcast (a real fastText bucket table at 2M
+# buckets x 8B is ~16 MB — still broadcast range); the only shuffle is
+# the per-doc aggregation, map-side combined.
+
+N_CLF_BUCKETS = 4096  # hashed feature space (fastText -bucket analog)
+CLF_W_SCALE = 1000  # weights are integer milli-logits in [-1000, 1000]
+_CLF_KNUTH = 2654435761  # deterministic stand-in "trained" weights
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    unis = toks.select("doc_id", F.explode("toks").alias("feat"))
+    bis = toks.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(toks)), "
+                "i -> concat(element_at(toks, i - 1), ' ', element_at(toks, i)))"
+            )
+        ).alias("feat"),
+    )
+    feats = unis.unionByName(bis)
+    bucket = (
+        F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("long")
+        % N_CLF_BUCKETS
+    )
+    fb = feats.select("doc_id", bucket.alias("b"))
+    weights = spark.range(N_CLF_BUCKETS).select(
+        F.col("id").alias("b"),
+        (
+            (F.col("id") * F.lit(_CLF_KNUTH)) % (2 * CLF_W_SCALE + 1)
+            - F.lit(CLF_W_SCALE)
+        ).alias("w"),
+    )
+    return (
+        fb.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("sw"), F.count(F.lit(1)).alias("nf"))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("sw").cast("double")
+                / (F.col("nf").cast("double") * CLF_W_SCALE),
+                4,
+            ).alias("score_logit"),
+            (F.col("sw") >= 0).alias("label_keep"),
+            F.col("nf").cast("long").alias("n_features"),
+        )
+    )
+
+
+SQL_CLASSIFIER_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+), unis AS (
+  SELECT doc_id, unnest(toks) AS feat FROM toks
+), bis AS (
+  SELECT doc_id,
+         unnest(list_transform(range(2, len(toks) + 1),
+                               i -> toks[i - 1] || ' ' || toks[i])) AS feat
+  FROM toks WHERE len(toks) >= 2
+), feats AS (
+  SELECT doc_id, feat FROM unis UNION ALL SELECT doc_id, feat FROM bis
+), fb AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, 9),
+              i -> (CAST(strpos('0123456789abcdef',
+                          substr(md5(feat), i, 1)) AS BIGINT) - 1)
+                   << (4 * (8 - i)))) AS BIGINT) % {N_CLF_BUCKETS} AS b
+  FROM feats
+), weights AS (
+  SELECT CAST(range AS BIGINT) AS b,
+         (CAST(range AS BIGINT) * {_CLF_KNUTH})
+           % {2 * CLF_W_SCALE + 1} - {CLF_W_SCALE} AS w
+  FROM range(0, {N_CLF_BUCKETS})
+)
+SELECT f.doc_id,
+       ROUND(CAST(SUM(w.w) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * {CLF_W_SCALE}), 4) AS score_logit,
+       (SUM(w.w) >= 0) AS label_keep,
+       CAST(COUNT(*) AS BIGINT) AS n_features
+FROM fb f JOIN weights w ON f.b = w.b
+GROUP BY f.doc_id
+"""

@@ -476,6 +476,24 @@ PYTEST_ONLY: dict[str, tuple] = {
     # partition — no agg+join-back; integer ceil k = (pct*n+99) div
     # 100, cents clip via least/greatest.
     "winsorize": (profile.q_winsorize, profile.SQL_WINSORIZE),
+    # round 5 (late): the CCNet head/middle/tail PARTITION — the tier
+    # assignment built on unigram_surprisal's score: per-language
+    # row_number tiering with an exact remainder-leading tier rule;
+    # the 100 TB variant swaps the window for broadcast tercile
+    # cutoffs (see op docstring).
+    "perplexity_buckets": (
+        corpus.q_perplexity_buckets,
+        corpus.SQL_PERPLEXITY_BUCKETS,
+    ),
+    # round 5 (late): model-based quality filtering as dataflow — the
+    # fastText/FineWeb-Edu classifier INFERENCE shape: in-row hashed
+    # unigram+bigram features, the model as a BROADCAST bucket->weight
+    # table, one keyed agg to the per-doc logit; exact integer
+    # milli-logit sums so the oracle is hash-exact.
+    "classifier_score": (
+        corpus.q_classifier_score,
+        corpus.SQL_CLASSIFIER_SCORE,
+    ),
 }
 
 

@@ -858,3 +858,111 @@ def test_pmi_cooccur_plan_shape(spark):
     # of the same narrow projection (the unigram_surprisal structure; a
     # deployment caches the pair table). Two scans, never more.
     assert len(set(re.findall(r"\(\d+\) Scan parquet", fmt))) <= 2
+
+
+def test_perplexity_buckets_tiering(spark, tmp_path):
+    """CCNet tier semantics on a planted bilingual corpus: within each
+    language tier sizes differ by at most 1 (remainder tiers lead),
+    every head doc scores <= every middle doc <= every tail doc under
+    the (score, doc_id) order, and a 2-doc language yields head+middle
+    (never a tail before the corpus can fill three tiers)."""
+    import pandas as pd
+
+    rows = []
+    # en: 7 docs of increasing rarity — common token 'a', rare salt
+    # tokens make later docs strictly more surprising
+    for i in range(7):
+        rows.append((i, "a " * (7 - i) + " ".join(f"r{i}x{j}" for j in range(i + 1)), "en"))
+    # zh: 2 docs
+    rows.append((100, "z z z z", "zh"))
+    rows.append((101, "z q100", "zh"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = corpus.q_perplexity_buckets(spark, str(tmp_path)).collect()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == {"en", "zh"}
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang, rs in by_lang.items():
+        sizes = [sum(1 for r in rs if r["bucket"] == b) for b in order]
+        present = [s for s in sizes if s > 0]
+        assert max(sizes) - min(present) <= 1, (lang, sizes)
+        # remainder tiers lead: sizes never increase head -> tail
+        assert sizes == sorted(sizes, reverse=True), (lang, sizes)
+        ranked = sorted(rs, key=lambda r: (r["mean_surprisal_nats"], r["doc_id"]))
+        tiers = [order[r["bucket"]] for r in ranked]
+        assert tiers == sorted(tiers), (lang, tiers)  # monotone in score
+    assert [sum(1 for r in by_lang["en"] if r["bucket"] == b) for b in order] == [3, 2, 2]
+    assert sorted(r["bucket"] for r in by_lang["zh"]) == ["head", "middle"]
+
+
+def test_perplexity_buckets_plan_shape(spark):
+    """JVM-only end-to-end; the only nested-loop is the 1-row
+    corpus-total broadcast; tiering adds windows, never a cartesian."""
+    ship_package(spark)
+    plan = (
+        corpus.q_perplexity_buckets(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, marker
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_classifier_score_hand_replica(spark, tmp_path):
+    """Exact replay of the inference in pure Python (hashlib md5 ->
+    bucket -> Knuth milli-logit weight): logit, label and feature count
+    must match bit-for-bit, including the bigram features."""
+    import hashlib
+
+    import pandas as pd
+
+    texts = {1: "the cat sat", 2: "one", 3: "a b a b a"}
+    pdf = pd.DataFrame(
+        {"doc_id": list(texts), "text": [texts[k] for k in texts]}
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    def weight(feat: str) -> int:
+        b = int(hashlib.md5(feat.encode()).hexdigest()[:8], 16) % corpus.N_CLF_BUCKETS
+        return (b * corpus._CLF_KNUTH) % (2 * corpus.CLF_W_SCALE + 1) - corpus.CLF_W_SCALE
+
+    got = {
+        r["doc_id"]: r
+        for r in corpus.q_classifier_score(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        toks = text.split()
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        sw = sum(weight(f) for f in feats)
+        assert got[doc_id]["n_features"] == len(feats)
+        assert got[doc_id]["score_logit"] == round(
+            sw / (len(feats) * corpus.CLF_W_SCALE), 4
+        )
+        assert got[doc_id]["label_keep"] == (sw >= 0)
+
+
+def test_classifier_score_plan_shape(spark):
+    """The model join must be a BroadcastHashJoin (the broadcast-model
+    inference shape), with no Python stage and no cartesian."""
+    ship_package(spark)
+    plan = (
+        corpus.q_classifier_score(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, marker
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
