@@ -1796,3 +1796,75 @@ WHERE a.cluster IN (SELECT cid FROM probe) AND vec_id <> 0
 ORDER BY cosine DESC, vec_id ASC
 LIMIT 10
 """
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — semantic dedup inside k-means clusters
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540) is the third member of
+# the embedding-dedup family and a NAMED production method (LAION /
+# web-text pruning): cluster the embedding space with k-means, then
+# inside each cluster drop all but one of any group of semantically
+# near-identical vectors. It differs from embedding_neardup (global LSH
+# candidate generation, reports PAIRS) by making the quadratic work
+# *cluster-local* and by emitting a KEEP/DROP verdict per vector — the
+# form a curation pipeline consumes directly.
+#
+# Deterministic rule (the paper keeps a random member; we pin the
+# order): a vector is DROPPED iff some LOWER-vec_id vector in its
+# cluster has cosine >= SEMDEDUP_THRESHOLD; its anchor is the smallest
+# such vec_id. Cosine is the shared exact-integer formula, clustering
+# the shared Lloyd-2 integer k-means — so the DuckDB oracle replays
+# every decision bit-for-bit.
+#
+# Scale shape: the only quadratic step is the within-cluster self-join
+# — a key-equality join on cluster, shuffle O(n), pair fan-out bounded
+# by the largest cluster (SemDeDup's own contract: k grows with the
+# corpus so clusters stay ~constant-sized; the paper runs k=50k on
+# LAION). Centroid training cost is the documented q_kmeans shape
+# (only k x dim sums reach the driver).
+
+SEMDEDUP_THRESHOLD = 0.40  # synthetic embeddings are near-uniform; 0.40
+# yields a non-vacuous, bounded drop set at every SF (see pytest)
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    qe = e.select("vec_id", quantized_embedding("embedding").alias("emb"))
+    assigned = _kmeans_assign(qe, _kmeans_centroids(qe, KMEANS_K)).select(
+        "vec_id", "emb", "cluster"
+    )
+    x, y = assigned.alias("x"), assigned.alias("y")
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("x.vec_id") > F.col("y.vec_id")),
+        )
+        .where(
+            int_cosine(F.col("x.emb"), F.col("y.emb"))
+            >= F.lit(SEMDEDUP_THRESHOLD)
+        )
+        .groupBy(F.col("x.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("y.vec_id")).alias("kept_anchor"))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("kept_anchor").isNull().alias("keep"),
+        F.col("kept_anchor").cast("long").alias("kept_anchor"),
+    )
+
+
+SQL_SEMDEDUP = f"""
+WITH {_sql_kmeans_ctes(KMEANS_K)}, dropped AS (
+  SELECT x.vec_id, CAST(MIN(y.vec_id) AS BIGINT) AS kept_anchor
+  FROM a1 x JOIN a1 y
+    ON x.cluster = y.cluster AND x.vec_id > y.vec_id
+  WHERE {_SQL_INT_COSINE.format(a="x.emb", b="y.emb")} >= {SEMDEDUP_THRESHOLD}
+  GROUP BY x.vec_id
+)
+SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+       (d.vec_id IS NULL) AS keep, d.kept_anchor
+FROM a1 a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""

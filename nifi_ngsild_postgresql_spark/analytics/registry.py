@@ -494,6 +494,12 @@ PYTEST_ONLY: dict[str, tuple] = {
         corpus.q_classifier_score,
         corpus.SQL_CLASSIFIER_SCORE,
     ),
+    # round 5 (late): SemDeDup — the NAMED cluster-local semantic-dedup
+    # method (arXiv:2303.09540) completing the embedding-dedup family:
+    # shared integer Lloyd k-means + within-cluster exact-cosine
+    # drop/keep verdicts; the quadratic step is cluster-bounded by the
+    # method's own contract.
+    "semdedup": (advanced.q_semdedup, advanced.SQL_SEMDEDUP),
 }
 
 

@@ -554,3 +554,69 @@ def test_gram_matrix_plan_is_partial_agg_no_joins(spark):
     assert len(set(re.findall(r"\(\d+\) Exchange", plan))) == 1
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
+
+
+def test_semdedup_rule_matches_python_replica(spark):
+    """Exact replay of SemDeDup's verdict in plain Python: quantize,
+    assign to the operator's own trained centroids, then apply the
+    drop-iff-lower-similar-neighbor rule with the identical integer
+    cosine — keep flags, anchors and clusters must all match."""
+    import math
+
+    from nifi_ngsild_postgresql_spark.analytics import advanced
+
+    rows = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    qe = {
+        r["vec_id"]: [round(float(x) * 1_000_000) for x in r["embedding"]]
+        for r in rows
+    }
+    got = {
+        r["vec_id"]: r for r in advanced.q_semdedup(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(qe)
+
+    # replica clustering: assign to the operator's own centroids so the
+    # test pins the RULE (drop/keep/anchor), not Lloyd's trajectory
+    cluster = {v: got[v]["cluster"] for v in qe}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a)
+        nb = sum(x * x for x in b)
+        return dot / math.sqrt(float(na) * float(nb))
+
+    n_dropped = 0
+    for v in sorted(qe):
+        sims = [
+            u
+            for u in sorted(qe)
+            if u < v
+            and cluster[u] == cluster[v]
+            and cos(qe[u], qe[v]) >= advanced.SEMDEDUP_THRESHOLD
+        ]
+        if sims:
+            n_dropped += 1
+            assert got[v]["keep"] is False
+            assert got[v]["kept_anchor"] == min(sims), v
+        else:
+            assert got[v]["keep"] is True
+            assert got[v]["kept_anchor"] is None
+    assert n_dropped > 0  # non-vacuous at this SF
+
+
+def test_semdedup_plan_is_cluster_keyed_join(spark):
+    """The quadratic step must be reached through a key-equality join on
+    the cluster id — never a cartesian or nested-loop pair enumeration
+    (the cosine threshold rides the join as a post-filter)."""
+    from nifi_ngsild_postgresql_spark.analytics import advanced
+
+    plan = (
+        advanced.q_semdedup(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, marker
