@@ -1803,3 +1803,74 @@ SELECT f.doc_id,
 FROM fb f JOIN weights w ON f.b = w.b
 GROUP BY f.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# curation_pipeline — the model-era curation funnel composed end-to-end
+# --------------------------------------------------------------------------
+# The three round-5 curation stages composed THROUGH each other — the
+# decision a modern pretraining-data pipeline actually ships per
+# document: keep iff (a) the quality classifier votes keep, (b) the
+# CCNet tier is head or middle (tail dropped), and (c) SemDeDup kept the
+# document's embedding (documents without an embedding row cannot be
+# semantically deduped and default to kept — LEFT join + coalesce, the
+# honest treatment when the embedding table covers a subset).
+# Like corpus_pipeline / the WARC->HTML composition, the value of this
+# case is that ONE DuckDB CTE chain mirrors the whole funnel, pinning
+# that the stages agree not only individually but through each other's
+# outputs. All three stages are exact-integer decisions, so the
+# composition is hash-exact too.
+#
+# Scale shape: three independent keyed plans (each documented at its
+# own op) joined on doc_id — two key-equality joins, no new quadratic
+# step, no driver collect.
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import advanced  # local import — advanced imports suite only
+
+    cls = q_classifier_score(spark, sf_dir).select(
+        "doc_id", "score_logit", F.col("label_keep").alias("clf_keep")
+    )
+    buck = q_perplexity_buckets(spark, sf_dir).select(
+        "doc_id", "lang", "bucket"
+    )
+    sem = advanced.q_semdedup(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("keep").alias("sem_keep_raw")
+    )
+    return (
+        buck.join(cls, "doc_id")
+        .join(sem, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "bucket",
+            "score_logit",
+            "clf_keep",
+            F.coalesce("sem_keep_raw", F.lit(True)).alias("sem_keep"),
+        )
+        .withColumn(
+            "kept",
+            F.col("clf_keep") & F.col("sem_keep") & (F.col("bucket") != "tail"),
+        )
+    )
+
+
+def _sql_curation_pipeline() -> str:
+    from . import advanced  # local import — see q_curation_pipeline
+
+    return f"""
+WITH cls AS ({SQL_CLASSIFIER_SCORE}), buck AS ({SQL_PERPLEXITY_BUCKETS}),
+sem AS ({advanced.SQL_SEMDEDUP})
+SELECT b.doc_id, b.lang, b.bucket, c.score_logit,
+       c.label_keep AS clf_keep,
+       COALESCE(s.keep, TRUE) AS sem_keep,
+       (c.label_keep AND COALESCE(s.keep, TRUE) AND b.bucket <> 'tail')
+         AS kept
+FROM buck b
+JOIN cls c ON b.doc_id = c.doc_id
+LEFT JOIN sem s ON b.doc_id = s.vec_id
+"""
+
+
+SQL_CURATION_PIPELINE = _sql_curation_pipeline()

@@ -500,6 +500,16 @@ PYTEST_ONLY: dict[str, tuple] = {
     # drop/keep verdicts; the quadratic step is cluster-bounded by the
     # method's own contract.
     "semdedup": (advanced.q_semdedup, advanced.SQL_SEMDEDUP),
+    # round 5 (late): the curation FUNNEL composed end-to-end — the
+    # per-document keep/drop decision a modern pretraining pipeline
+    # ships: classifier keep AND non-tail CCNet tier AND SemDeDup
+    # survivor (missing embedding => kept, LEFT join + coalesce). One
+    # DuckDB CTE chain mirrors the whole funnel, pinning that the three
+    # exact-integer stages agree THROUGH each other's outputs.
+    "curation_pipeline": (
+        corpus.q_curation_pipeline,
+        corpus.SQL_CURATION_PIPELINE,
+    ),
 }
 
 

@@ -966,3 +966,110 @@ def test_classifier_score_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_curation_pipeline_composes_stages(spark):
+    """The funnel equals the hand-composition of its three stages: run
+    classifier_score / perplexity_buckets / semdedup individually, then
+    assert curation_pipeline's per-doc columns and the kept verdict are
+    exactly the conjunction of the stage outputs."""
+    from nifi_ngsild_postgresql_spark.analytics import advanced
+
+    ship_package(spark)
+    cls = {
+        r["doc_id"]: r
+        for r in corpus.q_classifier_score(spark, SF_DIR).collect()
+    }
+    buck = {
+        r["doc_id"]: r
+        for r in corpus.q_perplexity_buckets(spark, SF_DIR).collect()
+    }
+    sem = {
+        r["vec_id"]: r["keep"]
+        for r in advanced.q_semdedup(spark, SF_DIR).collect()
+    }
+    rows = corpus.q_curation_pipeline(spark, SF_DIR).collect()
+    assert {r["doc_id"] for r in rows} == set(buck) & set(cls)
+    for r in rows:
+        assert r["bucket"] == buck[r["doc_id"]]["bucket"]
+        assert r["lang"] == buck[r["doc_id"]]["lang"]
+        assert r["score_logit"] == cls[r["doc_id"]]["score_logit"]
+        assert r["clf_keep"] == cls[r["doc_id"]]["label_keep"]
+        assert r["sem_keep"] == sem.get(r["doc_id"], True)
+        assert r["kept"] == (
+            r["clf_keep"] and r["sem_keep"] and r["bucket"] != "tail"
+        )
+    # the funnel must actually discriminate at this SF — some kept,
+    # some dropped, and each gate individually drops at least one doc
+    kept = sum(1 for r in rows if r["kept"])
+    assert 0 < kept < len(rows)
+    assert any(not r["clf_keep"] for r in rows)
+    assert any(r["bucket"] == "tail" for r in rows)
+    assert any(not r["sem_keep"] for r in rows)
+
+
+def test_curation_pipeline_missing_embedding_defaults_keep(spark, tmp_path):
+    """Documents without an embedding row cannot be semantically
+    deduped: the LEFT join + coalesce must default them to
+    sem_keep=True, while still applying the classifier and tier gates."""
+    import pandas as pd
+
+    texts = {
+        i: " ".join(
+            f"w{(i * 7 + j * 3) % 11}" for j in range(12)
+        )
+        for i in range(24)
+    }
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": [texts[i] for i in texts],
+            "lang": ["en" if i % 2 == 0 else "de" for i in texts],
+            "source": ["crafted"] * len(texts),
+            "n_chars": [len(texts[i]) for i in texts],
+        }
+    )
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    # embeddings cover only doc_ids 0..15 — 16..23 hit the default path
+    emb = pd.DataFrame(
+        {
+            "vec_id": list(range(16)),
+            "embedding": [
+                [float((i * 13 + j * 5) % 17 - 8) for j in range(8)]
+                for i in range(16)
+            ],
+            "label": [0] * 16,
+        }
+    )
+    spark.createDataFrame(emb).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in corpus.q_curation_pipeline(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == set(texts)
+    for i in range(16, 24):
+        assert rows[i]["sem_keep"] is True
+        assert rows[i]["kept"] == (
+            rows[i]["clf_keep"] and rows[i]["bucket"] != "tail"
+        )
+
+
+def test_curation_pipeline_plan_shape(spark):
+    """The composition adds only key-equality joins on doc_id: no
+    cartesian, no Python stage, and at most the single 1-row
+    corpus-total broadcast NLJ inherited from the surprisal stage."""
+    ship_package(spark)
+    plan = (
+        corpus.q_curation_pipeline(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, marker
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
