@@ -1874,3 +1874,215 @@ LEFT JOIN sem s ON b.doc_id = s.vec_id
 
 
 SQL_CURATION_PIPELINE = _sql_curation_pipeline()
+
+
+# --------------------------------------------------------------------------
+# line_dedup — CCNet line-level dedup with document REASSEMBLY
+# --------------------------------------------------------------------------
+# CCNet's first pipeline stage (before the LM filter) removes duplicated
+# LINES across the corpus — cookie banners, nav bars, share buttons —
+# and emits the document REBUILT from its surviving lines. That rewrite
+# step is what distinguishes this op from boilerplate_shingles above,
+# which only SCORES a document: here the cleaned text itself is the
+# output, reassembled in original order.
+#
+# Line boundary: the synthetic corpus is newline-free, so the "line"
+# unit is the deterministic non-overlapping LINE_WINDOW-token
+# segmentation (the chunk rule with stride == window); on real data the
+# splitter swaps to split(text, '\n') and everything downstream is
+# unchanged. Dedup rule: a line occurring in >= LINE_DF_THRESH DISTINCT
+# documents is boilerplate, and EVERY occurrence is dropped (the
+# C4/RefinedWeb form; CCNet's keep-first-occurrence variant is
+# order-dependent and documented as the divergence).
+#
+# Scale shape: segmentation is narrow and in-row; line document-
+# frequency is ONE keyed aggregation over distinct (doc, line) pairs
+# (map-side combined); the duplicated-line set is small BY CONSTRUCTION
+# (duplicated = repeated across documents — the same argument as the
+# boilerplate frequent set) and is BROADCAST for a left_anti join, so
+# the 100 TB line stream is never shuffled by line text; reassembly is
+# one groupBy(doc_id) with an in-row sort of (seg_id, line) structs.
+# The only O(corpus) shuffles are the df agg and the per-doc regroup.
+
+LINE_WINDOW = 4  # tokens per synthetic "line" (see boundary note above)
+LINE_DF_THRESH = 2  # distinct docs at which a line becomes boilerplate
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens("text").alias("toks")).withColumn(
+        "n_tokens", F.size("toks")
+    )
+    segs = _chunk_cols(toks, LINE_WINDOW, LINE_WINDOW).select(
+        "doc_id",
+        F.col("chunk_id").alias("seg_id"),
+        F.array_join("ctoks", " ").alias("seg"),
+    )
+    dup = (
+        segs.select("doc_id", "seg")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= LINE_DF_THRESH)
+        .select("seg")
+    )
+    kept = segs.join(F.broadcast(dup), "seg", "left_anti")
+    stats = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    clean = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_id", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return stats.join(clean, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_md5"),
+    )
+
+
+SQL_LINE_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0
+), segs AS (
+  SELECT doc_id, CAST(i AS INT) AS seg_id,
+         array_to_string(
+           list_slice(toks, i * {LINE_WINDOW} + 1, (i + 1) * {LINE_WINDOW}),
+           ' ') AS seg
+  FROM sized, unnest(range(0, (n + {LINE_WINDOW} - 1) // {LINE_WINDOW}))
+         AS u(i)
+), dup AS (
+  SELECT seg FROM (SELECT DISTINCT doc_id, seg FROM segs)
+  GROUP BY seg HAVING COUNT(*) >= {LINE_DF_THRESH}
+), kept AS (
+  SELECT s.* FROM segs s WHERE s.seg NOT IN (SELECT seg FROM dup)
+), stats AS (
+  SELECT doc_id, COUNT(*) AS n_lines FROM segs GROUP BY doc_id
+), clean AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY seg_id) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_lines AS BIGINT) AS n_lines,
+       CAST(s.n_lines - COALESCE(c.n_kept, 0) AS BIGINT) AS n_dropped,
+       COALESCE(c.clean_text, '') AS clean_text,
+       md5(COALESCE(c.clean_text, '')) AS clean_md5
+FROM stats s LEFT JOIN clean c ON s.doc_id = c.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# gopher_rules — the Gopher per-rule quality gate with attribute columns
+# --------------------------------------------------------------------------
+# The heuristic-filter stage every modern pipeline runs (Gopher, Rae et
+# al. 2021 Table A1; kept by MassiveText, Dolma, FineWeb): a fixed rule
+# LIST, each rule a document-level predicate, keep = the conjunction.
+# Distinct from quality_score (raw features, no verdict) and
+# repetition_score (repetition signals only): this op emits ONE BOOLEAN
+# PER RULE — Dolma's "attribute file" shape, so downstream mixes can
+# re-weight or ablate individual rules without recomputing — plus the
+# conjunction verdict.
+#
+# Rules (canonical Gopher parameters, kept even where the synthetic
+# corpus makes a rule vacuous — the planted-document tests exercise
+# those; the wordcount and stopword rules discriminate on the corpus):
+#   rule_wordcount : GOPHER_WC_MIN <= n_words <= GOPHER_WC_MAX
+#   rule_mean_len  : mean word length in [GOPHER_MWL_MIN, GOPHER_MWL_MAX]
+#   rule_alpha     : >= 80% of words contain an alphabetic character
+#   rule_symbol    : symbol-to-word ratio (# and ...) <= 0.1
+#   rule_stop      : >= GOPHER_STOP_MIN occurrences of canonical stop
+#                    words (the, be, to, of, and, that, have, with, a)
+#
+# Every threshold comparison is EXACT-INTEGER (sum_len >= 3*n, 5*alpha
+# >= 4*n, 10*sym <= n) — the shared determinism contract — with the
+# display doubles emitted as one division each. Narrow map, zero
+# shuffles: at 100 TB this is a free rider on the first corpus scan.
+
+GOPHER_WC_MIN = 50
+GOPHER_WC_MAX = 100_000
+GOPHER_MWL_MIN = 3  # mean word length bounds (integer-exact via sum/n)
+GOPHER_MWL_MAX = 10
+GOPHER_STOP_MIN = 2
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a")
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens("text")
+    n = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    sym = F.size(F.filter(toks, lambda t: (t == "#") | (t == "...")))
+    stop_set = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stops = F.size(F.filter(toks, lambda t: F.array_contains(stop_set, t)))
+    return d.filter(n > 0).select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        (sum_len.cast("double") / n.cast("double")).alias("mean_word_len"),
+        (alpha.cast("double") / n.cast("double")).alias("frac_alpha"),
+        stops.cast("long").alias("stop_hits"),
+        ((n >= GOPHER_WC_MIN) & (n <= GOPHER_WC_MAX)).alias("rule_wordcount"),
+        (
+            (sum_len >= GOPHER_MWL_MIN * n) & (sum_len <= GOPHER_MWL_MAX * n)
+        ).alias("rule_mean_len"),
+        (5 * alpha >= 4 * n).alias("rule_alpha"),
+        (10 * sym <= n).alias("rule_symbol"),
+        (stops >= GOPHER_STOP_MIN).alias("rule_stop"),
+        (
+            (n >= GOPHER_WC_MIN) & (n <= GOPHER_WC_MAX)
+            & (sum_len >= GOPHER_MWL_MIN * n) & (sum_len <= GOPHER_MWL_MAX * n)
+            & (5 * alpha >= 4 * n)
+            & (10 * sym <= n)
+            & (stops >= GOPHER_STOP_MIN)
+        ).alias("keep"),
+    )
+
+
+_SQL_GOPHER_STOPLIST = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+
+SQL_GOPHER_RULES = f"""
+WITH feat AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+           AS sum_len,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+           AS alpha,
+         len(list_filter(toks, t -> t = '#' OR t = '...')) AS sym,
+         len(list_filter(toks, t -> t IN ({_SQL_GOPHER_STOPLIST})))
+           AS stops
+  FROM feat WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       CAST(sum_len AS DOUBLE) / CAST(n AS DOUBLE) AS mean_word_len,
+       CAST(alpha AS DOUBLE) / CAST(n AS DOUBLE) AS frac_alpha,
+       CAST(stops AS BIGINT) AS stop_hits,
+       (n >= {GOPHER_WC_MIN} AND n <= {GOPHER_WC_MAX}) AS rule_wordcount,
+       (sum_len >= {GOPHER_MWL_MIN} * n AND sum_len <= {GOPHER_MWL_MAX} * n)
+         AS rule_mean_len,
+       (5 * alpha >= 4 * n) AS rule_alpha,
+       (10 * sym <= n) AS rule_symbol,
+       (stops >= {GOPHER_STOP_MIN}) AS rule_stop,
+       ((n >= {GOPHER_WC_MIN} AND n <= {GOPHER_WC_MAX})
+        AND (sum_len >= {GOPHER_MWL_MIN} * n AND sum_len <= {GOPHER_MWL_MAX} * n)
+        AND (5 * alpha >= 4 * n) AND (10 * sym <= n)
+        AND (stops >= {GOPHER_STOP_MIN})) AS keep
+FROM m
+"""

@@ -510,6 +510,16 @@ PYTEST_ONLY: dict[str, tuple] = {
         corpus.q_curation_pipeline,
         corpus.SQL_CURATION_PIPELINE,
     ),
+    # round 5 (late): CCNet's line-level dedup WITH document reassembly
+    # — boilerplate_shingles scores a document, this op REWRITES it:
+    # cross-corpus duplicated lines dropped everywhere, surviving lines
+    # string_agg'd back in original order, cleaned text md5-fingerprinted
+    # so parity covers the rebuilt payload byte-for-byte.
+    "line_dedup": (corpus.q_line_dedup, corpus.SQL_LINE_DEDUP),
+    # round 5 (late): the Gopher heuristic gate as Dolma-style attribute
+    # columns — one boolean PER RULE plus the conjunction, all thresholds
+    # exact-integer, zero shuffles (free rider on the corpus scan).
+    "gopher_rules": (corpus.q_gopher_rules, corpus.SQL_GOPHER_RULES),
 }
 
 

@@ -1073,3 +1073,149 @@ def test_curation_pipeline_plan_shape(spark):
         assert marker not in plan, marker
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_line_dedup_planted_reassembly(spark):
+    """A 4-token 'line' planted in two docs is dropped from BOTH; unique
+    lines survive and reassemble in original order; a doc that is pure
+    boilerplate reassembles to the empty string."""
+    import os
+    import tempfile
+
+    ship_package(spark)
+    W = corpus.LINE_WINDOW
+    assert W == 4  # planted texts below are written against this
+    dup = "nav bar cookie banner"  # the shared line (exactly W tokens)
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [
+            (1, f"{dup} alpha beta gamma delta tail1"),
+            (2, f"epsilon zeta eta theta {dup} tail2"),
+            (3, dup),  # pure boilerplate: everything dropped
+            (4, "iota kappa lambda mu nu xi"),  # untouched
+        ],
+        "doc_id long, text string",
+    ).write.parquet(os.path.join(tmp, "documents.parquet"))
+    got = {r["doc_id"]: r for r in corpus.q_line_dedup(spark, tmp).collect()}
+    assert got[1]["n_lines"] == 3 and got[1]["n_dropped"] == 1
+    assert got[1]["clean_text"] == "alpha beta gamma delta tail1"
+    assert got[2]["n_lines"] == 3 and got[2]["n_dropped"] == 1
+    assert got[2]["clean_text"] == "epsilon zeta eta theta tail2"
+    assert got[3]["n_lines"] == 1 and got[3]["n_dropped"] == 1
+    assert got[3]["clean_text"] == ""
+    assert got[4]["n_dropped"] == 0
+    assert got[4]["clean_text"] == "iota kappa lambda mu nu xi"
+    import hashlib
+
+    for r in got.values():  # fingerprint really covers the rebuilt text
+        assert r["clean_md5"] == hashlib.md5(
+            r["clean_text"].encode()
+        ).hexdigest()
+
+
+def test_line_dedup_nonvacuous_and_conserves_tokens(spark):
+    """On the synthetic corpus both verdicts occur (some lines dropped,
+    most kept), every doc with tokens gets a row, and kept-line tokens
+    are exactly the original stream minus dropped-line tokens."""
+    ship_package(spark)
+    rows = corpus.q_line_dedup(spark, SF_DIR).collect()
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    assert len(rows) == sum(1 for t in docs.values() if t)
+    assert any(r["n_dropped"] > 0 for r in rows)
+    assert any(r["n_dropped"] == 0 for r in rows)
+    W = corpus.LINE_WINDOW
+    for r in rows:
+        toks = docs[r["doc_id"]]
+        assert r["n_lines"] == (len(toks) + W - 1) // W
+        if r["n_dropped"] == 0:
+            assert r["clean_text"] == " ".join(toks)
+        else:  # surviving lines are a subsequence of the original tiling
+            orig = [" ".join(toks[i * W : (i + 1) * W]) for i in range(r["n_lines"])]
+            assert "  " not in r["clean_text"]
+            remaining = r["clean_text"]
+            for seg in orig:
+                if remaining.startswith(seg):
+                    remaining = remaining[len(seg) :].lstrip(" ")
+            assert remaining == "", r["doc_id"]
+
+
+def test_line_dedup_plan_broadcast_anti_and_jvm(spark):
+    """The duplicated-line set joins as a BROADCAST left_anti (the line
+    stream is never shuffled by line text for the drop decision), and no
+    Python stage appears anywhere."""
+    ship_package(spark)
+    plan = (
+        corpus.q_line_dedup(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+
+
+def test_gopher_rules_planted_rule_by_rule(spark):
+    """Each rule is pinned by a planted document that fails exactly that
+    rule (the corpus can't exercise the vacuous-on-synthetic ones)."""
+    import os
+    import tempfile
+
+    ship_package(spark)
+    filler = " ".join(["the word list goes on and on"] * 9)  # 63 toks, stops
+    cases = {
+        1: filler,  # passes everything
+        2: "the and a of that",  # fails wordcount (5 < 50)
+        3: " ".join(["a"] * 30 + ["the"] * 30),  # mean len 1.6*... fails mean_len
+        4: filler + " " + " ".join(["12345"] * 40),  # digit words: fails alpha? 63a+40d -> 5*63 < 4*103 fails
+        5: filler + " " + " ".join(["#"] * 20),  # symbol ratio 20/83 > 0.1
+        6: " ".join([f"w{i}" for i in range(60)]),  # no stop words
+    }
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(k, v) for k, v in cases.items()], "doc_id long, text string"
+    ).write.parquet(os.path.join(tmp, "documents.parquet"))
+    got = {r["doc_id"]: r for r in corpus.q_gopher_rules(spark, tmp).collect()}
+    assert got[1]["keep"] and all(
+        got[1][c] for c in got[1].asDict() if c.startswith("rule_")
+    )
+    assert not got[2]["rule_wordcount"] and not got[2]["keep"]
+    assert not got[3]["rule_mean_len"] and not got[3]["keep"]
+    assert not got[4]["rule_alpha"] and not got[4]["keep"]
+    assert not got[5]["rule_symbol"] and not got[5]["keep"]
+    assert not got[6]["rule_stop"] and not got[6]["keep"]
+    # exactly-one-rule-failed documents: the verdict is the conjunction
+    for k in (2, 3, 4, 5, 6):
+        failed = [
+            c for c in got[k].asDict() if c.startswith("rule_") and not got[k][c]
+        ]
+        assert len(failed) >= 1
+
+
+def test_gopher_rules_nonvacuous_and_shuffle_free(spark):
+    """Both verdicts occur on the corpus (wordcount + stopword rules
+    discriminate), the integer rules agree with the emitted doubles, and
+    the plan has no Exchange and no Python stage — a narrow map."""
+    ship_package(spark)
+    df = corpus.q_gopher_rules(spark, SF_DIR)
+    rows = df.collect()
+    assert any(r["keep"] for r in rows) and any(not r["keep"] for r in rows)
+    assert any(not r["rule_wordcount"] for r in rows)
+    assert any(not r["rule_stop"] for r in rows)
+    for r in rows:
+        assert r["rule_mean_len"] == (
+            corpus.GOPHER_MWL_MIN
+            <= r["mean_word_len"]
+            <= corpus.GOPHER_MWL_MAX
+        )
+        assert r["keep"] == all(
+            r[c] for c in r.asDict() if c.startswith("rule_")
+        )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
