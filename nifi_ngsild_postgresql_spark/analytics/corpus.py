@@ -2086,3 +2086,58 @@ SELECT doc_id,
         AND (stops >= {GOPHER_STOP_MIN})) AS keep
 FROM m
 """
+
+
+# --------------------------------------------------------------------------
+# group_split — leakage-safe train/valid/test assignment by GROUP
+# --------------------------------------------------------------------------
+# The split step a training pipeline must get right: assigning documents
+# to train/valid/test INDEPENDENTLY leaks — near-duplicates (same site
+# template, same article syndicated twice) land on both sides and the
+# eval set scores memorization. The leakage-safe form assigns the GROUP
+# (here `source`, the domain analog; any cluster key — dedup_clusters'
+# component id, a canonical-url host — slots in) and every member
+# inherits the group's split, so correlated documents can never
+# straddle the boundary.
+#
+# Assignment is the portable md5 bucket (the stratified_sample
+# contract): deterministic across engines, runs and cluster sizes,
+# embarrassingly parallel — a narrow expression on the corpus scan, NO
+# shuffle, no split state. train/valid/test = 80/10/10 by group bucket.
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VALID_PCT = 10  # test gets the remainder
+
+
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        bucket.alias("grp_bucket"),
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+_SQL_SRC_HEX8 = (
+    "CAST(list_sum(list_transform(range(1, 9),"
+    " i -> (CAST(strpos('0123456789abcdef',"
+    " substr(md5(source), CAST(i AS INT), 1)) AS BIGINT) - 1)"
+    " << (4 * (8 - i)))) AS BIGINT)"
+)
+
+SQL_GROUP_SPLIT = f"""
+SELECT doc_id, source, grp_bucket,
+       CASE WHEN grp_bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN grp_bucket < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'valid'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, source, {_SQL_SRC_HEX8} % 100 AS grp_bucket
+      FROM documents)
+"""

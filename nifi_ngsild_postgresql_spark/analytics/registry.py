@@ -520,6 +520,11 @@ PYTEST_ONLY: dict[str, tuple] = {
     # columns — one boolean PER RULE plus the conjunction, all thresholds
     # exact-integer, zero shuffles (free rider on the corpus scan).
     "gopher_rules": (corpus.q_gopher_rules, corpus.SQL_GOPHER_RULES),
+    # round 5 (late): leakage-safe split — train/valid/test assigned by
+    # GROUP (source/domain) via the portable md5 bucket so correlated
+    # near-duplicates can never straddle the eval boundary. Narrow,
+    # shuffle-free, deterministic across engines and cluster sizes.
+    "group_split": (corpus.q_group_split, corpus.SQL_GROUP_SPLIT),
 }
 
 

@@ -1219,3 +1219,29 @@ def test_gopher_rules_nonvacuous_and_shuffle_free(spark):
     assert "Exchange" not in plan
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
+
+
+def test_group_split_no_group_straddles_and_shuffle_free(spark):
+    """The leakage property itself: every source maps to exactly ONE
+    split; all three splits are non-empty at this SF; the assignment is
+    the portable md5 bucket (stable across engines/partitionings); and
+    the plan is a narrow shuffle-free map over the scan."""
+    ship_package(spark)
+    df = corpus.q_group_split(spark, SF_DIR)
+    rows = df.collect()
+    by_src: dict[str, set] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], set()).add(r["split"])
+        assert 0 <= r["grp_bucket"] < 100
+    assert all(len(s) == 1 for s in by_src.values()), "a group straddles splits"
+    assert {s for r in rows for s in [r["split"]]} == {"train", "valid", "test"}
+    # repartitioning the input cannot move a document between splits
+    import hashlib
+
+    for r in rows[:50]:
+        b = int(hashlib.md5(r["source"].encode()).hexdigest()[:8], 16) % 100
+        assert b == r["grp_bucket"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
