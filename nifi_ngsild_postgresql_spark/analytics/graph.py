@@ -265,3 +265,103 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
   UNION ALL SELECT t2 FROM tri
 ) GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# anchor_text — in-link anchor aggregation per target page
+# --------------------------------------------------------------------------
+
+ANCHOR_TOKENS = 3  # leading tokens of the linking page = its anchor text
+
+
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the web says ABOUT each page: aggregate the anchor text of
+    every in-link per target (the classic search/quality signal, and the
+    anchor-text corpus extraction step — anchors are dense supervised
+    descriptions of their targets). Edges are the same closed-form
+    crawl graph as pagerank/triangle_count (self-loops excluded); the
+    anchor analog is the linking page's ANCHOR_TOKENS leading tokens
+    (real data swaps in the <a> inner text from html_extract).
+
+    Per target: in-link count, distinct anchor count, and the MODE
+    anchor (most frequent, ties to the lexicographically smallest —
+    resolved via one min(struct(-count, anchor)) so no window/sort is
+    needed). Scale shape: edges generate in-row from the corpus scan
+    (never materialized), then TWO keyed aggs — groupBy(dst, anchor)
+    and groupBy(dst) — both map-side combined; the hub head (~N/16
+    in-edges) collapses to one partial per map task before the wire.
+    The oracle uses an explicit window-rank formulation, so parity
+    cross-checks two independent mode definitions."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()  # bounded scalar (vertex count), as in q_pagerank
+    src = d.select(
+        F.col("doc_id").alias("srcv"),
+        F.array_join(
+            F.slice(F.filter(F.split("text", " "), lambda t: t != ""), 1, ANCHOR_TOKENS),
+            " ",
+        ).alias("anchor"),
+    )
+    edges = src.select(
+        F.explode(
+            F.array(
+                (F.col("srcv") % 16).cast("long"),
+                ((F.col("srcv") * 7 + 1) % n).cast("long"),
+                ((F.col("srcv") * F.col("srcv") + 3) % n).cast("long"),
+            )
+        ).alias("dst"),
+        "srcv",
+        "anchor",
+    ).filter(F.col("dst") != F.col("srcv"))
+    per_anchor = edges.groupBy("dst", "anchor").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_anchor.groupBy("dst")
+        .agg(
+            F.sum("c").alias("n_inlinks"),
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.min(F.struct((-F.col("c")).alias("nc"), "anchor")).alias("m"),
+        )
+        .select(
+            F.col("dst").alias("doc_id"),
+            F.col("n_inlinks").cast("long").alias("n_inlinks"),
+            F.col("n_anchors").cast("long").alias("n_anchors"),
+            F.col("m.anchor").alias("top_anchor"),
+            (-F.col("m.nc")).cast("long").alias("top_anchor_count"),
+        )
+    )
+
+
+SQL_ANCHOR_TEXT = f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+src AS (
+  SELECT doc_id AS srcv,
+         array_to_string(list_slice(
+           list_filter(string_split(text, ' '), t -> t <> ''),
+           1, {ANCHOR_TOKENS}), ' ') AS anchor
+  FROM documents
+), edges AS (
+  SELECT dst, srcv, anchor FROM (
+    SELECT srcv % 16 AS dst, srcv, anchor FROM src
+    UNION ALL
+    SELECT (srcv * 7 + 1) % nn.n, srcv, anchor FROM src, nn
+    UNION ALL
+    SELECT (srcv * srcv + 3) % nn.n, srcv, anchor FROM src, nn
+  ) WHERE dst <> srcv
+), per_anchor AS (
+  SELECT dst, anchor, COUNT(*) AS c FROM edges GROUP BY dst, anchor
+), ranked AS (
+  SELECT dst, anchor, c,
+         ROW_NUMBER() OVER (PARTITION BY dst
+                            ORDER BY c DESC, anchor ASC) AS rnk,
+         SUM(c) OVER (PARTITION BY dst) AS n_inlinks,
+         COUNT(*) OVER (PARTITION BY dst) AS n_anchors
+  FROM per_anchor
+)
+SELECT dst AS doc_id,
+       CAST(n_inlinks AS BIGINT) AS n_inlinks,
+       CAST(n_anchors AS BIGINT) AS n_anchors,
+       anchor AS top_anchor,
+       CAST(c AS BIGINT) AS top_anchor_count
+FROM ranked WHERE rnk = 1
+"""

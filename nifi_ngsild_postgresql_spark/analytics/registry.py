@@ -525,6 +525,11 @@ PYTEST_ONLY: dict[str, tuple] = {
     # near-duplicates can never straddle the eval boundary. Narrow,
     # shuffle-free, deterministic across engines and cluster sizes.
     "group_split": (corpus.q_group_split, corpus.SQL_GROUP_SPLIT),
+    # round 5 (late): in-link anchor-text aggregation per target page —
+    # the search/quality signal over the shared closed-form crawl graph;
+    # mode anchor via min(struct(-c, anchor)) (no window), oracle mode
+    # via an independent window-rank formulation.
+    "anchor_text": (graph.q_anchor_text, graph.SQL_ANCHOR_TEXT),
 }
 
 

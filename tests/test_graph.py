@@ -146,3 +146,47 @@ def test_triangle_count_plan_has_only_equi_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan  # the OR-join trap
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
+
+
+def test_anchor_text_brute_force_and_hub_head(spark):
+    """Python brute force over the same closed-form graph reproduces
+    every (n_inlinks, n_anchors, top_anchor, top_anchor_count) row, and
+    the hub head really is a head: hub vertices (id < 16) collect an
+    order of magnitude more in-links than the background."""
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    n = len(docs)
+    from collections import Counter
+
+    per_dst: dict[int, Counter] = {}
+    for v, toks in docs.items():
+        anchor = " ".join(toks[: graph.ANCHOR_TOKENS])
+        for dst in (v % 16, (7 * v + 1) % n, (v * v + 3) % n):
+            if dst != v:
+                per_dst.setdefault(dst, Counter())[anchor] += 1
+    rows = {r["doc_id"]: r for r in graph.q_anchor_text(spark, SF_DIR).collect()}
+    assert set(rows) == set(per_dst)
+    for dst, cnt in per_dst.items():
+        r = rows[dst]
+        assert r["n_inlinks"] == sum(cnt.values())
+        assert r["n_anchors"] == len(cnt)
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (r["top_anchor"], r["top_anchor_count"]) == best
+    hub_avg = sum(rows[d]["n_inlinks"] for d in rows if d < 16) / 16
+    bg = [rows[d]["n_inlinks"] for d in rows if d >= 16]
+    assert hub_avg > 10 * (sum(bg) / len(bg))
+
+
+def test_anchor_text_plan_two_keyed_aggs_no_join(spark):
+    """Edges generate in-row: the plan has NO join at all, and exactly
+    two hash exchanges (dst+anchor, then dst) — the shape that survives
+    the hub head at 100 TB via map-side partial aggregation."""
+    df = graph.q_anchor_text(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+    assert "partial_count" in plan or "partial_sum" in plan
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
