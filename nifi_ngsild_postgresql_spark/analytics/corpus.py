@@ -2018,16 +2018,18 @@ GOPHER_STOP_MIN = 2
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a")
 
 
-def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    toks = _tokens("text")
+def _gopher_gate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The rule computation over any (doc_id, <text_col>) frame — shared
+    by q_gopher_rules (raw text) and q_rewrite_pipeline (the line-dedup
+    CLEANED text), so the gate can never desync between them."""
+    toks = _tokens(text_col)
     n = F.size(toks)
     sum_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
     alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
     sym = F.size(F.filter(toks, lambda t: (t == "#") | (t == "...")))
     stop_set = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
     stops = F.size(F.filter(toks, lambda t: F.array_contains(stop_set, t)))
-    return d.filter(n > 0).select(
+    return df.filter(n > 0).select(
         "doc_id",
         n.cast("long").alias("n_words"),
         (sum_len.cast("double") / n.cast("double")).alias("mean_word_len"),
@@ -2050,25 +2052,17 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _gopher_gate(_t(spark, sf_dir, "documents"), "text")
+
+
 _SQL_GOPHER_STOPLIST = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
 
-SQL_GOPHER_RULES = f"""
-WITH feat AS (
-  SELECT doc_id,
-         list_filter(string_split(text, ' '), t -> t <> '') AS toks
-  FROM documents
-), m AS (
-  SELECT doc_id,
-         len(toks) AS n,
-         CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
-           AS sum_len,
-         len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
-           AS alpha,
-         len(list_filter(toks, t -> t = '#' OR t = '...')) AS sym,
-         len(list_filter(toks, t -> t IN ({_SQL_GOPHER_STOPLIST})))
-           AS stops
-  FROM feat WHERE len(toks) > 0
-)
+
+def _sql_gopher_body(src: str, text_col: str = "text") -> str:
+    """One self-contained SELECT (nested subqueries, no CTEs — legal in
+    any CTE position) mirroring _gopher_gate over (doc_id, text_col)."""
+    return f"""
 SELECT doc_id,
        CAST(n AS BIGINT) AS n_words,
        CAST(sum_len AS DOUBLE) / CAST(n AS DOUBLE) AS mean_word_len,
@@ -2084,8 +2078,25 @@ SELECT doc_id,
         AND (sum_len >= {GOPHER_MWL_MIN} * n AND sum_len <= {GOPHER_MWL_MAX} * n)
         AND (5 * alpha >= 4 * n) AND (10 * sym <= n)
         AND (stops >= {GOPHER_STOP_MIN})) AS keep
-FROM m
-"""
+FROM (
+  SELECT doc_id,
+         len(toks) AS n,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+           AS sum_len,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+           AS alpha,
+         len(list_filter(toks, t -> t = '#' OR t = '...')) AS sym,
+         len(list_filter(toks, t -> t IN ({_SQL_GOPHER_STOPLIST})))
+           AS stops
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split({text_col}, ' '), t -> t <> '') AS toks
+    FROM {src}
+  ) WHERE len(toks) > 0
+)"""
+
+
+SQL_GOPHER_RULES = _sql_gopher_body("documents", "text")
 
 
 # --------------------------------------------------------------------------
@@ -2140,4 +2151,68 @@ SELECT doc_id, source, grp_bucket,
             ELSE 'test' END AS split
 FROM (SELECT doc_id, source, {_SQL_SRC_HEX8} % 100 AS grp_bucket
       FROM documents)
+"""
+
+
+# --------------------------------------------------------------------------
+# rewrite_pipeline — line_dedup's REWRITE composed through the Gopher gate
+# --------------------------------------------------------------------------
+# Cleaning changes verdicts: a document that passes the heuristic gate
+# on its RAW text can fail after boilerplate lines are stripped (it
+# drops under the wordcount floor, or the stop words lived in the nav
+# bar), and the pipeline that filters BEFORE cleaning ships the wrong
+# corpus. This composition runs the Gopher gate on both sides of the
+# line_dedup rewrite and emits the verdict FLIP — the measurable reason
+# stage ORDER matters in a curation pipeline. Like curation_pipeline,
+# one DuckDB CTE chain mirrors the whole composition, pinning that the
+# rewrite and the gate agree THROUGH each other (the oracle re-runs the
+# gate over the oracle's own rebuilt text).
+#
+# Scale shape: line_dedup's plan (documented above) plus one narrow
+# gate projection per side and two doc_id key-equality joins — no new
+# shuffle class. Documents whose cleaned text is empty fail the gate by
+# definition (LEFT join + FALSE coalesce).
+
+
+def q_rewrite_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    before = q_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_before")
+    )
+    ld = q_line_dedup(spark, sf_dir).select(
+        "doc_id", "n_dropped", "clean_text"
+    )
+    after = _gopher_gate(ld, "clean_text").select(
+        "doc_id",
+        F.col("n_words").alias("clean_words"),
+        F.col("keep").alias("keep_after_raw"),
+    )
+    return (
+        before.join(ld.select("doc_id", "n_dropped"), "doc_id")
+        .join(after, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_dropped",
+            F.coalesce("clean_words", F.lit(0)).cast("long").alias("clean_words"),
+            "keep_before",
+            F.coalesce("keep_after_raw", F.lit(False)).alias("keep_after"),
+            (
+                F.col("keep_before")
+                != F.coalesce("keep_after_raw", F.lit(False))
+            ).alias("flipped"),
+        )
+    )
+
+
+SQL_REWRITE_PIPELINE = f"""
+WITH b AS ({SQL_GOPHER_RULES}),
+ld AS ({SQL_LINE_DEDUP}),
+a AS ({_sql_gopher_body("ld", "clean_text")})
+SELECT b.doc_id, ld.n_dropped,
+       CAST(COALESCE(a.n_words, 0) AS BIGINT) AS clean_words,
+       b.keep AS keep_before,
+       COALESCE(a.keep, FALSE) AS keep_after,
+       (b.keep <> COALESCE(a.keep, FALSE)) AS flipped
+FROM b
+JOIN ld ON b.doc_id = ld.doc_id
+LEFT JOIN a ON b.doc_id = a.doc_id
 """

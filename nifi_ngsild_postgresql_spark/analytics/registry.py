@@ -530,6 +530,11 @@ PYTEST_ONLY: dict[str, tuple] = {
     # mode anchor via min(struct(-c, anchor)) (no window), oracle mode
     # via an independent window-rank formulation.
     "anchor_text": (graph.q_anchor_text, graph.SQL_ANCHOR_TEXT),
+    # round 5 (late): the Gopher gate run on BOTH sides of line_dedup's
+    # rewrite — the verdict FLIP column is why stage order matters in a
+    # curation pipeline; the oracle re-runs the gate over its own
+    # rebuilt text, so the composition is pinned through the rewrite.
+    "rewrite_pipeline": (corpus.q_rewrite_pipeline, corpus.SQL_REWRITE_PIPELINE),
 }
 
 

@@ -1245,3 +1245,41 @@ def test_group_split_no_group_straddles_and_shuffle_free(spark):
     assert "Exchange" not in plan
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
+
+
+def test_rewrite_pipeline_flips_are_real_and_composed(spark):
+    """The composition recomputes both sides independently in Python:
+    keep_after must equal the gate run on the REBUILT text, flips are
+    non-vacuous at this SF, and every flip is explained by the clean
+    text (not a join artifact)."""
+    ship_package(spark)
+    rows = {r["doc_id"]: r for r in corpus.q_rewrite_pipeline(spark, SF_DIR).collect()}
+    clean = {r["doc_id"]: r for r in corpus.q_line_dedup(spark, SF_DIR).collect()}
+    before = {r["doc_id"]: r for r in corpus.q_gopher_rules(spark, SF_DIR).collect()}
+    assert set(rows) == set(before)
+
+    def gate(text: str) -> bool:
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            return False
+        n = len(toks)
+        sum_len = sum(len(t) for t in toks)
+        alpha = sum(1 for t in toks if any(c.isalpha() for c in t))
+        sym = sum(1 for t in toks if t in ("#", "..."))
+        stops = sum(1 for t in toks if t in corpus.GOPHER_STOPWORDS)
+        return (
+            corpus.GOPHER_WC_MIN <= n <= corpus.GOPHER_WC_MAX
+            and corpus.GOPHER_MWL_MIN * n <= sum_len <= corpus.GOPHER_MWL_MAX * n
+            and 5 * alpha >= 4 * n
+            and 10 * sym <= n
+            and stops >= corpus.GOPHER_STOP_MIN
+        )
+
+    for doc_id, r in rows.items():
+        assert r["keep_before"] == before[doc_id]["keep"]
+        assert r["keep_after"] == gate(clean[doc_id]["clean_text"]), doc_id
+        assert r["flipped"] == (r["keep_before"] != r["keep_after"])
+        if r["flipped"]:
+            assert r["n_dropped"] > 0  # only the rewrite can flip a verdict
+    assert any(r["flipped"] for r in rows.values())
+    assert any(not r["flipped"] for r in rows.values())
