@@ -1868,3 +1868,132 @@ SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
        (d.vec_id IS NULL) AS keep, d.kept_anchor
 FROM a1 a LEFT JOIN dropped d ON a.vec_id = d.vec_id
 """
+
+
+# --------------------------------------------------------------------------
+# audio_frames — framed feature extraction over the REAL WAV decode
+# --------------------------------------------------------------------------
+# The step after decode in any speech/audio pipeline: cut the PCM stream
+# into fixed analysis windows and reduce each to features (energy for
+# VAD/segmentation, zero-crossings for voicing). Same contract as
+# q_audio_decode: the payload is REALLY decoded (wave header + every
+# sample byte), features stay exact integers, and the DuckDB oracle
+# recomputes them from the doc_id closed form — one misread sample
+# flips the hash.
+#
+# Features per media: window count (AF_WIN consecutive interleaved
+# samples, floor division — the trailing partial window is not
+# analyzed), max window energy (sum of squares) and its FIRST window
+# index (argmax, ties to the earliest — list_position semantics both
+# engines share), and the per-channel zero-crossing total (sign change
+# between consecutive frames of the same channel; sign(x) = x >= 0).
+#
+# Scale shape: identical to q_audio_decode — the genuinely-Python
+# decode inside mapInPandas/Arrow, linear in bytes, shuffle-free; the
+# feature fold is O(samples) per payload.
+
+AF_WIN = 16  # interleaved samples per analysis window
+
+AUDIO_FRAMES_SCHEMA = (
+    "media_id long, n_windows long, max_energy long, max_energy_win long,"
+    " zero_crossings long, decode_status string"
+)
+
+
+def _audio_frame_features(payload: bytes) -> dict:
+    import io
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            nch = w.getnchannels()
+            n_frames = w.getnframes()
+            if w.getsampwidth() != 2:
+                raise ValueError(f"unsupported sampwidth {w.getsampwidth()}")
+            raw = w.readframes(n_frames)
+        if len(raw) != 2 * n_frames * nch:
+            raise ValueError("truncated PCM data")
+        vals = struct.unpack(f"<{n_frames * nch}h", raw)
+        nwin = len(vals) // AF_WIN
+        energies = [
+            sum(v * v for v in vals[k * AF_WIN : (k + 1) * AF_WIN])
+            for k in range(nwin)
+        ]
+        max_e = max(energies) if energies else 0
+        zc = sum(
+            1
+            for f in range(1, n_frames)
+            for c in range(nch)
+            if (vals[f * nch + c] >= 0) != (vals[(f - 1) * nch + c] >= 0)
+        )
+        return {
+            "n_windows": nwin,
+            "max_energy": max_e,
+            "max_energy_win": energies.index(max_e) if energies else -1,
+            "zero_crossings": zc,
+            "decode_status": "decoded",
+        }
+    except Exception as exc:  # noqa: BLE001 — malformed media is data, not a bug
+        return {
+            "n_windows": None,
+            "max_energy": None,
+            "max_energy_win": None,
+            "zero_crossings": None,
+            "decode_status": f"error: {type(exc).__name__}",
+        }
+
+
+def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    audio = build_audio_table(spark, sf_dir)
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for mid, payload in zip(pdf["media_id"].values, pdf["payload"].values):
+                rec = {"media_id": int(mid)}
+                rec.update(_audio_frame_features(payload))
+                recs.append(rec)
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "n_windows", "max_energy", "max_energy_win",
+                    "zero_crossings", "decode_status",
+                ],
+            )
+
+    return audio.mapInPandas(run, AUDIO_FRAMES_SCHEMA)
+
+
+SQL_AUDIO_FRAMES = f"""
+WITH base AS (
+  SELECT doc_id AS media_id,
+         1 + doc_id % 2 AS nch,
+         32 + doc_id % 33 AS n_frames
+  FROM documents
+), vals AS (
+  SELECT media_id, nch, n_frames,
+         list_transform(range(0, n_frames * nch),
+                        j -> {_SQL_AUDIO_SAMPLE}) AS v
+  FROM base
+), win AS (
+  SELECT media_id, nch, n_frames, v,
+         list_transform(range(0, len(v) // {AF_WIN}),
+           k -> list_sum(list_transform(range(k * {AF_WIN}, (k + 1) * {AF_WIN}),
+                                        j -> v[j + 1] * v[j + 1]))) AS e
+  FROM vals
+)
+SELECT media_id,
+       CAST(len(e) AS BIGINT) AS n_windows,
+       CAST(CASE WHEN len(e) > 0 THEN list_max(e) ELSE 0 END AS BIGINT)
+         AS max_energy,
+       CAST(CASE WHEN len(e) > 0 THEN list_position(e, list_max(e)) - 1
+            ELSE -1 END AS BIGINT) AS max_energy_win,
+       CAST(COALESCE(list_sum(list_transform(range(1, n_frames),
+              f -> len(list_filter(range(0, nch),
+                c -> (v[f * nch + c + 1] >= 0)
+                     <> (v[(f - 1) * nch + c + 1] >= 0))))), 0) AS BIGINT)
+         AS zero_crossings,
+       'decoded' AS decode_status
+FROM win
+"""

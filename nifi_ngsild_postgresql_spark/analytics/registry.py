@@ -535,6 +535,10 @@ PYTEST_ONLY: dict[str, tuple] = {
     # curation pipeline; the oracle re-runs the gate over its own
     # rebuilt text, so the composition is pinned through the rewrite.
     "rewrite_pipeline": (corpus.q_rewrite_pipeline, corpus.SQL_REWRITE_PIPELINE),
+    # round 5 (late): framed audio features over the REAL WAV decode —
+    # window energy (argmax, ties-earliest) + per-channel zero
+    # crossings, exact integers; oracle recomputes from the closed form.
+    "audio_frames": (advanced.q_audio_frames, advanced.SQL_AUDIO_FRAMES),
 }
 
 

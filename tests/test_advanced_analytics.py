@@ -620,3 +620,53 @@ def test_semdedup_plan_is_cluster_keyed_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan, marker
+
+
+def test_audio_frames_hand_computed_and_corrupt():
+    """A hand-built 2-channel WAV pins every feature: window energies
+    over interleaved samples, argmax ties to the EARLIEST window, and
+    per-channel zero crossings counted between consecutive frames.
+    Corrupt payloads error instead of fabricating features."""
+    import io
+    import struct
+    import wave
+
+    # 2 channels x 20 frames = 40 interleaved samples; alternate signs
+    # per channel so crossings are countable by hand
+    nch, n_frames = 2, 20
+    vals = []
+    for f in range(n_frames):
+        vals.append(100 if f % 2 == 0 else -100)  # ch0 flips every frame
+        vals.append(50)  # ch1 never crosses
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack(f"<{len(vals)}h", *vals))
+    out = advanced._audio_frame_features(buf.getvalue())
+    assert out["decode_status"] == "decoded"
+    assert out["n_windows"] == 40 // advanced.AF_WIN == 2
+    # every window has identical energy (periodic signal) -> tie -> win 0
+    e = sum(v * v for v in vals[: advanced.AF_WIN])
+    assert out["max_energy"] == e and out["max_energy_win"] == 0
+    assert out["zero_crossings"] == n_frames - 1  # ch0 every frame, ch1 none
+    assert advanced._audio_frame_features(b"JUNK")["decode_status"].startswith(
+        "error"
+    )
+
+
+def test_audio_frames_query_end_to_end(spark):
+    """The distributed path decodes real bytes per row and matches a
+    Python recompute from the synth closed form; crossings are
+    non-vacuous (the synth signal oscillates)."""
+    ship_package(spark)
+    rows = {r["media_id"]: r for r in advanced.q_audio_frames(spark, SF_DIR).collect()}
+    assert len(rows) > 0
+    assert all(r["decode_status"] == "decoded" for r in rows.values())
+    assert any(r["zero_crossings"] > 0 for r in rows.values())
+    for mid in list(sorted(rows))[:5]:
+        expect = advanced._audio_frame_features(advanced.synth_wav(mid))
+        got = rows[mid]
+        for k, v in expect.items():
+            assert got[k] == v, (mid, k)
