@@ -539,6 +539,10 @@ PYTEST_ONLY: dict[str, tuple] = {
     # window energy (argmax, ties-earliest) + per-channel zero
     # crossings, exact integers; oracle recomputes from the closed form.
     "audio_frames": (advanced.q_audio_frames, advanced.SQL_AUDIO_FRAMES),
+    # round 5 (late): the dedup tuning table — LSH banding candidates
+    # graded against the exact Jaccard>=0.8 truth set; precision/recall
+    # in one row, one pair-keyed full-outer join + one global agg.
+    "dedup_eval": (suite.q_dedup_eval, suite.SQL_DEDUP_EVAL),
 }
 
 

@@ -1840,3 +1840,74 @@ FROM v
 LEFT JOIN c ON v.user_id = c.user_id
 LEFT JOIN p ON v.user_id = p.user_id
 """
+
+
+# --------------------------------------------------------------------------
+# dedup_eval — LSH banding graded against the exact resemblance truth
+# --------------------------------------------------------------------------
+
+
+def q_dedup_eval(spark, sf_dir):
+    """The tuning table for the dedup family: MinHash+LSH banding
+    (q_minhash_bands candidates) graded against the EXACT n-gram
+    Jaccard >= 0.8 truth set (q_ngram_jaccard) — precision ("how much
+    of what banding flags is really duplicated") and recall ("how much
+    real duplication banding finds"), the two numbers that pick the
+    band/row configuration before a 100 TB dedup run. One row out.
+
+    Shape: both inputs' plans are documented at their own ops; the
+    grader adds ONE pair-keyed full-outer equi-join plus a single
+    global aggregate (one row across the cluster — partial-aggregated
+    map-side). Counts are exact integers; precision/recall are one
+    double division each (the shared determinism contract)."""
+    cands = q_minhash_bands(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("cand")
+    )
+    truth = q_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("dup")
+    )
+    j = cands.join(truth, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.sum(F.coalesce("cand", F.lit(0))).cast("long").alias("n_candidates"),
+        F.sum(F.coalesce("dup", F.lit(0))).cast("long").alias("n_truth"),
+        F.sum(
+            F.when(F.col("cand").isNotNull() & F.col("dup").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_tp"),
+    ).select(
+        "n_candidates",
+        "n_truth",
+        "n_tp",
+        (
+            F.col("n_tp").cast("double") / F.greatest("n_candidates", F.lit(1)).cast("double")
+        ).alias("precision"),
+        (
+            F.col("n_tp").cast("double") / F.greatest("n_truth", F.lit(1)).cast("double")
+        ).alias("recall"),
+    )
+
+
+SQL_DEDUP_EVAL = f"""
+WITH cands AS (
+  SELECT doc_a, doc_b, 1 AS cand FROM ({SQL_MINHASH_BANDS})
+), truth AS (
+  SELECT doc_a, doc_b, 1 AS dup FROM ({SQL_NGRAM_JACCARD})
+), j AS (
+  SELECT COALESCE(c.cand, 0) AS cand, COALESCE(t.dup, 0) AS dup
+  FROM cands c FULL OUTER JOIN truth t
+    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+), agg AS (
+  SELECT CAST(SUM(cand) AS BIGINT) AS n_candidates,
+         CAST(SUM(dup) AS BIGINT) AS n_truth,
+         CAST(SUM(CASE WHEN cand = 1 AND dup = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tp
+  FROM j
+)
+SELECT n_candidates, n_truth, n_tp,
+       CAST(n_tp AS DOUBLE) / CAST(greatest(n_candidates, 1) AS DOUBLE)
+         AS precision,
+       CAST(n_tp AS DOUBLE) / CAST(greatest(n_truth, 1) AS DOUBLE) AS recall
+FROM agg
+"""
