@@ -543,6 +543,11 @@ PYTEST_ONLY: dict[str, tuple] = {
     # graded against the exact Jaccard>=0.8 truth set; precision/recall
     # in one row, one pair-keyed full-outer join + one global agg.
     "dedup_eval": (suite.q_dedup_eval, suite.SQL_DEDUP_EVAL),
+    # round 5 (late): shoelace area + centroid over per-row parcel
+    # rings — the geometry family's first region-valued measures
+    # (ST_Area/ST_Centroid analogs); exact-integer shoelace fold
+    # in-row, both orientations live via odd-key ring reversal.
+    "geo_area": (suite.q_geo_area, suite.SQL_GEO_AREA),
 }
 
 

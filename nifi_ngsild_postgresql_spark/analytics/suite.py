@@ -1911,3 +1911,106 @@ SELECT n_candidates, n_truth, n_tp,
        CAST(n_tp AS DOUBLE) / CAST(greatest(n_truth, 1) AS DOUBLE) AS recall
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# geo_area — shoelace area + centroid of per-row parcel rings
+# --------------------------------------------------------------------------
+
+
+def q_geo_area(spark, sf_dir):
+    """Polygon MEASURES (signed shoelace area + centroid) over a
+    per-row parcel ring — after the boolean predicates (containment,
+    intersects) and the scalar distance, the first region-valued
+    algebra: what PostGIS ST_Area/ST_Centroid provide over the
+    reference's GeoProperty GEOMETRY column (XFORM:349). The parcel is
+    a closed-form kite quad derived from c_custkey (integer coords in
+    deci-degree space; odd keys traverse CW via list reversal, so both
+    orientations and the abs() path are live). 2*signed-area and the
+    6*A*centroid numerators are EXACT INTEGERS (the determinism
+    contract); the emitted area/centroid are one double division each.
+    Scale shape: a narrow in-row fold over 4 edges per row — no
+    shuffle, no UDF, whole-stage codegen."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cx = (k % 3600) - 1800
+    cy = (k % 1700) - 850
+    a = 1 + (k * 7) % 9
+    b = 1 + (k * 11) % 9
+    cc = 1 + (k * 13) % 9
+    d = 1 + (k * 17) % 9
+    xs0 = F.array(cx + a, cx, cx - cc, cx)
+    ys0 = F.array(cy, cy + b, cy, cy - d)
+    xs = F.when(k % 2 == 1, F.reverse(xs0)).otherwise(xs0)
+    ys = F.when(k % 2 == 1, F.reverse(ys0)).otherwise(ys0)
+    base = c.select(
+        k.alias("parcel_id"),
+        xs.cast("array<long>").alias("xs"),
+        ys.cast("array<long>").alias("ys"),
+    )
+    cross = (
+        "(element_at(xs, i + 1) * element_at(ys, (i + 1) % 4 + 1)"
+        " - element_at(xs, (i + 1) % 4 + 1) * element_at(ys, i + 1))"
+    )
+    m = base.select(
+        "parcel_id",
+        F.expr(
+            f"aggregate(sequence(0, 3), 0L, (acc, i) -> acc + {cross})"
+        ).alias("area2"),
+        F.expr(
+            "aggregate(sequence(0, 3), 0L, (acc, i) -> acc +"
+            f" (element_at(xs, i + 1) + element_at(xs, (i + 1) % 4 + 1)) * {cross})"
+        ).alias("cxn"),
+        F.expr(
+            "aggregate(sequence(0, 3), 0L, (acc, i) -> acc +"
+            f" (element_at(ys, i + 1) + element_at(ys, (i + 1) % 4 + 1)) * {cross})"
+        ).alias("cyn"),
+    )
+    return m.select(
+        "parcel_id",
+        F.col("area2").cast("long").alias("area2"),
+        (F.abs("area2").cast("double") / F.lit(2.0)).alias("area"),
+        (F.col("cxn").cast("double") / (3.0 * F.col("area2").cast("double"))).alias("cx"),
+        (F.col("cyn").cast("double") / (3.0 * F.col("area2").cast("double"))).alias("cy"),
+    )
+
+
+_SQL_GEO_CROSS = (
+    "(xs[i + 1] * ys[(i + 1) % 4 + 1] - xs[(i + 1) % 4 + 1] * ys[i + 1])"
+)
+
+SQL_GEO_AREA = f"""
+WITH base AS (
+  SELECT c_custkey AS parcel_id,
+         CASE WHEN c_custkey % 2 = 1 THEN list_reverse(xs0) ELSE xs0 END AS xs,
+         CASE WHEN c_custkey % 2 = 1 THEN list_reverse(ys0) ELSE ys0 END AS ys
+  FROM (
+    SELECT c_custkey,
+           [(c_custkey % 3600) - 1800 + 1 + (c_custkey * 7) % 9,
+            (c_custkey % 3600) - 1800,
+            (c_custkey % 3600) - 1800 - (1 + (c_custkey * 13) % 9),
+            (c_custkey % 3600) - 1800] AS xs0,
+           [(c_custkey % 1700) - 850,
+            (c_custkey % 1700) - 850 + 1 + (c_custkey * 11) % 9,
+            (c_custkey % 1700) - 850,
+            (c_custkey % 1700) - 850 - (1 + (c_custkey * 17) % 9)] AS ys0
+    FROM customer
+  )
+), m AS (
+  SELECT parcel_id,
+         CAST(list_sum(list_transform(range(0, 4),
+              i -> {_SQL_GEO_CROSS})) AS BIGINT) AS area2,
+         CAST(list_sum(list_transform(range(0, 4),
+              i -> (xs[i + 1] + xs[(i + 1) % 4 + 1]) * {_SQL_GEO_CROSS}))
+           AS BIGINT) AS cxn,
+         CAST(list_sum(list_transform(range(0, 4),
+              i -> (ys[i + 1] + ys[(i + 1) % 4 + 1]) * {_SQL_GEO_CROSS}))
+           AS BIGINT) AS cyn
+  FROM base
+)
+SELECT parcel_id, area2,
+       CAST(abs(area2) AS DOUBLE) / 2.0 AS area,
+       CAST(cxn AS DOUBLE) / (3.0 * CAST(area2 AS DOUBLE)) AS cx,
+       CAST(cyn AS DOUBLE) / (3.0 * CAST(area2 AS DOUBLE)) AS cy
+FROM m
+"""

@@ -377,3 +377,40 @@ def test_distance_to_ring_degenerate_edges(spark):
     ).first()["d"] == 1.0
     with _pytest.raises(ValueError, match="no non-degenerate"):
         _ring_edges([(2.0, 2.0), (2.0, 2.0)])
+
+
+def test_geo_area_shoelace_hand_and_orientation(spark):
+    """Python shoelace over the same closed-form kite reproduces every
+    row; even keys are CCW (area2 > 0), odd keys CW (area2 < 0); the
+    centroid of a kite lies inside it (between the extreme vertices);
+    and the plan is a narrow shuffle-free JVM fold."""
+    from nifi_ngsild_postgresql_spark.analytics import suite
+
+    df = suite.q_geo_area(spark, SF_DIR)
+    rows = {r["parcel_id"]: r for r in df.collect()}
+    assert len(rows) > 0
+
+    def kite(k):
+        cx, cy = (k % 3600) - 1800, (k % 1700) - 850
+        a, b = 1 + (k * 7) % 9, 1 + (k * 11) % 9
+        c, d = 1 + (k * 13) % 9, 1 + (k * 17) % 9
+        pts = [(cx + a, cy), (cx, cy + b), (cx - c, cy), (cx, cy - d)]
+        return pts[::-1] if k % 2 == 1 else pts
+
+    for k, r in rows.items():
+        pts = kite(k)
+        area2 = sum(
+            pts[i][0] * pts[(i + 1) % 4][1] - pts[(i + 1) % 4][0] * pts[i][1]
+            for i in range(4)
+        )
+        assert r["area2"] == area2
+        assert (area2 > 0) == (k % 2 == 0)
+        assert r["area"] == abs(area2) / 2.0
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        assert min(xs) < r["cx"] < max(xs)
+        assert min(ys) < r["cy"] < max(ys)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
