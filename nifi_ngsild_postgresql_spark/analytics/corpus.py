@@ -2216,3 +2216,77 @@ FROM b
 JOIN ld ON b.doc_id = ld.doc_id
 LEFT JOIN a ON b.doc_id = a.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# split_leakage — near-dup pairs that STRADDLE the train/eval boundary
+# --------------------------------------------------------------------------
+# group_split (above) guarantees no GROUP straddles the boundary; this
+# op measures what that guarantee is worth: how many ground-truth
+# near-duplicate pairs (the exact n-gram Jaccard >= 0.8 set, same truth
+# as dedup_eval) still end up with their two members in different
+# splits — the contamination an eval suite actually suffers. When the
+# split key is `source` and duplication crosses sources (syndication),
+# leakage is non-zero; keying the split by dedup_clusters' component id
+# instead drives it to zero. This one-row report is the evidence for
+# that design decision.
+#
+# Scale shape: the truth plan is documented at ngram_jaccard; the
+# grader adds two doc_id key-equality joins against the narrow split
+# frame and ONE global aggregate (map-side combined). Counts exact,
+# the leakage fraction one double division.
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import suite  # local import — suite does not import corpus
+
+    truth = suite.q_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    sp = q_group_split(spark, sf_dir).select("doc_id", "source", "split")
+    sa = sp.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("source").alias("src_a"),
+        F.col("split").alias("split_a"),
+    )
+    sb = sp.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("src_b"),
+        F.col("split").alias("split_b"),
+    )
+    j = truth.join(sa, "doc_a").join(sb, "doc_b")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+        F.sum(F.when(F.col("src_a") != F.col("src_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cross_source"),
+        F.sum(F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_leaked"),
+    ).select(
+        "n_dup_pairs",
+        "n_cross_source",
+        "n_leaked",
+        (
+            F.col("n_leaked").cast("double")
+            / F.greatest("n_dup_pairs", F.lit(1)).cast("double")
+        ).alias("leakage_frac"),
+    )
+
+
+def _sql_split_leakage() -> str:
+    from . import suite  # local import — see q_split_leakage
+
+    return f"""
+WITH truth AS ({suite.SQL_NGRAM_JACCARD}), sp AS ({SQL_GROUP_SPLIT})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+       CAST(COUNT(*) FILTER (sa.source <> sb.source) AS BIGINT)
+         AS n_cross_source,
+       CAST(COUNT(*) FILTER (sa.split <> sb.split) AS BIGINT) AS n_leaked,
+       CAST(COUNT(*) FILTER (sa.split <> sb.split) AS DOUBLE)
+         / CAST(greatest(COUNT(*), 1) AS DOUBLE) AS leakage_frac
+FROM truth t
+JOIN sp sa ON t.doc_a = sa.doc_id
+JOIN sp sb ON t.doc_b = sb.doc_id
+"""
+
+
+SQL_SPLIT_LEAKAGE = _sql_split_leakage()

@@ -548,6 +548,10 @@ PYTEST_ONLY: dict[str, tuple] = {
     # (ST_Area/ST_Centroid analogs); exact-integer shoelace fold
     # in-row, both orientations live via odd-key ring reversal.
     "geo_area": (suite.q_geo_area, suite.SQL_GEO_AREA),
+    # round 5 (late): contamination measurement — ground-truth near-dup
+    # pairs whose members land in DIFFERENT group_split splits; the
+    # one-row evidence for keying splits by dup-cluster, not source.
+    "split_leakage": (corpus.q_split_leakage, corpus.SQL_SPLIT_LEAKAGE),
 }
 
 

@@ -1283,3 +1283,48 @@ def test_rewrite_pipeline_flips_are_real_and_composed(spark):
             assert r["n_dropped"] > 0  # only the rewrite can flip a verdict
     assert any(r["flipped"] for r in rows.values())
     assert any(not r["flipped"] for r in rows.values())
+
+
+def test_split_leakage_recompute_and_cluster_key_fixes_it(spark):
+    """The one row matches a Python recompute from the component ops,
+    leakage is non-vacuous under the source-keyed split — and keying
+    the split by the near-dup CLUSTER instead drives leakage to zero
+    (the design decision the op exists to evidence)."""
+    from nifi_ngsild_postgresql_spark.analytics import suite
+
+    ship_package(spark)
+    truth = [
+        (r["doc_a"], r["doc_b"])
+        for r in suite.q_ngram_jaccard(spark, SF_DIR).collect()
+    ]
+    sp = {
+        r["doc_id"]: (r["source"], r["split"])
+        for r in corpus.q_group_split(spark, SF_DIR).collect()
+    }
+    [row] = corpus.q_split_leakage(spark, SF_DIR).collect()
+    assert row["n_dup_pairs"] == len(truth) > 0
+    leaked = sum(1 for a, b in truth if sp[a][1] != sp[b][1])
+    cross = sum(1 for a, b in truth if sp[a][0] != sp[b][0])
+    assert row["n_leaked"] == leaked > 0  # source-keyed split DOES leak
+    assert row["n_cross_source"] == cross
+    assert row["leakage_frac"] == leaked / len(truth)
+    # union-find over the truth pairs = the cluster key; assigning each
+    # component one split leaves zero leaked pairs by construction
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in truth:
+        parent[find(a)] = find(b)
+    comp_split = {}
+    leaked_by_cluster = 0
+    for a, b in truth:
+        ca = find(a)
+        comp_split.setdefault(ca, hash(ca) % 3)
+        leaked_by_cluster += comp_split[find(a)] != comp_split[find(b)]
+    assert leaked_by_cluster == 0
