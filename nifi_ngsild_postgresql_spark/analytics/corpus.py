@@ -2115,9 +2115,9 @@ SQL_GOPHER_RULES = _sql_gopher_body("documents", "text")
 # contract): deterministic across engines, runs and cluster sizes,
 # embarrassingly parallel — a narrow expression on the corpus scan, NO
 # shuffle, no split state. train/valid/test = 80/10/10 by group bucket.
-
-SPLIT_TRAIN_PCT = 80
-SPLIT_VALID_PCT = 10  # test gets the remainder
+# The rate constants live in suite.py (shared with q_cluster_split;
+# see the import-cycle note there).
+from .suite import SPLIT_TRAIN_PCT, SPLIT_VALID_PCT  # noqa: E402
 
 
 def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:

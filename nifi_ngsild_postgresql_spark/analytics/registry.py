@@ -552,6 +552,11 @@ PYTEST_ONLY: dict[str, tuple] = {
     # pairs whose members land in DIFFERENT group_split splits; the
     # one-row evidence for keying splits by dup-cluster, not source.
     "split_leakage": (corpus.q_split_leakage, corpus.SQL_SPLIT_LEAKAGE),
+    # round 5 (late): the fix split_leakage motivates — the split keyed
+    # by dedup_clusters' component, so candidate-duplicate pairs land on
+    # one side BY CONSTRUCTION; oracle re-derives components through the
+    # recursive CTE before hashing.
+    "cluster_split": (suite.q_cluster_split, suite.SQL_CLUSTER_SPLIT),
 }
 
 

@@ -2014,3 +2014,67 @@ SELECT parcel_id, area2,
        CAST(cyn AS DOUBLE) / (3.0 * CAST(area2 AS DOUBLE)) AS cy
 FROM m
 """
+
+
+# --------------------------------------------------------------------------
+# cluster_split — the leakage-free split keyed by dup-cluster
+# --------------------------------------------------------------------------
+
+# Shared by corpus.q_group_split (source-keyed) and q_cluster_split
+# (cluster-keyed) — the constants live HERE because corpus imports
+# suite (split_leakage's truth set), never the other way around: a
+# suite -> corpus module-level import closes the advanced -> suite ->
+# corpus -> advanced cycle and breaks import-order independence.
+SPLIT_TRAIN_PCT = 80
+SPLIT_VALID_PCT = 10  # test gets the remainder
+
+
+def q_cluster_split(spark, sf_dir):
+    """The fix split_leakage (analytics/corpus.py) motivates: assign
+    train/valid/test by the DUPLICATE CLUSTER (dedup_clusters' connected
+    component over the MinHash band graph), so every candidate-duplicate
+    pair lands on ONE side of the boundary BY CONSTRUCTION — the
+    grouping a source-keyed split can only approximate when duplication
+    crosses sources. Same portable md5 bucket and 80/10/10 rates as
+    group_split (the shared constants), hashed on the cluster label.
+
+    Composition contract: the full iterative label propagation runs
+    underneath and the DuckDB oracle re-derives components through its
+    recursive CTE before hashing — the two stages verified through each
+    other. Scale: adds ONE narrow hash expression to the documented
+    dedup_clusters plan; the assignment itself needs no extra shuffle."""
+    labels = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("cluster").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return labels.select(
+        "doc_id",
+        "cluster",
+        bucket.alias("grp_bucket"),
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _sql_cluster_split() -> str:
+    hex8 = (
+        "CAST(list_sum(list_transform(range(1, 9),"
+        " i -> (CAST(strpos('0123456789abcdef',"
+        " substr(md5(CAST(cluster AS VARCHAR)), CAST(i AS INT), 1)) AS BIGINT) - 1)"
+        " << (4 * (8 - i)))) AS BIGINT)"
+    )
+    return f"""
+WITH clusters AS ({SQL_DEDUP_CLUSTERS})
+SELECT doc_id, cluster, grp_bucket,
+       CASE WHEN grp_bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN grp_bucket < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'valid'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, cluster, {hex8} % 100 AS grp_bucket FROM clusters)
+"""
+
+
+SQL_CLUSTER_SPLIT = _sql_cluster_split()

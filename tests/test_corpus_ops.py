@@ -1328,3 +1328,37 @@ def test_split_leakage_recompute_and_cluster_key_fixes_it(spark):
         comp_split.setdefault(ca, hash(ca) % 3)
         leaked_by_cluster += comp_split[find(a)] != comp_split[find(b)]
     assert leaked_by_cluster == 0
+
+
+def test_cluster_split_zero_band_leakage(spark):
+    """The construction guarantee: every MinHash-band candidate pair
+    lands in one split (zero leakage over the band graph); leakage over
+    the exact-Jaccard truth is bounded by banding recall and never
+    exceeds the source-keyed split's; all three splits non-empty."""
+    from nifi_ngsild_postgresql_spark.analytics import suite
+
+    ship_package(spark)
+    cs = {
+        r["doc_id"]: (r["cluster"], r["split"])
+        for r in suite.q_cluster_split(spark, SF_DIR).collect()
+    }
+    assert {v[1] for v in cs.values()} == {"train", "valid", "test"}
+    bands = [
+        (r["doc_a"], r["doc_b"])
+        for r in suite.q_minhash_bands(spark, SF_DIR).collect()
+    ]
+    assert len(bands) > 0
+    for a, b in bands:
+        assert cs[a][0] == cs[b][0]  # same component
+        assert cs[a][1] == cs[b][1]  # therefore same split
+    truth = [
+        (r["doc_a"], r["doc_b"])
+        for r in suite.q_ngram_jaccard(spark, SF_DIR).collect()
+    ]
+    gs = {
+        r["doc_id"]: r["split"]
+        for r in corpus.q_group_split(spark, SF_DIR).collect()
+    }
+    leaked_cluster = sum(1 for a, b in truth if cs[a][1] != cs[b][1])
+    leaked_source = sum(1 for a, b in truth if gs[a] != gs[b])
+    assert leaked_cluster <= leaked_source
