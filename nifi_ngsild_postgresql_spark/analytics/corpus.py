@@ -2290,3 +2290,114 @@ JOIN sp sb ON t.doc_b = sb.doc_id
 
 
 SQL_SPLIT_LEAKAGE = _sql_split_leakage()
+
+
+# --------------------------------------------------------------------------
+# source_overlap — the inter-source redundancy matrix
+# --------------------------------------------------------------------------
+# The mixture diagnostic a curation pipeline reads before weighting
+# sources: pairwise shingle-set Jaccard BETWEEN sources (domains).
+# Syndication networks, mirrors, and scraped-from-each-other sites show
+# up as high-overlap pairs — double-counting their weight in a training
+# mix; dedup (doc granularity) does not surface this because partial
+# copying rarely crosses the per-document threshold.
+#
+# Scale shape — the ngram_jaccard single-shuffle restructure at source
+# granularity: ONE keyed aggregation groups the distinct (source,
+# 3-shingle) table by shingle with a sorted source list; pairs generate
+# IN-ROW (C(k,2) per shingle), bounded by the SRC_SH_MAX source-df
+# prefilter (<= C(8,2) = 28 structs per shingle however many domains
+# exist — the df<=10 trick from ngram_jaccard; at this corpus' SF every
+# shingle passes, so the reported Jaccard is the exact full-set value);
+# the sizes branch reuses the same grouped frame. Exact integers until
+# the one Jaccard division.
+
+SRC_SH_MAX = 8  # max sources per shingle contributing to intersections
+SRC_SHINGLE = 3
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sh = (
+        d.select("source", _tokens("text").alias("toks"))
+        .filter(F.size("toks") >= SRC_SHINGLE)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {SRC_SHINGLE - 1}),"
+                    f" i -> array_join(slice(toks, i, {SRC_SHINGLE}), ' '))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    grouped = sh.groupBy("sh").agg(
+        F.array_sort(F.collect_list("source")).alias("srcs")
+    )
+    pairs = (
+        grouped.filter(F.size("srcs").between(2, SRC_SH_MAX))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(srcs) - 1),"
+                    " i -> transform(sequence(i + 1, size(srcs)),"
+                    " j -> struct(srcs[i - 1] AS a, srcs[j - 1] AS b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("src_a"), F.col("p.b").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = (
+        grouped.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("szb"))
+    return (
+        pairs.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("inter").cast("long").alias("inter"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_SOURCE_OVERLAP = f"""
+WITH toks AS (
+  SELECT doc_id, source, tok, i FROM (
+    SELECT doc_id, source,
+           unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok,
+           generate_subscripts(list_filter(string_split(text, ' '), t -> t <> ''), 1)
+             AS i
+    FROM documents)
+), sh AS (
+  SELECT DISTINCT t1.source, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+  FROM toks t1
+  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+  JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2
+), df AS (
+  SELECT shingle, COUNT(*) AS k FROM sh GROUP BY shingle
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  WHERE a.shingle IN (SELECT shingle FROM df WHERE k <= {SRC_SH_MAX})
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT source, COUNT(*) AS sz FROM sh GROUP BY source
+)
+SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+       CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+"""

@@ -557,6 +557,12 @@ PYTEST_ONLY: dict[str, tuple] = {
     # one side BY CONSTRUCTION; oracle re-derives components through the
     # recursive CTE before hashing.
     "cluster_split": (suite.q_cluster_split, suite.SQL_CLUSTER_SPLIT),
+    # round 5 (late): the inter-source redundancy matrix — pairwise
+    # shingle-set Jaccard between sources (syndication/mirror networks
+    # double-count a training mix); the ngram_jaccard single-shuffle
+    # restructure at source granularity with the df-bounded in-row
+    # pair generation.
+    "source_overlap": (corpus.q_source_overlap, corpus.SQL_SOURCE_OVERLAP),
 }
 
 

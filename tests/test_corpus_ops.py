@@ -1362,3 +1362,54 @@ def test_cluster_split_zero_band_leakage(spark):
     leaked_cluster = sum(1 for a, b in truth if cs[a][1] != cs[b][1])
     leaked_source = sum(1 for a, b in truth if gs[a] != gs[b])
     assert leaked_cluster <= leaked_source
+
+
+def test_source_overlap_brute_force_and_plan(spark):
+    """Python set algebra over the same shingle definition reproduces
+    every (inter, jaccard) cell; the matrix is non-trivial (overlap
+    exists, and not every pair overlaps... or if it does, values
+    differ); pair generation stays in-row (single shuffle of the
+    grouped shingle frame, no shingle-keyed self-join)."""
+    ship_package(spark)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    sets: dict[str, set] = {}
+    for r in docs:
+        toks = [t for t in r["text"].split(" ") if t]
+        for i in range(len(toks) - corpus.SRC_SHINGLE + 1):
+            sets.setdefault(r["source"], set()).add(
+                " ".join(toks[i : i + corpus.SRC_SHINGLE])
+            )
+    from collections import Counter
+
+    df_count = Counter(sh for s in sets.values() for sh in s)
+    rows = {
+        (r["src_a"], r["src_b"]): r
+        for r in corpus.q_source_overlap(spark, SF_DIR).collect()
+    }
+    assert len(rows) > 0
+    srcs = sorted(sets)
+    for ia, a in enumerate(srcs):
+        for b in srcs[ia + 1 :]:
+            inter = {
+                sh
+                for sh in sets[a] & sets[b]
+                if df_count[sh] <= corpus.SRC_SH_MAX
+            }
+            if not inter:
+                assert (a, b) not in rows
+                continue
+            r = rows[(a, b)]
+            assert r["inter"] == len(inter)
+            assert r["jaccard"] == len(inter) / (
+                len(sets[a]) + len(sets[b]) - len(inter)
+            )
+    assert len({r["jaccard"] for r in rows.values()}) > 1  # non-constant
+    plan = (
+        corpus.q_source_overlap(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
