@@ -113,3 +113,93 @@ SELECT doc_id,
             AS BIGINT) AS n_tokens
 FROM expected
 """
+
+
+# --------------------------------------------------------------------------
+# html_links — outlink + anchor extraction (the crawl graph's real source)
+# --------------------------------------------------------------------------
+# graph.py's pagerank/triangle_count/anchor_text assume the closed-form
+# crawl graph; THIS op is where that graph comes from on real data —
+# parsing <a href> targets and inner text out of page markup. The link
+# page embeds the SAME closed-form edges (hub doc_id%16, linear
+# (7id+1)%N, quadratic (id^2+3)%N) as real anchor tags whose inner text
+# is the linking page's leading tokens (graph.ANCHOR_TOKENS — the
+# anchor_text contract), and the extraction must invert the generator:
+# the oracle computes expected (src, dst, anchor) rows DIRECTLY from
+# the closed form with no regex at all, so parity proves the parse, not
+# the pattern.
+#
+# Scale shape: page build and extraction are one narrow JVM chain
+# (regexp_extract_all per group + arrays_zip + posexplode) — no
+# shuffle, no Python; fan-out is links-per-page. Compose:
+# warc_ingest -> html_links -> graph ops / anchor_text.
+
+_LINK_RE = r'<a href="/doc/([0-9]+)">([^<]*)</a>'
+
+
+def build_link_page(doc_id_col, text_col, n: int):
+    """Deterministic link-bearing page: body text plus the page's three
+    closed-form out-edges as real anchor tags."""
+    from .graph import ANCHOR_TOKENS
+
+    anchor = F.array_join(
+        F.slice(F.filter(F.split(text_col, " "), lambda t: t != ""), 1, ANCHOR_TOKENS),
+        " ",
+    )
+    k = doc_id_col.cast("long")
+    link = lambda dst: F.concat(  # noqa: E731 — local expression builder
+        F.lit('<a href="/doc/'), dst.cast("string"), F.lit('">'), anchor, F.lit("</a>")
+    )
+    return F.concat(
+        F.lit("<html><body><p>"),
+        text_col,
+        F.lit("</p>"),
+        link(k % 16),
+        link((k * 7 + 1) % n),
+        link((k * k + 3) % n),
+        F.lit("</body></html>"),
+    )
+
+
+def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()  # bounded scalar (vertex count), as in graph.py
+    page = build_link_page(F.col("doc_id"), F.col("text"), n)
+    dsts = F.regexp_extract_all(page, F.lit(_LINK_RE), 1)
+    anchors = F.regexp_extract_all(page, F.lit(_LINK_RE), 2)
+    return (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.posexplode(F.arrays_zip(dsts, anchors)).alias("pos", "z"),
+        )
+        .select(
+            "src",
+            F.col("pos").cast("int").alias("pos"),
+            F.col("z.0").cast("long").alias("dst"),
+            F.col("z.1").alias("anchor"),
+        )
+    )
+
+
+def _sql_html_links() -> str:
+    from .graph import ANCHOR_TOKENS
+
+    return f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+base AS (
+  SELECT doc_id AS src,
+         array_to_string(list_slice(
+           list_filter(string_split(text, ' '), t -> t <> ''),
+           1, {ANCHOR_TOKENS}), ' ') AS anchor
+  FROM documents
+)
+SELECT src, CAST(pos AS INT) AS pos, CAST(dst AS BIGINT) AS dst, anchor
+FROM base, nn,
+     (VALUES (0), (1), (2)) AS p(pos),
+     LATERAL (SELECT CASE p.pos WHEN 0 THEN src % 16
+                                WHEN 1 THEN (src * 7 + 1) % nn.n
+                                ELSE (src * src + 3) % nn.n END AS dst) l
+"""
+
+
+SQL_HTML_LINKS = _sql_html_links()

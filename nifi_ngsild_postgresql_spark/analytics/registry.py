@@ -563,6 +563,11 @@ PYTEST_ONLY: dict[str, tuple] = {
     # restructure at source granularity with the df-bounded in-row
     # pair generation.
     "source_overlap": (corpus.q_source_overlap, corpus.SQL_SOURCE_OVERLAP),
+    # round 5 (late): <a href>/anchor extraction from page markup — the
+    # real source of the crawl graph the graph ops assume; the oracle
+    # computes expected (src, dst, anchor) from the closed form with NO
+    # regex, so parity proves the parse inverts the generator.
+    "html_links": (html.q_html_links, html.SQL_HTML_LINKS),
 }
 
 

@@ -67,3 +67,41 @@ def test_html_extract_plan_is_jvm_narrow(spark):
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
     assert "Exchange" not in plan, "extraction must stay shuffle-free"
+
+
+def test_html_links_inverts_generator_and_feeds_anchor_text(spark):
+    """(a) the parsed (src, pos, dst, anchor) set equals the closed-form
+    edge list computed in Python — the extraction inverts the page
+    generator; (b) aggregating the EXTRACTED links (self-loops dropped)
+    reproduces q_anchor_text row-for-row, proving the graph family's
+    assumed edges are exactly what markup parsing yields."""
+    from collections import Counter
+
+    from nifi_ngsild_postgresql_spark.analytics import graph, html
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    n = len(docs)
+    got = {
+        (r["src"], r["pos"]): (r["dst"], r["anchor"])
+        for r in html.q_html_links(spark, SF_DIR).collect()
+    }
+    assert len(got) == 3 * n
+    for k, toks in docs.items():
+        anchor = " ".join(toks[: graph.ANCHOR_TOKENS])
+        expect = [k % 16, (7 * k + 1) % n, (k * k + 3) % n]
+        for pos, dst in enumerate(expect):
+            assert got[(k, pos)] == (dst, anchor), (k, pos)
+    # (b) the extracted edges drive the anchor aggregation identically
+    per_dst: dict[int, Counter] = {}
+    for (src, _pos), (dst, anchor) in got.items():
+        if dst != src:
+            per_dst.setdefault(dst, Counter())[anchor] += 1
+    at = {r["doc_id"]: r for r in graph.q_anchor_text(spark, SF_DIR).collect()}
+    assert set(at) == set(per_dst)
+    for dst, cnt in per_dst.items():
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert at[dst]["n_inlinks"] == sum(cnt.values())
+        assert (at[dst]["top_anchor"], at[dst]["top_anchor_count"]) == best
