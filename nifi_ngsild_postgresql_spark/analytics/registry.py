@@ -568,6 +568,11 @@ PYTEST_ONLY: dict[str, tuple] = {
     # computes expected (src, dst, anchor) from the closed form with NO
     # regex, so parity proves the parse inverts the generator.
     "html_links": (html.q_html_links, html.SQL_HTML_LINKS),
+    # round 5 (late): cross-snapshot URL recency dedup — two .warc.gz
+    # snapshots parsed back WITH WARC-Date, resolution is one keyed
+    # max_by (LWW at the crawl front door); oracle computes the winner
+    # closed-form so parity proves the parser recovered dates+payloads.
+    "warc_latest": (warc.q_warc_latest, warc.SQL_WARC_LATEST),
 }
 
 

@@ -74,15 +74,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def build_warc_record(doc_id: int, text: str) -> bytes:
-    """One WARC response record as a standalone gzip member."""
+def build_warc_record(doc_id: int, text: str, date: str = WARC_DATE) -> bytes:
+    """One WARC response record as a standalone gzip member. ``date``
+    overrides WARC-Date (multi-snapshot fixtures — q_warc_latest)."""
     payload = text.encode("utf-8")
     head = (
         "WARC/1.0\r\n"
         "WARC-Type: response\r\n"
         f"WARC-Record-ID: <urn:uuid:doc-{doc_id}>\r\n"
         f"WARC-Target-URI: {WARC_URL_PREFIX}{doc_id}\r\n"
-        f"WARC-Date: {WARC_DATE}\r\n"
+        f"WARC-Date: {date}\r\n"
         f"Content-Length: {len(payload)}\r\n"
         "\r\n"
     ).encode("ascii")
@@ -103,15 +104,16 @@ def build_warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def build_warc_files_from(d: DataFrame) -> DataFrame:
+def build_warc_files_from(d: DataFrame, date: str = WARC_DATE) -> DataFrame:
     """Frame an arbitrary (doc_id, text) frame into .warc.gz segments —
     the composition hook: the web-pipeline test frames HTML PAGES here
-    (text = the built page), exercising the crawl path end to end."""
+    (text = the built page), exercising the crawl path end to end.
+    ``date`` stamps every record (one snapshot = one capture date)."""
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
         blob = b"".join(
-            build_warc_record(int(i), t)
+            build_warc_record(int(i), t, date)
             for i, t in zip(pdf["doc_id"], pdf["text"])
         )
         return pd.DataFrame(
@@ -190,6 +192,9 @@ def parse_warc_file(payload: bytes, include_text: bool = False) -> list[dict]:
             "content_length": n,
             "payload_md5": hashlib.md5(content).hexdigest(),
             "status": "ok",
+            # always parsed; emitted only by the dated schema (cols list
+            # controls the frame) so existing outputs are unchanged
+            "warc_date": headers.get("warc-date"),
         }
         if include_text:
             rec["payload_text"] = content.decode("utf-8")
@@ -198,11 +203,15 @@ def parse_warc_file(payload: bytes, include_text: bool = False) -> list[dict]:
     return out
 
 
-def _make_parse_partition(include_text: bool):
-    cols = [
-        "file_id", "rec_pos", "doc_id", "url", "warc_type",
-        "content_length", "payload_md5", "status",
-    ] + (["payload_text"] if include_text else [])
+def _make_parse_partition(include_text: bool, include_date: bool = False):
+    cols = (
+        [
+            "file_id", "rec_pos", "doc_id", "url", "warc_type",
+            "content_length", "payload_md5", "status",
+        ]
+        + (["warc_date"] if include_date else [])
+        + (["payload_text"] if include_text else [])
+    )
 
     def _parse_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -223,14 +232,22 @@ def _make_parse_partition(include_text: bool):
     return _parse_partition
 
 
-def parse_warc_table(files: DataFrame, include_text: bool = False) -> DataFrame:
+def parse_warc_table(
+    files: DataFrame, include_text: bool = False, include_date: bool = False
+) -> DataFrame:
     """Segment table (file_id, payload) -> one parsed row per record
     (plus one error row per corrupt segment). Linear, shuffle-free.
     ``include_text`` additionally decodes the payload as UTF-8 text —
-    the downstream-processing form (html_extract consumes it)."""
+    the downstream-processing form (html_extract consumes it);
+    ``include_date`` adds the parsed WARC-Date (multi-snapshot recency
+    dedup — q_warc_latest)."""
+    schema = PARSED_SCHEMA
+    if include_date:
+        schema = schema + ", warc_date string"
+    if include_text:
+        schema = schema + ", payload_text string"
     return files.select("file_id", "payload").mapInPandas(
-        _make_parse_partition(include_text),
-        PARSED_SCHEMA_TEXT if include_text else PARSED_SCHEMA,
+        _make_parse_partition(include_text, include_date), schema
     )
 
 
@@ -258,5 +275,75 @@ SELECT doc_id,
        'response' AS warc_type,
        CAST(strlen(text) AS BIGINT) AS content_length,
        md5(text) AS payload_md5
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# warc_latest — cross-snapshot URL recency dedup at the crawl front door
+# --------------------------------------------------------------------------
+
+WARC_RECRAWL_DATE = "2026-02-01T00:00:00Z"  # snapshot 2's capture date
+WARC_RECRAWL_MOD = 3  # doc_id % MOD == 0 pages get recrawled
+WARC_RECRAWL_PREFIX = "v2 "  # recrawled pages carry updated content
+
+
+def q_warc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl ships a NEW snapshot every month re-capturing a
+    subset of URLs; a corpus build must keep ONE capture per URL — the
+    newest — or near-exact dups flood every downstream stage. This op
+    does that with REAL parsing end to end: two synthetic snapshots are
+    framed as .warc.gz (snapshot 1 = every page at WARC_DATE; snapshot
+    2 = every WARC_RECRAWL_MOD-th page re-captured a month later with
+    updated content), both parsed back through the member-walking
+    parser WITH the WARC-Date header, and recency resolution is one
+    keyed max_by — LWW at the crawl front door, the same shape as the
+    CDC ingest's dedup but keyed by URL and ordered by capture date.
+
+    Scale shape: parse is the documented linear mapInPandas scan (one
+    task per segment); resolution is ONE map-side-combined
+    groupBy(doc_id).max(struct(date, md5)) — no window, no self-join.
+    The DuckDB oracle computes captures/winner closed-form from
+    documents (n_captures, winning date, md5 of the WINNING payload),
+    so parity proves the parser recovered the dates and payloads that
+    decide recency."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    s1 = build_warc_files_from(d)
+    s2 = build_warc_files_from(
+        d.filter(F.col("doc_id") % WARC_RECRAWL_MOD == 0).select(
+            "doc_id", F.concat(F.lit(WARC_RECRAWL_PREFIX), "text").alias("text")
+        ),
+        date=WARC_RECRAWL_DATE,
+    )
+    parsed = parse_warc_table(s1, include_date=True).unionByName(
+        parse_warc_table(s2, include_date=True)
+    )
+    return (
+        parsed.filter(F.col("status") == "ok")
+        .groupBy("doc_id", "url")
+        .agg(
+            F.count(F.lit(1)).alias("n_captures"),
+            F.max(F.struct("warc_date", "payload_md5")).alias("w"),
+        )
+        .select(
+            "doc_id",
+            "url",
+            F.col("n_captures").cast("long").alias("n_captures"),
+            F.col("w.warc_date").alias("latest_date"),
+            F.col("w.payload_md5").alias("latest_md5"),
+        )
+    )
+
+
+SQL_WARC_LATEST = f"""
+SELECT doc_id,
+       '{WARC_URL_PREFIX}' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(CASE WHEN doc_id % {WARC_RECRAWL_MOD} = 0 THEN 2 ELSE 1 END
+            AS BIGINT) AS n_captures,
+       CASE WHEN doc_id % {WARC_RECRAWL_MOD} = 0 THEN '{WARC_RECRAWL_DATE}'
+            ELSE '{WARC_DATE}' END AS latest_date,
+       CASE WHEN doc_id % {WARC_RECRAWL_MOD} = 0
+            THEN md5('{WARC_RECRAWL_PREFIX}' || text)
+            ELSE md5(text) END AS latest_md5
 FROM documents
 """

@@ -92,3 +92,30 @@ def test_warc_parse_stage_is_linear_no_extra_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_warc_latest_recency_resolution(spark):
+    """Recrawled URLs (doc_id % MOD == 0) resolve to the snapshot-2
+    capture (newer date, updated-content md5); everything else keeps the
+    snapshot-1 capture; capture counts are exact; and the winning md5
+    really is the md5 of the updated payload (recomputed in Python)."""
+    import hashlib
+
+    from nifi_ngsild_postgresql_spark.analytics import warc
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    rows = {r["doc_id"]: r for r in warc.q_warc_latest(spark, SF_DIR).collect()}
+    assert set(rows) == set(docs)
+    for k, text in docs.items():
+        r = rows[k]
+        recrawled = k % warc.WARC_RECRAWL_MOD == 0
+        assert r["n_captures"] == (2 if recrawled else 1)
+        assert r["latest_date"] == (
+            warc.WARC_RECRAWL_DATE if recrawled else warc.WARC_DATE
+        )
+        winning = (warc.WARC_RECRAWL_PREFIX + text) if recrawled else text
+        assert r["latest_md5"] == hashlib.md5(winning.encode()).hexdigest()
+    assert any(k % warc.WARC_RECRAWL_MOD == 0 for k in docs)  # non-vacuous
