@@ -1997,3 +1997,76 @@ SELECT media_id,
        'decoded' AS decode_status
 FROM win
 """
+
+
+# --------------------------------------------------------------------------
+# media_sniff — magic-byte format detection over the mixed media table
+# --------------------------------------------------------------------------
+# The router in front of the decoder family: web payloads arrive with
+# missing or LYING Content-Type headers, so ingestion sniffs the magic
+# bytes and dispatches to the right decoder (or quarantines). The mixed
+# table interleaves all five REAL synthesized containers (PNG, GIF,
+# JPEG, WAV, AVI by doc_id % 5); detection itself is PURE JVM — binary
+# substring + hex compare expressions, no Python touches the bytes
+# after synthesis — distinguishing the two RIFF formats by their form
+# type (bytes 9-12: 'WAVE' vs 'AVI ') exactly like `file`/libmagic.
+#
+# Scale shape: one narrow projection over the payload scan; the only
+# Python stage in the plan is the fixture generator (mapInPandas), the
+# same boundary every decoder op documents. The oracle states the
+# expected class closed-form from doc_id, so parity proves the JVM
+# sniffer classified the REAL bytes of every container correctly.
+
+SNIFF_SCHEMA = "media_id long, payload binary"
+
+
+def build_mixed_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import gif as _gif  # local import — gif/jpeg import this module
+    from . import jpeg as _jpeg
+
+    builders = (synth_png, _gif.synth_gif, _jpeg.synth_jpeg, synth_wav, synth_avi)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [builders[i % 5](i) for i in ids],
+                }
+            )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(gen, SNIFF_SCHEMA)
+
+
+def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = build_mixed_media_table(spark, sf_dir)
+    magic8 = F.hex(F.expr("substring(payload, 1, 8)"))
+    magic3 = F.hex(F.expr("substring(payload, 1, 3)"))
+    ascii4 = F.expr("decode(substring(payload, 1, 4), 'ISO-8859-1')")
+    ascii6 = F.expr("decode(substring(payload, 1, 6), 'ISO-8859-1')")
+    form4 = F.expr("decode(substring(payload, 9, 4), 'ISO-8859-1')")
+    detected = (
+        F.when(magic8 == "89504E470D0A1A0A", "image/png")
+        .when((ascii6 == "GIF87a") | (ascii6 == "GIF89a"), "image/gif")
+        .when(magic3 == "FFD8FF", "image/jpeg")
+        .when((ascii4 == "RIFF") & (form4 == "WAVE"), "audio/wav")
+        .when((ascii4 == "RIFF") & (form4 == "AVI "), "video/avi")
+        .otherwise("unknown")
+    )
+    return media.select(
+        "media_id",
+        detected.alias("mime"),
+        (ascii4 == "RIFF").alias("is_riff"),
+    )
+
+
+SQL_MEDIA_SNIFF = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+            WHEN 2 THEN 'image/jpeg' WHEN 3 THEN 'audio/wav'
+            ELSE 'video/avi' END AS mime,
+       (doc_id % 5 >= 3) AS is_riff
+FROM documents
+"""

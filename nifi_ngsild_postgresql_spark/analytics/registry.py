@@ -573,6 +573,11 @@ PYTEST_ONLY: dict[str, tuple] = {
     # max_by (LWW at the crawl front door); oracle computes the winner
     # closed-form so parity proves the parser recovered dates+payloads.
     "warc_latest": (warc.q_warc_latest, warc.SQL_WARC_LATEST),
+    # round 5 (late): the router in front of the decoder family —
+    # magic-byte format detection over REAL mixed containers, pure JVM
+    # binary/hex expressions (RIFF form-type disambiguation included);
+    # oracle states the expected class closed-form.
+    "media_sniff": (advanced.q_media_sniff, advanced.SQL_MEDIA_SNIFF),
 }
 
 

@@ -695,3 +695,47 @@ def test_dedup_eval_counts_and_identities(spark):
     assert row["n_tp"] == tp > 0
     assert row["precision"] == tp / len(cands) > 0
     assert row["recall"] == tp / len(truth) > 0
+
+
+def test_media_sniff_real_bytes_and_corruption(spark):
+    """All five container classes detected from their REAL bytes; a
+    corrupted magic lands in 'unknown' instead of misclassifying; RIFF
+    disambiguation (WAVE vs AVI ) is exercised on both sides; and the
+    plan's only Python stage is the fixture generator."""
+    ship_package(spark)
+    rows = {r["media_id"]: r for r in advanced.q_media_sniff(spark, SF_DIR).collect()}
+    expect = ["image/png", "image/gif", "image/jpeg", "audio/wav", "video/avi"]
+    assert {r["mime"] for r in rows.values()} == set(expect)
+    for mid, r in rows.items():
+        assert r["mime"] == expect[mid % 5], mid
+        assert r["is_riff"] == (mid % 5 >= 3)
+    # JVM detection logic against planted bytes, including corruption
+    import pandas as pd
+
+    from nifi_ngsild_postgresql_spark.analytics import gif, jpeg
+
+    payloads = {
+        0: advanced.synth_png(7),
+        1: gif.synth_gif(7),
+        2: jpeg.synth_jpeg(7),
+        3: advanced.synth_wav(7),
+        4: advanced.synth_avi(7),
+        5: b"JUNK" + advanced.synth_png(7)[4:],  # broken magic
+        6: b"RIFF\x00\x00\x00\x00XXXX",  # RIFF with unknown form type
+    }
+    pdf = pd.DataFrame(
+        {"media_id": list(payloads), "payload": list(payloads.values())}
+    )
+    sdf = spark.createDataFrame(pdf)
+    import nifi_ngsild_postgresql_spark.analytics.advanced as adv
+
+    monkey = adv.build_mixed_media_table
+    try:
+        adv.build_mixed_media_table = lambda *_: sdf
+        got = {r["media_id"]: r["mime"] for r in adv.q_media_sniff(spark, SF_DIR).collect()}
+    finally:
+        adv.build_mixed_media_table = monkey
+    assert got == {
+        0: "image/png", 1: "image/gif", 2: "image/jpeg",
+        3: "audio/wav", 4: "video/avi", 5: "unknown", 6: "unknown",
+    }
