@@ -111,6 +111,15 @@ HEADLINE = [
     # denominator, one scoring join)
     "gapfill_locf",
     "bigram_surprisal",
+    # round 5 (final): the session's strongest new shapes — the CCNet
+    # rewrite composed through the Gopher gate (two gate passes + the
+    # line-dedup broadcast anti-join), the LSH-vs-exact grading join,
+    # the in-row anchor aggregation over the crawl graph, and the
+    # two-snapshot recency dedup through the real WARC parser
+    "rewrite_pipeline",
+    "dedup_eval",
+    "anchor_text",
+    "warc_latest",
 ]
 
 

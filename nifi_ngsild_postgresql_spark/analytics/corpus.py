@@ -2401,3 +2401,73 @@ FROM inter
 JOIN sizes sa ON sa.source = src_a
 JOIN sizes sb ON sb.source = src_b
 """
+
+
+# --------------------------------------------------------------------------
+# char_entropy — per-document character entropy (the garbage detector)
+# --------------------------------------------------------------------------
+# Encoding garbage, binary-in-text, and key-mash spam sit at the
+# entropy EXTREMES: mojibake and random bytes score near the alphabet
+# maximum, repeated-character padding near zero — while natural language
+# occupies a tight band. The classic cheap filter is per-document
+# character-level Shannon entropy, H = ln(n) - (1/n) * sum_c n_c ln n_c.
+#
+# Determinism: the naive sum of n_c/n * ln(n_c/n) DOUBLES is
+# order-sensitive (float addition does not commute across engines), so
+# each ln is quantized PER TERM to integer micro-nats (the
+# SURPRISAL_SCALE contract) and the sum runs in exact integers:
+# H_scaled = n * q(ln n) - sum_c n_c * q(ln n_c), emitted as ONE double
+# division H = H_scaled / (n * SCALE). Bit-identical across engines.
+#
+# Scale shape: chars explode to (doc, char) — fan-out = doc bytes, the
+# honest cost — then ONE map-side-combined keyed agg to char counts and
+# one per-doc agg; q(ln) evaluates on the tiny (doc, char) count table,
+# never per character occurrence.
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    q = F.round(F.log(F.col("c").cast("double")) * SURPRISAL_SCALE).cast("long")
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * q).alias("sq"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+    )
+    qn = F.round(F.log(F.col("n").cast("double")) * SURPRISAL_SCALE).cast("long")
+    return per_doc.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars_counted"),
+        F.col("n_distinct_chars").cast("long").alias("n_distinct_chars"),
+        (
+            (F.col("n") * qn - F.col("sq")).cast("double")
+            / (F.col("n").cast("double") * SURPRISAL_SCALE)
+        ).alias("entropy_nats"),
+    )
+
+
+SQL_CHAR_ENTROPY = f"""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+), counts AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars WHERE ch <> ''
+  GROUP BY doc_id, ch
+), per_doc AS (
+  SELECT doc_id,
+         SUM(c) AS n,
+         SUM(c * CAST(ROUND(ln(CAST(c AS DOUBLE)) * {SURPRISAL_SCALE})
+                      AS BIGINT)) AS sq,
+         COUNT(*) AS n_distinct_chars
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_chars_counted,
+       CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+       CAST(n * CAST(ROUND(ln(CAST(n AS DOUBLE)) * {SURPRISAL_SCALE}) AS BIGINT)
+            - sq AS DOUBLE)
+         / (CAST(n AS DOUBLE) * {SURPRISAL_SCALE}) AS entropy_nats
+FROM per_doc
+"""

@@ -578,6 +578,10 @@ PYTEST_ONLY: dict[str, tuple] = {
     # binary/hex expressions (RIFF form-type disambiguation included);
     # oracle states the expected class closed-form.
     "media_sniff": (advanced.q_media_sniff, advanced.SQL_MEDIA_SNIFF),
+    # round 5 (late): per-document character entropy — the cheap
+    # mojibake/binary/keymash detector; per-term integer-quantized ln
+    # so the sum commutes identically on both engines.
+    "char_entropy": (corpus.q_char_entropy, corpus.SQL_CHAR_ENTROPY),
 }
 
 

@@ -1413,3 +1413,44 @@ def test_source_overlap_brute_force_and_plan(spark):
     assert "CartesianProduct" not in plan
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
+
+
+def test_char_entropy_planted_and_quantized_formula(spark):
+    """'aaaa' scores 0; 'abab' scores ln 2 (up to the micro-nat
+    quantization); a Python recompute with the SAME per-term
+    quantization matches every corpus row exactly; and entropy orders
+    padding < natural text."""
+    import math
+    import os
+    import tempfile
+    from collections import Counter
+
+    ship_package(spark)
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcdefgh")],
+        "doc_id long, text string",
+    ).write.parquet(os.path.join(tmp, "documents.parquet"))
+    got = {r["doc_id"]: r for r in corpus.q_char_entropy(spark, tmp).collect()}
+    assert got[1]["entropy_nats"] == 0.0
+    assert abs(got[2]["entropy_nats"] - math.log(2)) < 1e-5
+    assert abs(got[3]["entropy_nats"] - math.log(8)) < 1e-5
+    assert got[1]["entropy_nats"] < got[2]["entropy_nats"] < got[3]["entropy_nats"]
+
+    def expect(text: str) -> float:
+        S = corpus.SURPRISAL_SCALE
+        cnt = Counter(text)
+        n = sum(cnt.values())
+        q = lambda x: round(math.log(x) * S)  # noqa: E731
+        return (n * q(n) - sum(c * q(c) for c in cnt.values())) / (n * S)
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    rows = {r["doc_id"]: r for r in corpus.q_char_entropy(spark, SF_DIR).collect()}
+    assert set(rows) == {k for k, t in docs.items() if t}
+    for k, r in rows.items():
+        assert r["entropy_nats"] == expect(docs[k]), k
+        assert r["n_chars_counted"] == len(docs[k])
+        assert r["n_distinct_chars"] == len(set(docs[k]))
