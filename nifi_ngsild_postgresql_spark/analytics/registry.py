@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from . import (
     advanced,
+    codescan,
     corpus,
     export,
     gif,
@@ -582,6 +583,14 @@ PYTEST_ONLY: dict[str, tuple] = {
     # mojibake/binary/keymash detector; per-term integer-quantized ln
     # so the sum commutes identically on both engines.
     "char_entropy": (corpus.q_char_entropy, corpus.SQL_CHAR_ENTROPY),
+    # round 5 (late): the source-code curation family over the
+    # input_hint table shape (repo/path/commit/lang/content) —
+    # credential redaction, license gating, structural quality filters,
+    # and per-host crawl scheduling (analytics/codescan.py).
+    "secret_scan": (codescan.q_secret_scan, codescan.SQL_SECRET_SCAN),
+    "license_detect": (codescan.q_license_detect, codescan.SQL_LICENSE_DETECT),
+    "code_quality": (codescan.q_code_quality, codescan.SQL_CODE_QUALITY),
+    "crawl_frontier": (codescan.q_crawl_frontier, codescan.SQL_CRAWL_FRONTIER),
 }
 
 
