@@ -341,6 +341,104 @@ FROM m
 
 
 # --------------------------------------------------------------------------
+# winnowing — MOSS-style local fingerprinting for code-clone detection
+# --------------------------------------------------------------------------
+
+# Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003): hash every K-char
+# gram, slide a window of W consecutive gram hashes, record each
+# window's minimum. GUARANTEE: any substring shared between two
+# documents of length >= W + K - 1 chars contributes at least one
+# shared fingerprint — the local property bag-of-shingles MinHash lacks
+# (MinHash can miss a short verbatim clone entirely; winnowing cannot).
+WINNOW_K = 8          # gram width (chars)
+WINNOW_W = 4          # window of consecutive gram hashes
+WINNOW_GUARANTEE = WINNOW_W + WINNOW_K - 1  # 11 chars
+WINNOW_MAX_DF = 10    # fingerprints in more docs define no candidates
+WINNOW_MIN_SHARED = 3  # pair detection threshold
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-clone pairs by winnowing fingerprints: every K=8-char gram
+    is 60-bit-hashed in-row, each W=4 window of consecutive gram hashes
+    records its minimum, and documents sharing >= 3 rare fingerprints
+    (df <= 10) are clone candidates — the MOSS algorithm, whose local
+    guarantee (any shared substring >= W+K-1 = 11 chars shares a
+    fingerprint) catches short verbatim lifts that bag-of-shingles
+    MinHash misses. Scale shape: gram hashing + window minima are pure
+    in-row JVM array kernels (O(n·W) per doc, no fan-out materialized);
+    the fingerprint table shuffles ONCE into the grouped frame; the
+    df cap drops hot fingerprints BEFORE the in-row pair generation
+    (<= C(10,2) structs per fingerprint) — same single-exchange
+    candidate shape as ngram_jaccard (suite.py:586), never a self-join,
+    never quadratic on a boilerplate fingerprint."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.length("text") >= WINNOW_GUARANTEE
+    )
+    grams = F.expr(
+        f"transform(sequence(1, length(text) - {WINNOW_K} + 1),"
+        f" i -> cast(conv(substring(md5(substring(text, i, {WINNOW_K})),"
+        f" 1, 15), 16, 10) as bigint))"
+    )
+    mins = F.expr(
+        f"transform(sequence(1, size(g) - {WINNOW_W} + 1),"
+        f" j -> array_min(slice(g, j, {WINNOW_W})))"
+    )
+    fps = (
+        d.select("doc_id", grams.alias("g"))
+        .select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+    )
+    grouped = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs").between(2, WINNOW_MAX_DF))
+    )
+    pair_arr = F.expr(
+        "flatten(transform(docs, (x, i) ->"
+        " transform(slice(docs, i + 2, size(docs)),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    return (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+_SQL_H60_GRAM = (
+    "list_sum(list_transform(range(1, 16), q ->"
+    " (CAST(strpos('0123456789abcdef', substr(md5(substr(text,"
+    f" CAST(i AS INTEGER), {WINNOW_K})), CAST(q AS INTEGER), 1)) AS BIGINT)"
+    " - 1) << (4 * (15 - q))))"
+)
+
+SQL_WINNOWING = f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - {WINNOW_K} + 2),
+                        i -> {_SQL_H60_GRAM}) AS g
+  FROM documents
+  WHERE length(text) >= {WINNOW_GUARANTEE}
+), fps AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(g) - {WINNOW_W} + 2),
+                j -> list_min(g[CAST(j AS INTEGER)
+                               :CAST(j + {WINNOW_W} - 1 AS INTEGER)]))) AS fp
+  FROM grams
+), rare AS (
+  SELECT doc_id, fp FROM fps
+  WHERE fp IN (SELECT fp FROM fps GROUP BY fp
+               HAVING COUNT(*) BETWEEN 2 AND {WINNOW_MAX_DF})
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared
+FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+# --------------------------------------------------------------------------
 # crawl_frontier — per-host politeness fetch scheduling
 # --------------------------------------------------------------------------
 

@@ -591,6 +591,9 @@ PYTEST_ONLY: dict[str, tuple] = {
     "license_detect": (codescan.q_license_detect, codescan.SQL_LICENSE_DETECT),
     "code_quality": (codescan.q_code_quality, codescan.SQL_CODE_QUALITY),
     "crawl_frontier": (codescan.q_crawl_frontier, codescan.SQL_CRAWL_FRONTIER),
+    # MOSS winnowing: local fingerprinting whose W+K-1 guarantee catches
+    # short verbatim clones that bag-of-shingles MinHash can miss.
+    "winnowing": (codescan.q_winnowing, codescan.SQL_WINNOWING),
 }
 
 

@@ -188,6 +188,65 @@ def test_code_quality_metrics_exact(spark, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# winnowing
+# --------------------------------------------------------------------------
+
+
+def _py_winnow_fps(text: str) -> set:
+    """Independent Python winnowing: 60-bit md5 gram hashes, window
+    minima — the algorithm's definition, no Spark/DuckDB shared code."""
+    k, w = codescan.WINNOW_K, codescan.WINNOW_W
+    if len(text) < k + w - 1:
+        return set()
+    grams = [
+        int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(len(text) - k + 1)
+    ]
+    return {
+        min(grams[j : j + w]) for j in range(len(grams) - w + 1)
+    }
+
+
+def test_winnowing_local_guarantee_and_exact_counts(spark, tmp_path):
+    """A 40-char block lifted verbatim into an otherwise-different doc
+    is detected (the W+K-1 local guarantee: every shared substring
+    >= 11 chars shares a fingerprint); disjoint-alphabet docs share
+    nothing; and the reported shared count equals an independent
+    Python winnowing of the same texts."""
+    block = "0123456789abcdefghijklmnopqrstuvwxyz!@#$"  # 40 chars
+    a = "AAAA AAAA " + block + " AAAA AAAA AAAA AAAA"
+    b = "BBBB BBBB BBBB " + block + " BBBB BBBB"
+    c = "cccc cccc cccc cccc cccc cccc cccc cccc cccc"  # disjoint
+    sf = _write_docs(
+        spark, tmp_path, {"doc_id": [1, 2, 3], "text": [a, b, c]}
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared"]
+        for r in codescan.q_winnowing(spark, sf).collect()
+    }
+    fa, fb, fc = map(_py_winnow_fps, (a, b, c))
+    # with 3 docs every fingerprint has df <= 3 <= cap, so the rare
+    # filter keeps exactly the fingerprints in >= 2 docs
+    expect_ab = len(fa & fb)
+    assert expect_ab >= codescan.WINNOW_MIN_SHARED  # the block guarantees it
+    assert pairs == {(1, 2): expect_ab}
+    assert not (fa & fc) and not (fb & fc)
+
+
+def test_winnowing_hot_fingerprint_capped(spark, tmp_path):
+    """A fingerprint present in more than WINNOW_MAX_DF docs defines no
+    candidate pairs — boilerplate can never go quadratic."""
+    boiler = "SAME SAME " + "0123456789abcdefghijklmnopqrstuvwxyz!@#$"
+    n = codescan.WINNOW_MAX_DF + 2
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        {"doc_id": list(range(n)), "text": [boiler] * n},
+    )
+    assert codescan.q_winnowing(spark, sf).count() == 0
+
+
+# --------------------------------------------------------------------------
 # crawl_frontier
 # --------------------------------------------------------------------------
 
@@ -249,3 +308,16 @@ def test_codescan_plans_hold_at_scale(spark):
     assert fr.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in fr
     assert "Window" in fr
+
+
+def test_winnowing_plan_holds_at_scale(spark):
+    """Gram hashing and window minima are in-row array kernels; the
+    fingerprint table shuffles once into the grouped frame and the pair
+    rollup once more — exactly TWO keyed exchanges, no self-join, no
+    cartesian, nothing leaves the JVM."""
+    plan = _plan(codescan.q_winnowing(spark, SF_DIR))
+    for marker in _PY_MARKERS:
+        assert marker not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # pairs are generated in-row
