@@ -439,6 +439,140 @@ GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
 
 
 # --------------------------------------------------------------------------
+# bracket_depth — nesting / balance syntax-sanity gate
+# --------------------------------------------------------------------------
+
+# keep gate: every bracket family nets to zero, the running depth never
+# went negative, and peak nesting stays under the cap (StarCoder-style
+# "is this plausibly parseable source" filter — a FILTER, not a parser:
+# cross-family interleaving like "[)" passes the per-family nets and is
+# out of scope by design, documented here).
+BRACKET_MAX_DEPTH = 32
+
+
+def _bracket_augmented(d: DataFrame) -> DataFrame:
+    """documents + a deterministic bracket tail: nesting depth
+    doc_id % 6, an unmatched closer every 7th doc, an unmatched opener
+    every 11th — so balanced, negative-dip, and open-ended branches all
+    occur in both engines."""
+    i = F.col("doc_id")
+    tail = F.concat(
+        F.lit(" "),
+        F.expr("repeat('(', cast(doc_id % 6 as int))"),
+        F.lit("[x]{y}"),
+        F.expr("repeat(')', cast(doc_id % 6 as int))"),
+        F.when(i % 7 == 0, F.lit(")")).otherwise(F.lit("")),
+        F.when(i % 11 == 0, F.lit("(")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", F.concat(F.col("text"), tail).alias("aug"))
+
+
+_BRACKET_SQL_AUG = (
+    "text || ' ' || repeat('(', CAST(doc_id % 6 AS INTEGER)) || '[x]{y}'"
+    " || repeat(')', CAST(doc_id % 6 AS INTEGER))"
+    " || CASE WHEN doc_id % 7 = 0 THEN ')' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN '(' ELSE '' END"
+)
+
+
+def q_bracket_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bracket-structure sanity per source file: one in-row LEFT FOLD
+    over the characters carries (running depth, max depth, went-
+    negative) across all three bracket families at once, and cheap
+    length-difference counts give each family's net balance — keep =
+    all nets zero AND never-negative AND peak depth <= 32. The
+    sequential-fold shape (aggregate() in Spark, list_reduce in DuckDB)
+    is what separates this from every bag-of-counts op: depth is order-
+    sensitive, so ')(' correctly fails where counting alone passes it.
+    Scale shape: narrow, zero exchanges, O(doc bytes) per row, entirely
+    JVM whole-stage codegen."""
+    d = _bracket_augmented(_t(spark, sf_dir, "documents"))
+
+    def net(o: str, c: str):
+        a = F.length("aug") - F.length(F.expr(f"replace(aug, '{o}', '')"))
+        b = F.length("aug") - F.length(F.expr(f"replace(aug, '{c}', '')"))
+        return (a - b).cast("long")
+
+    fold = F.expr(
+        "aggregate(split(aug, ''),"
+        " struct(cast(0 as bigint) as d, cast(0 as bigint) as mx,"
+        "        cast(0 as bigint) as neg),"
+        " (acc, c) -> struct("
+        "   acc.d + (case when c in ('(', '[', '{') then 1"
+        "                 when c in (')', ']', '}') then -1"
+        "                 else 0 end) as d,"
+        "   greatest(acc.mx, acc.d + (case when c in ('(', '[', '{') then 1"
+        "                 when c in (')', ']', '}') then -1"
+        "                 else 0 end)) as mx,"
+        "   case when acc.d + (case when c in ('(', '[', '{') then 1"
+        "                 when c in (')', ']', '}') then -1"
+        "                 else 0 end) < 0 then 1 else acc.neg end as neg))"
+    )
+    withf = d.select(
+        "doc_id",
+        fold.alias("st"),
+        net("(", ")").alias("net_paren"),
+        net("[", "]").alias("net_square"),
+        net("{", "}").alias("net_brace"),
+    )
+    keep = (
+        (F.col("net_paren") == 0)
+        & (F.col("net_square") == 0)
+        & (F.col("net_brace") == 0)
+        & (F.col("st.neg") == 0)
+        & (F.col("st.mx") <= BRACKET_MAX_DEPTH)
+    )
+    return withf.select(
+        "doc_id",
+        F.col("st.mx").alias("max_depth"),
+        F.col("st.d").alias("end_depth"),
+        F.col("st.neg").alias("went_neg"),
+        "net_paren",
+        "net_square",
+        "net_brace",
+        keep.alias("keep"),
+    )
+
+
+def _sql_net(o: str, c: str) -> str:
+    return (
+        f"CAST((length(aug) - length(replace(aug, '{o}', '')))"
+        f" - (length(aug) - length(replace(aug, '{c}', ''))) AS BIGINT)"
+    )
+
+
+_SQL_DELTA = (
+    "(CASE WHEN x IN ('(', '[', '{') THEN 1::BIGINT"
+    " WHEN x IN (')', ']', '}') THEN -1::BIGINT ELSE 0::BIGINT END)"
+)
+
+SQL_BRACKET_DEPTH = f"""
+WITH aug AS (
+  SELECT doc_id, {_BRACKET_SQL_AUG} AS aug FROM documents
+), folded AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend([0::BIGINT, 0::BIGINT, 0::BIGINT],
+        list_transform(string_split(aug, ''),
+          x -> [{_SQL_DELTA}, 0::BIGINT, 0::BIGINT])),
+      (acc, x) -> [acc[1] + x[1],
+                   greatest(acc[2], acc[1] + x[1]),
+                   CASE WHEN acc[1] + x[1] < 0 THEN 1::BIGINT
+                        ELSE acc[3] END]) AS st,
+    {_sql_net("(", ")")} AS net_paren,
+    {_sql_net("[", "]")} AS net_square,
+    {_sql_net("{", "}")} AS net_brace
+  FROM aug
+)
+SELECT doc_id, st[2] AS max_depth, st[1] AS end_depth, st[3] AS went_neg,
+       net_paren, net_square, net_brace,
+       (net_paren = 0 AND net_square = 0 AND net_brace = 0
+        AND st[3] = 0 AND st[2] <= {BRACKET_MAX_DEPTH}) AS keep
+FROM folded
+"""
+
+
+# --------------------------------------------------------------------------
 # crawl_frontier — per-host politeness fetch scheduling
 # --------------------------------------------------------------------------
 

@@ -594,6 +594,9 @@ PYTEST_ONLY: dict[str, tuple] = {
     # MOSS winnowing: local fingerprinting whose W+K-1 guarantee catches
     # short verbatim clones that bag-of-shingles MinHash can miss.
     "winnowing": (codescan.q_winnowing, codescan.SQL_WINNOWING),
+    # order-sensitive in-row fold: depth/balance sanity that counting
+    # alone cannot express (')(' fails here, passes a bag of counts).
+    "bracket_depth": (codescan.q_bracket_depth, codescan.SQL_BRACKET_DEPTH),
 }
 
 

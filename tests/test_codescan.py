@@ -247,6 +247,60 @@ def test_winnowing_hot_fingerprint_capped(spark, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# bracket_depth
+# --------------------------------------------------------------------------
+
+
+def test_bracket_depth_order_sensitivity_and_gates(spark, tmp_path):
+    """The fold is order-sensitive: ')(' nets to zero but fails on the
+    negative dip, where any bag-of-counts gate would pass it. Also pins
+    max depth on crafted nesting, each family's net, and the depth cap.
+    doc_ids chosen so no injected-tail branch fires (% 6 == 0 gives an
+    empty injected nest; % 7 != 0 and % 11 != 0 keep it balanced)."""
+    t1 = ")("  # balanced counts, negative dip -> keep=False
+    t2 = "((x[y]{z}))"  # clean nesting, depth 3 -> keep=True
+    t3 = "(((" + "(" * 32 + ")" * 32 + ")))"  # depth 35 > cap
+    t4 = "[[]"  # unmatched square opener
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        {"doc_id": [6, 12, 18, 24], "text": [t1, t2, t3, t4]},
+    )
+    rows = {
+        r["doc_id"]: r for r in codescan.q_bracket_depth(spark, sf).collect()
+    }
+    # every injected tail here is the fixed balanced '[x]{y}'
+    assert rows[6]["went_neg"] == 1 and rows[6]["net_paren"] == 0
+    assert rows[6]["keep"] is False  # the case counting alone passes
+
+    assert rows[12]["max_depth"] == 3 and rows[12]["went_neg"] == 0
+    assert rows[12]["keep"] is True
+
+    assert rows[18]["max_depth"] == 35
+    assert rows[18]["keep"] is False  # depth cap
+
+    assert rows[24]["net_square"] == 1 and rows[24]["end_depth"] == 1
+    assert rows[24]["keep"] is False  # unbalanced family
+
+
+def test_bracket_depth_injected_branches(spark, tmp_path):
+    """The deterministic tail exercises all three branches: doc 7 gets
+    the unmatched closer (negative dip at the very end), doc 11 the
+    unmatched opener (end_depth 1), doc 13 stays balanced."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        {"doc_id": [7, 11, 13], "text": ["w", "w", "w"]},
+    )
+    rows = {
+        r["doc_id"]: r for r in codescan.q_bracket_depth(spark, sf).collect()
+    }
+    assert rows[7]["went_neg"] == 1 and rows[7]["keep"] is False
+    assert rows[11]["end_depth"] == 1 and rows[11]["keep"] is False
+    assert rows[13]["went_neg"] == 0 and rows[13]["keep"] is True
+
+
+# --------------------------------------------------------------------------
 # crawl_frontier
 # --------------------------------------------------------------------------
 
@@ -321,3 +375,12 @@ def test_winnowing_plan_holds_at_scale(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # pairs are generated in-row
+
+
+def test_bracket_depth_plan_is_narrow(spark):
+    """The fold runs in-row: zero exchanges, zero Python — the whole
+    op is one whole-stage-codegen projection."""
+    plan = _plan(codescan.q_bracket_depth(spark, SF_DIR))
+    for marker in _PY_MARKERS:
+        assert marker not in plan
+    assert "Exchange" not in plan
