@@ -573,6 +573,97 @@ FROM folded
 
 
 # --------------------------------------------------------------------------
+# vocab_growth — Heaps-law vocabulary curve over ingestion order
+# --------------------------------------------------------------------------
+
+VOCAB_BANDS = 20  # cumulative curve granularity (the window's row count)
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: the corpus is cut into 20 equal
+    doc-id bands (ingestion-order prefixes) and each band reports the
+    CUMULATIVE token count and CUMULATIVE distinct vocabulary up to and
+    including it — the curve a tokenizer-training pipeline reads to
+    decide how much data saturates a vocab budget. Scale shape: tokens
+    explode once (honest fan-out); vocabulary is counted by FIRST
+    OCCURRENCE (min band per token, ONE keyed exchange) so no band
+    recounts another band's words; both per-band frames are O(BANDS)
+    rows, and the single-partition cumulative window runs over exactly
+    BANDS rows — never over the corpus. A 100 TB corpus changes the
+    explode cost only; everything after the two keyed aggs is
+    constant-size."""
+    d = _t(spark, sf_dir, "documents")
+    hi = d.agg((F.max("doc_id") + 1).alias("hi"))
+    # integer floor division on BOTH engines (double-then-cast would
+    # round in DuckDB but truncate in Spark — band boundaries must not
+    # depend on float semantics)
+    banded = d.crossJoin(F.broadcast(hi)).select(
+        F.least(
+            F.lit(VOCAB_BANDS - 1).cast("long"),
+            F.expr(f"(doc_id * {VOCAB_BANDS}) div hi"),
+        ).alias("band"),
+        "text",
+    )
+    toks = banded.select(
+        "band",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    per_band_tokens = toks.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    first_seen = (
+        toks.groupBy("tok")
+        .agg(F.min("band").alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    w = (
+        Window.orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_band_tokens.join(first_seen, "band", "left")
+        .select(
+            "band",
+            F.sum("n_tok").over(w).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+    )
+
+
+SQL_VOCAB_GROWTH = f"""
+WITH hi AS (
+  SELECT MAX(doc_id) + 1 AS hi FROM documents
+), banded AS (
+  SELECT LEAST(CAST({VOCAB_BANDS} - 1 AS BIGINT),
+               (doc_id * {VOCAB_BANDS}) // hi) AS band, text
+  FROM documents, hi
+), toks AS (
+  SELECT band,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM banded
+), per_band AS (
+  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks GROUP BY band
+), first_seen AS (
+  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_new FROM (
+    SELECT tok, MIN(band) AS band FROM toks GROUP BY tok
+  ) GROUP BY band
+)
+SELECT p.band,
+       CAST(SUM(p.n_tok) OVER (ORDER BY p.band
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(f.n_new, 0)) OVER (ORDER BY p.band
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM per_band p LEFT JOIN first_seen f ON p.band = f.band
+"""
+
+
+# --------------------------------------------------------------------------
 # crawl_frontier — per-host politeness fetch scheduling
 # --------------------------------------------------------------------------
 

@@ -597,6 +597,9 @@ PYTEST_ONLY: dict[str, tuple] = {
     # order-sensitive in-row fold: depth/balance sanity that counting
     # alone cannot express (')(' fails here, passes a bag of counts).
     "bracket_depth": (codescan.q_bracket_depth, codescan.SQL_BRACKET_DEPTH),
+    # Heaps-law curve: cumulative vocab by first occurrence per band;
+    # the cumulative window runs over O(BANDS) rows, never the corpus.
+    "vocab_growth": (codescan.q_vocab_growth, codescan.SQL_VOCAB_GROWTH),
 }
 
 

@@ -301,6 +301,54 @@ def test_bracket_depth_injected_branches(spark, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# vocab_growth
+# --------------------------------------------------------------------------
+
+
+def test_vocab_growth_first_occurrence_semantics(spark, tmp_path):
+    """A word is vocabulary only in the band of its FIRST occurrence:
+    40 docs (2 per band), band 0 introduces 'alpha beta', every later
+    doc repeats 'alpha' and adds one fresh word — so cum_vocab grows by
+    exactly the fresh words while cum_tokens counts every repeat, and
+    the final band's cumulative totals equal the corpus totals."""
+    n = 40
+    texts = ["alpha beta", "alpha beta"] + [
+        f"alpha w{i}" for i in range(2, n)
+    ]
+    sf = _write_docs(
+        spark, tmp_path, {"doc_id": list(range(n)), "text": texts}
+    )
+    rows = sorted(
+        codescan.q_vocab_growth(spark, sf).collect(),
+        key=lambda r: r["band"],
+    )
+    assert [r["band"] for r in rows] == list(range(codescan.VOCAB_BANDS))
+    # band 0 = docs 0-1: 4 tokens, vocab {alpha, beta}
+    assert rows[0]["cum_tokens"] == 4 and rows[0]["cum_vocab"] == 2
+    # each later band adds 2 docs x 2 tokens and exactly 2 fresh words
+    assert rows[1]["cum_tokens"] == 8 and rows[1]["cum_vocab"] == 4
+    assert rows[-1]["cum_tokens"] == 2 * n
+    assert rows[-1]["cum_vocab"] == 2 + (n - 2)  # alpha, beta + w2..w39
+    # cumulative columns are monotone
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_tokens"] >= a["cum_tokens"]
+        assert b["cum_vocab"] >= a["cum_vocab"]
+
+
+def test_vocab_growth_window_is_band_sized(spark):
+    """The cumulative window runs over the O(BANDS) aggregated frame —
+    the single-partition Exchange feeds at most VOCAB_BANDS rows, and
+    the token fan-out never reaches it."""
+    df = codescan.q_vocab_growth(spark, SF_DIR)
+    plan = _plan(df)
+    for marker in _PY_MARKERS:
+        assert marker not in plan
+    assert "Window" in plan
+    # the window's input is the post-agg band frame
+    assert df.count() == codescan.VOCAB_BANDS
+
+
+# --------------------------------------------------------------------------
 # crawl_frontier
 # --------------------------------------------------------------------------
 
