@@ -573,6 +573,169 @@ FROM folded
 
 
 # --------------------------------------------------------------------------
+# style_profile — indentation consistency + comment density
+# --------------------------------------------------------------------------
+
+# deterministic line materialization (same contract as code_quality):
+# each ' key ' / ' scan ' / ' window ' separator becomes a newline, and
+# each line gets a doc_id-and-line-index-derived PREFIX — indentation
+# (spaces on even doc_ids, tabs on odd; depth cycles 0,1,2 units) and a
+# per-lang comment marker on every 3rd line — so indentation and
+# comment detection run on real multi-line structure in both engines.
+STYLE_COMMENT = {"en": "# ", "de": "// ", "fr": "-- "}
+STYLE_COMMENT_DEFAULT = "# "
+STYLE_INDENT_UNIT = 4  # spaces per indent level for the space style
+
+
+def _style_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, line_no, line) with the deterministic prefix."""
+    d = _t(spark, sf_dir, "documents")
+    nl = F.regexp_replace(F.col("text"), CODE_LINE_BREAK, "\n")
+    lines = F.posexplode(F.split(nl, "\n"))
+    raw = d.select("doc_id", "lang", lines.alias("line_no", "body"))
+    indent = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.expr(
+            f"repeat(' ', cast(((doc_id + line_no) % 3)"
+            f" * {STYLE_INDENT_UNIT} as int))"
+        ),
+    ).otherwise(
+        F.expr("repeat('\t', cast((doc_id + line_no) % 3 as int))")
+    )
+    marker = F.when(
+        (F.col("doc_id") + F.col("line_no")) % 3 == 0,
+        F.coalesce(
+            *[
+                F.when(F.col("lang") == k, F.lit(v))
+                for k, v in STYLE_COMMENT.items()
+            ],
+            F.lit(STYLE_COMMENT_DEFAULT),
+        ),
+    ).otherwise(F.lit(""))
+    return raw.select(
+        "doc_id",
+        "lang",
+        "line_no",
+        F.concat(indent, marker, F.col("body")).alias("line"),
+    )
+
+
+def q_style_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Style profile per source file: tab-indented vs space-indented
+    line counts, whether every space indent is a whole multiple of the
+    4-space unit, mixed-indent detection, and comment-line density by
+    the language's own marker — the consistency gate a code-curation
+    pipeline applies per file (mixed tab/space files are the classic
+    formatting-noise signal). All counts are exact integers from one
+    narrow pass over the exploded lines followed by ONE keyed
+    aggregation back to doc granularity; comment markers are matched at
+    line start AFTER indentation strip, per the file's lang. Scale
+    shape: explode fan-out is O(lines) (honest), the rollup key is
+    doc_id — no skew beyond the longest file."""
+    lines = _style_lines(spark, sf_dir)
+    ind = F.regexp_extract("line", r"^([ \t]*)", 1)
+    n_sp = F.length(F.regexp_replace(ind, "\t", ""))
+    n_tab = F.length(ind) - n_sp
+    stripped = F.expr("substring(line, length(regexp_extract(line, '^([ \\t]*)', 1)) + 1)")
+    marker = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in STYLE_COMMENT.items()
+        ],
+        F.lit(STYLE_COMMENT_DEFAULT),
+    )
+    per_line = lines.select(
+        "doc_id",
+        (n_tab > 0).cast("long").alias("is_tab"),
+        ((n_sp > 0) & (n_tab == 0)).cast("long").alias("is_space"),
+        ((n_tab > 0) & (n_sp > 0)).cast("long").alias("is_mixed"),
+        F.when(
+            (n_tab == 0) & (n_sp % STYLE_INDENT_UNIT != 0), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("off_unit"),
+        F.startswith(stripped, marker).cast("long").alias("is_comment"),
+    )
+    return per_line.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("is_tab").cast("long").alias("n_tab_lines"),
+        F.sum("is_space").cast("long").alias("n_space_lines"),
+        F.sum("is_mixed").cast("long").alias("n_mixed_lines"),
+        F.sum("off_unit").cast("long").alias("n_off_unit"),
+        F.sum("is_comment").cast("long").alias("n_comment_lines"),
+        (
+            (F.sum("is_mixed") == 0)
+            & (F.sum("off_unit") == 0)
+            & ((F.sum("is_tab") == 0) | (F.sum("is_space") == 0))
+        ).alias("consistent"),
+    )
+
+
+_STYLE_SQL_MARKER = (
+    "CASE lang"
+    + "".join(
+        f" WHEN '{k}' THEN '{v}'" for k, v in STYLE_COMMENT.items()
+    )
+    + f" ELSE '{STYLE_COMMENT_DEFAULT}' END"
+)
+
+SQL_STYLE_PROFILE = f"""
+WITH nl AS (
+  SELECT doc_id, lang,
+         regexp_replace(text, '{CODE_LINE_BREAK}', chr(10), 'g') AS nl
+  FROM documents
+), raw AS (
+  SELECT doc_id, lang,
+         generate_subscripts(string_split(nl, chr(10)), 1) - 1 AS line_no,
+         unnest(string_split(nl, chr(10))) AS body
+  FROM nl
+), prefixed AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 2 = 0
+              THEN repeat(' ', CAST(((doc_id + line_no) % 3)
+                                    * {STYLE_INDENT_UNIT} AS INTEGER))
+              ELSE repeat(chr(9), CAST((doc_id + line_no) % 3 AS INTEGER))
+         END ||
+         CASE WHEN (doc_id + line_no) % 3 = 0
+              THEN {_STYLE_SQL_MARKER} ELSE '' END || body AS line
+  FROM raw
+), feat AS (
+  SELECT doc_id, lang, line,
+         regexp_extract(line, '^([ \t]*)', 1) AS ind
+  FROM prefixed
+), per_line AS (
+  SELECT doc_id,
+         length(ind) - length(replace(ind, chr(9), '')) AS n_tab,
+         length(replace(ind, chr(9), '')) AS n_sp,
+         substr(line, length(ind) + 1) AS stripped,
+         {_STYLE_SQL_MARKER} AS marker
+  FROM feat
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN n_tab > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tab_lines,
+       CAST(SUM(CASE WHEN n_sp > 0 AND n_tab = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_space_lines,
+       CAST(SUM(CASE WHEN n_tab > 0 AND n_sp > 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_mixed_lines,
+       CAST(SUM(CASE WHEN n_tab = 0 AND n_sp % {STYLE_INDENT_UNIT} <> 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_off_unit,
+       CAST(SUM(CASE WHEN starts_with(stripped, marker)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_comment_lines,
+       (SUM(CASE WHEN n_tab > 0 AND n_sp > 0 THEN 1 ELSE 0 END) = 0
+        AND SUM(CASE WHEN n_tab = 0 AND n_sp % {STYLE_INDENT_UNIT} <> 0
+                     THEN 1 ELSE 0 END) = 0
+        AND (SUM(CASE WHEN n_tab > 0 THEN 1 ELSE 0 END) = 0
+             OR SUM(CASE WHEN n_sp > 0 AND n_tab = 0 THEN 1 ELSE 0 END) = 0))
+         AS consistent
+FROM per_line
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # vocab_growth — Heaps-law vocabulary curve over ingestion order
 # --------------------------------------------------------------------------
 

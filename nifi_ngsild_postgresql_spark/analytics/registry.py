@@ -600,6 +600,9 @@ PYTEST_ONLY: dict[str, tuple] = {
     # Heaps-law curve: cumulative vocab by first occurrence per band;
     # the cumulative window runs over O(BANDS) rows, never the corpus.
     "vocab_growth": (codescan.q_vocab_growth, codescan.SQL_VOCAB_GROWTH),
+    # tab/space consistency + per-lang comment density — the formatting
+    # noise gate; one explode + one keyed rollup to doc granularity.
+    "style_profile": (codescan.q_style_profile, codescan.SQL_STYLE_PROFILE),
 }
 
 

@@ -301,6 +301,73 @@ def test_bracket_depth_injected_branches(spark, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# style_profile
+# --------------------------------------------------------------------------
+
+
+def test_style_profile_indent_and_comment_semantics(spark, tmp_path):
+    """Even doc_ids get space indentation (consistent when whole
+    multiples of the unit), odd doc_ids tabs; the comment marker is the
+    file's OWN lang's marker matched after indent strip; a doc whose
+    body smuggles a leading non-unit space count flags off_unit."""
+    # doc 2 (even, spaces): lines at depths (2+0)%3=2, (2+1)%3=0, ...
+    # 'a key b scan c' -> 3 lines
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        {
+            "doc_id": [2, 3],
+            "text": ["a key b scan c", "a key b scan c"],
+            "lang": ["de", "fr"],
+        },
+    )
+    rows = {
+        r["doc_id"]: r for r in codescan.q_style_profile(spark, sf).collect()
+    }
+    r2 = rows[2]
+    # depths 2,0,1 -> two space-indented lines (8sp, 4sp), one flat
+    assert r2["n_lines"] == 3
+    assert r2["n_space_lines"] == 2 and r2["n_tab_lines"] == 0
+    assert r2["n_off_unit"] == 0 and r2["n_mixed_lines"] == 0
+    # comment on lines where (2+line_no)%3==0 -> line_no 1 -> one '//'
+    assert r2["n_comment_lines"] == 1
+    assert r2["consistent"] is True
+
+    r3 = rows[3]
+    # odd doc: tabs at depths (3+0)%3=0,1,2 -> two tab lines, one flat,
+    # comment marker '-- ' on line_no 0 (flat, so marker at col 0)
+    assert r3["n_tab_lines"] == 2 and r3["n_space_lines"] == 0
+    assert r3["n_comment_lines"] == 1
+    assert r3["consistent"] is True
+
+
+def test_style_profile_flags_inconsistency(spark, tmp_path):
+    """A body line starting with a stray 2-space indent (not a unit
+    multiple) breaks consistency on an even doc; a body starting with a
+    tab on an even (space-style) doc flags as tab+space mixture at file
+    level."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        {
+            "doc_id": [6, 12],
+            # doc 6 line_no 1 has depth (6+1)%3=1 -> 4 spaces + body
+            # starting with 2 more spaces = 6 spaces -> off_unit
+            "text": ["a key   b", "a key \tb"],
+            "lang": ["en", "en"],
+        },
+    )
+    rows = {
+        r["doc_id"]: r for r in codescan.q_style_profile(spark, sf).collect()
+    }
+    assert rows[6]["n_off_unit"] == 1 and rows[6]["consistent"] is False
+    # doc 12: line_no 1 indent '    ' + body ' \tb'? the tab sits after
+    # a space inside the indent run -> mixed line
+    assert rows[12]["n_mixed_lines"] == 1
+    assert rows[12]["consistent"] is False
+
+
+# --------------------------------------------------------------------------
 # vocab_growth
 # --------------------------------------------------------------------------
 
