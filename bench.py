@@ -120,6 +120,14 @@ HEADLINE = [
     "dedup_eval",
     "anchor_text",
     "warc_latest",
+    # round 5 (continuation): the source-code curation family's two
+    # heaviest shapes — winnowing (in-row gram hashing + window minima,
+    # then the single-exchange df-capped pair rollup; tracked as the
+    # O(bytes·W) in-row array-kernel cost datapoint) and the
+    # order-sensitive bracket fold (aggregate() over chars — the
+    # sequential-fold family's reference datapoint)
+    "winnowing",
+    "bracket_depth",
 ]
 
 
