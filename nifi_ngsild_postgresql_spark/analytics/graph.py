@@ -365,3 +365,100 @@ SELECT dst AS doc_id,
        CAST(c AS BIGINT) AS top_anchor_count
 FROM ranked WHERE rnk = 1
 """
+
+
+# --------------------------------------------------------------------------
+# reach_bfs — bounded-hop seed reachability (frontier BFS)
+# --------------------------------------------------------------------------
+
+REACH_HOPS = 4       # traversal horizon (unrolled identically in SQL)
+REACH_SEED_MOD = 97  # seeds = doc_id % 97 == 0 (deterministic ~1%)
+
+
+def bfs_reach(vertices: DataFrame, n: int, hops: int = REACH_HOPS) -> DataFrame:
+    """Min-hop distance from the seed set within ``hops`` over the same
+    closed-form crawl graph as :func:`pagerank` — SET semantics
+    (frontier expansion + min-dist fold), the traversal pattern
+    pagerank's value propagation doesn't exercise. Each hop expands
+    ONLY the previous hop's frontier (``dist == h-1``) through the
+    three in-row edges, then one keyed ``min(dist)`` merge — so a hop
+    costs O(frontier·FANOUT) exploded rows plus one exchange keyed by
+    vertex, and converged vertices are never re-expanded. State is
+    O(reached vertices); at 100 TB the frontier filter is the
+    difference between BFS and an all-pairs blowup."""
+    df = vertices.filter(
+        F.col("doc_id") % REACH_SEED_MOD == 0
+    ).select(F.col("doc_id").alias("v"), F.lit(0).cast("long").alias("dist"))
+    for h in range(1, hops + 1):
+        # LINEAR lineage: each vertex emits its own (v, dist) carry row
+        # plus — ONLY if it sits on the frontier (dist == h-1) — its
+        # three edges at dist h; nulls compact away, one explode, one
+        # keyed min. The naive union(df, expand(filter(df))) references
+        # df TWICE per hop and doubles the recomputed plan subtree each
+        # iteration (2^hops blowup — the iterative-Spark lineage trap);
+        # this shape references it once, so the chain stays O(hops).
+        on_frontier = F.col("dist") == h - 1
+        def edge(e):
+            return F.when(
+                on_frontier,
+                F.struct(
+                    e.cast("long").alias("v"),
+                    F.lit(h).cast("long").alias("dist"),
+                ),
+            )
+        out = F.array_compact(
+            F.array(
+                F.struct(F.col("v"), F.col("dist")),
+                edge(F.col("v") % 16),
+                edge((F.col("v") * 7 + 1) % n),
+                edge((F.col("v") * F.col("v") + 3) % n),
+            )
+        )
+        df = (
+            df.select(F.explode(out).alias("e"))
+            .groupBy(F.col("e.v").alias("v"))
+            .agg(F.min("e.dist").alias("dist"))
+        )
+    return df
+
+
+def q_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()  # bounded scalar (vertex count)
+    out = bfs_reach(d, n)
+    return out.select(F.col("v").alias("doc_id"), "dist")
+
+
+def _sql_bfs_hop(prev: str, cur: str, h: int) -> str:
+    """One unrolled BFS hop: expand the previous hop's frontier through
+    the identical closed-form edges, keep the min distance."""
+    return f"""
+{cur} AS (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM {prev}
+    UNION ALL
+    SELECT dst AS v, CAST({h} AS BIGINT) AS dist FROM (
+      SELECT f.v % 16 AS dst FROM {prev} f, nn WHERE f.dist = {h} - 1
+      UNION ALL
+      SELECT (f.v * 7 + 1) % nn.n FROM {prev} f, nn WHERE f.dist = {h} - 1
+      UNION ALL
+      SELECT (f.v * f.v + 3) % nn.n FROM {prev} f, nn WHERE f.dist = {h} - 1
+    )
+  ) GROUP BY v
+)"""
+
+
+SQL_REACH_BFS = (
+    f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+b0 AS (
+  SELECT doc_id AS v, CAST(0 AS BIGINT) AS dist FROM documents
+  WHERE doc_id % {REACH_SEED_MOD} = 0
+),"""
+    + ",".join(
+        _sql_bfs_hop(f"b{i}", f"b{i + 1}", i + 1) for i in range(REACH_HOPS)
+    )
+    + f"""
+SELECT v AS doc_id, CAST(dist AS BIGINT) AS dist FROM b{REACH_HOPS}
+"""
+)

@@ -603,6 +603,9 @@ PYTEST_ONLY: dict[str, tuple] = {
     # tab/space consistency + per-lang comment density — the formatting
     # noise gate; one explode + one keyed rollup to doc granularity.
     "style_profile": (codescan.q_style_profile, codescan.SQL_STYLE_PROFILE),
+    # frontier BFS (set semantics + min-dist fold) — the traversal
+    # pattern pagerank's value propagation doesn't exercise.
+    "reach_bfs": (graph.q_reach_bfs, graph.SQL_REACH_BFS),
 }
 
 

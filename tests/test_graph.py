@@ -190,3 +190,52 @@ def test_anchor_text_plan_two_keyed_aggs_no_join(spark):
     assert "partial_count" in plan or "partial_sum" in plan
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
+
+
+# --------------------------------------------------------------------------
+# reach_bfs
+# --------------------------------------------------------------------------
+
+
+def _py_bfs(n: int, hops: int = graph.REACH_HOPS):
+    """Independent Python BFS over the identical closed-form edges."""
+    dist = {v: 0 for v in range(0, n, graph.REACH_SEED_MOD)}
+    frontier = set(dist)
+    for h in range(1, hops + 1):
+        nxt = set()
+        for v in frontier:
+            for d in (v % 16, (7 * v + 1) % n, (v * v + 3) % n):
+                if d not in dist:
+                    dist[d] = h
+                    nxt.add(d)
+        frontier = nxt
+    return dist
+
+
+def test_reach_bfs_matches_python_bfs(spark):
+    """Min-hop distances over the corpus equal an independent Python
+    BFS: same seeds, same edges, same horizon — including that a
+    vertex reachable at two different hop counts records the MINIMUM."""
+    got = {
+        r["doc_id"]: r["dist"]
+        for r in graph.q_reach_bfs(spark, SF_DIR).collect()
+    }
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    assert got == _py_bfs(n)
+    # seeds are at distance 0; everything else strictly positive
+    for v, d in got.items():
+        assert (d == 0) == (v % graph.REACH_SEED_MOD == 0)
+
+
+def test_reach_bfs_frontier_only_expansion(spark):
+    """Structural gate: each hop explodes ONLY the previous frontier
+    (a dist == h-1 filter precedes every Generate) and merges with one
+    keyed min — no joins anywhere in the traversal."""
+    df = graph.q_reach_bfs(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Generate explode") == graph.REACH_HOPS
