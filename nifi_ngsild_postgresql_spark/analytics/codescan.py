@@ -207,6 +207,24 @@ _LICENSE_SQL_AUG = (
 )
 
 
+def _license_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, license) — the per-document ladder verdict the
+    rollup and the composed pipeline share."""
+    d = _license_augmented(_t(spark, sf_dir, "documents"))
+    lic = F.when(
+        F.col("aug").contains(LICENSE_LADDER[0][0]),
+        F.lit(LICENSE_LADDER[0][1]),
+    )
+    for phrase, name in LICENSE_LADDER[1:]:
+        lic = lic.when(F.col("aug").contains(phrase), F.lit(name))
+    return d.select(
+        "doc_id",
+        "lang",
+        lic.otherwise(F.lit("UNKNOWN")).alias("license"),
+        F.length("aug").alias("len"),
+    )
+
+
 def q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """License classification per document by header phrase, rolled up
     per (license, lang): the keep/drop gate every code-corpus pipeline
@@ -216,16 +234,8 @@ def q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM contains() ladder, then ONE keyed aggregation with map-side
     partial combine; at 100 TB the (license, lang) key space is tiny,
     so the final exchange moves O(groups), not O(rows)."""
-    d = _license_augmented(_t(spark, sf_dir, "documents"))
-    lic = F.when(
-        F.col("aug").contains(LICENSE_LADDER[0][0]),
-        F.lit(LICENSE_LADDER[0][1]),
-    )
-    for phrase, name in LICENSE_LADDER[1:]:
-        lic = lic.when(F.col("aug").contains(phrase), F.lit(name))
-    lic = lic.otherwise(F.lit("UNKNOWN"))
     return (
-        d.select("lang", lic.alias("license"), F.length("aug").alias("len"))
+        _license_per_doc(spark, sf_dir)
         .groupBy("license", "lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -898,4 +908,79 @@ SELECT host, doc_id, url,
        CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY url, doc_id)
          AS BIGINT) AS slot
 FROM hosted
+"""
+
+
+# --------------------------------------------------------------------------
+# code_curation_pipeline — the composed keep/drop funnel for code
+# --------------------------------------------------------------------------
+
+# licenses a pretraining corpus keeps outright (copyleft routes to
+# review, proprietary/unknown drop) — the ladder's permissive subset
+PERMISSIVE_LICENSES = ("MIT", "Apache-2.0", "MPL-2.0")
+
+
+def q_code_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end keep/drop funnel for a code corpus, composed from
+    the family's own components exactly as the text side composes
+    curation_pipeline (corpus.py:1829): kept = permissive license AND
+    structural quality (code_quality.keep) AND bracket sanity
+    (bracket_depth.keep) AND no private-key material survived
+    (secret_scan.n_pem == 0 — key blocks mean the file never enters a
+    shard regardless of redaction). Emits the verdict per doc plus
+    each gate's own bit so the funnel's drop reasons are auditable.
+    Scale shape: all four components are narrow single-pass scans;
+    the composition is three doc_id key-equality joins — at 100 TB
+    these co-partition on the same key, and every gate bit costs what
+    its component already costs (documented per component)."""
+    lic = _license_per_doc(spark, sf_dir).select("doc_id", "license")
+    qual = q_code_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("quality_keep")
+    )
+    br = q_bracket_depth(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("bracket_keep")
+    )
+    sec = q_secret_scan(spark, sf_dir).select("doc_id", "n_pem")
+    permissive = F.col("license").isin(*PERMISSIVE_LICENSES)
+    return (
+        lic.join(qual, "doc_id")
+        .join(br, "doc_id")
+        .join(sec, "doc_id")
+        .select(
+            "doc_id",
+            "license",
+            permissive.alias("license_keep"),
+            "quality_keep",
+            "bracket_keep",
+            (F.col("n_pem") == 0).alias("secret_keep"),
+            (
+                permissive
+                & F.col("quality_keep")
+                & F.col("bracket_keep")
+                & (F.col("n_pem") == 0)
+            ).alias("kept"),
+        )
+    )
+
+
+_SQL_PERMISSIVE_IN = ", ".join(f"'{x}'" for x in PERMISSIVE_LICENSES)
+
+SQL_CODE_CURATION_PIPELINE = f"""
+WITH lic_doc AS (
+  SELECT doc_id,
+         {_LICENSE_SQL_CASE.replace("aug", "lic_aug")} AS license
+  FROM (SELECT doc_id, {_LICENSE_SQL_AUG} AS lic_aug FROM documents)
+), qual AS ({SQL_CODE_QUALITY}), br AS ({SQL_BRACKET_DEPTH}),
+sec AS ({SQL_SECRET_SCAN})
+SELECT l.doc_id, l.license,
+       l.license IN ({_SQL_PERMISSIVE_IN}) AS license_keep,
+       q.keep AS quality_keep,
+       b.keep AS bracket_keep,
+       s.n_pem = 0 AS secret_keep,
+       (l.license IN ({_SQL_PERMISSIVE_IN}) AND q.keep AND b.keep
+        AND s.n_pem = 0) AS kept
+FROM lic_doc l
+JOIN qual q ON l.doc_id = q.doc_id
+JOIN br b ON l.doc_id = b.doc_id
+JOIN sec s ON l.doc_id = s.doc_id
 """

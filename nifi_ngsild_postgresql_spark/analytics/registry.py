@@ -606,6 +606,12 @@ PYTEST_ONLY: dict[str, tuple] = {
     # frontier BFS (set semantics + min-dist fold) — the traversal
     # pattern pagerank's value propagation doesn't exercise.
     "reach_bfs": (graph.q_reach_bfs, graph.SQL_REACH_BFS),
+    # the composed keep/drop funnel for code — license AND structure
+    # AND brackets AND no surviving key material, per-gate bits kept.
+    "code_curation_pipeline": (
+        codescan.q_code_curation_pipeline,
+        codescan.SQL_CODE_CURATION_PIPELINE,
+    ),
 }
 
 

@@ -492,6 +492,58 @@ def test_winnowing_plan_holds_at_scale(spark):
     assert "SortMergeJoin" not in plan  # pairs are generated in-row
 
 
+def test_code_curation_pipeline_gate_composition(spark, tmp_path):
+    """Every gate must independently kill a doc: doc 21 has a GPL body
+    phrase (license gate), doc 2 a 300-char line (quality gate), doc 12
+    a ')(' dip (bracket gate), doc 3 gets the injected PEM block
+    (secret gate, 3 % 3 == 0), and doc 16 (Apache tail,
+    no PEM, no unmatched-bracket branch) passes everything. Each
+    verdict row carries the per-gate bits for audit."""
+    long_line = "x" * 300
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        {
+            "doc_id": [21, 2, 12, 3, 16],
+            "text": [
+                "GNU General Public License body",  # license kill
+                long_line,  # quality kill
+                ") (word",  # bracket kill: dip before the tail
+                "clean words here",  # secret kill via injected PEM
+                "clean words here",  # all gates pass
+            ],
+            "lang": ["en"] * 5,
+        },
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in codescan.q_code_curation_pipeline(spark, sf).collect()
+    }
+    assert rows[21]["license_keep"] is False and rows[21]["kept"] is False
+    assert rows[21]["license"] == "GPL-3.0"
+    assert rows[2]["quality_keep"] is False and rows[2]["kept"] is False
+    assert rows[12]["bracket_keep"] is False and rows[12]["kept"] is False
+    assert rows[3]["secret_keep"] is False and rows[3]["kept"] is False
+    r22 = rows[16]
+    assert (
+        r22["license_keep"]
+        and r22["quality_keep"]
+        and r22["bracket_keep"]
+        and r22["secret_keep"]
+        and r22["kept"] is True
+    )
+
+
+def test_style_profile_plan_single_rollup(spark):
+    """One explode over materialized lines, ONE doc-keyed exchange back
+    to file granularity, zero Python."""
+    plan = _plan(codescan.q_style_profile(spark, SF_DIR))
+    for marker in _PY_MARKERS:
+        assert marker not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
 def test_bracket_depth_plan_is_narrow(spark):
     """The fold runs in-row: zero exchanges, zero Python — the whole
     op is one whole-stage-codegen projection."""
