@@ -272,3 +272,82 @@ SELECT event_id, user_id, value,
        c > hi AS clipped_high
 FROM bounded
 """
+
+
+# --------------------------------------------------------------------------
+# skew_profile — hot-key diagnosis (the salting-decision input)
+# --------------------------------------------------------------------------
+
+SKEW_TARGET_PARTITIONS = 32  # the planner's parallelism target
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group key-skew diagnosis over the event stream: for each
+    event_type, the total event count, distinct key count, the hottest
+    key (deterministic tie-break: smallest user_id among the maximal
+    counts), its count, its corpus share in exact parts-per-million,
+    and the SALT FACTOR — ceil(hot_count · P / total) for a
+    P=32-partition target, i.e. how many salts the hottest key needs
+    before any single reducer holds more than a balanced 1/P share.
+    This is the measurement half of the engine's own hot-key story:
+    ingest handles skew with salted pre-aggregation (operators/
+    dedup.py), and this operator tells an operator WHICH keys earn it.
+    Scale shape: ONE keyed (type, user) count with map-side combine,
+    then a per-type rollup of the tiny per-key frame via one window —
+    wire cost O(distinct keys), never O(events); all ratios are exact
+    integers (ppm via integer div), no float folds."""
+    e = _t(spark, sf_dir, "events")
+    per_key = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("user_id").asc()
+    )
+    ranked = per_key.select(
+        "event_type",
+        "user_id",
+        "cnt",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("cnt").over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("total"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("n_keys"),
+    )
+    hot = ranked.filter(F.col("rnk") == 1)
+    return hot.select(
+        "event_type",
+        "total",
+        "n_keys",
+        F.col("user_id").alias("hot_key"),
+        F.col("cnt").alias("hot_count"),
+        F.expr("(cnt * 1000000) div total").cast("long").alias("hot_ppm"),
+        F.expr(
+            f"(cnt * {SKEW_TARGET_PARTITIONS} + total - 1) div total"
+        )
+        .cast("long")
+        .alias("salt_factor"),
+    )
+
+
+SQL_SKEW_PROFILE = f"""
+WITH per_key AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, user_id
+), ranked AS (
+  SELECT event_type, user_id, cnt,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, user_id ASC) AS rnk,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_keys
+  FROM per_key
+)
+SELECT event_type, total, n_keys,
+       user_id AS hot_key,
+       cnt AS hot_count,
+       (cnt * 1000000) // total AS hot_ppm,
+       (cnt * {SKEW_TARGET_PARTITIONS} + total - 1) // total AS salt_factor
+FROM ranked WHERE rnk = 1
+"""

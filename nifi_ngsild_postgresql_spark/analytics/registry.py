@@ -612,6 +612,9 @@ PYTEST_ONLY: dict[str, tuple] = {
         codescan.q_code_curation_pipeline,
         codescan.SQL_CODE_CURATION_PIPELINE,
     ),
+    # hot-key diagnosis: the measurement half of the engine's salted
+    # pre-aggregation story — which keys earn a salt, and how many.
+    "skew_profile": (profile.q_skew_profile, profile.SQL_SKEW_PROFILE),
 }
 
 

@@ -171,3 +171,64 @@ def test_winsorize_plan_is_one_keyed_exchange(spark):
     assert len(set(re.findall(r"\(\d+\) Exchange", plan))) == 1
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
+
+
+# --------------------------------------------------------------------------
+# skew_profile
+# --------------------------------------------------------------------------
+
+
+def test_skew_profile_hand_case(spark, tmp_path):
+    """Crafted skew: type 'hot' has user 7 with 6 of 8 events (750000
+    ppm; salt_factor = ceil(6*32/8) = 24), with user 3 tying nobody;
+    type 'flat' is uniform, and its tie at cnt=1 resolves to the
+    SMALLEST user_id; salt_factor for a balanced key is exactly
+    ceil(32/n) with n keys."""
+    import pandas as pd
+    from datetime import datetime
+
+    rows = []
+    for i in range(6):
+        rows.append((i, datetime(2024, 1, 1), 7, "hot", 1.0, "{}"))
+    rows.append((6, datetime(2024, 1, 1), 3, "hot", 1.0, "{}"))
+    rows.append((7, datetime(2024, 1, 1), 4, "hot", 1.0, "{}"))
+    for j, u in enumerate((9, 5, 2, 11)):
+        rows.append((8 + j, datetime(2024, 1, 1), u, "flat", 1.0, "{}"))
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        r["event_type"]: r
+        for r in profile.q_skew_profile(spark, str(tmp_path)).collect()
+    }
+    hot = got["hot"]
+    assert (hot["total"], hot["n_keys"]) == (8, 3)
+    assert (hot["hot_key"], hot["hot_count"]) == (7, 6)
+    assert hot["hot_ppm"] == 750000
+    assert hot["salt_factor"] == 24  # ceil(6*32/8)
+
+    flat = got["flat"]
+    assert (flat["total"], flat["n_keys"]) == (4, 4)
+    assert flat["hot_key"] == 2  # smallest user_id wins the cnt tie
+    assert flat["hot_count"] == 1 and flat["hot_ppm"] == 250000
+    assert flat["salt_factor"] == 8  # ceil(1*32/4)
+
+
+def test_skew_profile_wire_is_keys_not_events(spark):
+    """Plan gate: the per-(type,user) count partial-aggregates map-side
+    (wire O(distinct keys)) and everything after runs on the tiny
+    per-key frame; no Python, no cartesian."""
+    df = profile.q_skew_profile(spark, SF_DIR)
+    plan = _plan(df)
+    assert "partial" in plan.lower()
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+    assert "CartesianProduct" not in plan
+    # corpus sanity: hot_ppm consistent with counts, salt >= 1
+    for r in df.collect():
+        assert r["hot_ppm"] == (r["hot_count"] * 1000000) // r["total"]
+        assert r["salt_factor"] >= 1
