@@ -351,3 +351,120 @@ SELECT event_type, total, n_keys,
        (cnt * {SKEW_TARGET_PARTITIONS} + total - 1) // total AS salt_factor
 FROM ranked WHERE rnk = 1
 """
+
+
+# --------------------------------------------------------------------------
+# drift_psi — two-slice population-stability drift
+# --------------------------------------------------------------------------
+
+PSI_BUCKETS = 8        # length(text) div 64, capped — 8 feature buckets
+PSI_SCALE = 1_000_000  # micro-nats per quantized log-ratio (corpus.py idiom)
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus slices (even vs
+    odd doc_id — the deterministic stand-in for old-crawl vs new-crawl)
+    over an 8-bucket document-length histogram: per bucket the slice
+    counts, the QUANTIZED log-ratio q = round(ln(cl_n·N_o / cl_o·N_n)
+    · 1e6) (zero counts clamped to 1, the standard PSI epsilon, applied
+    in BOTH the log and linear terms), the exact-integer PSI numerator
+    (cl_n·N_o − cl_o·N_n)·q, and the total PSI — one double division
+    of exact integers, rounded once. The two-sample drift gate a
+    training pipeline runs when a new crawl lands: PSI < 0.1 stable,
+    0.1–0.25 drifting, > 0.25 retrain/examine. Scale shape: one narrow
+    bucketing pass, ONE keyed agg to 8 rows with map-side combine
+    (conditional sums — the slices never shuffle separately), a
+    broadcast 1-row totals join, and a window over ≤ 8 rows; wire cost
+    O(buckets). The c·N integer products bound the honest caveat: at
+    N beyond ~3·10^9 docs per slice, pre-normalize counts to ppm
+    before the same algebra (documented, not silently truncated)."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.lit(PSI_BUCKETS - 1).cast("long"),
+        F.expr("length(text) div 64"),
+    )
+    is_old = (F.col("doc_id") % 2 == 0).cast("long")
+    per_bucket = (
+        d.select(bucket.alias("bucket"), is_old.alias("o"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("o").cast("long").alias("c_old"),
+            F.sum(1 - F.col("o")).cast("long").alias("c_new"),
+        )
+    )
+    totals = per_bucket.agg(
+        F.sum("c_old").cast("long").alias("n_old"),
+        F.sum("c_new").cast("long").alias("n_new"),
+    )
+    j = per_bucket.crossJoin(F.broadcast(totals))
+    cl_o = F.greatest(F.col("c_old"), F.lit(1))
+    cl_n = F.greatest(F.col("c_new"), F.lit(1))
+    qlr = (
+        F.round(
+            F.log(
+                (cl_n * F.col("n_old")).cast("double")
+                / (cl_o * F.col("n_new")).cast("double")
+            )
+            * PSI_SCALE
+        )
+        .cast("long")
+        .alias("qlr")
+    )
+    scored = j.select(
+        "bucket",
+        "c_old",
+        "c_new",
+        "n_old",
+        "n_new",
+        qlr,
+        ((cl_n * F.col("n_old") - cl_o * F.col("n_new")) * F.col("qlr"))
+        .cast("long")
+        .alias("psi_num"),
+    )
+    w = Window.partitionBy()
+    return scored.select(
+        "bucket",
+        "c_old",
+        "c_new",
+        "qlr",
+        "psi_num",
+        F.round(
+            F.sum("psi_num").over(w).cast("double")
+            / F.col("n_old").cast("double")
+            / F.col("n_new").cast("double")
+            / PSI_SCALE,
+            6,
+        ).alias("psi_total"),
+    )
+
+
+SQL_DRIFT_PSI = f"""
+WITH per_bucket AS (
+  SELECT LEAST(CAST({PSI_BUCKETS} - 1 AS BIGINT), length(text) // 64)
+           AS bucket,
+         CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_old,
+         CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+           AS c_new
+  FROM documents GROUP BY 1
+), totals AS (
+  SELECT CAST(SUM(c_old) AS BIGINT) AS n_old,
+         CAST(SUM(c_new) AS BIGINT) AS n_new
+  FROM per_bucket
+), scored AS (
+  SELECT bucket, c_old, c_new, n_old, n_new,
+         CAST(ROUND(ln(CAST(GREATEST(c_new, 1) * n_old AS DOUBLE)
+                       / CAST(GREATEST(c_old, 1) * n_new AS DOUBLE))
+                    * {PSI_SCALE}) AS BIGINT) AS qlr
+  FROM per_bucket, totals
+)
+SELECT bucket, c_old, c_new, qlr,
+       CAST((GREATEST(c_new, 1) * n_old - GREATEST(c_old, 1) * n_new) * qlr
+            AS BIGINT) AS psi_num,
+       ROUND(CAST(SUM((GREATEST(c_new, 1) * n_old
+                       - GREATEST(c_old, 1) * n_new) * qlr) OVER ()
+                  AS DOUBLE)
+             / CAST(n_old AS DOUBLE) / CAST(n_new AS DOUBLE)
+             / {PSI_SCALE}, 6) AS psi_total
+FROM scored
+"""

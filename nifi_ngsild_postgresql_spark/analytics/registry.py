@@ -615,6 +615,9 @@ PYTEST_ONLY: dict[str, tuple] = {
     # hot-key diagnosis: the measurement half of the engine's salted
     # pre-aggregation story — which keys earn a salt, and how many.
     "skew_profile": (profile.q_skew_profile, profile.SQL_SKEW_PROFILE),
+    # two-sample drift: PSI between corpus slices, quantized log-ratio
+    # + exact-integer numerators; the new-crawl distribution gate.
+    "drift_psi": (profile.q_drift_psi, profile.SQL_DRIFT_PSI),
 }
 
 

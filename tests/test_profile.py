@@ -232,3 +232,79 @@ def test_skew_profile_wire_is_keys_not_events(spark):
     for r in df.collect():
         assert r["hot_ppm"] == (r["hot_count"] * 1000000) // r["total"]
         assert r["salt_factor"] >= 1
+
+
+# --------------------------------------------------------------------------
+# drift_psi
+# --------------------------------------------------------------------------
+
+
+def test_drift_psi_hand_case(spark, tmp_path):
+    """Crafted drift: slice parity decides membership, bucket = len//64
+    capped; identical distributions give psi_total == 0.0 exactly (the
+    quantized log-ratio of equal shares is round(ln(1)*1e6) = 0), and a
+    shifted distribution gives the hand-computed positive PSI."""
+    import math
+
+    import pandas as pd
+
+    # identical: 2 docs per slice in each of two buckets
+    texts, ids = [], []
+    for i in range(8):
+        # ids 0..7; even->old, odd->new; len 10 (bucket 0) for ids<4,
+        # len 70 (bucket 1) for ids>=4
+        texts.append("x" * (10 if i < 4 else 70))
+        ids.append(i)
+    pd.DataFrame({"doc_id": ids, "text": texts}).pipe(
+        lambda pdf: spark.createDataFrame(pdf)
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "documents.parquet"))
+    )
+    rows = profile.q_drift_psi(spark, str(tmp_path)).collect()
+    assert all(r["psi_total"] == 0.0 for r in rows)
+    assert all(r["qlr"] == 0 and r["psi_num"] == 0 for r in rows)
+
+    # shifted: old has 3 docs in bucket 0 + 1 in bucket 1; new reversed
+    texts2 = ["x" * 10, "x" * 10, "x" * 10, "x" * 70,  # ids 0,2,4,6 old
+              "x" * 10, "x" * 70, "x" * 70, "x" * 70]  # ids 1,3,5,7 new
+    ids2 = [0, 2, 4, 6, 1, 3, 5, 7]
+    pd.DataFrame({"doc_id": ids2, "text": texts2}).pipe(
+        lambda pdf: spark.createDataFrame(pdf)
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "documents.parquet"))
+    )
+    got = {
+        r["bucket"]: r for r in profile.q_drift_psi(spark, str(tmp_path)).collect()
+    }
+    # hand PSI with the same quantization: buckets (3,1) vs (1,3), N=4,4
+    expect_num = 0
+    for c_o, c_n in ((3, 1), (1, 3)):
+        q = round(math.log((c_n * 4) / (c_o * 4)) * profile.PSI_SCALE)
+        expect_num += (c_n * 4 - c_o * 4) * q
+    expect_total = round(expect_num / 4 / 4 / profile.PSI_SCALE, 6)
+    assert got[0]["c_old"] == 3 and got[0]["c_new"] == 1
+    assert all(r["psi_total"] == expect_total for r in got.values())
+    assert expect_total > 0.25  # a (75%,25%)->(25%,75%) flip is severe
+
+
+def test_drift_psi_zero_count_clamped(spark, tmp_path):
+    """A bucket present in only one slice clamps the other side to 1
+    instead of producing ln(0) — the epsilon convention, applied in
+    both the log and linear terms."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {"doc_id": [0, 2, 1], "text": ["x" * 10, "x" * 10, "x" * 70]}
+    ).pipe(
+        lambda pdf: spark.createDataFrame(pdf)
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "documents.parquet"))
+    )
+    got = {
+        r["bucket"]: r for r in profile.q_drift_psi(spark, str(tmp_path)).collect()
+    }
+    # bucket 0: old 2, new 0 -> clamped new=1; bucket 1: old 0 -> clamp
+    assert got[0]["c_new"] == 0 and got[1]["c_old"] == 0
+    for r in got.values():
+        assert r["psi_num"] is not None  # no NULL/NaN leaked
+        assert r["psi_total"] is not None
