@@ -468,3 +468,99 @@ SELECT bucket, c_old, c_new, qlr,
              / {PSI_SCALE}, 6) AS psi_total
 FROM scored
 """
+
+
+# --------------------------------------------------------------------------
+# cusum_drift — per-entity sequential changepoint detection
+# --------------------------------------------------------------------------
+
+# flag when the running positive CUSUM of (x - mean) exceeds
+# CUSUM_K x the entity's own mean-free scale: with everything
+# multiplied through by n, S'_i = max(0, S'_{i-1} + (n*c_i - s1)) and
+# the flag compares max_i S'_i against CUSUM_K * s1 (scale-free in the
+# same n-multiplied space since s1 = n * mean_cents).
+CUSUM_K = 8
+
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM changepoint scan over the time-ordered event
+    values — the batch analog of keyed streaming state, and the drift
+    alarm a telemetry pipeline runs per entity (a sustained upward
+    mean shift accumulates in S where isolated spikes reset): cents
+    quantization (the sessionize idiom), then ONE keyed aggregation
+    collects each user's ordered value list in-row and ONE in-row left
+    fold computes S_i = max(0, S_{i-1} + (n·c_i − s1)) and its running
+    max — every term an exact integer because the mean never leaves
+    rational space (multiplied through by n). Flags users whose peak
+    exceeds CUSUM_K·s1. ORDER-SENSITIVE by construction: the same
+    multiset of values with the drift moved to the front scores
+    differently — no bag-of-counts reformulation exists, which is why
+    this op carries the fold. Scale shape: one exchange keyed by user
+    (map-side combined collect), fold O(events-per-user) in-row; the
+    per-user event list is the honest state bound (same bound the
+    streaming window ops document); integer magnitude bound n·c ≈
+    10^11 cents-events per user before rescaling (documented)."""
+    e = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    per_user = (
+        e.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id"), cents.alias("c")).alias(
+                "r"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("r")).alias("rs"))
+        .select(
+            "user_id",
+            F.expr("transform(rs, r -> r.c)").alias("xs"),
+            F.size("rs").cast("long").alias("n"),
+            F.expr("aggregate(rs, cast(0 as bigint), (a, r) -> a + r.c)")
+            .cast("long")
+            .alias("s1"),
+        )
+    )
+    fold = F.expr(
+        "aggregate(xs,"
+        " struct(cast(0 as bigint) as s, cast(0 as bigint) as mx),"
+        " (acc, x) -> struct("
+        "   greatest(cast(0 as bigint), acc.s + (n * x - s1)) as s,"
+        "   greatest(acc.mx,"
+        "            greatest(cast(0 as bigint), acc.s + (n * x - s1))) as mx))"
+    )
+    return per_user.select(
+        "user_id",
+        "n",
+        "s1",
+        fold.getField("mx").alias("max_cusum"),
+        (fold.getField("mx") > F.lit(CUSUM_K) * F.col("s1")).alias("drifted"),
+    )
+
+
+SQL_CUSUM_DRIFT = f"""
+WITH cents AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM events
+), per_user AS (
+  SELECT user_id,
+         list(c ORDER BY ts, event_id) AS xs,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s1
+  FROM cents GROUP BY user_id
+), folded AS (
+  SELECT user_id, n, s1,
+    list_reduce(
+      list_prepend([0::BIGINT, 0::BIGINT],
+        list_transform(xs, x -> [x, 0::BIGINT])),
+      (acc, x) -> [GREATEST(0::BIGINT, acc[1] + (n * x[1] - s1)),
+                   GREATEST(acc[2],
+                            GREATEST(0::BIGINT,
+                                     acc[1] + (n * x[1] - s1)))]
+    )[2] AS max_cusum
+  FROM per_user
+)
+SELECT user_id, n, s1, max_cusum,
+       max_cusum > {CUSUM_K} * s1 AS drifted
+FROM folded
+"""

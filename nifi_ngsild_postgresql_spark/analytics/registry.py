@@ -618,6 +618,9 @@ PYTEST_ONLY: dict[str, tuple] = {
     # two-sample drift: PSI between corpus slices, quantized log-ratio
     # + exact-integer numerators; the new-crawl distribution gate.
     "drift_psi": (profile.q_drift_psi, profile.SQL_DRIFT_PSI),
+    # per-key CUSUM over time-ordered values — the order-sensitive
+    # sequential-state shape (batch analog of keyed streaming state).
+    "cusum_drift": (profile.q_cusum_drift, profile.SQL_CUSUM_DRIFT),
 }
 
 

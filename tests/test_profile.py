@@ -308,3 +308,73 @@ def test_drift_psi_zero_count_clamped(spark, tmp_path):
     for r in got.values():
         assert r["psi_num"] is not None  # no NULL/NaN leaked
         assert r["psi_total"] is not None
+
+
+# --------------------------------------------------------------------------
+# cusum_drift
+# --------------------------------------------------------------------------
+
+
+def _write_events(spark, tmp_path, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_cusum_drift_order_sensitivity(spark, tmp_path):
+    """The same VALUE MULTISET scores differently depending on order —
+    the property no bag-of-counts op has: user 1 sees the step-up at
+    the end (low..low,high..high -> large peak), user 2 alternates the
+    identical values (peak stays small). Exact peaks checked against an
+    independent Python fold."""
+    from datetime import datetime, timedelta
+
+    lows, highs = [1.00] * 6, [7.00] * 6
+    seq1 = lows + highs            # sustained shift
+    seq2 = [v for p in zip(lows, highs) for v in p]  # interleaved
+    rows = []
+    t0 = datetime(2024, 1, 1)
+    for i, v in enumerate(seq1):
+        rows.append((i, t0 + timedelta(minutes=i), 1, "a", v, "{}"))
+    for i, v in enumerate(seq2):
+        rows.append((100 + i, t0 + timedelta(minutes=i), 2, "a", v, "{}"))
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r["user_id"]: r for r in profile.q_cusum_drift(spark, sf).collect()}
+
+    def py_peak(seq):
+        cs = [round(v * 100) for v in seq]
+        n, s1 = len(cs), sum(cs)
+        s = mx = 0
+        for c in cs:
+            s = max(0, s + (n * c - s1))
+            mx = max(mx, s)
+        return n, s1, mx
+
+    for uid, seq in ((1, seq1), (2, seq2)):
+        n, s1, mx = py_peak(seq)
+        r = got[uid]
+        assert (r["n"], r["s1"], r["max_cusum"]) == (n, s1, mx)
+    # identical multisets, different order, different verdicts
+    assert got[1]["max_cusum"] > got[2]["max_cusum"]
+    assert got[1]["s1"] == got[2]["s1"]
+
+
+def test_cusum_drift_flat_series_never_flags(spark, tmp_path):
+    """A constant series has n*c - s1 == 0 at every step: peak 0,
+    drifted False."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=i), 5, "a", 3.25, "{}") for i in range(10)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = profile.q_cusum_drift(spark, sf).collect()[0]
+    assert r["max_cusum"] == 0 and r["drifted"] is False
