@@ -91,3 +91,156 @@ SELECT a.source, a.lang,
 FROM slim a JOIN slim b
   ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# prefix_join — PPJoin-style prefix-filtered set-similarity join
+# --------------------------------------------------------------------------
+
+# Jaccard threshold t = 7/10 kept as the integer pair (so every
+# comparison is cross-multiplied): prefix length = m - ceil(t*m) + 1
+# with ceil(7m/10) = (7m+9) div 10.
+PREFIX_T_NUM = 7
+PREFIX_T_DEN = 10
+# hot-prefix-token cap: candidates are only generated through prefix
+# tokens indexing <= this many docs. The prefix-filter theorem makes
+# prefix tokens the RAREST in each set, so on natural corpora the cap
+# is headroom; where the whole vocabulary is hot (this synthetic word
+# table is the worst case) the capped variant bounds fan-out at the
+# documented cost of recall through those tokens — identical in the
+# oracle, so parity stays exact.
+PREFIX_MAX_DF = 20
+
+
+def q_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join with PPJoin's prefix filter over the 3-gram
+    shingle sets: order each doc's shingles rarest-first by global df,
+    index only the first m - ceil(t·m) + 1 of them (the PREFIX — two
+    sets with Jaccard >= t MUST share a prefix token under a common
+    global order, the prefix-filter theorem), generate candidates only
+    through those, then verify with the EXACT cross-multiplied Jaccard
+    (inter·10 >= 7·union — never a float until the reported ratio).
+    The bounding PRINCIPLE differs from ngram_jaccard's rare-shingle
+    df-cap: there, hot shingles are dropped from the similarity space
+    itself; here the full sets verify and only the candidate INDEX is
+    pruned, so borderline pairs are judged on their complete sets.
+    Scale shape: shingles + df are two keyed aggs; the rarest-first
+    ordering is one per-doc window; candidates explode only prefix
+    tokens (≈ 30% of each set) through the df-capped index; the
+    verify joins candidates back to the per-doc shingle-set frames by
+    doc key. Wire cost O(shingles) for the index + O(candidates) for
+    verify — all-pairs never materializes."""
+    from .suite import _shingles
+
+    sh = _shingles(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("shingle").alias("tok")
+    )
+    df = sh.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    wm = Window.partitionBy("doc_id")
+    ordered = (
+        sh.join(df, "tok")
+        .select(
+            "doc_id",
+            "tok",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wm).cast("long").alias("m"),
+        )
+    )
+    plen = (
+        F.col("m")
+        - F.expr(
+            f"({PREFIX_T_NUM} * m + {PREFIX_T_DEN} - 1) div {PREFIX_T_DEN}"
+        )
+        + 1
+    )
+    prefix = ordered.filter(F.col("rn") <= plen).select("doc_id", "tok")
+    pcap = (
+        prefix.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("pdf"))
+        .filter(F.col("pdf") <= PREFIX_MAX_DF)
+        .select("tok")
+    )
+    pa = prefix.join(pcap, "tok").select(
+        "tok", F.col("doc_id").alias("doc_a")
+    )
+    pb = prefix.select("tok", F.col("doc_id").alias("doc_b"))
+    cand = (
+        pa.join(pb, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = ordered.groupBy("doc_id").agg(F.max("m").alias("m"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "tok"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "tok"),
+            ["doc_b", "tok"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("mb"))
+    un = F.col("ma") + F.col("mb") - F.col("inter")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("inter") * PREFIX_T_DEN >= PREFIX_T_NUM * un)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            un.cast("long").alias("un"),
+            F.round(
+                F.col("inter").cast("double") / un.cast("double"), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_PREFIX_JOIN = f"""
+WITH t0 AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok,
+         generate_subscripts(list_filter(string_split(text, ' '),
+                                         t -> t <> ''), 1) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS tok
+  FROM t0 t1 JOIN t0 t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+  JOIN t0 t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2
+), df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY tok),
+ordered AS (
+  SELECT s.doc_id, s.tok,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.tok) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY s.doc_id) AS BIGINT) AS m
+  FROM sh s JOIN df d USING (tok)
+), prefix AS (
+  SELECT doc_id, tok FROM ordered
+  WHERE rn <= m - ({PREFIX_T_NUM}*m+{PREFIX_T_DEN}-1)//{PREFIX_T_DEN} + 1
+), pcap AS (
+  SELECT tok FROM prefix GROUP BY tok HAVING COUNT(*) <= {PREFIX_MAX_DF}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN pcap USING (tok)
+  JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
+), sizes AS (SELECT doc_id, MAX(m) AS m FROM ordered GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cand c JOIN sh ta ON ta.doc_id = c.doc_a
+  JOIN sh tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       CAST(sa.m + sb.m - inter AS BIGINT) AS un,
+       ROUND(CAST(inter AS DOUBLE) / CAST(sa.m + sb.m - inter AS DOUBLE), 6)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * {PREFIX_T_DEN} >= {PREFIX_T_NUM} * (sa.m + sb.m - inter)
+"""

@@ -621,6 +621,9 @@ PYTEST_ONLY: dict[str, tuple] = {
     # per-key CUSUM over time-ordered values — the order-sensitive
     # sequential-state shape (batch analog of keyed streaming state).
     "cusum_drift": (profile.q_cusum_drift, profile.SQL_CUSUM_DRIFT),
+    # PPJoin prefix filter: candidates only through each set's rarest
+    # tokens, full sets verified — the exact set-similarity join.
+    "prefix_join": (linkage.q_prefix_join, linkage.SQL_PREFIX_JOIN),
 }
 
 

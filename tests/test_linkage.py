@@ -99,3 +99,74 @@ def test_fuzzy_pairs_plan_is_equi_join(spark):
     )
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
+
+
+# --------------------------------------------------------------------------
+# prefix_join
+# --------------------------------------------------------------------------
+
+
+def _write_docs(spark, tmp_path, pairs):
+    import pandas as pd
+
+    pdf = pd.DataFrame(pairs, columns=["doc_id", "text"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_prefix_join_finds_near_identical_and_judges_full_sets(spark, tmp_path):
+    """Docs 1/2 share 9 of 10 shingles (J = 9/11 >= 0.7) -> found with
+    the exact intersection; docs 3/4 share ONE rare shingle (a prefix
+    token for both) but almost nothing else -> candidate generated,
+    then KILLED by the full-set verify — the property that separates
+    the prefix filter from ngram_jaccard's drop-hot-shingles space."""
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"      # 10 shingles
+    b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 zz"        # 9 shared
+    c = "rare1 rare2 rare3 c4 c5 c6 c7 c8 c9 c10"
+    d = "rare1 rare2 rare3 d4 d5 d6 d7 d8 d9 d10"      # shares 1 shingle
+    sf = _write_docs(
+        spark, tmp_path, [(1, a), (2, b), (3, c), (4, d)]
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in linkage.q_prefix_join(spark, sf).collect()
+    }
+    assert set(rows) == {(1, 2)}
+    r = rows[(1, 2)]
+    assert (r["inter"], r["un"]) == (9, 11)
+    assert r["jaccard"] == round(9 / 11, 6)
+
+
+def test_prefix_join_theorem_boundary(spark, tmp_path):
+    """At exactly J = t = 0.7 the pair is kept (>= threshold, integer
+    cross-multiplied: inter*10 >= 7*un), and just below it is not:
+    7/10 passes, 9/13 = 0.692 fails."""
+    # 7/10: m=8,m=9 inter=7 -> un=10 -> 70 >= 70 keep
+    a = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"            # 8 shingles
+    b = "s1 s2 s3 s4 s5 s6 s7 s8 s9 x y"            # inter 7, m=9
+    sf = _write_docs(spark, tmp_path, [(1, a), (2, b)])
+    rows = linkage.q_prefix_join(spark, sf).collect()
+    assert len(rows) == 1 and rows[0]["inter"] * 10 >= 7 * rows[0]["un"]
+
+    # 9/13: m=11, m=11, inter=9 -> un=13 -> 90 < 91 drop
+    a2 = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13"   # 11 shingles
+    b2 = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 u v"       # inter 9, m=11
+    sf2 = _write_docs(spark, tmp_path, [(1, a2), (2, b2)])
+    assert linkage.q_prefix_join(spark, sf2).collect() == []
+
+
+def test_prefix_join_plan_no_cartesian(spark):
+    """Candidates come only through the token-keyed equi-joins; the
+    verify is doc-keyed equi-joins; nothing cartesian, no Python."""
+    plan = (
+        linkage.q_prefix_join(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
