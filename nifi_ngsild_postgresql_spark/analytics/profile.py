@@ -564,3 +564,109 @@ SELECT user_id, n, s1, max_cusum,
        max_cusum > {CUSUM_K} * s1 AS drifted
 FROM folded
 """
+
+
+# --------------------------------------------------------------------------
+# ks_drift — exact two-sample Kolmogorov–Smirnov statistic
+# --------------------------------------------------------------------------
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic between the even/odd doc_id slices
+    over document length — PSI's bin-free companion (PSI needs a
+    bucketing decision; KS is the max CDF gap over the values
+    themselves, so a shift smaller than any bucket still registers).
+    All-integer: per distinct length the per-slice counts, cumulative
+    counts by one value-ordered window, and the gap as
+    |c_old·n_new − c_new·n_old| (both CDFs multiplied through by
+    n_old·n_new); the reported row is the argmax with deterministic
+    ties (smallest length). The one double division happens once on
+    the returned row. Scale shape: ONE keyed agg collapses the corpus
+    to O(distinct feature values) rows with map-side combine, and the
+    value-ordered windows run over that collapsed frame — for discrete
+    features (lengths, counts, scores quantized to cents) distinct
+    values are bounded and the single-partition window is safe by the
+    same argument as vocab_growth; continuous unbounded features go
+    through the quantile sketch instead (documented)."""
+    d = _t(spark, sf_dir, "documents")
+    per_val = (
+        d.select(
+            F.length("text").cast("long").alias("val"),
+            (F.col("doc_id") % 2 == 0).cast("long").alias("o"),
+        )
+        .groupBy("val")
+        .agg(
+            F.sum("o").cast("long").alias("d_old"),
+            F.sum(1 - F.col("o")).cast("long").alias("d_new"),
+        )
+    )
+    wcum = (
+        Window.orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy()
+    cum = per_val.select(
+        "val",
+        F.sum("d_old").over(wcum).cast("long").alias("c_old"),
+        F.sum("d_new").over(wcum).cast("long").alias("c_new"),
+        F.sum("d_old").over(wall).cast("long").alias("n_old"),
+        F.sum("d_new").over(wall).cast("long").alias("n_new"),
+    )
+    gap = F.abs(
+        F.col("c_old") * F.col("n_new") - F.col("c_new") * F.col("n_old")
+    )
+    wmax = Window.orderBy(gap.desc(), F.col("val").asc())
+    ranked = cum.select(
+        "val",
+        "c_old",
+        "c_new",
+        "n_old",
+        "n_new",
+        gap.cast("long").alias("ks_num"),
+        F.row_number().over(wmax).alias("rnk"),
+    )
+    return ranked.filter(F.col("rnk") == 1).select(
+        F.col("val").alias("ks_at"),
+        "c_old",
+        "c_new",
+        "n_old",
+        "n_new",
+        "ks_num",
+        F.round(
+            F.col("ks_num").cast("double")
+            / F.col("n_old").cast("double")
+            / F.col("n_new").cast("double"),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+SQL_KS_DRIFT = """
+WITH per_val AS (
+  SELECT CAST(length(text) AS BIGINT) AS val,
+         CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS d_old,
+         CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+           AS d_new
+  FROM documents GROUP BY 1
+), cum AS (
+  SELECT val,
+         CAST(SUM(d_old) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS c_old,
+         CAST(SUM(d_new) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS c_new,
+         CAST(SUM(d_old) OVER () AS BIGINT) AS n_old,
+         CAST(SUM(d_new) OVER () AS BIGINT) AS n_new
+  FROM per_val
+), ranked AS (
+  SELECT val, c_old, c_new, n_old, n_new,
+         CAST(ABS(c_old * n_new - c_new * n_old) AS BIGINT) AS ks_num,
+         ROW_NUMBER() OVER (ORDER BY ABS(c_old * n_new - c_new * n_old) DESC,
+                            val ASC) AS rnk
+  FROM cum
+)
+SELECT val AS ks_at, c_old, c_new, n_old, n_new, ks_num,
+       ROUND(CAST(ks_num AS DOUBLE) / CAST(n_old AS DOUBLE)
+             / CAST(n_new AS DOUBLE), 6) AS ks_stat
+FROM ranked WHERE rnk = 1
+"""

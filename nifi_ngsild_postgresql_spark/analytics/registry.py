@@ -624,6 +624,8 @@ PYTEST_ONLY: dict[str, tuple] = {
     # PPJoin prefix filter: candidates only through each set's rarest
     # tokens, full sets verified — the exact set-similarity join.
     "prefix_join": (linkage.q_prefix_join, linkage.SQL_PREFIX_JOIN),
+    # exact two-sample KS: bin-free max CDF gap, cross-multiplied ints.
+    "ks_drift": (profile.q_ks_drift, profile.SQL_KS_DRIFT),
 }
 
 

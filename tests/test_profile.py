@@ -378,3 +378,49 @@ def test_cusum_drift_flat_series_never_flags(spark, tmp_path):
     sf = _write_events(spark, tmp_path, rows)
     r = profile.q_cusum_drift(spark, sf).collect()[0]
     assert r["max_cusum"] == 0 and r["drifted"] is False
+
+
+# --------------------------------------------------------------------------
+# ks_drift
+# --------------------------------------------------------------------------
+
+
+def test_ks_drift_hand_case(spark, tmp_path):
+    """Crafted CDFs: old lengths {10,10,20,30}, new {10,20,30,30} ->
+    the max gap sits at val=10 (CDFs 2/4 vs 1/4, gap 1/4), ks_num =
+    |2*4 - 1*4| = 4, ks_stat = 0.25; ties on the gap resolve to the
+    SMALLEST value."""
+    import pandas as pd
+
+    texts = (
+        ["x" * 10, "x" * 10, "x" * 20, "x" * 30]  # even ids (old)
+        + ["x" * 10, "x" * 20, "x" * 30, "x" * 30]  # odd ids (new)
+    )
+    ids = [0, 2, 4, 6, 1, 3, 5, 7]
+    pd.DataFrame({"doc_id": ids, "text": texts}).pipe(
+        lambda pdf: spark.createDataFrame(pdf)
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "documents.parquet"))
+    )
+    r = profile.q_ks_drift(spark, str(tmp_path)).collect()[0]
+    assert (r["n_old"], r["n_new"]) == (4, 4)
+    assert r["ks_at"] == 10  # gap 4 at val 10 AND 20; tie -> smallest
+    assert r["ks_num"] == 4
+    assert r["ks_stat"] == 0.25
+
+
+def test_ks_drift_identical_slices_zero(spark, tmp_path):
+    """Identical distributions give ks_num 0 — and the argmax tie over
+    every value resolves to the smallest length."""
+    import pandas as pd
+
+    texts = ["x" * 10, "x" * 10, "x" * 25, "x" * 25]
+    ids = [0, 1, 2, 3]
+    pd.DataFrame({"doc_id": ids, "text": texts}).pipe(
+        lambda pdf: spark.createDataFrame(pdf)
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "documents.parquet"))
+    )
+    r = profile.q_ks_drift(spark, str(tmp_path)).collect()[0]
+    assert r["ks_num"] == 0 and r["ks_stat"] == 0.0
+    assert r["ks_at"] == 10
