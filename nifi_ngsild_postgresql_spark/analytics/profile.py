@@ -670,3 +670,76 @@ SELECT val AS ks_at, c_old, c_new, n_old, n_new, ks_num,
              / CAST(n_new AS DOUBLE), 6) AS ks_stat
 FROM ranked WHERE rnk = 1
 """
+
+
+# --------------------------------------------------------------------------
+# join_cardinality — exact join-size profile (the CBO / skew question)
+# --------------------------------------------------------------------------
+
+JOINCARD_TOP = 5  # skew contributors reported
+
+
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact output cardinality of orders ⋈ customer on custkey WITHOUT
+    running the join — |A ⋈ B| = Σ_k c_A(k)·c_B(k) over the per-key
+    count profiles — plus the TOP-5 contributing keys with their exact
+    products and parts-per-million share of the join: the question a
+    cost-based optimizer asks before picking a strategy, and the
+    join-level face of skew_profile (a key contributing an outsized
+    ppm is the key that will stall a reducer). Scale shape: one keyed
+    count per side (map-side combined, collapsing each table to its
+    key cardinality), one key-equality join of the two COUNT profiles
+    — never the fact tables — and a TakeOrderedAndProject for the
+    top-k; wire cost O(distinct keys both sides)."""
+    o = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("ca")
+    )
+    c = _t(spark, sf_dir, "customer").groupBy("c_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    prod = o.join(
+        c, o.o_custkey == c.c_custkey
+    ).select(
+        F.col("o_custkey").alias("key"),
+        (F.col("ca") * F.col("cb")).cast("long").alias("contrib"),
+    )
+    w = Window.partitionBy()
+    ranked = prod.select(
+        "key",
+        "contrib",
+        F.sum("contrib").over(w).cast("long").alias("join_rows"),
+        F.row_number()
+        .over(Window.orderBy(F.col("contrib").desc(), F.col("key").asc()))
+        .alias("rnk"),
+    )
+    return ranked.filter(F.col("rnk") <= JOINCARD_TOP).select(
+        F.col("rnk").cast("long").alias("rnk"),
+        "key",
+        "contrib",
+        "join_rows",
+        F.expr("(contrib * 1000000) div join_rows")
+        .cast("long")
+        .alias("contrib_ppm"),
+    )
+
+
+SQL_JOIN_CARDINALITY = f"""
+WITH oa AS (
+  SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS ca
+  FROM orders GROUP BY 1
+), cb AS (
+  SELECT c_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cb
+  FROM customer GROUP BY 1
+), prod AS (
+  SELECT oa.key, CAST(oa.ca * cb.cb AS BIGINT) AS contrib
+  FROM oa JOIN cb USING (key)
+), ranked AS (
+  SELECT key, contrib,
+         CAST(SUM(contrib) OVER () AS BIGINT) AS join_rows,
+         ROW_NUMBER() OVER (ORDER BY contrib DESC, key ASC) AS rnk
+  FROM prod
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, key, contrib, join_rows,
+       (contrib * 1000000) // join_rows AS contrib_ppm
+FROM ranked WHERE rnk <= {JOINCARD_TOP}
+"""

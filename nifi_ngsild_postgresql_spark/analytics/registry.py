@@ -626,6 +626,12 @@ PYTEST_ONLY: dict[str, tuple] = {
     "prefix_join": (linkage.q_prefix_join, linkage.SQL_PREFIX_JOIN),
     # exact two-sample KS: bin-free max CDF gap, cross-multiplied ints.
     "ks_drift": (profile.q_ks_drift, profile.SQL_KS_DRIFT),
+    # exact join-size profile from per-key count sketches — the CBO
+    # question answered without running the join.
+    "join_cardinality": (
+        profile.q_join_cardinality,
+        profile.SQL_JOIN_CARDINALITY,
+    ),
 }
 
 

@@ -424,3 +424,41 @@ def test_ks_drift_identical_slices_zero(spark, tmp_path):
     r = profile.q_ks_drift(spark, str(tmp_path)).collect()[0]
     assert r["ks_num"] == 0 and r["ks_stat"] == 0.0
     assert r["ks_at"] == 10
+
+
+# --------------------------------------------------------------------------
+# join_cardinality
+# --------------------------------------------------------------------------
+
+
+def test_join_cardinality_exact_against_real_join(spark):
+    """The count-profile product equals the ACTUAL join's row count on
+    the corpus — the estimator is exact, not approximate — and the
+    top contributor's ppm matches its share."""
+    o = spark.read.parquet(SF_DIR + "/orders.parquet")
+    c = spark.read.parquet(SF_DIR + "/customer.parquet")
+    true_rows = o.join(c, o.o_custkey == c.c_custkey).count()
+    rows = profile.q_join_cardinality(spark, SF_DIR).collect()
+    assert rows and all(r["join_rows"] == true_rows for r in rows)
+    top = min(rows, key=lambda r: r["rnk"])
+    assert top["contrib_ppm"] == (top["contrib"] * 1000000) // true_rows
+    assert [r["rnk"] for r in sorted(rows, key=lambda r: r["rnk"])] == [
+        1, 2, 3, 4, 5
+    ]
+
+
+def test_join_cardinality_plan_never_joins_facts(spark):
+    """The join in the plan is between the two COUNT profiles: both
+    join inputs carry aggregates, so scans feed HashAggregates before
+    any join — the fact tables themselves are never joined."""
+    df = profile.q_join_cardinality(spark, SF_DIR)
+    plan = _plan(df)
+    # the only row-expanding operator allowed is the profile join
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+    # column pruning reached the scans: each side reads ONLY its key
+    import re
+
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any(s.split(":")[0] == "o_custkey" and "," not in s for s in scans)
+    assert any(s.split(":")[0] == "c_custkey" and "," not in s for s in scans)
