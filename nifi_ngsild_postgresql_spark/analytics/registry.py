@@ -21,6 +21,7 @@ from . import (
     profile,
     robots,
     sketches,
+    spatial,
     suite,
     timeseries,
     urls,
@@ -632,6 +633,9 @@ PYTEST_ONLY: dict[str, tuple] = {
         profile.q_join_cardinality,
         profile.SQL_JOIN_CARDINALITY,
     ),
+    # grid DBSCAN-lite: density gate + 8-neighbor min-label merge on
+    # the collapsed cell frame — the spatial-clustering family member.
+    "grid_cluster": (spatial.q_grid_cluster, spatial.SQL_GRID_CLUSTER),
 }
 
 

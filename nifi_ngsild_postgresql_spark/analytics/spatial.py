@@ -1,0 +1,156 @@
+"""Grid-density spatial clustering — the DBSCAN-shaped member of the
+geo family (suite.py's geo ops answer point predicates and joins; this
+answers "where are the dense regions and which cells belong together",
+the hotspot/POI-extraction question a location corpus asks at scale).
+
+Reference context: the reference materializes GeoProperty Point
+coordinates into PostgreSQL columns (PostgreSQLTransformer.java:278-284)
+and leaves clustering to PostGIS; at 100 TB the clustering must run
+inside the engine, so it is a first-class operator here.
+
+Algorithm (grid DBSCAN-lite, fully deterministic):
+1. integer milli-degree points — synthesized with REAL cluster
+   structure (7 deterministic centers ± 1°, every 5th key global
+   noise), mirrored exactly in the oracle;
+2. cell = 2°×2° integer floor-division bucket; CORE cells hold
+   >= GRID_MINPTS points (noise cells drop — DBSCAN's density gate);
+3. cluster labels = min cell-id over the 8-neighbor core-cell graph,
+   propagated GRID_ROUNDS rounds — the same min-label algebra as
+   dedup_clusters/reach_bfs, with the same LINEAR-lineage iteration
+   discipline (each round references the previous round ONCE: in-row
+   9-struct neighbor emission → one keyed min → one join against the
+   fixed core frame; the union-of-filtered-expansion alternative
+   doubles the recomputed subtree per round).
+
+Scale shape: the corpus collapses to O(occupied cells) after one
+map-side-combined keyed count; every round's explode/agg/join runs on
+the core-cell frame (<< points); the bounded horizon is documented
+(cluster diameter in cells must be <= GRID_ROUNDS for full merge —
+fixpoint iteration with a convergence check is the dedup_clusters
+pattern and applies unchanged if unbounded diameters appear).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GRID_CELL_MDEG = 2000  # 2° cells in milli-degrees
+GRID_MINPTS = 5
+GRID_ROUNDS = 4
+GRID_CENTERS = 7
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _pts(c: DataFrame) -> DataFrame:
+    """Deterministic clustered points in integer milli-degrees."""
+    k = F.col("c_custkey")
+    noise = k % 5 == 0
+    lat = F.when(noise, (k * 104729) % 170000 - 85000).otherwise(
+        (k % GRID_CENTERS) * 20000 - 60000 + ((k * 104729) % 2000) - 1000
+    )
+    lon = F.when(noise, (k * 7919) % 360000 - 180000).otherwise(
+        (k % GRID_CENTERS) * 40000 - 120000 + ((k * 7919) % 2000) - 1000
+    )
+    return c.select(
+        "c_custkey",
+        lat.cast("long").alias("lat_m"),
+        lon.cast("long").alias("lon_m"),
+    )
+
+
+def q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 2°-cell clusters over the synthesized point field: core
+    cells (>= 5 points) labeled with the minimum cell-id reachable
+    through 8-neighbor core adjacency within 4 rounds. Returns one row
+    per core cell: (cy, cx, n_pts, cluster)."""
+    pts = _pts(_t(spark, sf_dir, "customer"))
+    cells = (
+        pts.select(
+            F.expr(f"(lat_m + 85000) div {GRID_CELL_MDEG}").alias("cy"),
+            F.expr(f"(lon_m + 180000) div {GRID_CELL_MDEG}").alias("cx"),
+        )
+        .groupBy("cy", "cx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pts"))
+    )
+    core = cells.filter(F.col("n_pts") >= GRID_MINPTS)
+    labels = core.select(
+        "cy", "cx", "n_pts", (F.col("cy") * 1000 + F.col("cx")).alias("label")
+    )
+    neigh = F.array(
+        *[
+            F.struct(
+                (F.col("cy") + dy).alias("cy"),
+                (F.col("cx") + dx).alias("cx"),
+                F.col("label").alias("label"),
+            )
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    core_keys = core.select("cy", "cx", "n_pts")
+    for _ in range(GRID_ROUNDS):
+        prop = (
+            labels.select(F.explode(neigh).alias("e"))
+            .groupBy(F.col("e.cy").alias("cy"), F.col("e.cx").alias("cx"))
+            .agg(F.min("e.label").alias("label"))
+        )
+        labels = core_keys.join(prop, ["cy", "cx"]).select(
+            "cy", "cx", "n_pts", "label"
+        )
+    return labels.select(
+        "cy", "cx", "n_pts", F.col("label").cast("long").alias("cluster")
+    )
+
+
+_SQL_PTS = f"""
+  SELECT c_custkey,
+    CAST(CASE WHEN c_custkey % 5 = 0
+      THEN (c_custkey * 104729) % 170000 - 85000
+      ELSE (c_custkey % {GRID_CENTERS}) * 20000 - 60000
+           + ((c_custkey * 104729) % 2000) - 1000
+    END AS BIGINT) AS lat_m,
+    CAST(CASE WHEN c_custkey % 5 = 0
+      THEN (c_custkey * 7919) % 360000 - 180000
+      ELSE (c_custkey % {GRID_CENTERS}) * 40000 - 120000
+           + ((c_custkey * 7919) % 2000) - 1000
+    END AS BIGINT) AS lon_m
+  FROM customer
+"""
+
+
+def _sql_round(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT c.cy, c.cx, c.n_pts, MIN(e.label) AS label
+  FROM core c JOIN (
+    SELECT p.cy + dy.d AS cy, p.cx + dx.d AS cx, p.label
+    FROM {prev} p,
+         (VALUES (-1), (0), (1)) AS dy(d),
+         (VALUES (-1), (0), (1)) AS dx(d)
+  ) e ON e.cy = c.cy AND e.cx = c.cx
+  GROUP BY 1, 2, 3
+)"""
+
+
+SQL_GRID_CLUSTER = (
+    f"""
+WITH pts AS ({_SQL_PTS}),
+cells AS (
+  SELECT (lat_m + 85000) // {GRID_CELL_MDEG} AS cy,
+         (lon_m + 180000) // {GRID_CELL_MDEG} AS cx,
+         CAST(COUNT(*) AS BIGINT) AS n_pts
+  FROM pts GROUP BY 1, 2
+), core AS (
+  SELECT * FROM cells WHERE n_pts >= {GRID_MINPTS}
+), l0 AS (
+  SELECT cy, cx, n_pts, cy * 1000 + cx AS label FROM core
+),"""
+    + ",".join(_sql_round(f"l{i}", f"l{i + 1}") for i in range(GRID_ROUNDS))
+    + f"""
+SELECT cy, cx, n_pts, CAST(label AS BIGINT) AS cluster FROM l{GRID_ROUNDS}
+"""
+)

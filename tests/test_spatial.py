@@ -1,0 +1,82 @@
+"""Grid-density clustering (analytics/spatial.py) — crafted cluster
+merges, the density gate, and the linear-lineage plan discipline."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from nifi_ngsild_postgresql_spark.analytics import spatial
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _write_customers(spark, tmp_path, keys):
+    pdf = pd.DataFrame({"c_custkey": keys})
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_grid_cluster_merges_adjacent_core_cells(spark):
+    """On the corpus: every cluster label is the MINIMUM cell-id of its
+    connected core-cell component — verified by recomputing components
+    with a pure-Python flood fill over the same core cells."""
+    rows = spatial.q_grid_cluster(spark, SF_DIR).collect()
+    assert rows
+    cells = {(r["cy"], r["cx"]): r for r in rows}
+    # python flood fill over 8-neighbor adjacency
+    seen, comp_of = set(), {}
+    for start in cells:
+        if start in seen:
+            continue
+        stack, comp = [start], []
+        seen.add(start)
+        while stack:
+            cur = stack.pop()
+            comp.append(cur)
+            cy, cx = cur
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    nb = (cy + dy, cx + dx)
+                    if nb in cells and nb not in seen:
+                        seen.add(nb)
+                        stack.append(nb)
+        label = min(cy * 1000 + cx for cy, cx in comp)
+        for c in comp:
+            comp_of[c] = label
+    for (cy, cx), r in cells.items():
+        assert r["cluster"] == comp_of[(cy, cx)], (cy, cx)
+    # the corpus synthesis makes at least one multi-cell component
+    from collections import Counter
+
+    sizes = Counter(comp_of.values())
+    assert max(sizes.values()) >= 2
+
+
+def test_grid_cluster_density_gate_and_noise(spark, tmp_path):
+    """Keys chosen so one center collects >= MINPTS points while the
+    noise branch (key % 5 == 0) scatters: sparse cells never appear,
+    and the dense cell's count excludes the noise keys."""
+    # center = key % 7: all of these share center 1 and avoid the
+    # noise branch (none is % 5 == 0) -> >= 5 points in one cell area
+    dense = [1, 8, 22, 29, 36, 43]
+    noise = [5, 10, 20]  # % 5 == 0 -> global scatter
+    sf = _write_customers(spark, tmp_path, dense + noise)
+    rows = spatial.q_grid_cluster(spark, str(tmp_path)).collect()
+    total_pts = sum(r["n_pts"] for r in rows)
+    # only dense-branch points can land together; noise spreads thin
+    assert total_pts <= len(dense)
+    assert all(r["n_pts"] >= spatial.GRID_MINPTS for r in rows)
+
+
+def test_grid_cluster_linear_iteration_plan(spark):
+    """GRID_ROUNDS explodes exactly (each round references the prior
+    labels once — the 2^rounds recompute trap stays out), no cartesian,
+    no Python."""
+    df = spatial.q_grid_cluster(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") == spatial.GRID_ROUNDS
+    assert "CartesianProduct" not in plan
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
