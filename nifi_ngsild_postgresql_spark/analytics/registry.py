@@ -636,6 +636,9 @@ PYTEST_ONLY: dict[str, tuple] = {
     # grid DBSCAN-lite: density gate + 8-neighbor min-label merge on
     # the collapsed cell frame — the spatial-clustering family member.
     "grid_cluster": (spatial.q_grid_cluster, spatial.SQL_GRID_CLUSTER),
+    # sketch x window composition: per-window HLL registers are what a
+    # streaming deployment persists; rollups are register-min merges.
+    "hll_windowed": (sketches.q_hll_windowed, sketches.SQL_HLL_WINDOWED),
 }
 
 

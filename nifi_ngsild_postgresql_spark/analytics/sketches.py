@@ -697,3 +697,77 @@ FROM st
 
 
 SQL_KMV_SET_OPS = _sql_kmv_set_ops()
+
+
+# --------------------------------------------------------------------------
+# hll_windowed — sketch algebra composed with time windows
+# --------------------------------------------------------------------------
+
+HLL_WINDOW_SECS = 6 * 3600  # 6-hour tumbling windows
+
+
+def q_hll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per (6-hour tumbling window × event_type),
+    HLL-sketched — the composition that materializes the mergeability
+    claim the register algebra is built on: per-window sketches are
+    what a streaming deployment persists, and ANY coarser rollup
+    (daily, weekly, all-time) is a register-wise MIN merge away with
+    no event re-scan. Window identity is integer epoch arithmetic
+    (unix_timestamp div — the timeseries idiom; never formatted
+    timestamps, which are the cross-engine trap). Scale shape:
+    identical to hll_distinct with a wider key — after map-side
+    combine the shuffle carries <= windows × types × 64 register
+    rows, never O(events)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    keyed = e.select(
+        F.concat(
+            F.expr(f"cast(unix_timestamp(ts) div {HLL_WINDOW_SECS} as string)"),
+            F.lit("|"),
+            F.col("event_type"),
+        ).alias("wk"),
+        "user_id",
+    )
+    out = hll_distinct(keyed, "wk", "user_id")
+    return out.select(
+        F.expr("cast(split(wk, '\\\\|')[0] as bigint)").alias("win_idx"),
+        F.expr("split(wk, '\\\\|')[1]").alias("event_type"),
+        "approx_distinct",
+    )
+
+
+def _sql_hll_windowed() -> str:
+    term = _hll_term_case("(h >> 6)")
+    return f"""
+WITH keyed AS (
+  SELECT CAST(floor(epoch(ts) / {HLL_WINDOW_SECS}) AS BIGINT) AS win_idx,
+         event_type, user_id
+  FROM events
+), hashed AS (
+  SELECT win_idx, event_type,
+         CAST(list_sum(list_transform(range(1, 16),
+              i -> (CAST(strpos('0123456789abcdef',
+                          substr(md5(CAST(user_id AS VARCHAR)), i, 1))
+                    AS BIGINT) - 1)
+                   << (4 * (15 - i))
+         )) AS BIGINT) AS h
+  FROM keyed
+), regs AS (
+  SELECT win_idx, event_type, (h & {HLL_M - 1}) AS reg,
+         MIN({term}) AS term
+  FROM hashed GROUP BY win_idx, event_type, (h & {HLL_M - 1})
+), agg AS (
+  SELECT win_idx, event_type, CAST(SUM(term) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS nregs
+  FROM regs GROUP BY win_idx, event_type
+)
+SELECT win_idx, event_type,
+       ROUND(CASE WHEN {_HLL_NUMER!r} / CAST(s + ({HLL_M} - nregs) * {1 << (HLL_W_BITS + 1)} AS DOUBLE) <= {2.5 * HLL_M!r}
+                   AND ({HLL_M} - nregs) > 0
+                  THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST({HLL_M} - nregs AS DOUBLE))
+                  ELSE {_HLL_NUMER!r} / CAST(s + ({HLL_M} - nregs) * {1 << (HLL_W_BITS + 1)} AS DOUBLE)
+             END, 4) AS approx_distinct
+FROM agg
+"""
+
+
+SQL_HLL_WINDOWED = _sql_hll_windowed()

@@ -376,3 +376,67 @@ def test_kmv_topk_is_take_ordered(spark):
     orders = spark.read.parquet(f"{sf}/orders.parquet")
     plan = _exec_plan(sketches.kmv_sketch(orders, "o_custkey"))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hll_windowed_tracks_exact_and_rolls_up_by_merge(spark):
+    """Per-(window, type) estimates track the exact distincts within
+    the documented band, and the MERGEABILITY claim holds end-to-end:
+    min-merging the 6-hour register files up to 24-hour groups then
+    finalizing equals sketching the 24-hour groups directly — no event
+    re-scan."""
+    e = spark.read.parquet(SF_DIR + "/events.parquet")
+    got = {
+        (r["win_idx"], r["event_type"]): r["approx_distinct"]
+        for r in sketches.q_hll_windowed(spark, SF_DIR).collect()
+    }
+    exact = {
+        (r["w"], r["event_type"]): r["d"]
+        for r in e.selectExpr(
+            f"cast(unix_timestamp(ts) div {sketches.HLL_WINDOW_SECS}"
+            " as bigint) as w",
+            "event_type",
+            "user_id",
+        )
+        .groupBy("w", "event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        # 64-register HLL: ~13% rse; allow 4 sigma + small-count slack
+        assert abs(est - exact[k]) <= max(4, 0.55 * exact[k]), (k, est, exact[k])
+
+    # mergeability: 6h registers -> 24h rollup == direct 24h sketch
+    keyed6 = e.selectExpr(
+        "concat(cast(unix_timestamp(ts) div 21600 as string), '|',"
+        " event_type) as wk",
+        "user_id",
+    )
+    regs6 = sketches.hll_registers(keyed6, "wk", "user_id")
+    rolled = (
+        regs6.withColumn(
+            "wk24",
+            F.concat(
+                F.expr("cast(cast(split(wk, '\\\\|')[0] as bigint) div 4"
+                       " as string)"),
+                F.lit("|"),
+                F.expr("split(wk, '\\\\|')[1]"),
+            ),
+        )
+        .groupBy("wk24", "reg")
+        .agg(F.min("term").alias("term"))
+    )
+    merged = {
+        r["wk24"]: r["approx_distinct"]
+        for r in sketches.hll_finalize(rolled, "wk24").collect()
+    }
+    keyed24 = e.selectExpr(
+        "concat(cast(unix_timestamp(ts) div 86400 as string), '|',"
+        " event_type) as wk24",
+        "user_id",
+    )
+    direct = {
+        r["wk24"]: r["approx_distinct"]
+        for r in sketches.hll_distinct(keyed24, "wk24", "user_id").collect()
+    }
+    assert merged == direct
