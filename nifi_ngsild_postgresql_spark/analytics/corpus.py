@@ -2471,3 +2471,132 @@ SELECT doc_id,
          / (CAST(n AS DOUBLE) * {SURPRISAL_SCALE}) AS entropy_nats
 FROM per_doc
 """
+
+
+# --------------------------------------------------------------------------
+# bm25_search — ranked retrieval over the inverted-index shape
+# --------------------------------------------------------------------------
+
+# classic Okapi parameters; kept as exact rationals (k1 = 6/5,
+# b = 3/4) so every intermediate below stays integer until the single
+# per-(doc, term) double chain.
+BM25_K1_NUM, BM25_K1_DEN = 6, 5
+BM25_B_NUM, BM25_B_DEN = 3, 4
+BM25_TOPK = 10
+
+
+def q_bm25_search(
+    spark: SparkSession, sf_dir: str, terms: list[str] | None = None
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval for the fixed query terms — the
+    scoring upgrade over q_term_search's boolean conjunctive match
+    (retrieval is how a training pipeline hunts contamination and
+    builds eval-adjacent holdouts). Disjunctive: any doc hitting any
+    term scores. Exact-integer discipline: tf, df, dl, avgdl numerator
+    and denominator stay integers; per (doc, term) the score is ONE
+    fixed-order double chain
+        idf = ln((N - df + 1/2) / (df + 1/2))   [x2 trick: integers]
+        tfn = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with every sub-term cross-multiplied to integers first, so both
+    engines evaluate ln and the one division on IDENTICAL integer
+    inputs; per-doc sum rounds once to 4. Top-K by (score desc,
+    doc_id asc) — fully deterministic. Scale shape: postings filter to
+    the query terms BEFORE any shuffle (O(matches) stream), df/N/avgdl
+    are tiny broadcast aggregates, ranking is TakeOrderedAndProject —
+    never a global sort."""
+    terms = SEARCH_TERMS if terms is None else terms
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens("text").alias("ts"))
+    dl = toks.select(
+        "doc_id", F.size("ts").cast("long").alias("dl")
+    )
+    postings = (
+        toks.select("doc_id", F.explode("ts").alias("tok"))
+        .filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = postings.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    j = (
+        postings.join(df_, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+    )
+    # idf on doubled integers: (2N - 2df + 1) / (2df + 1)
+    idf = F.log(
+        (2 * F.col("n_docs") - 2 * F.col("df") + 1).cast("double")
+        / (2 * F.col("df") + 1).cast("double")
+    )
+    # tf-norm cross-multiplied: with k1=K1N/K1D, b=BN/BD, avgdl=S/N:
+    #   tfn = tf·(k1+1)·D / (tf·D + k1·(D·(1-b) + b·D·dl/avgdl))
+    # multiply num and den by K1D·BD·sum_dl:
+    num = (
+        F.col("tf")
+        * (BM25_K1_NUM + BM25_K1_DEN)
+        * BM25_B_DEN
+        * F.col("sum_dl")
+    ).cast("double")
+    den = (
+        F.col("tf") * BM25_K1_DEN * BM25_B_DEN * F.col("sum_dl")
+        + BM25_K1_NUM
+        * (
+            (BM25_B_DEN - BM25_B_NUM) * F.col("sum_dl")
+            + BM25_B_NUM * F.col("dl") * F.col("n_docs")
+        )
+    ).cast("double")
+    scored = j.select(
+        "doc_id", (idf * (num / den)).alias("s")
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(F.sum("s"), 4).alias("bm25")
+    )
+    return (
+        per_doc.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK)
+    )
+
+
+SQL_BM25_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks
+), postings AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(ts) AS tok FROM toks
+  ) WHERE tok IN ({_TERM_LIST})
+  GROUP BY doc_id, tok
+), dfx AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY tok
+), corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl
+  FROM dl
+), scored AS (
+  SELECT p.doc_id,
+         ln(CAST(2 * c.n_docs - 2 * d.df + 1 AS DOUBLE)
+            / CAST(2 * d.df + 1 AS DOUBLE))
+         * (CAST(p.tf * {(BM25_K1_NUM + BM25_K1_DEN) * BM25_B_DEN}
+                 * c.sum_dl AS DOUBLE)
+            / CAST(p.tf * {BM25_K1_DEN * BM25_B_DEN} * c.sum_dl
+                   + {BM25_K1_NUM} * ({BM25_B_DEN - BM25_B_NUM} * c.sum_dl
+                                      + {BM25_B_NUM} * l.dl * c.n_docs)
+                   AS DOUBLE)) AS s
+  FROM postings p
+  JOIN dfx d USING (tok)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN corpus c
+)
+SELECT doc_id, ROUND(SUM(s), 4) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""

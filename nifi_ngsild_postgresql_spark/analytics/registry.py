@@ -639,6 +639,9 @@ PYTEST_ONLY: dict[str, tuple] = {
     # sketch x window composition: per-window HLL registers are what a
     # streaming deployment persists; rollups are register-min merges.
     "hll_windowed": (sketches.q_hll_windowed, sketches.SQL_HLL_WINDOWED),
+    # Okapi BM25 ranked retrieval — the scoring upgrade over boolean
+    # term_search; integer-first algebra, one double chain per posting.
+    "bm25_search": (corpus.q_bm25_search, corpus.SQL_BM25_SEARCH),
 }
 
 

@@ -1454,3 +1454,83 @@ def test_char_entropy_planted_and_quantized_formula(spark):
         assert r["entropy_nats"] == expect(docs[k]), k
         assert r["n_chars_counted"] == len(docs[k])
         assert r["n_distinct_chars"] == len(set(docs[k]))
+
+
+# --------------------------------------------------------------------------
+# bm25_search
+# --------------------------------------------------------------------------
+
+
+def test_bm25_matches_independent_python_scorer(spark, tmp_path):
+    """BM25 on a crafted corpus equals an independent Python Okapi
+    implementation score-for-score (same x2-integer idf, same
+    cross-multiplied tf-norm, rounded once) — including rank order and
+    the rarer-term-scores-higher property."""
+    import math
+
+    import pandas as pd
+
+    docs = {
+        1: "spark spark spark filler filler filler",
+        2: "spark merge filler filler",
+        3: "merge merge window filler filler filler filler filler",
+        4: "filler words only here",
+        5: "window filler",
+    }
+    pd.DataFrame(
+        {"doc_id": list(docs), "text": list(docs.values())}
+    ).pipe(
+        lambda pdf: spark.createDataFrame(pdf)
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "documents.parquet"))
+    )
+    got = [
+        (r["doc_id"], r["bm25"])
+        for r in corpus.q_bm25_search(spark, str(tmp_path)).collect()
+    ]
+
+    terms = corpus.SEARCH_TERMS
+    toks = {d: t.split() for d, t in docs.items()}
+    n = len(docs)
+    sum_dl = sum(len(t) for t in toks.values())
+    df = {
+        q: sum(1 for t in toks.values() if q in t) for q in terms
+    }
+    k1n, k1d = corpus.BM25_K1_NUM, corpus.BM25_K1_DEN
+    bn, bd = corpus.BM25_B_NUM, corpus.BM25_B_DEN
+
+    def score(d):
+        s = 0.0
+        for q in terms:
+            tf = toks[d].count(q)
+            if tf == 0 or df[q] == 0:
+                continue
+            idf = math.log((2 * n - 2 * df[q] + 1) / (2 * df[q] + 1))
+            num = tf * (k1n + k1d) * bd * sum_dl
+            den = tf * k1d * bd * sum_dl + k1n * (
+                (bd - bn) * sum_dl + bn * len(toks[d]) * n
+            )
+            s += idf * (num / den)
+        return round(s, 4)
+
+    expect = sorted(
+        ((d, score(d)) for d in docs if score(d) != 0.0),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert got == expect
+    # doc 4 (no query terms) is absent; the doc with the rare+frequent
+    # mix ranks first deterministically
+    assert all(d != 4 for d, _ in got)
+
+
+def test_bm25_plan_filters_before_shuffle_and_takeordered(spark):
+    """The postings IN-filter runs before any exchange (the stream that
+    shuffles is O(matches)), ranking is TakeOrderedAndProject (never a
+    global sort), nothing cartesian except the 1-row corpus broadcast,
+    no Python."""
+    df = corpus.q_bm25_search(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+    assert "CartesianProduct" not in plan
