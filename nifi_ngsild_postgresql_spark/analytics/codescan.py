@@ -48,9 +48,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # secret_scan — credential detection + redaction
 # --------------------------------------------------------------------------
 
+# the body class includes LITERAL newline/CR (never \s — the module's
+# engine-divergence contract): real PEM blocks are base64 wrapped at 64
+# chars with line breaks, and a detector that only matches single-line
+# blocks would pass live keys straight through the curation gate
 SECRET_PEM = (
-    r"-----BEGIN [A-Z ]*PRIVATE KEY-----[A-Za-z0-9+/= ]*"
-    r"-----END [A-Z ]*PRIVATE KEY-----"
+    "-----BEGIN [A-Z ]*PRIVATE KEY-----[A-Za-z0-9+/= \n\r]*"
+    "-----END [A-Z ]*PRIVATE KEY-----"
 )
 SECRET_AWS = r"AKIA[0-9A-Z]{16}"
 SECRET_TOKEN = r"ghp_[A-Za-z0-9]{36}"
@@ -169,9 +173,9 @@ FROM st4
 # a dual-marked file is conservatively classed by its strongest grant)
 LICENSE_LADDER = (
     ("GNU General Public License", "GPL-3.0"),
+    ("Mozilla Public License", "MPL-2.0"),  # weak copyleft: above permissive
     ("Apache License", "Apache-2.0"),
     ("Permission is hereby granted", "MIT"),
-    ("Mozilla Public License", "MPL-2.0"),
     ("All rights reserved", "PROPRIETARY"),
 )
 
@@ -915,9 +919,10 @@ FROM hosted
 # code_curation_pipeline — the composed keep/drop funnel for code
 # --------------------------------------------------------------------------
 
-# licenses a pretraining corpus keeps outright (copyleft routes to
-# review, proprietary/unknown drop) — the ladder's permissive subset
-PERMISSIVE_LICENSES = ("MIT", "Apache-2.0", "MPL-2.0")
+# licenses a pretraining corpus keeps outright; copyleft — including
+# MPL's weak file-level copyleft — routes to review, proprietary/
+# unknown drop (The Stack's permissive-only convention)
+PERMISSIVE_LICENSES = ("MIT", "Apache-2.0")
 
 
 def q_code_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2499,8 +2499,10 @@ def q_bm25_search(
         tfn = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
     with every sub-term cross-multiplied to integers first, so both
     engines evaluate ln and the one division on IDENTICAL integer
-    inputs; per-doc sum rounds once to 4. Top-K by (score desc,
-    doc_id asc) — fully deterministic. Scale shape: postings filter to
+    inputs; each posting's score then quantizes to integer micro-units
+    BEFORE the per-doc sum (the surprisal contract — integer sums
+    commute where double folds don't), and the total rounds once to 4.
+    Top-K by (score desc, doc_id asc) — fully deterministic. Scale shape: postings filter to
     the query terms BEFORE any shuffle (O(matches) stream), df/N/avgdl
     are tiny broadcast aggregates, ranking is TakeOrderedAndProject —
     never a global sort."""
@@ -2550,11 +2552,20 @@ def q_bm25_search(
             + BM25_B_NUM * F.col("dl") * F.col("n_docs")
         )
     ).cast("double")
+    # per-posting scores quantize to integer micro-units BEFORE the
+    # per-doc sum (the char_entropy/surprisal contract): a naive double
+    # sum folds in engine-dependent order and can flap the round(.,4)
+    # at a boundary — integer sums commute identically everywhere
     scored = j.select(
-        "doc_id", (idf * (num / den)).alias("s")
+        "doc_id",
+        F.round(idf * (num / den) * SURPRISAL_SCALE)
+        .cast("long")
+        .alias("sq"),
     )
     per_doc = scored.groupBy("doc_id").agg(
-        F.round(F.sum("s"), 4).alias("bm25")
+        F.round(
+            F.sum("sq").cast("double") / SURPRISAL_SCALE, 4
+        ).alias("bm25")
     )
     return (
         per_doc.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
@@ -2594,9 +2605,13 @@ WITH toks AS (
   JOIN dfx d USING (tok)
   JOIN dl l USING (doc_id)
   CROSS JOIN corpus c
+), quant AS (
+  SELECT doc_id, CAST(ROUND(s * {SURPRISAL_SCALE}) AS BIGINT) AS sq
+  FROM scored
 )
-SELECT doc_id, ROUND(SUM(s), 4) AS bm25
-FROM scored GROUP BY doc_id
+SELECT doc_id,
+       ROUND(CAST(SUM(sq) AS DOUBLE) / {SURPRISAL_SCALE}, 4) AS bm25
+FROM quant GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT {BM25_TOPK}
 """

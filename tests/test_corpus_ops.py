@@ -1500,7 +1500,7 @@ def test_bm25_matches_independent_python_scorer(spark, tmp_path):
     bn, bd = corpus.BM25_B_NUM, corpus.BM25_B_DEN
 
     def score(d):
-        s = 0.0
+        sq = 0
         for q in terms:
             tf = toks[d].count(q)
             if tf == 0 or df[q] == 0:
@@ -1510,8 +1510,9 @@ def test_bm25_matches_independent_python_scorer(spark, tmp_path):
             den = tf * k1d * bd * sum_dl + k1n * (
                 (bd - bn) * sum_dl + bn * len(toks[d]) * n
             )
-            s += idf * (num / den)
-        return round(s, 4)
+            # same per-posting micro-unit quantization as the operator
+            sq += round(idf * (num / den) * corpus.SURPRISAL_SCALE)
+        return round(sq / corpus.SURPRISAL_SCALE, 4)
 
     expect = sorted(
         ((d, score(d)) for d in docs if score(d) != 0.0),
