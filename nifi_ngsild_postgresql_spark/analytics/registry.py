@@ -642,6 +642,9 @@ PYTEST_ONLY: dict[str, tuple] = {
     # Okapi BM25 ranked retrieval — the scoring upgrade over boolean
     # term_search; integer-first algebra, one double chain per posting.
     "bm25_search": (corpus.q_bm25_search, corpus.SQL_BM25_SEARCH),
+    # bloom semi-join reduction: rows drop BEFORE the join exchange;
+    # result proves no-false-negatives AND the measured pruning ratio.
+    "bloom_semijoin": (sketches.q_bloom_semijoin, sketches.SQL_BLOOM_SEMIJOIN),
 }
 
 

@@ -771,3 +771,178 @@ FROM agg
 
 
 SQL_HLL_WINDOWED = _sql_hll_windowed()
+
+
+# --------------------------------------------------------------------------
+# bloom_semijoin — bloom-filter semi-join reduction, measured
+# --------------------------------------------------------------------------
+
+BLOOM_SJ_PRIORITY = "1-URGENT"
+
+
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction through the bitmap bloom: build the 256-word
+    filter from URGENT orders' keys (one BIT_OR agg — wire 256 words),
+    pre-filter lineitem by probing all K bits IN-ROW against the
+    broadcast bitmap, and only then run the exact key join. Returns one
+    row: probed input size, bloom survivors, exactly-joined rows and
+    their quantity sum — so the result PROVES both properties at once:
+    no false negatives (joined == the plain join's count) and the
+    measured pruning ratio (survivors << probed at realistic
+    selectivity). This is the engine's manifest-bloom data-skipping
+    idea (plans/lake.py bloom_cols) applied to shuffle reduction: at
+    100 TB the filter drops non-matching rows BEFORE the join
+    exchange, so the shuffle carries survivors only. The bitmap rides
+    a bounded 256-word collect into a broadcast literal — the same
+    bounded-aggregate discipline as the k-means centroids."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    urgent = orders.filter(
+        F.col("o_orderpriority") == BLOOM_SJ_PRIORITY
+    ).select("o_orderkey")
+    h_o = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    pos = urgent.select(h_o.alias("h")).select(
+        F.explode(
+            F.array(
+                *[
+                    F.shiftright("h", _BLOOM_IDX_BITS * i)
+                    .bitwiseAND(F.lit(BLOOM_BITS - 1))
+                    for i in range(BLOOM_K)
+                ]
+            )
+        ).alias("p")
+    )
+    sparse = (
+        pos.select(
+            F.shiftright("p", 6).alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(p AS INT) & 63)"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    # densify 0..255 then collapse to ONE ordered array row (bounded:
+    # 256 int64s) for the broadcast in-row probe
+    dense = (
+        spark.range(BLOOM_WORDS)
+        .select(F.col("id").alias("word"))
+        .join(sparse, "word", "left")
+        .select("word", F.coalesce("bits", F.lit(0)).alias("bits"))
+    )
+    bitmap_row = dense.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(word, bits))),"
+            " s -> s.bits)"
+        ).alias("bm")
+    )
+    h_l = F.conv(
+        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    probed = li.select("l_orderkey", F.col("l_quantity"), h_l.alias("h")).crossJoin(
+        F.broadcast(bitmap_row)
+    )
+    hit = None
+    for i in range(BLOOM_K):
+        test = (
+            F.expr(
+                f"element_at(bm, CAST(CAST(shiftright(h,"
+                f" {_BLOOM_IDX_BITS * i}) & {BLOOM_BITS - 1} AS INT)"
+                f" div 64 + 1 AS INT))"
+            ).bitwiseAND(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST(shiftright(h, {_BLOOM_IDX_BITS * i})"
+                    f" & {BLOOM_BITS - 1} AS INT) & 63)"
+                )
+            )
+            != 0
+        )
+        hit = test if hit is None else (hit & test)
+    survivors = probed.filter(hit).select("l_orderkey", "l_quantity")
+    joined = survivors.join(urgent, survivors.l_orderkey == urgent.o_orderkey)
+    return (
+        survivors.agg(
+            F.count(F.lit(1)).cast("long").alias("n_survivors")
+        )
+        .crossJoin(
+            joined.agg(
+                F.count(F.lit(1)).cast("long").alias("n_joined"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("decimal(38,2)")
+                .cast("string")
+                .alias("sum_qty"),
+            )
+        )
+        .crossJoin(li.agg(F.count(F.lit(1)).cast("long").alias("n_probed")))
+        .select("n_probed", "n_survivors", "n_joined", "sum_qty")
+    )
+
+
+def _sql_bloom_semijoin() -> str:
+    pos_arms = "\nUNION ALL\n".join(
+        f"  SELECT ((h >> {_BLOOM_IDX_BITS * i}) & {BLOOM_BITS - 1}) AS p"
+        " FROM hashed"
+        for i in range(BLOOM_K)
+    )
+    probe_tests = " AND ".join(
+        f"(bm[CAST((hl >> {_BLOOM_IDX_BITS * i}) & {BLOOM_BITS - 1} AS BIGINT)"
+        f" // 64 + 1]"
+        f" & (CASE WHEN ((hl >> {_BLOOM_IDX_BITS * i}) & 63) = 63"
+        f"          THEN CAST(-9223372036854775808 AS BIGINT)"
+        f"          ELSE (CAST(1 AS BIGINT)"
+        f"                << CAST((hl >> {_BLOOM_IDX_BITS * i}) & 63 AS INT))"
+        f"     END)) <> 0"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH urgent AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '{BLOOM_SJ_PRIORITY}'
+), hashed AS (
+  SELECT CAST(list_sum(list_transform(range(1, 16),
+       j -> (CAST(strpos('0123456789abcdef',
+                   substr(md5(CAST(o_orderkey AS VARCHAR)), j, 1)) AS BIGINT)
+             - 1) << (4 * (15 - j))
+  )) AS BIGINT) AS h
+  FROM urgent
+), pos AS (
+{pos_arms}
+), sparse AS (
+  SELECT (p >> 6) AS word,
+         CAST(BIT_OR(CASE WHEN (p & 63) = 63
+                          THEN CAST(-9223372036854775808 AS BIGINT)
+                          ELSE (CAST(1 AS BIGINT) << CAST(p & 63 AS INT))
+                     END) AS BIGINT) AS bits
+  FROM pos GROUP BY (p >> 6)
+), dense AS (
+  SELECT r.range AS word, COALESCE(s.bits, 0) AS bits
+  FROM range(0, {BLOOM_WORDS}) r LEFT JOIN sparse s ON s.word = r.range
+), bmrow AS (
+  SELECT list(bits ORDER BY word) AS bm FROM dense
+), probed AS (
+  SELECT l_orderkey, l_quantity,
+         CAST(list_sum(list_transform(range(1, 16),
+              j -> (CAST(strpos('0123456789abcdef',
+                          substr(md5(CAST(l_orderkey AS VARCHAR)), j, 1))
+                    AS BIGINT) - 1) << (4 * (15 - j))
+         )) AS BIGINT) AS hl
+  FROM lineitem
+), survivors AS (
+  SELECT p.l_orderkey, p.l_quantity FROM probed p, bmrow
+  WHERE {probe_tests}
+), joined AS (
+  SELECT s.l_orderkey, s.l_quantity
+  FROM survivors s JOIN urgent u ON s.l_orderkey = u.o_orderkey
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_probed,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM survivors) AS n_survivors,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM joined) AS n_joined,
+       (SELECT CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS VARCHAR) FROM joined) AS sum_qty
+"""
+
+
+SQL_BLOOM_SEMIJOIN = _sql_bloom_semijoin()

@@ -440,3 +440,43 @@ def test_hll_windowed_tracks_exact_and_rolls_up_by_merge(spark):
         for r in sketches.hll_distinct(keyed24, "wk24", "user_id").collect()
     }
     assert merged == direct
+
+
+def test_bloom_semijoin_no_false_negatives_and_real_pruning(spark):
+    """The bloom-reduced join returns EXACTLY the plain join's rows (no
+    false negatives — the one-sided guarantee), its quantity sum equals
+    the plain join's, and the filter prunes: survivors < probed, while
+    survivors >= joined (false positives only ever ADD candidates)."""
+    r = sketches.q_bloom_semijoin(spark, SF_DIR).collect()[0]
+    o = spark.read.parquet(SF_DIR + "/orders.parquet").filter(
+        F.col("o_orderpriority") == sketches.BLOOM_SJ_PRIORITY
+    )
+    li = spark.read.parquet(SF_DIR + "/lineitem.parquet")
+    plain = li.join(o, li.l_orderkey == o.o_orderkey)
+    assert r["n_joined"] == plain.count()
+    expect_sum = plain.agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("string")
+    ).collect()[0][0]
+    assert r["sum_qty"] == expect_sum
+    assert r["n_probed"] == li.count()
+    assert r["n_joined"] <= r["n_survivors"] < r["n_probed"]
+    # with ~selectivity 1/5 and a 16k-bit filter, pruning is real:
+    # survivors must be well under half the probed stream
+    assert r["n_survivors"] * 2 < r["n_probed"]
+
+
+def test_bloom_semijoin_filter_runs_before_join_exchange(spark):
+    """Plan gate: the bitmap probe is a Filter over the broadcast
+    1-row array (BroadcastNestedLoopJoin of a singleton is the
+    broadcast-literal idiom, not a row-pair cartesian), and the exact
+    key join sees only the filtered stream."""
+    df = sketches.q_bloom_semijoin(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+    # the survivors' count/agg must sit ABOVE a Filter containing the
+    # bitmap probe (element_at ... & mask) — i.e. pruning is a filter,
+    # not a post-join subtraction
+    assert "element_at" in plan
