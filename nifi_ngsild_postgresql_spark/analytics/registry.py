@@ -108,8 +108,6 @@ REGISTRY: dict[str, tuple] = {
     "replay_manifest": (q_replay_manifest, SQL_REPLAY_MANIFEST),
     # --- training-data pipeline ops ---
     "stratified_sample": (suite.q_stratified_sample, suite.SQL_STRATIFIED_SAMPLE),
-    "tfidf_topk": (suite.q_tfidf_topk, suite.SQL_TFIDF_TOPK),
-    "asof_join": (suite.q_asof_join, suite.SQL_ASOF_JOIN),
     "percentile_agg": (suite.q_percentile_agg, suite.SQL_PERCENTILE_AGG),
     "rolling_user_stats": (suite.q_rolling_user_stats, suite.SQL_ROLLING_USER_STATS),
     # round 4: the green knn_join IS the LSH composition (multi-table
@@ -123,7 +121,6 @@ REGISTRY: dict[str, tuple] = {
     # --- advanced analytics, oracle-checked via exact-integer math
     # (round 2: previously rows-only; restructured so DuckDB can verify
     # them bit-for-bit — see analytics/advanced.py module docstring) ---
-    "kmeans": (advanced.q_kmeans, advanced.SQL_KMEANS),
     "ann_ivf_topk": (advanced.q_ann_ivf_topk, advanced.SQL_ANN_IVF_TOPK),
     "embedding_neardup": (
         advanced.q_embedding_neardup,
@@ -137,11 +134,7 @@ REGISTRY: dict[str, tuple] = {
     # fields + exact pixel stats); video is also real (uncompressed AVI,
     # PYTEST_ONLY below)
     "image_decode": (advanced.q_image_decode, advanced.SQL_IMAGE_DECODE),
-    # round 3: spatial predicates over GeoProperty lon/lat doubles
-    # (functions/geo.py — the PostGIS-divergence gap closer for Points)
-    "geo_radius": (suite.q_geo_radius, suite.SQL_GEO_RADIUS),
     # round 3: corpus-preparation ops (analytics/corpus.py)
-    "term_search": (corpus.q_term_search, corpus.SQL_TERM_SEARCH),
     "pack_sequences": (corpus.q_pack_sequences, corpus.SQL_PACK_SEQUENCES),
     "funnel_stages": (suite.q_funnel_stages, suite.SQL_FUNNEL_STAGES),
     "decontaminate": (corpus.q_decontaminate, corpus.SQL_DECONTAMINATE),
@@ -168,13 +161,30 @@ REGISTRY: dict[str, tuple] = {
     # simhash_neardup + ann_lsh_topk (near-dup/ANN family keeps
     # minhash_bands, ngram_jaccard, embedding_neardup, knn_join,
     # ann_ivf_topk in-window) and chunk_text + repetition_score +
-    # boilerplate_shingles (corpus family keeps term_search,
-    # pack_sequences, decontaminate) ---
+    # boilerplate_shingles (corpus family keeps pack_sequences,
+    # decontaminate, and — after rotation #3 — bm25_search) ---
     "merge_into": (q_merge_into, SQL_MERGE_INTO),
     "branch_publish": (q_branch_publish, SQL_BRANCH_PUBLISH),
     "ddl_rename_drop": (q_ddl_rename_drop, SQL_DDL_RENAME_DROP),
     "truncate_retention": (q_truncate_retention, SQL_TRUNCATE_RETENTION),
     "clone_divergence": (q_clone_divergence, SQL_CLONE_DIVERGENCE),
+    # --- round-5 rotation #3: this session's analytics flagships earn
+    # driver-signed CORRECTNESS rows; five long-stable rows move to
+    # PYTEST_ONLY with their families still represented in-window —
+    # term_search/tfidf_topk (ranked retrieval keeps bm25_search, its
+    # strict upgrade), asof_join (temporal keeps rolling_user_stats,
+    # funnel_stages, windowed_microbatch, sessionize), geo_radius (geo
+    # keeps geo_grid_join + gains grid_cluster), kmeans (clustering
+    # keeps dedup_clusters + gains grid_cluster; the stricter local
+    # gate still pins all five every round) ---
+    "winnowing": (codescan.q_winnowing, codescan.SQL_WINNOWING),
+    "bm25_search": (corpus.q_bm25_search, corpus.SQL_BM25_SEARCH),
+    "code_curation_pipeline": (
+        codescan.q_code_curation_pipeline,
+        codescan.SQL_CODE_CURATION_PIPELINE,
+    ),
+    "grid_cluster": (spatial.q_grid_cluster, spatial.SQL_GRID_CLUSTER),
+    "prefix_join": (linkage.q_prefix_join, linkage.SQL_PREFIX_JOIN),
 }
 
 
@@ -592,9 +602,13 @@ PYTEST_ONLY: dict[str, tuple] = {
     "license_detect": (codescan.q_license_detect, codescan.SQL_LICENSE_DETECT),
     "code_quality": (codescan.q_code_quality, codescan.SQL_CODE_QUALITY),
     "crawl_frontier": (codescan.q_crawl_frontier, codescan.SQL_CRAWL_FRONTIER),
-    # MOSS winnowing: local fingerprinting whose W+K-1 guarantee catches
-    # short verbatim clones that bag-of-shingles MinHash can miss.
-    "winnowing": (codescan.q_winnowing, codescan.SQL_WINNOWING),
+    # rotation #3 out-of-window rows (families represented in-window;
+    # the stricter local gate pins them every round)
+    "tfidf_topk": (suite.q_tfidf_topk, suite.SQL_TFIDF_TOPK),
+    "asof_join": (suite.q_asof_join, suite.SQL_ASOF_JOIN),
+    "kmeans": (advanced.q_kmeans, advanced.SQL_KMEANS),
+    "geo_radius": (suite.q_geo_radius, suite.SQL_GEO_RADIUS),
+    "term_search": (corpus.q_term_search, corpus.SQL_TERM_SEARCH),
     # order-sensitive in-row fold: depth/balance sanity that counting
     # alone cannot express (')(' fails here, passes a bag of counts).
     "bracket_depth": (codescan.q_bracket_depth, codescan.SQL_BRACKET_DEPTH),
@@ -607,12 +621,6 @@ PYTEST_ONLY: dict[str, tuple] = {
     # frontier BFS (set semantics + min-dist fold) — the traversal
     # pattern pagerank's value propagation doesn't exercise.
     "reach_bfs": (graph.q_reach_bfs, graph.SQL_REACH_BFS),
-    # the composed keep/drop funnel for code — license AND structure
-    # AND brackets AND no surviving key material, per-gate bits kept.
-    "code_curation_pipeline": (
-        codescan.q_code_curation_pipeline,
-        codescan.SQL_CODE_CURATION_PIPELINE,
-    ),
     # hot-key diagnosis: the measurement half of the engine's salted
     # pre-aggregation story — which keys earn a salt, and how many.
     "skew_profile": (profile.q_skew_profile, profile.SQL_SKEW_PROFILE),
@@ -622,9 +630,6 @@ PYTEST_ONLY: dict[str, tuple] = {
     # per-key CUSUM over time-ordered values — the order-sensitive
     # sequential-state shape (batch analog of keyed streaming state).
     "cusum_drift": (profile.q_cusum_drift, profile.SQL_CUSUM_DRIFT),
-    # PPJoin prefix filter: candidates only through each set's rarest
-    # tokens, full sets verified — the exact set-similarity join.
-    "prefix_join": (linkage.q_prefix_join, linkage.SQL_PREFIX_JOIN),
     # exact two-sample KS: bin-free max CDF gap, cross-multiplied ints.
     "ks_drift": (profile.q_ks_drift, profile.SQL_KS_DRIFT),
     # exact join-size profile from per-key count sketches — the CBO
@@ -633,15 +638,9 @@ PYTEST_ONLY: dict[str, tuple] = {
         profile.q_join_cardinality,
         profile.SQL_JOIN_CARDINALITY,
     ),
-    # grid DBSCAN-lite: density gate + 8-neighbor min-label merge on
-    # the collapsed cell frame — the spatial-clustering family member.
-    "grid_cluster": (spatial.q_grid_cluster, spatial.SQL_GRID_CLUSTER),
     # sketch x window composition: per-window HLL registers are what a
     # streaming deployment persists; rollups are register-min merges.
     "hll_windowed": (sketches.q_hll_windowed, sketches.SQL_HLL_WINDOWED),
-    # Okapi BM25 ranked retrieval — the scoring upgrade over boolean
-    # term_search; integer-first algebra, one double chain per posting.
-    "bm25_search": (corpus.q_bm25_search, corpus.SQL_BM25_SEARCH),
     # bloom semi-join reduction: rows drop BEFORE the join exchange;
     # result proves no-false-negatives AND the measured pruning ratio.
     "bloom_semijoin": (sketches.q_bloom_semijoin, sketches.SQL_BLOOM_SEMIJOIN),
