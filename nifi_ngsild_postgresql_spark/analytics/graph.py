@@ -462,3 +462,108 @@ b0 AS (
 SELECT v AS doc_id, CAST(dist AS BIGINT) AS dist FROM b{REACH_HOPS}
 """
 )
+
+
+# --------------------------------------------------------------------------
+# adamic_adar — common-neighbor link prediction with hub damping
+# --------------------------------------------------------------------------
+
+AA_MAX_INDEG = 12   # hubs above this define no candidate pairs (the
+                    # df-cap discipline: a hub's C(indeg,2) fan-out is
+                    # the quadratic trap, and AA's 1/ln(deg) weight
+                    # makes hub-only evidence near-worthless anyway)
+AA_MIN_COMMON = 2   # pairs need >= 2 common neighbors to be reported
+AA_SCALE = 1_000_000  # micro-units per 1/ln(deg) term
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the closed-form crawl graph:
+    for vertex pairs (a, b) sharing >= 2 common out-neighbors, the
+    score Σ_z 1/ln(indeg(z)) over common neighbors z — the classic
+    "weighted common friends" signal (rare shared neighbors count
+    more). Determinism: each neighbor's term quantizes to integer
+    micro-units round(1e6/ln(indeg)) BEFORE the per-pair sum (the
+    surprisal contract). Scale shape: in-row edge generation (no edge
+    table), ONE keyed agg groups in-edges by target with map-side
+    combine, the indegree cap drops hubs BEFORE in-row pair generation
+    (<= C(12,2) structs per neighbor — ngram_jaccard's bounded-
+    candidate argument), one keyed rollup per pair. Never a self-join,
+    never quadratic on the hub head."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()  # bounded scalar (vertex count)
+    dsts = F.array(
+        (F.col("doc_id") % 16).cast("long"),
+        ((F.col("doc_id") * 7 + 1) % n).cast("long"),
+        ((F.col("doc_id") * F.col("doc_id") + 3) % n).cast("long"),
+    )
+    edges = d.select(
+        F.col("doc_id").alias("src"), F.explode(dsts).alias("z")
+    ).filter(F.col("src") != F.col("z"))
+    grouped = (
+        edges.groupBy("z")
+        .agg(F.sort_array(F.collect_set("src")).alias("srcs"))
+        .select(
+            "z",
+            "srcs",
+            F.size("srcs").cast("long").alias("indeg"),
+        )
+        .filter(
+            (F.col("indeg") >= 2) & (F.col("indeg") <= AA_MAX_INDEG)
+        )
+        .select(
+            "srcs",
+            F.round(F.lit(AA_SCALE) / F.log(F.col("indeg").cast("double")))
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    pair_arr = F.expr(
+        "flatten(transform(srcs, (x, i) ->"
+        " transform(slice(srcs, i + 2, size(srcs)),"
+        " y -> struct(x AS a, y AS b))))"
+    )
+    return (
+        grouped.select(F.explode(pair_arr).alias("p"), "q")
+        .groupBy("p.a", "p.b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("q").cast("long").alias("aa_q"),
+        )
+        .filter(F.col("n_common") >= AA_MIN_COMMON)
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            "n_common",
+            "aa_q",
+        )
+    )
+
+
+SQL_ADAMIC_ADAR = f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT src, z FROM (
+    SELECT doc_id AS src, doc_id % 16 AS z FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * 7 + 1) % nn.n FROM documents, nn
+    UNION ALL
+    SELECT doc_id, (doc_id * doc_id + 3) % nn.n FROM documents, nn
+  ) WHERE src <> z
+), grouped AS (
+  SELECT z, CAST(COUNT(*) AS BIGINT) AS indeg,
+         CAST(ROUND({AA_SCALE} / ln(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)
+           AS q
+  FROM edges GROUP BY z
+  HAVING COUNT(*) BETWEEN 2 AND {AA_MAX_INDEG}
+), pairs AS (
+  SELECT e1.src AS a, e2.src AS b, g.q
+  FROM grouped g
+  JOIN edges e1 ON e1.z = g.z
+  JOIN edges e2 ON e2.z = g.z AND e1.src < e2.src
+)
+SELECT a AS doc_a, b AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common,
+       CAST(SUM(q) AS BIGINT) AS aa_q
+FROM pairs GROUP BY a, b
+HAVING COUNT(*) >= {AA_MIN_COMMON}
+"""

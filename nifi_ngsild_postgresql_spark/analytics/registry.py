@@ -632,6 +632,9 @@ PYTEST_ONLY: dict[str, tuple] = {
     "cusum_drift": (profile.q_cusum_drift, profile.SQL_CUSUM_DRIFT),
     # exact two-sample KS: bin-free max CDF gap, cross-multiplied ints.
     "ks_drift": (profile.q_ks_drift, profile.SQL_KS_DRIFT),
+    # Adamic-Adar link prediction: hub-damped common-neighbor scoring
+    # with quantized 1/ln terms; in-row pairs from capped neighbors.
+    "adamic_adar": (graph.q_adamic_adar, graph.SQL_ADAMIC_ADAR),
     # exact join-size profile from per-key count sketches — the CBO
     # question answered without running the join.
     "join_cardinality": (
