@@ -635,6 +635,9 @@ PYTEST_ONLY: dict[str, tuple] = {
     # Adamic-Adar link prediction: hub-damped common-neighbor scoring
     # with quantized 1/ln terms; in-row pairs from capped neighbors.
     "adamic_adar": (graph.q_adamic_adar, graph.SQL_ADAMIC_ADAR),
+    # trailing-window burst flagging: the spike-and-return anomaly
+    # shape CUSUM's persistence fold doesn't catch; cross-multiplied.
+    "burst_detect": (timeseries.q_burst_detect, timeseries.SQL_BURST_DETECT),
     # exact join-size profile from per-key count sketches — the CBO
     # question answered without running the join.
     "join_cardinality": (

@@ -443,3 +443,87 @@ FROM stepped
 WHERE t_next IS NOT NULL
 GROUP BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# burst_detect — trailing-window burst flagging
+# --------------------------------------------------------------------------
+
+BURST_TRAIL = 24       # trailing hours in the baseline window
+BURST_NUM, BURST_DEN = 3, 1  # burst = rate > 3x the trailing mean
+
+
+def q_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bursty hours per event_type: an hour is a BURST when its count
+    exceeds 3x the mean of the previous 24 observed hours — the
+    trending/incident signal CUSUM's sustained-shift fold doesn't
+    catch (a burst spikes and returns; CUSUM rewards persistence).
+    Exact integers: the comparison cross-multiplies against the
+    trailing SUM and the trailing row count
+    (cnt · n_trail · DEN > NUM · sum_trail), so no mean is ever
+    formed; hours with no trailing history (the first per type) are
+    never flagged. Scale shape: the corpus collapses to O(type × hour)
+    rows in ONE map-side-combined keyed agg; both window frames run
+    per-type over that collapsed frame, partitioned by event_type —
+    no single-partition window anywhere."""
+    e = _t(spark, sf_dir, "events")
+    hours = (
+        e.select(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 3600").alias("hour_idx"),
+        )
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(-BURST_TRAIL, -1)
+    )
+    trailed = hours.select(
+        "event_type",
+        "hour_idx",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        .cast("long")
+        .alias("trail_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trail"),
+    )
+    return trailed.select(
+        "event_type",
+        "hour_idx",
+        "cnt",
+        "trail_sum",
+        "n_trail",
+        (
+            (F.col("n_trail") > 0)
+            & (
+                F.col("cnt") * F.col("n_trail") * BURST_DEN
+                > F.lit(BURST_NUM) * F.col("trail_sum")
+            )
+        ).alias("is_burst"),
+    )
+
+
+SQL_BURST_DETECT = f"""
+WITH hours AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), trailed AS (
+  SELECT event_type, hour_idx, cnt,
+         CAST(COALESCE(SUM(cnt) OVER (PARTITION BY event_type
+              ORDER BY hour_idx
+              ROWS BETWEEN {BURST_TRAIL} PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS trail_sum,
+         CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY hour_idx
+              ROWS BETWEEN {BURST_TRAIL} PRECEDING AND 1 PRECEDING)
+           AS BIGINT) AS n_trail
+  FROM hours
+)
+SELECT event_type, hour_idx, cnt, trail_sum, n_trail,
+       (n_trail > 0 AND cnt * n_trail * {BURST_DEN}
+                       > {BURST_NUM} * trail_sum) AS is_burst
+FROM trailed
+"""

