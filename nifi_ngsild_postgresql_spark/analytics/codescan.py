@@ -23,6 +23,23 @@ engine as narrow JVM scans, so they are first-class operators here:
                     host, so slot k across all hosts forms wave k of
                     a rate-limited crawl. ONE keyed exchange + in-
                     partition sort; the frontier-scheduling shape.
+- winnowing       : MOSS local fingerprinting — K-gram hashes, window
+                    minima, df-capped in-row pair generation; the
+                    W+K-1 local guarantee bag-of-shingles MinHash
+                    lacks. One shuffle of the fingerprint table.
+- bracket_depth   : order-sensitive nesting/balance sanity via ONE
+                    in-row left fold (')(' fails where counting
+                    passes). Narrow, exchange-free.
+- style_profile   : tab/space indentation consistency + per-lang
+                    comment density; one explode + one doc-keyed
+                    rollup.
+- vocab_growth    : Heaps-law cumulative vocabulary by first
+                    occurrence over 20 ingestion-order bands; the
+                    cumulative window runs over O(bands) rows.
+- code_curation_pipeline : the composed keep/drop funnel — permissive
+                    license AND structural quality AND bracket sanity
+                    AND no surviving private-key material, per-gate
+                    bits kept for audit.
 
 Determinism contract (shared with corpus.py): the synthetic corpus
 carries no natural secrets/licenses/URLs, so each doc gets a
