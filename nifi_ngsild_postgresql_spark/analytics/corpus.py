@@ -2615,3 +2615,106 @@ FROM quant GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT {BM25_TOPK}
 """
+
+
+# --------------------------------------------------------------------------
+# freq_subsample — frequency-adaptive token subsampling (word2vec-style)
+# --------------------------------------------------------------------------
+
+SUBSAMPLE_T_NUM, SUBSAMPLE_T_DEN = 1, 100  # t = 0.01 corpus-frequency knee
+SUBSAMPLE_M = 1 << 20                      # hash-threshold resolution
+
+
+def q_freq_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-adaptive token subsampling — the word2vec / embedding-
+    training preprocessing pass: every OCCURRENCE of a token keeps or
+    drops independently with keep-probability ~ t·T/f(w) (common words
+    thin out, words at or below corpus frequency t always survive),
+    decided by a deterministic md5 hash of (doc, position, token)
+    against a cross-multiplied integer threshold:
+        keep  iff  (h mod M) · t_den · f(w)  <  M · t_num · T
+    — no float ever forms, so both engines agree occurrence-for-
+    occurrence, and resampling is reproducible (the property the
+    row-level samplers share; this op is the OCCURRENCE-level member
+    of that family). Returns per-doc original and kept token counts
+    plus the md5 of the kept-token sequence — the invariant a
+    downstream embedding trainer can verify. Scale shape: explode
+    (honest), frequency table via one map-side-combined keyed agg,
+    broadcast totals, narrow keep decision, one doc-keyed rollup."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(_tokens("text")).alias("pos", "tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    total = freq.agg(F.sum("f").cast("long").alias("t_total"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.col("doc_id"), F.col("pos"), F.col("tok"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keep = (
+        (h % SUBSAMPLE_M) * SUBSAMPLE_T_DEN * F.col("f")
+        < F.lit(SUBSAMPLE_M) * SUBSAMPLE_T_NUM * F.col("t_total")
+    )
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "pos", "tok", keep.alias("keep"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(pos, tok,"
+                        " keep))), s -> if(s.keep, s.tok, '_'))"
+                    ),
+                )
+            ).alias("kept_sha"),
+        )
+    )
+
+
+SQL_FREQ_SUBSAMPLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(list_filter(string_split(text, ' '),
+                                         t -> t <> ''), 1) - 1 AS pos,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY tok
+), total AS (
+  SELECT CAST(SUM(f) AS BIGINT) AS t_total FROM freq
+), scored AS (
+  SELECT t.doc_id, t.pos, t.tok,
+         ((CAST(list_sum(list_transform(range(1, 16),
+              j -> (CAST(strpos('0123456789abcdef',
+                    substr(md5(CAST(t.doc_id AS VARCHAR) || '|'
+                           || CAST(t.pos AS VARCHAR) || '|' || t.tok),
+                           CAST(j AS INTEGER), 1)) AS BIGINT) - 1)
+                   << (4 * (15 - j))
+          )) AS BIGINT) % {SUBSAMPLE_M}) * {SUBSAMPLE_T_DEN} * fr.f
+          < {SUBSAMPLE_M} * {SUBSAMPLE_T_NUM} * total.t_total) AS keep
+  FROM toks t JOIN freq fr USING (tok) CROSS JOIN total
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(list_aggregate(
+           list_transform(
+             list_sort(list({{'pos': pos, 'tok': tok, 'keep': keep}})),
+             s -> CASE WHEN s.keep THEN s.tok ELSE '_' END),
+           'string_agg', ' ')) AS kept_sha
+FROM scored GROUP BY doc_id
+"""

@@ -638,6 +638,9 @@ PYTEST_ONLY: dict[str, tuple] = {
     # trailing-window burst flagging: the spike-and-return anomaly
     # shape CUSUM's persistence fold doesn't catch; cross-multiplied.
     "burst_detect": (timeseries.q_burst_detect, timeseries.SQL_BURST_DETECT),
+    # word2vec-style occurrence subsampling: keep-prob ~ t·T/f(w) by
+    # deterministic hash threshold — the occurrence-level sampler.
+    "freq_subsample": (corpus.q_freq_subsample, corpus.SQL_FREQ_SUBSAMPLE),
     # exact join-size profile from per-key count sketches — the CBO
     # question answered without running the join.
     "join_cardinality": (

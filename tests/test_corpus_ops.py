@@ -1535,3 +1535,63 @@ def test_bm25_plan_filters_before_shuffle_and_takeordered(spark):
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# freq_subsample
+# --------------------------------------------------------------------------
+
+
+def test_freq_subsample_rare_always_kept_common_thinned(spark, tmp_path):
+    """A word at corpus frequency <= t survives every occurrence (its
+    threshold saturates at M); the dominant word thins to ~t*T/f of its
+    occurrences (binomial tolerance); counts and the kept-sequence sha
+    equal an independent Python replica occurrence-for-occurrence."""
+    import hashlib
+
+    import pandas as pd
+
+    # 100 docs: each 'common common common common rare_i' -> f(common)
+    # = 400 of T = 500 (0.8 >> t=0.01), each rare word f = 1 (0.002)
+    docs = {i: "common common common common r%d" % i for i in range(100)}
+    pd.DataFrame(
+        {"doc_id": list(docs), "text": list(docs.values())}
+    ).pipe(
+        lambda pdf: spark.createDataFrame(pdf)
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "documents.parquet"))
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in corpus.q_freq_subsample(spark, str(tmp_path)).collect()
+    }
+
+    M = corpus.SUBSAMPLE_M
+    tn, td = corpus.SUBSAMPLE_T_NUM, corpus.SUBSAMPLE_T_DEN
+    T = 500
+    f = {"common": 400}
+
+    def py_keep(doc_id, pos, tok):
+        h = int(
+            hashlib.md5(f"{doc_id}|{pos}|{tok}".encode()).hexdigest()[:15],
+            16,
+        )
+        fw = f.get(tok, 1)
+        return (h % M) * td * fw < M * tn * T
+
+    total_kept_common = 0
+    for d, text in docs.items():
+        toks = text.split()
+        keeps = [py_keep(d, p, t) for p, t in enumerate(toks)]
+        expect_sha = hashlib.md5(
+            " ".join(t if k else "_" for t, k in zip(toks, keeps)).encode()
+        ).hexdigest()
+        r = rows[d]
+        assert r["n_tokens"] == 5
+        assert r["n_kept"] == sum(keeps)
+        assert r["kept_sha"] == expect_sha
+        assert keeps[4]  # the rare word always survives
+        total_kept_common += sum(keeps[:4])
+    # expected keep-prob for 'common': t*T/f = 0.01*500/400 = 1/80;
+    # 400 draws -> mean 5; allow a generous deterministic-draw band
+    assert 0 <= total_kept_common <= 20
