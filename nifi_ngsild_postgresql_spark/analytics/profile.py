@@ -743,3 +743,79 @@ SELECT CAST(rnk AS BIGINT) AS rnk, key, contrib, join_rows,
        (contrib * 1000000) // join_rows AS contrib_ppm
 FROM ranked WHERE rnk <= {JOINCARD_TOP}
 """
+
+
+# --------------------------------------------------------------------------
+# mad_outliers — robust median/MAD outlier gate
+# --------------------------------------------------------------------------
+
+MAD_K = 3  # flag beyond 3 x MAD — the robust analog of the 3-sigma gate
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-entity outlier gate: flag events whose deviation from
+    their user's MEDIAN exceeds 3x the median absolute deviation — the
+    breakdown-resistant complement to value_outliers' K-sigma test (one
+    wild value inflates a variance and masks itself; it cannot move a
+    median). Exactness: values quantize to integer cents, medians are
+    exact `percentile`/`percentile_cont` over those integers (midpoint
+    interpolation lands on .5/.25 — exact binary fractions, so every
+    deviation, the MAD, and the 3x compare are bit-identical doubles
+    on both engines — the percentile_agg determinism contract).
+    Scale shape: two map-side-combined keyed aggs (median, then MAD of
+    deviations) + two user-keyed equi-joins; exact per-group medians
+    sort-aggregate per group — the documented huge-group fallback is
+    approx_percentile, same note as percentile_agg."""
+    e = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = e.select("event_id", "user_id", "value", cents.alias("c"))
+    med = base.groupBy("user_id").agg(
+        F.expr("percentile(c, 0.5)").alias("med")
+    )
+    dev = base.join(med, "user_id").select(
+        "event_id",
+        "user_id",
+        "value",
+        "c",
+        "med",
+        F.abs(F.col("c") - F.col("med")).alias("dev"),
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            "med",
+            "dev",
+            "mad",
+            (F.col("dev") > MAD_K * F.col("mad")).alias("is_outlier"),
+        )
+    )
+
+
+SQL_MAD_OUTLIERS = f"""
+WITH base AS (
+  SELECT event_id, user_id, value,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM events
+), med AS (
+  SELECT user_id,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY c) AS med
+  FROM base GROUP BY user_id
+), dev AS (
+  SELECT b.event_id, b.user_id, b.value, b.c, m.med,
+         ABS(b.c - m.med) AS dev
+  FROM base b JOIN med m USING (user_id)
+), mad AS (
+  SELECT user_id,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+  FROM dev GROUP BY user_id
+)
+SELECT d.event_id, d.user_id, d.value, d.med, d.dev, mad.mad,
+       (d.dev > {MAD_K} * mad.mad) AS is_outlier
+FROM dev d JOIN mad USING (user_id)
+"""

@@ -641,6 +641,9 @@ PYTEST_ONLY: dict[str, tuple] = {
     # word2vec-style occurrence subsampling: keep-prob ~ t·T/f(w) by
     # deterministic hash threshold — the occurrence-level sampler.
     "freq_subsample": (corpus.q_freq_subsample, corpus.SQL_FREQ_SUBSAMPLE),
+    # robust median/MAD gate — the breakdown-resistant complement to
+    # value_outliers' K-sigma (a wild value can't move a median).
+    "mad_outliers": (profile.q_mad_outliers, profile.SQL_MAD_OUTLIERS),
     # exact join-size profile from per-key count sketches — the CBO
     # question answered without running the join.
     "join_cardinality": (

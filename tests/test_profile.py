@@ -462,3 +462,67 @@ def test_join_cardinality_plan_never_joins_facts(spark):
     scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert any(s.split(":")[0] == "o_custkey" and "," not in s for s in scans)
     assert any(s.split(":")[0] == "c_custkey" and "," not in s for s in scans)
+
+
+# --------------------------------------------------------------------------
+# mad_outliers
+# --------------------------------------------------------------------------
+
+
+def test_mad_outliers_robust_where_sigma_masks(spark, tmp_path):
+    """The masking case that motivates MAD: one wild value inflates the
+    variance enough that the K-sigma gate misses it, while the median/
+    MAD gate flags it — and flags NOTHING else in the tight cluster."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    vals = [10.00, 10.10, 9.90, 10.05, 9.95, 10.02, 500.00]
+    rows = [
+        (i, datetime(2024, 1, 1), 1, "a", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).pipe(
+        lambda pdf: spark.createDataFrame(pdf)
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "events.parquet"))
+    )
+    got = {
+        r["event_id"]: r
+        for r in profile.q_mad_outliers(spark, str(tmp_path)).collect()
+    }
+    assert got[6]["is_outlier"] is True  # the wild value
+    for i in range(6):
+        assert got[i]["is_outlier"] is False, i
+    # median sits in the cluster (cents): sorted c has 1002 as its mid
+    assert got[0]["med"] == 1002.0
+
+
+def test_mad_outliers_interpolated_median_exact(spark, tmp_path):
+    """Even-count groups interpolate the median at .5 cents — an exact
+    binary fraction, so the flag boundary is deterministic: values
+    {1,2,3,4} (cents 100..400) give med 250.0, deviations
+    {150,50,50,150}, MAD 100.0 -> nothing beyond 3x."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    rows = [
+        (i, datetime(2024, 1, 1), 7, "a", float(v), "{}")
+        for i, v in enumerate((1, 2, 3, 4))
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).pipe(
+        lambda pdf: spark.createDataFrame(pdf)
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "events.parquet"))
+    )
+    got = profile.q_mad_outliers(spark, str(tmp_path)).collect()
+    assert {r["med"] for r in got} == {250.0}
+    assert {r["mad"] for r in got} == {100.0}
+    assert all(r["is_outlier"] is False for r in got)
