@@ -819,3 +819,63 @@ SELECT d.event_id, d.user_id, d.value, d.med, d.dev, mad.mad,
        (d.dev > {MAD_K} * mad.mad) AS is_outlier
 FROM dev d JOIN mad USING (user_id)
 """
+
+
+# --------------------------------------------------------------------------
+# rank_transform — exact percentile-rank feature normalization
+# --------------------------------------------------------------------------
+
+
+def q_rank_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-rank normalization per event_type: each value maps to
+    (rank − 1)·10^6 div (n − 1) parts-per-million of its group's order
+    — the distribution-free feature transform (rank features are what
+    gradient-boosted and calibration stages consume when raw scales
+    are incomparable across groups). RANK() semantics: ties share the
+    minimum rank, so equal inputs get equal outputs — the property a
+    normalizer must have; n == 1 groups emit 0. All integer arithmetic
+    (ties + integer div), no float ever forms. Scale shape: the corpus
+    collapses per type through ONE keyed window (hash exchange on
+    event_type + task-local sort, rolling_user_stats' shape); ranks
+    are per-type, so no global sort exists anywhere."""
+    e = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = e.select("event_id", "event_type", cents.alias("c"))
+    w = Window.partitionBy("event_type").orderBy("c")
+    wall = Window.partitionBy("event_type")
+    return base.select(
+        "event_id",
+        "event_type",
+        "c",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    ).select(
+        "event_id",
+        "event_type",
+        "c",
+        "rnk",
+        F.when(F.col("n") > 1,
+               F.expr("((rnk - 1) * 1000000) div (n - 1)"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pct_ppm"),
+    )
+
+
+SQL_RANK_TRANSFORM = """
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM events
+), ranked AS (
+  SELECT event_id, event_type, c,
+         CAST(RANK() OVER (PARTITION BY event_type ORDER BY c) AS BIGINT)
+           AS rnk,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM base
+)
+SELECT event_id, event_type, c, rnk,
+       CAST(CASE WHEN n > 1 THEN ((rnk - 1) * 1000000) // (n - 1)
+                 ELSE 0 END AS BIGINT) AS pct_ppm
+FROM ranked
+"""

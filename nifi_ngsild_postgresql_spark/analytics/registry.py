@@ -644,6 +644,9 @@ PYTEST_ONLY: dict[str, tuple] = {
     # robust median/MAD gate — the breakdown-resistant complement to
     # value_outliers' K-sigma (a wild value can't move a median).
     "mad_outliers": (profile.q_mad_outliers, profile.SQL_MAD_OUTLIERS),
+    # distribution-free percentile-rank normalization; ties share the
+    # min rank so equal inputs map equal — all integer arithmetic.
+    "rank_transform": (profile.q_rank_transform, profile.SQL_RANK_TRANSFORM),
     # exact join-size profile from per-key count sketches — the CBO
     # question answered without running the join.
     "join_cardinality": (

@@ -526,3 +526,43 @@ def test_mad_outliers_interpolated_median_exact(spark, tmp_path):
     assert {r["med"] for r in got} == {250.0}
     assert {r["mad"] for r in got} == {100.0}
     assert all(r["is_outlier"] is False for r in got)
+
+
+# --------------------------------------------------------------------------
+# rank_transform
+# --------------------------------------------------------------------------
+
+
+def test_rank_transform_ties_and_bounds(spark, tmp_path):
+    """Equal inputs map to equal outputs (min-rank tie semantics), the
+    group's minimum maps to 0 ppm and its maximum to exactly 1000000,
+    and a singleton group emits 0."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    rows = [
+        (0, datetime(2024, 1, 1), 1, "a", 5.0, "{}"),
+        (1, datetime(2024, 1, 1), 1, "a", 5.0, "{}"),  # tie with 0
+        (2, datetime(2024, 1, 1), 1, "a", 1.0, "{}"),
+        (3, datetime(2024, 1, 1), 1, "a", 9.0, "{}"),
+        (4, datetime(2024, 1, 1), 1, "b", 42.0, "{}"),  # singleton
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).pipe(
+        lambda pdf: spark.createDataFrame(pdf)
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "events.parquet"))
+    )
+    got = {
+        r["event_id"]: r
+        for r in profile.q_rank_transform(spark, str(tmp_path)).collect()
+    }
+    assert got[0]["pct_ppm"] == got[1]["pct_ppm"]  # tie parity
+    # ranks in group a (n=4): 1.0->1, 5.0,5.0->2, 9.0->4
+    assert got[2]["pct_ppm"] == 0
+    assert got[0]["pct_ppm"] == ((2 - 1) * 1000000) // 3
+    assert got[3]["pct_ppm"] == 1000000
+    assert got[4]["pct_ppm"] == 0  # singleton
