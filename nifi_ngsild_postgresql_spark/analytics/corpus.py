@@ -2718,3 +2718,72 @@ SELECT doc_id,
            'string_agg', ' ')) AS kept_sha
 FROM scored GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# shingle_novelty — first-occurrence novelty per document
+# --------------------------------------------------------------------------
+
+
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty score per document in ingestion order: the fraction of
+    its distinct 3-gram shingles whose FIRST corpus occurrence (minimum
+    doc_id) is this document — the memorization-risk / marginal-value
+    measure a curriculum or dedup-aware sampler reads (a doc whose
+    shingles all appeared earlier adds nothing new; vocab_growth is
+    this measure's corpus-level integral). Exact integers: counts and
+    the ppm ratio (integer div); ties impossible since min doc_id is
+    unique per shingle. Scale shape: distinct (doc, shingle) explode
+    (honest), min-doc-per-shingle in ONE map-side-combined keyed agg,
+    one shingle-keyed equi-join back, one doc-keyed rollup."""
+    from .suite import _shingles
+
+    sh = _shingles(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "shingle"
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    j = sh.join(first, "shingle")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("(n_novel * 1000000) div n_shingles")
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )
+
+
+SQL_SHINGLE_NOVELTY = """
+WITH toks AS (
+  SELECT doc_id, tok, i FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok,
+           generate_subscripts(list_filter(string_split(text, ' '),
+                                           t -> t <> ''), 1) AS i
+    FROM documents
+  )
+), sh AS (
+  SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+  FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+  JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2
+), first AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST((SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+             * 1000000) // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM sh s JOIN first f USING (shingle)
+GROUP BY s.doc_id
+"""

@@ -647,6 +647,9 @@ PYTEST_ONLY: dict[str, tuple] = {
     # distribution-free percentile-rank normalization; ties share the
     # min rank so equal inputs map equal — all integer arithmetic.
     "rank_transform": (profile.q_rank_transform, profile.SQL_RANK_TRANSFORM),
+    # first-occurrence novelty per doc — vocab_growth's per-document
+    # derivative; the curriculum / marginal-value measure.
+    "shingle_novelty": (corpus.q_shingle_novelty, corpus.SQL_SHINGLE_NOVELTY),
     # exact join-size profile from per-key count sketches — the CBO
     # question answered without running the join.
     "join_cardinality": (

@@ -1595,3 +1595,35 @@ def test_freq_subsample_rare_always_kept_common_thinned(spark, tmp_path):
     # expected keep-prob for 'common': t*T/f = 0.01*500/400 = 1/80;
     # 400 draws -> mean 5; allow a generous deterministic-draw band
     assert 0 <= total_kept_common <= 20
+
+
+# --------------------------------------------------------------------------
+# shingle_novelty
+# --------------------------------------------------------------------------
+
+
+def test_shingle_novelty_first_occurrence_exact(spark, tmp_path):
+    """Doc 1 introduces everything (1000000 ppm); doc 2 repeats doc 1
+    verbatim (0 ppm); doc 3 shares a prefix and adds a new tail — its
+    novelty equals the hand-counted fresh-shingle fraction."""
+    import pandas as pd
+
+    a = "w1 w2 w3 w4 w5"            # 3 shingles, all first here
+    b = "w1 w2 w3 w4 w5"            # same 3 -> all seen at doc 1
+    c = "w1 w2 w3 x1 x2"            # shingles: (w1 w2 w3) seen;
+    #                                 (w2 w3 x1), (w3 x1 x2) fresh
+    pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [a, b, c]}
+    ).pipe(
+        lambda pdf: spark.createDataFrame(pdf)
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "documents.parquet"))
+    )
+    got = {
+        r["doc_id"]: r
+        for r in corpus.q_shingle_novelty(spark, str(tmp_path)).collect()
+    }
+    assert (got[1]["n_shingles"], got[1]["novelty_ppm"]) == (3, 1000000)
+    assert (got[2]["n_shingles"], got[2]["novelty_ppm"]) == (3, 0)
+    assert got[3]["n_shingles"] == 3 and got[3]["n_novel"] == 2
+    assert got[3]["novelty_ppm"] == (2 * 1000000) // 3
