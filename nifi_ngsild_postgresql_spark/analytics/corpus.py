@@ -2640,7 +2640,14 @@ def q_freq_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the md5 of the kept-token sequence — the invariant a
     downstream embedding trainer can verify. Scale shape: explode
     (honest), frequency table via one map-side-combined keyed agg,
-    broadcast totals, narrow keep decision, one doc-keyed rollup."""
+    broadcast totals, narrow keep decision, one doc-keyed rollup.
+    Integer-magnitude bound (the drift_psi discipline — documented,
+    never silently truncated): the products bound at M·t_den·f and
+    M·t_num·T ≈ 2^27·max(f, T), i.e. ~6·10^10 tokens of corpus (or per
+    hottest token) before int64 overflow — beyond that, prenormalize
+    f and T to parts-per-billion before the same cross-multiplied
+    compare; Spark non-ANSI would wrap silently and DuckDB would
+    error, so the bound must be enforced at the door, not discovered."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.posexplode(_tokens("text")).alias("pos", "tok")

@@ -438,6 +438,44 @@ def _bloom_positions(key: int) -> list[int]:
     return [(h >> (_BLOOM_IDX_BITS * i)) & (BLOOM_BITS - 1) for i in range(BLOOM_K)]
 
 
+def _h60(col: str):
+    """60-bit md5 hash of a column as BIGINT (the module contract)."""
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _bloom_bitmap(keys: "DataFrame", col: str) -> "DataFrame":
+    """(word, bits) sparse bitmap over a key column — ONE BIT_OR agg;
+    shared by the membership probe and the semi-join reduction so the
+    hashing scheme lives in exactly one place per engine."""
+    hashed = keys.select(_h60(col).alias("h"))
+    pos = hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.shiftright("h", _BLOOM_IDX_BITS * i)
+                    .bitwiseAND(F.lit(BLOOM_BITS - 1))
+                    .alias("p")
+                    for i in range(BLOOM_K)
+                ]
+            )
+        ).alias("p")
+    )
+    return (
+        pos.select(
+            F.shiftright("p", 6).alias("word"),
+            # bit 63 wraps to the sign bit — same two's-complement value
+            # the oracle's CASE and the Python probe helper produce
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(p AS INT) & 63)"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
 def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership of probe keys in orders.o_custkey.
 
@@ -451,32 +489,7 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines; this formulation keeps the bitmap AS A DATAFRAME
     and every bit md5-derived, so DuckDB reproduces it bit-for-bit."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    h = F.conv(
-        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    hashed = orders.select(h.alias("h"))
-    pos = hashed.select(
-        F.explode(
-            F.array(
-                *[
-                    F.shiftright("h", _BLOOM_IDX_BITS * i)
-                    .bitwiseAND(F.lit(BLOOM_BITS - 1))
-                    .alias("p")
-                    for i in range(BLOOM_K)
-                ]
-            )
-        ).alias("p")
-    )
-    bitmap = (
-        pos.select(
-            F.shiftright("p", 6).alias("word"),
-            # bit 63 wraps to the sign bit — same two's-complement value
-            # the oracle's CASE and the Python probe helper produce
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT) & 63)").alias("mask"),
-        )
-        .groupBy("word")
-        .agg(F.bit_or("mask").alias("bits"))
-    )
+    bitmap = _bloom_bitmap(orders, "o_custkey")
     probes = spark.createDataFrame(
         [
             (key, p >> 6, _signed_mask(p & 63))
@@ -504,32 +517,42 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_bitmap_ctes(src_expr: str, col: str) -> str:
+    """hashed/pos/bitmap CTE text over ``col`` of ``src_expr`` — the
+    SQL twin of _bloom_bitmap, shared by both bloom oracles so the
+    hashing scheme lives in exactly one place per engine."""
+    pos_arms = "\nUNION ALL\n".join(
+        f"  SELECT ((h >> {_BLOOM_IDX_BITS * i}) & {BLOOM_BITS - 1})"
+        " AS p FROM hashed"
+        for i in range(BLOOM_K)
+    )
+    return f"""hashed AS (
+  SELECT CAST(list_sum(list_transform(range(1, 16),
+       j -> (CAST(strpos('0123456789abcdef',
+                   substr(md5(CAST({col} AS VARCHAR)), j, 1)) AS BIGINT) - 1)
+            << (4 * (15 - j))
+  )) AS BIGINT) AS h
+  FROM {src_expr}
+), pos AS (
+{pos_arms}
+), bitmap AS (
+  SELECT (p >> 6) AS word,
+         CAST(BIT_OR(CASE WHEN (p & 63) = 63
+                          THEN CAST(-9223372036854775808 AS BIGINT)
+                          ELSE (CAST(1 AS BIGINT) << CAST(p & 63 AS INT))
+                     END) AS BIGINT) AS bits
+  FROM pos GROUP BY (p >> 6)
+)"""
+
+
 def _sql_bloom_membership() -> str:
     probe_rows = ", ".join(
         f"({key}, {p >> 6}, {_signed_mask(p & 63)})"
         for key in BLOOM_PROBES
         for p in _bloom_positions(key)
     )
-    pos_arms = "\nUNION ALL\n".join(
-        f"  SELECT ((h >> {_BLOOM_IDX_BITS * i}) & {BLOOM_BITS - 1}) AS p FROM hashed"
-        for i in range(BLOOM_K)
-    )
     return f"""
-WITH hashed AS (
-  SELECT CAST(list_sum(list_transform(range(1, 16),
-       j -> (CAST(strpos('0123456789abcdef',
-                   substr(md5(CAST(o_custkey AS VARCHAR)), j, 1)) AS BIGINT) - 1)
-            << (4 * (15 - j))
-  )) AS BIGINT) AS h
-  FROM orders
-), pos AS (
-{pos_arms}
-), bitmap AS (
-  SELECT (p >> 6) AS word,
-         CAST(BIT_OR(CASE WHEN (p & 63) = 63 THEN CAST(-9223372036854775808 AS BIGINT)
-                          ELSE (CAST(1 AS BIGINT) << CAST(p & 63 AS INT)) END) AS BIGINT) AS bits
-  FROM pos GROUP BY (p >> 6)
-), probes AS (
+WITH {_sql_bitmap_ctes("orders", "o_custkey")}, probes AS (
   SELECT * FROM (VALUES {probe_rows}) AS t(probe_key, word, mask)
 )
 SELECT CAST(p.probe_key AS BIGINT) AS probe_key,
@@ -800,30 +823,7 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent = orders.filter(
         F.col("o_orderpriority") == BLOOM_SJ_PRIORITY
     ).select("o_orderkey")
-    h_o = F.conv(
-        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    pos = urgent.select(h_o.alias("h")).select(
-        F.explode(
-            F.array(
-                *[
-                    F.shiftright("h", _BLOOM_IDX_BITS * i)
-                    .bitwiseAND(F.lit(BLOOM_BITS - 1))
-                    for i in range(BLOOM_K)
-                ]
-            )
-        ).alias("p")
-    )
-    sparse = (
-        pos.select(
-            F.shiftright("p", 6).alias("word"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(p AS INT) & 63)"
-            ).alias("mask"),
-        )
-        .groupBy("word")
-        .agg(F.bit_or("mask").alias("bits"))
-    )
+    sparse = _bloom_bitmap(urgent, "o_orderkey")
     # densify 0..255 then collapse to ONE ordered array row (bounded:
     # 256 int64s) for the broadcast in-row probe
     dense = (
@@ -838,12 +838,9 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             " s -> s.bits)"
         ).alias("bm")
     )
-    h_l = F.conv(
-        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    probed = li.select("l_orderkey", F.col("l_quantity"), h_l.alias("h")).crossJoin(
-        F.broadcast(bitmap_row)
-    )
+    probed = li.select(
+        "l_orderkey", F.col("l_quantity"), _h60("l_orderkey").alias("h")
+    ).crossJoin(F.broadcast(bitmap_row))
     hit = None
     for i in range(BLOOM_K):
         test = (
@@ -861,32 +858,32 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             != 0
         )
         hit = test if hit is None else (hit & test)
+    # ONE aggregation over the probed stream yields probed + survivor
+    # counts (conditional sum — no second lineitem scan for counting);
+    # the exact join then re-derives only the FILTERED stream. At
+    # cluster scale you would persist the survivors to make the whole
+    # op a single probe pass — documented, same note as the pagerank
+    # lineage divergence.
+    counts = probed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probed"),
+        F.sum(hit.cast("long")).cast("long").alias("n_survivors"),
+    )
     survivors = probed.filter(hit).select("l_orderkey", "l_quantity")
-    joined = survivors.join(urgent, survivors.l_orderkey == urgent.o_orderkey)
-    return (
-        survivors.agg(
-            F.count(F.lit(1)).cast("long").alias("n_survivors")
-        )
-        .crossJoin(
-            joined.agg(
-                F.count(F.lit(1)).cast("long").alias("n_joined"),
-                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-                .cast("decimal(38,2)")
-                .cast("string")
-                .alias("sum_qty"),
-            )
-        )
-        .crossJoin(li.agg(F.count(F.lit(1)).cast("long").alias("n_probed")))
-        .select("n_probed", "n_survivors", "n_joined", "sum_qty")
+    joined = survivors.join(
+        urgent, survivors.l_orderkey == urgent.o_orderkey
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_joined"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("string")
+        .alias("sum_qty"),
+    )
+    return counts.crossJoin(joined).select(
+        "n_probed", "n_survivors", "n_joined", "sum_qty"
     )
 
 
 def _sql_bloom_semijoin() -> str:
-    pos_arms = "\nUNION ALL\n".join(
-        f"  SELECT ((h >> {_BLOOM_IDX_BITS * i}) & {BLOOM_BITS - 1}) AS p"
-        " FROM hashed"
-        for i in range(BLOOM_K)
-    )
     probe_tests = " AND ".join(
         f"(bm[CAST((hl >> {_BLOOM_IDX_BITS * i}) & {BLOOM_BITS - 1} AS BIGINT)"
         f" // 64 + 1]"
@@ -897,29 +894,14 @@ def _sql_bloom_semijoin() -> str:
         f"     END)) <> 0"
         for i in range(BLOOM_K)
     )
+    ctes = _sql_bitmap_ctes("urgent", "o_orderkey")
     return f"""
 WITH urgent AS (
   SELECT o_orderkey FROM orders
   WHERE o_orderpriority = '{BLOOM_SJ_PRIORITY}'
-), hashed AS (
-  SELECT CAST(list_sum(list_transform(range(1, 16),
-       j -> (CAST(strpos('0123456789abcdef',
-                   substr(md5(CAST(o_orderkey AS VARCHAR)), j, 1)) AS BIGINT)
-             - 1) << (4 * (15 - j))
-  )) AS BIGINT) AS h
-  FROM urgent
-), pos AS (
-{pos_arms}
-), sparse AS (
-  SELECT (p >> 6) AS word,
-         CAST(BIT_OR(CASE WHEN (p & 63) = 63
-                          THEN CAST(-9223372036854775808 AS BIGINT)
-                          ELSE (CAST(1 AS BIGINT) << CAST(p & 63 AS INT))
-                     END) AS BIGINT) AS bits
-  FROM pos GROUP BY (p >> 6)
-), dense AS (
+), {ctes}, dense AS (
   SELECT r.range AS word, COALESCE(s.bits, 0) AS bits
-  FROM range(0, {BLOOM_WORDS}) r LEFT JOIN sparse s ON s.word = r.range
+  FROM range(0, {BLOOM_WORDS}) r LEFT JOIN bitmap s ON s.word = r.range
 ), bmrow AS (
   SELECT list(bits ORDER BY word) AS bm FROM dense
 ), probed AS (

@@ -409,3 +409,44 @@ def test_burst_detect_exact_threshold_and_history_gate(spark, tmp_path):
     r5b = got_b[base + 5]
     # trail now [2,2,2,2,7] sum 15 n 5: 6*5 = 30 > 45? no
     assert r5b["is_burst"] is False
+
+
+def test_burst_detect_exact_equality_is_not_a_burst(spark, tmp_path):
+    """The strict-inequality boundary, actually hit: flat history
+    [2,2,2,2] (trail_sum 8, n_trail 4) then a 6-count hour gives
+    cnt*n_trail = 24 == 3*trail_sum = 24 -> NOT a burst; a 7-count
+    hour on the same history IS one. A '>' to '>=' regression flips
+    the first assertion."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    t0 = datetime(2024, 6, 1)
+    rows, eid = [], 0
+    for h, cnt in enumerate([2, 2, 2, 2, 6]):
+        for _ in range(cnt):
+            rows.append((eid, t0 + timedelta(hours=h), 1, "eq", 1.0, "{}"))
+            eid += 1
+    for h, cnt in enumerate([2, 2, 2, 2, 7]):
+        for _ in range(cnt):
+            rows.append((eid, t0 + timedelta(hours=h), 1, "gt", 1.0, "{}"))
+            eid += 1
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).pipe(
+        lambda pdf: spark.createDataFrame(pdf)
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "events.parquet"))
+    )
+    got = {
+        (r["event_type"], r["hour_idx"]): r
+        for r in timeseries.q_burst_detect(spark, str(tmp_path)).collect()
+    }
+    base = min(h for (_, h) in got)
+    eq = got[("eq", base + 4)]
+    assert (eq["cnt"], eq["trail_sum"], eq["n_trail"]) == (6, 8, 4)
+    assert eq["is_burst"] is False  # 24 > 24 must be False
+    gt = got[("gt", base + 4)]
+    assert (gt["cnt"], gt["trail_sum"], gt["n_trail"]) == (7, 8, 4)
+    assert gt["is_burst"] is True  # 28 > 24
