@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Round-6 optimization helper benchmarks (bench.py is FROZEN — this file
+holds the extra measurement modes guide §1 calls for).
+
+Modes:
+  --time  q1,q2,...   time the named queries (same count() methodology as
+                      bench.py, best-of-N) at $SPARK_GRAFT_SF_DIR
+  --noop  q1,q2,...   same but force full materialization via the noop sink
+                      (guide §1.4) — times every column, no count() pruning
+  --plan  q1,q2,...   write .explain("formatted") to plans/r06/<q>_<tag>.txt
+                      (--tag before|after)
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf1.0 here — the driver's
+round-5 measurement scale), SPARK_GRAFT_CPUS (default 32), TRIALS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+TRIALS = int(os.environ.get("TRIALS", "2"))
+
+
+def _spark():
+    if os.path.isdir("/dev/shm") and "NGSILD_STAGING_DIR" not in os.environ:
+        os.environ["NGSILD_STAGING_DIR"] = "/dev/shm/ngsild-staging"
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+    from nifi_ngsild_postgresql_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="ngsild-bench-extra",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS) * 2 if CPUS.isdigit() else 64,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def main() -> None:
+    mode = sys.argv[1]
+    names = sys.argv[2].split(",")
+    tag = "before"
+    if "--tag" in sys.argv:
+        tag = sys.argv[sys.argv.index("--tag") + 1]
+
+    from nifi_ngsild_postgresql_spark.analytics import registry
+
+    qs = registry.all_queries()
+    spark = _spark()
+
+    if mode == "--plan":
+        out_dir = os.path.join(REPO, "plans", "r06")
+        os.makedirs(out_dir, exist_ok=True)
+        for name in names:
+            df = qs[name](spark, SF_DIR)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            path = os.path.join(out_dir, f"{name}_{tag}.txt")
+            with open(path, "w") as f:
+                f.write(plan)
+            print(f"wrote {path}")
+        return
+
+    # warm the JVM + Python workers on the same code paths (untimed)
+    qs["cdc_ingest_upsert"](spark, "/root/testdata/sf0.001").count()
+    qs["sort_topk"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        best = None
+        for _ in range(TRIALS):
+            spark.sparkContext.setJobDescription(f"bench_extra:{name}")
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            if mode == "--noop":
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            spark.sparkContext.setJobDescription(None)
+        timings[name] = round(best, 3)
+        print(f"{name}: {timings[name]}s", flush=True)
+    print(json.dumps({"sf_dir": SF_DIR, "mode": mode, "trials": TRIALS,
+                      "queries": timings}))
+
+
+if __name__ == "__main__":
+    main()

@@ -506,16 +506,33 @@ def lsh_neardup_candidates(
     controls recall. Exact duplicates ALWAYS collide (identical vectors
     -> identical sign bits in every table); a pair at angle theta
     collides per table with prob p^b + b*p^(b-1)*(1-p), p = 1 - theta/pi,
-    unioned over L tables. Pairs found by several tables are deduped with
-    groupBy (cosine is deterministic, so max == any). Output: one row per
-    colliding pair with its exact integer-quantized cosine."""
+    unioned over L tables. A pair colliding in several tables appears
+    ONCE PER COLLIDING TABLE (duplicate rows carry bit-identical
+    cosines — the score is a pure function of the pair); consumers
+    dedup AFTER their selectivity filter. Output: one row per collision
+    with the pair's exact integer-quantized cosine.
+
+    Round-6 shape change (measured at sf1.0 / 20k vectors): the old
+    plan deduped the RAW collision set first — distinct over 92.5M id
+    pairs (74 s: the partial hash aggregate barely dedups, factor
+    1.2x, so it was pure overhead + spill), then an explicit
+    repartition of 76.4M pairs and TWO sort-merge scoring joins that
+    re-sorted the pair table twice (~65 s) — 146 s end to end. Now the
+    norms ride the explode (one fold per VECTOR), the dot product runs
+    map-side INSIDE the bucket join's stage, and nothing downstream of
+    the join is wider than the thresholded survivor set (~40k rows at
+    sf1.0): no 90M-row aggregate, no pair-table re-sorts, guide §2.3/
+    §2.4 (aggregate/score before you shuffle; remove shuffles
+    outright)."""
     dim = len(e.select("embedding").first()[0])
     qe = e.select("vec_id", quantized_embedding("embedding").alias("emb"))
     # INTEGER signatures (bit i = sign of plane-i dot): the bucket key is
     # (table << n_planes) | sig and a Hamming-1 probe is one XOR — tiny
     # expression trees (the string-signature form pushed plan compile
     # time past the query's own runtime) and an int join key
-    sigs = qe
+    zero = F.lit(0).cast("long")
+    norm2 = F.aggregate("emb", zero, lambda acc, x: acc + x * x)
+    sigs = qe.withColumn("n2", norm2)
     for t in range(n_tables):
         planes = _int_hyperplanes(dim, n_planes, seed=NEARDUP_SEED + t)
         sigs = sigs.withColumn(f"sig{t}", _lsh_sig_int_expr("emb", planes))
@@ -529,61 +546,32 @@ def lsh_neardup_candidates(
             sigc.bitwiseXOR(F.lit(1 << i)) + F.lit(t << n_planes)
             for i in range(n_planes)
         ]
-    # id-only bucket join: the 64-element arrays never ride the probe
-    # shuffle, and the expensive exact cosine runs ONCE per DISTINCT
-    # pair (a pair colliding in several tables/probes costs one eval,
-    # not L). Bit-identical to scoring inside the join — cosine is a
-    # pure function of the pair — but ~4x cheaper at the measured probe
-    # fan-out. Norms are precomputed per VECTOR (one fold each), so a
-    # pair costs a single dot-product fold instead of three.
     probes = sigs.select(
-        "vec_id", F.explode(F.array(*probe_keys)).alias("probe")
+        "vec_id", "emb", "n2", F.explode(F.array(*probe_keys)).alias("probe")
     )
     cand = sigs.select(
         F.col("vec_id").alias("dst"),
+        F.col("emb").alias("demb"),
+        F.col("n2").alias("dn2"),
         F.explode(F.array(*cand_keys)).alias("probe"),
     )
-    pairs = (
+    dot = F.aggregate(
+        F.zip_with("emb", "demb", lambda x, y: x * y),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    # exact integer dot + precomputed norms, evaluated in the join's own
+    # stage — the collision stream is consumed where it is produced and
+    # only (vec_a, vec_b, cosine) survivors ever cross an exchange
+    return (
         probes.join(cand, "probe")
         .filter(F.col("vec_id") < F.col("dst"))
         .select(
-            F.col("vec_id").alias("vec_a"), F.col("dst").alias("vec_b")
-        )
-        .distinct()
-        # explicit numbered repartition before the scoring stage: AQE
-        # coalesces the distinct's output by BYTES (id pairs are tiny)
-        # and would run the CPU-bound cosine folds on a handful of
-        # tasks; a user-numbered shuffle is never coalesced. The count
-        # follows the session's parallelism (round-3 verdict item 7 —
-        # was a hardcoded 32), same derivation flatten.py uses
-        .repartition(
-            e.sparkSession.sparkContext.defaultParallelism, "vec_a", "vec_b"
-        )
-    )
-    zero = F.lit(0).cast("long")
-    norm2 = F.aggregate("emb", zero, lambda acc, x: acc + x * x)
-    a = qe.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("emb").alias("ea"),
-        norm2.alias("na2"),
-    )
-    b = qe.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("emb").alias("eb"),
-        norm2.alias("nb2"),
-    )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y), zero, lambda acc, x: acc + x
-    )
-    return (
-        pairs.join(a, "vec_a")
-        .join(b, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
+            F.col("vec_id").alias("vec_a"),
+            F.col("dst").alias("vec_b"),
             (
                 dot.cast("double")
-                / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double"))
+                / F.sqrt(F.col("n2").cast("double") * F.col("dn2").cast("double"))
             ).alias("cosine"),
         )
     )
@@ -602,10 +590,18 @@ def q_embedding_neardup(
     the plane seeds): exact duplicates are always found; recall vs the
     all-pairs baseline (embedding_neardup_exact) is pinned in pytest.
     Plan gate: test_embedding_neardup_is_key_equality_join asserts no
-    cartesian / nested-loop / non-equi pair stage."""
+    cartesian / nested-loop / non-equi pair stage.
+
+    The threshold filter runs BEFORE the cross-table dedup (guide §2.3:
+    filter before the exchange): the candidate stream scores collisions
+    in the bucket join's own stage, the >= threshold cut drops ~99.95%
+    of rows map-side, and distinct() dedups only the survivor set —
+    identical output (duplicate collision rows carry bit-identical
+    cosines), but the wide aggregate the old plan ran over the full
+    90M-row collision set is gone."""
     e = _t(spark, sf_dir, "embeddings")
     cands = lsh_neardup_candidates(e)
-    return cands.filter(F.col("cosine") >= threshold)
+    return cands.filter(F.col("cosine") >= threshold).distinct()
 
 
 def _sql_embedding_neardup() -> str:

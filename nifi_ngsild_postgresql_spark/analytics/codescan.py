@@ -395,28 +395,56 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (df <= 10) are clone candidates — the MOSS algorithm, whose local
     guarantee (any shared substring >= W+K-1 = 11 chars shares a
     fingerprint) catches short verbatim lifts that bag-of-shingles
-    MinHash misses. Scale shape: gram hashing + window minima are pure
-    in-row JVM array kernels (O(n·W) per doc, no fan-out materialized);
-    the fingerprint table shuffles ONCE into the grouped frame; the
-    df cap drops hot fingerprints BEFORE the in-row pair generation
-    (<= C(10,2) structs per fingerprint) — same single-exchange
-    candidate shape as ngram_jaccard (suite.py:586), never a self-join,
-    never quadratic on a boilerplate fingerprint."""
-    d = _t(spark, sf_dir, "documents").filter(
-        F.length("text") >= WINNOW_GUARANTEE
+    MinHash misses. Scale shape (round 6): gram positions explode into
+    a generate→project WHOLE-STAGE-CODEGEN stage — the previous in-row
+    ``transform()`` array kernel was a CodegenFallback higher-order
+    function whose interpreted md5+conv cost ~50 µs/gram (23 s of the
+    37 s sf1.0 wall); the exploded form runs the identical hash chain
+    codegen'd at ~2 µs/gram (guide §4.1: prefer codegen'd built-ins
+    over interpreted expression trees). Window minima are a sliding
+    ROWS frame over ONE doc-keyed exchange, the per-doc distinct rides
+    that same partitioning (hashpartitioning(doc_id) satisfies the
+    (doc_id, fp) clustering — no extra exchange), the fingerprint
+    table shuffles once more into the grouped frame, and the df cap
+    drops hot fingerprints BEFORE the in-row pair generation
+    (<= C(10,2) structs per fingerprint) — same candidate shape as
+    ngram_jaccard (suite.py:586), never a self-join, never quadratic
+    on a boilerplate fingerprint."""
+    from .partitioning import spread_input
+
+    # hash-spread on doc_id: parallelizes the md5 stage AND pre-keys the
+    # window's clustering, so the 14.5M-row gram frame itself never
+    # crosses an exchange (only the ~25 MB of documents do)
+    d = spread_input(
+        _t(spark, sf_dir, "documents").filter(
+            F.length("text") >= WINNOW_GUARANTEE
+        ),
+        cols=("doc_id",),
     )
-    grams = F.expr(
-        f"transform(sequence(1, length(text) - {WINNOW_K} + 1),"
-        f" i -> cast(conv(substring(md5(substring(text, i, {WINNOW_K})),"
-        f" 1, 15), 16, 10) as bigint))"
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        F.explode(
+            F.expr(f"sequence(1, length(text) - {WINNOW_K} + 1)")
+        ).alias("i"),
     )
-    mins = F.expr(
-        f"transform(sequence(1, size(g) - {WINNOW_W} + 1),"
-        f" j -> array_min(slice(g, j, {WINNOW_W})))"
+    h = F.expr(
+        f"cast(conv(substring(md5(substring(text, i, {WINNOW_K})),"
+        f" 1, 15), 16, 10) as bigint)"
+    )
+    hashed = pos.select("doc_id", "i", "n", h.alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(
+        0, WINNOW_W - 1
     )
     fps = (
-        d.select("doc_id", grams.alias("g"))
-        .select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+        hashed.withColumn("fp", F.min("h").over(win))
+        # a window of W consecutive gram hashes exists for positions
+        # i <= n_grams - W + 1 = n - (K + W - 2); trailing positions
+        # only feed earlier windows' minima
+        .filter(F.col("i") <= F.col("n") - (WINNOW_K + WINNOW_W - 2))
+        .select("doc_id", "fp")
+        .distinct()
     )
     grouped = (
         fps.groupBy("fp")

@@ -1,0 +1,42 @@
+"""Scale-adaptive input spreading for compute-heavy narrow stages.
+
+Spark's byte-based file packing (``maxPartitionBytes``/``openCostInBytes``)
+sizes scan tasks for I/O-bound work. Several operators in this package do
+CPU-heavy per-row work right after a scan whose compressed bytes are tiny
+relative to that cost — per-char md5 gram hashing, Python media decodes,
+LSH signature folds. A small snapshot (or a freshly-compacted table) then
+arrives in 1-2 splits and the whole stage runs on 1-2 cores while the
+rest of the cluster idles (guide §2.5 "input skew: … otherwise
+repartition immediately after the read", §6 input split size).
+
+``spread_input`` is the shared fix, the same derivation
+``operators/flatten.py`` has used since round 1: if the source has fewer
+partitions than the session's parallelism warrants, repartition first —
+round-robin by default (row-independent stages), or hash on explicit
+columns when the downstream stage needs a keyed clustering (so a window/
+aggregate keyed the same way rides this one exchange instead of adding
+its own — guide §2.4). At production scale inputs carry many splits and
+this is a no-op; the target follows ``defaultParallelism``, never a
+constant tuned to one box.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def spread_input(
+    df: DataFrame, cols: Sequence[str] | None = None, factor: int = 2
+) -> DataFrame:
+    """Repartition ``df`` up to ``defaultParallelism * factor`` partitions
+    iff it currently has fewer — by ``cols`` (hash) when given, else
+    round-robin. Returns ``df`` unchanged when the source already carries
+    enough splits."""
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if cols:
+        return df.repartition(target, *cols)
+    return df.repartition(target)

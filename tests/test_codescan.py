@@ -516,14 +516,18 @@ def test_codescan_plans_hold_at_scale(spark):
 
 
 def test_winnowing_plan_holds_at_scale(spark):
-    """Gram hashing and window minima are in-row array kernels; the
-    fingerprint table shuffles once into the grouped frame and the pair
-    rollup once more — exactly TWO keyed exchanges, no self-join, no
-    cartesian, nothing leaves the JVM."""
+    """Round-6 shape: the doc-keyed spread_input exchange parallelizes
+    the codegen'd md5 gram stage AND pre-keys the window's clustering
+    (the 14.5M-row gram frame itself never crosses an exchange — only
+    the documents do); the fingerprint table then shuffles once into
+    the grouped frame and the pair rollup once more — exactly THREE
+    keyed exchanges, the gram/window stage whole-stage-codegen (no
+    CodegenFallback transform() kernels), no self-join, no cartesian,
+    nothing leaves the JVM."""
     plan = _plan(codescan.q_winnowing(spark, SF_DIR))
     for marker in _PY_MARKERS:
         assert marker not in plan
-    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange hashpartitioning") == 3
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # pairs are generated in-row
 
