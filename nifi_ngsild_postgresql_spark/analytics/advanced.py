@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .suite import _SQL_INT_COSINE, _SQL_QVEC, int_cosine, quantized_embedding
+from .partitioning import spread_input
 
 EMBEDDING_DIM = 64  # testdata embeddings.parquet dimension (all SFs)
 
@@ -525,7 +526,12 @@ def lsh_neardup_candidates(
     §2.4 (aggregate/score before you shuffle; remove shuffles
     outright)."""
     dim = len(e.select("embedding").first()[0])
-    qe = e.select("vec_id", quantized_embedding("embedding").alias("emb"))
+    # spread the tiny embeddings scan before the signature folds: both
+    # explode sides re-derive this subtree, and an undersplit scan would
+    # run all 24 interpreted plane dots on 1-2 cores (guide SS2.5/SS6)
+    qe = spread_input(e).select(
+        "vec_id", quantized_embedding("embedding").alias("emb")
+    )
     # INTEGER signatures (bit i = sign of plane-i dot): the bucket key is
     # (table << n_planes) | sig and a Hamming-1 probe is one XOR — tiny
     # expression trees (the string-signature form pushed plan compile
@@ -847,7 +853,7 @@ def build_audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = spread_input(_t(spark, sf_dir, "documents").select("doc_id"))
     return d.mapInPandas(gen, "media_id long, payload binary")
 
 
@@ -1064,7 +1070,7 @@ def build_image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = spread_input(_t(spark, sf_dir, "documents").select("doc_id"))
     return d.mapInPandas(gen, "media_id long, payload binary")
 
 
@@ -1345,7 +1351,7 @@ def build_video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = spread_input(_t(spark, sf_dir, "documents").select("doc_id"))
     return d.mapInPandas(gen, "media_id long, payload binary")
 
 
@@ -2032,7 +2038,7 @@ def build_mixed_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = spread_input(_t(spark, sf_dir, "documents").select("doc_id"))
     return d.mapInPandas(gen, SNIFF_SCHEMA)
 
 

@@ -40,6 +40,9 @@ BOILER_SHINGLE = 3  # tokens per shingle; "boilerplate" = shingle whose
 BOILER_DF_MULT = 2
 
 
+from .partitioning import spread_input
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -344,8 +347,15 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     this operator is part of the training-data family SURVEY §6 adds.
     """
     ln = SUBSTR_ANCHOR_LEN
+    from .partitioning import spread_input
+
     d = _t(spark, sf_dir, "documents")
-    base = d.filter(F.length("text") >= ln).select("doc_id", "text")
+    # spread the tiny documents scan before the per-char md5 stage
+    # (guide SS2.5/SS6): an undersplit scan pins O(chars) hashing to
+    # 1-2 cores; no-op when the input carries many splits
+    base = spread_input(
+        d.filter(F.length("text") >= ln).select("doc_id", "text")
+    )
     # Positions are exploded FIRST and the gram cut per generated row —
     # generate -> project -> filter pipeline inside one codegen stage,
     # so peak per-row memory stays O(doc), never the O(25 x doc) a
@@ -1166,7 +1176,10 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import ship_package
 
     ship_package(spark)
-    d = _t(spark, sf_dir, "documents")
+    # spread the tiny documents scan before the Arrow NFC stage
+    # (guide SS2.5/SS6): an undersplit scan pins it to 1-2 Python
+    # workers; no-op when the input carries many splits
+    d = spread_input(_t(spark, sf_dir, "documents"))
     i = F.col("doc_id")
     # the combining sequence is a PYTHON string literal on both sides
     # (Spark's char()/chr() is ASCII-mod-256, NOT a codepoint function)
@@ -1229,7 +1242,9 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     here it stays a key-equality shuffle join, plan-gated against
     cartesians. The final score is one double division of two exact
     integers, rounded to 4."""
-    d = _t(spark, sf_dir, "documents")
+    # spread the tiny documents scan (guide SS2.5/SS6): the token
+    # explode feeds two downstream consumers off 1-2 splits otherwise
+    d = spread_input(_t(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(_tokens("text")).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = counts.agg(F.sum("c").alias("total"))
@@ -1308,7 +1323,9 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import ship_package
 
     ship_package(spark)
-    d = _pii_augmented(_t(spark, sf_dir, "documents"))
+    # spread the tiny documents scan before the composed regex chain +
+    # Arrow NFC stage (guide SS2.5/SS6); no-op at production split counts
+    d = _pii_augmented(spread_input(_t(spark, sf_dir, "documents")))
     _s1, _s2, _s3, s4 = _pii_chain(F.col("aug"))
     i = F.col("doc_id")
     tail = F.when(i % NORM_MARK_MOD != 0, F.lit(NORM_COMBINING)).otherwise(
@@ -1397,7 +1414,9 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitions and are absent (inner-join semantics), matching the
     oracle. Plan-gated: no cartesian, no Python stages.
     """
-    d = _t(spark, sf_dir, "documents")
+    # spread the tiny documents scan before the in-row transition
+    # kernel (guide SS2.5/SS6); no-op at production split counts
+    d = spread_input(_t(spark, sf_dir, "documents"))
     pairs = (
         d.select("doc_id", _tokens("text").alias("ts"))
         .filter(F.size("ts") >= 2)

@@ -75,31 +75,35 @@ class _BitWriter:
 def lzw_encode(indexes: list[int], min_code_size: int) -> bytes:
     """GIF-variant LZW: emits CLEAR first, grows the code width when
     the next free code would not fit, resets the table at 4096 — the
-    exact mirror of lzw_decode's growth rule."""
+    exact mirror of lzw_decode's growth rule.
+
+    The dictionary is keyed ``(prefix_code << 12) | next_index`` — the
+    textbook O(1)-per-pixel encoder state (a composite string IS its
+    code) — instead of growing index tuples; root strings are the codes
+    themselves, so the root dictionary needs no materialization at all.
+    Emitted codes are bit-identical to the tuple-keyed form."""
     clear = 1 << min_code_size
     end = clear + 1
     bw = _BitWriter()
-
-    def reset():
-        return (
-            {(i,): i for i in range(clear)},  # single-index roots
-            end + 1,
-            min_code_size + 1,
-        )
-
-    table, next_code, width = reset()
+    table: dict[int, int] = {}
+    next_code = end + 1
+    width = min_code_size + 1
     bw.write(clear, width)
-    prefix: tuple[int, ...] = ()
+    prefix = -1  # code of the current prefix string (-1 = empty)
     for k in indexes:
         k = int(k)
         if not 0 <= k < clear:
             raise ValueError(f"index {k} out of palette range")
-        cand = prefix + (k,)
-        if cand in table:
-            prefix = cand
+        if prefix < 0:
+            prefix = k  # a root string's code is its index
             continue
-        bw.write(table[prefix], width)
-        table[cand] = next_code
+        key = (prefix << 12) | k
+        code = table.get(key)
+        if code is not None:
+            prefix = code
+            continue
+        bw.write(prefix, width)
+        table[key] = next_code
         next_code += 1
         # the DECODER grows its width when ITS next code reaches
         # 1 << width; mirror exactly, capping at 12 bits
@@ -107,10 +111,12 @@ def lzw_encode(indexes: list[int], min_code_size: int) -> bytes:
             width += 1
         if next_code == 4097:
             bw.write(clear, width)
-            table, next_code, width = reset()
-        prefix = (k,)
-    if prefix:
-        bw.write(table[prefix], width)
+            table = {}
+            next_code = end + 1
+            width = min_code_size + 1
+        prefix = k
+    if prefix >= 0:
+        bw.write(prefix, width)
         # the decoder APPENDS an entry for this final data code too —
         # if that append lands exactly on a 2^width boundary it grows
         # its read width before consuming EOI, so the encoder must
@@ -120,6 +126,11 @@ def lzw_encode(indexes: list[int], min_code_size: int) -> bytes:
             width += 1
     bw.write(end, width)
     return bw.flush()
+
+
+# root tables per min_code_size, built once: re-deriving 256 singleton
+# tuples per image dominated small-image decode cost
+_LZW_ROOTS: dict[int, list[tuple[int, ...]]] = {}
 
 
 def lzw_decode(
@@ -133,10 +144,13 @@ def lzw_decode(
     width = min_code_size + 1
     prev: tuple[int, ...] | None = None
     acc = n = pos = 0
+    roots = _LZW_ROOTS.get(clear)
+    if roots is None:
+        roots = _LZW_ROOTS[clear] = [(i,) for i in range(clear)] + [(), ()]
 
     def reset_table():
         nonlocal table, width, prev
-        table = [(i,) for i in range(clear)] + [(), ()]
+        table = roots.copy()
         width = min_code_size + 1
         prev = None
 
@@ -412,7 +426,14 @@ def q_gif_decode(spark, sf_dir: str):
                 recs.append(rec)
             yield pd.DataFrame(recs, columns=cols)
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    from .partitioning import spread_input
+
+    # spread the tiny doc-id scan before the Python LZW stage: a
+    # small compressed snapshot arrives in 1-2 splits and would pin
+    # the decode to 1-2 workers (guide SS2.5/SS6); no-op at scale
+    d = spread_input(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    )
     return d.mapInPandas(gen, GIF_SCHEMA)
 
 

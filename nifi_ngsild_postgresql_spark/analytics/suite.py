@@ -591,7 +591,12 @@ def _shingles(d):
     transform(sequence(...)) — no positional self-join, no shuffle until
     the aggregation that consumes them. The DuckDB oracles keep the
     equivalent join formulation; results are identical."""
-    with_toks = d.select(
+    from .partitioning import spread_input
+
+    # spread the tiny documents scan before the per-doc shingle kernel
+    # (higher-order transform/concat per token — CPU-heavy relative to
+    # the compressed input bytes; guide SS2.5/SS6). No-op at scale.
+    with_toks = spread_input(d).select(
         "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("toks")
     )
     shingle_arr = F.when(

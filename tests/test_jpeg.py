@@ -151,13 +151,16 @@ def test_corrupt_and_unsupported_fail_loudly():
 
 def test_query_plan_is_map_only(spark):
     """The jpeg_decode queries() entry stays the decoder-family 100 TB
-    shape: mapInPandas over Arrow batches, no shuffle (no Exchange in
-    the plan)."""
+    shape: mapInPandas over Arrow batches, with at most the round-6
+    input-spread round-robin exchange of doc ids ahead of the decode
+    (analytics/partitioning.py — a no-op when the input carries enough
+    splits); the decode itself never shuffles (no keyed exchange)."""
     from nifi_ngsild_postgresql_spark.analytics.jpeg import q_jpeg_decode
     from nifi_ngsild_postgresql_spark.session import ship_package
 
     ship_package(spark)
     df = q_jpeg_decode(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1  # input spread only
     assert df.filter("decode_status = 'decoded'").count() == df.count()
