@@ -472,6 +472,10 @@ NEARDUP_THRESHOLD = 0.42  # synthetic embeddings are near-uniform (max
 NEARDUP_TABLES = 4
 NEARDUP_PLANES = 6
 NEARDUP_SEED = 101  # distinct from the ANN plane family (seed 13)
+# bucket-key salt fan-out (pure execution detail — does not change which
+# pairs collide): widens the L * 2^b join-key space so quadratic-output
+# buckets spread over many reduce tasks (guide §2.5)
+NEARDUP_SALTS = 8
 
 
 def embedding_neardup_exact(
@@ -507,11 +511,11 @@ def lsh_neardup_candidates(
     controls recall. Exact duplicates ALWAYS collide (identical vectors
     -> identical sign bits in every table); a pair at angle theta
     collides per table with prob p^b + b*p^(b-1)*(1-p), p = 1 - theta/pi,
-    unioned over L tables. A pair colliding in several tables appears
-    ONCE PER COLLIDING TABLE (duplicate rows carry bit-identical
-    cosines — the score is a pure function of the pair); consumers
-    dedup AFTER their selectivity filter. Output: one row per collision
-    with the pair's exact integer-quantized cosine.
+    unioned over L tables. A pair colliding in several tables is kept
+    exactly once — at its FIRST colliding table, via codegen'd integer
+    sig comparisons inside the join filter (both sides carry their L
+    b-bit sigs) — so no wide distinct is ever needed. Output: one row
+    per colliding pair with its exact integer-quantized cosine.
 
     Round-6 shape change (measured at sf1.0 / 20k vectors): the old
     plan deduped the RAW collision set first — distinct over 92.5M id
@@ -542,23 +546,40 @@ def lsh_neardup_candidates(
     for t in range(n_tables):
         planes = _int_hyperplanes(dim, n_planes, seed=NEARDUP_SEED + t)
         sigs = sigs.withColumn(f"sig{t}", _lsh_sig_int_expr("emb", planes))
+    # Salted bucket keys (guide §2.5): the raw key space is only
+    # L * 2^b values (256 here), and per-key join output is QUADRATIC
+    # in bucket population, so hashing 256 keys over the shuffle
+    # partitions leaves some tasks with several hot buckets — a
+    # straggler tail AQE cannot split (its skew handling sees input
+    # bytes, not output fan-out). Each candidate row replicates over
+    # NEARDUP_SALTS sub-keys and each probe row carries its vector's
+    # deterministic salt, so every (probe, candidate) pair still meets
+    # exactly once while the key space widens L*2^b -> L*2^b*SALTS.
+    salts = NEARDUP_SALTS
+    my_salt = F.pmod(F.col("vec_id"), F.lit(salts))
     probe_keys, cand_keys = [], []
     for t in range(n_tables):
         sigc = F.col(f"sig{t}")
         exact = sigc + F.lit(t << n_planes)
-        cand_keys.append(exact)
-        probe_keys.append(exact)
+        cand_keys += [
+            (exact * salts + F.lit(s)) for s in range(salts)
+        ]
+        probe_keys.append(exact * salts + my_salt)
         probe_keys += [
-            sigc.bitwiseXOR(F.lit(1 << i)) + F.lit(t << n_planes)
+            (sigc.bitwiseXOR(F.lit(1 << i)) + F.lit(t << n_planes)) * salts
+            + my_salt
             for i in range(n_planes)
         ]
+    sig_cols = [f"sig{t}" for t in range(n_tables)]
     probes = sigs.select(
-        "vec_id", "emb", "n2", F.explode(F.array(*probe_keys)).alias("probe")
+        "vec_id", "emb", "n2", *sig_cols,
+        F.explode(F.array(*probe_keys)).alias("probe"),
     )
     cand = sigs.select(
         F.col("vec_id").alias("dst"),
         F.col("emb").alias("demb"),
         F.col("n2").alias("dn2"),
+        *[F.col(f"sig{t}").alias(f"dsig{t}") for t in range(n_tables)],
         F.explode(F.array(*cand_keys)).alias("probe"),
     )
     dot = F.aggregate(
@@ -566,12 +587,26 @@ def lsh_neardup_candidates(
         zero,
         lambda acc, x: acc + x,
     )
+    # First-colliding-table filter: a pair colliding in several tables
+    # produces one join row PER table; keeping only the row whose table
+    # (recovered from the bucket key) has no earlier-table Hamming<=1
+    # collision dedups pairs with a handful of codegen'd integer ops —
+    # no distinct over the raw collision set, and the expensive dot
+    # fold runs exactly once per DISTINCT pair (evaluation order puts
+    # this filter before the projection).
+    this_t = F.expr(f"shiftright(probe div {salts}, {n_planes})")
+    no_earlier = F.lit(True)
+    for t in range(n_tables - 1):
+        ham_t = F.bit_count(
+            F.col(f"sig{t}").bitwiseXOR(F.col(f"dsig{t}"))
+        )
+        no_earlier = no_earlier & ((this_t <= F.lit(t)) | (ham_t > 1))
     # exact integer dot + precomputed norms, evaluated in the join's own
     # stage — the collision stream is consumed where it is produced and
     # only (vec_a, vec_b, cosine) survivors ever cross an exchange
     return (
         probes.join(cand, "probe")
-        .filter(F.col("vec_id") < F.col("dst"))
+        .filter((F.col("vec_id") < F.col("dst")) & no_earlier)
         .select(
             F.col("vec_id").alias("vec_a"),
             F.col("dst").alias("vec_b"),

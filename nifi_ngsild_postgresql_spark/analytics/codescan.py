@@ -841,12 +841,19 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
     )
+    from .partitioning import bounded_global_window
+
     w = (
         Window.orderBy("band")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        per_band_tokens.join(first_seen, "band", "left")
+        # checked invariant (round 6): the cumulative window is
+        # single-partition over the O(bands) frame — loud failure if a
+        # caller ever feeds an unbanded frame through it
+        bounded_global_window(
+            per_band_tokens.join(first_seen, "band", "left"), max_rows=10_000
+        )
         .select(
             "band",
             F.sum("n_tok").over(w).cast("long").alias("cum_tokens"),

@@ -600,6 +600,13 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - F.col("o")).cast("long").alias("d_new"),
         )
     )
+    from .partitioning import bounded_global_window
+
+    # checked invariant (round 6): the value-ordered windows below are
+    # single-partition — loud failure if the collapsed frame ever
+    # exceeds the bounded-cardinality contract (continuous features
+    # belong in the quantile sketch, not here)
+    per_val = bounded_global_window(per_val, max_rows=1_000_000)
     wcum = (
         Window.orderBy("val")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -703,6 +710,12 @@ def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("key"),
         (F.col("ca") * F.col("cb")).cast("long").alias("contrib"),
     )
+    from .partitioning import bounded_global_window
+
+    # checked invariant (round 6): the contrib ranking window is
+    # single-partition over the per-key sketch join — bounded by the
+    # key-cardinality contract, now checked rather than assumed
+    prod = bounded_global_window(prod, max_rows=1_000_000)
     w = Window.partitionBy()
     ranked = prod.select(
         "key",

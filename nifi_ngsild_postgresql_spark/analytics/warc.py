@@ -108,27 +108,48 @@ def build_warc_files_from(d: DataFrame, date: str = WARC_DATE) -> DataFrame:
     """Frame an arbitrary (doc_id, text) frame into .warc.gz segments —
     the composition hook: the web-pipeline test frames HTML PAGES here
     (text = the built page), exercising the crawl path end to end.
-    ``date`` stamps every record (one snapshot = one capture date)."""
+    ``date`` stamps every record (one snapshot = one capture date).
 
-    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        blob = b"".join(
-            build_warc_record(int(i), t, date)
-            for i, t in zip(pdf["doc_id"], pdf["text"])
-        )
-        return pd.DataFrame(
-            {
-                "file_id": [int(pdf["file_id"].iloc[0])],
-                "payload": [blob],
-                "n_records": [len(pdf)],
-            }
-        )
+    Round 6: records are grouped and doc-id-ordered JVM-SIDE
+    (collect_list + sort_array over one keyed exchange) and the gzip
+    framing runs in ``mapInPandas`` over whole Arrow batches of
+    segments. The previous ``applyInPandas`` form paid ~3 ms of
+    per-GROUP Arrow round-trip per segment — and when AQE coalesced the
+    small shuffle to a few partitions, thousands of segment groups
+    serialized through a handful of workers (measured 8.3 s vs 1.9 s
+    for snapshot 2 of warc_latest at sf1.0). Per-batch conversion makes
+    the cost O(batches), independent of how AQE sizes the exchange
+    (guide §4.1/§2.2)."""
 
-    return (
+    def assemble(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, counts = [], []
+            for recs in pdf["recs"]:
+                payloads.append(
+                    b"".join(
+                        build_warc_record(int(r["doc_id"]), r["text"], date)
+                        for r in recs
+                    )
+                )
+                counts.append(len(recs))
+            yield pd.DataFrame(
+                {
+                    "file_id": pdf["file_id"],
+                    "payload": payloads,
+                    "n_records": counts,
+                }
+            )
+
+    grouped = (
         d.select("doc_id", "text")
         .withColumn("file_id", F.expr(f"doc_id div {WARC_FILE_RECORDS}"))
         .groupBy("file_id")
-        .applyInPandas(assemble, "file_id long, payload binary, n_records int")
+        # struct sort orders by the leading doc_id field — the same
+        # within-segment record order the per-group sort produced
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "text"))).alias("recs"))
+    )
+    return grouped.mapInPandas(
+        assemble, "file_id long, payload binary, n_records int"
     )
 
 

@@ -65,8 +65,19 @@ def changelog_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: one NGSI-LD entity per event. user_id -> entity identity,
     event_type -> a Property with observedAt=ts, value -> numeric
     Property, props -> JsonProperty. Entirely whole-stage-codegen
-    (struct + to_json); no UDF."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    (struct + to_json); no UDF.
+
+    The events scan is spread BEFORE the payload projection (round 6,
+    guide §2.5/§6): a small compressed events snapshot arrives in a few
+    splits and would pin the to_json/from_json build to those cores —
+    and downstream ``flatten`` would then round-robin the BUILT payload
+    strings (~6x the raw row bytes) to reach its parallelism target.
+    Spreading the raw rows first parallelizes the build AND makes
+    flatten's own repartition a no-op, so the only exchange moves the
+    narrow pre-payload rows. No-op when the input carries many splits."""
+    from ..analytics.partitioning import spread_input
+
+    events = spread_input(spark.read.parquet(f"{sf_dir}/events.parquet"))
     entity_id = F.concat(F.lit("urn:ngsi-ld:UserActivity:"), F.col("user_id"))
     observed_at = F.date_format(
         F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"

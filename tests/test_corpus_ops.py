@@ -344,6 +344,60 @@ def test_bpe_train_matches_python_reference_on_classic_corpus(spark, tmp_path):
     assert got_seg == ref_seg
 
 
+def test_bpe_train_batched_schedule_matches_batched_reference(spark, tmp_path):
+    """Round-6 batched-merge schedule (round-5 verdict item 2): with
+    merge_batch > 1 every round applies all mutually symbol-disjoint
+    merges among the collected top pairs, so a large training run needs
+    ~n_merges/batch Spark rounds instead of one job per merge. Pinned
+    merge-for-merge AND segmentation-for-segmentation against the
+    pure-Python batched reference (which shares the selection rule
+    verbatim); the batch genuinely compresses rounds on this corpus."""
+    import pandas as pd
+
+    counts = {
+        "low": 5, "lower": 2, "newest": 6, "widest": 3,
+        "alpha": 9, "gamma": 7, "kappa": 4,
+    }
+    text = " ".join(w for w, c in counts.items() for _ in range(c))
+    pdf = pd.DataFrame({"doc_id": [1], "text": [text]})
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    stats: dict = {}
+    merges, seg_df = corpus.bpe_train(
+        spark, str(tmp_path), n_merges=10, merge_batch=8, _stats=stats
+    )
+    ref_merges, ref_seg = corpus.bpe_train_batched_reference(
+        counts, n_merges=10, merge_batch=8
+    )
+    assert merges == ref_merges
+    got_seg = {r["w"]: r["syms"].split(" ") for r in seg_df.collect()}
+    assert got_seg == ref_seg
+    assert len(merges) == 10
+    assert stats["rounds"] <= 5  # batching compresses the job schedule
+
+
+def test_bpe_train_batch_one_is_the_serial_schedule(spark, tmp_path):
+    """merge_batch=1 must reproduce the serial one-merge-per-round
+    schedule bit-for-bit (the argmax is selected unconditionally, even
+    when its merged string collides with an existing symbol)."""
+    import pandas as pd
+
+    counts = {"aaa": 7, "aab": 5, "bb": 4}  # (a,a)->'aa' then 'aa' pairs
+    text = " ".join(w for w, c in counts.items() for _ in range(c))
+    pdf = pd.DataFrame({"doc_id": [1], "text": [text]})
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    merges, seg_df = corpus.bpe_train(
+        spark, str(tmp_path), n_merges=4, merge_batch=1
+    )
+    ref_merges, ref_seg = corpus.bpe_train_reference(counts, n_merges=4)
+    assert merges == ref_merges
+    got_seg = {r["w"]: r["syms"].split(" ") for r in seg_df.collect()}
+    assert got_seg == ref_seg
+
+
 def test_bpe_train_boundary_and_overlap_rules(spark, tmp_path):
     """The two regex traps are pinned: merging 'a b' must not touch the
     tail of a longer symbol ('xa b' stays split), and a merged-symbol
@@ -660,12 +714,17 @@ def test_corpus_pipeline_composes_stages(spark, tmp_path):
 
 def test_corpus_pipeline_plan_is_narrow(spark):
     """End-to-end the composition stays embarrassingly parallel: one
-    Arrow stage, zero exchanges, no join."""
+    Arrow stage, no join, and no KEYED exchange — the only permitted
+    exchange is the round-6 input-spread round-robin of the tiny
+    documents scan ahead of the regex+NFC stages
+    (analytics/partitioning.py; a no-op when the input carries enough
+    splits)."""
     ship_package(spark)
     df = corpus.q_corpus_pipeline(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1  # input spread only
     assert "Join" not in plan
 
 
