@@ -888,7 +888,13 @@ def build_audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    d = spread_input(_t(spark, sf_dir, "documents").select("doc_id"))
+    # factor=1 (one partition per core): the decode stages chain TWO
+    # Python stages, so per-partition worker/Arrow overhead counts
+    # double — 32 partitions keep full parallelism at half the fixed
+    # cost (measured: factor=2 regressed small-SF runs ~0.2 s)
+    d = spread_input(
+        _t(spark, sf_dir, "documents").select("doc_id"), factor=1
+    )
     return d.mapInPandas(gen, "media_id long, payload binary")
 
 
@@ -1105,7 +1111,13 @@ def build_image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    d = spread_input(_t(spark, sf_dir, "documents").select("doc_id"))
+    # factor=1 (one partition per core): the decode stages chain TWO
+    # Python stages, so per-partition worker/Arrow overhead counts
+    # double — 32 partitions keep full parallelism at half the fixed
+    # cost (measured: factor=2 regressed small-SF runs ~0.2 s)
+    d = spread_input(
+        _t(spark, sf_dir, "documents").select("doc_id"), factor=1
+    )
     return d.mapInPandas(gen, "media_id long, payload binary")
 
 
@@ -1386,7 +1398,13 @@ def build_video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    d = spread_input(_t(spark, sf_dir, "documents").select("doc_id"))
+    # factor=1 (one partition per core): the decode stages chain TWO
+    # Python stages, so per-partition worker/Arrow overhead counts
+    # double — 32 partitions keep full parallelism at half the fixed
+    # cost (measured: factor=2 regressed small-SF runs ~0.2 s)
+    d = spread_input(
+        _t(spark, sf_dir, "documents").select("doc_id"), factor=1
+    )
     return d.mapInPandas(gen, "media_id long, payload binary")
 
 
@@ -2073,7 +2091,13 @@ def build_mixed_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    d = spread_input(_t(spark, sf_dir, "documents").select("doc_id"))
+    # factor=1 (one partition per core): the decode stages chain TWO
+    # Python stages, so per-partition worker/Arrow overhead counts
+    # double — 32 partitions keep full parallelism at half the fixed
+    # cost (measured: factor=2 regressed small-SF runs ~0.2 s)
+    d = spread_input(
+        _t(spark, sf_dir, "documents").select("doc_id"), factor=1
+    )
     return d.mapInPandas(gen, SNIFF_SCHEMA)
 
 

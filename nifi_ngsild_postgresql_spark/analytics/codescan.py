@@ -133,7 +133,8 @@ def q_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the content is allowed into a training shard. Scale shape:
     pure JVM regex projection, narrow, no shuffle; at 100 TB this is
     the same embarrassingly-parallel scan as pii_scrub (the reference
-    persists payloads verbatim, NgsiLdToPostgreSQL.java:208-241 —
+    persists payloads verbatim through its insert-statement builder
+    (PostgreSQLTransformer insert-query path) —
     redaction is a new first-class pass here)."""
     d = _secret_augmented(_t(spark, sf_dir, "documents"))
 
@@ -300,6 +301,11 @@ GROUP BY license, lang
 # materialized deterministically: every ' key ' / ' scan ' / ' window '
 # separator becomes a newline (~5 lines/doc at both SFs) — identical
 # regexp_replace in both engines, then the metrics run on real lines
+# NOTE (round-5 advice): replacement is non-overlapping, so adjacent
+# separators ("... key scan ...") split only once — the shared space is
+# consumed by the first match. Line counts therefore undercount vs the
+# ~5-lines/doc synthesis intent; harmless for parity (the oracle mirrors
+# the identical non-overlapping semantics).
 CODE_LINE_BREAK = r" (key|scan|window) "
 
 # keep gate (exact integers, cross-multiplied — no floats):

@@ -446,7 +446,11 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Intra-word multiplicity counts ('aaa' contributes 'aa' twice), the
     standard BPE occurrence count. Exact integers end-to-end."""
-    d = _t(spark, sf_dir, "documents")
+    # spread the tiny documents scan before the token explode
+    # (guide SS2.5/SS6, factor=1: the map work here is light enough
+    # that extra partitions cost more than they buy); no-op at
+    # production split counts
+    d = spread_input(_t(spark, sf_dir, "documents"), factor=1)
     words = d.select(F.explode(_tokens("text")).alias("w"))
     vocab = (
         words.groupBy("w")
@@ -2825,6 +2829,10 @@ def q_freq_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
             F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+            # NOTE (round-5 advice): despite the historical 'sha' name
+            # this column holds an MD5 of the kept-token sequence (both
+            # engines); renaming would change the frozen oracle schema,
+            # so the name stays and the mismatch is documented here
             F.md5(
                 F.concat_ws(
                     " ",

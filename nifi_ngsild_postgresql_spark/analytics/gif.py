@@ -432,7 +432,8 @@ def q_gif_decode(spark, sf_dir: str):
     # small compressed snapshot arrives in 1-2 splits and would pin
     # the decode to 1-2 workers (guide SS2.5/SS6); no-op at scale
     d = spread_input(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"),
+        factor=1,
     )
     return d.mapInPandas(gen, GIF_SCHEMA)
 

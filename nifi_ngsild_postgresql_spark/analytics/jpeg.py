@@ -602,7 +602,8 @@ def build_jpeg_table(spark, sf_dir: str):
     # spread the tiny doc-id scan before the Python Huffman/IDCT
     # stage (guide SS2.5/SS6); no-op when the input carries many splits
     d = spread_input(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"),
+        factor=1,
     )
     return d.mapInPandas(gen, "media_id long, payload binary")
 

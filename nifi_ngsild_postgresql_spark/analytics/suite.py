@@ -974,7 +974,11 @@ def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k over the embedding column vs the query
     vector (vec_id 0) — the ANN correctness baseline. Exact integer
     dot/norms over quantized embeddings (see EMB_QUANT)."""
-    e = _t(spark, sf_dir, "embeddings")
+    from .partitioning import spread_input
+
+    # spread the tiny embeddings scan before the per-row quantize +
+    # cosine folds (guide SS2.5/SS6); no-op at production split counts
+    e = spread_input(_t(spark, sf_dir, "embeddings"))
     qe = e.select("vec_id", quantized_embedding("embedding").alias("emb"))
     q = qe.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qvec"))
     joined = qe.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))

@@ -95,9 +95,10 @@ def build_warc_record(doc_id: int, text: str, date: str = WARC_DATE) -> bytes:
 def build_warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(file_id, payload, n_records) — synthetic ``.warc.gz`` segments:
     WARC_FILE_RECORDS per-record gzip members concatenated, records
-    ordered by doc_id within the segment. Grouped assembly runs as
-    applyInPandas over the file key — the write-side twin of the
-    parse's per-segment linearity."""
+    ordered by doc_id within the segment. Grouping/ordering run
+    JVM-side; the gzip framing is a per-batch mapInPandas stage — the
+    write-side twin of the parse's per-segment linearity (see
+    build_warc_files_from)."""
 
     return build_warc_files_from(
         _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -344,6 +345,12 @@ def q_warc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "url")
         .agg(
             F.count(F.lit(1)).alias("n_captures"),
+            # recency resolves on warc_date; captures sharing a date
+            # (same-instant recaptures) fall back to the lexicographically
+            # larger payload md5 — arbitrary BUT deterministic (round-5
+            # advice: real same-date recaptures have no meaningful ordinal
+            # in this fixture; a deployment with one would add snapshot/
+            # rec_pos to the struct ahead of the md5)
             F.max(F.struct("warc_date", "payload_md5")).alias("w"),
         )
         .select(
