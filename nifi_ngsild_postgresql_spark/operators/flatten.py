@@ -303,6 +303,20 @@ def flatten(changelog_df, cfg: IngestConfig):
     independent; LWW ordering uses recv_time/seq, not arrival order). At
     production scale inputs carry many splits and this is a no-op."""
     spark = changelog_df.sparkSession
+    # ship only the columns the Python stage reads (guide §4.2): the
+    # changelog's `path`/`lang` never cross the Arrow boundary — they'd
+    # ride both the repartition exchange and the per-batch Arrow
+    # serialization for nothing. Optional per-event override columns are
+    # kept when present (flatten_partition probes for them by name).
+    needed = [
+        c
+        for c in (
+            "content", "repo", "commit", "recv_time",
+            "table_suffix", "db_schema", "export_mode",
+        )
+        if c in changelog_df.columns
+    ]
+    changelog_df = changelog_df.select(*needed)
     target = spark.sparkContext.defaultParallelism * 2
     if changelog_df.rdd.getNumPartitions() < target:
         changelog_df = changelog_df.repartition(target)

@@ -128,6 +128,44 @@ def test_wide_projection_has_no_python_udf(spark):
     assert n_python_nodes == 0
 
 
+def test_flatten_arrow_input_is_column_pruned(spark):
+    """The mapInPandas flatten stage must ship ONLY the columns the
+    Python body reads (content/repo/commit/recv_time + the optional
+    per-event override columns): the changelog's `path`/`lang` would
+    otherwise ride the repartition exchange and the per-batch Arrow
+    serialization for nothing (guide §4.2). Also pins that an override
+    column, when present, still reaches the Python stage."""
+    import json as _json
+
+    from nifi_ngsild_postgresql_spark.config import IngestConfig
+    from nifi_ngsild_postgresql_spark.operators.flatten import flatten
+    from nifi_ngsild_postgresql_spark.session import ship_package
+
+    ship_package(spark)
+    payload = _json.dumps(
+        {"id": "u:1", "type": "T",
+         "a": {"type": "Property", "value": 1.5, "observedAt": "2024-01-01T00:00:00Z"}}
+    )
+    cl = spark.createDataFrame(
+        [("t", "p", "0", "T", payload)],
+        "repo string, path string, commit string, lang string, content string",
+    ).withColumn("recv_time", F.timestamp_millis(F.lit(0)))
+    plan = flatten(cl, IngestConfig())._jdf.queryExecution().executedPlan().toString()
+    map_line = next(
+        ln for ln in plan.splitlines() if "MapInPandas" in ln
+    )
+    assert "path#" not in map_line and "lang#" not in map_line, map_line
+    assert "content#" in map_line and "recv_time#" in map_line, map_line
+    # an override column survives the prune and changes behavior
+    cl_ovr = cl.withColumn("db_schema", F.lit("ovr"))
+    plan_ovr = flatten(cl_ovr, IngestConfig())._jdf.queryExecution().executedPlan().toString()
+    assert "db_schema#" in next(
+        ln for ln in plan_ovr.splitlines() if "MapInPandas" in ln
+    )
+    rows = flatten(cl_ovr, IngestConfig()).collect()
+    assert rows and all(r["tenant"] == "ovr" for r in rows)
+
+
 def test_stratified_sample_is_shuffle_free(spark):
     """The hash-stratified sample must stay a narrow scan+filter: no
     Exchange anywhere in the plan (rand()-free, state-free — the only
